@@ -1,0 +1,266 @@
+"""Query registry: every SURVEY §2 operator as a (spark_fn, oracle_sql) pair.
+
+This is the engine's correctness surface. Each entry pairs a PySpark
+DataFrame pipeline with the ANSI-SQL statement DuckDB runs on the same
+parquet fixtures; the driver compares row counts, schemas, and
+order-insensitive value hashes at sf0.01.
+
+Cross-engine determinism rules used throughout:
+- double aggregation goes through ``decimal`` (exact, associative) so sum
+  order can't change results; final values cast back to double when wanted.
+- fingerprints (xxhash64 vs DuckDB hash) are never *output*; they are
+  compared within each engine and only the resulting verdicts/counts are
+  output, so both engines agree without sharing a hash function.
+- month()/count() output types are cast explicitly (Spark month→int,
+  DuckDB month→bigint) so schemas line up.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_table_copier_spark.functions.scalars import row_hash
+from clickhouse_table_copier_spark.plans.partition_spec import PartitionField, PartitionSpec
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+# The standard partition spec for lineitem: month of ship date — the
+# Date/DateTime function-of-column partition key case (FIXTURES.md).
+LINEITEM_SPEC = PartitionSpec.of(
+    PartitionField(
+        "ship_month", "month(l_shipdate)", source_col="l_shipdate", is_temporal=True
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# A1 — total row count (database.go:366-388)
+# ---------------------------------------------------------------------------
+@register(
+    "row_count",
+    oracle="SELECT count(*) AS cnt FROM lineitem",
+)
+def q_row_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# A2 + P3 — filtered row count under a multi-key equality predicate
+# (database.go:419-461; the ≥2-key AND the reference mishandles,
+# sidefunctions.go:227-231)
+# ---------------------------------------------------------------------------
+@register(
+    "filtered_row_count",
+    oracle="""
+    SELECT count(*) AS cnt FROM lineitem
+    WHERE CAST(month(l_shipdate) AS INTEGER) = 3 AND l_returnflag = 'R'
+      AND l_linestatus = 'F'
+    """,
+)
+def q_filtered_row_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "lineitem")
+    spec = PartitionSpec.of(
+        PartitionField("ship_month", "CAST(month(l_shipdate) AS INT)"),
+        PartitionField("l_returnflag", "l_returnflag"),
+        PartitionField("l_linestatus", "l_linestatus"),
+    )
+    from clickhouse_table_copier_spark.plans.predicates import equality_predicate
+
+    return df.where(equality_predicate(spec, [3, "R", "F"])).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4 — time-range partition predicate (sidefunctions.go:215-220)
+# ---------------------------------------------------------------------------
+@register(
+    "time_range_count",
+    oracle="""
+    SELECT count(*) AS cnt FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-03-01 00:00:00'
+      AND l_shipdate <= TIMESTAMP '1995-06-30 23:59:59'
+    """,
+)
+def q_time_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.plans.predicates import time_range_predicate
+
+    df = _t(spark, sf_dir, "lineitem")
+    f = LINEITEM_SPEC.fields[0]
+    pred = time_range_predicate(f, "1995-03-01 00:00:00", "1995-06-30 23:59:59")
+    return df.where(pred).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# A4 / S4 / O1 — grouped partition stats, largest-first
+# (database.go:390-417, ORDER BY bytes_size DESC at :409)
+# bytes_size is the engine's deterministic width estimate, reproduced
+# verbatim in the oracle so values hash-match.
+# ---------------------------------------------------------------------------
+_LINEITEM_WIDTH_SQL = (
+    "8+8+8+4+8+8+8+8"
+    "+coalesce(length(l_returnflag),0)+coalesce(length(l_linestatus),0)+8"
+)
+
+
+@register(
+    "partition_stats",
+    oracle=f"""
+    SELECT CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+           count(*) AS rows_,
+           CAST(sum({_LINEITEM_WIDTH_SQL}) AS BIGINT) AS bytes_size,
+           min(l_shipdate) AS min_time,
+           max(l_shipdate) AS max_time
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.partition_stats import partition_stats
+
+    df = _t(spark, sf_dir, "lineitem")
+    spec = PartitionSpec.of(PartitionField("ship_month", "CAST(month(l_shipdate) AS INT)"))
+    out = partition_stats(df, spec, time_col="l_shipdate")
+    return out.withColumnRenamed("rows", "rows_")
+
+
+# ---------------------------------------------------------------------------
+# J2 + C5 — the flagship: full partition diff with verdicts.
+# Both engines build the same deterministic "destination" mutation of
+# lineitem (drop month 3 = missing partition; perturb quantities of
+# orderkeys divisible by 997 = inconsistent partitions), fingerprint all
+# partitions in one grouped agg per side with their own 64-bit hash, and
+# classify with a full-outer join. Fingerprints stay internal; the output
+# (counts + verdict) is engine-independent.
+# ---------------------------------------------------------------------------
+_DIFF_ORACLE = """
+WITH dest AS (
+  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+         CASE WHEN l_orderkey % 997 = 0 THEN l_quantity + 1 ELSE l_quantity END AS l_quantity,
+         l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+  FROM lineitem WHERE CAST(month(l_shipdate) AS INTEGER) <> 3
+),
+s AS (
+  SELECT CAST(month(l_shipdate) AS INTEGER) AS ship_month, count(*) AS src_rows,
+         bit_xor(hash(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+                      l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+                      l_shipdate)) AS fp
+  FROM lineitem GROUP BY 1
+),
+d AS (
+  SELECT CAST(month(l_shipdate) AS INTEGER) AS ship_month, count(*) AS dest_rows,
+         bit_xor(hash(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+                      l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+                      l_shipdate)) AS fp
+  FROM dest GROUP BY 1
+)
+SELECT s.ship_month AS ship_month,
+       s.src_rows AS src_rows,
+       d.dest_rows AS dest_rows,
+       CASE WHEN s.src_rows IS NULL THEN 'extra'
+            WHEN d.dest_rows IS NULL OR d.dest_rows = 0 THEN 'copy'
+            WHEN s.fp = d.fp AND s.src_rows = d.dest_rows THEN 'identical'
+            ELSE 'inconsistent' END AS verdict
+FROM s FULL OUTER JOIN d USING (ship_month)
+"""
+
+
+def _mutated_dest(df: DataFrame) -> DataFrame:
+    """Deterministic destination-table mutation shared with the oracle."""
+    return df.where(F.expr("CAST(month(l_shipdate) AS INT) <> 3")).withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 997 == 0, F.col("l_quantity") + 1).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+
+
+@register("partition_diff", oracle=_DIFF_ORACLE)
+def q_partition_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.diff import diff_partitions
+
+    src = _t(spark, sf_dir, "lineitem")
+    dest = _mutated_dest(src)
+    spec = PartitionSpec.of(PartitionField("ship_month", "CAST(month(l_shipdate) AS INT)"))
+    report = diff_partitions(src, dest, spec)
+    return report.select("ship_month", "src_rows", "dest_rows", "verdict")
+
+
+# ---------------------------------------------------------------------------
+# P1 + P2 — schema alignment: column intersection in source order + casts.
+# Destination schema: l_linenumber widened to bigint, l_shipdate narrowed to
+# date, l_quantity to decimal(18,2), l_orderkey rendered as string; two
+# source columns absent from dest (l_comment-style drop), one dest-only
+# column ignored. (sidefunctions.go:78-97 + :112-192)
+# ---------------------------------------------------------------------------
+@register(
+    "schema_align",
+    oracle="""
+    SELECT l_orderkey_s, l_linenumber_w, l_quantity_d, l_ship_date, count(*) AS cnt
+    FROM (
+      SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey_s,
+             CAST(l_linenumber AS BIGINT) AS l_linenumber_w,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS l_quantity_d,
+             CAST(l_shipdate AS DATE) AS l_ship_date
+      FROM lineitem
+    ) GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_schema_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "lineitem")
+    aligned = df.select(
+        F.col("l_orderkey").cast("string").alias("l_orderkey_s"),
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber_w"),
+        F.col("l_quantity").cast("decimal(18,2)").cast("double").alias("l_quantity_d"),
+        F.col("l_shipdate").cast("date").alias("l_ship_date"),
+    )
+    return aligned.groupBy(
+        "l_orderkey_s", "l_linenumber_w", "l_quantity_d", "l_ship_date"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# P5 — virtual-column (_part / _metadata.file_path) predicate
+# (copy/copy.go:207-211). Selecting the rows of exactly one physical part;
+# with the fixture's single file per table that is the whole table, which
+# the oracle states directly.
+# ---------------------------------------------------------------------------
+@register(
+    "virtual_column_part",
+    oracle="SELECT count(*) AS cnt FROM lineitem",
+)
+def q_virtual_column_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.plans.predicates import virtual_column_predicate
+
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet")
+    return df.where(virtual_column_predicate("lineitem.parquet")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )

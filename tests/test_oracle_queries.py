@@ -1,0 +1,39 @@
+"""Every registered query must hash-match its DuckDB oracle at sf0.01.
+
+This reproduces the driver's CORRECTNESS gate locally so regressions are
+caught before a round ends.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.oracle_harness import compare, run_oracle
+from tests.conftest import SF_ORACLE
+
+_QUERIES = entrymod.queries()
+_ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_matches_oracle(spark, name):
+    df = _QUERIES[name](spark, SF_ORACLE)
+    if name not in _ORACLES:
+        # weaker rows-only check, mirroring the driver
+        assert df.count() >= 0
+        return
+    oracle = run_oracle(_ORACLES[name], SF_ORACLE)
+    compare(df, oracle, name)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+
+
+def test_every_query_has_oracle_or_is_declared():
+    missing = sorted(set(_QUERIES) - set(_ORACLES))
+    # Non-SQL-expressible ops may be missing; keep the list conscious.
+    allowed_missing = set()
+    assert set(missing) <= allowed_missing, f"queries without oracle: {missing}"
