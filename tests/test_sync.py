@@ -1,0 +1,185 @@
+"""End-to-end sync tests — the C5 state machine golden tests (SURVEY §5.2).
+
+Each case builds a mutated destination from lineitem (FIXTURES.md fixture
+pairs), runs sync, and asserts the destination converges to the source
+projection (or diverges exactly as the skip flags dictate).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_table_copier_spark.operators.sync import SyncOptions, sync
+from clickhouse_table_copier_spark.plans.partition_spec import PartitionField, PartitionSpec
+from tests.conftest import SF_SMOKE
+
+SPEC = PartitionSpec.of(
+    PartitionField("ship_month", "CAST(month(l_shipdate) AS INT)")
+)
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+
+
+def _write_dest(df, spec, path):
+    spec.with_partition_columns(df).write.partitionBy(*spec.names).mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def _fingerprint(df, cols):
+    from clickhouse_table_copier_spark.operators.fingerprint import table_fingerprint
+
+    return table_fingerprint(df.select(*cols), cols).collect()[0]
+
+
+def _assert_synced(spark, src, dest_path, data_cols):
+    dest = spark.read.parquet(dest_path)
+    src_fp = _fingerprint(src, data_cols)
+    dest_cast = dest.select(
+        *[F.col(c).cast(t) for c, t in src.select(*data_cols).dtypes]
+    )
+    dest_fp = _fingerprint(dest_cast, data_cols)
+    assert src_fp["rows"] == dest_fp["rows"]
+    assert src_fp["fingerprint"] == dest_fp["fingerprint"]
+
+
+DATA_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate",
+]
+
+
+def test_dest_empty_copies_everything(spark, lineitem, tmp_path):
+    dest = str(tmp_path / "dest")
+    res = sync(spark, lineitem, dest, SPEC)
+    assert res.copied_partitions == 12
+    _assert_synced(spark, lineitem, dest, DATA_COLS)
+
+
+def test_dest_identical_skips(spark, lineitem, tmp_path):
+    dest = str(tmp_path / "dest")
+    _write_dest(lineitem, SPEC, dest)
+    res = sync(spark, lineitem, dest, SPEC)
+    assert res.copied_partitions == 0
+    assert res.deleted_partitions == 0
+    verdicts = {r["verdict"] for r in res.report.collect()}
+    assert verdicts == {"identical"}
+    _assert_synced(spark, lineitem, dest, DATA_COLS)
+
+
+def test_dest_missing_partition_copied(spark, lineitem, tmp_path):
+    dest = str(tmp_path / "dest")
+    _write_dest(lineitem.where(F.month("l_shipdate") != 3), SPEC, dest)
+    res = sync(spark, lineitem, dest, SPEC)
+    assert res.copied_partitions == 1
+    _assert_synced(spark, lineitem, dest, DATA_COLS)
+
+
+def test_dest_inconsistent_overwritten(spark, lineitem, tmp_path):
+    dest = str(tmp_path / "dest")
+    mutated = lineitem.withColumn(
+        "l_quantity",
+        F.when(
+            (F.month("l_shipdate") == 5) & (F.col("l_linenumber") == 1),
+            F.col("l_quantity") + 1,
+        ).otherwise(F.col("l_quantity")),
+    )
+    _write_dest(mutated, SPEC, dest)
+    res = sync(spark, lineitem, dest, SPEC)
+    report = {r["ship_month"]: r["action"] for r in res.report.collect()}
+    assert report[5] == "overwritten"
+    assert sum(1 for a in report.values() if a == "overwritten") == 1
+    _assert_synced(spark, lineitem, dest, DATA_COLS)
+
+
+def test_dest_superset_detected_and_overwritten(spark, lineitem, tmp_path):
+    dest = str(tmp_path / "dest")
+    extra = lineitem.limit(5)
+    _write_dest(lineitem.union(extra), SPEC, dest)
+    res = sync(spark, lineitem, dest, SPEC)
+    assert res.copied_partitions >= 1
+    _assert_synced(spark, lineitem, dest, DATA_COLS)
+
+
+def test_skip_delete_appends_duplicates(spark, lineitem, tmp_path):
+    dest = str(tmp_path / "dest")
+    mutated = lineitem.withColumn(
+        "l_quantity",
+        F.when(F.month("l_shipdate") == 5, F.col("l_quantity") + 1).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+    _write_dest(mutated, SPEC, dest)
+    before = spark.read.parquet(dest).count()
+    res = sync(spark, lineitem, dest, SPEC, SyncOptions(skip_delete=True))
+    after = spark.read.parquet(dest).count()
+    month5 = lineitem.where(F.month("l_shipdate") == 5).count()
+    assert after == before + month5  # appended without delete → duplicates
+    assert res.copied_partitions == 1
+
+
+def test_skip_reimport_deletes_only(spark, lineitem, tmp_path):
+    dest = str(tmp_path / "dest")
+    mutated = lineitem.withColumn(
+        "l_quantity",
+        F.when(F.month("l_shipdate") == 5, F.col("l_quantity") + 1).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+    _write_dest(mutated, SPEC, dest)
+    res = sync(spark, lineitem, dest, SPEC, SyncOptions(skip_reimport=True))
+    assert res.deleted_partitions == 1
+    remaining = spark.read.parquet(dest)
+    assert remaining.where(F.col("ship_month") == 5).count() == 0
+
+
+def test_dry_run_writes_nothing(spark, lineitem, tmp_path):
+    dest = str(tmp_path / "dest")
+    _write_dest(lineitem.where(F.month("l_shipdate") != 3), SPEC, dest)
+    before = spark.read.parquet(dest).count()
+    res = sync(spark, lineitem, dest, SPEC, SyncOptions(dry_run=True))
+    assert spark.read.parquet(dest).count() == before
+    verdicts = {r["ship_month"]: r["verdict"] for r in res.report.collect()}
+    assert verdicts[3] == "copy"
+    assert res.copied_partitions == 0
+
+
+def test_check_hashes_false_misses_value_change(spark, lineitem, tmp_path):
+    """Row-count compare (C6) can't see same-cardinality value drift —
+    the documented trade-off of check_hashes=false."""
+    dest = str(tmp_path / "dest")
+    mutated = lineitem.withColumn(
+        "l_quantity",
+        F.when(F.month("l_shipdate") == 5, F.col("l_quantity") + 1).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+    _write_dest(mutated, SPEC, dest)
+    res = sync(spark, lineitem, dest, SPEC, SyncOptions(check_hashes=False))
+    verdicts = {r["ship_month"]: r["verdict"] for r in res.report.collect()}
+    assert verdicts[5] == "identical"  # counts match → not detected
+    assert res.copied_partitions == 0
+
+
+def test_dest_retyped_schema_alignment(spark, lineitem, tmp_path):
+    """dest_retyped fixture: narrower/renamed schema on the destination —
+    intersection + casts must still converge the common columns."""
+    dest = str(tmp_path / "dest")
+    retyped = (
+        SPEC.with_partition_columns(lineitem)
+        .withColumn("l_linenumber", F.col("l_linenumber").cast("bigint"))
+        .withColumn("extra_col", F.lit("x"))
+        .drop("l_tax")
+        .where(F.col("ship_month") != 7)
+    )
+    retyped.write.partitionBy("ship_month").mode("overwrite").parquet(dest)
+    res = sync(spark, lineitem, dest, SPEC)
+    # month 7 absent → copy; all others differ only in types/extra cols,
+    # which alignment must neutralize for the common columns.
+    verdicts = {r["ship_month"]: r["verdict"] for r in res.report.collect()}
+    assert verdicts[7] == "copy"
