@@ -21,6 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from clickhouse_table_copier_spark import queries as _registry  # noqa: E402
 
+# importing these modules registers their queries into the registry
+import clickhouse_table_copier_spark.queries_scalars  # noqa: E402,F401
+import clickhouse_table_copier_spark.queries_analytics  # noqa: E402,F401
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the full partition-diff verdict report (J2+C5) on

@@ -38,22 +38,53 @@ def row_hash(*cols: Column | str) -> Column:
     return F.xxhash64(*[F.col(c) if isinstance(c, str) else c for c in cols])
 
 
+def portable_row_hash(*cols: Column | str) -> Column:
+    """Engine-portable 60-bit row hash: md5 over '|'-joined rendered columns.
+
+    :func:`row_hash` (xxhash64) is the fast path for same-engine compares;
+    this variant is reproducible in ANY engine with md5 (DuckDB:
+    ``CAST('0x' || substring(md5(s),1,15) AS BIGINT)``), enabling
+    cross-engine fingerprint parity — the property the reference needs when
+    source and destination servers must agree on ``cityHash64`` semantics.
+    Callers pass explicitly *rendered* (string) columns so numeric/time
+    formatting is under the caller's control, never engine defaults.
+    """
+    rendered = [F.col(c) if isinstance(c, str) else c for c in cols]
+    joined = F.concat_ws("|", *rendered)
+    return F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("bigint")
+
+
 def format_readable_size(bytes_col: Column | str) -> Column:
     """Human-readable byte size — ``formatReadableSize`` (database.go:400).
 
-    Pure CASE/format expression chain (no UDF). Matches ClickHouse's style:
-    1024 base, two decimals, unit suffix.
+    Pure CASE/arithmetic expression chain (no UDF), ClickHouse style: 1024
+    base, two decimals, unit suffix. Rendering is exact integer math
+    (floor to hundredths) rather than float formatting, so the output is
+    bit-identical across engines — float ``%.2f`` differs between
+    Java's HALF_UP and C's half-even exactly on the dyadic ties that
+    dividing by powers of 1024 produces.
     """
-    b = F.col(bytes_col) if isinstance(bytes_col, str) else bytes_col
-    b = b.cast("double")
+    b = (F.col(bytes_col) if isinstance(bytes_col, str) else bytes_col).cast("bigint")
     units = ["B", "KiB", "MiB", "GiB", "TiB", "PiB"]
-    expr = F.concat(F.format_number(b / F.lit(1024.0**5), 2), F.lit(" PiB"))
+
+    def render(i: int) -> Column:
+        # hundredths = floor(b*100 / 1024^i), computed so every engine gets
+        # the exact same integer: subtract the modulo in bigint domain, then
+        # divide — the numerator is exactly divisible by the power-of-two
+        # divisor, so the (double) division is exact in IEEE754.
+        num = b * F.lit(100)
+        d = F.lit(1024**i)
+        hundredths = ((num - num % d) / d).cast("bigint")
+        return F.concat(
+            ((hundredths - hundredths % 100) / 100).cast("bigint").cast("string"),
+            F.lit("."),
+            F.lpad((hundredths % 100).cast("string"), 2, "0"),
+            F.lit(f" {units[i]}"),
+        )
+
+    expr = render(len(units) - 1)
     for i in range(len(units) - 2, -1, -1):
-        threshold = 1024.0 ** (i + 1)
-        expr = F.when(
-            b < F.lit(threshold),
-            F.concat(F.format_number(b / F.lit(1024.0**i), 2), F.lit(f" {units[i]}")),
-        ).otherwise(expr)
+        expr = F.when(b < F.lit(1024 ** (i + 1)), render(i)).otherwise(expr)
     return expr
 
 
@@ -88,13 +119,12 @@ def ipv4_to_long(col: Column | str) -> Column:
 def long_to_ipv4(col: Column | str) -> Column:
     """Inverse of :func:`ipv4_to_long` — numeric → dotted-quad string."""
     c = (F.col(col) if isinstance(col, str) else col).cast("long")
-    return F.concat_ws(
-        ".",
-        ((c / 16777216) % 256).cast("int").cast("string"),
-        ((c / 65536) % 256).cast("int").cast("string"),
-        ((c / 256) % 256).cast("int").cast("string"),
-        (c % 256).cast("int").cast("string"),
-    )
+
+    def octet(d: int) -> Column:
+        # exact integer math: subtract the modulo before dividing
+        return (((c - c % d) / d).cast("long") % 256).cast("string")
+
+    return F.concat_ws(".", octet(16777216), octet(65536), octet(256), (c % 256).cast("string"))
 
 
 def canonical_ipv6(col: Column | str) -> Column:

@@ -53,6 +53,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load events: its ``ts`` is parquet TIMESTAMP(NANOS), which Spark only
+    reads as a long (``nanosAsLong``). Convert to µs-precision
+    TIMESTAMP_NTZ — matching DuckDB's CAST(ts AS TIMESTAMP) truncation —
+    under an explicitly-UTC session so the rendering is TZ-independent."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = _t(spark, sf_dir, "events")
+    return df.withColumn(
+        "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
+    )
+
+
 # The standard partition spec for lineitem: month of ship date — the
 # Date/DateTime function-of-column partition key case (FIXTURES.md).
 LINEITEM_SPEC = PartitionSpec.of(

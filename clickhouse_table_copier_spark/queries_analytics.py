@@ -1,0 +1,219 @@
+"""Query batch 3: analytic breadth over the star schema + events.
+
+The reference ships aggregation/sort/filter SQL to ClickHouse; these queries
+demonstrate the same relational semantics executed natively by Catalyst —
+grouped aggregation with decimal-exact money math, broadcast-able dimension
+joins, deterministic top-k, and the tuple partition key (event_type,
+to_date(ts)) that the reference's GenerateWhere mishandles for arity > 2
+(sidefunctions.go:227-231).
+
+Scale notes are attached per query; the common thread: aggregate before
+join where possible, broadcast dimensions, keep money in decimal (exact AND
+fixed-width — faster to shuffle than strings, immune to FP reorder).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_table_copier_spark.queries import _events, _t, register
+
+
+# ---------------------------------------------------------------------------
+# Pricing summary (TPC-H Q1 shape) — grouped agg over the fact table.
+# Money goes through decimal(18,2) BEFORE summing: exact (reorder-proof)
+# and map-side-combinable. avg is sum/count of exact decimals → one
+# deterministic double division at the end.
+# ---------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        df.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dimension join: orders per nation — customer joined to nation (tiny dim →
+# broadcast; Spark picks BroadcastHashJoin from stats), aggregated AFTER
+# the join on the already-reduced orders side? No: orders is the fact, so
+# pre-aggregate orders per custkey is pointless (custkey ~unique) — instead
+# join orders→customer (broadcast at these SFs; shuffle-hash at 100 TB with
+# AQE handling skew) and aggregate once.
+# ---------------------------------------------------------------------------
+@register(
+    "orders_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation,
+           count(*) AS order_cnt,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic top-k: most-ordered parts. Ties broken by the unique key so
+# LIMIT is stable across engines. Top-k in Spark = TakeOrderedAndProject
+# (no global sort of the full aggregate).
+# ---------------------------------------------------------------------------
+@register(
+    "top_parts_by_quantity",
+    oracle="""
+    SELECT l_partkey,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+           count(*) AS line_cnt
+    FROM lineitem
+    GROUP BY l_partkey
+    ORDER BY total_qty DESC, l_partkey ASC
+    LIMIT 10
+    """,
+)
+def q_top_parts_by_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "lineitem")
+    return (
+        df.groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+            F.count(F.lit(1)).alias("line_cnt"),
+        )
+        .orderBy(F.desc("total_qty"), F.asc("l_partkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tuple partition key over events: (event_type, event_date) — the multi-key
+# grouped stats + the 3-key AND predicate done right (the reference's
+# GenerateWhere breaks at arity > 2, sidefunctions.go:231).
+# event_date derives from epoch arithmetic (TZ-independent on both sides).
+# ---------------------------------------------------------------------------
+@register(
+    "events_multikey_stats",
+    oracle="""
+    SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date,
+           count(*) AS rows_,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_multikey_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events(spark, sf_dir)
+    return (
+        df.groupBy("event_type", F.col("ts").cast("date").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("rows_"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+    )
+
+
+@register(
+    "events_multikey_predicate",
+    oracle="""
+    SELECT count(*) AS cnt FROM events
+    WHERE event_type = 'click'
+      AND CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-05'
+      AND user_id % 2 = 0
+    """,
+)
+def q_events_multikey_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.plans.partition_spec import (
+        PartitionField,
+        PartitionSpec,
+    )
+    from clickhouse_table_copier_spark.plans.predicates import equality_predicate
+
+    df = _events(spark, sf_dir)
+    spec = PartitionSpec.of(
+        PartitionField("event_type", "event_type"),
+        PartitionField("event_date", "CAST(ts AS DATE)"),
+        PartitionField("user_parity", "user_id % 2"),
+    )
+    import datetime
+
+    pred = equality_predicate(spec, ["click", datetime.date(2024, 1, 5), 0])
+    return df.where(pred).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# J1 — schema intersection as a queryable result: common columns of
+# lineitem and a retyped/reduced destination schema, in SOURCE order
+# (ReturnValuesString, sidefunctions.go:78-97). The oracle states the
+# expected intersection as literals — the assertion that the engine's
+# planner-side set logic is right.
+# ---------------------------------------------------------------------------
+@register(
+    "schema_intersection",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'l_orderkey'), (2, 'l_partkey'), (3, 'l_suppkey'),
+      (4, 'l_linenumber'), (5, 'l_quantity'), (6, 'l_returnflag'),
+      (7, 'l_shipdate')
+    ) AS t(pos, col_name)
+    """,
+)
+def q_schema_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.plans.casting import common_columns
+
+    src = _t(spark, sf_dir, "lineitem")
+    # destination: subset of columns, some retyped, plus an extra column
+    dest = src.selectExpr(
+        "CAST(l_orderkey AS STRING) AS l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "CAST(l_linenumber AS BIGINT) AS l_linenumber",
+        "CAST(l_quantity AS DECIMAL(18,2)) AS l_quantity",
+        "l_returnflag",
+        "CAST(l_shipdate AS DATE) AS l_shipdate",
+        "'extra' AS dest_only_col",
+    ).limit(0)
+    common = common_columns(src, dest)
+    rows = [(i + 1, c) for i, c in enumerate(common)]
+    return spark.createDataFrame(rows, "pos INT, col_name STRING")
