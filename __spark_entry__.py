@@ -24,6 +24,8 @@ from clickhouse_table_copier_spark import queries as _registry  # noqa: E402
 # importing these modules registers their queries into the registry
 import clickhouse_table_copier_spark.queries_scalars  # noqa: E402,F401
 import clickhouse_table_copier_spark.queries_analytics  # noqa: E402,F401
+import clickhouse_table_copier_spark.queries_pipeline  # noqa: E402,F401
+import clickhouse_table_copier_spark.queries_similarity  # noqa: E402,F401
 
 
 def entry(spark: SparkSession) -> DataFrame:

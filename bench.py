@@ -1,0 +1,89 @@
+"""Benchmark harness: runs the engine's headline queries and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Env:
+  SPARK_GRAFT_SF_DIR  fixture dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+
+Each query is fully executed via collect() (all results are aggregate- or
+top-k-sized). Timings are per-query wall clock after a session warm-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # reference-parity core
+    "partition_diff",
+    "partition_stats",
+    "table_fingerprint",
+    "partition_fingerprints",
+    "schema_align",
+    # analytics
+    "pricing_summary",
+    "orders_by_nation",
+    "top_parts_by_quantity",
+    "events_multikey_stats",
+    # training-data pipeline
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "text_stats",
+    "text_quality",
+    "similarity_brute_topk",
+    "similarity_lsh_topk",
+    "dedup_embedding_cosine",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    import __spark_entry__ as entry
+    from clickhouse_table_copier_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="ctc-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus) if cpus.isdigit() else 32,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry.queries()
+    # warm-up: JVM + parquet footer caches, so per-query numbers measure
+    # the query, not session startup
+    spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

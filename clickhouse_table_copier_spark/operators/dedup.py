@@ -1,0 +1,229 @@
+"""Deduplication operators for training-data pipelines.
+
+Four strategies, each chosen by where it sits on the exactness/scale curve:
+
+- :func:`exact_dedup` — hash-groupBy on normalized content. One shuffle on
+  the content key; at 100 TB prefer the md5 key over the raw text so the
+  shuffle moves 32 bytes/row, not documents.
+- :func:`minhash_signatures` / :func:`lsh_candidate_pairs` — MinHash+LSH
+  near-dup: shingle → per-seed min-hash → band → bucket join. Candidate
+  generation never compares all pairs: cost is O(rows × bands) + the
+  bucket join, which AQE handles even with hot buckets.
+- :func:`simhash` + :func:`simhash_near_pairs` — SimHash with pigeonhole
+  banding (k differing bits over b bands ⇒ some band equal when k < b),
+  so the pair search is again a bucket join, not a cross join.
+- :func:`ngram_jaccard_pairs` — exact Jaccard via an inverted shingle
+  index join; the verification step to run on LSH candidates.
+
+All hashing is md5-derived (portable) so every step is reproducible in the
+DuckDB oracle; swap ``row_hash`` (xxhash64) in for ~2× faster signatures
+when cross-engine parity isn't needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(t), r"[^a-z0-9 ]", ""), r"\s+", " ")
+    )
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str, normalize: bool = True
+) -> DataFrame:
+    """Exact dedup groups: one row per distinct content with the surviving
+    (minimum) id and the duplicate count. Shuffles md5 keys, not text."""
+    key = F.md5(normalized_text(text_col) if normalize else F.col(text_col))
+    return (
+        df.select(F.col(id_col), key.alias("content_key"))
+        .groupBy("content_key")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_cnt"),
+        )
+    )
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of normalized text (array<string>).
+
+    Documents with < n words produce a single whole-text shingle so they
+    still participate (otherwise short docs silently vanish from dedup).
+    """
+    t = normalized_text(text)
+    toks = F.split(t, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array(t))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """(id, h0..h{k-1}): per-seed min of md5(seed|shingle) over the doc's
+    shingle set — the classic MinHash signature, computed with ONE explode
+    + ONE grouped agg (k min-aggregates), no per-seed passes."""
+    ex = df.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    Bands of r = num_hashes/bands rows each; band key = md5 of the
+    concatenated signature slice. The self-join is on (band_idx, band_key)
+    — an equi-join Spark executes shuffle-hash per bucket; hot buckets
+    (boilerplate docs) are exactly what AQE skew-join splits.
+    """
+    r = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * r + j}") for j in range(r)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *parts)).alias("band_key"))
+        )
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band_idx") == F.col(f"b.band_idx"))
+            & (F.col(f"a.band_key") == F.col(f"b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    Inverted-index formulation: explode distinct shingles, self-join on the
+    shingle (never all-pairs), count intersections, then
+    |A∩B| / (|A| + |B| − |A∩B|). Exact integers until one final division —
+    deterministic across engines.
+    """
+    ex = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("sh"))
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter_cnt"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter_cnt").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter_cnt")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter_cnt", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """(id, simhash): sum ±1 per hash bit over the doc's distinct tokens,
+    bit set where the sum is positive. md5-derived token hashes keep it
+    engine-portable. One explode over tokens×bits + one grouped agg."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(normalized_text(text_col), " "))
+        ).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    contrib = toks.select(
+        F.col(id_col),
+        bit,
+        h.alias("h"),
+    ).select(
+        id_col,
+        "bit",
+        (
+            F.when(F.expr("(h div CAST(pow(2, bit) AS BIGINT)) % 2") == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+        ).alias("sign"),
+    )
+    bitsum = contrib.groupBy(id_col, "bit").agg(F.sum("sign").alias("s"))
+    return bitsum.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("CAST(pow(2, bit) AS BIGINT)")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    sh: DataFrame, id_col: str, max_hamming: int = 3, bits: int = 32, bands: int = 4
+) -> DataFrame:
+    """Pairs with hamming(simhash) ≤ max_hamming, found via pigeonhole
+    banding (≤3 differing bits over 4 bands ⇒ ≥1 identical band), so the
+    search is a bucket join instead of an all-pairs scan."""
+    width = bits // bands
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band_idx"),
+            F.expr(f"(simhash div CAST(pow(2, {i * width}) AS BIGINT)) % {2 ** width}").alias(
+                "band_val"
+            ),
+        )
+        for i in range(bands)
+    ]
+    banded = sh.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "simhash", "band.band_idx", "band.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.withColumn("hamming", hamming).where(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

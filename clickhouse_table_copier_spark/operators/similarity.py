@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a real 100 TB pipeline would deploy them:
+
+- :func:`brute_force_topk` — exact cosine top-k against a query vector.
+  The query vector is a broadcast literal; the scan is embarrassingly
+  parallel (no shuffle until the final TakeOrderedAndProject, which moves
+  only k rows per partition). This is the *correct* baseline and the
+  verifier for the approximate path.
+- :func:`hyperplane_lsh_buckets` / :func:`lsh_topk` — random-hyperplane
+  (sign) LSH: b md5-derived ±1 hyperplanes → b-bit bucket id. At scale the
+  table is written bucketed/partitioned by ``bucket`` so a query probes
+  only matching buckets (partition pruning), turning top-k into a scan of
+  ~rows/2^b. Probing multiple nearby buckets (hamming ≤ 1) trades recall
+  for fan-out.
+
+Dot products stay in the JVM via ``F.zip_with`` + ``F.aggregate`` fold —
+sequential left-to-right, so results are bit-deterministic (and match any
+engine that folds in index order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Deterministic dot product: left-to-right double fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k vs a literal query vector.
+
+    Output: (id, cosine_sim) ordered best-first, ties broken by id.
+    Rounded to 6 decimals for stable cross-engine ordering; both engines
+    round half-away-from-zero (verified), and random embeddings don't tie.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Assign each vector a 2^num_planes bucket by the sign pattern of
+    md5-derived ±1 hyperplanes.
+
+    Plane p's d-th component is +1 iff md5("p|d") has an even first hex
+    digit — deterministic, engine-portable, no stored model. Bucket id =
+    Σ 2^p · [⟨plane_p, x⟩ > 0].
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    v = F.col(vec_col)
+    bucket = F.lit(0).cast("bigint")
+    for p in range(num_planes):
+        import hashlib
+
+        terms = None
+        for d in range(dim):
+            sign = 1 if int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+            t = v.getItem(d).cast("double") * F.lit(float(sign))
+            terms = t if terms is None else terms + t
+        bucket = bucket + F.when(terms > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return df.select(F.col(id_col), v.alias(vec_col), bucket.alias("bucket"))
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket or
+    buckets within hamming distance 1 (multi-probe for recall).
+
+    At 100 TB the bucketed table is the stored layout and this becomes a
+    partition-pruned scan; here the bucket column is computed inline.
+    """
+    import hashlib
+
+    dim = len(query_vec)
+    buckets = hyperplane_lsh_buckets(df, num_planes, id_col, vec_col, dim)
+
+    qb = 0
+    for p in range(num_planes):
+        s = 0.0
+        for d in range(dim):
+            sign = 1 if int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+            s += sign * float(query_vec[d])
+        if s > 0:
+            qb += 2**p
+    probe = [qb] + [qb ^ (1 << p) for p in range(num_planes)]
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = buckets.where(F.col("bucket").isin(probe))
+    scored = cand.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)

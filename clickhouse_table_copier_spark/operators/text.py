@@ -1,0 +1,115 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond reference parity (BASELINE.json north_star): language ID, quality
+scoring, token counting, and document fingerprinting over a ``documents``
+table. All pure Column expressions — JVM-side, codegen-eligible, no Python
+in the hot path — so a 100 TB corpus is one scan with map-side-only work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram heuristic. Real
+# deployments would use fastText/CLD3 via a Pandas UDF; the heuristic keeps
+# the operator expression-only and deterministic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "de": [" der ", " die ", " und ", " nicht ", " ist "],
+    "fr": [" le ", " la ", " et ", " les ", " est "],
+    "es": [" el ", " la ", " los ", " que ", " es "],
+}
+
+
+def _occurrences(text: Column, needle: str) -> Column:
+    """Count non-overlapping occurrences via length arithmetic — exact,
+    portable (same formula renders to ANSI SQL for the oracle)."""
+    n = len(needle)
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(n)
+    ).cast("int")
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language marker-hit counts over ' '-padded lowercased text."""
+    t = F.concat(F.lit(" "), F.lower(F.col(text) if isinstance(text, str) else text), F.lit(" "))
+    out: dict[str, Column] = {}
+    for lang, markers in LANG_MARKERS.items():
+        score = _occurrences(t, markers[0])
+        for m in markers[1:]:
+            score = score + _occurrences(t, m)
+        out[lang] = score
+    return out
+
+
+def lang_id(text: Column | str) -> Column:
+    """Argmax language with deterministic tie-breaking (fixed lang order);
+    'und' (undetermined) when no marker hits at all."""
+    scores = lang_scores(text)
+    langs = sorted(scores)  # deterministic tie order: de < en < es < fr
+    best = scores[langs[0]]
+    best_lang = F.lit(langs[0])
+    for lang in langs[1:]:
+        is_better = scores[lang] > best
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best = F.when(is_better, scores[lang]).otherwise(best)
+    return F.when(best > 0, best_lang).otherwise(F.lit("und"))
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    t = F.trim(F.col(text) if isinstance(text, str) else text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def word_char_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are alphanumeric-or-space — a cheap
+    quality signal (low ⇒ punctuation/markup soup). Exact int division."""
+    t = F.col(text) if isinstance(text, str) else text
+    clean = F.length(F.regexp_replace(t, r"[^A-Za-z0-9 ]", ""))
+    return F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
+        clean.cast("double") / F.length(t).cast("double")
+    )
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    """English stopword hits per token — the classic Gopher-style signal."""
+    toks = token_count(text)
+    t = F.concat(F.lit(" "), F.lower(F.col(text) if isinstance(text, str) else text), F.lit(" "))
+    hits = _occurrences(t, " the ")
+    for w in (" and ", " of ", " to ", " a ", " in "):
+        hits = hits + _occurrences(t, w)
+    return F.when(toks == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / toks.cast("double")
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite 0-100 quality score: length band + charset cleanliness +
+    stopword presence. Deterministic integer/exact-double arithmetic."""
+    t = F.col(text) if isinstance(text, str) else text
+    toks = token_count(t)
+    length_ok = F.when((toks >= 10) & (toks <= 100000), F.lit(40)).otherwise(F.lit(0))
+    # floor, not cast: DuckDB's int cast rounds while Spark's truncates —
+    # floor is the one both engines agree on.
+    charset = F.floor(word_char_ratio(t) * F.lit(30)).cast("int")
+    stop = F.when(stopword_ratio(t) >= 0.05, F.lit(30)).otherwise(
+        F.floor(stopword_ratio(t) * F.lit(600)).cast("int")
+    )
+    return (length_ok + charset + stop).cast("int")
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Content fingerprint over normalized text (lowercase, collapse
+    whitespace, strip non-alphanumerics) — md5-based so any engine can
+    reproduce it; the document-level analogue of the sync engine's
+    partition fingerprints."""
+    t = F.col(text) if isinstance(text, str) else text
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(t), r"[^a-z0-9 ]", ""), r"\s+", " "
+    )
+    return F.md5(F.trim(norm))

@@ -1,0 +1,291 @@
+"""Query batch 4: training-data pipeline operators (dedup / text / similarity).
+
+The documents fixture has no native duplicates, so dedup queries build a
+deterministic corpus: documents ∪ exact copies (ids +100000) ∪ near-dup
+copies with one appended token (ids +200000) — the same construction
+rendered in the oracle SQL, so both engines dedup the same corpus.
+
+Everything is md5/integer/exact-decimal based (see queries.py determinism
+rules); the only doubles are final divisions of exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_table_copier_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from clickhouse_table_copier_spark.operators.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    word_char_ratio,
+)
+from clickhouse_table_copier_spark.queries import _t, register
+
+# ---------------------------------------------------------------------------
+# Shared dedup corpus (Spark + SQL renderings must stay in lockstep).
+# ---------------------------------------------------------------------------
+_CORPUS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || ' extra token appended' AS text
+  FROM documents WHERE doc_id % 10 = 5
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    exact_copies = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    near_copies = (
+        docs.where(F.col("doc_id") % 10 == 5)
+        .select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra token appended")).alias("text"),
+        )
+    )
+    return docs.unionAll(exact_copies).unionAll(near_copies)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on normalized content (md5 keys shuffle, not
+# documents). Duplicate groups only (dup_cnt > 1) to keep output focused.
+# ---------------------------------------------------------------------------
+_NORM_SQL = "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL})
+    SELECT md5({_NORM_SQL.format(c="text")}) AS content_key,
+           min(doc_id) AS keep_id,
+           count(*) AS dup_cnt
+    FROM corpus
+    GROUP BY 1
+    HAVING count(*) > 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    groups = exact_dedup(_corpus(spark, sf_dir), "doc_id", "text")
+    return groups.where(F.col("dup_cnt") > 1)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH candidate pairs. 8 hashes × 4 bands of 2; md5-based min
+# signatures — both engines compute identical signatures, bands, buckets.
+# ---------------------------------------------------------------------------
+_SHINGLES_SQL = """
+  SELECT doc_id, unnest(
+    CASE WHEN len(string_split({norm}, ' ')) >= 3 THEN
+      list_distinct([
+        array_to_string(string_split({norm}, ' ')[i:i+2], ' ')
+        FOR i IN range(1, len(string_split({norm}, ' ')) - 1)
+      ])
+    ELSE [{norm}] END
+  ) AS sh
+  FROM corpus
+""".format(norm=_NORM_SQL.format(c="text"))
+
+_MINHASH_AGG_SQL = ", ".join(
+    f"min(md5('{i}|' || sh)) AS h{i}" for i in range(8)
+)
+
+_BANDS_SQL = ", ".join(
+    f"md5(h{2 * b} || '|' || h{2 * b + 1}) AS band{b}" for b in range(4)
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    shing AS ({_SHINGLES_SQL}),
+    sigs AS (SELECT doc_id, {_MINHASH_AGG_SQL} FROM shing GROUP BY doc_id),
+    bands AS (SELECT doc_id, {_BANDS_SQL} FROM sigs),
+    banded AS (
+      SELECT doc_id, 0 AS band_idx, band0 AS band_key FROM bands
+      UNION ALL SELECT doc_id, 1, band1 FROM bands
+      UNION ALL SELECT doc_id, 2, band2 FROM bands
+      UNION ALL SELECT doc_id, 3, band3 FROM bands
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    """,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(_corpus(spark, sf_dir), "doc_id", "text", num_hashes=8)
+    return lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard over the inverted shingle index (the verify step for
+# LSH candidates): pairs with jaccard ≥ 0.5.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    shing AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shing GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_cnt
+      FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter_cnt,
+           CAST(inter_cnt AS DOUBLE) / (sa.sz + sb.sz - inter_cnt) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter_cnt AS DOUBLE) / (sa.sz + sb.sz - inter_cnt) >= 0.5
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        _corpus(spark, sf_dir), "doc_id", "text", threshold=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash values (32-bit, md5-derived). The near-pair banding search is
+# exercised in pytest; the oracle checks the signatures themselves.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split({_NORM_SQL.format(c="text")}, ' '))) AS tok
+      FROM corpus
+    ),
+    contrib AS (
+      SELECT doc_id, bit,
+             CASE WHEN (CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT)
+                        // CAST(pow(2, bit) AS BIGINT)) % 2 = 1
+                  THEN 1 ELSE -1 END AS sign
+      FROM toks, (SELECT unnest(range(0, 32)) AS bit)
+    ),
+    bitsum AS (SELECT doc_id, bit, sum(sign) AS s FROM contrib GROUP BY 1, 2)
+    SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END)
+                        AS BIGINT) AS simhash
+    FROM bitsum GROUP BY doc_id
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_corpus(spark, sf_dir), "doc_id", "text", bits=32)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: language ID + quality + token stats + fingerprint, one
+# pass over documents, all expression-only.
+# ---------------------------------------------------------------------------
+def _occ_sql(hay: str, needle: str) -> str:
+    n = len(needle)
+    return f"CAST((length({hay}) - length(replace({hay}, '{needle}', ''))) / {n} AS INTEGER)"
+
+
+def _lang_score_sql(markers: list[str]) -> str:
+    hay = "(' ' || lower(text) || ' ')"
+    return " + ".join(_occ_sql(hay, m) for m in markers)
+
+
+_LANG_MARKERS = {
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "de": [" der ", " die ", " und ", " nicht ", " ist "],
+    "fr": [" le ", " la ", " et ", " les ", " est "],
+    "es": [" el ", " la ", " los ", " que ", " es "],
+}
+
+# ties go to the earliest language in sorted order (de, en, es, fr) —
+# mirroring lang_id()'s strict-greater update rule
+_LANG_ID_SQL = """
+  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       WHEN s_es >= s_fr THEN 'es'
+       ELSE 'fr' END
+"""
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, text,
+             {_lang_score_sql(_LANG_MARKERS["en"])} AS s_en,
+             {_lang_score_sql(_LANG_MARKERS["de"])} AS s_de,
+             {_lang_score_sql(_LANG_MARKERS["fr"])} AS s_fr,
+             {_lang_score_sql(_LANG_MARKERS["es"])} AS s_es
+      FROM documents
+    )
+    SELECT doc_id,
+           {_LANG_ID_SQL} AS pred_lang,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                   '\\s+', ' ', 'g'))) AS fingerprint
+    FROM scored
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        lang_id("text").alias("pred_lang"),
+        token_count("text").cast("bigint").alias("n_tokens"),
+        doc_fingerprint("text").alias("fingerprint"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                       / length(text) END AS wcr,
+             (CAST((length((' '||lower(text)||' ')) - length(replace((' '||lower(text)||' '), ' the ', ''))) / 5 AS INTEGER)
+             + CAST((length((' '||lower(text)||' ')) - length(replace((' '||lower(text)||' '), ' and ', ''))) / 5 AS INTEGER)
+             + CAST((length((' '||lower(text)||' ')) - length(replace((' '||lower(text)||' '), ' of ', ''))) / 4 AS INTEGER)
+             + CAST((length((' '||lower(text)||' ')) - length(replace((' '||lower(text)||' '), ' to ', ''))) / 4 AS INTEGER)
+             + CAST((length((' '||lower(text)||' ')) - length(replace((' '||lower(text)||' '), ' a ', ''))) / 3 AS INTEGER)
+             + CAST((length((' '||lower(text)||' ')) - length(replace((' '||lower(text)||' '), ' in ', ''))) / 4 AS INTEGER)
+             ) AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN toks >= 10 AND toks <= 100000 THEN 40 ELSE 0 END
+             + CAST(floor(wcr * 30) AS INTEGER)
+             + CASE WHEN toks = 0 THEN 0
+                    WHEN CAST(stop_hits AS DOUBLE) / toks >= 0.05 THEN 30
+                    ELSE CAST(floor((CAST(stop_hits AS DOUBLE) / toks) * 600) AS INTEGER) END
+             AS INTEGER) AS quality,
+           CAST(wcr AS DOUBLE) AS word_char_ratio
+    FROM base
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        quality_score("text").alias("quality"),
+        word_char_ratio("text").alias("word_char_ratio"),
+    )

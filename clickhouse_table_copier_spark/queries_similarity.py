@@ -1,0 +1,178 @@
+"""Query batch 5: similarity search over the embeddings fixture.
+
+Determinism approach: the oracle SQL renders dot products / norms as an
+explicit left-to-right addition chain over the 64 dimensions — the exact
+evaluation order of Spark's ``F.aggregate`` fold — so both engines produce
+bit-identical doubles (IEEE754 is deterministic given operand order). The
+LSH variant's ±1 hyperplanes are md5-derived constants baked identically
+into both the Spark plan and the generated SQL.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_table_copier_spark.operators.similarity import (
+    cosine,
+    hyperplane_lsh_buckets,
+)
+from clickhouse_table_copier_spark.queries import _t, register
+
+DIM = 64
+NUM_PLANES = 8
+
+
+def _dot_chain_sql(a: str, b: str) -> str:
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, DIM + 1)
+    )
+
+
+def _norm_chain_sql(a: str) -> str:
+    return (
+        "sqrt("
+        + " + ".join(
+            f"CAST({a}[{i}] AS DOUBLE) * CAST({a}[{i}] AS DOUBLE)"
+            for i in range(1, DIM + 1)
+        )
+        + ")"
+    )
+
+
+def _plane_sign(p: int, d: int) -> int:
+    return 1 if int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+
+
+def _bucket_sql(vec: str) -> str:
+    terms = []
+    for p in range(NUM_PLANES):
+        chain = " + ".join(
+            f"({_plane_sign(p, d)}.0) * CAST({vec}[{d + 1}] AS DOUBLE)"
+            for d in range(DIM)
+        )
+        terms.append(f"CASE WHEN ({chain}) > 0 THEN {2 ** p} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+# ---------------------------------------------------------------------------
+# Exact brute-force cosine top-k: query = vec_id 0's embedding.
+# ---------------------------------------------------------------------------
+@register(
+    "similarity_brute_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT b.vec_id,
+           round(({_dot_chain_sql("b.embedding", "q.qv")})
+                 / ({_norm_chain_sql("b.embedding")} * {_norm_chain_sql("q.qv")}),
+                 6) AS cosine_sim
+    FROM embeddings b, q
+    WHERE b.vec_id <> 0
+    ORDER BY cosine_sim DESC, b.vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_similarity_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    q = F.array(*[F.lit(x) for x in qvec])
+    scored = emb.where(F.col("vec_id") != 0).select(
+        "vec_id", F.round(cosine(F.col("embedding"), q), 6).alias("cosine_sim")
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# LSH bucket histogram: vectors per hyperplane-sign bucket — verifies the
+# bucketing layer the approximate path prunes with.
+# ---------------------------------------------------------------------------
+@register(
+    "similarity_lsh_buckets",
+    oracle=f"""
+    SELECT CAST({_bucket_sql("embedding")} AS BIGINT) AS bucket, count(*) AS n_vectors
+    FROM embeddings GROUP BY 1
+    """,
+)
+def q_similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        hyperplane_lsh_buckets(emb, NUM_PLANES, dim=DIM)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate top-k via multi-probe LSH (query bucket + hamming-1 probes),
+# exact cosine on the candidate set only.
+# ---------------------------------------------------------------------------
+@register(
+    "similarity_lsh_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv, {_bucket_sql("embedding")} AS qb
+               FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT b.vec_id, b.embedding, q.qv
+      FROM embeddings b, q
+      WHERE b.vec_id <> 0
+        AND ({_bucket_sql("b.embedding")} = q.qb
+             OR {" OR ".join(f"({_bucket_sql('b.embedding')} = xor(q.qb, {1 << p}))" for p in range(NUM_PLANES))})
+    )
+    SELECT vec_id,
+           round(({_dot_chain_sql("embedding", "qv")})
+                 / ({_norm_chain_sql("embedding")} * {_norm_chain_sql("qv")}), 6) AS cosine_sim
+    FROM cand
+    ORDER BY cosine_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return lsh_topk(
+        emb.where(F.col("vec_id") != 0), qvec, k=10, num_planes=NUM_PLANES
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs within each label group — the
+# "semantic dedup" operator: bucket by label (cheap blocking key), compare
+# within buckets only, keep pairs above threshold.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(({_dot_chain_sql("a.embedding", "b.embedding")})
+                 / ({_norm_chain_sql("a.embedding")} * {_norm_chain_sql("b.embedding")}), 6)
+             AS cosine_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(({_dot_chain_sql("a.embedding", "b.embedding")})
+                / ({_norm_chain_sql("a.embedding")} * {_norm_chain_sql("b.embedding")}), 6) >= 0.4
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    sim = F.round(
+        cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= 0.4)
+    )

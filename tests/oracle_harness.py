@@ -76,9 +76,22 @@ def _values_equal(a, b) -> bool:
     return a == b
 
 
+def _dtype_key(dt) -> str:
+    """Canonical dtype signature so int32-vs-int64 style drift is caught
+    (the driver compares schemas; keep Spark and DuckDB types aligned)."""
+    return f"{dt.kind}{getattr(dt, 'itemsize', '')}"
+
+
 def compare(spark_df, oracle_pdf: pd.DataFrame, name: str) -> None:
-    got = normalize(spark_df.toPandas())
-    want = normalize(oracle_pdf)
+    raw_got, raw_want = spark_df.toPandas(), oracle_pdf
+    for c in sorted(set(raw_got.columns) & set(raw_want.columns)):
+        gk, wk = _dtype_key(raw_got[c].dtype), _dtype_key(raw_want[c].dtype)
+        # datetime64 representation differences are normalized later; only
+        # flag numeric width/kind drift
+        if {raw_got[c].dtype.kind, raw_want[c].dtype.kind} <= {"i", "u", "f"}:
+            assert gk == wk, f"{name}: dtype mismatch col={c} spark={raw_got[c].dtype} oracle={raw_want[c].dtype}"
+    got = normalize(raw_got)
+    want = normalize(raw_want)
     assert len(got) == len(want), (
         f"{name}: row count mismatch spark={len(got)} oracle={len(want)}"
     )

@@ -1,0 +1,131 @@
+"""Tests for pipeline operators not (fully) covered by the SQL oracles:
+multimodal plumbing, simhash near-pair banding, LSH recall properties,
+and fingerprint invariances (SURVEY §5.3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_multimodal_decode_and_features(spark):
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        decode_image_meta,
+        extract_features,
+        frame_sample_plan,
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(spark, 64)
+    meta = decode_image_meta(media).collect()
+    assert len(meta) == 64
+    pngs = [r for r in meta if r["fmt"] == "png"]
+    jpgs = [r for r in meta if r["fmt"] == "jpeg"]
+    assert len(pngs) == 32 and len(jpgs) == 32
+    assert all(r["width"] >= 16 and r["height"] >= 16 for r in pngs)
+    assert all(r["n_bytes"] > 0 for r in meta)
+
+    feats = extract_features(media, dim=16).collect()
+    assert len(feats) == 64
+    assert all(len(r["feature"]) == 16 for r in feats)
+    assert all(0.0 <= v < 1.0 for r in feats for v in r["feature"])
+    # determinism: same content → same features
+    feats2 = extract_features(media, dim=16).collect()
+    assert sorted(map(tuple, ((r["media_id"], tuple(r["feature"])) for r in feats))) == sorted(
+        map(tuple, ((r["media_id"], tuple(r["feature"])) for r in feats2))
+    )
+
+    frames = frame_sample_plan(media, every_n=1)
+    assert frames.count() > 64  # ≥1 frame per media, longer blobs give >1
+
+
+def test_simhash_near_pairs_finds_neardups(spark):
+    from clickhouse_table_copier_spark.operators.dedup import (
+        simhash,
+        simhash_near_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    # near-dup corpus: original + one-word-appended copies
+    corpus = docs.unionAll(
+        docs.select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat("text", F.lit(" zzz")).alias("text"),
+        )
+    )
+    sh = simhash(corpus, "doc_id", "text", bits=32)
+    pairs = simhash_near_pairs(sh, "doc_id", max_hamming=3, bits=32, bands=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # appending one token to a ~60-token doc flips few simhash bits: most
+    # original/copy pairs must be found
+    expected = {(i, i + 10000) for i in range(500)}
+    recall = len(got & expected) / len(expected)
+    assert recall > 0.6, f"simhash recall too low: {recall}"
+    # hamming is symmetric-bounded
+    assert all(r["hamming"] <= 3 for r in pairs.collect())
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    from clickhouse_table_copier_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    from clickhouse_table_copier_spark.operators.similarity import (
+        hyperplane_lsh_buckets,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    pool = emb.where(F.col("vec_id") != 0)
+    approx = [r["vec_id"] for r in lsh_topk(pool, qvec, k=10, num_planes=4).collect()]
+    assert len(approx) == 10
+
+    # Correctness property: the approximate answer must be EXACTLY the
+    # brute-force top-k restricted to the probed candidate set. (Recall vs
+    # the global top-k is a data property — these fixtures are random
+    # vectors, where any LSH family degrades to chance.)
+    buckets = hyperplane_lsh_buckets(pool, 4, dim=len(qvec))
+    qb_rows = (
+        hyperplane_lsh_buckets(
+            emb.where(F.col("vec_id") == 0), 4, dim=len(qvec)
+        ).collect()
+    )
+    qb = qb_rows[0]["bucket"]
+    probe = {qb} | {qb ^ (1 << p) for p in range(4)}
+    cand = buckets.where(F.col("bucket").isin(list(probe))).drop("bucket")
+    exact_within = [r["vec_id"] for r in brute_force_topk(cand, qvec, k=10).collect()]
+    assert approx == exact_within
+
+
+def test_fingerprint_invariance_properties(spark):
+    """XOR fingerprint: invariant under row order + repartitioning,
+    sensitive to any single-cell change (SURVEY §5.3)."""
+    from clickhouse_table_copier_spark.operators.fingerprint import table_fingerprint
+
+    df = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    base = table_fingerprint(df).collect()[0]["fingerprint"]
+    shuffled = table_fingerprint(df.orderBy(F.rand(seed=7))).collect()[0]["fingerprint"]
+    repart = table_fingerprint(df.repartition(17)).collect()[0]["fingerprint"]
+    assert base == shuffled == repart
+    mutated = df.withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") == 1, F.col("l_quantity") + 0.001).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+    assert table_fingerprint(mutated).collect()[0]["fingerprint"] != base
+
+
+def test_exact_dedup_survivor_is_min_id(spark):
+    from clickhouse_table_copier_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    corpus = docs.unionAll(
+        docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+    groups = exact_dedup(corpus, "doc_id", "text")
+    dups = groups.where(F.col("dup_cnt") > 1).collect()
+    assert len(dups) == 500
+    assert all(r["keep_id"] < 10000 for r in dups)
