@@ -48,6 +48,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+    # The JVM writes startup banners straight to fd 1; contract is ONE JSON
+    # line on stdout. Point fd 1 at stderr for the run, restore at the end.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+
     import __spark_entry__ as entry
     from clickhouse_table_copier_spark.session import get_spark
 
@@ -72,17 +77,17 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    os.dup2(real_stdout, 1)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

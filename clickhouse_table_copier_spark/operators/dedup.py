@@ -26,6 +26,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition small inputs up to the cluster's parallelism.
+
+    Tiny parquet files arrive as 1-3 input partitions; every
+    expression-heavy per-row stage after them (regex normalize, shingle
+    explode, hashing) would otherwise run on as many cores as there are
+    files. One cheap round-robin shuffle of the *source rows* (not the
+    exploded index) buys full-width parallelism. No-op when the input
+    already has enough partitions — at real scale file counts dominate.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def normalized_text(text: Column | str) -> Column:
     t = F.col(text) if isinstance(text, str) else text
     return F.trim(
@@ -40,7 +56,7 @@ def exact_dedup(
     (minimum) id and the duplicate count. Shuffles md5 keys, not text."""
     key = F.md5(normalized_text(text_col) if normalize else F.col(text_col))
     return (
-        df.select(F.col(id_col), key.alias("content_key"))
+        spread(df).select(F.col(id_col), key.alias("content_key"))
         .groupBy("content_key")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -49,20 +65,33 @@ def exact_dedup(
     )
 
 
-def shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of normalized text (array<string>).
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a BOUND token-array column.
 
+    ``toks`` must be a materialized column (not an inline
+    split(regexp(...)) expression): subtrees inside a higher-order
+    function's lambda are re-evaluated per element, so an inline
+    normalize+split would run once per shingle — observed 20× slowdown.
     Documents with < n words produce a single whole-text shingle so they
     still participate (otherwise short docs silently vanish from dedup).
     """
-    t = normalized_text(text)
-    toks = F.split(t, " ")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
     return F.array_distinct(
-        F.when(F.size(toks) >= n, grams).otherwise(F.array(t))
+        F.when(F.size(toks) >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, sh) inverted index: normalize+tokenize ONCE per row in its own
+    projection, then shingle+explode from the bound token array."""
+    base = spread(df).select(
+        F.col(id_col), F.split(normalized_text(text_col), " ").alias("__toks")
+    )
+    return base.select(
+        F.col(id_col), F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("sh")
     )
 
 
@@ -72,9 +101,7 @@ def minhash_signatures(
     """(id, h0..h{k-1}): per-seed min of md5(seed|shingle) over the doc's
     shingle set — the classic MinHash signature, computed with ONE explode
     + ONE grouped agg (k min-aggregates), no per-seed passes."""
-    ex = df.select(
-        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("sh")
-    )
+    ex = _exploded_shingles(df, id_col, text_col, shingle_n)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -99,9 +126,12 @@ def lsh_candidate_pairs(
         band_cols.append(
             F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *parts)).alias("band_key"))
         )
-    banded = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
-    ).select(id_col, "band.band_idx", "band.band_key")
+    banded = (
+        sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("band"))
+        .select(id_col, "band.band_idx", "band.band_key")
+        .persist()  # the self-join would otherwise recompute the whole
+        # minhash pipeline (shingle explode + 8 min-aggs) once per side
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -132,7 +162,8 @@ def ngram_jaccard_pairs(
     |A∩B| / (|A| + |B| − |A∩B|). Exact integers until one final division —
     deterministic across engines.
     """
-    ex = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("sh"))
+    ex = _exploded_shingles(df, id_col, text_col, shingle_n).persist()
+    # persisted: read by the self-join (twice) and the size agg
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
@@ -159,7 +190,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     """(id, simhash): sum ±1 per hash bit over the doc's distinct tokens,
     bit set where the sum is positive. md5-derived token hashes keep it
     engine-portable. One explode over tokens×bits + one grouped agg."""
-    toks = df.select(
+    toks = spread(df).select(
         F.col(id_col),
         F.explode(
             F.array_distinct(F.split(normalized_text(text_col), " "))

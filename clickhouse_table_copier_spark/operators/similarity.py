@@ -83,19 +83,33 @@ def hyperplane_lsh_buckets(
     digit — deterministic, engine-portable, no stored model. Bucket id =
     Σ 2^p · [⟨plane_p, x⟩ > 0].
     """
+    import hashlib
+
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     v = F.col(vec_col)
     bucket = F.lit(0).cast("bigint")
     for p in range(num_planes):
-        import hashlib
-
-        terms = None
-        for d in range(dim):
-            sign = 1 if int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
-            t = v.getItem(d).cast("double") * F.lit(float(sign))
-            terms = t if terms is None else terms + t
-        bucket = bucket + F.when(terms > 0, F.lit(2**p)).otherwise(F.lit(0))
+        signs = F.array(
+            *[
+                F.lit(
+                    1.0
+                    if int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0], 16) % 2 == 0
+                    else -1.0
+                )
+                for d in range(dim)
+            ]
+        )
+        # left-to-right fold over dimensions — the same evaluation order as
+        # an unrolled `s0*x0 + s1*x1 + …` chain, so results are
+        # bit-identical to the oracle's explicit chain, but the codegen is
+        # a compact loop instead of a 512-node expression tree.
+        dot_p = F.aggregate(
+            F.zip_with(signs, v, lambda s, x: s * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot_p > 0, F.lit(2**p)).otherwise(F.lit(0))
     return df.select(F.col(id_col), v.alias(vec_col), bucket.alias("bucket"))
 
 

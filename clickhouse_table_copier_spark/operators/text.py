@@ -44,18 +44,28 @@ def lang_scores(text: Column | str) -> dict[str, Column]:
     return out
 
 
+def lang_id_from_scores(scores: dict[str, Column]) -> Column:
+    """Argmax language over BOUND score columns, ties to the earliest
+    language in sorted order; 'und' when no marker hits at all.
+
+    Takes bound attributes, not inline score expressions: the chained
+    argmax references each score several times, and inline marker-count
+    trees would be duplicated into every reference (observed 4× slowdown
+    on the documents fixture).
+    """
+    langs = sorted(scores)
+    best = F.greatest(*scores.values()) if len(scores) > 1 else scores[langs[0]]
+    result = F.lit(langs[-1])
+    for lang in reversed(langs[:-1]):
+        result = F.when(scores[lang] >= best, F.lit(lang)).otherwise(result)
+    return F.when(best > 0, result).otherwise(F.lit("und"))
+
+
 def lang_id(text: Column | str) -> Column:
-    """Argmax language with deterministic tie-breaking (fixed lang order);
-    'und' (undetermined) when no marker hits at all."""
-    scores = lang_scores(text)
-    langs = sorted(scores)  # deterministic tie order: de < en < es < fr
-    best = scores[langs[0]]
-    best_lang = F.lit(langs[0])
-    for lang in langs[1:]:
-        is_better = scores[lang] > best
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best = F.when(is_better, scores[lang]).otherwise(best)
-    return F.when(best > 0, best_lang).otherwise(F.lit("und"))
+    """Single-expression argmax language (convenience form; for hot paths
+    project :func:`lang_scores` into columns first and use
+    :func:`lang_id_from_scores`)."""
+    return lang_id_from_scores(lang_scores(text))
 
 
 def token_count(text: Column | str) -> Column:

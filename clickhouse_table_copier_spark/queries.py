@@ -237,27 +237,41 @@ def q_partition_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "schema_align",
     oracle="""
-    SELECT l_orderkey_s, l_linenumber_w, l_quantity_d, l_ship_date, count(*) AS cnt
+    SELECT l_linenumber_w,
+           CAST(month(l_ship_date) AS INTEGER) AS ship_month,
+           count(*) AS cnt,
+           min(l_orderkey_s) AS min_key_s,
+           max(l_orderkey_s) AS max_key_s,
+           CAST(sum(l_quantity_d) AS DOUBLE) AS sum_qty
     FROM (
       SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey_s,
              CAST(l_linenumber AS BIGINT) AS l_linenumber_w,
-             CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS l_quantity_d,
+             CAST(l_quantity AS DECIMAL(18,2)) AS l_quantity_d,
              CAST(l_shipdate AS DATE) AS l_ship_date
       FROM lineitem
-    ) GROUP BY 1, 2, 3, 4
+    ) GROUP BY 1, 2
     """,
 )
 def q_schema_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # every cast from the §1.3 matrix exercised per-row (string, widened
+    # int, decimal money, date), then aggregated compactly so the result
+    # stays driver-sized at any scale factor
     df = _t(spark, sf_dir, "lineitem")
     aligned = df.select(
         F.col("l_orderkey").cast("string").alias("l_orderkey_s"),
         F.col("l_linenumber").cast("bigint").alias("l_linenumber_w"),
-        F.col("l_quantity").cast("decimal(18,2)").cast("double").alias("l_quantity_d"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("l_quantity_d"),
         F.col("l_shipdate").cast("date").alias("l_ship_date"),
     )
     return aligned.groupBy(
-        "l_orderkey_s", "l_linenumber_w", "l_quantity_d", "l_ship_date"
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+        "l_linenumber_w",
+        F.month("l_ship_date").cast("int").alias("ship_month"),
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("l_orderkey_s").alias("min_key_s"),
+        F.max("l_orderkey_s").alias("max_key_s"),
+        F.sum("l_quantity_d").cast("double").alias("sum_qty"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clickhouse_table_copier_spark.operators.dedup import (
+    spread,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -243,12 +244,27 @@ _LANG_ID_SQL = """
     """,
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    from clickhouse_table_copier_spark.operators.text import (
+        lang_id_from_scores,
+        lang_scores,
+    )
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    # two-stage: marker scores computed once into columns, argmax reads
+    # the bound attributes (see lang_id_from_scores)
+    scored = docs.select(
         "doc_id",
-        lang_id("text").alias("pred_lang"),
         token_count("text").cast("bigint").alias("n_tokens"),
         doc_fingerprint("text").alias("fingerprint"),
+        *[c.alias(f"s_{lang}") for lang, c in sorted(lang_scores("text").items())],
+    )
+    return scored.select(
+        "doc_id",
+        lang_id_from_scores(
+            {lang: F.col(f"s_{lang}") for lang in ("de", "en", "es", "fr")}
+        ).alias("pred_lang"),
+        "n_tokens",
+        "fingerprint",
     )
 
 
@@ -283,7 +299,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         quality_score("text").alias("quality"),

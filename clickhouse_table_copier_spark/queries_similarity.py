@@ -19,6 +19,7 @@ from clickhouse_table_copier_spark.operators.similarity import (
     cosine,
     hyperplane_lsh_buckets,
 )
+from clickhouse_table_copier_spark.operators.dedup import spread
 from clickhouse_table_copier_spark.queries import _t, register
 
 DIM = 64
@@ -75,7 +76,7 @@ def _bucket_sql(vec: str) -> str:
     """,
 )
 def q_similarity_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = spread(_t(spark, sf_dir, "embeddings"))
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     q = F.array(*[F.lit(x) for x in qvec])
     scored = emb.where(F.col("vec_id") != 0).select(
@@ -96,7 +97,7 @@ def q_similarity_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = spread(_t(spark, sf_dir, "embeddings"))
     return (
         hyperplane_lsh_buckets(emb, NUM_PLANES, dim=DIM)
         .groupBy("bucket")
@@ -131,7 +132,7 @@ def q_similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_table_copier_spark.operators.similarity import lsh_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = spread(_t(spark, sf_dir, "embeddings"))
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     return lsh_topk(
         emb.where(F.col("vec_id") != 0), qvec, k=10, num_planes=NUM_PLANES
@@ -157,7 +158,7 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = spread(_t(spark, sf_dir, "embeddings"))
     a = emb.alias("a")
     b = emb.alias("b")
     sim = F.round(
