@@ -1,0 +1,185 @@
+"""Query batch 6: window functions, set operations, and the remaining
+type-matrix corners (huge ints → decimal(38,0), IPv6 canonicalization).
+
+Set ops are SURVEY §2.5's note made concrete: the reference's partition
+diff (J2) IS a set operation over stats tables; ``EXCEPT``/``INTERSECT``
+express the same classification declaratively. Window functions are the
+engine-extension the survey flags for partition-change auditing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clickhouse_table_copier_spark.functions.scalars import canonical_ipv6
+from clickhouse_table_copier_spark.queries import _t, register
+
+
+# ---------------------------------------------------------------------------
+# Window: per-customer running order total + order rank. Deterministic
+# frame: ordered by (date, orderkey) — unique per customer. Decimal sums.
+# ---------------------------------------------------------------------------
+@register(
+    "customer_running_totals",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total,
+           CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                AS BIGINT) AS order_rank
+    FROM orders
+    """,
+)
+def q_customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_total"),
+        F.row_number().over(w).cast("bigint").alias("order_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window: top-2 orders per customer by price (dense ranking pattern).
+# ---------------------------------------------------------------------------
+@register(
+    "top_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rnk FROM (
+      SELECT o_custkey, o_orderkey,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rnk
+      FROM orders
+    ) WHERE rnk <= 2
+    """,
+)
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+        )
+        .where(F.col("rnk") <= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops: the partition-diff classification as EXCEPT/INTERSECT over
+# (partition, rows) stats tables — J2 expressed with set algebra (§2.5).
+# ---------------------------------------------------------------------------
+@register(
+    "partition_set_ops",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(month(l_shipdate) AS INTEGER) AS ship_month, count(*) AS rows_
+      FROM lineitem GROUP BY 1
+    ),
+    dest AS (
+      SELECT CAST(month(l_shipdate) AS INTEGER) AS ship_month, count(*) AS rows_
+      FROM lineitem WHERE CAST(month(l_shipdate) AS INTEGER) <> 3
+        AND NOT (CAST(month(l_shipdate) AS INTEGER) = 5 AND l_linenumber = 1)
+      GROUP BY 1
+    )
+    SELECT 'changed_or_missing' AS side, ship_month, rows_ FROM (
+      SELECT * FROM src EXCEPT SELECT * FROM dest
+    )
+    UNION ALL
+    SELECT 'identical' AS side, ship_month, rows_ FROM (
+      SELECT * FROM src INTERSECT SELECT * FROM dest
+    )
+    """,
+)
+def q_partition_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    month = F.expr("CAST(month(l_shipdate) AS INT)").alias("ship_month")
+    src = li.groupBy(month).agg(F.count(F.lit(1)).alias("rows_"))
+    dest = (
+        li.where(
+            (F.expr("CAST(month(l_shipdate) AS INT)") != 3)
+            & ~(
+                (F.expr("CAST(month(l_shipdate) AS INT)") == 5)
+                & (F.col("l_linenumber") == 1)
+            )
+        )
+        .groupBy(month)
+        .agg(F.count(F.lit(1)).alias("rows_"))
+    )
+    changed = src.exceptAll(dest).select(
+        F.lit("changed_or_missing").alias("side"), "ship_month", "rows_"
+    )
+    same = src.intersectAll(dest).select(
+        F.lit("identical").alias("side"), "ship_month", "rows_"
+    )
+    return changed.unionAll(same)
+
+
+# ---------------------------------------------------------------------------
+# Huge-int corner of the cast matrix (§1.3): UInt64/Int128-class values as
+# decimal(38,0) with exact arithmetic beyond the bigint range.
+# ---------------------------------------------------------------------------
+@register(
+    "huge_int_casts",
+    oracle="""
+    SELECT CAST(sum(v) AS VARCHAR) AS sum_str,
+           CAST(max(v) AS VARCHAR) AS max_str,
+           count(*) AS cnt
+    FROM (
+      SELECT CAST(o_orderkey AS DECIMAL(38,0)) * 1000000000000 + 999999999999 AS v
+      FROM orders
+    )
+    """,
+)
+def q_huge_int_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # values beyond bigint range, exact decimal(38,0) arithmetic; rendered
+    # as strings so the comparison is representation-exact
+    orders = _t(spark, sf_dir, "orders")
+    v = (
+        F.col("o_orderkey").cast("decimal(38,0)") * F.lit(1000000000000)
+        + F.lit(999999999999)
+    ).alias("v")
+    inner = orders.select(v)
+    return inner.agg(
+        F.sum("v").cast("string").alias("sum_str"),
+        F.max("v").cast("string").alias("max_str"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IPv6 canonicalization (sidefunctions.go:129-130): deterministic
+# normalization of mixed-case/padded IPv6 text.
+# ---------------------------------------------------------------------------
+@register(
+    "ipv6_canon",
+    oracle="""
+    SELECT o_orderkey,
+           lower(trim('  2001:DB8:' || upper(substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))
+                 || '::' || CAST(o_orderkey % 65536 AS VARCHAR) || ' ')) AS ip6_canon
+    FROM orders
+    """,
+)
+def q_ipv6_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    raw = F.concat(
+        F.lit("  2001:DB8:"),
+        F.upper(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4)),
+        F.lit("::"),
+        (F.col("o_orderkey") % 65536).cast("string"),
+        F.lit(" "),
+    )
+    return orders.select(
+        "o_orderkey", canonical_ipv6(raw).alias("ip6_canon")
+    )

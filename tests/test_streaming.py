@@ -1,0 +1,145 @@
+"""Structured Streaming incremental tests: the availableNow re-run loop
+must (a) process only new files per run and (b) agree with the batch
+engine's answers on the same data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tests.conftest import SF_SMOKE
+
+LINEITEM_SCHEMA = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_partkey", T.LongType()),
+        T.StructField("l_suppkey", T.LongType()),
+        T.StructField("l_linenumber", T.IntegerType()),
+        T.StructField("l_quantity", T.DoubleType()),
+        T.StructField("l_extendedprice", T.DoubleType()),
+        T.StructField("l_discount", T.DoubleType()),
+        T.StructField("l_tax", T.DoubleType()),
+        T.StructField("l_returnflag", T.StringType()),
+        T.StructField("l_linestatus", T.StringType()),
+        T.StructField("l_shipdate", T.TimestampNTZType()),
+    ]
+)
+
+
+def test_incremental_stats_match_batch_and_resume(spark, tmp_path):
+    from clickhouse_table_copier_spark.streaming.incremental import (
+        incremental_partition_stats,
+        merged_incremental_stats,
+    )
+
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    first = li.where(F.month("l_shipdate") <= 6)
+    first.write.mode("append").parquet(src_dir)
+
+    q = incremental_partition_stats(
+        spark, src_dir, LINEITEM_SCHEMA,
+        "CAST(month(l_shipdate) AS INT)", "ship_month",
+        out_dir, ck_dir,
+    )
+    q.awaitTermination()
+
+    got1 = {
+        r["ship_month"]: r["rows"]
+        for r in merged_incremental_stats(spark, out_dir, "ship_month").collect()
+    }
+    want1 = {
+        r["ship_month"]: r["cnt"]
+        for r in first.groupBy(
+            F.expr("CAST(month(l_shipdate) AS INT)").alias("ship_month")
+        ).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got1 == want1
+
+    # second run: only the NEW files are processed (checkpoint-driven)
+    second = li.where(F.month("l_shipdate") > 6)
+    second.write.mode("append").parquet(src_dir)
+    q2 = incremental_partition_stats(
+        spark, src_dir, LINEITEM_SCHEMA,
+        "CAST(month(l_shipdate) AS INT)", "ship_month",
+        out_dir, ck_dir,
+    )
+    q2.awaitTermination()
+
+    merged = merged_incremental_stats(spark, out_dir, "ship_month")
+    got2 = {r["ship_month"]: (r["rows"], r["fingerprint"]) for r in merged.collect()}
+    # batch truth over the whole directory
+    from clickhouse_table_copier_spark.operators.fingerprint import (
+        partition_fingerprints,
+    )
+    from clickhouse_table_copier_spark.plans.partition_spec import (
+        PartitionField,
+        PartitionSpec,
+    )
+
+    spec = PartitionSpec.of(PartitionField("ship_month", "CAST(month(l_shipdate) AS INT)"))
+    batch = {
+        r["ship_month"]: (r["rows"], r["fingerprint"])
+        for r in partition_fingerprints(
+            spark.read.parquet(src_dir), spec
+        ).collect()
+    }
+    assert got2 == batch
+
+
+def test_windowed_event_counts_match_batch(spark, tmp_path):
+    from clickhouse_table_copier_spark.queries import _events
+    from clickhouse_table_copier_spark.streaming.incremental import (
+        windowed_event_counts,
+    )
+
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+
+    ev = _events(spark, SF_SMOKE).select("event_id", "ts", "event_type", "value")
+    ev.write.mode("append").parquet(src_dir)
+    # sentinel far in the future pushes the watermark past all real
+    # windows so append mode emits them in the availableNow run
+    spark.createDataFrame(
+        [(10**9, None, "sentinel", 0.0)],
+        "event_id BIGINT, ts TIMESTAMP_NTZ, event_type STRING, value DOUBLE",
+    ).withColumn("ts", F.expr("TIMESTAMP_NTZ '2030-01-01 00:00:00'")).write.mode(
+        "append"
+    ).parquet(src_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    q = windowed_event_counts(spark, src_dir, schema, out_dir, ck_dir)
+    q.awaitTermination()
+
+    got = spark.read.parquet(out_dir)
+    batch = (
+        spark.read.parquet(src_dir)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+    )
+    got_m = {
+        (r["window_start"], r["event_type"]): r["n_events"] for r in got.collect()
+    }
+    # every emitted window must match batch truth (the sentinel's own
+    # window may be withheld by its watermark — that's append semantics)
+    batch_m = {
+        (r["window_start"], r["event_type"]): r["n_events"] for r in batch.collect()
+    }
+    assert len(got_m) > 0
+    for k, v in got_m.items():
+        assert batch_m[k] == v
+    # all real (non-sentinel) windows were emitted
+    missing = {k for k in batch_m if k[1] != "sentinel"} - set(got_m)
+    assert not missing
