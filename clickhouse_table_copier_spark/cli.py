@@ -53,6 +53,19 @@ def _run(mode: str, config_path: str) -> int:
         skip_reimport=job.skip_reimport,
         dry_run=(mode == "info"),
     )
+    if job.use_virtual_column and mode == "info":
+        # C7: _part-granularity reporting — per physical file of the source
+        # (copy/copy.go:207-211 → _metadata.file_path)
+        from clickhouse_table_copier_spark.operators.fingerprint import (
+            file_fingerprints,
+        )
+
+        for r in file_fingerprints(src).orderBy("file_path").collect():
+            print(
+                f"part={r['file_path'].rsplit('/', 1)[-1]} "
+                f"rows={r['rows']} fingerprint={r['fingerprint']}"
+            )
+
     result = sync(spark, src, job.destination.location, spec, options)
     # The reference's Info() prints one classification line per partition
     # (copy/copy.go:12-137); the report DataFrame is that output.

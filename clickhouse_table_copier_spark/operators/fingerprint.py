@@ -41,6 +41,29 @@ def table_fingerprint(df: DataFrame, cols: list[str] | None = None) -> DataFrame
     )
 
 
+def file_fingerprints(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Per-physical-file (rows, fingerprint) — the ``use_virtual_column``
+    mode (C7): the reference's ``WHERE _part='…'`` unit of work
+    (copy/copy.go:207-211) mapped to Spark's ``_metadata.file_path``.
+
+    File-granular fingerprints let a sync skip at file level even when the
+    logical partition is coarse — useful when partitions are huge and
+    files are the real unit of re-copy.
+    """
+    cols = cols or df.columns
+    return (
+        df.select(
+            F.col("_metadata.file_path").alias("file_path"),
+            row_hash(*cols).alias("__h"),
+        )
+        .groupBy("file_path")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.bit_xor("__h").alias("fingerprint"),
+        )
+    )
+
+
 def partition_fingerprints(
     df: DataFrame,
     spec: PartitionSpec,

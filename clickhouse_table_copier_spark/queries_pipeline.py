@@ -45,19 +45,32 @@ _CORPUS_SQL = """
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies ∪ near-dup copies in ONE scan.
+
+    Same rows as the oracle's three-branch UNION ALL, built by exploding a
+    per-row entry array instead of unioning three reads of the same file —
+    one pass over the data and one input partition set for spread().
+    """
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    exact_copies = (
-        docs.where(F.col("doc_id") % 10 == 0)
-        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    entry = lambda idc, textc: F.struct(idc.alias("doc_id"), textc.alias("text"))  # noqa: E731
+    empty = F.array().cast("array<struct<doc_id:bigint,text:string>>")
+    entries = F.concat(
+        F.array(entry(F.col("doc_id"), F.col("text"))),
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.array(entry(F.col("doc_id") + 100000, F.col("text"))),
+        ).otherwise(empty),
+        F.when(
+            F.col("doc_id") % 10 == 5,
+            F.array(
+                entry(
+                    F.col("doc_id") + 200000,
+                    F.concat(F.col("text"), F.lit(" extra token appended")),
+                )
+            ),
+        ).otherwise(empty),
     )
-    near_copies = (
-        docs.where(F.col("doc_id") % 10 == 5)
-        .select(
-            (F.col("doc_id") + 200000).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" extra token appended")).alias("text"),
-        )
-    )
-    return docs.unionAll(exact_copies).unionAll(near_copies)
+    return docs.select(F.explode(entries).alias("e")).select("e.doc_id", "e.text")
 
 
 # ---------------------------------------------------------------------------

@@ -159,6 +159,41 @@ def q_huge_int_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Array(String) corner of the cast matrix (§1.3): array construction,
+# size, element access, containment, and sort — the operations a
+# LowCardinality(Array(String)) column needs after the unwrap.
+# ---------------------------------------------------------------------------
+@register(
+    "array_string_ops",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_toks,
+           toks[1] AS first_tok,
+           toks[len(toks)] AS last_tok,
+           CAST(list_contains(toks, 'the') AS BOOLEAN) AS has_the,
+           list_sort(list_distinct(toks))[1] AS min_tok
+    FROM (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    """,
+)
+def q_array_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.where(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.split(F.trim("text"), " ").alias("toks")
+    )
+    return base.select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        F.col("toks").getItem(0).alias("first_tok"),
+        F.element_at("toks", -1).alias("last_tok"),
+        F.array_contains("toks", "the").alias("has_the"),
+        F.array_sort(F.array_distinct("toks")).getItem(0).alias("min_tok"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # IPv6 canonicalization (sidefunctions.go:129-130): deterministic
 # normalization of mixed-case/padded IPv6 text.
 # ---------------------------------------------------------------------------

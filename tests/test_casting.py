@@ -1,0 +1,126 @@
+"""Cast-matrix unit tests (SURVEY §5.4): every §1.3 row of the
+ClickHouse→Spark type mapping, plus cast-plan semantics and predicate
+properties (hypothesis)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from clickhouse_table_copier_spark.plans.casting import (
+    align,
+    cast_plan,
+    clickhouse_type_to_spark,
+    common_columns,
+)
+
+
+@pytest.mark.parametrize(
+    "ch,expected",
+    [
+        ("String", T.StringType()),
+        ("Int8", T.ByteType()),
+        ("Int16", T.ShortType()),
+        ("Int32", T.IntegerType()),
+        ("Int64", T.LongType()),
+        ("Int128", T.DecimalType(38, 0)),
+        ("Int256", T.DecimalType(38, 0)),
+        ("UInt8", T.ShortType()),
+        ("UInt16", T.IntegerType()),
+        ("UInt32", T.LongType()),
+        ("UInt64", T.DecimalType(38, 0)),
+        ("Float32", T.FloatType()),
+        ("Float64", T.DoubleType()),
+        ("Date", T.DateType()),
+        ("DateTime", T.TimestampNTZType()),
+        ("UUID", T.StringType()),
+        ("IPv4", T.LongType()),
+        ("IPv6", T.StringType()),
+        ("JSON", T.StringType()),
+        ("LowCardinality(String)", T.StringType()),
+        ("Nullable(Int32)", T.IntegerType()),
+        ("Array(String)", T.ArrayType(T.StringType())),
+        ("Array(LowCardinality(String))", T.ArrayType(T.StringType())),
+        ("Decimal(18,4)", T.DecimalType(18, 4)),
+        ("Nullable(Array(Nullable(Int64)))", T.ArrayType(T.LongType())),
+    ],
+)
+def test_clickhouse_type_mapping(ch, expected):
+    assert clickhouse_type_to_spark(ch) == expected
+
+
+def test_unmapped_type_raises():
+    with pytest.raises(ValueError, match="unmapped"):
+        clickhouse_type_to_spark("AggregateFunction(sum, UInt64)")
+
+
+def test_common_columns_source_order(spark):
+    src = spark.createDataFrame([(1, "a", 2.0, True)], "k INT, s STRING, d DOUBLE, b BOOLEAN")
+    dest = spark.createDataFrame([(True, "a", 5)], "b BOOLEAN, s STRING, k BIGINT")
+    # source order preserved (ReturnValuesString semantics), dest-only ignored
+    assert common_columns(src, dest) == ["k", "s", "b"]
+
+
+def test_align_casts_and_semantic(spark):
+    src = spark.createDataFrame(
+        [(1, "550E8400-E29B-41D4-A716-446655440000", "10.0.0.1", "zz")],
+        "k INT, u STRING, ip STRING, junk STRING",
+    )
+    dest = spark.createDataFrame([], "k BIGINT, u STRING, ip BIGINT")
+    out = align(src, dest, semantic={"u": "UUID", "ip": "IPv4"})
+    row = out.collect()[0]
+    assert out.schema["k"].dataType == T.LongType()
+    assert row["u"] == "550e8400-e29b-41d4-a716-446655440000"
+    assert row["ip"] == 10 * 16777216 + 1
+    assert "junk" not in out.columns
+
+
+def test_align_invalid_semantic_values(spark):
+    src = spark.createDataFrame(
+        [("not-a-uuid", "999.1.2.3")], "u STRING, ip STRING"
+    )
+    dest = spark.createDataFrame([], "u STRING, ip BIGINT")
+    row = align(src, dest, semantic={"u": "UUID", "ip": "IPv4"}).collect()[0]
+    assert row["u"] == "00000000-0000-0000-0000-000000000000"
+    assert row["ip"] is None
+
+
+def test_predicate_any_arity(spark):
+    """The reference breaks AND-joining at arity > 2
+    (sidefunctions.go:231); the engine must not, at any arity."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clickhouse_table_copier_spark.plans.partition_spec import (
+        PartitionField,
+        PartitionSpec,
+    )
+    from clickhouse_table_copier_spark.plans.predicates import equality_predicate
+
+    df = spark.createDataFrame(
+        [(a, b, c, d) for a in (0, 1) for b in (0, 1) for c in (0, 1) for d in (0, 1)],
+        "a INT, b INT, c INT, d INT",
+    ).cache()
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        vals=st.lists(st.integers(min_value=0, max_value=1), min_size=1, max_size=4)
+    )
+    def check(vals):
+        names = ["a", "b", "c", "d"][: len(vals)]
+        spec = PartitionSpec.bare(*names)
+        got = df.where(equality_predicate(spec, vals)).count()
+        expected = 2 ** (4 - len(vals))
+        assert got == expected
+
+    check()
+
+
+def test_cast_plan_passthrough_identity(spark):
+    src = spark.createDataFrame([(1, "x")], "k INT, s STRING")
+    dest = spark.createDataFrame([], "k INT, s STRING")
+    exprs = cast_plan(src, dest)
+    out = src.select(*exprs)
+    assert out.schema == src.schema
+    assert out.collect() == src.collect()

@@ -129,3 +129,23 @@ def test_exact_dedup_survivor_is_min_id(spark):
     dups = groups.where(F.col("dup_cnt") > 1).collect()
     assert len(dups) == 500
     assert all(r["keep_id"] < 10000 for r in dups)
+
+
+def test_file_fingerprints(spark, tmp_path):
+    from clickhouse_table_copier_spark.operators.fingerprint import (
+        file_fingerprints,
+        table_fingerprint,
+    )
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    out = str(tmp_path / "multi")
+    li.repartition(4).write.parquet(out)
+    per_file = file_fingerprints(spark.read.parquet(out)).collect()
+    assert len(per_file) == 4
+    assert sum(r["rows"] for r in per_file) == 6000
+    # XOR of per-file fingerprints == whole-table fingerprint (XOR assoc.)
+    combined = 0
+    for r in per_file:
+        combined ^= r["fingerprint"]
+    whole = table_fingerprint(spark.read.parquet(out)).collect()[0]["fingerprint"]
+    assert combined == whole
