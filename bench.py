@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_simhash",
     "text_stats",
     "text_quality",
+    "token_counts",
     "similarity_brute_topk",
     "similarity_lsh_topk",
     "dedup_embedding_cosine",

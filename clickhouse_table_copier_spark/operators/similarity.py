@@ -21,6 +21,8 @@ engine that folds in index order).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -67,6 +69,36 @@ def brute_force_topk(
         F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
     )
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+def cosine_scores_pandas_udf(
+    df: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-vectorized alternative to the expression-based :func:`cosine`.
+
+    A scalar Pandas UDF receives the embedding column as Arrow batches and
+    scores them with one numpy matmul per batch — the shape a model-based
+    scorer (re-ranker, learned metric) plugs into. For the plain dot
+    product the JVM expression path wins below ~10k dims; this exists as
+    the documented Arrow on-ramp and is asserted equal to the expression
+    path in tests.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+
+    @pandas_udf("double")
+    def score(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+        dots = m @ q
+        norms = np.sqrt((m * m).sum(axis=1))
+        return pd.Series(dots / (norms * qn))
+
+    return df.select(F.col(id_col), score(F.col(vec_col)).alias("cosine_sim"))
 
 
 def hyperplane_lsh_buckets(

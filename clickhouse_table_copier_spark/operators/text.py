@@ -68,6 +68,25 @@ def lang_id(text: Column | str) -> Column:
     return lang_id_from_scores(lang_scores(text))
 
 
+# GPT-2-style pre-tokenizer pattern: contraction suffixes, letter runs,
+# digit runs, punctuation runs, whitespace runs. Counts BPE *pre-tokens* —
+# the standard cheap proxy for LLM token budgets without a merges table.
+BPE_SPLIT_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Approximate LLM token count via the GPT-2 pre-tokenizer regex.
+
+    Expression-only (regexp_extract_all + size); a real BPE would apply
+    the merges table in a Pandas UDF, but budget estimation — the use this
+    serves in a data pipeline — only needs the pre-token count.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.regexp_extract_all(t, F.lit(BPE_SPLIT_PATTERN), 0))
+    )
+
+
 def token_count(text: Column | str) -> Column:
     """Whitespace token count (0 for empty/blank)."""
     t = F.trim(F.col(text) if isinstance(text, str) else text)

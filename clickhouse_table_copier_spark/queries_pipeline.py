@@ -281,6 +281,33 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_SQL_PATTERN = (
+    "''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+"
+)
+
+
+@register(
+    "token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,
+           CASE WHEN length(text) = 0 THEN 0
+                ELSE len(regexp_extract_all(text, '{_BPE_SQL_PATTERN}')) END AS bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.text import bpe_token_count
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("bigint").alias("ws_tokens"),
+        bpe_token_count("text").cast("bigint").alias("bpe_tokens"),
+    )
+
+
 @register(
     "text_quality",
     oracle="""

@@ -149,3 +149,29 @@ def test_file_fingerprints(spark, tmp_path):
         combined ^= r["fingerprint"]
     whole = table_fingerprint(spark.read.parquet(out)).collect()[0]["fingerprint"]
     assert combined == whole
+
+
+def test_pandas_udf_cosine_matches_expression(spark):
+    """The Arrow/numpy scorer and the JVM expression fold must agree to
+    float tolerance (different summation orders, same math)."""
+    import math
+
+    from clickhouse_table_copier_spark.operators.similarity import (
+        cosine,
+        cosine_scores_pandas_udf,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    q = F.array(*[F.lit(x) for x in qvec])
+    expr_scores = {
+        r["vec_id"]: r["c"]
+        for r in emb.select("vec_id", cosine(F.col("embedding"), q).alias("c")).collect()
+    }
+    udf_scores = {
+        r["vec_id"]: r["cosine_sim"]
+        for r in cosine_scores_pandas_udf(emb, qvec).collect()
+    }
+    assert set(expr_scores) == set(udf_scores)
+    for k in expr_scores:
+        assert math.isclose(expr_scores[k], udf_scores[k], rel_tol=1e-9, abs_tol=1e-12)
