@@ -67,18 +67,23 @@ IMAGE_META_SCHEMA = T.StructType(
 )
 
 
-def _decode_one(content: bytes) -> tuple[str, int, int]:
-    """Header-only decode: PNG IHDR width/height; JPEG stubbed dims.
-
-    A real deployment replaces this body with PIL/libvips; the signature
+def _make_decode_one():
+    """Header-only decoder built as a CLOSURE: nested functions pickle by
+    value (cloudpickle), so executors don't need this package importable.
+    A real deployment replaces the body with PIL/libvips; the signature
     (bytes → (fmt, w, h)) and everything around it stay as-is.
     """
-    if content[:8] == b"\x89PNG\r\n\x1a\n":
-        w, h = struct.unpack(">II", content[16:24])
-        return "png", int(w), int(h)
-    if content[:3] == b"\xff\xd8\xff":
-        return "jpeg", -1, -1  # dims need a full scan — stubbed
-    raise NotImplementedError("unsupported media container")
+    import struct as _struct
+
+    def decode_one(content: bytes):
+        if content[:8] == b"\x89PNG\r\n\x1a\n":
+            w, h = _struct.unpack(">II", content[16:24])
+            return "png", int(w), int(h)
+        if content[:3] == b"\xff\xd8\xff":
+            return "jpeg", -1, -1  # dims need a full scan — stubbed
+        raise NotImplementedError("unsupported media container")
+
+    return decode_one
 
 
 def decode_image_meta(df: DataFrame) -> DataFrame:
@@ -88,12 +93,14 @@ def decode_image_meta(df: DataFrame) -> DataFrame:
     at 100 TB this is the canonical decode stage shape.
     """
 
+    decode_one = _make_decode_one()
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 try:
-                    fmt, w, h = _decode_one(bytes(content))
+                    fmt, w, h = decode_one(bytes(content))
                 except NotImplementedError:
                     fmt, w, h = "unknown", -1, -1
                 out.append((mid, fmt, w, h, len(content)))

@@ -1,0 +1,129 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The reference has no streaming (SURVEY §2.8); this is the north-star
+extension for event pipelines that need per-key state Spark's built-in
+aggregations can't express (custom counters, decayed scores, "first/last
+seen" bookkeeping). The pattern demonstrated: per-user lifetime stats
+maintained in GroupState across micro-batches AND across separate
+``availableNow`` runs (state lives in the checkpoint).
+
+Scale: state is O(active keys), partitioned by key across executors;
+Arrow-batched state updates (one pandas call per key-group per batch).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+USER_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value_cents", T.LongType()),
+        T.StructField("first_ts", T.TimestampType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value_cents", T.LongType()),
+        T.StructField("first_ts", T.TimestampType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+)
+
+
+def _make_update_user_stats():
+    """Build the state-update function as a CLOSURE, not a module-level
+    function: cloudpickle serializes closures by value, while module-level
+    functions pickle as an import reference — which breaks on executors
+    that don't have this package on their PYTHONPATH (e.g. a driver
+    launched from another directory). Applies to every Python UDF in this
+    package.
+    """
+
+    def update(key, pdfs, state: GroupState):
+        # fold this batch's events for one user into GroupState; money in
+        # integer cents so updates are exact and order-insensitive
+        (user_id,) = key
+        if state.exists:
+            n, cents, first_ts, last_ts = state.get
+        else:
+            n, cents, first_ts, last_ts = 0, 0, None, None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            lo, hi = pdf["ts"].min(), pdf["ts"].max()
+            first_ts = lo if first_ts is None or lo < first_ts else first_ts
+            last_ts = hi if last_ts is None or hi > last_ts else last_ts
+        state.update((n, cents, first_ts, last_ts))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value_cents": [cents],
+                "first_ts": [first_ts],
+                "last_ts": [last_ts],
+            }
+        )
+
+    return update
+
+
+def stateful_user_stats(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """availableNow run maintaining per-user lifetime stats in GroupState.
+
+    Each run emits the UPDATED stats row per user seen in that run's new
+    files; rows for untouched users stay in state, not in output. The
+    latest emitted row per user (max batch over runs) is the current value
+    — resolved by :func:`latest_user_stats`.
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "64")
+        .parquet(source_dir)
+    )
+    if isinstance(stream.schema["ts"].dataType, T.TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    updated = stream.groupBy("user_id").applyInPandasWithState(
+        _make_update_user_stats(),
+        outputStructType=USER_STATS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # batch ids keep increasing across availableNow runs (checkpointed)
+        batch_df.withColumn("batch_seq", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(output_dir)
+
+    return (
+        updated.writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def latest_user_stats(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Current per-user stats = the row from each user's highest batch."""
+    hist = spark.read.parquet(output_dir)
+    w_latest = hist.groupBy("user_id").agg(F.max("batch_seq").alias("batch_seq"))
+    return hist.join(w_latest, ["user_id", "batch_seq"]).drop("batch_seq")

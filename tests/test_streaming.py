@@ -143,3 +143,50 @@ def test_windowed_event_counts_match_batch(spark, tmp_path):
     # all real (non-sentinel) windows were emitted
     missing = {k for k in batch_m if k[1] != "sentinel"} - set(got_m)
     assert not missing
+
+
+def test_stateful_user_stats_across_runs(spark, tmp_path):
+    """GroupState survives across separate availableNow runs via the
+    checkpoint; final stats equal the batch aggregation over all data."""
+    from clickhouse_table_copier_spark.queries import _events
+    from clickhouse_table_copier_spark.streaming.stateful import (
+        latest_user_stats,
+        stateful_user_stats,
+    )
+
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+
+    ev = _events(spark, SF_SMOKE).select("event_id", "ts", "user_id", "value")
+    first = ev.where(F.col("event_id") % 2 == 0)
+    second = ev.where(F.col("event_id") % 2 == 1)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    first.write.mode("append").parquet(src_dir)
+    stateful_user_stats(spark, src_dir, schema, out_dir, ck_dir).awaitTermination()
+    second.write.mode("append").parquet(src_dir)
+    stateful_user_stats(spark, src_dir, schema, out_dir, ck_dir).awaitTermination()
+
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value_cents"])
+        for r in latest_user_stats(spark, out_dir).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["cents"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == want

@@ -183,3 +183,59 @@ def test_dest_retyped_schema_alignment(spark, lineitem, tmp_path):
     # which alignment must neutralize for the common columns.
     verdicts = {r["ship_month"]: r["verdict"] for r in res.report.collect()}
     assert verdicts[7] == "copy"
+
+
+def test_sync_tuple_partition_key_events(spark, tmp_path):
+    """Multi-key (event_type, event_date) sync — the tuple-key case the
+    reference's GenerateWhere breaks at arity > 2 — through the full
+    hive-layout write/diff/repair path."""
+    from clickhouse_table_copier_spark.queries import _events
+
+    ev = _events(spark, SF_SMOKE)
+    spec = PartitionSpec.of(
+        PartitionField("event_type", "event_type"),
+        PartitionField("event_date", "CAST(ts AS DATE)"),
+    )
+    dest = str(tmp_path / "dest")
+    res1 = sync(spark, ev, dest, spec)
+    assert res1.copied_partitions > 10  # 5 types x several days
+
+    # mutate one (type, date) cell upstream → exactly one partition repaired
+    ev2 = ev.withColumn(
+        "value",
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts").cast("date") == F.expr("DATE '2024-01-03'")),
+            F.col("value") + 1.0,
+        ).otherwise(F.col("value")),
+    )
+    res2 = sync(spark, ev2, dest, spec)
+    actions = {
+        (r["event_type"], str(r["event_date"])): r["action"]
+        for r in res2.report.collect()
+    }
+    assert actions[("click", "2024-01-03")] == "overwritten"
+    assert sum(1 for a in actions.values() if a != "none") == 1
+
+    # converged: re-run reports all identical
+    res3 = sync(spark, ev2, dest, spec, SyncOptions(dry_run=True))
+    assert {r["verdict"] for r in res3.report.collect()} == {"identical"}
+
+
+@pytest.mark.slow
+def test_sync_sf01_scale(spark, tmp_path):
+    """Sync at sf0.1 (600k rows): missing partition + corrupted partition
+    repaired in one pass; destination converges."""
+    li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    dest = str(tmp_path / "dest")
+    mutated = li.where(F.month("l_shipdate") != 2).withColumn(
+        "l_tax",
+        F.when(F.month("l_shipdate") == 9, F.col("l_tax") + 0.01).otherwise(
+            F.col("l_tax")
+        ),
+    )
+    _write_dest(mutated, SPEC, dest)
+    res = sync(spark, li, dest, SPEC)
+    actions = {r["ship_month"]: r["action"] for r in res.report.collect()}
+    assert actions[2] == "copied" and actions[9] == "overwritten"
+    _assert_synced(spark, li, dest, DATA_COLS)
