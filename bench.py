@@ -65,9 +65,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry.queries()
-    # warm-up: JVM + parquet footer caches, so per-query numbers measure
-    # the query, not session startup
+    # warm-up: JVM JIT, codegen, shuffle machinery, parquet footers — one
+    # untimed flagship run so per-query numbers measure steady-state work
     spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet").count()
+    qs["partition_diff"](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -70,7 +70,32 @@ def diff_partitions(
     # Both sides are one-row-per-partition (thousands of rows even at
     # 100 TB). full_outer can't broadcast, so shuffle-hash-join hint both
     # sides — avoids the sort of a SortMergeJoin on these tiny inputs.
-    joined = s.hint("shuffle_hash").join(d.hint("shuffle_hash"), on=spec.names, how="full_outer")
+    # Null-safe key equality: a NULL partition value is a real partition
+    # (hive's __HIVE_DEFAULT_PARTITION__); standard join equality would
+    # split it into phantom copy+extra rows.
+    d_renamed = d.select(
+        *[F.col(n).alias(f"__d_{n}") for n in spec.names],
+        "dest_rows",
+        "dest_fingerprint",
+    )
+    cond = None
+    for n in spec.names:
+        c = F.col(n).eqNullSafe(F.col(f"__d_{n}"))
+        cond = c if cond is None else cond & c
+    joined = (
+        s.hint("shuffle_hash")
+        .join(d_renamed.hint("shuffle_hash"), cond, "full_outer")
+        .select(
+            *[
+                F.coalesce(F.col(n), F.col(f"__d_{n}")).alias(n)
+                for n in spec.names
+            ],
+            "src_rows",
+            "src_fingerprint",
+            "dest_rows",
+            "dest_fingerprint",
+        )
+    )
 
     if check_hashes:
         equal = F.col("src_fingerprint").eqNullSafe(F.col("dest_fingerprint")) & F.col(

@@ -101,6 +101,33 @@ def cosine_scores_pandas_udf(
     return df.select(F.col(id_col), score(F.col(vec_col)).alias("cosine_sim"))
 
 
+def label_centroids_grouped_map(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid via ``applyInPandas`` (grouped-map Pandas API).
+
+    The batch grouped-map shape: one Arrow-batched pandas call per key
+    group — where per-group model fitting / re-ranking plugs in. For a
+    plain mean the expression path is competitive; this is the documented
+    grouped-map on-ramp, tested equal to the expression-computed centroid.
+    """
+    schema = f"{label_col} int, centroid array<double>, n_vectors long"
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        return pd.DataFrame(
+            {
+                label_col: [int(pdf[label_col].iloc[0])],
+                "centroid": [list(m.mean(axis=0))],
+                "n_vectors": [len(pdf)],
+            }
+        )
+
+    return df.select(label_col, vec_col).groupBy(label_col).applyInPandas(fit, schema)
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     num_planes: int = 8,

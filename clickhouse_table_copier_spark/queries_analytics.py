@@ -183,6 +183,71 @@ def q_events_multikey_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Rollup: partition stats at (returnflag, month), (returnflag), and grand
+# total in one pass — the hierarchy view of A4's grouped stats.
+# ---------------------------------------------------------------------------
+@register(
+    "partition_stats_rollup",
+    oracle="""
+    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+           coalesce(CAST(ship_month AS VARCHAR), '<all>') AS month_s,
+           rows_, qty_sum
+    FROM (
+      SELECT l_returnflag, CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+             count(*) AS rows_,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, CAST(month(l_shipdate) AS INTEGER))
+    )
+    """,
+)
+def q_partition_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "lineitem")
+    rolled = (
+        df.rollup(
+            "l_returnflag",
+            F.expr("CAST(month(l_shipdate) AS INT)").alias("ship_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("rows_"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("qty_sum"),
+        )
+    )
+    return rolled.select(
+        F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+        F.coalesce(F.col("ship_month").cast("string"), F.lit("<all>")).alias(
+            "month_s"
+        ),
+        "rows_",
+        "qty_sum",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact distinct counts per partition (ClickHouse uniqExact analogue).
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_parts_per_month",
+    oracle="""
+    SELECT CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+           count(DISTINCT l_partkey) AS distinct_parts,
+           count(DISTINCT l_suppkey) AS distinct_supps
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_distinct_parts_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "lineitem")
+    return df.groupBy(
+        F.expr("CAST(month(l_shipdate) AS INT)").alias("ship_month")
+    ).agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # J1 — schema intersection as a queryable result: common columns of
 # lineitem and a retyped/reduced destination schema, in SOURCE order
 # (ReturnValuesString, sidefunctions.go:78-97). The oracle states the

@@ -175,3 +175,52 @@ def test_pandas_udf_cosine_matches_expression(spark):
     assert set(expr_scores) == set(udf_scores)
     for k in expr_scores:
         assert math.isclose(expr_scores[k], udf_scores[k], rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_diff_handles_null_partition_values(spark):
+    """A NULL partition value is one real partition on both sides, not a
+    phantom copy+extra pair (null-safe diff join)."""
+    from clickhouse_table_copier_spark.operators.diff import diff_partitions
+    from clickhouse_table_copier_spark.plans.partition_spec import PartitionSpec
+
+    src = spark.createDataFrame(
+        [(None, 1), (None, 2), ("a", 3)], "k STRING, v INT"
+    )
+    dest = spark.createDataFrame(
+        [(None, 1), (None, 2), ("a", 99)], "k STRING, v INT"
+    )
+    rep = {r["k"]: r["verdict"] for r in
+           diff_partitions(src, dest, PartitionSpec.bare("k"), cols=["v"]).collect()}
+    assert rep[None] == "identical"
+    assert rep["a"] == "inconsistent"
+    assert len(rep) == 2
+
+
+def test_label_centroids_grouped_map(spark):
+    """applyInPandas centroids equal expression-computed centroids."""
+    import math
+
+    from clickhouse_table_copier_spark.operators.similarity import (
+        label_centroids_grouped_map,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    got = {
+        r["label"]: (r["n_vectors"], r["centroid"])
+        for r in label_centroids_grouped_map(emb).collect()
+    }
+    # expression truth: avg of each dimension via posexplode
+    truth = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"), F.count(F.lit(1)).alias("n"))
+    )
+    want = {}
+    for r in truth.collect():
+        want.setdefault(r["label"], {})[r["pos"]] = (r["m"], r["n"])
+    assert set(got) == set(want)
+    for label, (n, centroid) in got.items():
+        dims = want[label]
+        assert n == dims[0][1]
+        for pos, v in enumerate(centroid):
+            assert math.isclose(v, dims[pos][0], rel_tol=1e-9, abs_tol=1e-12)
