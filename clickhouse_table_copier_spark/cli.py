@@ -108,6 +108,10 @@ def main(argv: list[str] | None = None) -> int:
     except ConfigError as e:
         print(f"config error: {e}", file=sys.stderr)
         return EXIT_ERROR
+    except Exception as e:  # AnalysisException (missing path) etc.
+        first = str(e).splitlines()[0] if str(e) else type(e).__name__
+        print(f"error: {first}", file=sys.stderr)
+        return EXIT_ERROR
 
 
 if __name__ == "__main__":

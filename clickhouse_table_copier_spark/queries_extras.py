@@ -1,0 +1,138 @@
+"""Query batch 7: winnowing fingerprints, exact percentiles, SQL front-end.
+
+Winnowing (Schleimer/Wilkerson/Aiken's local fingerprinting) is the
+rolling-hash document fingerprint a plagiarism/near-dup pipeline keeps per
+document: hash every character k-gram, slide a window of w positions, keep
+each window's minimum hash — guaranteeing any shared substring of length
+≥ w+k−1 contributes a shared fingerprint. Expressed here entirely with
+window functions over an exploded position index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clickhouse_table_copier_spark.queries import _t, register
+
+K = 8   # k-gram length (chars)
+W = 16  # winnowing window (positions)
+
+_NORM = "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints: per doc, the distinct set of window-min k-gram
+# hashes, counted (the fingerprint SET is what a dedup index stores; the
+# count + min/max make a compact oracle-checkable projection of it).
+# ---------------------------------------------------------------------------
+@register(
+    "doc_winnowing",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM.format(c="text")} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, pos,
+             CAST('0x' || substring(md5(substring(t, pos, {K})), 1, 15) AS BIGINT) AS h
+      FROM norm, LATERAL (SELECT unnest(range(1, length(t) - {K} + 2)) AS pos)
+      WHERE length(t) >= {K}
+    ),
+    winmins AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {W - 1} FOLLOWING) AS wm
+      FROM grams
+    ),
+    fps AS (SELECT DISTINCT doc_id, wm FROM winmins)
+    SELECT doc_id, count(*) AS n_fingerprints,
+           min(wm) AS min_fp, max(wm) AS max_fp
+    FROM fps GROUP BY doc_id
+    """,
+)
+def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.dedup import normalized_text, spread
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    norm = docs.select("doc_id", normalized_text("text").alias("t")).where(
+        F.length("t") >= K
+    )
+    grams = norm.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("t") - K + 1)).alias("pos"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5(F.expr(f"substring(t, pos, {K})")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, W - 1)
+    winmins = grams.select("doc_id", F.min("h").over(w).alias("wm"))
+    fps = winmins.distinct()
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("wm").alias("min_fp"),
+        F.max("wm").alias("max_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles per group (verified bit-identical interpolation
+# between Spark percentile() and DuckDB quantile_cont()).
+# ---------------------------------------------------------------------------
+@register(
+    "order_value_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           count(*) AS cnt
+    FROM orders GROUP BY 1
+    """,
+)
+def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL front-end: the same engine through spark.sql over registered views —
+# demonstrating that every capability is reachable from plain SQL (the
+# reference's users speak SQL; parity includes the front door).
+# ---------------------------------------------------------------------------
+@register(
+    "sql_frontend_revenue",
+    oracle="""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def q_sql_frontend_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "orders", "customer", "nation", "region"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"ctc_{t}")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, r.r_name AS region,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                        (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM ctc_lineitem l
+        JOIN ctc_orders o ON l.l_orderkey = o.o_orderkey
+        JOIN ctc_customer c ON o.o_custkey = c.c_custkey
+        JOIN ctc_nation n ON c.c_nationkey = n.n_nationkey
+        JOIN ctc_region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+        """
+    )
