@@ -1,0 +1,122 @@
+"""IVF (inverted-file) approximate nearest neighbor — the k-means-cell
+scale path for embedding search (complements hyperplane LSH).
+
+Classic IVF-Flat: partition vectors into cells around centroids; a query
+probes only the nearest ``n_probe`` cells and scores exactly within them.
+At 100 TB the table is stored partitioned by ``cell`` so probing is
+partition pruning; here cells are computed inline.
+
+Training is Lloyd's algorithm with deterministic seeding (first ``k``
+vectors by id) — an iterative driver loop over small state (k × dim
+centroids collected per round), which is why this operator is registered
+WITHOUT a SQL oracle: iterative algorithms are the documented
+rows-only-check category of the driver contract.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from clickhouse_table_copier_spark.operators.similarity import cosine
+
+
+def _sq_dist(vec_col: Column, centroid: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _nearest_cell(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """argmin over centroids, ties to the lowest cell id (deterministic)."""
+    best_d = _sq_dist(vec_col, centroids[0])
+    best_i = F.lit(0)
+    for i, c in enumerate(centroids[1:], start=1):
+        d = _sq_dist(vec_col, c)
+        better = d < best_d
+        best_i = F.when(better, F.lit(i)).otherwise(best_i)
+        best_d = F.when(better, d).otherwise(best_d)
+    return best_i
+
+
+def train_centroids(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd's k-means with deterministic seeds (lowest ``k`` ids).
+
+    Driver state is k × dim floats per round; each round is one Spark
+    job (assign = expression argmin, update = grouped mean). Empty cells
+    keep their previous centroid.
+    """
+    seeds = (
+        df.orderBy(id_col).limit(k).select(vec_col).collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = df.select(
+            F.col(vec_col), _nearest_cell(F.col(vec_col), centroids).alias("cell")
+        )
+        means = (
+            assigned.select(
+                "cell", F.posexplode(vec_col).alias("pos", "x")
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        new_c = [list(c) for c in centroids]
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        for cell, dims in by_cell.items():
+            new_c[cell] = [dims[p] for p in range(dim)]
+        centroids = new_c
+    return centroids
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, cell) — the stored IVF layout (partition by cell at scale)."""
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _nearest_cell(F.col(vec_col), centroids).alias("cell"),
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k within the ``n_probe`` nearest cells to the query."""
+    dists = [
+        (i, sum((a - b) ** 2 for a, b in zip(c, query_vec)))
+        for i, c in enumerate(centroids)
+    ]
+    probe = [i for i, _ in sorted(dists, key=lambda t: (t[1], t[0]))[:n_probe]]
+    cells = assign_cells(df, centroids, id_col, vec_col)
+    cand = cells.where(F.col("cell").isin(probe))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(
+        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim")
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)

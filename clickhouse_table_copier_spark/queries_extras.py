@@ -102,6 +102,25 @@ def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF ANN (iterative k-means training → cell-probed exact scoring).
+# Registered WITHOUT an oracle: iterative algorithms are the driver
+# contract's documented rows-only-check category; correctness is pinned by
+# tests/test_pipeline_ops.py::test_ivf_topk_and_assignment_properties
+# (nearest-centroid assignment + equality with in-cell brute force).
+# ---------------------------------------------------------------------------
+@register("similarity_ivf_topk")
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.ivf import ivf_topk, train_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = train_centroids(emb, k=8, iters=2)
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_topk(
+        emb.where(F.col("vec_id") != 0), centroids, qvec, k=10, n_probe=3
+    )
+
+
+# ---------------------------------------------------------------------------
 # SQL front-end: the same engine through spark.sql over registered views —
 # demonstrating that every capability is reachable from plain SQL (the
 # reference's users speak SQL; parity includes the front door).

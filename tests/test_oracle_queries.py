@@ -35,5 +35,7 @@ def test_entry_smoke(spark):
 def test_every_query_has_oracle_or_is_declared():
     missing = sorted(set(_QUERIES) - set(_ORACLES))
     # Non-SQL-expressible ops may be missing; keep the list conscious.
-    allowed_missing = set()
+    # similarity_ivf_topk: iterative k-means training — the documented
+    # rows-only-check category; pinned by operator tests instead.
+    allowed_missing = {"similarity_ivf_topk"}
     assert set(missing) <= allowed_missing, f"queries without oracle: {missing}"

@@ -224,3 +224,41 @@ def test_label_centroids_grouped_map(spark):
         assert n == dims[0][1]
         for pos, v in enumerate(centroid):
             assert math.isclose(v, dims[pos][0], rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_ivf_topk_and_assignment_properties(spark):
+    """IVF: (a) every vector goes to its truly-nearest centroid,
+    (b) ivf_topk equals brute force restricted to probed cells,
+    (c) training is deterministic."""
+    import math
+
+    from clickhouse_table_copier_spark.operators.ivf import (
+        assign_cells,
+        ivf_topk,
+        train_centroids,
+    )
+    from clickhouse_table_copier_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    c1 = train_centroids(emb, k=8, iters=2)
+    c2 = train_centroids(emb, k=8, iters=2)
+    assert c1 == c2  # deterministic seeding + deterministic means
+
+    cells = assign_cells(emb, c1)
+    sample = cells.limit(50).collect()
+    for r in sample:
+        v = [float(x) for x in r["embedding"]]
+        dists = [sum((a - b) ** 2 for a, b in zip(c, v)) for c in c1]
+        best = min(range(len(c1)), key=lambda i: (dists[i], i))
+        assert r["cell"] == best
+
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    pool = emb.where(F.col("vec_id") != 0)
+    approx = [r["vec_id"] for r in ivf_topk(pool, c1, qvec, k=10, n_probe=3).collect()]
+    assert len(approx) == 10
+    # equals brute force within the probed cells
+    dists = [(i, sum((a - b) ** 2 for a, b in zip(c, qvec))) for i, c in enumerate(c1)]
+    probe = [i for i, _ in sorted(dists, key=lambda t: (t[1], t[0]))[:3]]
+    cand = assign_cells(pool, c1).where(F.col("cell").isin(probe)).drop("cell")
+    exact_within = [r["vec_id"] for r in brute_force_topk(cand, qvec, k=10).collect()]
+    assert approx == exact_within
