@@ -121,6 +121,85 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# AS-OF join (ClickHouse ASOF JOIN semantics — an operator Spark lacks,
+# composed from union + window carry-forward in operators/temporal_joins).
+# Snapshots table derives deterministically from events (every 10th event
+# is a "status change"); the rest of the events as-of join to their
+# latest prior status. DuckDB validates with its native ASOF LEFT JOIN.
+# ---------------------------------------------------------------------------
+@register(
+    "asof_join_status",
+    oracle="""
+    WITH snapshots AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value AS status_value
+      FROM events WHERE event_id % 10 = 0
+    ),
+    obs AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events WHERE event_id % 10 <> 0
+    )
+    SELECT o.event_id, o.user_id, s.status_value
+    FROM obs o ASOF LEFT JOIN snapshots s
+      ON o.user_id = s.user_id AND o.ts >= s.ts
+    """,
+)
+def q_asof_join_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.temporal_joins import asof_join
+    from clickhouse_table_copier_spark.queries import _events
+
+    ev = _events(spark, sf_dir)
+    snapshots = ev.where(F.col("event_id") % 10 == 0).select(
+        "user_id", "ts", F.col("value").alias("status_value")
+    )
+    obs = ev.where(F.col("event_id") % 10 != 0).select("user_id", "ts", "event_id")
+    joined = asof_join(obs, snapshots, key="user_id", time_col="ts")
+    return joined.select("event_id", "user_id", "status_value")
+
+
+# ---------------------------------------------------------------------------
+# Range join: events banded by value intervals per event_type — the
+# broadcast non-equi interval join (operators/temporal_joins.range_join).
+# ---------------------------------------------------------------------------
+@register(
+    "range_join_value_bands",
+    oracle="""
+    WITH bands AS (
+      SELECT t.event_type, CAST(b.b AS INTEGER) AS band_id,
+             CAST(b.b * 50 AS DOUBLE) AS band_start,
+             CAST((b.b + 1) * 50 AS DOUBLE) AS band_end
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT unnest(range(0, 5)) AS b) b
+    )
+    SELECT e.event_id, e.event_type, bands.band_id
+    FROM events e
+    JOIN bands ON e.event_type = bands.event_type
+              AND e.value >= bands.band_start AND e.value < bands.band_end
+    """,
+)
+def q_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.temporal_joins import range_join
+    from clickhouse_table_copier_spark.queries import _events
+
+    ev = _events(spark, sf_dir)
+    types = ev.select("event_type").distinct()
+    bands = types.crossJoin(spark.range(0, 5).select(F.col("id").cast("int").alias("band_id"))).select(
+        "event_type",
+        "band_id",
+        (F.col("band_id") * 50).cast("double").alias("band_start"),
+        ((F.col("band_id") + 1) * 50).cast("double").alias("band_end"),
+    )
+    joined = range_join(
+        ev.select("event_id", "event_type", F.col("value").alias("t")),
+        bands,
+        key="event_type",
+        time_col="t",
+        start_col="band_start",
+        end_col="band_end",
+    )
+    return joined.select("event_id", "event_type", "band_id")
+
+
+# ---------------------------------------------------------------------------
 # SQL front-end: the same engine through spark.sql over registered views —
 # demonstrating that every capability is reachable from plain SQL (the
 # reference's users speak SQL; parity includes the front door).

@@ -262,3 +262,23 @@ def test_ivf_topk_and_assignment_properties(spark):
     cand = assign_cells(pool, c1).where(F.col("cell").isin(probe)).drop("cell")
     exact_within = [r["vec_id"] for r in brute_force_topk(cand, qvec, k=10).collect()]
     assert approx == exact_within
+
+
+def test_asof_join_semantics(spark):
+    """ASOF: latest right at-or-before left time; ties take the right row;
+    no prior right → NULL."""
+    from clickhouse_table_copier_spark.operators.temporal_joins import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 5, "e1"), ("u", 10, "e2"), ("u", 2, "e0"), ("v", 7, "e3")],
+        "k STRING, t INT, ev STRING",
+    )
+    right = spark.createDataFrame(
+        [("u", 3, 30.0), ("u", 10, 100.0), ("w", 1, 1.0)],
+        "k STRING, t INT, status DOUBLE",
+    )
+    got = {
+        r["ev"]: r["status"]
+        for r in asof_join(left, right, key="k", time_col="t").collect()
+    }
+    assert got == {"e0": None, "e1": 30.0, "e2": 100.0, "e3": None}
