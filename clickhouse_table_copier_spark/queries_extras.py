@@ -200,6 +200,37 @@ def q_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hypertable rollup: hour/day/month continuous-aggregate tables computed
+# in one pass (operators/rollup_time.time_rollup).
+# ---------------------------------------------------------------------------
+@register(
+    "hypertable_rollup",
+    oracle="""
+    WITH src AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ),
+    levels AS (
+      SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket, event_type, value FROM src
+      UNION ALL
+      SELECT 'day', date_trunc('day', ts), event_type, value FROM src
+      UNION ALL
+      SELECT 'month', date_trunc('month', ts), event_type, value FROM src
+    )
+    SELECT grain, bucket, event_type,
+           count(*) AS n_rows,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM levels GROUP BY 1, 2, 3
+    """,
+)
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.rollup_time import time_rollup
+    from clickhouse_table_copier_spark.queries import _events
+
+    ev = _events(spark, sf_dir)
+    return time_rollup(ev, "ts", ["event_type"], "value")
+
+
+# ---------------------------------------------------------------------------
 # SQL front-end: the same engine through spark.sql over registered views —
 # demonstrating that every capability is reachable from plain SQL (the
 # reference's users speak SQL; parity includes the front door).
