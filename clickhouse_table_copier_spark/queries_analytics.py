@@ -248,6 +248,78 @@ def q_distinct_parts_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Pivot-shaped matrix: months × return flags as wide columns, expressed as
+# conditional aggregation (portable to any SQL engine, unlike PIVOT
+# dialects). Spark executes it as one hash aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "returnflag_month_matrix",
+    oracle="""
+    SELECT CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+           count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS flag_a,
+           count(CASE WHEN l_returnflag = 'N' THEN 1 END) AS flag_n,
+           count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS flag_r,
+           CAST(sum(CASE WHEN l_returnflag = 'R'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS returned_value
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_returnflag_month_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    return df.groupBy(
+        F.expr("CAST(month(l_shipdate) AS INT)").alias("ship_month")
+    ).agg(
+        F.count(F.when(F.col("l_returnflag") == "A", 1)).alias("flag_a"),
+        F.count(F.when(F.col("l_returnflag") == "N", 1)).alias("flag_n"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("flag_r"),
+        F.sum(F.when(F.col("l_returnflag") == "R", price))
+        .cast("double")
+        .alias("returned_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anti/semi joins — the J2 partition-diff classification is exactly an
+# anti join (missing) + semi join (present); shown here on the star
+# schema: customers with vs without orders.
+# ---------------------------------------------------------------------------
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "customer_segments_with_orders",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+)
+def q_customer_segments_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # J1 — schema intersection as a queryable result: common columns of
 # lineitem and a retyped/reduced destination schema, in SOURCE order
 # (ReturnValuesString, sidefunctions.go:78-97). The oracle states the

@@ -282,3 +282,26 @@ def test_asof_join_semantics(spark):
         for r in asof_join(left, right, key="k", time_col="t").collect()
     }
     assert got == {"e0": None, "e1": 30.0, "e2": 100.0, "e3": None}
+
+
+def test_lsh_bucketed_layout_prunes_scan(spark, tmp_path):
+    """The ANN stored layout: embeddings written partitioned by LSH bucket
+    → a bucket-filtered read prunes partitions at the source (the
+    mechanism that makes lsh_topk a ~rows/2^planes scan at 100 TB)."""
+    from clickhouse_table_copier_spark.operators.similarity import (
+        hyperplane_lsh_buckets,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    out = str(tmp_path / "by_bucket")
+    hyperplane_lsh_buckets(emb, num_planes=4).write.partitionBy("bucket").parquet(out)
+
+    stored = spark.read.parquet(out)
+    probe = stored.where(F.col("bucket").isin([3, 7, 11]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # partition filter must reach the scan (pruned directory listing)
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters", 1)[1][:200]
+    # and the probed subset is consistent with the full table
+    full = {r["vec_id"]: r["bucket"] for r in stored.collect()}
+    got = {r["vec_id"]: r["bucket"] for r in probe.collect()}
+    assert got == {k: v for k, v in full.items() if v in (3, 7, 11)}
