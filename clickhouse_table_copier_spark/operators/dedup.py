@@ -161,6 +161,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
 
@@ -168,11 +169,27 @@ def ngram_jaccard_pairs(
     shingle (never all-pairs), count intersections, then
     |A∩B| / (|A| + |B| − |A∩B|). Exact integers until one final division —
     deterministic across engines.
+
+    ``max_df`` is the scale lever (SCALE.md): the join cost is
+    Σ document-frequency² over shingles, so at corpus scale drop shingles
+    with df > max_df from the JOIN side — ubiquitous shingles carry no
+    discriminative signal but dominate the quadratic term. Sizes still
+    count every shingle, so the resulting jaccard is a (tight) lower
+    bound; ``None`` keeps the computation exact.
     """
     ex = _exploded_shingles(df, id_col, text_col, shingle_n).persist()
     # persisted: read by the self-join (twice) and the size agg
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a, b = ex.alias("a"), ex.alias("b")
+    join_side = ex
+    if max_df is not None:
+        rare = (
+            ex.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("sh")
+        )
+        join_side = ex.join(rare, "sh")
+    a, b = join_side.alias("a"), join_side.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))

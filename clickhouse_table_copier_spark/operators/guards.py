@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import warnings
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 
 
 class TimezoneMismatchError(RuntimeError):

@@ -15,7 +15,6 @@ rows-only-check category of the driver contract.
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

@@ -22,7 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from clickhouse_table_copier_spark.functions.scalars import row_hash
+
 from clickhouse_table_copier_spark.plans.partition_spec import PartitionField, PartitionSpec
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

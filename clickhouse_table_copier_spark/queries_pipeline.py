@@ -24,7 +24,6 @@ from clickhouse_table_copier_spark.operators.dedup import (
 )
 from clickhouse_table_copier_spark.operators.text import (
     doc_fingerprint,
-    lang_id,
     quality_score,
     token_count,
     word_char_ratio,

@@ -305,3 +305,30 @@ def test_lsh_bucketed_layout_prunes_scan(spark, tmp_path):
     full = {r["vec_id"]: r["bucket"] for r in stored.collect()}
     got = {r["vec_id"]: r["bucket"] for r in probe.collect()}
     assert got == {k: v for k, v in full.items() if v in (3, 7, 11)}
+
+
+def test_ngram_jaccard_max_df_cap(spark):
+    """max_df prunes only the join side: near-dup pairs (which share RARE
+    shingles too) survive; jaccard is a lower bound of the exact value."""
+    from clickhouse_table_copier_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text").limit(100)
+    corpus = docs.unionAll(
+        docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.9).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            corpus, "doc_id", "text", threshold=0.9, max_df=50
+        ).collect()
+    }
+    # identical-copy pairs must survive the cap (they share rare shingles)
+    exact_pairs = {p for p, j in exact.items() if j == 1.0}
+    assert exact_pairs, "fixture should contain identical pairs"
+    assert exact_pairs <= set(capped)
+    for p, j in capped.items():
+        assert j <= exact.get(p, 1.0) + 1e-12  # lower bound property
