@@ -42,6 +42,12 @@ HEADLINE = [
     "similarity_brute_topk",
     "similarity_lsh_topk",
     "dedup_embedding_cosine",
+    # round-1 additions: windows, temporal joins, rollups, winnowing
+    "customer_running_totals",
+    "event_sessions",
+    "asof_join_status",
+    "hypertable_rollup",
+    "doc_winnowing",
 ]
 
 

@@ -332,3 +332,44 @@ def test_ngram_jaccard_max_df_cap(spark):
     assert exact_pairs <= set(capped)
     for p, j in capped.items():
         assert j <= exact.get(p, 1.0) + 1e-12  # lower bound property
+
+
+def test_compaction_reduces_files_preserves_content(spark, tmp_path):
+    from clickhouse_table_copier_spark.operators.compact import (
+        compact,
+        file_counts_per_partition,
+    )
+    from clickhouse_table_copier_spark.operators.fingerprint import table_fingerprint
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    li = li.withColumn("ship_month", F.expr("CAST(month(l_shipdate) AS INT)"))
+    dest = str(tmp_path / "frag")
+    # 4 appends → ≥4 files per partition (fragmentation)
+    for i in range(4):
+        li.where(F.col("l_linenumber") % 4 == i).write.partitionBy(
+            "ship_month"
+        ).mode("append").parquet(dest)
+
+    before = {
+        r["ship_month"]: r["n_files"]
+        for r in file_counts_per_partition(spark, dest, ["ship_month"]).collect()
+    }
+    assert max(before.values()) >= 4
+    fp_before = table_fingerprint(
+        spark.read.parquet(dest).drop("ship_month")
+    ).collect()[0]
+
+    res = compact(spark, dest, ["ship_month"], max_files=2, target_files=1)
+    assert res.compacted_partitions == 12
+
+    after = {
+        r["ship_month"]: r["n_files"]
+        for r in file_counts_per_partition(spark, dest, ["ship_month"]).collect()
+    }
+    assert max(after.values()) < max(before.values())
+    fp_after = table_fingerprint(
+        spark.read.parquet(dest).drop("ship_month")
+    ).collect()[0]
+    assert (fp_before["rows"], fp_before["fingerprint"]) == (
+        fp_after["rows"], fp_after["fingerprint"],
+    )
