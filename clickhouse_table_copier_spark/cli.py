@@ -26,7 +26,7 @@ EXIT_ERROR = 1
 EXIT_INCONSISTENT = 2
 
 
-def _run(mode: str, config_path: str) -> int:
+def _run(mode: str, config_path: str, explain: bool = False) -> int:
     from clickhouse_table_copier_spark.operators.sync import SyncOptions, sync
     from clickhouse_table_copier_spark.session import get_spark
     from clickhouse_table_copier_spark.sources.table import TableRef, load_table
@@ -67,6 +67,11 @@ def _run(mode: str, config_path: str) -> int:
             )
 
     result = sync(spark, src, job.destination.location, spec, options)
+    if explain:
+        # the working version of the reference's dead --debug flag
+        # (main.go:52, "doesnt work"): show the physical plan the engine
+        # actually executes for the diff report
+        result.report.explain("formatted")
     # The reference's Info() prints one classification line per partition
     # (copy/copy.go:12-137); the report DataFrame is that output.
     rows = result.report.orderBy(*spec.names).collect()
@@ -94,6 +99,11 @@ def main(argv: list[str] | None = None) -> int:
     for mode in ("info", "sync"):
         p = sub.add_parser(mode)
         p.add_argument("--config", required=True)
+        p.add_argument(
+            "--explain",
+            action="store_true",
+            help="print the physical plan of the diff report (debug parity)",
+        )
     sub.add_parser("version")
     args = parser.parse_args(argv)
 
@@ -104,7 +114,7 @@ def main(argv: list[str] | None = None) -> int:
         parser.print_usage()
         return EXIT_ERROR
     try:
-        return _run(args.mode, args.config)
+        return _run(args.mode, args.config, explain=getattr(args, "explain", False))
     except ConfigError as e:
         print(f"config error: {e}", file=sys.stderr)
         return EXIT_ERROR

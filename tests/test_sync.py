@@ -239,3 +239,25 @@ def test_sync_sf01_scale(spark, tmp_path):
     actions = {r["ship_month"]: r["action"] for r in res.report.collect()}
     assert actions[2] == "copied" and actions[9] == "overwritten"
     _assert_synced(spark, li, dest, DATA_COLS)
+
+
+def test_both_skip_flags_skip_inconsistent_entirely(spark, lineitem, tmp_path):
+    """README parity: 'if both true then skip unconsistent partition' —
+    skip_delete + skip_reimport leaves the inconsistent partition alone."""
+    dest = str(tmp_path / "dest")
+    mutated = lineitem.withColumn(
+        "l_quantity",
+        F.when(F.month("l_shipdate") == 5, F.col("l_quantity") + 1).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+    _write_dest(mutated, SPEC, dest)
+    before_fp = spark.read.parquet(dest).where(F.col("ship_month") == 5).count()
+    res = sync(
+        spark, lineitem, dest, SPEC,
+        SyncOptions(skip_delete=True, skip_reimport=True),
+    )
+    actions = {r["ship_month"]: r["action"] for r in res.report.collect()}
+    assert actions[5] == "none"
+    assert res.copied_partitions == 0 and res.deleted_partitions == 0
+    assert spark.read.parquet(dest).where(F.col("ship_month") == 5).count() == before_fp
