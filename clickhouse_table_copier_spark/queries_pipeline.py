@@ -280,6 +280,43 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Deterministic dataset splits: content-hash-based train/val/test
+# assignment — stable under re-runs, re-partitioning, and engine choice
+# (md5 of the id, first byte bucketed 80/10/10). The split every training
+# pipeline needs, with no RNG state to version.
+# ---------------------------------------------------------------------------
+@register(
+    "dataset_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, lang,
+             CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INTEGER) < 204
+                  THEN 'train'
+                  WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INTEGER) < 230
+                  THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, lang, count(*) AS n_docs
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    split = (
+        F.when(bucket < 204, F.lit("train"))  # 204/256 ≈ 80%
+        .when(bucket < 230, F.lit("val"))  # 26/256 ≈ 10%
+        .otherwise(F.lit("test"))
+    )
+    return docs.select("doc_id", "lang", split.alias("split")).groupBy(
+        "split", "lang"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 _BPE_SQL_PATTERN = (
     "''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+"
 )
