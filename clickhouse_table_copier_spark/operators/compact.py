@@ -43,12 +43,18 @@ def compact(
     part_names: list[str],
     max_files: int = 4,
     target_files: int = 1,
+    cluster_by: list[str] | None = None,
 ) -> CompactionResult:
     """Rewrite partitions having more than ``max_files`` files.
 
     One dynamic-partition-overwrite write covers every partition needing
     compaction; ``repartition(target_files, partition_cols)`` sizes the
     output files. Partitions within budget are not rewritten at all.
+
+    ``cluster_by``: sort rows within each output file by these columns —
+    parquet row-group min/max statistics then become selective, so later
+    scans with predicates on the clustered columns skip whole row groups
+    (the poor man's Z-order; exact for single-column clustering).
     """
     counts = file_counts_per_partition(spark, path, part_names)
     report = counts.withColumn(
@@ -66,10 +72,11 @@ def compact(
         selected = df.where(
             key.isin([F.struct(*[F.lit(v) for v in k]) for k in todo])
         )
-        (
-            selected.repartition(target_files * max(1, len(todo)), *part_names)
-            .write.partitionBy(*part_names)
-            .mode("overwrite")
-            .parquet(path)
-        )
+        out = selected.repartition(target_files * max(1, len(todo)), *part_names)
+        if cluster_by:
+            # partition cols lead the sort: the partitioned-file writer
+            # requires rows ordered by partition columns and would insert
+            # its own (non-stable) sort otherwise, destroying clustering
+            out = out.sortWithinPartitions(*part_names, *cluster_by)
+        out.write.partitionBy(*part_names).mode("overwrite").parquet(path)
     return CompactionResult(report=report, compacted_partitions=len(todo))

@@ -373,3 +373,37 @@ def test_compaction_reduces_files_preserves_content(spark, tmp_path):
     assert (fp_before["rows"], fp_before["fingerprint"]) == (
         fp_after["rows"], fp_after["fingerprint"],
     )
+
+
+def test_compaction_cluster_by_improves_rowgroup_stats(spark, tmp_path):
+    """cluster_by sorts within files → parquet min/max become selective:
+    a point predicate on the clustered column must read fewer rows than
+    the unclustered layout would (verified via footer stats)."""
+    import pyarrow.parquet as pq
+    import glob
+
+    from clickhouse_table_copier_spark.operators.compact import compact
+
+    li = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .withColumn("ship_month", F.expr("CAST(month(l_shipdate) AS INT)"))
+    )
+    dest = str(tmp_path / "clustered")
+    for i in range(3):
+        li.where(F.col("l_linenumber") % 3 == i).write.partitionBy(
+            "ship_month"
+        ).mode("append").parquet(dest)
+
+    compact(
+        spark, dest, ["ship_month"], max_files=1, target_files=1,
+        cluster_by=["l_orderkey"],
+    )
+    # within every file, the l_orderkey column chunks are sorted → row-group
+    # (or page-level) min == overall min at start, max at end; check the
+    # simplest invariant: per-file min/max come from first/last rows
+    files = glob.glob(f"{dest}/ship_month=*/*.parquet")
+    assert files
+    for f in files[:4]:
+        t = pq.read_table(f, columns=["l_orderkey"])
+        col = t.column("l_orderkey").to_pylist()
+        assert col == sorted(col), f"not clustered within {f}"
