@@ -210,6 +210,71 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over candidate pairs → (id, cluster_id).
+
+    The last stage of a real dedup pipeline: LSH/jaccard emit PAIRS, but
+    survivorship needs CLUSTERS (a≈b, b≈c ⇒ keep one of {a,b,c}).
+    Iterative min-label propagation: every node repeatedly adopts the
+    smallest id reachable over one hop, converging in O(diameter)
+    rounds — near-dup clusters have tiny diameters, so few iterations.
+    Each round is one grouped aggregation over the edge list; state is the
+    label frame (O(nodes)), checkpoint-free because the edge list is
+    deterministic.
+
+    cluster_id = min id in the component (the survivor under keep-min).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionAll(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+    )
+    for _ in range(max_iters):
+        # candidate label per node: min over neighbors' labels and own
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("cluster_id").alias("nmin"))
+            .withColumnRenamed("u", "id")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("cluster_id"), F.coalesce("nmin", "cluster_id")).alias(
+                    "cluster_id"
+                ),
+            )
+        )
+        # localCheckpoint cuts the per-iteration lineage growth (otherwise
+        # plan size doubles every round) and materializes for the change
+        # probe + next round in one go
+        new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """(id, simhash): sum ±1 per hash bit over the doc's distinct tokens,
     bit set where the sum is positive. md5-derived token hashes keep it

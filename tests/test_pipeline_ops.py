@@ -407,3 +407,95 @@ def test_compaction_cluster_by_improves_rowgroup_stats(spark, tmp_path):
         t = pq.read_table(f, columns=["l_orderkey"])
         col = t.column("l_orderkey").to_pylist()
         assert col == sorted(col), f"not clustered within {f}"
+
+
+def test_dedup_clusters_connected_components(spark):
+    """Chains must merge: a~b, b~c → one cluster keeping min id."""
+    from clickhouse_table_copier_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a BIGINT, id_b BIGINT",
+    )
+    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+    }
+
+
+def test_dedup_pipeline_end_to_end(spark):
+    """Full pipeline: minhash LSH candidates → jaccard verify → clusters →
+    survivors. Near-dup corpus collapses to the original doc count."""
+    from clickhouse_table_copier_spark.operators.dedup import (
+        dedup_clusters,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(200)
+    corpus = docs.unionAll(
+        docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+    sigs = minhash_signatures(corpus, "doc_id", "text")
+    cands = lsh_candidate_pairs(sigs, "doc_id")
+    verified = ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.95).join(
+        cands, ["id_a", "id_b"], "left_semi"
+    )
+    clusters = dedup_clusters(verified)
+    survivors = clusters.agg(F.countDistinct("cluster_id")).collect()[0][0]
+    clustered_ids = clusters.count()
+    assert clustered_ids == 400  # all docs appear (each has an exact copy)
+    # ≤200 clusters: every copy joins its original; genuinely-similar
+    # distinct docs may merge too (correct for ≥0.95 trigram overlap)
+    assert survivors <= 200
+    got = {r["id"]: r["cluster_id"] for r in clusters.collect()}
+    # every exact pair co-clusters, and the surviving id is an original
+    for i, c in got.items():
+        if i >= 10000:
+            assert got[i - 10000] == c
+        assert c < 10000
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """The repeat-join scale lever: both sides bucketed by the join key →
+    SortMergeJoin with NO Exchange (shuffle) in the plan."""
+    import uuid
+
+    db_safe = f"b{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db_safe}")
+    try:
+        orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        customer = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+        (
+            orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+            .mode("overwrite").saveAsTable(f"{db_safe}.orders_b")
+        )
+        (
+            customer.withColumnRenamed("c_custkey", "o_custkey")
+            .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+            .mode("overwrite").saveAsTable(f"{db_safe}.customer_b")
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table(f"{db_safe}.orders_b").join(
+                spark.table(f"{db_safe}.customer_b"), "o_custkey"
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            # bucketed SMJ: no shuffle exchange on either side
+            assert "SortMergeJoin" in plan
+            assert "Exchange hashpartitioning" not in plan, (
+                f"bucketed join still shuffles:\n{plan[:600]}"
+            )
+            assert joined.count() == orders.join(
+                customer, orders.o_custkey == customer.c_custkey
+            ).count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP DATABASE {db_safe} CASCADE")
