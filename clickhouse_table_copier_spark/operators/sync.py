@@ -164,6 +164,19 @@ def sync(
     report_rows = report.collect()
     report = spark.createDataFrame(report_rows, report.schema)
 
+    # What gets WRITTEN is the reference's S6 insert: the common columns,
+    # cast to the DESTINATION's types (INSERT INTO dest (cols) SELECT
+    # castExprs — database.go:486-507), so repaired partitions stay
+    # readable under the destination's schema. Source-only columns are
+    # not copied; dest-only columns are absent from rewritten partitions
+    # (parquet's honest analogue of ClickHouse filling defaults —
+    # readers see NULLs via schema merging).
+    dest_types = dict(dest.dtypes)
+    src_parts = src_parts.select(
+        *spec.names,
+        *[F.col(c).cast(dest_types[c]).alias(c) for c in common],
+    )
+
     # Driver-side partition lists are metadata-sized (the reference collects
     # the same lists from system.parts, database.go:390-417).
     to_write = report.where(F.col("action").isin("copied", "overwritten")).select(*spec.names)

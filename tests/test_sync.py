@@ -261,3 +261,38 @@ def test_both_skip_flags_skip_inconsistent_entirely(spark, lineitem, tmp_path):
     assert actions[5] == "none"
     assert res.copied_partitions == 0 and res.deleted_partitions == 0
     assert spark.read.parquet(dest).where(F.col("ship_month") == 5).count() == before_fp
+
+
+def test_retyped_dest_repair_writes_dest_schema(spark, lineitem, tmp_path):
+    """Repaired partitions must carry the DESTINATION's column types
+    (S6: INSERT INTO dest (cols) SELECT castExprs), not the source's —
+    otherwise the repaired table is schema-inconsistent."""
+    dest = str(tmp_path / "dest")
+    retyped = (
+        SPEC.with_partition_columns(lineitem)
+        .withColumn("l_linenumber", F.col("l_linenumber").cast("bigint"))
+        .withColumn("l_quantity", F.col("l_quantity").cast("decimal(18,2)"))
+        .drop("l_tax")
+    )
+    # corrupt month 4 on the dest side, drop month 7
+    corrupted = retyped.where(F.col("ship_month") != 7).withColumn(
+        "l_extendedprice",
+        F.when(F.col("ship_month") == 4, F.col("l_extendedprice") + 1).otherwise(
+            F.col("l_extendedprice")
+        ),
+    )
+    corrupted.write.partitionBy("ship_month").mode("overwrite").parquet(dest)
+
+    res = sync(spark, lineitem, dest, SPEC)
+    actions = {r["ship_month"]: r["action"] for r in res.report.collect()}
+    assert actions[7] == "copied" and actions[4] == "overwritten"
+
+    # the whole dest must read back under ONE schema with dest's types
+    merged = spark.read.option("mergeSchema", "true").parquet(dest)
+    types = dict(merged.dtypes)
+    assert types["l_linenumber"] == "bigint"
+    assert types["l_quantity"] == "decimal(18,2)"
+    assert "l_tax" not in types
+    # and the repaired partitions contain the source's data values
+    m7 = merged.where(F.col("ship_month") == 7).count()
+    assert m7 == lineitem.where(F.month("l_shipdate") == 7).count()
