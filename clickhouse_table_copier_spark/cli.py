@@ -66,7 +66,10 @@ def _run(mode: str, config_path: str, explain: bool = False) -> int:
                 f"rows={r['rows']} fingerprint={r['fingerprint']}"
             )
 
-    result = sync(spark, src, job.destination.location, spec, options)
+    result = sync(
+        spark, src, job.destination.location, spec, options,
+        semantic=job.semantic_casts,
+    )
     if explain:
         # the working version of the reference's dead --debug flag
         # (main.go:52, "doesnt work"): show the physical plan the engine

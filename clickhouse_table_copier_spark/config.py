@@ -46,6 +46,10 @@ class JobSpec:
     source: EndpointSpec
     destination: EndpointSpec
     partition_by: tuple[PartitionKeySpec, ...]
+    # column -> ClickHouse semantic type name ('UUID'|'IPv4'|'IPv6'|'JSON');
+    # requests the canonicalizing casts plain Spark types can't encode
+    # (sidefunctions.go:127-134)
+    semantic_casts: dict = field(default_factory=dict)
     check_hashes: bool = True  # config.go:34
     skip_delete: bool = False  # config.go:35
     skip_reimport: bool = False  # config.go:36
@@ -97,10 +101,18 @@ def parse_job_spec(data: dict) -> JobSpec:
                     is_temporal=bool(item.get("is_temporal", False)),
                 )
             )
+    semantic = data.get("semantic_casts", {}) or {}
+    allowed = {"UUID", "IPv4", "IPv6", "JSON"}
+    for col, t in semantic.items():
+        if t not in allowed:
+            raise ConfigError(
+                f"semantic_casts.{col} must be one of {sorted(allowed)}, got {t!r}"
+            )
     return JobSpec(
         source=src,
         destination=dest,
         partition_by=tuple(keys),
+        semantic_casts=dict(semantic),
         check_hashes=_bool(data, "check_hashes", True),
         skip_delete=_bool(data, "skip_delete", False),
         skip_reimport=_bool(data, "skip_reimport", False),

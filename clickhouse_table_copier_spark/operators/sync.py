@@ -84,6 +84,7 @@ def sync(
     dest_path: str,
     spec: PartitionSpec,
     options: SyncOptions = SyncOptions(),
+    semantic: dict | None = None,
 ) -> SyncResult:
     """Synchronize a hive-partitioned parquet destination with ``src``.
 
@@ -91,6 +92,12 @@ def sync(
     counts. ``dry_run`` computes the identical report with no writes —
     exactly the reference's Info()/Copy() split (copy/copy.go:12 vs :139).
     """
+    if semantic:
+        # canonicalize UUID/IP/JSON columns before hashing/writing —
+        # cast-before-hash comparability (copy/copy.go:221)
+        from clickhouse_table_copier_spark.plans.casting import apply_semantic
+
+        src = apply_semantic(src, semantic)
     src_parts = spec.with_partition_columns(src)
     data_cols = [c for c in src.columns if c not in spec.names]
 

@@ -152,6 +152,24 @@ def cast_plan(
     return exprs
 
 
+def apply_semantic(df: DataFrame, semantic: dict[str, str] | None) -> DataFrame:
+    """Canonicalize named columns in place (UUID/IPv4/IPv6/JSON) — applied
+    to the SOURCE before hashing and writing so fingerprints compare like
+    the reference's cast-before-hash (copy/copy.go:221)."""
+    if not semantic:
+        return df
+    out = df
+    for col, t in semantic.items():
+        if col not in df.columns:
+            continue
+        if t == "JSON":
+            if not isinstance(df.schema[col].dataType, T.StringType):
+                out = out.withColumn(col, to_json_string(F.col(col)))
+        else:
+            out = out.withColumn(col, _SEMANTIC_CASTS[t](F.col(col)))
+    return out
+
+
 def align(src: DataFrame, dest: DataFrame, semantic: dict[str, str] | None = None) -> DataFrame:
     """Project src onto dest's common-column schema with casts applied.
 

@@ -296,3 +296,57 @@ def test_retyped_dest_repair_writes_dest_schema(spark, lineitem, tmp_path):
     # and the repaired partitions contain the source's data values
     m7 = merged.where(F.col("ship_month") == 7).count()
     assert m7 == lineitem.where(F.month("l_shipdate") == 7).count()
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_sync_convergence_fuzz(spark, lineitem, tmp_path, seed):
+    """Randomized (seeded) destination corruption — any combination of
+    dropped partitions, perturbed cells, and duplicated rows must converge
+    to the source in ONE sync pass."""
+    dest = str(tmp_path / "dest")
+    h = F.xxhash64(F.col("l_orderkey"), F.col("l_linenumber"), F.lit(seed))
+    month = F.month("l_shipdate")
+    mutated = (
+        lineitem
+        # perturb ~1/7 of rows' quantities
+        .withColumn(
+            "l_quantity",
+            F.when(h % 7 == 0, F.col("l_quantity") + 0.5).otherwise(F.col("l_quantity")),
+        )
+        # drop one seeded month entirely
+        .where(month != (seed % 12) + 1)
+    )
+    # duplicate ~1/11 of rows
+    dupes = mutated.where(h % 11 == 0)
+    _write_dest(mutated.unionAll(dupes), SPEC, dest)
+
+    res = sync(spark, lineitem, dest, SPEC)
+    assert res.copied_partitions >= 1
+    _assert_synced(spark, lineitem, dest, DATA_COLS)
+    # idempotence: second pass reports all-identical
+    res2 = sync(spark, lineitem, dest, SPEC, SyncOptions(dry_run=True))
+    assert {r["verdict"] for r in res2.report.collect()} == {"identical"}
+
+
+def test_sync_semantic_casts_canonicalize_source(spark, tmp_path):
+    """semantic_casts: messy source UUID/IP text is canonicalized before
+    compare-and-write, so an already-canonical destination reads identical."""
+    src = spark.createDataFrame(
+        [
+            (1, "A", "550E8400-E29B-41D4-A716-446655440000", "10.0.0.1"),
+            (2, "A", "not-a-uuid", "999.9.9.9"),
+            (3, "B", "6BA7B810-9DAD-11D1-80B4-00C04FD430C8", "192.168.1.10"),
+        ],
+        "id BIGINT, k STRING, u STRING, ip STRING",
+    )
+    dest = str(tmp_path / "dest")
+    spec = PartitionSpec.bare("k")
+    sem = {"u": "UUID", "ip": "IPv4"}
+    res = sync(spark, src, dest, spec, semantic=sem)
+    assert res.copied_partitions == 2
+    got = {r["id"]: (r["u"], r["ip"]) for r in spark.read.parquet(dest).collect()}
+    assert got[1] == ("550e8400-e29b-41d4-a716-446655440000", 167772161)
+    assert got[2] == ("00000000-0000-0000-0000-000000000000", None)
+    # idempotent: second sync sees identical partitions
+    res2 = sync(spark, src, dest, spec, SyncOptions(dry_run=True), semantic=sem)
+    assert {r["verdict"] for r in res2.report.collect()} == {"identical"}
