@@ -142,6 +142,55 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(fn, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("target_w", T.IntegerType()),
+        T.StructField("target_h", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Resize stage with the real pipeline shape, decode kernel stubbed.
+
+    The Spark side is complete: Arrow-batched mapInPandas, binary in /
+    binary out, partition-preserving. The stub "resize" re-headers PNG
+    bytes with the target dimensions (deterministic, testable); a real
+    deployment swaps the inner function for PIL/libvips resampling.
+    """
+
+    def make_fn(tw: int, th: int):
+        import struct as _struct
+
+        def fn(batches):
+            for pdf in batches:
+                ids, outs = [], []
+                for mid, content in zip(pdf["media_id"], pdf["content"]):
+                    b = bytes(content)
+                    if b[:8] == b"\x89PNG\r\n\x1a\n":
+                        out = b[:16] + _struct.pack(">II", tw, th) + b[24:]
+                    else:
+                        out = b  # unknown container: pass through unchanged
+                    ids.append(mid)
+                    outs.append(bytearray(out))
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "content": outs,
+                        "target_w": [tw] * len(ids),
+                        "target_h": [th] * len(ids),
+                    }
+                )
+
+        return fn
+
+    return df.select("media_id", "content").mapInPandas(
+        make_fn(target_w, target_h), RESIZED_SCHEMA
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled frame index,
     without decoding (expression-only). The decode of selected frames

@@ -499,3 +499,22 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql(f"DROP DATABASE {db_safe} CASCADE")
+
+
+def test_resize_images_reheaders_png(spark):
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        decode_image_meta,
+        resize_images,
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(spark, 16)
+    resized = resize_images(media, target_w=224, target_h=128)
+    meta = decode_image_meta(
+        resized.select("media_id", "content")
+    ).collect()
+    pngs = [r for r in meta if r["fmt"] == "png"]
+    assert pngs and all(r["width"] == 224 and r["height"] == 128 for r in pngs)
+    # non-PNG passes through unchanged (jpeg stub has no dims)
+    jpgs = [r for r in meta if r["fmt"] == "jpeg"]
+    assert len(jpgs) == 8
