@@ -190,3 +190,49 @@ def test_stateful_user_stats_across_runs(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_continuous_sync_touches_only_changed_partitions(spark, tmp_path):
+    from clickhouse_table_copier_spark.plans.partition_spec import (
+        PartitionField,
+        PartitionSpec,
+    )
+    from clickhouse_table_copier_spark.streaming.continuous_sync import (
+        incremental_sync,
+    )
+
+    spec = PartitionSpec.of(
+        PartitionField("ship_month", "CAST(month(l_shipdate) AS INT)")
+    )
+    src_dir = str(tmp_path / "src")
+    dest = str(tmp_path / "dest")
+    ck = str(tmp_path / "ck")
+    stage = str(tmp_path / "stage")
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    li.where(F.month("l_shipdate") <= 9).write.mode("append").parquet(src_dir)
+
+    # run 1: bootstrap — everything new, full copy
+    r1 = incremental_sync(spark, src_dir, LINEITEM_SCHEMA, dest, spec, ck, stage)
+    assert len(r1.touched_partitions) == 9
+    assert r1.sync_result.copied_partitions == 9
+
+    # run 2: append months 10-12 → only 3 partitions touched/repaired
+    li.where(F.month("l_shipdate") > 9).write.mode("append").parquet(src_dir)
+    r2 = incremental_sync(spark, src_dir, LINEITEM_SCHEMA, dest, spec, ck, stage)
+    assert sorted(t[0] for t in r2.touched_partitions) == [10, 11, 12]
+    assert r2.sync_result.copied_partitions == 3
+    # untouched months were never written twice: dest now equals source
+    from clickhouse_table_copier_spark.operators.fingerprint import table_fingerprint
+
+    cols = [c for c in li.columns]
+    src_fp = table_fingerprint(spark.read.parquet(src_dir).select(*cols)).collect()[0]
+    dest_cast = spark.read.parquet(dest).select(
+        *[F.col(c).cast(t) for c, t in li.dtypes]
+    )
+    dest_fp = table_fingerprint(dest_cast.select(*cols)).collect()[0]
+    assert (src_fp["rows"], src_fp["fingerprint"]) == (dest_fp["rows"], dest_fp["fingerprint"])
+
+    # run 3: no new files → no work at all
+    r3 = incremental_sync(spark, src_dir, LINEITEM_SCHEMA, dest, spec, ck, stage)
+    assert r3.touched_partitions == [] and r3.sync_result is None
