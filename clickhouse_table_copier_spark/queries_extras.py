@@ -200,6 +200,47 @@ def q_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fuzzy name matching: near-identical entity names by edit distance — the
+# entity-resolution primitive (record linkage across sources). Blocked on
+# name length (|len(a)-len(b)| ≤ k prunes the cross join) before the
+# quadratic levenshtein — the standard blocking trick at scale.
+# ---------------------------------------------------------------------------
+@register(
+    "fuzzy_name_pairs",
+    oracle="""
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist
+    FROM customer a JOIN customer b
+      ON a.c_custkey < b.c_custkey
+     AND abs(length(a.c_name) - length(b.c_name)) <= 2
+    WHERE levenshtein(a.c_name, b.c_name) <= 3
+    """,
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    a, b = cust.alias("a"), cust.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_custkey") < F.col("b.c_custkey"))
+            & (
+                F.abs(
+                    F.length(F.col("a.c_name")) - F.length(F.col("b.c_name"))
+                )
+                <= 2
+            ),
+        )
+        .where(dist <= 3)
+        .select(
+            F.col("a.c_custkey").alias("key_a"),
+            F.col("b.c_custkey").alias("key_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Hypertable rollup: hour/day/month continuous-aggregate tables computed
 # in one pass (operators/rollup_time.time_rollup).
 # ---------------------------------------------------------------------------
