@@ -518,3 +518,25 @@ def test_resize_images_reheaders_png(spark):
     # non-PNG passes through unchanged (jpeg stub has no dims)
     jpgs = [r for r in meta if r["fmt"] == "jpeg"]
     assert len(jpgs) == 8
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must be result-invariant: identical rows to the plain join
+    on a deliberately skewed key distribution (90% one key)."""
+    from clickhouse_table_copier_spark.operators.skew import salted_join
+
+    big = spark.range(0, 20000).select(
+        F.when(F.col("id") % 10 != 9, F.lit("HOT")).otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 100).cast("string"))
+        ).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame(
+        [("HOT", 1.0)] + [(f"k{i}", float(i)) for i in range(100)],
+        "k STRING, w DOUBLE",
+    )
+    plain = big.join(small, "k").select("k", "v", "w")
+    salted = salted_join(big, small, "k", salt_buckets=8).select("k", "v", "w")
+    assert plain.count() == salted.count()
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
