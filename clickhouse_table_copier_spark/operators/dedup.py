@@ -102,18 +102,41 @@ def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> Dat
     )
 
 
+# Mersenne prime 2^31-1: affine permutations (a·h + b) mod P over a
+# 31-bit base hash are pairwise-independent enough for MinHash banding
+# and stay exactly representable in any engine's 64-bit integers.
+MINHASH_P = 2_147_483_647
+# deterministic odd multipliers / offsets per permutation slot
+MINHASH_A = [1_000_003, 999_983, 824_633_702_441 % MINHASH_P, 179_424_673,
+             32_452_843, 15_485_863, 49_979_687, 86_028_121]
+MINHASH_B = [12_345, 67_891, 24_680, 13_579, 97_531, 86_420, 11_111, 99_991]
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, shingle_n: int = 3
 ) -> DataFrame:
-    """(id, h0..h{k-1}): per-seed min of md5(seed|shingle) over the doc's
-    shingle set — the classic MinHash signature, computed with ONE explode
-    + ONE grouped agg (k min-aggregates), no per-seed passes."""
+    """(id, h0..h{k-1}): MinHash signature via universal hashing.
+
+    ONE md5 per shingle occurrence (the portable 31-bit base hash), then
+    ``num_hashes`` cheap integer affine permutations — versus hashing the
+    string once per permutation, an ~8× cut of the dominant cost at
+    corpus scale. a·h < 2^62 so the modular arithmetic is exact bigint
+    in every engine (no overflow, no float).
+    """
+    assert num_hashes <= len(MINHASH_A)
     ex = _exploded_shingles(df, id_col, text_col, shingle_n)
+    base = (
+        F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("bigint")
+        % MINHASH_P
+    )
+    withbase = ex.select(F.col(id_col), base.alias("__h"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+        F.min(
+            (F.col("__h") * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i])) % MINHASH_P
+        ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return ex.groupBy(id_col).agg(*aggs)
+    return withbase.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -129,7 +152,7 @@ def lsh_candidate_pairs(
     r = num_hashes // bands
     band_cols = []
     for b in range(bands):
-        parts = [F.col(f"h{b * r + j}") for j in range(r)]
+        parts = [F.col(f"h{b * r + j}").cast("string") for j in range(r)]
         band_cols.append(
             F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *parts)).alias("band_key"))
         )

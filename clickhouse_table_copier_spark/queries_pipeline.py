@@ -112,12 +112,22 @@ _SHINGLES_SQL = """
   FROM corpus
 """.format(norm=_NORM_SQL.format(c="text"))
 
+from clickhouse_table_copier_spark.operators.dedup import (  # noqa: E402
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+)
+
+_BASE_HASH_SQL = f"(CAST('0x' || substring(md5(sh), 1, 8) AS BIGINT) % {MINHASH_P})"
+
 _MINHASH_AGG_SQL = ", ".join(
-    f"min(md5('{i}|' || sh)) AS h{i}" for i in range(8)
+    f"min(({_BASE_HASH_SQL} * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P}) AS h{i}"
+    for i in range(8)
 )
 
 _BANDS_SQL = ", ".join(
-    f"md5(h{2 * b} || '|' || h{2 * b + 1}) AS band{b}" for b in range(4)
+    f"md5(CAST(h{2 * b} AS VARCHAR) || '|' || CAST(h{2 * b + 1} AS VARCHAR)) AS band{b}"
+    for b in range(4)
 )
 
 
