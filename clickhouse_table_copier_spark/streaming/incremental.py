@@ -96,6 +96,51 @@ def merged_incremental_stats(spark: SparkSession, output_dir: str, partition_nam
     )
 
 
+def session_window_stats(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+):
+    """Streaming sessionization via native session windows.
+
+    ``F.session_window(ts, gap)`` merges events within ``gap`` of each
+    other into variable-length sessions per user — the streaming
+    equivalent of the batch lag/cumsum sessionization (queries_window.
+    event_sessions), with watermark-bounded state. Emits one row per
+    closed session (append mode).
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "64")
+        .parquet(source_dir)
+    )
+    if isinstance(stream.schema["ts"].dataType, T.TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_counts(
     spark: SparkSession,
     source_dir: str,

@@ -236,3 +236,75 @@ def test_continuous_sync_touches_only_changed_partitions(spark, tmp_path):
     # run 3: no new files → no work at all
     r3 = incremental_sync(spark, src_dir, LINEITEM_SCHEMA, dest, spec, ck, stage)
     assert r3.touched_partitions == [] and r3.sync_result is None
+
+
+def test_session_window_stats_match_batch_sessionization(spark, tmp_path):
+    """Streaming session windows must produce the same sessions as the
+    batch lag/cumsum formulation (same 30-min gap rule)."""
+    from clickhouse_table_copier_spark.queries import _events
+    from clickhouse_table_copier_spark.streaming.incremental import (
+        session_window_stats,
+    )
+
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+
+    ev = _events(spark, SF_SMOKE).select("event_id", "ts", "user_id")
+    ev.write.mode("append").parquet(src_dir)
+    # future sentinel closes the watermark over all real sessions
+    spark.createDataFrame(
+        [(10**9, 0)], "event_id BIGINT, user_id BIGINT"
+    ).withColumn("ts", F.expr("TIMESTAMP_NTZ '2030-01-01 00:00:00'")).select(
+        "event_id", "ts", "user_id"
+    ).write.mode("append").parquet(src_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    session_window_stats(spark, src_dir, schema, out_dir, ck_dir).awaitTermination()
+
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got
+
+    # batch truth: lag/gap/cumsum sessions over the same data (30-min gap)
+    from pyspark.sql import Window
+
+    all_ev = spark.read.parquet(src_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = all_ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    batch = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in sess.groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    # every emitted (closed) streaming session matches a batch session
+    for k, v in got.items():
+        assert batch.get(k) == v, f"mismatch at {k}: stream={v} batch={batch.get(k)}"
+    # and all real sessions (user != 0 sentinel... sentinel user 0 may be open)
+    missing = {k for k in batch if k[0] != 0} - set(got)
+    assert not missing
