@@ -1,0 +1,84 @@
+"""Query batch 8: a STREAMING-computed result under the SQL oracle gate.
+
+``streaming_window_counts`` runs a real Structured Streaming job
+(availableNow, watermarked tumbling windows, parquet sink) inside the
+query function and returns the sink's contents. The DuckDB oracle is the
+equivalent BATCH aggregation — so the driver's hash comparison proves
+stream/batch consistency, the property Structured Streaming's semantics
+promise and most engines never test end-to-end.
+
+Mechanics: the fixture is copied into a temp dir with one far-future
+sentinel row appended; the sentinel drives the watermark past every real
+window so append mode emits them all, while its own (still-open) window
+is never emitted — leaving exactly the real windows to compare.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from clickhouse_table_copier_spark.queries import _events, register
+
+_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "streaming_window_counts",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.streaming.incremental import (
+        windowed_event_counts,
+    )
+
+    work = tempfile.mkdtemp(prefix="ctc_stream_q_")
+    src = f"{work}/src"
+    out = f"{work}/out"
+    ck = f"{work}/ck"
+
+    ev = _events(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+    ev.write.mode("overwrite").parquet(src)
+    # far-future sentinel: watermark passes every real window
+    spark.createDataFrame([(10**9, "sentinel", 0.0)], "event_id BIGINT, event_type STRING, value DOUBLE").select(
+        "event_id",
+        F.expr("TIMESTAMP_NTZ '2035-01-01 00:00:00'").alias("ts"),
+        "event_type",
+        "value",
+    ).select("event_id", "ts", "event_type", "value").write.mode("append").parquet(src)
+
+    q = windowed_event_counts(spark, src, _EVENT_SCHEMA, out, ck, window="1 hour")
+    q.awaitTermination()
+
+    result = (
+        spark.read.parquet(out)
+        .where(F.col("event_type") != "sentinel")
+        .select(
+            F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+    # materialize before the temp dir disappears
+    rows = result.collect()
+    out_df = spark.createDataFrame(rows, result.schema)
+    shutil.rmtree(work, ignore_errors=True)
+    return out_df
