@@ -540,3 +540,44 @@ def test_salted_join_equals_plain_join(spark):
     assert plain.count() == salted.count()
     assert plain.exceptAll(salted).count() == 0
     assert salted.exceptAll(plain).count() == 0
+
+
+def test_z_order_and_zone_map_prune_both_columns(spark, tmp_path):
+    """Z-order layout: after sorting files by the interleaved key, zone
+    maps over BOTH participating columns are selective — a range predicate
+    on either column prunes a real fraction of files. Linear sort by one
+    column can't do that for the other."""
+    from clickhouse_table_copier_spark.operators.zonemap import (
+        prune_files,
+        with_z_order,
+        zone_map,
+    )
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    z = with_z_order(li, "l_orderkey", "l_partkey")
+    out = str(tmp_path / "zordered")
+    # 16 files along the z-curve
+    z.repartitionByRange(16, "__z").sortWithinPartitions("__z").drop("__z").write.parquet(out)
+
+    zmap = zone_map(spark, out, ["l_orderkey", "l_partkey"]).cache()
+    n_files = zmap.count()
+    assert n_files >= 12
+
+    # range predicates on EACH column must prune files
+    ok_lo, ok_hi = 1, 300  # narrow orderkey band
+    pk_lo, pk_hi = 1, 40   # narrow partkey band
+    files_ok = prune_files(zmap, "l_orderkey", ok_lo, ok_hi)
+    files_pk = prune_files(zmap, "l_partkey", pk_lo, pk_hi)
+    assert len(files_ok) < n_files * 0.7, f"no orderkey pruning: {len(files_ok)}/{n_files}"
+    assert len(files_pk) < n_files * 0.7, f"no partkey pruning: {len(files_pk)}/{n_files}"
+
+    # pruned reads are CORRECT: same answer as the full scan
+    full = spark.read.parquet(out).where(
+        (F.col("l_partkey") >= pk_lo) & (F.col("l_partkey") <= pk_hi)
+    ).count()
+    pruned = spark.read.parquet(*files_pk).where(
+        (F.col("l_partkey") >= pk_lo) & (F.col("l_partkey") <= pk_hi)
+    ).count()
+    assert pruned == full
