@@ -44,6 +44,7 @@ def compact(
     max_files: int = 4,
     target_files: int = 1,
     cluster_by: list[str] | None = None,
+    z_order_by: tuple[str, str] | None = None,
 ) -> CompactionResult:
     """Rewrite partitions having more than ``max_files`` files.
 
@@ -54,7 +55,9 @@ def compact(
     ``cluster_by``: sort rows within each output file by these columns —
     parquet row-group min/max statistics then become selective, so later
     scans with predicates on the clustered columns skip whole row groups
-    (the poor man's Z-order; exact for single-column clustering).
+    (exact for single-column clustering).
+    ``z_order_by``: two-column Z-order clustering instead — min/max stats
+    become selective for BOTH columns (operators.zonemap).
     """
     counts = file_counts_per_partition(spark, path, part_names)
     report = counts.withColumn(
@@ -72,11 +75,20 @@ def compact(
         selected = df.where(
             key.isin([F.struct(*[F.lit(v) for v in k]) for k in todo])
         )
-        out = selected.repartition(target_files * max(1, len(todo)), *part_names)
-        if cluster_by:
+        out = selected
+        sort_cols = list(cluster_by or [])
+        if z_order_by is not None:
+            from clickhouse_table_copier_spark.operators.zonemap import with_z_order
+
+            out = with_z_order(out, z_order_by[0], z_order_by[1])
+            sort_cols = ["__z"]
+        out = out.repartition(target_files * max(1, len(todo)), *part_names)
+        if sort_cols:
             # partition cols lead the sort: the partitioned-file writer
             # requires rows ordered by partition columns and would insert
             # its own (non-stable) sort otherwise, destroying clustering
-            out = out.sortWithinPartitions(*part_names, *cluster_by)
+            out = out.sortWithinPartitions(*part_names, *sort_cols)
+        if z_order_by is not None:
+            out = out.drop("__z")
         out.write.partitionBy(*part_names).mode("overwrite").parquet(path)
     return CompactionResult(report=report, compacted_partitions=len(todo))
