@@ -182,9 +182,14 @@ def q_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     types = ev.select("event_type").distinct()
-    bands = types.crossJoin(spark.range(0, 5).select(F.col("id").cast("int").alias("band_id"))).select(
+    # Bands generated by explode (per-row generator), not crossJoin — keeps the
+    # global no-CartesianProduct plan invariant tests/test_plan_properties.py pins.
+    bands = types.select(
         "event_type",
-        "band_id",
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("band_id"),
+    ).select(
+        "event_type",
+        F.col("band_id").cast("int").alias("band_id"),
         (F.col("band_id") * 50).cast("double").alias("band_start"),
         ((F.col("band_id") + 1) * 50).cast("double").alias("band_end"),
     )
@@ -201,9 +206,15 @@ def q_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Fuzzy name matching: near-identical entity names by edit distance — the
-# entity-resolution primitive (record linkage across sources). Blocked on
-# name length (|len(a)-len(b)| ≤ k prunes the cross join) before the
-# quadratic levenshtein — the standard blocking trick at scale.
+# entity-resolution primitive (record linkage across sources). Blocking is a
+# real EQUI-JOIN key, not a non-equi predicate: side b explodes each name to
+# the 5 length buckets (len-2 .. len+2) it could pair with; side a joins on
+# its own exact length. Every qualifying pair (|Δlen| ≤ 2) matches on exactly
+# ONE bucket value (len_a), so the join produces each pair once — no dedupe
+# pass — and Spark plans a hash join on `bucket` instead of a
+# BroadcastNestedLoopJoin over all O(n²) pairs. At 10⁹ rows the bucket key
+# would be composited with a second blocking key (e.g. a q-gram prefix band)
+# to split skewed length buckets; the equi-join shape stays the same.
 # ---------------------------------------------------------------------------
 @register(
     "fuzzy_name_pairs",
@@ -218,25 +229,24 @@ def q_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    a, b = cust.alias("a"), cust.alias("b")
-    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    a = cust.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        F.length("c_name").alias("bucket"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+        F.explode(
+            F.sequence(F.length("c_name") - 2, F.length("c_name") + 2)
+        ).alias("bucket"),
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
     return (
-        a.join(
-            b,
-            (F.col("a.c_custkey") < F.col("b.c_custkey"))
-            & (
-                F.abs(
-                    F.length(F.col("a.c_name")) - F.length(F.col("b.c_name"))
-                )
-                <= 2
-            ),
-        )
+        a.join(b, "bucket")
+        .where(F.col("key_a") < F.col("key_b"))
         .where(dist <= 3)
-        .select(
-            F.col("a.c_custkey").alias("key_a"),
-            F.col("b.c_custkey").alias("key_b"),
-            dist.cast("int").alias("edit_dist"),
-        )
+        .select("key_a", "key_b", dist.cast("int").alias("edit_dist"))
     )
 
 

@@ -66,6 +66,19 @@ def test_fingerprint_agg_is_partial_final(spark):
     assert "xxhash64" not in plan.split("Exchange")[-1].split("HashAggregate")[0] or True
 
 
+@pytest.mark.parametrize("name", sorted(_QS))
+def test_no_nested_loop_or_cartesian_anywhere(spark, name):
+    """Global scale invariant: NO registered query may plan a
+    BroadcastNestedLoopJoin or CartesianProduct. Every join in the engine
+    must have an equi-key (hash-joinable) — a non-equi-only join enumerates
+    all pairs and is dead at 10⁹ rows regardless of how cheap the
+    post-filter is. This is the guard VERDICT r1 asked for after
+    fuzzy_name_pairs shipped as a nested loop."""
+    plan = _plan(spark, name)
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans a nested-loop join"
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
 @pytest.mark.parametrize("name", ["pricing_summary", "events_multikey_stats"])
 def test_aggregations_have_no_python_udfs(spark, name):
     """Hot-path queries stay JVM-side: no BatchEvalPython / ArrowEvalPython
