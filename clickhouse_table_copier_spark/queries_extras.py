@@ -103,10 +103,13 @@ def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # IVF ANN (iterative k-means training → cell-probed exact scoring).
-# Registered WITHOUT an oracle: iterative algorithms are the driver
-# contract's documented rows-only-check category; correctness is pinned by
-# tests/test_pipeline_ops.py::test_ivf_topk_and_assignment_properties
-# (nearest-centroid assignment + equality with in-cell brute force).
+# Registered WITHOUT an oracle: iterative TRAINING is the driver
+# contract's documented rows-only-check category (distributed avg() is
+# reorder-sensitive, so trained centroids aren't bit-reproducible in SQL).
+# The SEARCH half — assignment + probe + in-cell top-k with centroids
+# fixed — IS oracled as `similarity_ivf_search` (queries_similarity.py);
+# training correctness is pinned by
+# tests/test_pipeline_ops.py::test_ivf_topk_and_assignment_properties.
 # ---------------------------------------------------------------------------
 @register("similarity_ivf_topk")
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

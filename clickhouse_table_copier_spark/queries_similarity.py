@@ -43,6 +43,16 @@ def _norm_chain_sql(a: str) -> str:
     )
 
 
+def _sqdist_chain_sql(a: str, b: str) -> str:
+    """Squared L2 distance as the explicit left-to-right chain matching the
+    evaluation order of operators.ivf._sq_dist's F.aggregate fold."""
+    return " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        f" * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        for i in range(1, DIM + 1)
+    )
+
+
 def _plane_sign(p: int, d: int) -> int:
     return 1 if int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
 
@@ -136,6 +146,76 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     return lsh_topk(
         emb.where(F.col("vec_id") != 0), qvec, k=10, num_planes=NUM_PLANES
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN *search* path with PINNED centroids (the deterministic seed
+# vectors: the 8 lowest vec_ids) — the oracled half of IVF. Training
+# (Lloyd iterations) stays a rows-only query (`similarity_ivf_topk`)
+# because distributed avg() is reorder-sensitive; but given fixed
+# centroids, cell assignment + probe selection + in-cell exact top-k is
+# pure arithmetic, rendered below as explicit addition chains so DuckDB
+# reproduces Spark's fold order bit-for-bit. Cell assignment tie-breaks
+# to the lowest cell id (strict < argmin), probe selection orders by
+# (distance, cell) — both mirrored in the SQL.
+# ---------------------------------------------------------------------------
+N_CELLS = 8
+N_PROBE = 3
+
+
+@register(
+    "similarity_ivf_search",
+    oracle=f"""
+    WITH cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cv
+      FROM embeddings ORDER BY vec_id LIMIT {N_CELLS}
+    ),
+    q AS (SELECT cv AS qv FROM cents WHERE cell = 0),
+    probes AS (
+      SELECT c.cell FROM cents c, q
+      ORDER BY {_sqdist_chain_sql("q.qv", "c.cv")} ASC, c.cell ASC
+      LIMIT {N_PROBE}
+    ),
+    pairs AS (
+      SELECT e.vec_id, e.embedding, c.cell,
+             {_sqdist_chain_sql("e.embedding", "c.cv")} AS d
+      FROM embeddings e, cents c
+      WHERE e.vec_id <> 0
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT vec_id, embedding, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+        FROM pairs
+      ) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT a.vec_id, a.embedding, q.qv
+      FROM assigned a, q
+      WHERE a.cell IN (SELECT cell FROM probes)
+    )
+    SELECT vec_id,
+           round(({_dot_chain_sql("embedding", "qv")})
+                 / ({_norm_chain_sql("embedding")} * {_norm_chain_sql("qv")}), 6)
+             AS cosine_sim
+    FROM cand
+    ORDER BY cosine_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_similarity_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.ivf import ivf_topk
+
+    emb = spread(_t(spark, sf_dir, "embeddings"))
+    seeds = emb.orderBy("vec_id").limit(N_CELLS).select("embedding").collect()
+    centroids = [[float(x) for x in r["embedding"]] for r in seeds]
+    return ivf_topk(
+        emb.where(F.col("vec_id") != 0),
+        centroids,
+        centroids[0],
+        k=10,
+        n_probe=N_PROBE,
     )
 
 
