@@ -90,5 +90,13 @@ def compact(
             out = out.sortWithinPartitions(*part_names, *sort_cols)
         if z_order_by is not None:
             out = out.drop("__z")
-        out.write.partitionBy(*part_names).mode("overwrite").parquet(path)
+        # Dynamic overwrite forced per-write: static mode would wipe every
+        # partition not being compacted (and this write reads the same
+        # path it overwrites — only sane per-partition).
+        (
+            out.write.partitionBy(*part_names)
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(path)
+        )
     return CompactionResult(report=report, compacted_partitions=len(todo))

@@ -31,7 +31,18 @@ def salted_join(
     Deterministic salt (xxhash64 of the whole big row) keeps re-runs
     identical. Output columns = big's ∪ small's (minus the join key dup),
     exactly as ``big.join(small, key, how)`` would produce.
+
+    Only ``inner`` and ``left`` are supported: the small side is
+    replicated ``salt_buckets`` times, so a right/full outer join would
+    emit up to S null-extended copies of every small-side key the big
+    side lacks — not equivalent to the plain join. Rejected explicitly.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "replicated small side makes right/full outer joins emit "
+            "spurious null-extended rows"
+        )
     salt = (F.abs(F.xxhash64(*[F.col(c) for c in big.columns])) % salt_buckets).alias(
         "__salt"
     )

@@ -117,19 +117,29 @@ def sync(
         return SyncResult(report=report, copied_partitions=copied, deleted_partitions=0)
 
     dest = spark.read.parquet(dest_path)
-    # Normalize dest to the source's common columns and TYPES before
-    # hashing — the hash-comparability contract (SURVEY §7.5): the
-    # reference likewise hashes cast values (copy/copy.go:221). Partition
-    # columns read back from hive directory names are re-cast too.
+    # Hash-comparability contract (SURVEY §7.5): compare in the
+    # DESTINATION's type domain, the direction the reference hashes — the
+    # source goes through the same dest-type cast exprs it would INSERT
+    # with (copy/copy.go:217-221) and the dest is hashed raw. The other
+    # direction (casting dest back to source types) diverges under any
+    # lossy cast: a just-repaired partition (written as dest types) would
+    # re-hash 'inconsistent' on every subsequent run and sync would never
+    # converge. Partition columns read back from hive directory names are
+    # re-cast to the source spec's types so the diff join keys align.
     src_types = dict(src_parts.dtypes)
+    dest_types = dict(dest.dtypes)
     common = [c for c in data_cols if c in dest.columns]
+    src_cmp = src_parts.select(
+        *spec.names,
+        *[F.col(c).cast(dest_types[c]).alias(c) for c in common],
+    )
     dest_norm = dest.select(
         *[F.col(n).cast(src_types[n]).alias(n) for n in spec.names],
-        *[F.col(c).cast(src_types[c]).alias(c) for c in common],
+        *common,
     )
 
     report = diff_partitions(
-        src_parts.select(*spec.names, *common),
+        src_cmp,
         dest_norm,
         PartitionSpec.bare(*spec.names),
         cols=common,
@@ -178,7 +188,6 @@ def sync(
     # not copied; dest-only columns are absent from rewritten partitions
     # (parquet's honest analogue of ClickHouse filling defaults —
     # readers see NULLs via schema merging).
-    dest_types = dict(dest.dtypes)
     src_parts = src_parts.select(
         *spec.names,
         *[F.col(c).cast(dest_types[c]).alias(c) for c in common],
@@ -198,7 +207,16 @@ def sync(
         filtered = src_parts.where(
             key_col.isin([F.struct(*[F.lit(v) for v in k]) for k in write_keys])
         )
-        filtered.write.partitionBy(*spec.names).mode("overwrite").parquet(dest_path)
+        # partitionOverwriteMode is forced per-write (overrides the session
+        # conf): under Spark's default STATIC mode this overwrite would
+        # delete every dest partition not in the written set — silent data
+        # loss for library callers who built their own SparkSession.
+        (
+            filtered.write.partitionBy(*spec.names)
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(dest_path)
+        )
         copied = len(write_keys)
 
     append_rows = report.where(F.col("action") == "appended").select(*spec.names).collect()

@@ -4,6 +4,7 @@ and fingerprint invariances (SURVEY §5.3)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
@@ -613,3 +614,13 @@ def test_compact_with_z_order(spark, tmp_path):
     # 1 file/partition assert content preservation + z write path ran)
     zm = zone_map(spark, dest, ["l_orderkey"])
     assert zm.count() == 12
+
+
+def test_salted_join_rejects_outer_hows(spark):
+    from clickhouse_table_copier_spark.operators.skew import salted_join
+
+    big = spark.range(10).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    small = spark.range(3).select(F.col("id").alias("k"), F.col("id").alias("w"))
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, "k", salt_buckets=4, how=how)

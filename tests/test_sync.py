@@ -350,3 +350,61 @@ def test_sync_semantic_casts_canonicalize_source(spark, tmp_path):
     # idempotent: second sync sees identical partitions
     res2 = sync(spark, src, dest, spec, SyncOptions(dry_run=True), semantic=sem)
     assert {r["verdict"] for r in res2.report.collect()} == {"identical"}
+
+
+def test_lossy_cast_dest_converges_in_one_pass(spark, lineitem, tmp_path):
+    """Destination narrows l_extendedprice to INT — a LOSSY cast. The
+    consistency compare must run in the DESTINATION's type domain (source
+    hashed through the same dest-type casts the repair writes, the
+    reference's direction): partitions whose only difference is the
+    narrowing hash as identical, real corruption is repaired once, and the
+    next pass reports all-identical. The inverted compare (dest cast back
+    to source types) re-flags every partition as inconsistent forever —
+    sync never converges and rewrites identical data on every run."""
+    dest = str(tmp_path / "dest")
+    retyped = SPEC.with_partition_columns(lineitem).withColumn(
+        "l_extendedprice", F.col("l_extendedprice").cast("int")
+    )
+    corrupted = (
+        retyped.where(F.col("ship_month") != 7)
+        .withColumn(
+            "l_quantity",
+            F.when(
+                F.col("ship_month") == 4, F.col("l_quantity") + 1
+            ).otherwise(F.col("l_quantity")),
+        )
+    )
+    corrupted.write.partitionBy("ship_month").mode("overwrite").parquet(dest)
+
+    res = sync(spark, lineitem, dest, SPEC)
+    actions = {r["ship_month"]: r["action"] for r in res.report.collect()}
+    assert actions[7] == "copied" and actions[4] == "overwritten"
+    # lossy narrowing alone is NOT inconsistency: untouched months skip
+    assert sum(1 for a in actions.values() if a == "none") == 10
+
+    res2 = sync(spark, lineitem, dest, SPEC, SyncOptions(dry_run=True))
+    assert {r["verdict"] for r in res2.report.collect()} == {"identical"}
+
+
+def test_sync_safe_under_static_overwrite_session(spark, lineitem, tmp_path):
+    """Library callers may bring a session WITHOUT
+    spark.sql.sources.partitionOverwriteMode=dynamic. The repair write
+    forces dynamic per-write; under the session's static default the
+    overwrite of one corrupted partition must NOT delete the other 11."""
+    dest = str(tmp_path / "dest")
+    corrupted = SPEC.with_partition_columns(lineitem).withColumn(
+        "l_quantity",
+        F.when(F.col("ship_month") == 4, F.col("l_quantity") + 1).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+    corrupted.write.partitionBy("ship_month").mode("overwrite").parquet(dest)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        res = sync(spark, lineitem, dest, SPEC)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    assert res.copied_partitions == 1
+    _assert_synced(spark, lineitem, dest, DATA_COLS)
