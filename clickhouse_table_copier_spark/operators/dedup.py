@@ -301,32 +301,43 @@ def dedup_clusters(
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """(id, simhash): sum ±1 per hash bit over the doc's distinct tokens,
     bit set where the sum is positive. md5-derived token hashes keep it
-    engine-portable. One explode over tokens×bits + one grouped agg."""
+    engine-portable. One explode over tokens×bits + one grouped agg.
+
+    Bit extraction is pure integer math: bit ``b`` lives in hex digit
+    ``n_hex - b div 4`` of the token's md5 (1-based, the low digit is the
+    last), pulled out with substring + one-digit conv + shift/mask — exact
+    for any ``bits`` ≤ 128. The earlier ``pow(2, bit)`` double was exact
+    only below 2⁵³ and silently broke a 64-bit widening; signature
+    assembly likewise uses ``shiftleft(1L, bit)`` (bit 63 lands on the
+    sign bit — the signed value IS the two's-complement bit pattern, and
+    banding below reads it with an unsigned shift)."""
+    if not 1 <= bits <= 128:
+        raise ValueError(f"bits must be in [1, 128], got {bits}")
+    n_hex = (bits + 3) // 4
     toks = spread(df).select(
         F.col(id_col),
         F.explode(
             F.array_distinct(F.split(normalized_text(text_col), " "))
         ).alias("tok"),
     )
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+    # md5 hex computed ONCE per token, before the bit explode
+    hashed = toks.select(F.col(id_col), F.md5(F.col("tok")).alias("hx"))
     bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    contrib = toks.select(
-        F.col(id_col),
-        bit,
-        h.alias("h"),
-    ).select(
+    nibble_bit = F.expr(
+        f"shiftright(CAST(conv(substring(hx, {n_hex} - (bit div 4), 1), 16, 10) AS INT),"
+        " bit % 4) % 2"
+    )
+    contrib = hashed.select(F.col(id_col), bit, F.col("hx")).select(
         id_col,
         "bit",
-        (
-            F.when(F.expr("(h div CAST(pow(2, bit) AS BIGINT)) % 2") == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            )
-        ).alias("sign"),
+        F.when(nibble_bit == 1, F.lit(1)).otherwise(F.lit(-1)).alias("sign"),
     )
     bitsum = contrib.groupBy(id_col, "bit").agg(F.sum("sign").alias("s"))
     return bitsum.groupBy(id_col).agg(
         F.sum(
-            F.when(F.col("s") > 0, F.expr("CAST(pow(2, bit) AS BIGINT)")).otherwise(F.lit(0))
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            ).otherwise(F.lit(0))
         ).alias("simhash")
     )
 
@@ -338,12 +349,14 @@ def simhash_near_pairs(
     banding (≤3 differing bits over 4 bands ⇒ ≥1 identical band), so the
     search is a bucket join instead of an all-pairs scan."""
     width = bits // bands
+    # unsigned shift: with bits=64 the sign bit is a real hash bit, and an
+    # arithmetic shift would smear it over the high bands
     band_cols = [
         F.struct(
             F.lit(i).alias("band_idx"),
-            F.expr(f"(simhash div CAST(pow(2, {i * width}) AS BIGINT)) % {2 ** width}").alias(
-                "band_val"
-            ),
+            F.expr(
+                f"shiftrightunsigned(simhash, {i * width}) % {2 ** width}"
+            ).alias("band_val"),
         )
         for i in range(bands)
     ]

@@ -624,3 +624,77 @@ def test_salted_join_rejects_outer_hows(spark):
     for how in ("right", "full", "full_outer", "right_outer"):
         with pytest.raises(ValueError, match="salted_join supports"):
             salted_join(big, small, "k", salt_buckets=4, how=how)
+
+
+@pytest.mark.parametrize("bits", [32, 64])
+def test_simhash_bit_exact_vs_python_reference(spark, bits):
+    """The Spark signature must equal an independent Python md5
+    implementation bit-for-bit — including bits 53..63, where the old
+    pow(2, bit) double math silently lost exactness (the reason this op
+    uses integer nibble extraction + shiftleft)."""
+    import hashlib
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta",
+        2: "alpha beta gamma delta epsilon eta",
+        3: "one two three four five six seven eight nine ten",
+        4: "completely different tokens here entirely unrelated words",
+    }
+
+    def py_simhash(text: str) -> int:
+        n_hex = (bits + 3) // 4
+        toks = sorted(set(text.split(" ")))
+        sig = 0
+        for b in range(bits):
+            s = 0
+            for t in toks:
+                hx = hashlib.md5(t.encode()).hexdigest()
+                digit = int(hx[n_hex - 1 - b // 4], 16)
+                s += 1 if (digit >> (b % 4)) & 1 else -1
+            if s > 0:
+                sig |= 1 << b
+        # two's-complement to signed 64-bit (bit 63 is the sign bit)
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    from clickhouse_table_copier_spark.operators.dedup import simhash
+
+    corpus = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(corpus, "doc_id", "text", bits=bits).collect()
+    }
+    want = {k: py_simhash(v) for k, v in texts.items()}
+    assert got == want
+
+
+def test_simhash_near_pairs_64bit_banding_exact(spark):
+    """bits=64 end-to-end: the banded bucket search must return exactly
+    the pairs a brute-force hamming scan over the signatures finds
+    (pigeonhole is lossless for max_hamming < bands)."""
+    from itertools import combinations
+
+    from clickhouse_table_copier_spark.operators.dedup import (
+        simhash,
+        simhash_near_pairs,
+    )
+
+    base = "the quick brown fox jumps over a lazy dog near the river bank today"
+    texts = [(i, base + f" extra{i % 3}") for i in range(12)]
+    corpus = spark.createDataFrame(texts, ["doc_id", "text"])
+    sh = simhash(corpus, "doc_id", "text", bits=64)
+    sigs = {r["doc_id"]: r["simhash"] for r in sh.collect()}
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(
+            sh, "doc_id", max_hamming=3, bits=64, bands=4
+        ).collect()
+    }
+    want = {}
+    for a, b in combinations(sorted(sigs), 2):
+        h = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+        if h <= 3:
+            want[(a, b)] = h
+    assert got == want
