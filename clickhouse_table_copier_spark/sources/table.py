@@ -15,9 +15,13 @@ plan. Nothing here collects data to the driver.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 @dataclass(frozen=True)
@@ -26,8 +30,23 @@ class TableRef:
 
     ``fmt='parquet'``: ``location`` is a file/dir path.
     ``fmt='jdbc'``: ``location`` is a JDBC URL and ``table`` must be set;
-    options carry credentials/driver. (Parity seam for the reference's
-    remote-server sources; not exercised by the local fixture harness.)
+    options carry credentials/driver plus the reader tuning below.
+    (Parity seam for the reference's remote-server sources — the same plan
+    code runs against either storage.)
+
+    Recognized JDBC options (everything else passes through verbatim):
+
+    - ``connect_retries`` (int, default 2): C9 reconnect semantics — the
+      reference retries a lost connection forever with a 5 s sleep
+      (``/root/reference/database/database.go:246-299``); ``-1`` reproduces
+      that infinite loop exactly, a non-negative N bounds it (N retries
+      after the first attempt) so a dead server fails instead of hanging.
+    - ``retry_delay_s`` (float, default 5.0): sleep between attempts —
+      the reference's hardcoded ``time.Sleep(5 * time.Second)``.
+    - ``partitionColumn`` / ``lowerBound`` / ``upperBound`` /
+      ``numPartitions``: Spark's parallel-read sharding — the analogue of
+      the reference fanning ``remote()`` across shards; without them a
+      JDBC read is one connection on one executor.
     """
 
     location: str
@@ -39,21 +58,99 @@ class TableRef:
         return self.table or self.location.rstrip("/").rsplit("/", 1)[-1]
 
 
-def load_table(spark: SparkSession, ref: TableRef) -> DataFrame:
-    """Scan a table (SURVEY §2.1 S1). Declarative read → pushdown-friendly."""
+_RETRY_KEYS = ("connect_retries", "retry_delay_s")
+
+
+def jdbc_reader_options(ref: TableRef) -> dict[str, str]:
+    """The exact option set handed to ``spark.read.format('jdbc')``.
+
+    Pure (no session, no connection) so the contract test can assert the
+    seam's behavior without a live server. Pushdown options keep
+    filter/agg/limit evaluation on the remote server — the Spark analogue
+    of the reference baking WHERE into ``SELECT … FROM remote(…)``
+    (database.go:488-489).
+    """
+    if not ref.table:
+        raise ValueError("jdbc TableRef requires table (dbtable) to be set")
+    opts: dict[str, str] = {
+        "url": ref.location,
+        "dbtable": ref.table,
+        "pushDownPredicate": "true",
+        "pushDownAggregate": "true",
+        "pushDownLimit": "true",
+        # batch rows per round trip; JDBC drivers' defaults (often 0 or 10)
+        # are pathological for bulk copy
+        "fetchsize": "10000",
+    }
+    for k, v in ref.options.items():
+        if k not in _RETRY_KEYS:
+            opts[k] = str(v)
+    return opts
+
+
+def jdbc_retry_policy(ref: TableRef) -> tuple[int, float]:
+    """(retries, delay_s): C9 knobs with reference-parity defaults bounded
+    sane — see :class:`TableRef`."""
+    retries = int(ref.options.get("connect_retries", 2))
+    delay = float(ref.options.get("retry_delay_s", 5.0))
+    return retries, delay
+
+
+def normalize_jdbc_types(df: DataFrame) -> DataFrame:
+    """§1.3 cast matrix applied on READ for JDBC arrivals.
+
+    ClickHouse's unsigned/huge integers reach Spark through JDBC as
+    DECIMAL(20..39, 0) (UInt64 → decimal(20,0), Int128 → decimal(39,0)
+    truncated by the driver); the engine's canonical carrier for all of
+    them is decimal(38,0) (plans/casting.py: Int128/Int256 policy), so
+    fingerprints computed over a JDBC source match the same data synced
+    into parquet. Everything else passes through untouched.
+    """
+    exprs = []
+    for f in df.schema.fields:
+        t = f.dataType
+        if isinstance(t, T.DecimalType) and t.scale == 0 and t.precision >= 19:
+            exprs.append(F.col(f.name).cast(T.DecimalType(38, 0)).alias(f.name))
+        else:
+            exprs.append(F.col(f.name))
+    return df.select(*exprs)
+
+
+def load_table(
+    spark: SparkSession,
+    ref: TableRef,
+    _loader: Callable[[], DataFrame] | None = None,
+) -> DataFrame:
+    """Scan a table (SURVEY §2.1 S1). Declarative read → pushdown-friendly.
+
+    ``_loader`` is a test seam: the retry loop is our code and is tested by
+    injecting a loader that fails N times; the real loader is the plain
+    ``spark.read`` chain.
+    """
     if ref.fmt == "parquet":
         return spark.read.parquet(ref.location)
     if ref.fmt == "jdbc":
-        reader = spark.read.format("jdbc").option("url", ref.location)
-        if ref.table:
-            reader = reader.option("dbtable", ref.table)
-        # pushDownPredicate/pushDownAggregate keep filtering on the remote
-        # server — the Spark analogue of the reference baking WHERE into
-        # `SELECT … FROM remote(…)` (database.go:488-489).
-        reader = reader.option("pushDownPredicate", "true")
-        for k, v in ref.options.items():
-            reader = reader.option(k, v)
-        return reader.load()
+        opts = jdbc_reader_options(ref)
+
+        def _do_load() -> DataFrame:
+            reader = spark.read.format("jdbc")
+            for k, v in opts.items():
+                reader = reader.option(k, v)
+            return normalize_jdbc_types(reader.load())
+
+        loader = _loader or _do_load
+        retries, delay = jdbc_retry_policy(ref)
+        attempt = 0
+        while True:
+            try:
+                return loader()
+            except Exception:
+                # C9: the reference loops forever (connect_retries=-1);
+                # bounded N re-raises after N retries
+                if 0 <= retries <= attempt:
+                    raise
+                attempt += 1
+                time.sleep(delay)
     raise ValueError(f"unsupported table format: {ref.fmt!r}")
 
 

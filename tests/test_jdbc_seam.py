@@ -1,0 +1,250 @@
+"""JDBC seam contract + end-to-end tests (SURVEY §2.1 S1 remote path, §2.9 C9).
+
+The reference's entire reason to exist is cross-server copy
+(``INSERT … SELECT … FROM remote(…)``, database.go:488-507) with
+reconnect-retry (database.go:246-299). The sandbox has no ClickHouse, but
+Spark ships Apache Derby — a real embedded JDBC engine — so the seam gets
+a genuine end-to-end read here, plus pure contract tests for the option
+set and the retry loop (which are OUR code regardless of server).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_table_copier_spark.sources.table import (
+    TableRef,
+    jdbc_reader_options,
+    jdbc_retry_policy,
+    load_table,
+    normalize_jdbc_types,
+)
+
+DERBY_URL = "jdbc:derby:memory:ctcdb"
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+# ---------------------------------------------------------------------------
+# Contract: the option set handed to spark.read (no server needed)
+# ---------------------------------------------------------------------------
+def test_jdbc_reader_options_contract():
+    ref = TableRef(
+        location="jdbc:clickhouse://ch1:8123/db",
+        fmt="jdbc",
+        table="events",
+        options={
+            "driver": "com.clickhouse.jdbc.ClickHouseDriver",
+            "user": "copier",
+            "connect_retries": "5",
+            "retry_delay_s": "0.1",
+            "numPartitions": "16",
+            "partitionColumn": "event_id",
+            "lowerBound": "0",
+            "upperBound": "1000000",
+        },
+    )
+    opts = jdbc_reader_options(ref)
+    assert opts["url"] == "jdbc:clickhouse://ch1:8123/db"
+    assert opts["dbtable"] == "events"
+    # pushdown stays on the remote server (the reference's WHERE-in-remote())
+    assert opts["pushDownPredicate"] == "true"
+    assert opts["pushDownAggregate"] == "true"
+    assert opts["pushDownLimit"] == "true"
+    assert opts["fetchsize"] == "10000"
+    # passthroughs survive; sharding options reach the reader
+    assert opts["driver"] == "com.clickhouse.jdbc.ClickHouseDriver"
+    assert opts["numPartitions"] == "16"
+    assert opts["partitionColumn"] == "event_id"
+    # retry knobs are OURS, not the reader's
+    assert "connect_retries" not in opts
+    assert "retry_delay_s" not in opts
+    assert jdbc_retry_policy(ref) == (5, 0.1)
+
+
+def test_jdbc_requires_dbtable():
+    with pytest.raises(ValueError, match="requires table"):
+        jdbc_reader_options(TableRef(location="jdbc:x://h/db", fmt="jdbc"))
+
+
+def test_jdbc_retry_defaults_are_bounded():
+    ref = TableRef(location="jdbc:x://h/db", fmt="jdbc", table="t")
+    retries, delay = jdbc_retry_policy(ref)
+    assert retries == 2 and delay == 5.0
+
+
+# ---------------------------------------------------------------------------
+# C9 retry loop (loader injection — the loop is our code)
+# ---------------------------------------------------------------------------
+def _flaky(fail_times: int, calls: list):
+    def loader():
+        calls.append(1)
+        if len(calls) <= fail_times:
+            raise ConnectionError("server went away")
+        return "SENTINEL"
+
+    return loader
+
+
+def test_retry_recovers_within_budget(spark):
+    ref = TableRef(
+        location="jdbc:x://h/db", fmt="jdbc", table="t",
+        options={"connect_retries": "3", "retry_delay_s": "0"},
+    )
+    calls: list = []
+    out = load_table(spark, ref, _loader=_flaky(2, calls))
+    assert out == "SENTINEL"
+    assert len(calls) == 3  # 1 attempt + 2 retries
+
+
+def test_retry_exhausted_reraises(spark):
+    ref = TableRef(
+        location="jdbc:x://h/db", fmt="jdbc", table="t",
+        options={"connect_retries": "1", "retry_delay_s": "0"},
+    )
+    calls: list = []
+    with pytest.raises(ConnectionError):
+        load_table(spark, ref, _loader=_flaky(5, calls))
+    assert len(calls) == 2  # 1 attempt + 1 retry
+
+
+def test_retry_zero_fails_fast(spark):
+    ref = TableRef(
+        location="jdbc:x://h/db", fmt="jdbc", table="t",
+        options={"connect_retries": "0", "retry_delay_s": "0"},
+    )
+    calls: list = []
+    with pytest.raises(ConnectionError):
+        load_table(spark, ref, _loader=_flaky(5, calls))
+    assert len(calls) == 1
+
+
+# ---------------------------------------------------------------------------
+# §1.3 on-read normalization
+# ---------------------------------------------------------------------------
+def test_normalize_jdbc_types_widens_huge_decimals(spark):
+    df = spark.createDataFrame(
+        [(1, "18446744073709551615", 2.5)], ["id", "u64", "x"]
+    ).select(
+        "id",
+        F.col("u64").cast("decimal(20,0)").alias("u64"),
+        "x",
+        F.lit("9.99").cast("decimal(10,2)").alias("money"),
+    )
+    out = normalize_jdbc_types(df)
+    types = dict(out.dtypes)
+    assert types["u64"] == "decimal(38,0)"  # UInt64 carrier canonicalized
+    assert types["id"] == "bigint"  # untouched
+    assert types["money"] == "decimal(10,2)"  # scaled decimals untouched
+    assert out.where(F.col("u64") == F.lit("18446744073709551615").cast("decimal(38,0)")).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# End-to-end against embedded Derby (a real JDBC engine in the Spark JVM)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def derby_table(spark):
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName(DERBY_DRIVER)
+    conn = jvm.java.sql.DriverManager.getConnection(DERBY_URL + ";create=true")
+    st = conn.createStatement()
+    try:
+        st.executeUpdate("DROP TABLE items")
+    except Exception:
+        pass
+    st.executeUpdate(
+        "CREATE TABLE items (id BIGINT NOT NULL, name VARCHAR(32), "
+        "qty DECIMAL(20,0), price DOUBLE)"
+    )
+    for i in range(100):
+        st.executeUpdate(
+            f"INSERT INTO items VALUES ({i}, 'item{i}', {10**18 + i}, {i * 1.5})"
+        )
+    st.close()
+    yield "items"
+    conn.close()
+
+
+def _derby_ref(**extra_opts) -> TableRef:
+    return TableRef(
+        location=DERBY_URL,
+        fmt="jdbc",
+        table="items",
+        options={"driver": DERBY_DRIVER, **extra_opts},
+    )
+
+
+def test_jdbc_end_to_end_read(spark, derby_table):
+    df = load_table(spark, _derby_ref())
+    assert df.count() == 100
+    types = dict(df.dtypes)
+    # DECIMAL(20,0) — the UInt64 arrival shape — canonicalized on read
+    assert types["QTY"] == "decimal(38,0)"
+    row = df.where(F.col("ID") == 7).first()
+    assert row["NAME"] == "item7" and int(row["QTY"]) == 10**18 + 7
+
+
+def test_jdbc_predicate_pushdown_reaches_server(spark, derby_table):
+    df = load_table(spark, _derby_ref()).where(F.col("ID") > 90)
+    assert df.count() == 9
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "JDBCRelation" in plan
+    assert "PushedFilters" in plan and "ID" in plan.split("PushedFilters")[1][:200]
+
+
+def test_jdbc_parallel_partitioned_read(spark, derby_table):
+    """Sharded read — numPartitions JDBC connections, each with a bound
+    range predicate (the scale path for bulk copy off a remote server)."""
+    df = load_table(
+        spark,
+        _derby_ref(
+            partitionColumn="ID", lowerBound="0", upperBound="100",
+            numPartitions="4",
+        ),
+    )
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 100
+
+
+def test_jdbc_source_syncs_to_parquet_dest(spark, derby_table, tmp_path):
+    """The flagship use case end-to-end: a JDBC source synced into a
+    hive-partitioned parquet destination, converging to identical."""
+    from clickhouse_table_copier_spark.operators.sync import SyncOptions, sync
+    from clickhouse_table_copier_spark.plans.partition_spec import (
+        PartitionField,
+        PartitionSpec,
+    )
+
+    src = load_table(spark, _derby_ref())
+    spec = PartitionSpec.of(PartitionField("id_bucket", "CAST(ID % 4 AS INT)"))
+    dest = str(tmp_path / "dest")
+    res = sync(spark, src, dest, spec)
+    assert res.copied_partitions == 4
+    res2 = sync(spark, src, dest, spec, SyncOptions(dry_run=True))
+    assert {r["verdict"] for r in res2.report.collect()} == {"identical"}
+
+
+def test_config_surfaces_retry_options():
+    """C9 knobs ride the YAML endpoint options straight into the policy."""
+    from clickhouse_table_copier_spark.config import parse_job_spec
+
+    job = parse_job_spec(
+        {
+            "source": {
+                "location": "jdbc:clickhouse://ch1:8123/db",
+                "format": "jdbc",
+                "table": "events",
+                "options": {"connect_retries": "-1", "retry_delay_s": "5"},
+            },
+            "destination": {"location": "/tmp/dest"},
+            "partition_by": ["event_type"],
+        }
+    )
+    ref = TableRef(
+        location=job.source.location,
+        fmt=job.source.format,
+        table=job.source.table,
+        options=job.source.options,
+    )
+    # -1 = the reference's infinite-reconnect parity mode
+    assert jdbc_retry_policy(ref) == (-1, 5.0)
