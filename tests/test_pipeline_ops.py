@@ -698,3 +698,39 @@ def test_simhash_near_pairs_64bit_banding_exact(spark):
         if h <= 3:
             want[(a, b)] = h
     assert got == want
+
+
+def test_read_pruned_equals_full_filtered_read(spark, tmp_path):
+    """Zone-map-aware read: same rows as filtering the full table, while
+    scanning only the surviving files; empty range gives a typed empty."""
+    from clickhouse_table_copier_spark.operators.zonemap import (
+        read_pruned,
+        with_z_order,
+        zone_map,
+    )
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    out = str(tmp_path / "zordered")
+    z = with_z_order(li, "l_orderkey", "l_partkey")
+    z.repartitionByRange(8, "__z").sortWithinPartitions("__z").drop(
+        "__z"
+    ).write.parquet(out)
+
+    zmap = zone_map(spark, out, ["l_orderkey"]).cache()
+    lo, hi = 100, 900
+    pruned = read_pruned(spark, zmap, "l_orderkey", lo, hi)
+    full = spark.read.parquet(out).where(
+        (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") <= hi)
+    )
+    cols = ["l_orderkey", "l_partkey", "l_linenumber"]
+    assert sorted(map(tuple, pruned.select(*cols).collect())) == sorted(
+        map(tuple, full.select(*cols).collect())
+    )
+    # the pruned plan reads a strict subset of files
+    n_read = pruned.select(F.col("_metadata.file_path")).distinct().count()
+    assert n_read < 8
+
+    # range outside the data → typed empty result, same schema
+    empty = read_pruned(spark, zmap, "l_orderkey", 10**9, 2 * 10**9)
+    assert empty.count() == 0
+    assert empty.schema == spark.read.parquet(out).schema
