@@ -91,15 +91,26 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     )
 
 
-def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, sh) inverted index: normalize+tokenize ONCE per row in its own
-    projection, then shingle+explode from the bound token array."""
+def shingle_index(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, sh) inverted shingle index: normalize+tokenize ONCE per row in
+    its own projection, then shingle+explode from the bound token array.
+
+    This is the shared substrate of MinHash+LSH and n-gram Jaccard — both
+    accept it prebuilt via their ``index=`` parameter. At 100 TB the index
+    is a materialized TABLE (write it out partitioned, or ``persist()`` it
+    within a job) built in one pass and consumed by every dedup strategy,
+    instead of each strategy re-running normalize+shingle over the corpus.
+    """
     base = spread(df).select(
         F.col(id_col), F.split(normalized_text(text_col), " ").alias("__toks")
     )
     return base.select(
         F.col(id_col), F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("sh")
     )
+
+
+# internal alias kept for call sites predating the public name
+_exploded_shingles = shingle_index
 
 
 # Mersenne prime 2^31-1: affine permutations (a·h + b) mod P over a
@@ -113,7 +124,12 @@ MINHASH_B = [12_345, 67_891, 24_680, 13_579, 97_531, 86_420, 11_111, 99_991]
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, shingle_n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """(id, h0..h{k-1}): MinHash signature via universal hashing.
 
@@ -122,9 +138,12 @@ def minhash_signatures(
     string once per permutation, an ~8× cut of the dominant cost at
     corpus scale. a·h < 2^62 so the modular arithmetic is exact bigint
     in every engine (no overflow, no float).
+
+    ``index``: a prebuilt :func:`shingle_index` (persisted or a
+    materialized table) — skips rebuilding normalize+shingle here.
     """
     assert num_hashes <= len(MINHASH_A)
-    ex = _exploded_shingles(df, id_col, text_col, shingle_n)
+    ex = index if index is not None else shingle_index(df, id_col, text_col, shingle_n)
     base = (
         F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("bigint")
         % MINHASH_P
@@ -185,6 +204,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
 
@@ -199,8 +219,15 @@ def ngram_jaccard_pairs(
     discriminative signal but dominate the quadratic term. Sizes still
     count every shingle, so the resulting jaccard is a (tight) lower
     bound; ``None`` keeps the computation exact.
+
+    ``index``: a prebuilt :func:`shingle_index` — assumed already
+    persisted/materialized by the caller (it is read three times here).
     """
-    ex = _exploded_shingles(df, id_col, text_col, shingle_n).persist()
+    ex = (
+        index
+        if index is not None
+        else shingle_index(df, id_col, text_col, shingle_n).persist()
+    )
     # persisted: read by the self-join (twice) and the size agg
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     join_side = ex
