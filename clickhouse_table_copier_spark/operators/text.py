@@ -142,3 +142,95 @@ def doc_fingerprint(text: Column | str) -> Column:
         F.regexp_replace(F.lower(t), r"[^a-z0-9 ]", ""), r"\s+", " "
     )
     return F.md5(F.trim(norm))
+
+
+def gopher_signals(df, id_col: str, text_col: str):
+    """Gopher/C4-style per-document quality signals as ONE pass + one
+    bigram aggregation — the repetition/word-shape filters a pretraining
+    pipeline applies after the cheap charset/stopword ones:
+
+    - ``n_toks``, ``mean_word_len``: token count and mean token length
+      (integer sums divided once — deterministic across engines);
+    - ``alpha_frac``: fraction of tokens containing a letter (filters
+      number/ID soup);
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram
+      over all bigram occurrences — the repetition signal; boilerplate
+      and template spam score high;
+    - ``passes``: 1 where all signals sit in the Gopher-ish bands
+      (3 ≤ mean_word_len ≤ 10, alpha_frac ≥ 0.8, top_bigram_frac ≤ 0.2).
+
+    Tokenization is the shared ``normalized_text`` split, bound to a
+    column BEFORE any lambda (higher-order-function subtree rule). The
+    bigram explode is linear in tokens; the grouped agg is map-side
+    combined. No UDFs anywhere.
+    """
+    from pyspark.sql import functions as F  # local: keep module header slim
+
+    from clickhouse_table_copier_spark.operators.dedup import (
+        normalized_text,
+        spread,
+    )
+
+    base = spread(df).select(
+        F.col(id_col), F.split(normalized_text(text_col), " ").alias("__toks")
+    )
+    toks = F.col("__toks")
+    n = F.size(toks)
+    char_sum = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    alpha_cnt = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    scalars = base.select(
+        F.col(id_col),
+        n.cast("int").alias("n_toks"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(char_sum.cast("double") / n.cast("double"))
+        .alias("mean_word_len"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(alpha_cnt.cast("double") / n.cast("double"))
+        .alias("alpha_frac"),
+    )
+
+    bigrams = base.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), n - 2),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    )
+    rep = (
+        bigrams.groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.max("cnt").alias("max_cnt"),
+            F.sum("cnt").alias("n_bigrams"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("max_cnt").cast("double") / F.col("n_bigrams").cast("double")).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+    out = scalars.join(rep, id_col, "left").select(
+        id_col,
+        "n_toks",
+        "mean_word_len",
+        "alpha_frac",
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+    )
+    passes = (
+        (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("alpha_frac") >= 0.8)
+        & (F.col("top_bigram_frac") <= 0.2)
+    )
+    return out.withColumn("passes", F.when(passes, F.lit(1)).otherwise(F.lit(0)))

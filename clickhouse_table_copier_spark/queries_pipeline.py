@@ -218,6 +218,64 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# End-to-end dedup pipeline: corpus → shared shingle index → exact
+# jaccard pairs (≥ 0.5) → CONNECTED COMPONENTS → (id, cluster_id).
+# The clustering operator is iterative min-label propagation in Spark;
+# the oracle computes the same fixpoint exactly with a recursive CTE
+# (min reachable id per node) — so the iterative operator gets a FULL
+# value oracle, not just property tests.
+# ---------------------------------------------------------------------------
+_JACCARD_PAIRS_SQL = f"""
+    corpus AS ({_CORPUS_SQL}),
+    shing AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shing GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_cnt
+      FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(inter_cnt AS DOUBLE) / (sa.sz + sb.sz - inter_cnt) >= 0.5
+    )
+"""
+
+
+@register(
+    "dedup_clusters_jaccard",
+    oracle=f"""
+    WITH RECURSIVE
+    {_JACCARD_PAIRS_SQL},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach AS (
+      SELECT u AS id, u AS lbl FROM edges
+      UNION
+      SELECT e.u AS id, r.lbl FROM edges e JOIN reach r ON e.v = r.id
+    )
+    SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def q_dedup_clusters_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.dedup import dedup_clusters
+
+    pairs = ngram_jaccard_pairs(
+        _corpus(spark, sf_dir),
+        "doc_id",
+        "text",
+        threshold=0.5,
+        index=_shared_shingle_index(spark, sf_dir),
+    )
+    return dedup_clusters(pairs)
+
+
+# ---------------------------------------------------------------------------
 # SimHash values (32-bit, md5-derived). The near-pair banding search is
 # exercised in pytest; the oracle checks the signatures themselves.
 # ---------------------------------------------------------------------------
@@ -424,3 +482,56 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score("text").alias("quality"),
         word_char_ratio("text").alias("word_char_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher/C4-style quality filters: repetition (top-bigram fraction) +
+# word-shape signals (mean word length, alphabetic-token fraction) with
+# pass/fail banding — the pretraining filter stage beyond charset and
+# stopword ratios. All integer sums divided once ⇒ cross-engine exact.
+# ---------------------------------------------------------------------------
+_GOPHER_NORM = _NORM_SQL.format(c="text")
+
+
+@register(
+    "gopher_quality",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_GOPHER_NORM}, ' ') AS toks FROM documents
+    ),
+    scalars AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INTEGER) AS n_toks,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(list_sum([length(t) FOR t IN toks]) AS DOUBLE)
+                       / len(toks) END AS mean_word_len,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+                       / len(toks) END AS alpha_frac
+      FROM norm
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 2
+                    THEN [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]
+                    ELSE CAST([] AS VARCHAR[]) END) AS bg
+      FROM norm
+    ),
+    rep AS (
+      SELECT doc_id, CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_bigram_frac
+      FROM (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2)
+      GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_toks, s.mean_word_len, s.alpha_frac,
+           coalesce(r.top_bigram_frac, 0.0) AS top_bigram_frac,
+           CAST(CASE WHEN s.mean_word_len >= 3.0 AND s.mean_word_len <= 10.0
+                      AND s.alpha_frac >= 0.8
+                      AND coalesce(r.top_bigram_frac, 0.0) <= 0.2
+                THEN 1 ELSE 0 END AS INTEGER) AS passes
+    FROM scalars s LEFT JOIN rep r ON s.doc_id = r.doc_id
+    """,
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.text import gopher_signals
+
+    return gopher_signals(_t(spark, sf_dir, "documents"), "doc_id", "text")
