@@ -128,15 +128,63 @@ def long_to_ipv4(col: Column | str) -> Column:
 
 
 def canonical_ipv6(col: Column | str) -> Column:
-    """``toIPv6(s)`` — normalized (lowercased, trimmed) IPv6 text.
+    """``toIPv6(s)`` — full RFC-5952 canonical IPv6 text, expression-only.
 
     Spark has no IPv6 type; the engine's contract is *deterministic
-    canonical text* so fingerprints agree across sides (SURVEY §7.5). Full
-    RFC-5952 compression is deliberately not attempted in expressions;
-    lowercase/trim is deterministic and fingerprint-stable.
+    canonical text* so fingerprints agree across sides (SURVEY §7.5).
+    The three RFC-5952 rules, each as pure string/array expressions:
+
+    1. **expand** ``::`` to the missing zero groups (split sides, count,
+       ``array_repeat`` the filler);
+    2. **normalize** each group: lowercase + strip leading zeros (empty →
+       ``'0'``);
+    3. **compress** the longest run of zero groups (leftmost on ties,
+       runs of ≥ 2 only): the padded form ``:g:g:…:`` is probed with
+       ``instr`` for ``:0:0:…:`` patterns from 8 zeros down to 2 — the
+       first hit is the longest leftmost run — and spliced around with
+       ``::``.
+
+    Non-IPv6-shaped input (≠ 8 groups after expansion) falls back to
+    lowercase/trim unchanged, so the function never corrupts passthrough
+    text. IPv4-mapped tails (``::ffff:1.2.3.4``) are not re-rendered (the
+    dotted tail parses as ≠ 8 groups → fallback) — same narrowing as the
+    reference's text round-trip. The DuckDB rendering of this exact
+    algorithm lives in queries_window.q_ipv6_canon's oracle.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.lower(F.trim(c))
+    s = F.lower(F.trim(c))
+
+    # 1. expansion
+    halves = F.split(s, "::", 2)
+    larr = F.filter(F.split(halves.getItem(0), ":"), lambda x: x != F.lit(""))
+    rarr = F.filter(
+        F.split(F.coalesce(halves.getItem(1), F.lit("")), ":"),
+        lambda x: x != F.lit(""),
+    )
+    mid = F.greatest(F.lit(0), F.lit(8) - F.size(larr) - F.size(rarr))
+    expanded = F.concat(larr, F.array_repeat(F.lit("0"), mid), rarr)
+    full = F.when(F.instr(s, "::") > 0, expanded).otherwise(F.split(s, ":"))
+
+    # 2. per-group normalization (strip leading zeros, keep one digit)
+    def norm_group(g: Column) -> Column:
+        stripped = F.regexp_replace(g, "^0+", "")
+        return F.when(stripped == "", F.lit("0")).otherwise(stripped)
+
+    n8 = F.concat_ws(":", F.transform(full, norm_group))
+    padded = F.concat(F.lit(":"), n8, F.lit(":"))
+
+    # 3. longest-run compression: n descending wins (outermost when)
+    res = n8
+    for n in range(2, 9):
+        pat = ":" + "0:" * n  # ':0:0:…:' — n zero groups, colon-bounded
+        pos = F.instr(padded, pat)
+        prefix = F.regexp_replace(padded.substr(F.lit(1), pos - 1), "^:", "")
+        after = F.regexp_replace(
+            padded.substr(pos + F.lit(2 * n + 1), F.length(padded)), ":$", ""
+        )
+        res = F.when(pos > 0, F.concat(prefix, F.lit("::"), after)).otherwise(res)
+
+    return F.when(F.size(full) == 8, res).otherwise(s)
 
 
 def to_json_string(col: Column | str) -> Column:

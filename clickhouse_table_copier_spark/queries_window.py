@@ -267,27 +267,86 @@ def q_array_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# IPv6 canonicalization (sidefunctions.go:129-130): deterministic
-# normalization of mixed-case/padded IPv6 text.
+# IPv6 canonicalization (sidefunctions.go:129-130): FULL RFC-5952 —
+# expand '::', strip leading zeros per group, compress the longest
+# (leftmost on tie) run of ≥2 zero groups. Two input variants per order:
+# (1) a full 8-group form with padded groups and an internal zero run,
+# (2) a '::'-compressed form — exercising expansion, normalization and
+# compression. The oracle renders the IDENTICAL algorithm in DuckDB SQL
+# (list ops + the same padded-pattern probe, longest run first).
 # ---------------------------------------------------------------------------
+_IP6_A = "upper(substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))"
+_IP6_B = "upper(substring(md5(CAST(o_orderkey AS VARCHAR)), 5, 4))"
+_IP6_N = "CAST(o_orderkey % 65536 AS VARCHAR)"
+_IP6_RAW8 = f"'  2001:0DB8:' || {_IP6_A} || ':0000:0000:0000:' || {_IP6_B} || ':' || {_IP6_N} || ' '"
+_IP6_RAWDC = f"'2001:DB8:' || {_IP6_A} || '::' || {_IP6_N}"
+
+_IP6_LGRP = "list_filter(string_split(string_split(s, '::')[1], ':'), x -> x <> '')"
+_IP6_RGRP = "list_filter(string_split(coalesce(string_split(s, '::')[2], ''), ':'), x -> x <> '')"
+
+_IP6_BRANCHES = "\n".join(
+    f"""WHEN instr(p, '{":" + "0:" * n}') > 0 THEN
+             regexp_replace(substring(p, 1, instr(p, '{":" + "0:" * n}') - 1), '^:', '')
+             || '::' ||
+             regexp_replace(substring(p, instr(p, '{":" + "0:" * n}') + {2 * n + 1}), ':$', '')"""
+    for n in range(8, 1, -1)
+)
+
+
 @register(
     "ipv6_canon",
-    oracle="""
-    SELECT o_orderkey,
-           lower(trim('  2001:DB8:' || upper(substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))
-                 || '::' || CAST(o_orderkey % 65536 AS VARCHAR) || ' ')) AS ip6_canon
-    FROM orders
+    oracle=f"""
+    WITH raws AS (
+      SELECT o_orderkey, 1 AS variant, {_IP6_RAW8} AS raw FROM orders
+      UNION ALL
+      SELECT o_orderkey, 2, {_IP6_RAWDC} FROM orders
+    ),
+    s1 AS (SELECT o_orderkey, variant, lower(trim(raw)) AS s FROM raws),
+    ex AS (
+      SELECT o_orderkey, variant, s,
+        CASE WHEN instr(s, '::') > 0 THEN
+          list_concat(list_concat(
+            {_IP6_LGRP},
+            ['0' FOR i IN range(0, greatest(0, 8 - len({_IP6_LGRP}) - len({_IP6_RGRP})))]),
+            {_IP6_RGRP})
+        ELSE string_split(s, ':') END AS grps
+      FROM s1
+    ),
+    nm AS (
+      SELECT o_orderkey, variant, s, len(grps) AS ng,
+             array_to_string(list_transform(grps,
+                 g -> CASE WHEN regexp_replace(g, '^0+', '') = '' THEN '0'
+                           ELSE regexp_replace(g, '^0+', '') END), ':') AS n8
+      FROM ex
+    ),
+    pd AS (SELECT o_orderkey, variant, s, ng, n8, ':' || n8 || ':' AS p FROM nm)
+    SELECT o_orderkey, CAST(variant AS INTEGER) AS variant,
+           CASE WHEN ng <> 8 THEN s
+           {_IP6_BRANCHES}
+           ELSE n8 END AS ip6_canon
+    FROM pd
     """,
 )
 def q_ipv6_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
-    raw = F.concat(
-        F.lit("  2001:DB8:"),
-        F.upper(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4)),
-        F.lit("::"),
-        (F.col("o_orderkey") % 65536).cast("string"),
-        F.lit(" "),
+    a = F.upper(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4))
+    b = F.upper(F.substring(F.md5(F.col("o_orderkey").cast("string")), 5, 4))
+    n = (F.col("o_orderkey") % 65536).cast("string")
+    raw8 = F.concat(
+        F.lit("  2001:0DB8:"), a, F.lit(":0000:0000:0000:"), b, F.lit(":"), n, F.lit(" ")
     )
-    return orders.select(
-        "o_orderkey", canonical_ipv6(raw).alias("ip6_canon")
+    rawdc = F.concat(F.lit("2001:DB8:"), a, F.lit("::"), n)
+    variants = orders.select(
+        "o_orderkey",
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("variant"), raw8.alias("raw")),
+                F.struct(F.lit(2).alias("variant"), rawdc.alias("raw")),
+            )
+        ).alias("e"),
+    )
+    return variants.select(
+        "o_orderkey",
+        F.col("e.variant").alias("variant"),
+        canonical_ipv6(F.col("e.raw")).alias("ip6_canon"),
     )
