@@ -535,3 +535,81 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_table_copier_spark.operators.text import gopher_signals
 
     return gopher_signals(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary building: corpus-wide term frequencies + document frequencies,
+# top 100 by count (term tiebreak) — the tokenizer-training / vocab-pruning
+# primitive. Exact integer counts; deterministic top-k via (count, term).
+# ---------------------------------------------------------------------------
+@register(
+    "vocab_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL.format(c="text")}, ' ')) AS term
+      FROM documents
+    )
+    SELECT term,
+           count(*) AS term_freq,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM toks
+    WHERE term <> ''
+    GROUP BY term
+    ORDER BY term_freq DESC, term ASC
+    LIMIT 100
+    """,
+)
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.dedup import normalized_text
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(normalized_text("text"), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("term_freq"),
+            F.countDistinct("doc_id").cast("bigint").alias("doc_freq"),
+        )
+        .orderBy(F.desc("term_freq"), F.asc("term"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling: per-language rates via the portable md5 hash mod —
+# deterministic, reproducible, shuffle-free row filtering (the
+# training-mix re-weighting primitive). Rates: en 50%, de 30%, rest 10%.
+# ---------------------------------------------------------------------------
+_SAMPLE_BUCKET_SQL ="CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100"
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT doc_id, lang, {_SAMPLE_BUCKET_SQL} AS bucket FROM documents
+    )
+    SELECT doc_id, lang, CAST(bucket AS INTEGER) AS bucket
+    FROM bucketed
+    WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 ELSE 10 END
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    rate = (
+        F.when(F.col("lang") == "en", F.lit(50))
+        .when(F.col("lang") == "de", F.lit(30))
+        .otherwise(F.lit(10))
+    )
+    return (
+        docs.select("doc_id", "lang", bucket.cast("int").alias("bucket"))
+        .where(F.col("bucket") < rate)
+    )
