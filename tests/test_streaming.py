@@ -308,3 +308,66 @@ def test_session_window_stats_match_batch_sessionization(spark, tmp_path):
     # and all real sessions (user != 0 sentinel... sentinel user 0 may be open)
     missing = {k for k in batch if k[0] != 0} - set(got)
     assert not missing
+
+
+def test_streaming_exact_dedup_across_runs(spark, tmp_path):
+    """First-seen-wins dedup must hold WITHIN a run, ACROSS availableNow
+    runs (checkpointed state), and agree with batch exact_dedup on which
+    contents exist; a genuinely new doc in run 2 still flows through."""
+    import datetime
+
+    from clickhouse_table_copier_spark.streaming.dedup import streaming_exact_dedup
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+    def rows(ids_texts, minute):
+        return [
+            (i, tx, t0 + datetime.timedelta(minutes=minute)) for i, tx in ids_texts
+        ]
+
+    # run 1: three distinct contents, one in-batch duplicate (id 4 dups id 1)
+    batch1 = rows(
+        [(1, "alpha beta gamma"), (2, "delta epsilon"), (3, "zeta eta"),
+         (4, "alpha  beta   GAMMA")],  # normalizes equal to id 1
+        minute=0,
+    )
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+    q = streaming_exact_dedup(
+        spark, src, schema, "text", out, ckpt, ts_col="ts", watermark_delay="1 hour"
+    )
+    q.awaitTermination()
+    got1 = spark.read.parquet(out)
+    texts1 = sorted(r["text"] for r in got1.collect())
+    assert len(texts1) == 3  # in-batch dup dropped
+
+    # run 2: re-sends two old contents within the watermark + one new
+    batch2 = rows(
+        [(5, "alpha beta gamma"), (6, "DELTA epsilon"), (7, "brand new doc")],
+        minute=10,
+    )
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+    q = streaming_exact_dedup(
+        spark, src, schema, "text", out, ckpt, ts_col="ts", watermark_delay="1 hour"
+    )
+    q.awaitTermination()
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 4  # only the new doc appended
+    ids = {r["doc_id"] for r in got2.collect()}
+    assert 7 in ids and 5 not in ids and 6 not in ids
+
+    # agreement with the batch operator on the union of both batches
+    from clickhouse_table_copier_spark.operators.dedup import exact_dedup
+
+    union = spark.createDataFrame(batch1 + batch2, schema)
+    batch_groups = exact_dedup(union, "doc_id", "text")
+    assert batch_groups.count() == got2.count()
