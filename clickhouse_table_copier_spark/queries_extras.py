@@ -319,3 +319,83 @@ def q_sql_frontend_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling: per-column null/distinct/bounds stats in ONE scan —
+# the DESCRIBE + system.columns-stats analogue a sync tool consults
+# before choosing partition keys and cast plans (operators/profile.py).
+# Doubles render via %.2f and timestamps via %Y-%m-%d so both engines
+# produce identical bound strings.
+# ---------------------------------------------------------------------------
+@register(
+    "table_profile",
+    oracle="""
+    SELECT 'l_quantity' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(l_quantity) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           printf('%.2f', min(l_quantity)) AS min_val,
+           printf('%.2f', max(l_quantity)) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(l_returnflag) AS BIGINT),
+           CAST(count(DISTINCT l_returnflag) AS BIGINT),
+           min(l_returnflag), max(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(l_shipdate) AS BIGINT),
+           CAST(count(DISTINCT l_shipdate) AS BIGINT),
+           strftime(min(l_shipdate), '%Y-%m-%d'), strftime(max(l_shipdate), '%Y-%m-%d')
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linenumber', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(l_linenumber) AS BIGINT),
+           CAST(count(DISTINCT l_linenumber) AS BIGINT),
+           CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR)
+    FROM lineitem
+    """,
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.profile import profile_table
+
+    li = _t(spark, sf_dir, "lineitem")
+    fmt = {
+        "l_quantity": lambda c: F.format_string("%.2f", c),
+        "l_shipdate": lambda c: F.date_format(c, "yyyy-MM-dd"),
+    }
+    return profile_table(
+        li, ["l_quantity", "l_returnflag", "l_shipdate", "l_linenumber"], fmt
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram: events.value bucketed per event_type — the
+# numeric-profiling companion (floor on exact doubles truncates
+# identically in both engines; top edge clamped into the last bucket).
+# ---------------------------------------------------------------------------
+@register(
+    "value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(least(floor(value / 50), 9) AS INTEGER) AS bucket,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.queries import _events
+
+    ev = _events(spark, sf_dir)
+    bucket = F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("int")
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+    )
