@@ -129,6 +129,15 @@ def load_table(
     """
     if ref.fmt == "parquet":
         return spark.read.parquet(ref.location)
+    if ref.fmt in ("json", "csv", "orc"):
+        # jsonl / csv ingestion (training corpora arrive as jsonl shards;
+        # csv keeps header+schema inference unless options override).
+        reader = spark.read.format(ref.fmt)
+        if ref.fmt == "csv":
+            reader = reader.option("header", "true").option("inferSchema", "true")
+        for k, v in ref.options.items():
+            reader = reader.option(k, str(v))
+        return reader.load(ref.location)
     if ref.fmt == "jdbc":
         opts = jdbc_reader_options(ref)
 
@@ -151,6 +160,43 @@ def load_table(
                     raise
                 attempt += 1
                 time.sleep(delay)
+    raise ValueError(f"unsupported table format: {ref.fmt!r}")
+
+
+def write_table(df: DataFrame, ref: TableRef, mode: str = "append") -> None:
+    """Write ``df`` to a TableRef destination — S6's other half.
+
+    ``fmt='parquet'/'json'/'csv'/'orc'``: a plain directory write.
+    ``fmt='jdbc'``: the reference's flagship INSERT-into-remote-server
+    (database.go:486-507) — executors open ``numPartitions`` connections
+    and stream batched INSERTs (``batchsize`` option; default 10000 set
+    here). The C9 retry knobs do not apply to writes: Spark's JDBC write
+    is per-task and a failed task re-runs under Spark's own retry, which
+    with mode='append' can duplicate rows on retry — the reference has
+    the identical non-transactional semantics, which is exactly why its
+    sync verifies with fingerprints afterwards.
+    """
+    if ref.fmt in ("parquet", "json", "csv", "orc"):
+        writer = df.write.format(ref.fmt).mode(mode)
+        for k, v in ref.options.items():
+            writer = writer.option(k, str(v))
+        writer.save(ref.location)
+        return
+    if ref.fmt == "jdbc":
+        if not ref.table:
+            raise ValueError("jdbc TableRef requires table (dbtable) to be set")
+        writer = (
+            df.write.format("jdbc")
+            .option("url", ref.location)
+            .option("dbtable", ref.table)
+            .option("batchsize", "10000")
+            .mode(mode)
+        )
+        for k, v in ref.options.items():
+            if k not in _RETRY_KEYS:
+                writer = writer.option(k, str(v))
+        writer.save()
+        return
     raise ValueError(f"unsupported table format: {ref.fmt!r}")
 
 

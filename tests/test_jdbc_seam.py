@@ -13,6 +13,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_SMOKE
+
 from clickhouse_table_copier_spark.sources.table import (
     TableRef,
     jdbc_reader_options,
@@ -248,3 +250,44 @@ def test_config_surfaces_retry_options():
     )
     # -1 = the reference's infinite-reconnect parity mode
     assert jdbc_retry_policy(ref) == (-1, 5.0)
+
+
+def test_jdbc_write_roundtrip(spark, derby_table, tmp_path):
+    """write_table to a JDBC destination (the reference's INSERT-into-
+    remote, database.go:486-507) then read it back — values intact,
+    including the decimal(38,0)-canonicalized huge ints."""
+    from clickhouse_table_copier_spark.sources.table import write_table
+
+    src = load_table(spark, _derby_ref())
+    dest = TableRef(
+        location=DERBY_URL, fmt="jdbc", table="items_copy",
+        options={"driver": DERBY_DRIVER},
+    )
+    write_table(src, dest, mode="overwrite")
+    back = load_table(spark, dest)
+    assert back.count() == 100
+    a = sorted(map(tuple, src.select("ID", "NAME", "QTY").collect()))
+    b = sorted(map(tuple, back.select("ID", "NAME", "QTY").collect()))
+    assert a == b
+
+
+def test_jsonl_and_csv_table_refs(spark, tmp_path):
+    """jsonl / csv TableRefs read what parquet-born data wrote — the
+    training-corpus ingestion formats."""
+    from clickhouse_table_copier_spark.sources.table import write_table
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    jdir, cdir = str(tmp_path / "j"), str(tmp_path / "c")
+    write_table(docs, TableRef(location=jdir, fmt="json"), mode="overwrite")
+    write_table(docs, TableRef(location=cdir, fmt="csv", options={"header": "true"}), mode="overwrite")
+
+    jback = load_table(spark, TableRef(location=jdir, fmt="json"))
+    assert jback.count() == docs.count()
+    assert {r["doc_id"] for r in jback.select("doc_id").collect()} == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    }
+    cback = load_table(spark, TableRef(location=cdir, fmt="csv"))
+    assert cback.count() == docs.count()
+    assert "text" in cback.columns
