@@ -291,3 +291,72 @@ def test_jsonl_and_csv_table_refs(spark, tmp_path):
     cback = load_table(spark, TableRef(location=cdir, fmt="csv"))
     assert cback.count() == docs.count()
     assert "text" in cback.columns
+
+
+# ---------------------------------------------------------------------------
+# sync_to_jdbc: the reference's native shape (classify → DELETE → INSERT)
+# against a real JDBC destination
+# ---------------------------------------------------------------------------
+def _jdbc_ref(table):
+    return TableRef(
+        location="jdbc:derby:memory:syncdb;create=true", fmt="jdbc", table=table,
+        options={"driver": DERBY_DRIVER},
+    )
+
+
+def test_sync_to_jdbc_full_cycle(spark):
+    from clickhouse_table_copier_spark.operators.sync_jdbc import sync_to_jdbc
+    from clickhouse_table_copier_spark.operators.sync import SyncOptions
+    from clickhouse_table_copier_spark.plans.partition_spec import (
+        PartitionField,
+        PartitionSpec,
+    )
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"
+    )
+    spec = PartitionSpec.of(
+        PartitionField("ship_month", "CAST(month(l_shipdate) AS INT)")
+    )
+
+    # 1. dest absent → full copy
+    res = sync_to_jdbc(spark, li, _jdbc_ref("li_sync"), spec)
+    assert res.copied_partitions == 12
+
+    # 2. identical → all-identical, nothing written
+    res2 = sync_to_jdbc(spark, li, _jdbc_ref("li_sync"), spec)
+    assert res2.copied_partitions == 0 and res2.deleted_partitions == 0
+    assert {r["verdict"] for r in res2.report.collect()} == {"identical"}
+
+    # 3. corrupt one partition + delete another on the dest, then repair
+    from clickhouse_table_copier_spark.operators.sync_jdbc import _jdbc_execute
+
+    _jdbc_execute(
+        spark, _jdbc_ref("li_sync"),
+        'UPDATE li_sync SET "l_quantity" = "l_quantity" + 1 WHERE "ship_month" = 4',
+    )
+    _jdbc_execute(
+        spark, _jdbc_ref("li_sync"), 'DELETE FROM li_sync WHERE "ship_month" = 7'
+    )
+    res3 = sync_to_jdbc(spark, li, _jdbc_ref("li_sync"), spec)
+    actions = {r["ship_month"]: r["action"] for r in res3.report.collect()}
+    assert actions[4] == "overwritten" and actions[7] == "copied"
+    assert res3.deleted_partitions == 1 and res3.copied_partitions == 2
+
+    # 4. converged: next pass reports all-identical
+    res4 = sync_to_jdbc(
+        spark, li, _jdbc_ref("li_sync"), spec, SyncOptions(dry_run=True)
+    )
+    assert {r["verdict"] for r in res4.report.collect()} == {"identical"}
+
+
+def test_sql_equality_where_renders_tuples_and_nulls():
+    from clickhouse_table_copier_spark.operators.sync_jdbc import sql_equality_where
+
+    w = sql_equality_where(
+        ["k", "m"], [(1, "a"), (2, None), (3, "o'brien")]
+    )
+    assert w == (
+        '("k" = 1 AND "m" = \'a\') OR ("k" = 2 AND "m" IS NULL)'
+        ' OR ("k" = 3 AND "m" = \'o\'\'brien\')'
+    )
