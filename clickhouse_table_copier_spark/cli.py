@@ -44,8 +44,10 @@ def _run(mode: str, config_path: str, explain: bool = False) -> int:
             options=job.source.options,
         ),
     )
-    if job.destination.format != "parquet":
-        raise ConfigError("sync destination must be a parquet path in this build")
+    if job.destination.format not in ("parquet", "jdbc"):
+        raise ConfigError(
+            "sync destination must be a parquet path or a jdbc endpoint"
+        )
 
     options = SyncOptions(
         check_hashes=job.check_hashes,
@@ -66,10 +68,31 @@ def _run(mode: str, config_path: str, explain: bool = False) -> int:
                 f"rows={r['rows']} fingerprint={r['fingerprint']}"
             )
 
-    result = sync(
-        spark, src, job.destination.location, spec, options,
-        semantic=job.semantic_casts,
-    )
+    if job.destination.format == "jdbc":
+        # the reference's native shape: remote-server destination
+        # (classify → one DELETE → one distributed INSERT)
+        from clickhouse_table_copier_spark.operators.sync_jdbc import sync_to_jdbc
+        from clickhouse_table_copier_spark.plans.casting import apply_semantic
+
+        if job.semantic_casts:
+            src = apply_semantic(src, job.semantic_casts)
+        result = sync_to_jdbc(
+            spark,
+            src,
+            TableRef(
+                location=job.destination.location,
+                fmt="jdbc",
+                table=job.destination.table,
+                options=job.destination.options,
+            ),
+            spec,
+            options,
+        )
+    else:
+        result = sync(
+            spark, src, job.destination.location, spec, options,
+            semantic=job.semantic_casts,
+        )
     if explain:
         # the working version of the reference's dead --debug flag
         # (main.go:52, "doesnt work"): show the physical plan the engine

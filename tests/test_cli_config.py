@@ -88,3 +88,42 @@ def test_cli_end_to_end(tmp_path):
         env_cmd + ["version"], capture_output=True, text=True, cwd="/root/repo"
     )
     assert r3.returncode == 0 and "clickhouse-table-copier-spark" in r3.stdout
+
+
+def test_cli_sync_to_jdbc_destination(tmp_path):
+    """End-to-end CLI run against a JDBC (file-backed Derby) destination —
+    the reference's remote-server shape reachable from YAML: sync copies,
+    info then reports all-identical with exit 0."""
+    import yaml
+
+    cfg = tmp_path / "job.yaml"
+    db = tmp_path / "derbydb"
+    spec = {
+        "source": {"location": f"{SF_SMOKE}/lineitem.parquet"},
+        "destination": {
+            "location": f"jdbc:derby:{db};create=true",
+            "format": "jdbc",
+            "table": "li_dest",
+            "options": {"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+        },
+        "partition_by": [
+            {"name": "ship_month", "expr": "CAST(month(l_shipdate) AS INT)"}
+        ],
+    }
+    cfg.write_text(yaml.safe_dump(spec))
+
+    env_cmd = [sys.executable, "-m", "clickhouse_table_copier_spark.cli"]
+    r1 = subprocess.run(
+        env_cmd + ["sync", "--config", str(cfg)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert "copied_partitions=12" in r1.stdout
+
+    r2 = subprocess.run(
+        env_cmd + ["info", "--config", str(cfg)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "verdict=identical" in r2.stdout
+    assert "verdict=copy" not in r2.stdout
