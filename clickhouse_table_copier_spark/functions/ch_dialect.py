@@ -1,0 +1,96 @@
+"""ClickHouse SQL dialect shim — run reference users' SQL nearly verbatim.
+
+The reference's users speak ClickHouse SQL (``toInt32``, ``toDate``,
+``cityHash64``, ``formatReadableSize`` …). Spark 4's SQL scalar functions
+(``CREATE FUNCTION … RETURN <expression>``) let the engine register those
+names as PURE EXPRESSIONS — inlined by Catalyst, codegen'd, no UDF tax —
+so a query written for the reference runs on this engine after
+:func:`register_clickhouse_functions`.
+
+Semantics notes (each matches the §1.3 cast matrix / SURVEY §2.6 policy):
+
+- ``toIntN``: CAST truncation-toward-zero, same as ClickHouse for the
+  in-range domain; ``toUIntN`` registers as the WIDENED signed type.
+- ``cityHash64`` → ``xxhash64``: a stable 64-bit hash with the same role,
+  NOT the same values as ClickHouse's cityHash (F1 policy — fingerprints
+  compare within one engine, never across).
+- ``formatReadableSize``: exact integer math (floor to hundredths), the
+  same body :func:`functions.scalars.format_readable_size` uses — the SQL
+  text is plain ANSI (CASE/CAST/CONCAT/LPAD) and is reused verbatim as
+  the DuckDB oracle rendering.
+- SQL scalar functions are monomorphic: each name is registered with its
+  most common ClickHouse argument type; ANSI implicit casts cover the
+  standard widenings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+ZERO_UUID = "00000000-0000-0000-0000-000000000000"
+UUID_RE = "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+
+_UNITS = ["B", "KiB", "MiB", "GiB", "TiB", "PiB"]
+
+
+def readable_size_sql(x: str) -> str:
+    """ANSI SQL text for formatReadableSize(x) — valid in Spark AND DuckDB.
+
+    Exact integer math: hundredths = floor(x*100 / 1024^i) computed by
+    subtracting the modulo before dividing (the numerator becomes exactly
+    divisible, so the division is exact in IEEE754 in any engine).
+    """
+
+    def render(i: int) -> str:
+        d = 1024**i
+        num = f"(CAST({x} AS BIGINT) * 100)"
+        h = f"CAST(({num} - {num} % {d}) / {d} AS BIGINT)"
+        whole = f"CAST(CAST(({h} - {h} % 100) / 100 AS BIGINT) AS STRING)"
+        frac = f"LPAD(CAST({h} % 100 AS STRING), 2, '0')"
+        return f"CONCAT({whole}, '.', {frac}, ' {_UNITS[i]}')"
+
+    expr = render(len(_UNITS) - 1)
+    for i in range(len(_UNITS) - 2, -1, -1):
+        expr = (
+            f"CASE WHEN CAST({x} AS BIGINT) < {1024 ** (i + 1)} "
+            f"THEN {render(i)} ELSE {expr} END"
+        )
+    return expr
+
+
+_FUNCTIONS: list[tuple[str, str]] = [
+    ("toInt8", "(x DOUBLE) RETURNS TINYINT RETURN CAST(x AS TINYINT)"),
+    ("toInt16", "(x DOUBLE) RETURNS SMALLINT RETURN CAST(x AS SMALLINT)"),
+    ("toInt32", "(x DOUBLE) RETURNS INT RETURN CAST(x AS INT)"),
+    ("toInt64", "(x DOUBLE) RETURNS BIGINT RETURN CAST(x AS BIGINT)"),
+    # unsigned → widened signed (§1.3)
+    ("toUInt8", "(x DOUBLE) RETURNS SMALLINT RETURN CAST(x AS SMALLINT)"),
+    ("toUInt16", "(x DOUBLE) RETURNS INT RETURN CAST(x AS INT)"),
+    ("toUInt32", "(x DOUBLE) RETURNS BIGINT RETURN CAST(x AS BIGINT)"),
+    ("toFloat64", "(x STRING) RETURNS DOUBLE RETURN CAST(x AS DOUBLE)"),
+    ("toDate", "(x STRING) RETURNS DATE RETURN CAST(x AS DATE)"),
+    ("toDateTime", "(x STRING) RETURNS TIMESTAMP RETURN CAST(x AS TIMESTAMP)"),
+    ("toString", "(x STRING) RETURNS STRING RETURN x"),
+    ("cityHash64", "(x STRING) RETURNS BIGINT RETURN xxhash64(x)"),
+    (
+        "toUUIDOrZero",
+        f"(x STRING) RETURNS STRING RETURN CASE WHEN x RLIKE '{UUID_RE}' "
+        f"THEN lower(x) ELSE '{ZERO_UUID}' END",
+    ),
+    (
+        "IPv4NumToString",
+        "(x BIGINT) RETURNS STRING RETURN CONCAT("
+        "CAST(x DIV 16777216 % 256 AS STRING), '.', "
+        "CAST(x DIV 65536 % 256 AS STRING), '.', "
+        "CAST(x DIV 256 % 256 AS STRING), '.', "
+        "CAST(x % 256 AS STRING))",
+    ),
+    ("formatReadableSize", f"(x BIGINT) RETURNS STRING RETURN {readable_size_sql('x')}"),
+]
+
+
+def register_clickhouse_functions(spark: SparkSession) -> list[str]:
+    """Register the dialect into the session; returns the function names."""
+    for name, body in _FUNCTIONS:
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{body}")
+    return [n for n, _ in _FUNCTIONS]

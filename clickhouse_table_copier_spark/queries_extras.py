@@ -399,3 +399,46 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ClickHouse SQL dialect front-end: the reference's users' SQL — toInt32 /
+# toInt64 / formatReadableSize — runs VERBATIM on this engine after
+# functions.ch_dialect registers them as Catalyst SQL scalar functions
+# (inlined expressions, no UDFs). The oracle renders the identical
+# semantics: truncating casts (DuckDB CAST rounds → trunc) and the same
+# ANSI readable-size body (readable_size_sql generates both sides).
+# ---------------------------------------------------------------------------
+def _ch_dialect_oracle() -> str:
+    from clickhouse_table_copier_spark.functions.ch_dialect import readable_size_sql
+
+    sum_expr = "CAST(sum(CAST(trunc(value) AS INTEGER)) AS BIGINT) * 1048576"
+    return f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(trunc(max(value)) AS INTEGER) AS max_i,
+           {readable_size_sql(f"({sum_expr})")} AS readable
+    FROM events
+    GROUP BY event_type
+    """
+
+
+@register("ch_dialect_sql", oracle=_ch_dialect_oracle())
+def q_ch_dialect_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.functions.ch_dialect import (
+        register_clickhouse_functions,
+    )
+    from clickhouse_table_copier_spark.queries import _events
+
+    register_clickhouse_functions(spark)
+    _events(spark, sf_dir).createOrReplaceTempView("ctc_dialect_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               toInt64(count(*)) AS cnt,
+               toInt32(max(value)) AS max_i,
+               formatReadableSize(toInt64(sum(toInt32(value))) * 1048576) AS readable
+        FROM ctc_dialect_events
+        GROUP BY event_type
+        """
+    )

@@ -124,3 +124,44 @@ def test_cast_plan_passthrough_identity(spark):
     out = src.select(*exprs)
     assert out.schema == src.schema
     assert out.collect() == src.collect()
+
+
+def test_clickhouse_dialect_functions(spark):
+    """The dialect shim: ClickHouse function names evaluate as inlined
+    Catalyst expressions with §1.3/§2.6 semantics — and no EvalPython
+    stage anywhere (they are SQL scalar functions, not UDFs)."""
+    from clickhouse_table_copier_spark.functions.ch_dialect import (
+        register_clickhouse_functions,
+    )
+
+    names = register_clickhouse_functions(spark)
+    assert "toInt32" in names and "formatReadableSize" in names
+
+    row = spark.sql(
+        """
+        SELECT toInt32(3.9) AS trunc_pos,
+               toInt32(-3.9) AS trunc_neg,
+               toUInt16(70000.0) AS widened,
+               toDate('2026-02-01') AS d,
+               toUUIDOrZero('550E8400-E29B-41D4-A716-446655440000') AS u_ok,
+               toUUIDOrZero('nope') AS u_zero,
+               IPv4NumToString(167772161) AS ip,
+               formatReadableSize(1536) AS k15,
+               formatReadableSize(1073741824) AS g1,
+               cityHash64('abc') = xxhash64('abc') AS hash_role
+        """
+    ).first()
+    assert row["trunc_pos"] == 3 and row["trunc_neg"] == -3
+    assert row["widened"] == 70000  # UInt16 input widened to INT, no wrap
+    assert str(row["d"]) == "2026-02-01"
+    assert row["u_ok"] == "550e8400-e29b-41d4-a716-446655440000"
+    assert row["u_zero"] == "00000000-0000-0000-0000-000000000000"
+    assert row["ip"] == "10.0.0.1"
+    assert row["k15"] == "1.50 KiB" and row["g1"] == "1.00 GiB"
+    assert row["hash_role"] is True
+
+    plan = (
+        spark.sql("SELECT formatReadableSize(123456789) AS s")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
