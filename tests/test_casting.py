@@ -165,3 +165,79 @@ def test_clickhouse_dialect_functions(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_canonical_ipv6_matches_stdlib_rfc5952(spark):
+    """canonical_ipv6 vs Python's ipaddress.compressed (an independent
+    RFC-5952 implementation): 300 seeded-random addresses plus the
+    adversarial shapes (zero runs at every position, ties, all-zero,
+    single zeros), each fed as the fully-padded uppercase form AND as the
+    compressed form itself (idempotence)."""
+    import ipaddress
+    import random
+
+    rng = random.Random(5952)
+    values = [rng.getrandbits(128) for _ in range(300)]
+    # adversarial: runs of zero groups at each offset/length, ties, edges
+    for start in range(8):
+        for length in range(1, 9 - start):
+            groups = [0x1111] * 8
+            for i in range(start, start + length):
+                groups[i] = 0
+            v = 0
+            for g in groups:
+                v = (v << 16) | g
+            values.append(v)
+    values += [0, 1, 1 << 112, (1 << 128) - 1,
+               0x2001_0db8_0000_0001_0000_0000_0000_0001,  # two runs, tie
+               0x0000_0001_0000_0000_0001_0000_0000_0000]
+    cases = []
+    for v in values:
+        addr = ipaddress.IPv6Address(v)
+        padded = ":".join(f"{(v >> (112 - 16 * i)) & 0xFFFF:04X}" for i in range(8))
+        cases.append((padded, addr.compressed))
+        cases.append((addr.compressed.upper(), addr.compressed))
+
+    from clickhouse_table_copier_spark.functions.scalars import canonical_ipv6
+
+    df = spark.createDataFrame(
+        [(i, inp) for i, (inp, _) in enumerate(cases)], ["i", "s"]
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_ipv6("s").alias("c")).collect()
+    }
+    bad = [
+        (cases[i][0], got[i], cases[i][1])
+        for i in range(len(cases))
+        if got[i] != cases[i][1]
+    ]
+    assert not bad, f"{len(bad)} mismatches, first: {bad[:3]}"
+
+
+def test_ipv4_roundtrip_matches_stdlib(spark):
+    """ipv4_to_long / long_to_ipv4 vs ipaddress on seeded-random + edge
+    addresses, both directions."""
+    import ipaddress
+    import random
+
+    rng = random.Random(4)
+    nums = [rng.getrandbits(32) for _ in range(200)] + [
+        0, 1, 255, 256, 0xFFFFFFFF, 0x7F000001, 0x0A000001
+    ]
+    cases = [(n, str(ipaddress.IPv4Address(n))) for n in nums]
+
+    from clickhouse_table_copier_spark.functions.scalars import (
+        ipv4_to_long,
+        long_to_ipv4,
+    )
+
+    df = spark.createDataFrame(cases, ["n", "s"])
+    rows = df.select(
+        "n", "s",
+        long_to_ipv4("n").alias("rendered"),
+        ipv4_to_long("s").alias("parsed"),
+    ).collect()
+    for r in rows:
+        assert r["rendered"] == r["s"], (r["n"], r["rendered"], r["s"])
+        assert r["parsed"] == r["n"], (r["s"], r["parsed"], r["n"])
