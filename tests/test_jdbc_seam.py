@@ -360,3 +360,55 @@ def test_sql_equality_where_renders_tuples_and_nulls():
         '("k" = 1 AND "m" = \'a\') OR ("k" = 2 AND "m" IS NULL)'
         ' OR ("k" = 3 AND "m" = \'o\'\'brien\')'
     )
+
+
+def test_sync_to_jdbc_tuple_key_delete(spark):
+    """Tuple partition keys through the REAL delete path: the OR-of-tuples
+    WHERE must remove exactly the doomed (type, band) partitions — the
+    arity case the reference's GenerateWhere breaks at (tmp=+1 bug)."""
+    from clickhouse_table_copier_spark.operators.sync_jdbc import (
+        _jdbc_execute,
+        sync_to_jdbc,
+    )
+    from clickhouse_table_copier_spark.plans.partition_spec import (
+        PartitionField,
+        PartitionSpec,
+    )
+    from clickhouse_table_copier_spark.queries import _events
+
+    ev = _events(spark, SF_SMOKE).select("event_id", "event_type", "user_id", "value")
+    spec = PartitionSpec.of(
+        PartitionField("event_type", "event_type"),
+        PartitionField("vband", "CAST(least(floor(value / 100), 2) AS INT)"),
+    )
+    # Derby maps Spark strings to CLOB by default, which cannot be
+    # compared to literals — declare the key column's SQL type explicitly
+    # (the documented Spark JDBC practice; ClickHouse/Postgres dests don't
+    # need it). The option rides TableRef.options into write_table.
+    ref = TableRef(
+        location="jdbc:derby:memory:tupledb;create=true", fmt="jdbc",
+        table="ev_sync",
+        options={
+            "driver": DERBY_DRIVER,
+            "createTableColumnTypes": "event_type VARCHAR(32)",
+        },
+    )
+    res = sync_to_jdbc(spark, ev, ref, spec)
+    n_parts = res.copied_partitions
+    assert n_parts >= 6  # several types × bands
+
+    # corrupt TWO tuple partitions
+    _jdbc_execute(
+        spark, ref,
+        "UPDATE ev_sync SET \"value\" = \"value\" + 0.5"
+        " WHERE (\"event_type\" = 'click' AND \"vband\" = 0)"
+        " OR (\"event_type\" = 'view' AND \"vband\" = 1)",
+    )
+    res2 = sync_to_jdbc(spark, ev, ref, spec)
+    acts = {(r["event_type"], r["vband"]): r["action"] for r in res2.report.collect()}
+    assert acts[("click", 0)] == "overwritten" and acts[("view", 1)] == "overwritten"
+    assert sum(1 for a in acts.values() if a == "overwritten") == 2
+    assert res2.deleted_partitions == 2 and res2.copied_partitions == 2
+
+    res3 = sync_to_jdbc(spark, ev, ref, spec)
+    assert {r["verdict"] for r in res3.report.collect()} == {"identical"}
