@@ -86,6 +86,17 @@ _FUNCTIONS: list[tuple[str, str]] = [
         "CAST(x % 256 AS STRING))",
     ),
     ("formatReadableSize", f"(x BIGINT) RETURNS STRING RETURN {readable_size_sql('x')}"),
+    # partition-key staples — the expressions real configs PARTITION BY
+    ("toYYYYMM", "(x DATE) RETURNS INT RETURN year(x) * 100 + month(x)"),
+    (
+        "toYYYYMMDD",
+        "(x DATE) RETURNS INT RETURN year(x) * 10000 + month(x) * 100 + day(x)",
+    ),
+    ("toStartOfMonth", "(x DATE) RETURNS DATE RETURN CAST(date_trunc('MONTH', x) AS DATE)"),
+    ("toStartOfDay", "(x TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc('DAY', x)"),
+    ("toMonday", "(x DATE) RETURNS DATE RETURN CAST(date_trunc('WEEK', x) AS DATE)"),
+    ("intDiv", "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a DIV b"),
+    ("modulo", "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a % b"),
 ]
 
 

@@ -241,3 +241,46 @@ def test_ipv4_roundtrip_matches_stdlib(spark):
     for r in rows:
         assert r["rendered"] == r["s"], (r["n"], r["rendered"], r["s"])
         assert r["parsed"] == r["n"], (r["s"], r["parsed"], r["n"])
+
+
+def test_clickhouse_dialect_partition_key_functions(spark):
+    """toYYYYMM / toStartOfMonth / intDiv — the expressions ClickHouse
+    configs PARTITION BY — usable directly in a PartitionSpec expr, so a
+    reference config's partition_by carries over verbatim."""
+    from clickhouse_table_copier_spark.functions.ch_dialect import (
+        register_clickhouse_functions,
+    )
+    from clickhouse_table_copier_spark.plans.partition_spec import (
+        PartitionField,
+        PartitionSpec,
+    )
+
+    register_clickhouse_functions(spark)
+    row = spark.sql(
+        """
+        SELECT toYYYYMM(DATE'2026-02-15') AS ym,
+               toYYYYMMDD(DATE'2026-02-15') AS ymd,
+               toStartOfMonth(DATE'2026-02-15') AS som,
+               toMonday(DATE'2026-02-15') AS mon,
+               intDiv(17, 5) AS idv,
+               modulo(17, 5) AS md
+        """
+    ).first()
+    assert row["ym"] == 202602 and row["ymd"] == 20260215
+    assert str(row["som"]) == "2026-02-01" and str(row["mon"]) == "2026-02-09"
+    assert row["idv"] == 3 and row["md"] == 2
+
+    # the verbatim-carryover claim, end to end: partition a table by the
+    # ClickHouse expression itself
+    from tests.conftest import SF_SMOKE
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    spec = PartitionSpec.of(
+        PartitionField("ym", "toYYYYMM(CAST(l_shipdate AS DATE))")
+    )
+    parts = (
+        spec.with_partition_columns(li).select("ym").distinct().collect()
+    )
+    assert all(1 <= r["ym"] % 100 <= 12 for r in parts)
+    assert all(1990 <= r["ym"] // 100 <= 2010 for r in parts)
+    assert len(parts) >= 12  # year-month grain: more partitions than months
