@@ -35,6 +35,14 @@ def _run(mode: str, config_path: str, explain: bool = False) -> int:
     spec = to_partition_spec(job)
     spark = get_spark(app_name=f"ctc-spark-{mode}")
 
+    # ClickHouse dialect in-session: a reference config's partition_by
+    # expressions (toYYYYMM(date), intDiv(key, N), …) evaluate verbatim
+    from clickhouse_table_copier_spark.functions.ch_dialect import (
+        register_clickhouse_functions,
+    )
+
+    register_clickhouse_functions(spark)
+
     src = load_table(
         spark,
         TableRef(

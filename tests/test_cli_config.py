@@ -127,3 +127,30 @@ def test_cli_sync_to_jdbc_destination(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "verdict=identical" in r2.stdout
     assert "verdict=copy" not in r2.stdout
+
+
+def test_cli_accepts_clickhouse_partition_exprs(tmp_path):
+    """A reference config's partition_by carries over verbatim: the CLI
+    registers the ClickHouse dialect, so toYYYYMM(...) works as a
+    partition expression end-to-end."""
+    import yaml
+
+    cfg = tmp_path / "job.yaml"
+    dest = tmp_path / "dest"
+    spec = {
+        "source": {"location": f"{SF_SMOKE}/lineitem.parquet"},
+        "destination": {"location": str(dest)},
+        "partition_by": [
+            {"name": "ym", "expr": "toYYYYMM(CAST(l_shipdate AS DATE))"}
+        ],
+    }
+    cfg.write_text(yaml.safe_dump(spec))
+    env_cmd = [sys.executable, "-m", "clickhouse_table_copier_spark.cli"]
+    r = subprocess.run(
+        env_cmd + ["sync", "--config", str(cfg)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "copied_partitions=" in r.stdout
+    import os
+    assert any(d.startswith("ym=") for d in os.listdir(dest))

@@ -412,3 +412,32 @@ def test_sync_to_jdbc_tuple_key_delete(spark):
 
     res3 = sync_to_jdbc(spark, ev, ref, spec)
     assert {r["verdict"] for r in res3.report.collect()} == {"identical"}
+
+
+def test_sync_to_jdbc_rejects_missing_partition_columns(spark):
+    """A dest table lacking the partition columns is a config error, not a
+    silent misclassification."""
+    from clickhouse_table_copier_spark.operators.sync_jdbc import sync_to_jdbc
+    from clickhouse_table_copier_spark.plans.partition_spec import (
+        PartitionField,
+        PartitionSpec,
+    )
+
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName(DERBY_DRIVER)
+    conn = jvm.java.sql.DriverManager.getConnection(
+        "jdbc:derby:memory:badsync;create=true"
+    )
+    st = conn.createStatement()
+    st.executeUpdate("CREATE TABLE nokeys (a BIGINT, b DOUBLE)")
+    st.close()
+    ref = TableRef(
+        location="jdbc:derby:memory:badsync", fmt="jdbc", table="nokeys",
+        options={"driver": DERBY_DRIVER},
+    )
+    src = spark.range(10).select(
+        F.col("id").alias("a"), (F.col("id") * 1.5).alias("b")
+    )
+    spec = PartitionSpec.of(PartitionField("bucket", "CAST(a % 3 AS INT)"))
+    with pytest.raises(ValueError, match="lacks partition columns"):
+        sync_to_jdbc(spark, src, ref, spec)
