@@ -97,6 +97,14 @@ _FUNCTIONS: list[tuple[str, str]] = [
     ("toMonday", "(x DATE) RETURNS DATE RETURN CAST(date_trunc('WEEK', x) AS DATE)"),
     ("intDiv", "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a DIV b"),
     ("modulo", "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a % b"),
+    ("toYear", "(x DATE) RETURNS INT RETURN year(x)"),
+    ("toMonth", "(x DATE) RETURNS INT RETURN month(x)"),
+    ("toDayOfMonth", "(x DATE) RETURNS INT RETURN day(x)"),
+    ("toHour", "(x TIMESTAMP) RETURNS INT RETURN hour(x)"),
+    # ClickHouse arg order: splitByChar(sep, s)
+    ("splitByChar", "(sep STRING, s STRING) RETURNS ARRAY<STRING> RETURN split(s, sep)"),
+    ("empty", "(x STRING) RETURNS BOOLEAN RETURN x IS NULL OR length(x) = 0"),
+    ("notEmpty", "(x STRING) RETURNS BOOLEAN RETURN x IS NOT NULL AND length(x) > 0"),
 ]
 
 

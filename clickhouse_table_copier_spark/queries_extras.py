@@ -442,3 +442,41 @@ def q_ch_dialect_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Dialect query #2 — the reference's actual reporting shape, verbatim:
+# per-month partition stats with toYYYYMM grouping and formatReadableSize
+# rendering (the query a ClickHouse user runs against system.parts; here
+# it runs over the data itself, same SQL).
+# ---------------------------------------------------------------------------
+def _ch_dialect_partitions_oracle() -> str:
+    from clickhouse_table_copier_spark.functions.ch_dialect import readable_size_sql
+
+    approx_bytes = "CAST(count(*) AS BIGINT) * 128"
+    return f"""
+    SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INTEGER) AS ym,
+           CAST(count(*) AS BIGINT) AS rows_,
+           {readable_size_sql(f"({approx_bytes})")} AS readable_rows
+    FROM lineitem
+    GROUP BY 1
+    """
+
+
+@register("ch_dialect_partitions", oracle=_ch_dialect_partitions_oracle())
+def q_ch_dialect_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.functions.ch_dialect import (
+        register_clickhouse_functions,
+    )
+
+    register_clickhouse_functions(spark)
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("ctc_dialect_li")
+    return spark.sql(
+        """
+        SELECT toYYYYMM(toDate(l_shipdate)) AS ym,
+               toInt64(count(*)) AS rows_,
+               formatReadableSize(toInt64(count(*)) * 128) AS readable_rows
+        FROM ctc_dialect_li
+        GROUP BY toYYYYMM(toDate(l_shipdate))
+        """
+    )
