@@ -480,3 +480,66 @@ def q_ch_dialect_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY toYYYYMM(toDate(l_shipdate))
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations gate: five rule kinds over orders, evaluated
+# in ONE aggregation pass (operators/expectations.py) — the validation
+# stage a pipeline runs before ingestion. Oracle mirrors each rule as an
+# explicit aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "dq_expectations",
+    oracle="""
+    WITH agg AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_rows,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS null_frac_cust,
+             CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS DOUBLE) AS dup_keys,
+             CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                            AND (o_totalprice < 0 OR o_totalprice > 1000000)
+                      THEN 1 ELSE 0 END) AS DOUBLE) AS oob_price,
+             CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                            AND o_orderstatus NOT IN ('O','F','P')
+                      THEN 1 ELSE 0 END) AS DOUBLE) AS bad_status
+      FROM orders
+    )
+    SELECT 0 AS rule_idx, 'o_custkey' AS column_, 'not_null' AS check_,
+           null_frac_cust AS observed,
+           CAST(CASE WHEN null_frac_cust <= 0.0 THEN 1 ELSE 0 END AS INTEGER) AS passed
+    FROM agg
+    UNION ALL
+    SELECT 1, 'o_orderkey', 'unique', dup_keys,
+           CAST(CASE WHEN dup_keys = 0 THEN 1 ELSE 0 END AS INTEGER) FROM agg
+    UNION ALL
+    SELECT 2, 'o_totalprice', 'between', oob_price,
+           CAST(CASE WHEN oob_price = 0 THEN 1 ELSE 0 END AS INTEGER) FROM agg
+    UNION ALL
+    SELECT 3, 'o_orderstatus', 'in_set', bad_status,
+           CAST(CASE WHEN bad_status = 0 THEN 1 ELSE 0 END AS INTEGER) FROM agg
+    UNION ALL
+    SELECT 4, '', 'min_rows', n_rows,
+           CAST(CASE WHEN n_rows >= 100 THEN 1 ELSE 0 END AS INTEGER) FROM agg
+    """,
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.expectations import validate
+
+    orders = _t(spark, sf_dir, "orders")
+    report = validate(
+        orders,
+        [
+            {"column": "o_custkey", "check": "not_null", "max_null_frac": 0.0},
+            {"column": "o_orderkey", "check": "unique"},
+            {"column": "o_totalprice", "check": "between", "lo": 0, "hi": 1000000},
+            {"column": "o_orderstatus", "check": "in_set", "values": ["O", "F", "P"]},
+            {"column": None, "check": "min_rows", "n": 100},
+        ],
+    )
+    return report.select(
+        "rule_idx",
+        F.col("column").alias("column_"),
+        F.col("check").alias("check_"),
+        "observed",
+        "passed",
+    )

@@ -734,3 +734,35 @@ def test_read_pruned_equals_full_filtered_read(spark, tmp_path):
     empty = read_pruned(spark, zmap, "l_orderkey", 10**9, 2 * 10**9)
     assert empty.count() == 0
     assert empty.schema == spark.read.parquet(out).schema
+
+
+def test_expectations_detects_violations(spark):
+    from clickhouse_table_copier_spark.operators.expectations import validate
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, -1.0), (2, "b", 50.0), (3, "zz", 5.0)],
+        "id BIGINT, tag STRING, v DOUBLE",
+    )
+    report = {
+        (r["check"], r["column"]): (r["observed"], r["passed"])
+        for r in validate(
+            df,
+            [
+                {"column": "tag", "check": "not_null", "max_null_frac": 0.1},
+                {"column": "id", "check": "unique"},
+                {"column": "v", "check": "between", "lo": 0, "hi": 10},
+                {"column": "tag", "check": "in_set", "values": ["a", "b"]},
+                {"column": None, "check": "min_rows", "n": 10},
+            ],
+        ).collect()
+    }
+    assert report[("not_null", "tag")] == (0.25, 0)   # 1/4 null > 0.1
+    assert report[("unique", "id")] == (1.0, 0)       # one dup
+    assert report[("between", "v")] == (2.0, 0)       # -1 and 50 out
+    assert report[("in_set", "tag")] == (1.0, 0)      # 'zz'
+    assert report[("min_rows", "")] == (4.0, 0)       # < 10
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown check"):
+        validate(df, [{"column": "id", "check": "nope"}]).collect()
