@@ -55,7 +55,19 @@ def diff_partitions(
     """
     src_fp = partition_fingerprints(src, spec, cols)
     dest_fp = partition_fingerprints(dest, spec, cols)
+    return classify_fingerprints(src_fp, dest_fp, list(spec.names), check_hashes)
 
+
+def classify_fingerprints(
+    src_fp: DataFrame,
+    dest_fp: DataFrame,
+    names: list[str],
+    check_hashes: bool = True,
+) -> DataFrame:
+    """The verdict join over two pre-aggregated (keys, rows, fingerprint)
+    tables — shared by the live diff and the offline manifest diff
+    (operators.manifest): one row per partition in, one verdict row out."""
+    spec = PartitionSpec.bare(*names)
     s = src_fp.select(
         *spec.names,
         F.col("rows").alias("src_rows"),

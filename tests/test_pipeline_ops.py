@@ -766,3 +766,50 @@ def test_expectations_detects_violations(spark):
 
     with _pytest.raises(ValueError, match="unknown check"):
         validate(df, [{"column": "id", "check": "nope"}]).collect()
+
+
+def test_manifest_diff_matches_live_diff(spark, tmp_path):
+    """Offline manifest diff must produce the IDENTICAL verdict table the
+    live diff computes when both tables are co-readable."""
+    from clickhouse_table_copier_spark.operators.diff import diff_partitions
+    from clickhouse_table_copier_spark.operators.manifest import (
+        diff_manifests,
+        write_fingerprint_manifest,
+    )
+    from clickhouse_table_copier_spark.plans.partition_spec import (
+        PartitionField,
+        PartitionSpec,
+    )
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    spec = PartitionSpec.of(
+        PartitionField("ship_month", "CAST(month(l_shipdate) AS INT)")
+    )
+    mutated = li.where(F.month("l_shipdate") != 7).withColumn(
+        "l_quantity",
+        F.when(F.month("l_shipdate") == 4, F.col("l_quantity") + 1).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+    cols = ["l_orderkey", "l_linenumber", "l_quantity"]
+
+    sm, dm = str(tmp_path / "src_m"), str(tmp_path / "dest_m")
+    write_fingerprint_manifest(li.select(*cols, "l_shipdate"), spec, sm, cols)
+    write_fingerprint_manifest(mutated.select(*cols, "l_shipdate"), spec, dm, cols)
+    offline = {
+        r["ship_month"]: r["verdict"]
+        for r in diff_manifests(spark, sm, dm, ["ship_month"]).collect()
+    }
+
+    live = {
+        r["ship_month"]: r["verdict"]
+        for r in diff_partitions(
+            spec.with_partition_columns(li).select("ship_month", *cols),
+            spec.with_partition_columns(mutated).select("ship_month", *cols),
+            PartitionSpec.bare("ship_month"),
+            cols=cols,
+        ).collect()
+    }
+    assert offline == live
+    assert offline[7] == "copy" and offline[4] == "inconsistent"
+    assert sum(1 for v in offline.values() if v == "identical") == 10
