@@ -192,8 +192,13 @@ def write_table(df: DataFrame, ref: TableRef, mode: str = "append") -> None:
             .option("batchsize", "10000")
             .mode(mode)
         )
+        # read-only sharding options must not reach the writer: Spark's
+        # JDBC option validation requires partitionColumn/lowerBound/
+        # upperBound as a trio for READS and they mean nothing on writes
+        # (numPartitions IS write-valid — caps insert connections)
+        read_only = ("partitionColumn", "lowerBound", "upperBound")
         for k, v in ref.options.items():
-            if k not in _RETRY_KEYS:
+            if k not in _RETRY_KEYS and k not in read_only:
                 writer = writer.option(k, str(v))
         writer.save()
         return

@@ -441,3 +441,24 @@ def test_sync_to_jdbc_rejects_missing_partition_columns(spark):
     spec = PartitionSpec.of(PartitionField("bucket", "CAST(a % 3 AS INT)"))
     with pytest.raises(ValueError, match="lacks partition columns"):
         sync_to_jdbc(spark, src, ref, spec)
+
+
+def test_write_table_tolerates_read_sharding_options(spark, tmp_path):
+    """A ref configured for sharded READS (partitionColumn trio) must be
+    writable as a destination too — the read-only options are dropped at
+    the writer, numPartitions is kept (caps insert connections)."""
+    from clickhouse_table_copier_spark.sources.table import write_table
+
+    ref = TableRef(
+        location="jdbc:derby:memory:shardwrite;create=true", fmt="jdbc",
+        table="t_rw",
+        options={
+            "driver": DERBY_DRIVER,
+            "partitionColumn": "id", "lowerBound": "0", "upperBound": "100",
+            "numPartitions": "2",
+        },
+    )
+    df = spark.range(50).select(F.col("id"), (F.col("id") * 2.0).alias("v"))
+    write_table(df, ref, mode="overwrite")
+    back = load_table(spark, ref)
+    assert back.count() == 50
