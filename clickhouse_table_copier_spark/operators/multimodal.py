@@ -5,12 +5,18 @@ only layout that scales: Spark shuffles/stores bytes without interpreting
 them, and decode happens exactly once, inside an Arrow-batched
 ``mapInPandas`` stage at the edge of the pipeline.
 
-The decode kernels themselves are STUBBED (no image/audio libraries in
-this container): ``decode_image_meta`` parses real header bytes for
-PNG/JPEG (pure Python, deterministic); ``extract_features`` produces a
+IMAGE decode kernels are partially STUBBED (no image libraries in this
+container): ``decode_image_meta`` parses real header bytes for PNG/JPEG
+(pure Python, deterministic); ``extract_features`` produces a
 deterministic md5-derived fake feature vector with the REAL Spark-side
 contract — schema, Arrow batching, partition preservation — so swapping in
 PIL/ffmpeg later changes one inner function, not the pipeline.
+
+AUDIO is fully REAL: WAV (RIFF/PCM) needs no media libraries, so
+``synthesize_audio_table`` writes genuine PCM WAV bytes,
+``decode_audio_meta`` parses the actual chunks, and ``audio_features``
+computes real windowed DSP (RMS + zero-crossing rate) with numpy —
+verified against the stdlib ``wave`` module in tests.
 """
 
 from __future__ import annotations
@@ -201,4 +207,149 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
         F.explode(
             F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
         ).alias("frame_idx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio: REAL, not stubbed — WAV (RIFF/PCM) needs no media libraries.
+# Synthesis writes genuine PCM WAV bytes; decode parses the actual RIFF
+# chunks; features are real DSP (RMS energy + zero-crossing rate per
+# window, numpy over the PCM payload). The stdlib `wave` module verifies
+# the bytes independently in tests.
+# ---------------------------------------------------------------------------
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ]
+)
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("window_idx", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zcr", T.DoubleType()),
+    ]
+)
+
+
+def synthesize_audio_table(spark, n: int = 32) -> DataFrame:
+    """Deterministic fixture: genuine 16-bit PCM WAV blobs (mono), varying
+    sample rate, length and tone frequency per id."""
+    import math
+
+    rows = []
+    for i in range(n):
+        sr = 8000 if i % 2 == 0 else 16000
+        n_samples = 400 + (i % 7) * 100
+        freq = 100.0 + (i % 5) * 50.0
+        amp = 8000 + (i % 3) * 4000
+        pcm = b"".join(
+            struct.pack(
+                "<h", int(amp * math.sin(2 * math.pi * freq * t / sr))
+            )
+            for t in range(n_samples)
+        )
+        data_size = len(pcm)
+        hdr = (
+            b"RIFF"
+            + struct.pack("<I", 36 + data_size)
+            + b"WAVE"
+            + b"fmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+            + b"data"
+            + struct.pack("<I", data_size)
+        )
+        rows.append((i, "audio", bytearray(hdr + pcm), '{"fmt":"wav"}'))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _make_wav_parser():
+    """RIFF/PCM parser as a closure (pickles by value — executors don't
+    import this package). Returns (sample_rate, channels, bits, pcm_bytes)."""
+    import struct as _struct
+
+    def parse_wav(b: bytes):
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE container")
+        pos, sr, ch, bits, pcm = 12, None, None, None, None
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            size = _struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+            body = b[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                _, ch, sr, _, _, bits = _struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                pcm = body
+            pos += 8 + size + (size % 2)  # chunks are word-aligned
+        if sr is None or pcm is None:
+            raise ValueError("missing fmt/data chunk")
+        return sr, ch, bits, pcm
+
+    return parse_wav
+
+
+def decode_audio_meta(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode: RIFF chunks → typed audio metadata."""
+    parse_wav = _make_wav_parser()
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                sr, ch, bits, pcm = parse_wav(bytes(content))
+                n = len(pcm) // (ch * bits // 8)
+                out.append((mid, sr, ch, bits, n, n / sr))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_rate", "channels", "bits",
+                    "n_samples", "duration_s",
+                ],
+            )
+
+    return df.select("media_id", "content").mapInPandas(fn, AUDIO_META_SCHEMA)
+
+
+def audio_features(df: DataFrame, window: int = 256) -> DataFrame:
+    """REAL windowed DSP over the PCM payload: RMS energy and
+    zero-crossing rate per ``window`` samples (numpy, Arrow-batched,
+    partition-preserving). The standard front-end of audio quality
+    filtering / VAD in a training-data pipeline."""
+    parse_wav = _make_wav_parser()
+
+    def make_fn(win: int):
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            for pdf in batches:
+                rows = []
+                for mid, content in zip(pdf["media_id"], pdf["content"]):
+                    sr, ch, bits, pcm = parse_wav(bytes(content))
+                    x = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
+                    if ch > 1:
+                        x = x.reshape(-1, ch).mean(axis=1)
+                    x = x / 32768.0
+                    for w in range(0, len(x), win):
+                        seg = x[w : w + win]
+                        rms = float(np.sqrt(np.mean(seg * seg)))
+                        zc = (
+                            float(np.mean(np.abs(np.diff(np.signbit(seg).astype(np.int8)))))
+                            if len(seg) > 1
+                            else 0.0
+                        )
+                        rows.append((mid, w // win, rms, zc))
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "window_idx", "rms", "zcr"]
+                )
+
+        return fn
+
+    return df.select("media_id", "content").mapInPandas(
+        make_fn(window), AUDIO_FEATURE_SCHEMA
     )

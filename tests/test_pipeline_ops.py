@@ -813,3 +813,55 @@ def test_manifest_diff_matches_live_diff(spark, tmp_path):
     assert offline == live
     assert offline[7] == "copy" and offline[4] == "inconsistent"
     assert sum(1 for v in offline.values() if v == "identical") == 10
+
+
+def test_audio_wav_decode_matches_stdlib_wave(spark):
+    """The synthesized bytes are REAL WAV files: the stdlib `wave` module
+    (independent parser) must agree with decode_audio_meta on every blob."""
+    import io
+    import wave
+
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        decode_audio_meta,
+        synthesize_audio_table,
+    )
+
+    media = synthesize_audio_table(spark, 16)
+    got = {r["media_id"]: r for r in decode_audio_meta(media).collect()}
+    for row in media.collect():
+        with wave.open(io.BytesIO(bytes(row["content"]))) as w:
+            g = got[row["media_id"]]
+            assert g["sample_rate"] == w.getframerate()
+            assert g["channels"] == w.getnchannels()
+            assert g["bits"] == w.getsampwidth() * 8
+            assert g["n_samples"] == w.getnframes()
+            assert abs(g["duration_s"] - w.getnframes() / w.getframerate()) < 1e-9
+
+
+def test_audio_features_real_dsp(spark):
+    """Windowed RMS/ZCR over the PCM payload: window count matches
+    ceil(n_samples/window); a sine tone's full-window RMS sits near
+    amp/sqrt(2); zcr grows with tone frequency; runs are deterministic."""
+    import math
+
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        audio_features,
+        decode_audio_meta,
+        synthesize_audio_table,
+    )
+
+    media = synthesize_audio_table(spark, 8)
+    meta = {r["media_id"]: r for r in decode_audio_meta(media).collect()}
+    feats = audio_features(media, window=200).collect()
+    by_id: dict = {}
+    for r in feats:
+        by_id.setdefault(r["media_id"], []).append(r)
+    for mid, rows in by_id.items():
+        assert len(rows) == math.ceil(meta[mid]["n_samples"] / 200)
+        full = [r for r in rows if r["window_idx"] < meta[mid]["n_samples"] // 200]
+        for r in full:
+            assert 0.05 < r["rms"] < 0.75  # sine RMS ≈ amp/√2, amp ≤ 16000/32768
+            assert 0.0 < r["zcr"] < 0.5
+
+    feats2 = audio_features(media, window=200).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, feats2))
