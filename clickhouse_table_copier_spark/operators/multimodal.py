@@ -41,24 +41,46 @@ MEDIA_SCHEMA = T.StructType(
 
 
 def synthesize_media_table(spark, n: int = 64) -> DataFrame:
-    """Deterministic fixture: tiny valid PNG/JPEG-headered byte blobs.
+    """Deterministic fixture: tiny byte blobs with REAL container headers
+    (PNG IHDR, JPEG APP0+SOF0 segments, GIF logical screen, BMP info
+    header) so the decoders parse genuine structures, not magic alone.
 
     Stands in for a real binary ingest (tar/webdataset reader) so the
     decode plumbing is testable inside this container.
     """
     rows = []
     for i in range(n):
-        if i % 2 == 0:
-            w, h = 16 + (i % 8) * 4, 16 + (i % 5) * 8
+        w, h = 16 + (i % 8) * 4, 16 + (i % 5) * 8
+        pad = hashlib.md5(str(i).encode()).digest() * 8
+        if i % 4 == 0:
             content = (
                 b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
-                + struct.pack(">II", w, h)
-                + hashlib.md5(str(i).encode()).digest() * 4
+                + struct.pack(">II", w, h) + pad
             )
-            rows.append((i, "image", bytearray(content), '{"fmt":"png"}'))
+            fmt = "png"
+        elif i % 4 == 1:
+            # SOI + APP0 (JFIF, declared size 16 = 2 + 14 payload bytes)
+            # + SOF0 (size 11 = 2 + precision + dims + 1 component spec)
+            app0 = (
+                b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+                + b"\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+            )
+            sof0 = (
+                b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+                + struct.pack(">HH", h, w) + b"\x01\x11\x00"
+            )
+            content = b"\xff\xd8" + app0 + sof0 + pad
+            fmt = "jpeg"
+        elif i % 4 == 2:
+            content = b"GIF89a" + struct.pack("<HH", w, h) + pad
+            fmt = "gif"
         else:
-            content = b"\xff\xd8\xff\xe0" + hashlib.md5(str(i).encode()).digest() * 8
-            rows.append((i, "image", bytearray(content), '{"fmt":"jpeg"}'))
+            content = (
+                b"BM" + struct.pack("<IHHI", 0, 0, 0, 54)
+                + struct.pack("<IiiHH", 40, w, -h, 1, 24) + pad
+            )
+            fmt = "bmp"
+        rows.append((i, "image", bytearray(content), f'{{"fmt":"{fmt}"}}'))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -74,9 +96,12 @@ IMAGE_META_SCHEMA = T.StructType(
 
 
 def _make_decode_one():
-    """Header-only decoder built as a CLOSURE: nested functions pickle by
+    """Header decoder built as a CLOSURE: nested functions pickle by
     value (cloudpickle), so executors don't need this package importable.
-    A real deployment replaces the body with PIL/libvips; the signature
+    PNG/JPEG/GIF/BMP dimensions are parsed for REAL (IHDR; SOF-segment
+    scan; logical screen descriptor; BITMAPINFOHEADER) — pure Python,
+    no image libraries. Pixel DECODE (not needed for metadata) is where
+    a real deployment plugs PIL/libvips; the signature
     (bytes → (fmt, w, h)) and everything around it stay as-is.
     """
     import struct as _struct
@@ -85,8 +110,24 @@ def _make_decode_one():
         if content[:8] == b"\x89PNG\r\n\x1a\n":
             w, h = _struct.unpack(">II", content[16:24])
             return "png", int(w), int(h)
-        if content[:3] == b"\xff\xd8\xff":
-            return "jpeg", -1, -1  # dims need a full scan — stubbed
+        if content[:2] == b"\xff\xd8":
+            # scan JPEG segments for a start-of-frame marker (C0-CF minus
+            # the non-frame C4/C8/CC): payload = precision, height, width
+            pos = 2
+            while pos + 4 <= len(content) and content[pos] == 0xFF:
+                marker = content[pos + 1]
+                size = _struct.unpack(">H", content[pos + 2 : pos + 4])[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = _struct.unpack(">HH", content[pos + 5 : pos + 9])
+                    return "jpeg", int(w), int(h)
+                pos += 2 + size
+            return "jpeg", -1, -1  # truncated stream: no frame header found
+        if content[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = _struct.unpack("<HH", content[6:10])
+            return "gif", int(w), int(h)
+        if content[:2] == b"BM":
+            w, h = _struct.unpack("<ii", content[18:26])
+            return "bmp", int(w), abs(int(h))  # negative h = top-down rows
         raise NotImplementedError("unsupported media container")
 
     return decode_one
