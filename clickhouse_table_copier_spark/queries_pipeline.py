@@ -613,3 +613,70 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", bucket.cast("int").alias("bucket"))
         .where(F.col("bucket") < rate)
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH quality evaluation: precision/recall of MinHash+LSH candidates vs
+# the exact Jaccard ≥ 0.5 truth set — the QA metric a pipeline owner
+# watches when tuning bands/hashes. Pure counting (exact integers, one
+# final division), so fully oracled.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_lsh_eval",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    shing AS ({_SHINGLES_SQL}),
+    sigs AS (SELECT doc_id, {_MINHASH_AGG_SQL} FROM shing GROUP BY doc_id),
+    bands AS (SELECT doc_id, {_BANDS_SQL} FROM sigs),
+    banded AS (
+      SELECT doc_id, 0 AS band_idx, band0 AS band_key FROM bands
+      UNION ALL SELECT doc_id, 1, band1 FROM bands
+      UNION ALL SELECT doc_id, 2, band2 FROM bands
+      UNION ALL SELECT doc_id, 3, band3 FROM bands
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shing GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_cnt
+      FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(inter_cnt AS DOUBLE) / (sa.sz + sb.sz - inter_cnt) >= 0.5
+    ),
+    hit AS (SELECT count(*) AS n FROM cand JOIN truth USING (id_a, id_b))
+    SELECT CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true_pairs,
+           CAST((SELECT n FROM hit) AS BIGINT) AS n_hits,
+           CAST((SELECT n FROM hit) AS DOUBLE)
+             / (SELECT count(*) FROM cand) AS precision_,
+           CAST((SELECT n FROM hit) AS DOUBLE)
+             / (SELECT count(*) FROM truth) AS recall_
+    """,
+)
+def q_dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _shared_shingle_index(spark, sf_dir)
+    sigs = minhash_signatures(
+        _corpus(spark, sf_dir), "doc_id", "text", num_hashes=8, index=idx
+    )
+    cand = lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
+    truth = ngram_jaccard_pairs(
+        _corpus(spark, sf_dir), "doc_id", "text", threshold=0.5, index=idx
+    ).select("id_a", "id_b")
+    hits = cand.join(truth, ["id_a", "id_b"])
+    n_cand = cand.count()
+    n_truth = truth.count()
+    n_hits = hits.count()
+    return spark.createDataFrame(
+        [(n_cand, n_truth, n_hits, n_hits / n_cand, n_hits / n_truth)],
+        "n_candidates BIGINT, n_true_pairs BIGINT, n_hits BIGINT, "
+        "precision_ DOUBLE, recall_ DOUBLE",
+    )
