@@ -524,10 +524,15 @@ def test_resize_images_reheaders_png(spark):
         resized.select("media_id", "content")
     ).collect()
     pngs = [r for r in meta if r["fmt"] == "png"]
-    assert pngs and all(r["width"] == 224 and r["height"] == 128 for r in pngs)
-    # non-PNG passes through unchanged (jpeg stub has no dims)
-    jpgs = [r for r in meta if r["fmt"] == "jpeg"]
-    assert len(jpgs) == 8
+    assert len(pngs) == 4
+    assert all(r["width"] == 224 and r["height"] == 128 for r in pngs)
+    # non-PNG containers pass through with their original dimensions
+    others = [r for r in meta if r["fmt"] in ("jpeg", "gif", "bmp")]
+    assert len(others) == 12
+    expect = {i: (16 + (i % 8) * 4, 16 + (i % 5) * 8) for i in range(16)}
+    assert all(
+        (r["width"], r["height"]) == expect[r["media_id"]] for r in others
+    )
 
 
 def test_salted_join_equals_plain_join(spark):
