@@ -879,3 +879,41 @@ def test_audio_features_real_dsp(spark):
 
     feats2 = audio_features(media, window=200).collect()
     assert sorted(map(tuple, feats)) == sorted(map(tuple, feats2))
+
+
+def test_lsh_bucketed_stored_layout_prunes_partitions(spark, tmp_path):
+    """The 100 TB ANN claim made concrete: vectors STORED partitioned by
+    LSH bucket let a probe read only its bucket partitions — Spark's
+    partition pruning must show in the plan and in the files touched."""
+    from clickhouse_table_copier_spark.operators.similarity import (
+        hyperplane_lsh_buckets,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    out = str(tmp_path / "ann_store")
+    buckets = hyperplane_lsh_buckets(emb, 4, dim=64).select("vec_id", "bucket")
+    vecs = emb.join(buckets, "vec_id")
+    vecs.write.partitionBy("bucket").parquet(out)
+
+    store = spark.read.parquet(out)
+    n_buckets = store.select("bucket").distinct().count()
+    assert n_buckets > 4  # population spreads over buckets
+
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    qb = hyperplane_lsh_buckets(
+        emb.where(F.col("vec_id") == 0), 4, dim=64
+    ).first()["bucket"]
+    probes = [qb] + [qb ^ (1 << p) for p in range(4)]
+    probe_df = store.where(F.col("bucket").isin(probes))
+
+    plan = probe_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    files_read = (
+        probe_df.select(F.col("_metadata.file_path")).distinct().count()
+    )
+    files_total = (
+        store.select(F.col("_metadata.file_path")).distinct().count()
+    )
+    assert files_read < files_total  # probes touch a strict subset
+    # and the probed rows are exactly the candidate set LSH defines
+    assert probe_df.count() == store.where(F.col("bucket").isin(probes)).count()
