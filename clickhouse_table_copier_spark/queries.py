@@ -41,12 +41,43 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# The driver's correctness gate checks the FIRST 50 registered queries in
+# dict order. Rounds 1-2 verified the 50 that import order happened to put
+# first; these are the queries registered after that window, rotated to the
+# front so round 3's CORRECTNESS file gains driver rows for them (the ones
+# rotated out already have green rows on file in CORRECTNESS_r02.json).
+_DRIVER_WINDOW_FIRST = [
+    "array_string_ops",
+    "ipv6_canon",
+    "doc_winnowing",
+    "order_value_percentiles",
+    "similarity_ivf_topk",
+    "asof_join_status",
+    "range_join_value_bands",
+    "fuzzy_name_pairs",
+    "hypertable_rollup",
+    "sql_frontend_revenue",
+    "table_profile",
+    "value_histogram",
+    "ch_dialect_sql",
+    "ch_dialect_partitions",
+    "dq_expectations",
+    "streaming_window_counts",
+]
+
+
+def _window_ordered(d: dict) -> dict:
+    out = {n: d[n] for n in _DRIVER_WINDOW_FIRST if n in d}
+    out.update((n, v) for n, v in d.items() if n not in out)
+    return out
+
+
 def queries() -> dict[str, QueryFn]:
-    return dict(_QUERIES)
+    return _window_ordered(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    return _window_ordered(_ORACLES)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
