@@ -36,15 +36,17 @@ _UNITS = ["B", "KiB", "MiB", "GiB", "TiB", "PiB"]
 def readable_size_sql(x: str) -> str:
     """ANSI SQL text for formatReadableSize(x) — valid in Spark AND DuckDB.
 
-    Exact integer math: hundredths = floor(x*100 / 1024^i) computed by
-    subtracting the modulo before dividing (the numerator becomes exactly
-    divisible, so the division is exact in IEEE754 in any engine).
+    Exact integer math for the FULL nonnegative BIGINT domain: every
+    divisor is a power of two (1024^i = 2^(10i)), so the floor division
+    is a bit shift — hundredths = (x >> 10i)*100 + ((x % 2^10i)*100 >> 10i)
+    — and no intermediate exceeds 2^57 (the earlier x*100 rendering
+    wrapped BIGINT above ~82 PiB). Both engines parse ``>>`` on BIGINT.
     """
 
     def render(i: int) -> str:
         d = 1024**i
-        num = f"(CAST({x} AS BIGINT) * 100)"
-        h = f"CAST(({num} - {num} % {d}) / {d} AS BIGINT)"
+        xb = f"CAST({x} AS BIGINT)"
+        h = f"((({xb} >> {10 * i}) * 100) + ((({xb} % {d}) * 100) >> {10 * i}))"
         whole = f"CAST(CAST(({h} - {h} % 100) / 100 AS BIGINT) AS STRING)"
         frac = f"LPAD(CAST({h} % 100 AS STRING), 2, '0')"
         return f"CONCAT({whole}, '.', {frac}, ' {_UNITS[i]}')"
@@ -59,14 +61,18 @@ def readable_size_sql(x: str) -> str:
 
 
 _FUNCTIONS: list[tuple[str, str]] = [
-    ("toInt8", "(x DOUBLE) RETURNS TINYINT RETURN CAST(x AS TINYINT)"),
-    ("toInt16", "(x DOUBLE) RETURNS SMALLINT RETURN CAST(x AS SMALLINT)"),
-    ("toInt32", "(x DOUBLE) RETURNS INT RETURN CAST(x AS INT)"),
-    ("toInt64", "(x DOUBLE) RETURNS BIGINT RETURN CAST(x AS BIGINT)"),
+    # toIntN carry BIGINT parameters so integer inputs stay exact end-to-end
+    # (a DOUBLE parameter silently corrupted BIGINTs above 2^53, e.g.
+    # toInt64(cityHash64(x))); DOUBLE arguments still coerce with the same
+    # truncation-toward-zero a direct double cast had.
+    ("toInt8", "(x BIGINT) RETURNS TINYINT RETURN CAST(x AS TINYINT)"),
+    ("toInt16", "(x BIGINT) RETURNS SMALLINT RETURN CAST(x AS SMALLINT)"),
+    ("toInt32", "(x BIGINT) RETURNS INT RETURN CAST(x AS INT)"),
+    ("toInt64", "(x BIGINT) RETURNS BIGINT RETURN x"),
     # unsigned → widened signed (§1.3)
-    ("toUInt8", "(x DOUBLE) RETURNS SMALLINT RETURN CAST(x AS SMALLINT)"),
-    ("toUInt16", "(x DOUBLE) RETURNS INT RETURN CAST(x AS INT)"),
-    ("toUInt32", "(x DOUBLE) RETURNS BIGINT RETURN CAST(x AS BIGINT)"),
+    ("toUInt8", "(x BIGINT) RETURNS SMALLINT RETURN CAST(x AS SMALLINT)"),
+    ("toUInt16", "(x BIGINT) RETURNS INT RETURN CAST(x AS INT)"),
+    ("toUInt32", "(x BIGINT) RETURNS BIGINT RETURN x"),
     ("toFloat64", "(x STRING) RETURNS DOUBLE RETURN CAST(x AS DOUBLE)"),
     ("toDate", "(x STRING) RETURNS DATE RETURN CAST(x AS DATE)"),
     ("toDateTime", "(x STRING) RETURNS TIMESTAMP RETURN CAST(x AS TIMESTAMP)"),

@@ -25,6 +25,7 @@ next run rather than assuming atomicity.
 from __future__ import annotations
 
 import datetime
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,17 +35,34 @@ from clickhouse_table_copier_spark.operators.sync import SyncOptions, SyncResult
 from clickhouse_table_copier_spark.plans.partition_spec import PartitionSpec
 from clickhouse_table_copier_spark.sources.table import (
     TableRef,
+    jdbc_retry_policy,
     load_table,
     write_table,
 )
 
+# Dialects whose string literals treat backslash as an escape character by
+# default (ClickHouse — the reference's native target — and MySQL family).
+# Standard-conforming servers (Derby, Postgres, Oracle) must NOT get
+# doubled backslashes: there '\' is literal.
+_BACKSLASH_ESCAPE_URL_PREFIXES = ("jdbc:clickhouse", "jdbc:ch:", "jdbc:mysql", "jdbc:mariadb")
 
-def sql_equality_where(names: list[str], rows: list[tuple]) -> str:
+
+def dialect_backslash_escapes(jdbc_url: str) -> bool:
+    return jdbc_url.lower().startswith(_BACKSLASH_ESCAPE_URL_PREFIXES)
+
+
+def sql_equality_where(
+    names: list[str], rows: list[tuple], backslash_escapes: bool = False
+) -> str:
     """``(k1=v1 AND k2=v2) OR (…)`` — remote-side WHERE text for the
     delete step. The reference's GenerateWhere (sidefunctions.go:194-236)
     emits one predicate per round trip; rendering the OR over all doomed
     partitions keeps it to ONE statement. Fixes the two-key arity bug
-    (``tmp = +1``) the same way plans.predicates does for Column form."""
+    (``tmp = +1``) the same way plans.predicates does for Column form.
+
+    ``backslash_escapes``: set for dialects (ClickHouse/MySQL) where ``\\``
+    escapes inside string literals — a key value ending in a backslash
+    would otherwise swallow the closing quote and mis-target the DELETE."""
 
     def lit(v) -> str:
         if isinstance(v, bool):
@@ -53,7 +71,10 @@ def sql_equality_where(names: list[str], rows: list[tuple]) -> str:
             return str(v)
         if isinstance(v, (datetime.date, datetime.datetime)):
             return f"'{v}'"
-        return "'" + str(v).replace("'", "''") + "'"
+        s = str(v)
+        if backslash_escapes:
+            s = s.replace("\\", "\\\\")
+        return "'" + s.replace("'", "''") + "'"
 
     def one(row: tuple) -> str:
         # ANSI-quoted identifiers: Spark's JDBC writer creates columns as
@@ -90,12 +111,50 @@ def _jdbc_execute(spark: SparkSession, ref: TableRef, sql: str) -> None:
         conn.close()
 
 
+# SQLStates that mean "that table does not exist" — Derby 42X05,
+# SQL-Server/MySQL-family 42S02, Postgres 42P01, ODBC S0002, DB2 42704.
+# Anything else (connection refused, auth failure, timeout) is NOT
+# evidence of absence: treating it as missing routed sync_to_jdbc into the
+# dest-absent branch whose overwrite DROPS the remote table — destroying
+# dest-only data on a transient network blip.
+_TABLE_MISSING_SQLSTATES = frozenset({"42X05", "42S02", "42P01", "S0002", "42704"})
+
+
+def _sql_states(exc: Exception) -> list[str]:
+    """SQLState codes along the Java cause chain of a py4j error."""
+    states: list[str] = []
+    je = getattr(exc, "java_exception", None)
+    while je is not None:
+        try:
+            st = je.getSQLState()
+            if st:
+                states.append(str(st).upper())
+        except Exception:
+            pass  # not a java.sql.SQLException — keep walking the chain
+        try:
+            je = je.getCause()
+        except Exception:
+            break
+    return states
+
+
 def _jdbc_table_exists(spark: SparkSession, ref: TableRef) -> bool:
-    try:
-        _jdbc_execute(spark, ref, f"SELECT 1 FROM {ref.table} WHERE 1=0")
-        return True
-    except Exception:
-        return False
+    """Existence probe (S5 parity, database.go:344). Only a table-missing
+    SQLState returns False; connection-class failures retry under the C9
+    knobs (``connect_retries``/``retry_delay_s``) and then re-raise."""
+    retries, delay = jdbc_retry_policy(ref)
+    attempt = 0
+    while True:
+        try:
+            _jdbc_execute(spark, ref, f"SELECT 1 FROM {ref.table} WHERE 1=0")
+            return True
+        except Exception as e:
+            if any(s in _TABLE_MISSING_SQLSTATES for s in _sql_states(e)):
+                return False
+            if 0 <= retries <= attempt:
+                raise
+            attempt += 1
+            time.sleep(delay)
 
 
 def sync_to_jdbc(
@@ -186,7 +245,11 @@ def sync_to_jdbc(
     doomed = [key(r) for r in rows if r["action"] in ("overwritten", "deleted")]
     deleted = 0
     if doomed:
-        where = sql_equality_where(list(spec.names), doomed)
+        where = sql_equality_where(
+            list(spec.names),
+            doomed,
+            backslash_escapes=dialect_backslash_escapes(dest_ref.location),
+        )
         _jdbc_execute(spark, dest_ref, f"DELETE FROM {dest_ref.table} WHERE {where}")
         deleted = len(doomed)
 

@@ -82,16 +82,27 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # query previously derived inline.
 # ---------------------------------------------------------------------------
 _SHINGLE_INDEX_CACHE: dict = {}
+# Bounded LRU: a long-lived session touching many sf_dirs must not
+# accumulate persisted DataFrames in executor storage — evicted entries
+# are unpersisted (the eviction only drops cached blocks; any in-flight
+# job over the evicted plan recomputes, values unchanged).
+_SHINGLE_INDEX_CACHE_MAX = 4
 
 
 def _shared_shingle_index(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     from clickhouse_table_copier_spark.operators.dedup import shingle_index
 
     key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), n)
-    idx = _SHINGLE_INDEX_CACHE.get(key)
+    idx = _SHINGLE_INDEX_CACHE.pop(key, None)  # pop+reinsert = LRU order
     if idx is None:
         idx = shingle_index(_corpus(spark, sf_dir), "doc_id", "text", n).persist()
-        _SHINGLE_INDEX_CACHE[key] = idx
+    _SHINGLE_INDEX_CACHE[key] = idx
+    while len(_SHINGLE_INDEX_CACHE) > _SHINGLE_INDEX_CACHE_MAX:
+        old = _SHINGLE_INDEX_CACHE.pop(next(iter(_SHINGLE_INDEX_CACHE)))
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # session already stopped
     return idx
 
 
@@ -675,8 +686,12 @@ def q_dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cand = cand.count()
     n_truth = truth.count()
     n_hits = hits.count()
+    # empty candidate/truth sets (degenerate corpora) yield NULL metrics,
+    # not ZeroDivisionError — the fixture always has both nonempty
+    precision = n_hits / n_cand if n_cand else None
+    recall = n_hits / n_truth if n_truth else None
     return spark.createDataFrame(
-        [(n_cand, n_truth, n_hits, n_hits / n_cand, n_hits / n_truth)],
+        [(n_cand, n_truth, n_hits, precision, recall)],
         "n_candidates BIGINT, n_true_pairs BIGINT, n_hits BIGINT, "
         "precision_ DOUBLE, recall_ DOUBLE",
     )

@@ -462,3 +462,73 @@ def test_write_table_tolerates_read_sharding_options(spark, tmp_path):
     write_table(df, ref, mode="overwrite")
     back = load_table(spark, ref)
     assert back.count() == 50
+
+
+# ---------------------------------------------------------------------------
+# Existence probe discrimination: only a table-missing SQLState means
+# "absent"; a connection failure must raise, never route into the
+# dest-absent branch (whose overwrite would DROP a healthy remote table).
+# ---------------------------------------------------------------------------
+def test_exists_probe_missing_table_is_false(spark, derby_table):
+    from clickhouse_table_copier_spark.operators.sync_jdbc import _jdbc_table_exists
+
+    ref = TableRef(
+        location=DERBY_URL, fmt="jdbc", table="definitely_not_a_table",
+        options={"driver": DERBY_DRIVER, "connect_retries": "0"},
+    )
+    assert _jdbc_table_exists(spark, ref) is False  # Derby SQLState 42X05
+    present = TableRef(
+        location=DERBY_URL, fmt="jdbc", table="items",
+        options={"driver": DERBY_DRIVER, "connect_retries": "0"},
+    )
+    assert _jdbc_table_exists(spark, present) is True
+
+
+def test_exists_probe_connection_failure_raises(spark):
+    from clickhouse_table_copier_spark.operators.sync_jdbc import _jdbc_table_exists
+
+    # a Derby memory db that was never created (no ;create=true) fails at
+    # CONNECT time (SQLState XJ004), not with a table-missing state
+    ref = TableRef(
+        location="jdbc:derby:memory:never_created_db", fmt="jdbc",
+        table="items",
+        options={"driver": DERBY_DRIVER, "connect_retries": "0",
+                 "retry_delay_s": "0"},
+    )
+    with pytest.raises(Exception):
+        _jdbc_table_exists(spark, ref)
+
+
+def test_sql_equality_where_backslash_dialects():
+    from clickhouse_table_copier_spark.operators.sync_jdbc import (
+        dialect_backslash_escapes,
+        sql_equality_where,
+    )
+
+    rows = [("a\\", 1)]
+    standard = sql_equality_where(["m", "k"], rows)
+    assert "'a\\'" in standard  # Derby/Postgres: backslash is literal
+    ch = sql_equality_where(["m", "k"], rows, backslash_escapes=True)
+    assert "'a\\\\'" in ch  # ClickHouse/MySQL: backslash must be doubled
+    assert dialect_backslash_escapes("jdbc:clickhouse://h:8123/db")
+    assert dialect_backslash_escapes("jdbc:mysql://h/db")
+    assert not dialect_backslash_escapes(DERBY_URL)
+    assert not dialect_backslash_escapes("jdbc:postgresql://h/db")
+
+
+def test_ch_dialect_toint64_exact_above_2_53(spark):
+    """toInt64 must carry BIGINTs exactly — the DOUBLE-parameter version
+    corrupted integers above 2^53 (e.g. toInt64(cityHash64(x)))."""
+    from clickhouse_table_copier_spark.functions.ch_dialect import (
+        register_clickhouse_functions,
+    )
+
+    register_clickhouse_functions(spark)
+    big = 9007199254740993  # 2^53 + 1: not representable as a double
+    row = spark.sql(
+        f"SELECT toInt64({big}) AS a, toInt64(cityHash64('x')) AS b, "
+        "xxhash64('x') AS b_ref, toInt32(3.7) AS t"
+    ).first()
+    assert row["a"] == big
+    assert row["b"] == row["b_ref"]
+    assert row["t"] == 3  # double args still truncate toward zero

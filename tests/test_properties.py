@@ -58,7 +58,10 @@ def test_sql_equality_where_selects_exactly_the_doomed_tuples(tuples):
 @settings(max_examples=20, deadline=None)
 @given(
     st.lists(
-        st.integers(min_value=0, max_value=2**53),
+        # full nonnegative BIGINT domain: the shift-based body must stay
+        # exact past 2^53 (where doubles lose integers) and past ~82 PiB
+        # (where the old x*100 rendering wrapped BIGINT)
+        st.integers(min_value=0, max_value=2**63 - 1),
         min_size=1,
         max_size=32,
     )
