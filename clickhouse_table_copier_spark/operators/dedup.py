@@ -328,16 +328,19 @@ def dedup_clusters(
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """(id, simhash): sum ±1 per hash bit over the doc's distinct tokens,
     bit set where the sum is positive. md5-derived token hashes keep it
-    engine-portable. One explode over tokens×bits + one grouped agg.
+    engine-portable.
 
-    Bit extraction is pure integer math: bit ``b`` lives in hex digit
-    ``n_hex - b div 4`` of the token's md5 (1-based, the low digit is the
-    last), pulled out with substring + one-digit conv + shift/mask — exact
-    for any ``bits`` ≤ 128. The earlier ``pow(2, bit)`` double was exact
-    only below 2⁵³ and silently broke a 64-bit widening; signature
-    assembly likewise uses ``shiftleft(1L, bit)`` (bit 63 lands on the
-    sign bit — the signed value IS the two's-complement bit pattern, and
-    banding below reads it with an unsigned shift)."""
+    No row inflation: the earlier shape exploded tokens×bits (a 32-64×
+    intermediate) and aggregated twice. Here each token's md5 prefix is
+    decomposed ONCE into 32-bit integer chunks (substring + conv — exact
+    for any ``bits`` ≤ 128), and a single groupBy(id) computes all per-bit
+    one-counts as ``bits`` map-side-combined sums over ``(chunk >> k) % 2``
+    expressions. The ±1 sign sum never needs materializing: with ``n``
+    distinct tokens, ``sum(±1) > 0  ⇔  2·ones > n`` (ties stay unset,
+    identical to the exploded form). Signature assembly uses
+    ``shiftleft(1L, b)`` — bit 63 lands on the sign bit; the signed value
+    IS the two's-complement bit pattern, and banding below reads it with
+    an unsigned shift."""
     if not 1 <= bits <= 128:
         raise ValueError(f"bits must be in [1, 128], got {bits}")
     n_hex = (bits + 3) // 4
@@ -347,26 +350,31 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
             F.array_distinct(F.split(normalized_text(text_col), " "))
         ).alias("tok"),
     )
-    # md5 hex computed ONCE per token, before the bit explode
+    # md5 hex computed ONCE per token; big-endian prefix → 32-bit chunks
+    # (chunk j covers bits 32j..32j+31, counted from the LSB of the prefix)
     hashed = toks.select(F.col(id_col), F.md5(F.col("tok")).alias("hx"))
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    nibble_bit = F.expr(
-        f"shiftright(CAST(conv(substring(hx, {n_hex} - (bit div 4), 1), 16, 10) AS INT),"
-        " bit % 4) % 2"
-    )
-    contrib = hashed.select(F.col(id_col), bit, F.col("hx")).select(
-        id_col,
-        "bit",
-        F.when(nibble_bit == 1, F.lit(1)).otherwise(F.lit(-1)).alias("sign"),
-    )
-    bitsum = contrib.groupBy(id_col, "bit").agg(F.sum("sign").alias("s"))
-    return bitsum.groupBy(id_col).agg(
-        F.sum(
-            F.when(
-                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
-            ).otherwise(F.lit(0))
-        ).alias("simhash")
-    )
+    chunk_cols = []
+    for j in range((bits + 31) // 32):
+        width = min(8, n_hex - 8 * j)
+        start = n_hex - 8 * j - width + 1
+        chunk_cols.append(
+            F.expr(
+                f"CAST(conv(substring(hx, {start}, {width}), 16, 10) AS BIGINT)"
+            ).alias(f"c{j}")
+        )
+    chunked = hashed.select(F.col(id_col), *chunk_cols)
+    ones = [
+        F.sum(F.expr(f"shiftright(c{b // 32}, {b % 32}) % 2")).alias(f"o{b}")
+        for b in range(bits)
+    ]
+    agg = chunked.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"), *ones)
+    sig = F.lit(0).cast("bigint")
+    for b in range(bits):
+        sig = sig + F.when(
+            F.col(f"o{b}") * 2 > F.col("n"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {b})"),
+        ).otherwise(F.lit(0).cast("bigint"))
+    return agg.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_pairs(
