@@ -5,12 +5,14 @@ only layout that scales: Spark shuffles/stores bytes without interpreting
 them, and decode happens exactly once, inside an Arrow-batched
 ``mapInPandas`` stage at the edge of the pipeline.
 
-IMAGE decode kernels are partially STUBBED (no image libraries in this
-container): ``decode_image_meta`` parses real header bytes for PNG/JPEG
-(pure Python, deterministic); ``extract_features`` produces a
-deterministic md5-derived fake feature vector with the REAL Spark-side
-contract — schema, Arrow batching, partition preservation — so swapping in
-PIL/ffmpeg later changes one inner function, not the pipeline.
+IMAGE support (no image libraries in this container): ``decode_image_meta``
+parses real header bytes for PNG/JPEG/GIF/BMP; PNG gets REAL pixel decode
+too — a pure-Python zlib chunk-walk + unfilter (``_make_png_decoder``),
+feeding ``image_pixel_stats`` (mean R/G/B/luma) and the first feature
+slots of ``extract_features``. Everything else keeps the md5-derived
+deterministic stand-in behind the REAL Spark-side contract — schema, Arrow
+batching, partition preservation — so swapping in PIL/ffmpeg later changes
+one inner function, not the pipeline.
 
 AUDIO is fully REAL: WAV (RIFF/PCM) needs no media libraries, so
 ``synthesize_audio_table`` writes genuine PCM WAV bytes,
@@ -53,10 +55,17 @@ def synthesize_media_table(spark, n: int = 64) -> DataFrame:
         w, h = 16 + (i % 8) * 4, 16 + (i % 5) * 8
         pad = hashlib.md5(str(i).encode()).digest() * 8
         if i % 4 == 0:
-            content = (
-                b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
-                + struct.pack(">II", w, h) + pad
+            # REAL PNG: encoded pixels (deterministic per-id pattern), so
+            # pixel-stat stages decode genuine image data, not just headers
+            px = bytes(
+                v
+                for y in range(h)
+                for x in range(w)
+                for v in (
+                    (x * 7 + i) % 256, (y * 5 + 2 * i) % 256, (x + y + 3 * i) % 256
+                )
             )
+            content = encode_png(px, w, h, channels=3)
             fmt = "png"
         elif i % 4 == 1:
             # SOI + APP0 (JFIF, declared size 16 = 2 + 14 payload bytes)
@@ -82,6 +91,166 @@ def synthesize_media_table(spark, n: int = 64) -> DataFrame:
             fmt = "bmp"
         rows.append((i, "image", bytearray(content), f'{{"fmt":"{fmt}"}}'))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def encode_png(pixels: bytes, width: int, height: int, channels: int = 3) -> bytes:
+    """A REAL (minimal) PNG encoder — pure Python, zlib + struct.
+
+    8-bit, non-interlaced, filter 0 scanlines; ``channels`` 1 (gray),
+    3 (RGB) or 4 (RGBA). Round-trips through any standards-compliant
+    decoder, including :func:`_make_png_decoder` below — used by tests to
+    build images with KNOWN pixel values and by the fixture synthesizer.
+    """
+    import zlib
+
+    color = {1: 0, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _make_png_decoder():
+    """REAL PNG pixel decode as a closure (pickles by value): chunk walk,
+    concatenated-IDAT inflate, per-scanline unfilter (all five PNG filter
+    types), for 8-bit gray/RGB/RGBA non-interlaced streams. Returns
+    ``(width, height, channels, [per-channel mean 0-255])`` or ``None``
+    when the bytes aren't a PNG this decoder covers — those keep the
+    documented PIL seam (header-only metadata, md5-derived features)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    def decode_png(b: bytes):
+        if b[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        pos, idat, meta = 8, [], None
+        try:
+            while pos + 8 <= len(b):
+                size, ctype = _struct.unpack(">I4s", b[pos : pos + 8])
+                body = b[pos + 8 : pos + 8 + size]
+                if len(body) < size:
+                    return None
+                if ctype == b"IHDR":
+                    w, h, depth, color, _, _, interlace = _struct.unpack(
+                        ">IIBBBBB", body
+                    )
+                    meta = (w, h, depth, color, interlace)
+                elif ctype == b"IDAT":
+                    idat.append(body)
+                elif ctype == b"IEND":
+                    break
+                pos += 12 + size  # length + type + body + crc
+            if meta is None or not idat:
+                return None
+            w, h, depth, color, interlace = meta
+            nch = {0: 1, 2: 3, 6: 4}.get(color)
+            if nch is None or depth != 8 or interlace != 0:
+                return None
+            raw = _zlib.decompress(b"".join(idat))
+            stride = w * nch
+            if len(raw) != (stride + 1) * h:
+                return None
+            sums = [0] * nch
+            prev = bytearray(stride)
+            for y in range(h):
+                off = y * (stride + 1)
+                f = raw[off]
+                line = bytearray(raw[off + 1 : off + 1 + stride])
+                if f == 1:  # Sub
+                    for i in range(nch, stride):
+                        line[i] = (line[i] + line[i - nch]) & 0xFF
+                elif f == 2:  # Up
+                    for i in range(stride):
+                        line[i] = (line[i] + prev[i]) & 0xFF
+                elif f == 3:  # Average
+                    for i in range(stride):
+                        a = line[i - nch] if i >= nch else 0
+                        line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+                elif f == 4:  # Paeth
+                    for i in range(stride):
+                        a = line[i - nch] if i >= nch else 0
+                        c = prev[i - nch] if i >= nch else 0
+                        p = a + prev[i] - c
+                        pa, pb, pc = abs(p - a), abs(p - prev[i]), abs(p - c)
+                        pr = (
+                            a
+                            if (pa <= pb and pa <= pc)
+                            else (prev[i] if pb <= pc else c)
+                        )
+                        line[i] = (line[i] + pr) & 0xFF
+                elif f != 0:
+                    return None
+                for i in range(stride):
+                    sums[i % nch] += line[i]
+                prev = line
+            npx = w * h
+            return w, h, nch, [s / npx for s in sums]
+        except Exception:
+            return None
+
+    return decode_png
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def image_pixel_stats(df: DataFrame) -> DataFrame:
+    """REAL per-channel pixel statistics (mean R/G/B + Rec.601 luma) for
+    PNG streams, decoded with the pure-Python zlib decoder — no image
+    libraries. Non-PNG / unsupported streams yield NULL stats (their
+    decode stays behind the PIL seam). Same Arrow-batched mapInPandas
+    shape as every decode stage here."""
+    decode_png = _make_png_decoder()
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                got = decode_png(bytes(content))
+                if got is None:
+                    out.append((mid, None, None, None, None, None, None, None))
+                    continue
+                w, h, nch, means = got
+                if nch == 1:
+                    r = g = b = means[0]
+                else:
+                    r, g, b = means[0], means[1], means[2]
+                luma = 0.299 * r + 0.587 * g + 0.114 * b
+                out.append((mid, w, h, nch, r, g, b, luma))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height", "channels",
+                    "mean_r", "mean_g", "mean_b", "mean_luma",
+                ],
+            )
+
+    return df.select("media_id", "content").mapInPandas(fn, PIXEL_STATS_SCHEMA)
 
 
 IMAGE_META_SCHEMA = T.StructType(
@@ -167,21 +336,33 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
-    """Deterministic fake feature extractor with the real pipeline shape.
+    """Feature extractor with the real pipeline shape; the first four
+    slots are REAL pixel statistics when the stream is a decodable PNG.
 
-    md5(content) expanded to ``dim`` floats in [0,1). Replace the inner
-    loop with a model forward pass; schema/batching/partitioning stand.
+    PNG (8-bit gray/RGB/RGBA): slots 0-3 = mean R, G, B, Rec.601 luma in
+    [0,1), computed by the pure-Python zlib decoder. Remaining slots (and
+    every slot of non-PNG streams) stay md5(content)-derived — the
+    documented seam where a model forward pass / PIL plugs in. Schema,
+    Arrow batching and partitioning are the production shape either way.
     """
+    decode_png = _make_png_decoder()
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, feats = [], []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                h = hashlib.md5(bytes(content)).digest()
+                b = bytes(content)
+                h = hashlib.md5(b).digest()
                 vec = [
                     int.from_bytes(h[(2 * j) % 16 : (2 * j) % 16 + 2], "big") / 65536.0
                     for j in range(dim)
                 ]
+                got = decode_png(b)
+                if got is not None:
+                    _, _, nch, means = got
+                    r, g, bl = (means * 3)[:3] if nch == 1 else means[:3]
+                    real = [r, g, bl, 0.299 * r + 0.587 * g + 0.114 * bl]
+                    vec[: min(4, dim)] = [v / 255.0 for v in real[: min(4, dim)]]
                 ids.append(mid)
                 feats.append(vec)
             yield pd.DataFrame({"media_id": ids, "feature": feats})
