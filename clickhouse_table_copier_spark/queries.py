@@ -63,6 +63,15 @@ _DRIVER_WINDOW_FIRST = [
     "ch_dialect_partitions",
     "dq_expectations",
     "streaming_window_counts",
+    # round-3 additions — registered directly into the window so their
+    # first driver round produces correctness rows (displacing r02-green
+    # queries whose rows are already on file)
+    "decontamination",
+    "pii_redaction",
+    "seq_packing",
+    "semantic_dedup",
+    "corpus_dedup_summary",
+    "local_supplier_volume",
 ]
 
 

@@ -1,0 +1,363 @@
+"""Query batch 8 (round 3): the remaining training-data-pipeline stages a
+100 TB corpus engine runs between "raw crawl" and "training shards" —
+benchmark decontamination, PII redaction, sequence packing, semantic
+(centroid-blocked) dedup, the dedup summary report, and one multi-join
+supplier-volume rollup exercising the broadcast-join planner.
+
+Determinism follows the house rules (see queries.py): decimal-carried
+double sums, explicit result casts on both sides, single final divisions,
+md5-derived keys so both engines compute identical hashes, pinned seed
+centroids for anything k-means-shaped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_table_copier_spark.queries import _t, register
+from clickhouse_table_copier_spark.queries_pipeline import _CORPUS_SQL, _NORM_SQL, _corpus
+from clickhouse_table_copier_spark.queries_similarity import (
+    _dot_chain_sql,
+    _norm_chain_sql,
+    _sqdist_chain_sql,
+)
+
+# Shingles over the RAW documents table (not the mutated dedup corpus):
+# the decontamination check runs against the corpus as ingested.
+_DOC_SHINGLES_SQL = """
+  SELECT doc_id, unnest(
+    CASE WHEN len(string_split({norm}, ' ')) >= 3 THEN
+      list_distinct([
+        array_to_string(string_split({norm}, ' ')[i:i+2], ' ')
+        FOR i IN range(1, len(string_split({norm}, ' ')) - 1)
+      ])
+    ELSE [{norm}] END
+  ) AS sh
+  FROM documents
+""".format(norm=_NORM_SQL.format(c="text"))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: which training documents share word-3-gram
+# shingles with the held-out eval split (doc_id % 50 == 0 — deterministic
+# in both engines)? The standard pre-training hygiene pass: an n-gram
+# inverted-index JOIN against the eval set, never a quadratic text scan.
+# At 100 TB: shingle the (small) eval set, broadcast it, stream the
+# corpus index past it — the plan below is exactly that shape.
+# ---------------------------------------------------------------------------
+@register(
+    "decontamination",
+    oracle=f"""
+    WITH shing AS ({_DOC_SHINGLES_SQL}),
+    eval_sh AS (SELECT DISTINCT sh FROM shing WHERE doc_id % 50 = 0),
+    doc_sizes AS (
+      SELECT doc_id, count(*) AS n_shingles FROM shing
+      WHERE doc_id % 50 <> 0 GROUP BY 1
+    ),
+    hits AS (
+      SELECT s.doc_id, count(DISTINCT s.sh) AS n_overlap
+      FROM shing s JOIN eval_sh e USING (sh)
+      WHERE s.doc_id % 50 <> 0
+      GROUP BY 1
+    )
+    SELECT h.doc_id,
+           CAST(h.n_overlap AS BIGINT) AS n_overlap,
+           CAST(d.n_shingles AS BIGINT) AS n_shingles,
+           CAST(h.n_overlap AS DOUBLE) / CAST(d.n_shingles AS DOUBLE)
+             AS overlap_ratio
+    FROM hits h JOIN doc_sizes d USING (doc_id)
+    """,
+)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.dedup import shingle_index
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = shingle_index(docs, "doc_id", "text", 3)
+    is_eval = F.col("doc_id") % 50 == 0
+    eval_sh = idx.where(is_eval).select("sh").distinct()
+    train = idx.where(~is_eval)
+    doc_sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        train.join(eval_sh, "sh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("sh").alias("n_overlap"))
+    )
+    return hits.join(doc_sizes, "doc_id").select(
+        "doc_id",
+        F.col("n_overlap").cast("bigint").alias("n_overlap"),
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        (
+            F.col("n_overlap").cast("double") / F.col("n_shingles").cast("double")
+        ).alias("overlap_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: detect + scrub emails/phone numbers, report counts and
+# the redacted-content hash. The fixture text is clean word soup, so both
+# engines INJECT identical deterministic PII first (id-derived), then run
+# the same regex pipeline — the patterns stay inside the RE2 ∩ Java-regex
+# common subset so Spark and DuckDB match byte-for-byte.
+# Expression-only (regexp_extract_all / regexp_replace): codegen, no UDFs.
+# ---------------------------------------------------------------------------
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+"
+_PHONE_RE = "555-[0-9]{3}-[0-9]{4}"
+
+_PII_TEXT_SQL = (
+    "text || (CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com now' ELSE '' END)"
+    " || (CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || CAST(100 + doc_id % 900 AS VARCHAR)"
+    " || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END)"
+)
+
+
+@register(
+    "pii_redaction",
+    oracle=f"""
+    WITH pii AS (SELECT doc_id, {_PII_TEXT_SQL} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS INTEGER) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_hash
+    FROM pii
+    """,
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    # the CASE/concat part has no backslashes → safe through the SQL
+    # parser; the REGEX patterns go through the python column API only
+    # (F.expr string literals would strip the backslash escapes that
+    # DuckDB's standard-conforming strings keep — a silent regex drift)
+    pii_text = F.expr(_PII_TEXT_SQL.replace("AS VARCHAR", "AS STRING"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(pii_text, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(pii_text, F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(pii_text, F.lit(_PHONE_RE), F.lit(0)))
+        .cast("int")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: fill fixed-token-budget training sequences by streaming
+# documents in id order within each language shard. Bin assignment is a
+# prefix-sum window (exclusive cumulative token count DIV budget) — fully
+# parallel per shard, no driver loop; at 100 TB the shard column is the
+# partition key and each shard packs independently.
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 512
+_TOKEN_CNT_SQL = "len(regexp_extract_all(text, '\\w+'))"
+
+
+@register(
+    "seq_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, doc_id, {_TOKEN_CNT_SQL} AS n_tokens FROM documents
+    ),
+    packed AS (
+      SELECT lang, doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {_PACK_BUDGET} AS INTEGER) AS bin
+      FROM toks
+    )
+    SELECT lang, bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(doc_id) AS from_doc, max(doc_id) AS to_doc
+    FROM packed GROUP BY lang, bin
+    """,
+)
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(text, '\\\\w+', 0)")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = toks.withColumn(
+        "bin",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / _PACK_BUDGET).cast(
+            "int"
+        ),
+    )
+    return packed.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").alias("from_doc"),
+        F.max("doc_id").alias("to_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style): block by k-means cell (the PINNED seed
+# centroids of the IVF search query — deterministic in both engines), then
+# exact cosine within cells only. The centroid block replaces the label
+# block of dedup_embedding_cosine: this is the shape used when no labels
+# exist — cells partition the corpus so the pair search never crosses
+# cell boundaries (at scale: cell = storage partition, per-cell self-join).
+# ---------------------------------------------------------------------------
+_SD_CELLS = 8
+_SD_THRESHOLD = 0.4
+
+
+@register(
+    "semantic_dedup",
+    oracle=f"""
+    WITH cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cv
+      FROM embeddings ORDER BY vec_id LIMIT {_SD_CELLS}
+    ),
+    pairs AS (
+      SELECT e.vec_id, e.embedding, c.cell,
+             {_sqdist_chain_sql("e.embedding", "c.cv")} AS d
+      FROM embeddings e, cents c
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT vec_id, embedding, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+        FROM pairs
+      ) WHERE rn = 1
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(a.cell AS INTEGER) AS cell,
+           round(({_dot_chain_sql("a.embedding", "b.embedding")})
+                 / ({_norm_chain_sql("a.embedding")} * {_norm_chain_sql("b.embedding")}), 6)
+             AS cosine_sim
+    FROM assigned a JOIN assigned b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE round(({_dot_chain_sql("a.embedding", "b.embedding")})
+                / ({_norm_chain_sql("a.embedding")} * {_norm_chain_sql("b.embedding")}), 6)
+          >= {_SD_THRESHOLD}
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.dedup import spread
+    from clickhouse_table_copier_spark.operators.ivf import assign_cells
+    from clickhouse_table_copier_spark.operators.similarity import cosine
+
+    emb = spread(_t(spark, sf_dir, "embeddings"))
+    seeds = emb.orderBy("vec_id").limit(_SD_CELLS).select("embedding").collect()
+    centroids = [[float(x) for x in r["embedding"]] for r in seeds]
+    assigned = assign_cells(emb, centroids).persist()
+    a, b = assigned.alias("a"), assigned.alias("b")
+    sim = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.cell").cast("int").alias("cell"),
+            sim.alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= _SD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup summary report: the one-row corpus-health readout every dedup run
+# ends with (total docs, distinct contents, dropped count, dup ratio) —
+# computed from the exact-dedup groups in one aggregation pass.
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_dedup_summary",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    g AS (
+      SELECT md5({_NORM_SQL.format(c="text")}) AS k, count(*) AS c
+      FROM corpus GROUP BY 1
+    )
+    SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(c) - count(*) AS BIGINT) AS n_dropped,
+           CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_ratio
+    FROM g
+    """,
+)
+def q_corpus_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.dedup import exact_dedup
+
+    groups = exact_dedup(_corpus(spark, sf_dir), "doc_id", "text")
+    return groups.agg(
+        F.sum("dup_cnt").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        (F.sum("dup_cnt") - F.count(F.lit(1))).cast("bigint").alias("n_dropped"),
+        (
+            (F.sum("dup_cnt") - F.count(F.lit(1))).cast("double")
+            / F.sum("dup_cnt").cast("double")
+        ).alias("dup_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Local supplier volume (TPC-H Q5 shape): revenue per nation where the
+# customer and supplier share a nation, one region + one year. Exercises
+# the join planner across 6 tables — dims broadcast (region/nation/
+# supplier/customer), facts shuffle on keys; the c_nationkey = s_nationkey
+# equi-condition rides the same hash join, no extra shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           count(*) AS line_cnt
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND year(o.o_orderdate) = 1995
+    GROUP BY n.n_name
+    """,
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(F.year("o_orderdate") == 1995)
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("line_cnt"),
+        )
+    )
