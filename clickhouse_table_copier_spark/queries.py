@@ -72,6 +72,7 @@ _DRIVER_WINDOW_FIRST = [
     "semantic_dedup",
     "corpus_dedup_summary",
     "local_supplier_volume",
+    "part_type_revenue",
 ]
 
 

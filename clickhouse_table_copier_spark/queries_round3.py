@@ -361,3 +361,52 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("line_cnt"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Part-type revenue share (TPC-H Q14 flavor): lineitem joined to the part
+# dimension (broadcast), revenue per part type plus its share of total.
+# Shares divide two decimal-exact sums as doubles (one final division —
+# deterministic), never decimal/decimal (whose result scale differs
+# between engines). Closes the last unread fixture table (part).
+# ---------------------------------------------------------------------------
+@register(
+    "part_type_revenue",
+    oracle="""
+    WITH t AS (
+      SELECT p.p_type,
+             sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                 (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS r,
+             count(*) AS line_cnt
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    )
+    SELECT p_type,
+           CAST(r AS DOUBLE) AS revenue,
+           line_cnt,
+           CAST(r AS DOUBLE) / CAST(sum(r) OVER () AS DOUBLE) AS revenue_share
+    FROM t
+    """,
+)
+def q_part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    t = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(F.sum(rev).alias("r"), F.count(F.lit(1)).alias("line_cnt"))
+    )
+    w = Window.partitionBy()
+    return t.select(
+        "p_type",
+        F.col("r").cast("double").alias("revenue"),
+        "line_cnt",
+        (F.col("r").cast("double") / F.sum("r").over(w).cast("double")).alias(
+            "revenue_share"
+        ),
+    )
