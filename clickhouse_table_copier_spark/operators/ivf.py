@@ -97,6 +97,28 @@ def assign_cells(
     )
 
 
+def probe_cells(
+    centroids: list[list[float]], query_vec: list[float], n_probe: int
+) -> list[int]:
+    """The ``n_probe`` nearest cells to the query (driver-side arithmetic
+    over k×dim floats), ties to the lowest cell id."""
+    dists = [
+        (i, sum((a - b) ** 2 for a, b in zip(c, query_vec)))
+        for i, c in enumerate(centroids)
+    ]
+    return [i for i, _ in sorted(dists, key=lambda t: (t[1], t[0]))[:n_probe]]
+
+
+def _score_topk(
+    cand: DataFrame, query_vec: list[float], k: int, id_col: str, vec_col: str
+) -> DataFrame:
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(
+        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim")
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
 def ivf_topk(
     df: DataFrame,
     centroids: list[list[float]],
@@ -107,15 +129,44 @@ def ivf_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k within the ``n_probe`` nearest cells to the query."""
-    dists = [
-        (i, sum((a - b) ** 2 for a, b in zip(c, query_vec)))
-        for i, c in enumerate(centroids)
-    ]
-    probe = [i for i, _ in sorted(dists, key=lambda t: (t[1], t[0]))[:n_probe]]
+    probe = probe_cells(centroids, query_vec, n_probe)
     cells = assign_cells(df, centroids, id_col, vec_col)
-    cand = cells.where(F.col("cell").isin(probe))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = cand.select(
-        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim")
+    return _score_topk(
+        cells.where(F.col("cell").isin(probe)), query_vec, k, id_col, vec_col
     )
-    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+def write_ivf_layout(
+    df: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF-Flat STORED layout: vectors written partitioned by
+    cell, so probing becomes Spark partition pruning (directory-level
+    skip) rather than a filter over a full scan — the 100 TB shape where
+    each query touches ~n_probe/k of the table's files."""
+    assign_cells(df, centroids, id_col, vec_col).write.partitionBy(
+        "cell"
+    ).parquet(path)
+
+
+def ivf_topk_stored(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over a :func:`write_ivf_layout` store. The ``cell IN (probes)``
+    predicate is a partition filter — the scan lists only the probed cell
+    directories (asserted by test, not assumed)."""
+    probe = probe_cells(centroids, query_vec, n_probe)
+    store = spark.read.parquet(path)
+    return _score_topk(
+        store.where(F.col("cell").isin(probe)), query_vec, k, id_col, vec_col
+    )
