@@ -73,6 +73,10 @@ _DRIVER_WINDOW_FIRST = [
     "corpus_dedup_summary",
     "local_supplier_volume",
     "part_type_revenue",
+    "ann_pq_adc",
+    "doc_dup_ngram_fraction",
+    "bm25_rank",
+    "quality_weighted_sample",
 ]
 
 

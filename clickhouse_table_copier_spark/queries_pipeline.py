@@ -456,10 +456,9 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_quality",
-    oracle="""
-    WITH base AS (
+# Factored so quality_weighted_sample (queries_round3) renders the SAME
+# quality definition the driver already verifies here.
+_QUALITY_BASE_SQL = """
       SELECT doc_id, text,
              CASE WHEN length(trim(text)) = 0 THEN 0
                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
@@ -474,14 +473,22 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              + CAST((length((' '||lower(text)||' ')) - length(replace((' '||lower(text)||' '), ' in ', ''))) / 4 AS INTEGER)
              ) AS stop_hits
       FROM documents
-    )
-    SELECT doc_id,
-           CAST(CASE WHEN toks >= 10 AND toks <= 100000 THEN 40 ELSE 0 END
+"""
+
+_QUALITY_EXPR_SQL = """CAST(CASE WHEN toks >= 10 AND toks <= 100000 THEN 40 ELSE 0 END
              + CAST(floor(wcr * 30) AS INTEGER)
              + CASE WHEN toks = 0 THEN 0
                     WHEN CAST(stop_hits AS DOUBLE) / toks >= 0.05 THEN 30
                     ELSE CAST(floor((CAST(stop_hits AS DOUBLE) / toks) * 600) AS INTEGER) END
-             AS INTEGER) AS quality,
+             AS INTEGER)"""
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH base AS ({_QUALITY_BASE_SQL})
+    SELECT doc_id,
+           {_QUALITY_EXPR_SQL} AS quality,
            CAST(wcr AS DOUBLE) AS word_char_ratio
     FROM base
     """,

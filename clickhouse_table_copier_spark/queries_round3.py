@@ -16,7 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clickhouse_table_copier_spark.queries import _t, register
-from clickhouse_table_copier_spark.queries_pipeline import _CORPUS_SQL, _NORM_SQL, _corpus
+from clickhouse_table_copier_spark.queries_pipeline import (
+    _CORPUS_SQL,
+    _NORM_SQL,
+    _SHINGLES_SQL,
+    _corpus,
+)
 from clickhouse_table_copier_spark.queries_similarity import (
     _dot_chain_sql,
     _norm_chain_sql,
@@ -410,3 +415,268 @@ def q_part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (Jégou et al. 2011): encode every vector as 8
+# sub-codes from pinned seed codebooks, answer the query by ADC lookup —
+# the compressed-domain scale path (8 bytes/vector instead of 256; scans
+# read codes only). The oracle re-derives sub-assignments via per-subspace
+# row_number argmin and the ADC sum via an 8×8 distance CTE, with every
+# float chain rendered in Spark's fold order (see operators/pq.py).
+# ---------------------------------------------------------------------------
+_PQ_M = 8  # subspaces (64 dims / 8)
+_PQ_K = 8  # codes per subspace = pinned seed vectors 0..7
+_PQ_SUB = 8
+
+
+def _pq_sub_chain(a: str, b: str, m: int) -> str:
+    lo = m * _PQ_SUB + 1
+    return " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        f" * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        for i in range(lo, lo + _PQ_SUB)
+    )
+
+
+_PQ_ENC_CTES = ",\n".join(
+    f"""enc{m} AS (
+      SELECT vec_id, code AS c{m} FROM (
+        SELECT e.vec_id, c.code,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_pq_sub_chain("e.embedding", "c.cv", m)} ASC, c.code ASC)
+                 AS rn
+        FROM embeddings e, codes c WHERE e.vec_id <> 0
+      ) WHERE rn = 1
+    )"""
+    for m in range(_PQ_M)
+)
+
+_PQ_DT_COLS = ",\n".join(
+    f"{_pq_sub_chain('q.qv', 'c.cv', m)} AS d{m}" for m in range(_PQ_M)
+)
+
+_PQ_ADC_SUM = " + ".join(f"t{m}.d{m}" for m in range(_PQ_M))
+
+_PQ_JOINS = "\n".join(
+    [f"JOIN enc{m} e{m} USING (vec_id)" for m in range(1, _PQ_M)]
+    + [f"JOIN dt t{m} ON t{m}.code = e{m}.c{m}" for m in range(_PQ_M)]
+)
+
+
+@register(
+    "ann_pq_adc",
+    oracle=f"""
+    WITH codes AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding AS cv
+      FROM embeddings ORDER BY vec_id LIMIT {_PQ_K}
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    {_PQ_ENC_CTES},
+    dt AS (SELECT c.code, {_PQ_DT_COLS} FROM codes c, q)
+    SELECT e0.vec_id, round({_PQ_ADC_SUM}, 6) AS adc_dist
+    FROM enc0 e0
+    {_PQ_JOINS}
+    ORDER BY adc_dist ASC, e0.vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.dedup import spread
+    from clickhouse_table_copier_spark.operators.pq import (
+        pq_codebooks_from_seeds,
+        pq_topk,
+    )
+
+    emb = spread(_t(spark, sf_dir, "embeddings"))
+    seeds = emb.orderBy("vec_id").limit(_PQ_K).select("embedding").collect()
+    seed_vecs = [[float(x) for x in r["embedding"]] for r in seeds]
+    books = pq_codebooks_from_seeds(seed_vecs, _PQ_M)
+    return pq_topk(emb.where(F.col("vec_id") != 0), books, seed_vecs[0], k=10)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-n-gram fraction (the C4/RefinedWeb dup-span
+# signal): for every corpus document, the share of its distinct word
+# 3-grams that also occur in at least one other document. Two map-reduce
+# passes over the SHARED shingle index — df per shingle, then a per-doc
+# rollup; at 100 TB both shuffles carry (hashable key, count) pairs only.
+# ---------------------------------------------------------------------------
+@register(
+    "doc_dup_ngram_fraction",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    shing AS ({_SHINGLES_SQL}),
+    dfreq AS (SELECT sh, count(*) AS df FROM shing GROUP BY 1)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           CAST(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS dup_fraction
+    FROM shing s JOIN dfreq d ON s.sh = d.sh
+    GROUP BY 1
+    """,
+)
+def q_doc_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.queries_pipeline import _shared_shingle_index
+
+    idx = _shared_shingle_index(spark, sf_dir)
+    dfreq = idx.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    shared = F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
+    return (
+        idx.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            shared.cast("bigint").alias("n_shared"),
+            (shared.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "dup_fraction"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval over the documents table for a fixed 3-term query.
+# Expression-only tf (higher-order array filter), corpus stats via empty
+# windows, Okapi weighting with a RATIONAL idf — (N - df + 0.5)/(df + 0.5)
+# without the log — because ln() is the one piece whose last-ulp behavior
+# libraries may disagree on; the rational form is order-preserving for
+# ranking and keeps the whole score inside cross-engine-exact arithmetic.
+# At 100 TB the empty-window stats become a separate tiny aggregate bound
+# as literals (two-pass); the per-doc scoring is embarrassingly parallel.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("table", "join", "merge")
+_BM25_NORM = _NORM_SQL.format(c="text")
+
+
+def _bm25_comp_sql(t: str) -> str:
+    return (
+        f"((n_docs - df_{t} + 0.5) / (df_{t} + 0.5))"
+        f" * (CAST(tf_{t} AS DOUBLE) * 2.2)"
+        f" / (CAST(tf_{t} AS DOUBLE)"
+        f" + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))"
+    )
+
+
+@register(
+    "bm25_rank",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split({_BM25_NORM}, ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INTEGER) AS dl,
+             {", ".join(f"CAST(len(list_filter(toks, t -> t = '{t}')) AS INTEGER) AS tf_{t}" for t in _BM25_TERMS)}
+      FROM tok
+    ),
+    g AS (
+      SELECT *,
+             CAST(count(*) OVER () AS DOUBLE) AS n_docs,
+             CAST(sum(dl) OVER () AS DOUBLE)
+               / CAST(count(*) OVER () AS DOUBLE) AS avgdl,
+             {", ".join(f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) OVER () AS DOUBLE) AS df_{t}" for t in _BM25_TERMS)}
+      FROM base
+    )
+    SELECT doc_id, dl, {", ".join(f"tf_{t}" for t in _BM25_TERMS)},
+           round({" + ".join(_bm25_comp_sql(t) for t in _BM25_TERMS)}, 6) AS bm25
+    FROM g
+    WHERE {" + ".join(f"tf_{t}" for t in _BM25_TERMS)} > 0
+    """,
+)
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from clickhouse_table_copier_spark.operators.dedup import normalized_text, spread
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = F.filter(
+        F.split(normalized_text("text"), " "), lambda t: t != F.lit("")
+    )
+    def tf_col(term: str):
+        # NB: a 2-arg lambda in F.filter means (element, index) — a default
+        # arg would be silently replaced by the index column.
+        return (
+            F.size(F.filter(toks, lambda x: x == F.lit(term)))
+            .cast("int")
+            .alias(f"tf_{term}")
+        )
+
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("dl"),
+        *[tf_col(t) for t in _BM25_TERMS],
+    )
+    w = Window.partitionBy()
+    n_docs = F.count(F.lit(1)).over(w).cast("double")
+    avgdl = F.sum("dl").over(w).cast("double") / F.count(F.lit(1)).over(w).cast(
+        "double"
+    )
+    dl_d = F.col("dl").cast("double")
+
+    def comp(t: str):
+        tf_d = F.col(f"tf_{t}").cast("double")
+        df_t = (
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).over(w).cast("double")
+        )
+        return (
+            ((n_docs - df_t + F.lit(0.5)) / (df_t + F.lit(0.5)))
+            * (tf_d * F.lit(2.2))
+            / (tf_d + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (dl_d / avgdl)))
+        )
+
+    score = comp(_BM25_TERMS[0]) + comp(_BM25_TERMS[1]) + comp(_BM25_TERMS[2])
+    tf_any = (
+        F.col(f"tf_{_BM25_TERMS[0]}")
+        + F.col(f"tf_{_BM25_TERMS[1]}")
+        + F.col(f"tf_{_BM25_TERMS[2]}")
+    )
+    return base.select(
+        "doc_id",
+        "dl",
+        *[f"tf_{t}" for t in _BM25_TERMS],
+        F.round(score, 6).alias("bm25"),
+    ).where(tf_any > 0)
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted sampling: keep a document with probability equal to its
+# (driver-verified) quality score / 100, decided by the portable md5
+# bucket — deterministic importance sampling that upweights clean text in
+# the training mix without a shuffle (pure row filter, reproducible
+# across runs and engines).
+# ---------------------------------------------------------------------------
+from clickhouse_table_copier_spark.queries_pipeline import (  # noqa: E402
+    _QUALITY_BASE_SQL,
+    _QUALITY_EXPR_SQL,
+    _SAMPLE_BUCKET_SQL,
+)
+
+
+@register(
+    "quality_weighted_sample",
+    oracle=f"""
+    WITH base AS ({_QUALITY_BASE_SQL}),
+    q AS (SELECT doc_id, {_QUALITY_EXPR_SQL} AS quality FROM base)
+    SELECT doc_id, quality, CAST({_SAMPLE_BUCKET_SQL} AS INTEGER) AS bucket
+    FROM q
+    WHERE {_SAMPLE_BUCKET_SQL} < quality
+    """,
+)
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        quality_score("text").alias("quality"),
+        bucket.cast("int").alias("bucket"),
+    ).where(F.col("bucket") < F.col("quality"))

@@ -1116,3 +1116,98 @@ def test_ivf_stored_layout_prunes_partitions_and_matches_inline(spark, tmp_path)
     assert [(r["vec_id"], r["cosine_sim"]) for r in got] == [
         (r["vec_id"], r["cosine_sim"]) for r in want
     ]
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (operators/pq.py)
+# ---------------------------------------------------------------------------
+
+
+def _pq_fixture(spark):
+    from clickhouse_table_copier_spark.operators.pq import pq_codebooks_from_seeds
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = emb.orderBy("vec_id").limit(8).collect()
+    vecs = [[float(x) for x in r["embedding"]] for r in seeds]
+    return emb, vecs, pq_codebooks_from_seeds(vecs, 8)
+
+
+def test_pq_encode_seeds_to_own_codes(spark):
+    """Seed vector k must encode to code k in EVERY subspace: its own
+    subvector is at distance 0 and the strict-< argmin keeps the lowest
+    zero-distance code."""
+    from clickhouse_table_copier_spark.operators.pq import pq_encode
+
+    emb, vecs, books = _pq_fixture(spark)
+    enc = (
+        pq_encode(emb.orderBy("vec_id").limit(8), books).orderBy("vec_id").collect()
+    )
+    for k, row in enumerate(enc):
+        assert [row[f"c{m}"] for m in range(8)] == [k] * 8
+
+
+def test_pq_adc_exact_for_codeword_vectors(spark):
+    """Zero quantization error ⇒ ADC equals the true squared L2: scoring
+    the seed vectors themselves against seed 0 must reproduce the exact
+    distances (computed independently in Python, same chunked order)."""
+    from clickhouse_table_copier_spark.operators.pq import pq_adc_scores, pq_encode
+
+    emb, vecs, books = _pq_fixture(spark)
+    seeds_df = emb.orderBy("vec_id").limit(8)
+    scored = {
+        r["vec_id"]: r["adc_dist"]
+        for r in pq_adc_scores(pq_encode(seeds_df, books), books, vecs[0]).collect()
+    }
+    sub = 8
+    for j, v in enumerate(vecs):
+        expect = 0.0
+        for m in range(8):
+            acc = 0.0
+            for a, b in zip(vecs[0][m * sub : (m + 1) * sub], v[m * sub : (m + 1) * sub]):
+                acc = acc + (a - b) * (a - b)
+            expect = expect + acc
+        assert scored[j] == pytest.approx(expect, rel=1e-12, abs=1e-12)
+
+
+def test_pq_topk_recall_vs_exact_l2(spark):
+    """The approximation is measured, not assumed (mirrors dedup_lsh_eval
+    and the IVF recall invariant): seed-codebook ADC top-10 overlaps the
+    exact squared-L2 top-10. Deterministic — measured 0.4 on the fixture;
+    floor at 0.3."""
+    from clickhouse_table_copier_spark.operators.ivf import _sq_dist
+    from clickhouse_table_copier_spark.operators.pq import pq_topk
+
+    emb, vecs, books = _pq_fixture(spark)
+    rest = emb.where(F.col("vec_id") != 0)
+    got = {r["vec_id"] for r in pq_topk(rest, books, vecs[0], k=10).collect()}
+    truth = {
+        r["vec_id"]
+        for r in rest.select(
+            "vec_id", _sq_dist(F.col("embedding"), vecs[0]).alias("d")
+        )
+        .orderBy(F.asc("d"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    }
+    recall = len(got & truth) / 10
+    assert recall >= 0.3, f"PQ recall collapsed: {recall}"
+
+
+def test_pq_codes_are_column_pruned_scan(spark, tmp_path):
+    """The compressed-domain claim made concrete: after writing the PQ code
+    table, the ADC scan's parquet read touches ONLY the id + code columns
+    (8 ints, ~32 bytes/row) — never a 64-float embedding."""
+    from clickhouse_table_copier_spark.operators.pq import pq_adc_scores, pq_encode
+
+    emb, vecs, books = _pq_fixture(spark)
+    path = str(tmp_path / "pq_codes")
+    pq_encode(emb, books).write.parquet(path)
+    stored = spark.read.parquet(path)
+    plan = (
+        pq_adc_scores(stored, books, vecs[0])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "embedding" not in plan
+    assert "EvalPython" not in plan  # pure codegen lookup, no Python UDF
