@@ -77,6 +77,9 @@ _DRIVER_WINDOW_FIRST = [
     "doc_dup_ngram_fraction",
     "bm25_rank",
     "quality_weighted_sample",
+    "event_funnel",
+    "retention_cohorts",
+    "events_gap_fill",
 ]
 
 

@@ -680,3 +680,212 @@ def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score("text").alias("quality"),
         bucket.cast("int").alias("bucket"),
     ).where(F.col("bucket") < F.col("quality"))
+
+
+# ---------------------------------------------------------------------------
+# Event funnel (ClickHouse windowFunnel parity, first-match-greedy form):
+# per user, step 1 = first 'view', step 2 = first 'click' after step 1,
+# step 3 = first 'purchase' after step 2, all within 24 h of step 1;
+# output = users per funnel level reached. Three per-step min-aggregations
+# + equi-joins on user_id (shuffle carries (user, ts) pairs only) — the
+# set-oriented funnel, not a per-user UDF loop.
+# ---------------------------------------------------------------------------
+_FUNNEL_STEPS = ("view", "click", "purchase")
+_FUNNEL_WINDOW_SQL = "INTERVAL 24 HOURS"
+
+
+@register(
+    "event_funnel",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+           WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2
+           FROM ev e JOIN s1 USING (user_id)
+           WHERE e.event_type = '{_FUNNEL_STEPS[1]}'
+             AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 24 HOURS
+           GROUP BY 1),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3
+           FROM ev e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+           WHERE e.event_type = '{_FUNNEL_STEPS[2]}'
+             AND e.ts > s2.t2 AND e.ts <= s1.t1 + INTERVAL 24 HOURS
+           GROUP BY 1),
+    lvl AS (
+      SELECT u.user_id,
+             CASE WHEN s3.user_id IS NOT NULL THEN 3
+                  WHEN s2.user_id IS NOT NULL THEN 2
+                  WHEN s1.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS funnel_level
+      FROM (SELECT DISTINCT user_id FROM ev) u
+      LEFT JOIN s1 USING (user_id)
+      LEFT JOIN s2 USING (user_id)
+      LEFT JOIN s3 USING (user_id)
+    )
+    SELECT CAST(funnel_level AS INTEGER) AS funnel_level,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM lvl GROUP BY 1
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.queries import _events
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    win = F.expr(_FUNNEL_WINDOW_SQL)
+    s1 = (
+        ev.where(F.col("event_type") == _FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == _FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .where((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == _FUNNEL_STEPS[2])
+        .join(s1, "user_id")
+        .join(s2, "user_id")
+        .where((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    users = ev.select("user_id").distinct()
+    lvl = (
+        users.join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .when(F.col("t1").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("funnel_level")
+        )
+    )
+    return lvl.groupBy("funnel_level").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts (ClickHouse retention() parity): cohort = a user's
+# first active day; for offsets 0..7 days, how many cohort users were
+# active again. DISTINCT (cohort_day, user, offset) then a count rollup —
+# integer day arithmetic, exact in both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH ev AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+      FROM events
+    ),
+    cohort AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY 1),
+    hits AS (
+      SELECT DISTINCT c.cohort_day, e.user_id,
+             date_diff('day', c.cohort_day, e.d) AS offset_days
+      FROM ev e JOIN cohort c USING (user_id)
+      WHERE date_diff('day', c.cohort_day, e.d) BETWEEN 0 AND 7
+    )
+    SELECT cohort_day, CAST(offset_days AS INTEGER) AS offset_days,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM hits GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.queries import _events
+
+    ev = (
+        _events(spark, sf_dir)
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    off = F.datediff(F.col("d"), F.col("cohort_day"))
+    hits = (
+        ev.join(cohort, "user_id")
+        .where((off >= 0) & (off <= 7))
+        .select("cohort_day", "user_id", off.cast("int").alias("offset_days"))
+        .distinct()
+    )
+    return hits.groupBy("cohort_day", "offset_days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hourly gap-fill (timeseries densification): the complete event_type ×
+# hour grid over the data's span, zero-filled where no events landed —
+# what a dashboard needs before charting. The grid is generated by
+# exploding sequence() per event_type (a generator over the 5-type dim,
+# never a cartesian join); the span bounds are one metadata-sized driver
+# collect rendered as TZ-free string literals.
+# ---------------------------------------------------------------------------
+@register(
+    "events_gap_fill",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, value
+      FROM events
+    ),
+    bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+    grid AS (
+      SELECT t.event_type, gs.h
+      FROM (SELECT DISTINCT event_type FROM ev) t,
+           (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+            FROM bounds) gs
+    ),
+    agg AS (
+      SELECT event_type, h, count(*) AS n_events,
+             sum(CAST(value AS DECIMAL(18,2))) AS v
+      FROM ev GROUP BY 1, 2
+    )
+    SELECT g.event_type, g.h AS hour_ts,
+           CAST(coalesce(a.n_events, 0) AS BIGINT) AS n_events,
+           CAST(coalesce(a.v, 0) AS DOUBLE) AS total_value
+    FROM grid g LEFT JOIN agg a ON a.event_type = g.event_type AND a.h = g.h
+    """,
+)
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.queries import _events
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h"), "value"
+    )
+    b = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1")).first()
+    h0, h1 = b["h0"].isoformat(sep=" "), b["h1"].isoformat(sep=" ")
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.expr(
+                    f"sequence(CAST('{h0}' AS TIMESTAMP_NTZ),"
+                    f" CAST('{h1}' AS TIMESTAMP_NTZ), INTERVAL 1 HOUR)"
+                )
+            ).alias("hour_ts"),
+        )
+    )
+    agg = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("v"),
+    )
+    return (
+        grid.join(
+            agg,
+            (grid.event_type == agg.event_type) & (grid.hour_ts == agg.h),
+            "left",
+        )
+        .select(
+            grid.event_type,
+            "hour_ts",
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.coalesce(F.col("v"), F.lit(0)).cast("double").alias("total_value"),
+        )
+    )
