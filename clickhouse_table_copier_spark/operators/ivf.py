@@ -32,15 +32,21 @@ def _sq_dist(vec_col: Column, centroid: list[float]) -> Column:
 
 
 def _nearest_cell(vec_col: Column, centroids: list[list[float]]) -> Column:
-    """argmin over centroids, ties to the lowest cell id (deterministic)."""
-    best_d = _sq_dist(vec_col, centroids[0])
-    best_i = F.lit(0)
-    for i, c in enumerate(centroids[1:], start=1):
-        d = _sq_dist(vec_col, c)
-        better = d < best_d
-        best_i = F.when(better, F.lit(i)).otherwise(best_i)
-        best_d = F.when(better, d).otherwise(best_d)
-    return best_i
+    """argmin over centroids, ties to the lowest cell id (deterministic).
+
+    ``array_min`` over (d, i) structs: lexicographic struct ordering IS
+    (min distance, then lowest cell), and each distance appears in the
+    plan exactly once — a when-chain argmin would nest every distance
+    inside all later comparisons (exponential expression growth; the PQ
+    encoder hit driver OOM from the same shape, operators/pq.py)."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(_sq_dist(vec_col, c).alias("d"), F.lit(i).alias("i"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )["i"]
 
 
 def train_centroids(
