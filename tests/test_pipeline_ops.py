@@ -1211,3 +1211,60 @@ def test_pq_codes_are_column_pruned_scan(spark, tmp_path):
     )
     assert "embedding" not in plan
     assert "EvalPython" not in plan  # pure codegen lookup, no Python UDF
+
+
+def test_ivf_pq_stored_layout_prunes_and_reads_codes_only(spark, tmp_path):
+    """The composed IVF-PQ layout proves BOTH scale levers at once:
+    (a) partition pruning — a probe touches a strict subset of cell
+    directories; (b) compressed-domain scan — the pruned read's schema is
+    id + codes, never the embedding; and the stored results equal the
+    same pipeline computed inline."""
+    from clickhouse_table_copier_spark.operators.ivf import (
+        assign_cells,
+        probe_cells,
+        train_centroids,
+    )
+    from clickhouse_table_copier_spark.operators.pq import (
+        ivf_pq_topk_stored,
+        pq_adc_scores,
+        pq_codebooks_from_seeds,
+        pq_encode,
+        write_ivf_pq_layout,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    centroids = train_centroids(emb, k=8, iters=2)
+    seeds = emb.orderBy("vec_id").limit(8).collect()
+    books = pq_codebooks_from_seeds(
+        [[float(x) for x in r["embedding"]] for r in seeds], 8
+    )
+    out = str(tmp_path / "ivf_pq_store")
+    write_ivf_pq_layout(emb, centroids, books, out)
+
+    store = spark.read.parquet(out)
+    assert "embedding" not in store.columns  # codes only on disk
+    assert store.select("cell").distinct().count() > 3
+
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    probes = probe_cells(centroids, qvec, 3)
+    probe_df = store.where(F.col("cell").isin(probes))
+    plan = probe_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    files_read = probe_df.select(F.col("_metadata.file_path")).distinct().count()
+    files_total = store.select(F.col("_metadata.file_path")).distinct().count()
+    assert files_read < files_total
+
+    got = ivf_pq_topk_stored(
+        spark, out, centroids, books, qvec, k=10, n_probe=3
+    ).collect()
+    inline_cells = assign_cells(emb, centroids).where(F.col("cell").isin(probes))
+    inline = (
+        pq_adc_scores(pq_encode(inline_cells, books), books, qvec)
+        .select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    )
+    assert [(r["vec_id"], r["adc_dist"]) for r in got] == [
+        (r["vec_id"], r["adc_dist"]) for r in inline
+    ]
