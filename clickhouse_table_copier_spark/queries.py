@@ -80,6 +80,9 @@ _DRIVER_WINDOW_FIRST = [
     "event_funnel",
     "retention_cohorts",
     "events_gap_fill",
+    "heavy_hitter_terms",
+    "sketch_distinct_bounds",
+    "fk_integrity_audit",
 ]
 
 

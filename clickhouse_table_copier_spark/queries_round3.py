@@ -889,3 +889,109 @@ def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("v"), F.lit(0)).cast("double").alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-pass heavy hitters over document terms (operators/sketches.py):
+# per-partition Misra-Gries summaries (bounded state, mergeable) → exact
+# recount of the surviving candidates → exact top-10. Oracled because the
+# two-pass pattern returns EXACT counts whenever the true top-N exceeds
+# n/(k+1) — guaranteed here (k=64; the constructed-skew guarantee case
+# is pinned in tests/test_sketches.py).
+# ---------------------------------------------------------------------------
+@register(
+    "heavy_hitter_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split({_NORM_SQL.format(c="text")}, ' ')) AS term
+      FROM documents
+    )
+    SELECT term, CAST(count(*) AS BIGINT) AS freq
+    FROM toks WHERE term <> ''
+    GROUP BY 1 ORDER BY freq DESC, term ASC LIMIT 10
+    """,
+)
+def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.dedup import normalized_text, spread
+    from clickhouse_table_copier_spark.operators.sketches import heavy_hitters_exact_topk
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(F.split(normalized_text("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    return heavy_hitters_exact_topk(toks, "term", k_counters=64, topn=10)
+
+
+# ---------------------------------------------------------------------------
+# Distinct-count sketch with a verified error bound: per ship month,
+# exact distinct parts AND Spark's HLL++ approx_count_distinct
+# (rsd=0.02), reported as a within-5% boolean. HLL++ is deterministic
+# given the data, so the flag is stable; the oracle recomputes the exact
+# count and asserts the flag TRUE — the sketch's accuracy is part of the
+# verified contract, not an assumption. At 100 TB the approx path is the
+# one that runs (no per-month distinct-value shuffle, constant-size
+# sketch state); this query is the harness that licenses it.
+# ---------------------------------------------------------------------------
+@register(
+    "sketch_distinct_bounds",
+    oracle="""
+    SELECT CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+           TRUE AS approx_ok
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_sketch_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.month("l_shipdate").cast("int").alias("ship_month"))
+        .agg(
+            F.count_distinct("l_partkey").cast("bigint").alias("n_exact"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("n_approx"),
+        )
+        .select(
+            "ship_month",
+            "n_exact",
+            (
+                F.abs(F.col("n_approx") - F.col("n_exact"))
+                <= F.col("n_exact") * F.lit(0.05)
+            ).alias("approx_ok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit: orphan counts for every foreign key in the
+# star schema, each an anti-join that shuffles only the key column. The
+# data-quality gate a sync pipeline runs after a copy (complements the
+# fingerprint verdicts, which compare content but not cross-table links).
+# ---------------------------------------------------------------------------
+_FK_RELS = (
+    ("orders_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+)
+
+
+@register(
+    "fk_integrity_audit",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS fk, CAST(count(*) AS BIGINT) AS n_orphans
+        FROM {child} c WHERE NOT EXISTS
+          (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck})"""
+        for name, child, ck, parent, pk in _FK_RELS
+    ),
+)
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for name, child, ck, parent, pk in _FK_RELS:
+        orphans = (
+            _t(spark, sf_dir, child)
+            .select(ck)
+            .join(_t(spark, sf_dir, parent).select(pk), F.col(ck) == F.col(pk), "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+            .select(F.lit(name).alias("fk"), "n_orphans")
+        )
+        out = orphans if out is None else out.unionAll(orphans)
+    return out
