@@ -83,6 +83,8 @@ _DRIVER_WINDOW_FIRST = [
     "heavy_hitter_terms",
     "sketch_distinct_bounds",
     "fk_integrity_audit",
+    "sketch_quantile_bounds",
+    "ann_ivf_pq_adc",
 ]
 
 

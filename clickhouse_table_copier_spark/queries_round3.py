@@ -995,3 +995,115 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = orphans if out is None else out.unionAll(orphans)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch with a verified error bound (complements
+# sketch_distinct_bounds): per ship month, the EXACT median of
+# l_quantity and a flag that percentile_approx (Greenwald-Khanna-style
+# sketch, accuracy 10000) landed within 5% of it. Exact medians of small
+# integers interpolate to n+0.5 halves — bit-exact in both engines.
+# At 100 TB the sketch path is mergeable constant state per group; this
+# gate is what licenses it.
+# ---------------------------------------------------------------------------
+@register(
+    "sketch_quantile_bounds",
+    oracle="""
+    SELECT CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+           CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS p50_exact,
+           TRUE AS approx_ok
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_sketch_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.month("l_shipdate").cast("int").alias("ship_month"))
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("p50_exact"),
+            F.percentile_approx("l_quantity", 0.5, 10000).alias("p50_approx"),
+        )
+        .select(
+            "ship_month",
+            F.col("p50_exact").cast("double").alias("p50_exact"),
+            (
+                F.abs(F.col("p50_approx") - F.col("p50_exact"))
+                <= F.col("p50_exact") * F.lit(0.05)
+            ).alias("approx_ok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composed IVF-PQ search (the FAISS-style 100 TB ANN read path) as an
+# oracled query: assign cells from the pinned seed centroids, prune to
+# the 3 probe cells, then score by PQ-ADC lookup — cell pruning × an
+# 8-byte-code scan. The oracle re-derives cell assignment (row_number
+# argmin), probe selection, per-subspace encodings and the 8×8 ADC
+# table, every float chain in Spark's fold order. The stored form of
+# this exact pipeline (codes parquet-partitioned by cell) is proven to
+# partition-prune in tests/test_pipeline_ops.py.
+# ---------------------------------------------------------------------------
+@register(
+    "ann_ivf_pq_adc",
+    oracle=f"""
+    WITH cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cv
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    codes AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding AS cv
+      FROM embeddings ORDER BY vec_id LIMIT {_PQ_K}
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    probes AS (
+      SELECT c.cell FROM cents c, q
+      ORDER BY {_sqdist_chain_sql("q.qv", "c.cv")} ASC, c.cell ASC
+      LIMIT 3
+    ),
+    pairs AS (
+      SELECT e.vec_id, c.cell, {_sqdist_chain_sql("e.embedding", "c.cv")} AS d
+      FROM embeddings e, cents c WHERE e.vec_id <> 0
+    ),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+        FROM pairs
+      ) WHERE rn = 1
+    ),
+    {_PQ_ENC_CTES},
+    dt AS (SELECT c.code, {_PQ_DT_COLS} FROM codes c, q)
+    SELECT e0.vec_id, round({_PQ_ADC_SUM}, 6) AS adc_dist
+    FROM assigned a
+    JOIN enc0 e0 ON e0.vec_id = a.vec_id
+    {" ".join(f"JOIN enc{m} e{m} ON e{m}.vec_id = e0.vec_id" for m in range(1, _PQ_M))}
+    {" ".join(f"JOIN dt t{m} ON t{m}.code = e{m}.c{m}" for m in range(_PQ_M))}
+    WHERE a.cell IN (SELECT cell FROM probes)
+    ORDER BY adc_dist ASC, e0.vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_ann_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.dedup import spread
+    from clickhouse_table_copier_spark.operators.ivf import assign_cells, probe_cells
+    from clickhouse_table_copier_spark.operators.pq import (
+        pq_adc_scores,
+        pq_codebooks_from_seeds,
+        pq_encode,
+    )
+
+    emb = spread(_t(spark, sf_dir, "embeddings"))
+    seeds = emb.orderBy("vec_id").limit(_PQ_K).select("embedding").collect()
+    seed_vecs = [[float(x) for x in r["embedding"]] for r in seeds]
+    books = pq_codebooks_from_seeds(seed_vecs, _PQ_M)
+    probe = probe_cells(seed_vecs, seed_vecs[0], 3)
+    cells = assign_cells(emb.where(F.col("vec_id") != 0), seed_vecs).where(
+        F.col("cell").isin(probe)
+    )
+    scored = pq_adc_scores(pq_encode(cells, books), books, seed_vecs[0])
+    return (
+        scored.select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(10)
+    )
