@@ -111,6 +111,63 @@ _FUNCTIONS: list[tuple[str, str]] = [
     ("splitByChar", "(sep STRING, s STRING) RETURNS ARRAY<STRING> RETURN split(s, sep)"),
     ("empty", "(x STRING) RETURNS BOOLEAN RETURN x IS NULL OR length(x) = 0"),
     ("notEmpty", "(x STRING) RETURNS BOOLEAN RETURN x IS NOT NULL AND length(x) > 0"),
+    # second depth pass: the calendar/epoch/string/bit staples that show up
+    # in real ClickHouse partition keys and SELECT lists
+    ("toQuarter", "(x DATE) RETURNS INT RETURN quarter(x)"),
+    # ClickHouse: 1 = Monday … 7 = Sunday; Spark dayofweek: 1 = Sunday
+    ("toDayOfWeek", "(x DATE) RETURNS INT RETURN ((dayofweek(x) + 5) % 7) + 1"),
+    ("toDayOfYear", "(x DATE) RETURNS INT RETURN dayofyear(x)"),
+    ("toStartOfHour", "(x TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc('HOUR', x)"),
+    (
+        "toStartOfQuarter",
+        "(x DATE) RETURNS DATE RETURN CAST(date_trunc('QUARTER', x) AS DATE)",
+    ),
+    (
+        "toStartOfYear",
+        "(x DATE) RETURNS DATE RETURN CAST(date_trunc('YEAR', x) AS DATE)",
+    ),
+    ("toUnixTimestamp", "(x TIMESTAMP) RETURNS BIGINT RETURN unix_timestamp(x)"),
+    (
+        "fromUnixTimestamp",
+        "(x BIGINT) RETURNS TIMESTAMP RETURN timestamp_seconds(x)",
+    ),
+    ("addDays", "(x DATE, n BIGINT) RETURNS DATE RETURN date_add(x, CAST(n AS INT))"),
+    (
+        "subtractDays",
+        "(x DATE, n BIGINT) RETURNS DATE RETURN date_sub(x, CAST(n AS INT))",
+    ),
+    # OrZero parsers: NULL-free like ClickHouse (malformed → 0)
+    (
+        "toInt64OrZero",
+        "(x STRING) RETURNS BIGINT RETURN coalesce(try_cast(x AS BIGINT), 0)",
+    ),
+    (
+        "toInt32OrZero",
+        "(x STRING) RETURNS INT RETURN coalesce(try_cast(x AS INT), 0)",
+    ),
+    (
+        "toFloat64OrZero",
+        "(x STRING) RETURNS DOUBLE RETURN coalesce(try_cast(x AS DOUBLE), 0.0)",
+    ),
+    # NOTE: ifNull / startsWith / endsWith are NOT shimmed — Spark ships
+    # case-insensitive builtins (ifnull, startswith, endswith) with the
+    # same semantics, and CREATE FUNCTION refuses to shadow them; those
+    # ClickHouse spellings already run verbatim.
+    (
+        "arrayStringConcat",
+        "(a ARRAY<STRING>, sep STRING) RETURNS STRING RETURN array_join(a, sep)",
+    ),
+    ("bitAnd", "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a & b"),
+    ("bitOr", "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a | b"),
+    ("bitXor", "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a ^ b"),
+    (
+        "bitShiftLeft",
+        "(a BIGINT, n BIGINT) RETURNS BIGINT RETURN shiftleft(a, CAST(n AS INT))",
+    ),
+    (
+        "bitShiftRight",
+        "(a BIGINT, n BIGINT) RETURNS BIGINT RETURN shiftright(a, CAST(n AS INT))",
+    ),
 ]
 
 

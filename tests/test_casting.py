@@ -284,3 +284,59 @@ def test_clickhouse_dialect_partition_key_functions(spark):
     assert all(1 <= r["ym"] % 100 <= 12 for r in parts)
     assert all(1990 <= r["ym"] // 100 <= 2010 for r in parts)
     assert len(parts) >= 12  # year-month grain: more partitions than months
+
+
+def test_clickhouse_dialect_second_pass(spark):
+    """Depth pass of the dialect: calendar/epoch/OrZero/bit/string
+    staples — each checked against an independently computed expectation
+    (isoweekday for the Monday-based day-of-week; epoch math under the
+    UTC session)."""
+    import datetime
+
+    from clickhouse_table_copier_spark.functions.ch_dialect import (
+        register_clickhouse_functions,
+    )
+
+    register_clickhouse_functions(spark)
+    row = spark.sql(
+        """
+        SELECT toQuarter(DATE'2026-05-15') AS q,
+               toDayOfYear(DATE'2026-02-01') AS doy,
+               toStartOfHour(TIMESTAMP'2026-05-15 13:45:33') AS soh,
+               toStartOfQuarter(DATE'2026-05-15') AS soq,
+               toStartOfYear(DATE'2026-05-15') AS soy,
+               toUnixTimestamp(TIMESTAMP'1970-01-01 00:01:00') AS ut,
+               toUnixTimestamp(fromUnixTimestamp(1234567890)) AS rt,
+               addDays(DATE'2026-01-30', 3) AS ad,
+               subtractDays(DATE'2026-01-02', 3) AS sd,
+               toInt64OrZero('123') AS i_ok,
+               toInt64OrZero('abc') AS i_zero,
+               toInt32OrZero('9999999999') AS i_overflow,
+               toFloat64OrZero('1.5') AS f_ok,
+               ifNull(NULL, 'd') AS ifn,
+               arrayStringConcat(array('a','b','c'), '-') AS joined,
+               bitAnd(12, 10) AS ba, bitOr(12, 10) AS bo, bitXor(12, 10) AS bx,
+               bitShiftLeft(1, 10) AS bsl, bitShiftRight(1024, 4) AS bsr,
+               startsWith('hello', 'he') AS sw,
+               startsWith('xhello', 'h%') AS sw_wildcard,
+               endsWith('hello', 'lo') AS ew -- ifNull/startsWith/endsWith: Spark builtins, verbatim
+        """
+    ).first()
+    assert row["q"] == 2 and row["doy"] == 32
+    assert str(row["soh"]).startswith("2026-05-15 13:00:00")
+    assert str(row["soq"]) == "2026-04-01" and str(row["soy"]) == "2026-01-01"
+    assert row["ut"] == 60 and row["rt"] == 1234567890
+    assert str(row["ad"]) == "2026-02-02" and str(row["sd"]) == "2025-12-30"
+    assert row["i_ok"] == 123 and row["i_zero"] == 0 and row["i_overflow"] == 0
+    assert row["f_ok"] == 1.5 and row["ifn"] == "d" and row["joined"] == "a-b-c"
+    assert (row["ba"], row["bo"], row["bx"]) == (8, 14, 6)
+    assert row["bsl"] == 1024 and row["bsr"] == 64
+    assert row["sw"] is True and row["sw_wildcard"] is False and row["ew"] is True
+
+    # Monday-based day-of-week vs Python's isoweekday across a full week
+    rows = spark.sql(
+        "SELECT d, toDayOfWeek(d) AS dow FROM ("
+        "SELECT explode(sequence(DATE'2026-08-10', DATE'2026-08-16')) AS d)"
+    ).collect()
+    for r in rows:
+        assert r["dow"] == datetime.date.fromisoformat(str(r["d"])).isoweekday()
