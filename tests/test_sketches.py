@@ -93,3 +93,40 @@ def test_candidate_superset_guarantee(spark):
         .collect()
     }
     assert heavy <= cand, heavy - cand
+
+
+def test_mg_merge_property_vs_exact_counts():
+    """Hypothesis: for ANY multiset split into ANY partitioning, the
+    merged MG summary (a) never overcounts any value, and (b) undercounts
+    by at most n/(k+1) in total per value — the bound the two-pass
+    exactness argument rests on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clickhouse_table_copier_spark.operators.sketches import _mg_merge
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=300),
+        st.integers(min_value=1, max_value=8),
+        st.integers(min_value=1, max_value=10),
+    )
+    def run(values, k, n_chunks):
+        from collections import Counter
+
+        exact = Counter(values)
+        n = len(values)
+        # deterministic chunking driven by hypothesis' n_chunks
+        size = max(1, n // n_chunks)
+        merged: dict = {}
+        for i in range(0, n, size):
+            chunk = Counter(values[i : i + size])
+            merged = _mg_merge(merged, dict(chunk), k)
+        for v, lb in merged.items():
+            assert lb <= exact[v], "MG overcounted"
+        for v, c in exact.items():
+            assert merged.get(v, 0) >= c - n / (k + 1) - 1e-9, (
+                f"undercount bound violated for {v}"
+            )
+
+    run()
