@@ -596,19 +596,35 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.filter(
         F.split(normalized_text("text"), " "), lambda t: t != F.lit("")
     )
-    def tf_col(term: str):
-        # NB: a 2-arg lambda in F.filter means (element, index) — a default
-        # arg would be silently replaced by the index column.
-        return (
-            F.size(F.filter(toks, lambda x: x == F.lit(term)))
-            .cast("int")
-            .alias(f"tf_{term}")
-        )
 
-    base = docs.select(
+    # ONE fold computes dl and every per-term tf in a single traversal of
+    # the token array — separate size/filter columns would re-evaluate
+    # the normalize+split+filter subtree once per column (higher-order
+    # lambdas defeat subexpression elimination; measured ~2× on sf0.1).
+    # NB: a 2-arg lambda in F.filter/aggregate means (element, index) — a
+    # default arg would be silently replaced by the index column.
+    def _step(acc, x):
+        fields = [(acc["dl"] + F.lit(1)).alias("dl")]
+        for t in _BM25_TERMS:
+            fields.append(
+                (
+                    acc[f"tf_{t}"]
+                    + F.when(x == F.lit(t), F.lit(1)).otherwise(F.lit(0))
+                ).alias(f"tf_{t}")
+            )
+        return F.struct(*fields)
+
+    zero = F.struct(
+        F.lit(0).alias("dl"),
+        *[F.lit(0).alias(f"tf_{t}") for t in _BM25_TERMS],
+    )
+    counted = docs.select(
+        "doc_id", F.aggregate(toks, zero, _step).alias("c")
+    )
+    base = counted.select(
         "doc_id",
-        F.size(toks).cast("int").alias("dl"),
-        *[tf_col(t) for t in _BM25_TERMS],
+        F.col("c.dl").cast("int").alias("dl"),
+        *[F.col(f"c.tf_{t}").cast("int").alias(f"tf_{t}") for t in _BM25_TERMS],
     )
     w = Window.partitionBy()
     n_docs = F.count(F.lit(1)).over(w).cast("double")
