@@ -38,13 +38,26 @@ def _nearest_cell(vec_col: Column, centroids: list[list[float]]) -> Column:
     (min distance, then lowest cell), and each distance appears in the
     plan exactly once — a when-chain argmin would nest every distance
     inside all later comparisons (exponential expression growth; the PQ
-    encoder hit driver OOM from the same shape, operators/pq.py)."""
+    encoder hit driver OOM from the same shape, operators/pq.py). The
+    centroids ride along as a literal 2-D array iterated by ONE
+    transform — one fold template in codegen, k-independent plan size;
+    fold order per centroid is unchanged, so values are bit-identical."""
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
     return F.array_min(
-        F.array(
-            *[
-                F.struct(_sq_dist(vec_col, c).alias("d"), F.lit(i).alias("i"))
-                for i, c in enumerate(centroids)
-            ]
+        F.transform(
+            cents,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vec_col,
+                        c,
+                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                i.alias("i"),
+            ),
         )
     )["i"]
 

@@ -68,20 +68,34 @@ def _sub_sq_dist(vec_col: Column, code: list[float], start: int) -> Column:
 def _nearest_code(vec_col: Column, codes: list[list[float]], start: int) -> Column:
     """argmin over one subspace's codebook, ties to the lowest code id.
 
-    Uses ``array_min`` over (d, k) structs — lexicographic struct ordering
-    IS (min distance, then lowest code) — so every distance appears in the
-    plan exactly once. A when-chain argmin would nest each distance inside
-    every later comparison (exponential expression growth: with 8 codes ×
-    8 subspaces it OOMs a default-1g driver at codegen)."""
+    Two plan-size decisions, both measured:
+    - ``array_min`` over (d, k) structs — lexicographic struct ordering IS
+      (min distance, then lowest code). A when-chain argmin nests each
+      distance inside every later comparison (exponential expression
+      growth: with 8 codes × 8 subspaces it OOMs a default-1g driver).
+    - the codebook is DATA (a literal 2-D array iterated by one
+      ``transform``), not 8 unrolled distance expressions — one fold
+      template per subspace instead of per code cuts the whole-stage
+      codegen constant ~3× on the PQ queries.
+    The fold order per code is unchanged, so values are bit-identical."""
+    sub = len(codes[0])
+    codes_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in code]) for code in codes]
+    )
+    sl = F.slice(vec_col, start, sub)
     return F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _sub_sq_dist(vec_col, code, start).alias("d"),
-                    F.lit(k).alias("k"),
-                )
-                for k, code in enumerate(codes)
-            ]
+        F.transform(
+            codes_arr,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        sl, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                i.alias("k"),
+            ),
         )
     )["k"]
 
