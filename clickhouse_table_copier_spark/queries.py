@@ -85,6 +85,8 @@ _DRIVER_WINDOW_FIRST = [
     "fk_integrity_audit",
     "sketch_quantile_bounds",
     "ann_ivf_pq_adc",
+    "doc_chunking",
+    "events_anomaly_hours",
 ]
 
 

@@ -1123,3 +1123,139 @@ def q_ann_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking: split each document's token stream into fixed
+# context windows (64 tokens, stride 48 → 16-token overlap) — the
+# pretraining chunker between cleaning and packing. Chunk boundaries are
+# pure arithmetic on the token count; the md5 of each chunk's joined
+# tokens pins the SLICED CONTENT, not just the bounds, across engines.
+# Embarrassingly parallel (explode per doc, no shuffle before the
+# output); at 100 TB this runs in the same scan as tokenization.
+# ---------------------------------------------------------------------------
+_CHUNK = 64
+_STRIDE = 48
+
+
+@register(
+    "doc_chunking",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM_SQL.format(c="text")}, ' '),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= {_CHUNK} THEN 1
+                  ELSE CAST(ceil(CAST(len(toks) - {_CHUNK} AS DOUBLE)
+                                 / {_STRIDE}) AS BIGINT) + 1 END AS n_chunks
+      FROM tok WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_idx,
+           CAST(i * {_STRIDE} + 1 AS INTEGER) AS start_tok,
+           CAST(len(toks[i * {_STRIDE} + 1 : i * {_STRIDE} + {_CHUNK}]) AS INTEGER)
+             AS chunk_len,
+           md5(array_to_string(toks[i * {_STRIDE} + 1 : i * {_STRIDE} + {_CHUNK}], ' '))
+             AS chunk_hash
+    FROM sized, unnest(range(0, n_chunks)) AS t(i)
+    """,
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.dedup import normalized_text, spread
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = F.filter(F.split(normalized_text("text"), " "), lambda t: t != F.lit(""))
+    sized = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n"),
+    ).where(F.col("n") > 0).select(
+        "doc_id",
+        "toks",
+        F.when(F.col("n") <= _CHUNK, F.lit(1).cast("bigint"))
+        .otherwise(
+            F.ceil((F.col("n") - _CHUNK).cast("double") / _STRIDE).cast("bigint") + 1
+        )
+        .alias("n_chunks"),
+    )
+    chunked = sized.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int"))).alias("i"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("i") * _STRIDE + 1, _CHUNK)
+    return chunked.select(
+        "doc_id",
+        F.col("i").cast("int").alias("chunk_idx"),
+        (F.col("i") * _STRIDE + 1).cast("int").alias("start_tok"),
+        F.size(chunk).cast("int").alias("chunk_len"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hourly anomaly detection on the event stream: per event_type, flag the
+# hours whose event count deviates ≥ 2.5 σ from that type's hourly mean.
+# Sum and sum-of-squares stay exact integers until ONE final double
+# conversion on each side, so mean/variance/z are bit-identical across
+# engines. The per-type stats are window aggregates (partitioned by the
+# 5-row type dimension; at scale: a tiny separate aggregate joined back).
+# ---------------------------------------------------------------------------
+@register(
+    "events_anomaly_hours",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT *,
+             CAST(sum(cnt) OVER w AS DOUBLE)
+               / CAST(count(*) OVER w AS DOUBLE) AS mean_,
+             CAST(sum(cnt * cnt) OVER w AS DOUBLE)
+               / CAST(count(*) OVER w AS DOUBLE) AS meansq
+      FROM hourly WINDOW w AS (PARTITION BY event_type)
+    )
+    SELECT event_type, h AS hour_ts, CAST(cnt AS BIGINT) AS cnt,
+           round((CAST(cnt AS DOUBLE) - mean_)
+                 / sqrt(meansq - mean_ * mean_), 6) AS z_score
+    FROM stats
+    WHERE meansq - mean_ * mean_ > 0
+      AND abs((CAST(cnt AS DOUBLE) - mean_) / sqrt(meansq - mean_ * mean_)) >= 2.5
+    """,
+)
+def q_events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from clickhouse_table_copier_spark.queries import _events
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type")
+    mean_ = F.sum("cnt").over(w).cast("double") / F.count(F.lit(1)).over(w).cast(
+        "double"
+    )
+    meansq = F.sum(F.col("cnt") * F.col("cnt")).over(w).cast("double") / F.count(
+        F.lit(1)
+    ).over(w).cast("double")
+    var = meansq - mean_ * mean_
+    z = (F.col("cnt").cast("double") - mean_) / F.sqrt(var)
+    return (
+        hourly.select(
+            "event_type",
+            F.col("h").alias("hour_ts"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(z, 6).alias("z_score"),
+            var.alias("_var"),
+            z.alias("_z"),
+        )
+        .where((F.col("_var") > 0) & (F.abs(F.col("_z")) >= 2.5))
+        .drop("_var", "_z")
+    )

@@ -33,6 +33,6 @@ def test_oracles_follow_the_same_order():
 def test_registry_complete():
     qs = entry.queries()
     oracles = entry.oracle_sql()
-    assert len(qs) >= 85
+    assert len(qs) >= 87
     # the only sanctioned rows-only query is the trained-IVF path
     assert set(qs) - set(oracles) == {"similarity_ivf_topk"}
