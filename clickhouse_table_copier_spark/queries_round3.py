@@ -130,7 +130,9 @@ _PII_TEXT_SQL = (
     """,
 )
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    from clickhouse_table_copier_spark.operators.dedup import spread
+
+    docs = spread(_t(spark, sf_dir, "documents"))
     # the CASE/concat part has no backslashes → safe through the SQL
     # parser; the REGEX patterns go through the python column API only
     # (F.expr string literals would strip the backslash escapes that
@@ -186,7 +188,9 @@ _TOKEN_CNT_SQL = "len(regexp_extract_all(text, '\\w+'))"
 def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    docs = _t(spark, sf_dir, "documents")
+    from clickhouse_table_copier_spark.operators.dedup import spread
+
+    docs = spread(_t(spark, sf_dir, "documents"))
     toks = docs.select(
         "lang",
         "doc_id",
@@ -683,9 +687,10 @@ from clickhouse_table_copier_spark.queries_pipeline import (  # noqa: E402
     """,
 )
 def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.dedup import spread
     from clickhouse_table_copier_spark.operators.text import quality_score
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
         .cast("bigint")
