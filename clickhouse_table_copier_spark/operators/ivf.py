@@ -102,6 +102,72 @@ def train_centroids(
     return centroids
 
 
+def train_centroids_exact(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Cross-engine-REPRODUCIBLE Lloyd training (same seeding/iterations
+    as :func:`train_centroids`), for oracle-checked queries.
+
+    Distributed ``avg()`` folds doubles in partition order, so trained
+    centroids differ in the last ulp between engines/runs. Here each
+    per-(cell, dim) mean is an explicit left-to-right fold over values
+    sorted by id — ``array_sort(collect_list(struct(id, x)))`` then
+    ``F.aggregate`` — divided by the count, which any SQL engine (DuckDB:
+    ``list_reduce(list(x ORDER BY id), (a,b) -> a+b) / count(*)``)
+    reproduces bit-for-bit. Cost of exactness: per-(cell, dim) group state
+    is n/k doubles (collect_list), so this is the verification path;
+    :func:`train_centroids` (order-free partial aggregation) remains the
+    100 TB production path, identical up to last-ulp mean rounding.
+    """
+    seeds = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col),
+            _nearest_cell(F.col(vec_col), centroids).alias("cell"),
+        )
+        folded = (
+            assigned.select(
+                "cell", "_id", F.posexplode(vec_col).alias("pos", "x")
+            )
+            .groupBy("cell", "pos")
+            .agg(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("_id"),
+                                    F.col("x").cast("double").alias("x"),
+                                )
+                            )
+                        ),
+                        lambda s: s["x"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select("cell", "pos", (F.col("s") / F.col("n")).alias("m"))
+            .collect()
+        )
+        new_c = [list(c) for c in centroids]
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in folded:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        for cell, dims in by_cell.items():
+            new_c[cell] = [dims[p] for p in range(dim)]
+        centroids = new_c
+    return centroids
+
+
 def assign_cells(
     df: DataFrame,
     centroids: list[list[float]],

@@ -102,24 +102,119 @@ def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# IVF ANN (iterative k-means training → cell-probed exact scoring).
-# Registered WITHOUT an oracle: iterative TRAINING is the driver
-# contract's documented rows-only-check category (distributed avg() is
-# reorder-sensitive, so trained centroids aren't bit-reproducible in SQL).
-# The SEARCH half — assignment + probe + in-cell top-k with centroids
-# fixed — IS oracled as `similarity_ivf_search` (queries_similarity.py);
-# training correctness is pinned by
-# tests/test_pipeline_ops.py::test_ivf_topk_and_assignment_properties.
+# IVF ANN — the TRAINED path, fully oracled. Lloyd training is made
+# cross-engine reproducible by train_centroids_exact: every per-(cell,dim)
+# mean is an explicit left-to-right fold over values sorted by vec_id,
+# which the oracle mirrors with list_reduce(list(x ORDER BY vec_id)) / n.
+# The oracle then replays the SAME two Lloyd iterations as CTEs (seed
+# cells → chain-distance argmin assignment → ordered-fold means → trained
+# cells), and runs assignment + probe selection + in-cell exact top-k
+# against the trained centroids — so training AND search are both
+# value-checked (rounds 1-3 had this query rows-only).
 # ---------------------------------------------------------------------------
-@register("similarity_ivf_topk")
+IVF_K = 8
+IVF_ITERS = 2
+IVF_NPROBE = 3
+
+
+def _ivf_trained_oracle() -> str:
+    from clickhouse_table_copier_spark.queries_similarity import (
+        _dot_chain_sql,
+        _norm_chain_sql,
+        _sqdist_chain_sql,
+    )
+
+    parts = [
+        f"""
+    WITH cents0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+             CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings ORDER BY vec_id LIMIT {IVF_K}
+    )"""
+    ]
+    prev = "cents0"
+    for i in range(1, IVF_ITERS + 1):
+        parts.append(
+            f""",
+    pairs{i} AS (
+      SELECT e.vec_id, c.cell, {_sqdist_chain_sql("e.embedding", "c.cv")} AS d
+      FROM embeddings e, {prev} c
+    ),
+    assigned{i} AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+        FROM pairs{i}
+      ) WHERE rn = 1
+    ),
+    means{i} AS (
+      SELECT cell, pos,
+             list_reduce(list(x ORDER BY vec_id), (acc, x) -> acc + x) / count(*) AS m
+      FROM (
+        SELECT a.cell, e.vec_id,
+               generate_subscripts(e.embedding, 1) AS pos,
+               CAST(unnest(e.embedding) AS DOUBLE) AS x
+        FROM assigned{i} a JOIN embeddings e USING (vec_id)
+      )
+      GROUP BY cell, pos
+    ),
+    cents{i} AS (
+      SELECT p.cell, COALESCE(m.cv, p.cv) AS cv
+      FROM {prev} p LEFT JOIN (
+        SELECT cell, list(m ORDER BY pos) AS cv FROM means{i} GROUP BY cell
+      ) m USING (cell)
+    )"""
+        )
+        prev = f"cents{i}"
+    parts.append(
+        f""",
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    probes AS (
+      SELECT c.cell FROM {prev} c, q
+      ORDER BY {_sqdist_chain_sql("q.qv", "c.cv")} ASC, c.cell ASC
+      LIMIT {IVF_NPROBE}
+    ),
+    fpairs AS (
+      SELECT e.vec_id, e.embedding, c.cell,
+             {_sqdist_chain_sql("e.embedding", "c.cv")} AS d
+      FROM embeddings e, {prev} c
+      WHERE e.vec_id <> 0
+    ),
+    fassigned AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT vec_id, embedding, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+        FROM fpairs
+      ) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT a.vec_id, a.embedding, q.qv
+      FROM fassigned a, q
+      WHERE a.cell IN (SELECT cell FROM probes)
+    )
+    SELECT vec_id,
+           round(({_dot_chain_sql("embedding", "qv")})
+                 / ({_norm_chain_sql("embedding")} * {_norm_chain_sql("qv")}), 6)
+             AS cosine_sim
+    FROM cand
+    ORDER BY cosine_sim DESC, vec_id ASC
+    LIMIT 10"""
+    )
+    return "".join(parts)
+
+
+@register("similarity_ivf_topk", oracle=_ivf_trained_oracle())
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clickhouse_table_copier_spark.operators.ivf import ivf_topk, train_centroids
+    from clickhouse_table_copier_spark.operators.ivf import (
+        ivf_topk,
+        train_centroids_exact,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    centroids = train_centroids(emb, k=8, iters=2)
+    centroids = train_centroids_exact(emb, k=IVF_K, iters=IVF_ITERS)
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     return ivf_topk(
-        emb.where(F.col("vec_id") != 0), centroids, qvec, k=10, n_probe=3
+        emb.where(F.col("vec_id") != 0), centroids, qvec, k=10, n_probe=IVF_NPROBE
     )
 
 

@@ -151,14 +151,14 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # IVF ANN *search* path with PINNED centroids (the deterministic seed
-# vectors: the 8 lowest vec_ids) — the oracled half of IVF. Training
-# (Lloyd iterations) stays a rows-only query (`similarity_ivf_topk`)
-# because distributed avg() is reorder-sensitive; but given fixed
-# centroids, cell assignment + probe selection + in-cell exact top-k is
-# pure arithmetic, rendered below as explicit addition chains so DuckDB
-# reproduces Spark's fold order bit-for-bit. Cell assignment tie-breaks
-# to the lowest cell id (strict < argmin), probe selection orders by
-# (distance, cell) — both mirrored in the SQL.
+# vectors: the 8 lowest vec_ids). Given fixed centroids, cell assignment +
+# probe selection + in-cell exact top-k is pure arithmetic, rendered below
+# as explicit addition chains so DuckDB reproduces Spark's fold order
+# bit-for-bit. Cell assignment tie-breaks to the lowest cell id, probe
+# selection orders by (distance, cell) — both mirrored in the SQL. The
+# TRAINED path (`similarity_ivf_topk`, queries_extras.py) is ALSO oracled
+# since round 4: train_centroids_exact makes Lloyd means ordered folds the
+# oracle replays as CTEs.
 # ---------------------------------------------------------------------------
 N_CELLS = 8
 N_PROBE = 3

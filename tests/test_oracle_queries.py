@@ -33,9 +33,8 @@ def test_entry_smoke(spark):
 
 
 def test_every_query_has_oracle_or_is_declared():
+    # Since round 4 every registered query is oracled — including the
+    # trained-IVF path, whose Lloyd training is made cross-engine
+    # reproducible by ordered-fold means (train_centroids_exact).
     missing = sorted(set(_QUERIES) - set(_ORACLES))
-    # Non-SQL-expressible ops may be missing; keep the list conscious.
-    # similarity_ivf_topk: iterative k-means training — the documented
-    # rows-only-check category; pinned by operator tests instead.
-    allowed_missing = {"similarity_ivf_topk"}
-    assert set(missing) <= allowed_missing, f"queries without oracle: {missing}"
+    assert missing == [], f"queries without oracle: {missing}"

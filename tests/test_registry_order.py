@@ -34,5 +34,5 @@ def test_registry_complete():
     qs = entry.queries()
     oracles = entry.oracle_sql()
     assert len(qs) >= 87
-    # the only sanctioned rows-only query is the trained-IVF path
-    assert set(qs) - set(oracles) == {"similarity_ivf_topk"}
+    # since round 4 every registered query is oracled (trained IVF included)
+    assert set(qs) - set(oracles) == set()
