@@ -125,6 +125,19 @@ def main() -> None:
     timings = {name: min(ts) for name, ts in runs.items()}
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Per-iteration detail goes to a side file: the r03 bench JSON outgrew
+    # the driver's tail capture once iterations_sec was inlined, truncating
+    # the headline ("parsed": null). stdout stays ONE compact line, LAST.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
+            {"iterations": iters, "iterations_sec": runs, "sf": sf_val},
+            f,
+            indent=1,
+        )
     line = json.dumps(
         {
             "metric": "headline_queries_total_runtime",
@@ -133,8 +146,7 @@ def main() -> None:
             "queries": timings,
             "extended_queries": extended,
             "iterations": iters,
-            "iterations_sec": runs,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "sf": sf_val,
         }
     )
     os.dup2(real_stdout, 1)

@@ -109,16 +109,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load events: its ``ts`` is parquet TIMESTAMP(NANOS), which Spark only
-    reads as a long (``nanosAsLong``). Convert to µs-precision
-    TIMESTAMP_NTZ — matching DuckDB's CAST(ts AS TIMESTAMP) truncation —
-    under an explicitly-UTC session so the rendering is TZ-independent."""
+    """Load events with ``ts`` normalized to µs-precision TIMESTAMP_NTZ —
+    matching DuckDB's CAST(ts AS TIMESTAMP) — under an explicitly-UTC
+    session so the rendering is TZ-independent. Schema-adaptive: the
+    generated parquet has shipped both TIMESTAMP(NANOS) (which Spark only
+    reads as a long via ``nanosAsLong``) and native TIMESTAMP(MICROS);
+    handle either without assuming which generation is on disk."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = _t(spark, sf_dir, "events")
-    return df.withColumn(
-        "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
-    )
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        conv = "CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"
+    else:
+        conv = "CAST(ts AS TIMESTAMP_NTZ)"
+    return df.withColumn("ts", F.expr(conv))
 
 
 # The standard partition spec for lineitem: month of ship date — the

@@ -304,15 +304,15 @@ def q_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Fuzzy name matching: near-identical entity names by edit distance — the
-# entity-resolution primitive (record linkage across sources). Blocking is a
-# real EQUI-JOIN key, not a non-equi predicate: side b explodes each name to
-# the 5 length buckets (len-2 .. len+2) it could pair with; side a joins on
-# its own exact length. Every qualifying pair (|Δlen| ≤ 2) matches on exactly
-# ONE bucket value (len_a), so the join produces each pair once — no dedupe
-# pass — and Spark plans a hash join on `bucket` instead of a
-# BroadcastNestedLoopJoin over all O(n²) pairs. At 10⁹ rows the bucket key
-# would be composited with a second blocking key (e.g. a q-gram prefix band)
-# to split skewed length buckets; the equi-join shape stays the same.
+# entity-resolution primitive (record linkage across sources). The round-3
+# length-bucket blocking was degenerate on this data (every customer name is
+# exactly 18 chars, so the "blocked" join was a full O(n²) self-join).
+# Replaced with the deletion-neighborhood join (operators/fuzzy.py): each
+# name explodes to its ≤3-deletion variants, candidates are pairs sharing a
+# variant (exact filter — any ≤3-op edit script leaves a common ≤3-deletion
+# skeleton), and one levenshtein per CANDIDATE pair verifies. Join fan-out
+# is bounded by variant document frequency, never by n. The oracle stays the
+# brute-force pairwise spec.
 # ---------------------------------------------------------------------------
 @register(
     "fuzzy_name_pairs",
@@ -326,25 +326,13 @@ def q_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.fuzzy import (
+        edit_distance_self_join,
+    )
+
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    a = cust.select(
-        F.col("c_custkey").alias("key_a"),
-        F.col("c_name").alias("name_a"),
-        F.length("c_name").alias("bucket"),
-    )
-    b = cust.select(
-        F.col("c_custkey").alias("key_b"),
-        F.col("c_name").alias("name_b"),
-        F.explode(
-            F.sequence(F.length("c_name") - 2, F.length("c_name") + 2)
-        ).alias("bucket"),
-    )
-    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
-    return (
-        a.join(b, "bucket")
-        .where(F.col("key_a") < F.col("key_b"))
-        .where(dist <= 3)
-        .select("key_a", "key_b", dist.cast("int").alias("edit_dist"))
+    return edit_distance_self_join(
+        cust, "c_custkey", "c_name", max_dist=3, len_tol=2
     )
 
 
