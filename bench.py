@@ -104,25 +104,21 @@ def main() -> None:
     qs["partition_diff"](spark, sf_dir).collect()
 
     iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
-    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    ext_names = [n for n in EXTENDED if n in qs]
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE + ext_names}
     # round-robin over iterations (not per-query back-to-back) so a
-    # transient load spike hits different queries in different passes
+    # transient load spike hits different queries in different passes.
+    # Extended queries ride the same loop since r04 — their r03 one-shot
+    # numbers mixed codegen/JIT cost into the steady-state figure.
     for _ in range(iters):
-        for name in HEADLINE:
+        for name in HEADLINE + ext_names:
             fn = qs[name]
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             runs[name].append(round(time.perf_counter() - t0, 3))
 
-    extended: dict[str, float] = {}
-    for name in EXTENDED:
-        if name not in qs:
-            continue
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).collect()
-        extended[name] = round(time.perf_counter() - t0, 3)
-
-    timings = {name: min(ts) for name, ts in runs.items()}
+    extended = {name: min(runs[name]) for name in ext_names}
+    timings = {name: min(runs[name]) for name in HEADLINE}
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

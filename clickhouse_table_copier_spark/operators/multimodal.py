@@ -205,6 +205,47 @@ def _make_png_decoder():
     return decode_png
 
 
+def _make_bmp_decoder():
+    """Pure-numpy BMP raster decode as a CLOSURE (pickles by value, like
+    the PNG decoder). Covers the uncompressed BI_RGB 24/32-bit raster —
+    the whole of what a BMP usually is; the rows are raw BGR(A) bytes
+    padded to 4-byte stride, so the mean is one vectorized reduction.
+    Returns (w, h, n_channels, [mean_r, mean_g, mean_b]) in 0-255, or
+    None when the stream isn't a decodable BMP (paletted/compressed
+    variants stay behind the PIL seam, now JPEG/GIF-only)."""
+
+    def decode_bmp(content: bytes):
+        import numpy as _np
+
+        try:
+            if content[:2] != b"BM":
+                return None
+            off = int.from_bytes(content[10:14], "little")
+            hdr_size = int.from_bytes(content[14:18], "little")
+            if hdr_size < 40:  # BITMAPCOREHEADER etc: different layout
+                return None
+            w = int.from_bytes(content[18:22], "little", signed=True)
+            h = int.from_bytes(content[22:26], "little", signed=True)
+            bpp = int.from_bytes(content[28:30], "little")
+            comp = int.from_bytes(content[30:34], "little")
+            if comp != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+                return None
+            rows = abs(h)  # negative height = top-down; means don't care
+            nch = bpp // 8
+            stride = ((w * nch + 3) // 4) * 4
+            if len(content) < off + stride * rows:
+                return None
+            raster = _np.frombuffer(
+                content, dtype=_np.uint8, count=stride * rows, offset=off
+            ).reshape(rows, stride)[:, : w * nch].reshape(rows, w, nch)
+            bgr = raster.astype(_np.float64).mean(axis=(0, 1))
+            return w, rows, nch, [float(bgr[2]), float(bgr[1]), float(bgr[0])]
+        except Exception:
+            return None
+
+    return decode_bmp
+
+
 PIXEL_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -221,17 +262,19 @@ PIXEL_STATS_SCHEMA = T.StructType(
 
 def image_pixel_stats(df: DataFrame) -> DataFrame:
     """REAL per-channel pixel statistics (mean R/G/B + Rec.601 luma) for
-    PNG streams, decoded with the pure-Python zlib decoder — no image
-    libraries. Non-PNG / unsupported streams yield NULL stats (their
-    decode stays behind the PIL seam). Same Arrow-batched mapInPandas
-    shape as every decode stage here."""
+    PNG and uncompressed-BMP streams, decoded with the pure-Python
+    zlib/numpy decoders — no image libraries. Other formats yield NULL
+    stats (their decode stays behind the PIL seam, now JPEG/GIF-only).
+    Same Arrow-batched mapInPandas shape as every decode stage here."""
     decode_png = _make_png_decoder()
+    decode_bmp = _make_bmp_decoder()
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                got = decode_png(bytes(content))
+                b = bytes(content)
+                got = decode_png(b) or decode_bmp(b)
                 if got is None:
                     out.append((mid, None, None, None, None, None, None, None))
                     continue

@@ -51,18 +51,33 @@ def misra_gries_candidates(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     summary (pointwise addition is itself a valid merge — each partial
     is already a lower bound)."""
 
+    is_array = dict(df.dtypes)[col].startswith("array")
+
     # The merge rule is inlined (not a call to _mg_merge): a closure that
     # references a module-level function pickles it BY REFERENCE, so every
     # executor worker would need this package importable — untrue when the
     # library is loaded via a driver-side sys.path insert (the external
     # driver contract does exactly that). Inline, cloudpickle ships the
     # whole closure by value and the worker needs only pandas.
+    #
+    # Array inputs take the fast path: one Arrow row per DOCUMENT (not per
+    # token), flattened and counted with numpy inside the worker — the r03
+    # bench showed the per-token Arrow transfer dominating this sketch.
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
         import pandas as _pd
 
         counters: dict[str, int] = {}
         for pdf in batches:
-            for v, c in pdf[col].value_counts().items():
+            if is_array:
+                arrs = [a for a in pdf[col] if a is not None and len(a)]
+                if not arrs:
+                    continue
+                vals, cnts = _np.unique(_np.concatenate(arrs), return_counts=True)
+                pairs = zip(vals.tolist(), cnts.tolist())
+            else:
+                pairs = pdf[col].value_counts().items()
+            for v, c in pairs:
                 counters[v] = counters.get(v, 0) + int(c)
             if len(counters) > k:
                 kth = sorted(counters.values(), reverse=True)[k]
@@ -81,7 +96,13 @@ def heavy_hitters_exact_topk(
     """Two-pass exact heavy hitters: MG candidates → semi-join exact
     recount → top-N (count desc, value asc). Exact whenever the true
     top-N frequencies exceed n/(k_counters+1) — which pass 1 guarantees
-    the candidate set covers."""
+    the candidate set covers.
+
+    ``col`` may be a scalar column (one value per row) or an
+    ``array<...>`` column (one collection per row — e.g. a document's
+    token array); with arrays, both passes avoid a per-token row
+    explosion before the sketch, and the recount explodes JVM-side only
+    into a broadcast semi-join."""
     cand = (
         misra_gries_candidates(df, col, k_counters)
         .groupBy("value")
@@ -89,8 +110,12 @@ def heavy_hitters_exact_topk(
         .where(F.col("lb") > 0)
         .select(F.col("value").alias(col))
     )
+    if dict(df.dtypes)[col].startswith("array"):
+        values = df.select(F.explode(col).alias(col))
+    else:
+        values = df.select(col)
     exact = (
-        df.join(F.broadcast(cand), col)
+        values.join(F.broadcast(cand), col)
         .groupBy(col)
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )

@@ -937,9 +937,15 @@ def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_table_copier_spark.operators.sketches import heavy_hitters_exact_topk
 
     docs = spread(_t(spark, sf_dir, "documents"))
+    # token ARRAYS, one row per document: the sketch pass ships one Arrow
+    # row per doc (not per token) and counts with numpy; the recount pass
+    # explodes JVM-side into the broadcast semi-join (r03: per-token Arrow
+    # transfer was 2.8× the next extended query)
     toks = docs.select(
-        F.explode(F.split(normalized_text("text"), " ")).alias("term")
-    ).where(F.col("term") != "")
+        F.filter(
+            F.split(normalized_text("text"), " "), lambda t: t != F.lit("")
+        ).alias("term")
+    )
     return heavy_hitters_exact_topk(toks, "term", k_counters=64, topn=10)
 
 

@@ -1268,3 +1268,60 @@ def test_ivf_pq_stored_layout_prunes_and_reads_codes_only(spark, tmp_path):
     assert [(r["vec_id"], r["adc_dist"]) for r in got] == [
         (r["vec_id"], r["adc_dist"]) for r in inline
     ]
+
+
+def test_bmp_pixel_stats_match_constructed_pixels(spark):
+    """BMP raster decode (24-bit bottom-up and 32-bit top-down): the file
+    bytes are constructed IN THE TEST per the BITMAPINFOHEADER spec —
+    padded strides, BGR channel order — and the operator must recover the
+    exact channel means. Shrinks the PIL seam to JPEG/GIF."""
+    import struct as S
+
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_pixel_stats,
+    )
+
+    def make_bmp(w, h, nch, px_rgb, top_down):
+        stride = ((w * nch + 3) // 4) * 4
+        raster = b""
+        ys = range(h) if top_down else range(h - 1, -1, -1)
+        for y in ys:
+            row = b""
+            for x in range(w):
+                r, g, b = px_rgb[y][x]
+                row += bytes((b, g, r)) + (b"\xff" if nch == 4 else b"")
+            raster += row + b"\x00" * (stride - len(row))
+        off = 14 + 40
+        header = (
+            b"BM"
+            + S.pack("<IHHI", off + len(raster), 0, 0, off)
+            + S.pack(
+                "<IiiHHIIiiII",
+                40, w, -h if top_down else h, 1, nch * 8, 0,
+                len(raster), 2835, 2835, 0, 0,
+            )
+        )
+        return header + raster
+
+    w, h = 7, 5
+    px = [[((x * 13) % 256, (y * 31) % 256, ((x * y) * 3) % 256) for x in range(w)]
+          for y in range(h)]
+    exp = [sum(px[y][x][c] for y in range(h) for x in range(w)) / (w * h)
+           for c in range(3)]
+
+    rows = [
+        (0, "image", bytearray(make_bmp(w, h, 3, px, top_down=False)), "{}"),
+        (1, "image", bytearray(make_bmp(w, h, 4, px, top_down=True)), "{}"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in image_pixel_stats(media).collect()}
+
+    for mid, nch in ((0, 3), (1, 4)):
+        r = got[mid]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, nch)
+        assert abs(r["mean_r"] - exp[0]) < 1e-9
+        assert abs(r["mean_g"] - exp[1]) < 1e-9
+        assert abs(r["mean_b"] - exp[2]) < 1e-9
+        exp_luma = 0.299 * exp[0] + 0.587 * exp[1] + 0.114 * exp[2]
+        assert abs(r["mean_luma"] - exp_luma) < 1e-9
