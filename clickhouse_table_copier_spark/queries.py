@@ -42,51 +42,63 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's correctness gate checks the FIRST 50 registered queries in
-# dict order. Rounds 1-2 verified the 50 that import order happened to put
-# first; these are the queries registered after that window, rotated to the
-# front so round 3's CORRECTNESS file gains driver rows for them (the ones
-# rotated out already have green rows on file in CORRECTNESS_r02.json).
+# dict order. Rotation rule (VERDICT r3 #9): every round, front the
+# queries with no driver row from the PREVIOUS round — the 37 that r03's
+# window skipped (all green in r01/r02) — plus the new round's additions,
+# so the union of round windows always covers the whole registry.
+# r04 window: 37 r03-unchecked + 12 round-4 queries = 49 of 50 slots.
 _DRIVER_WINDOW_FIRST = [
-    "array_string_ops",
-    "ipv6_canon",
-    "doc_winnowing",
-    "order_value_percentiles",
-    "similarity_ivf_topk",
-    "asof_join_status",
-    "range_join_value_bands",
-    "fuzzy_name_pairs",
-    "hypertable_rollup",
-    "sql_frontend_revenue",
-    "table_profile",
-    "value_histogram",
-    "ch_dialect_sql",
-    "ch_dialect_partitions",
-    "dq_expectations",
-    "streaming_window_counts",
-    # round-3 additions — registered directly into the window so their
-    # first driver round produces correctness rows (displacing r02-green
-    # queries whose rows are already on file)
-    "decontamination",
-    "pii_redaction",
-    "seq_packing",
-    "semantic_dedup",
-    "corpus_dedup_summary",
-    "local_supplier_volume",
-    "part_type_revenue",
-    "ann_pq_adc",
-    "doc_dup_ngram_fraction",
-    "bm25_rank",
-    "quality_weighted_sample",
-    "event_funnel",
-    "retention_cohorts",
-    "events_gap_fill",
-    "heavy_hitter_terms",
-    "sketch_distinct_bounds",
-    "fk_integrity_audit",
-    "sketch_quantile_bounds",
-    "ann_ivf_pq_adc",
-    "doc_chunking",
-    "events_anomaly_hours",
+    # r03-unchecked (green driver rows on file from r01/r02)
+    "pricing_summary",
+    "orders_by_nation",
+    "top_parts_by_quantity",
+    "events_multikey_stats",
+    "events_multikey_predicate",
+    "partition_stats_rollup",
+    "distinct_parts_per_month",
+    "returnflag_month_matrix",
+    "customers_without_orders",
+    "customer_segments_with_orders",
+    "flag_status_cube",
+    "shipping_priority_revenue",
+    "returned_item_losses",
+    "schema_intersection",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_clusters_jaccard",
+    "dedup_simhash",
+    "text_stats",
+    "dataset_split",
+    "token_counts",
+    "text_quality",
+    "gopher_quality",
+    "vocab_top_terms",
+    "stratified_sample",
+    "dedup_lsh_eval",
+    "similarity_brute_topk",
+    "similarity_lsh_buckets",
+    "similarity_lsh_topk",
+    "similarity_ivf_search",
+    "dedup_embedding_cosine",
+    "customer_running_totals",
+    "top_orders_per_customer",
+    "event_sessions",
+    "partition_set_ops",
+    "huge_int_casts",
+    # round-4 additions — first driver check this round
+    "zorder_layout",
+    "compaction_plan",
+    "time_weighted_avg",
+    "moving_avg_daily",
+    "markov_transitions",
+    "skew_salted_agg",
+    "tfidf_top_terms",
+    "term_cooccurrence",
+    "scd2_history",
+    "embedding_quantization_error",
+    "bigram_lm",
+    "winsorized_stats",
 ]
 
 

@@ -1,0 +1,749 @@
+"""Round-4 operators: storage-layout planning, time-weighted analytics,
+sequence models over events, and skew-safe aggregation.
+
+Everything here follows the repo's two rules for cross-engine exactness:
+
+- money/value sums go through DECIMAL before aggregation (exact and
+  reorder-proof, so Spark's partial aggregation and DuckDB's sequential
+  fold agree bit-for-bit), with division done in DOUBLE on the already-
+  exact operands;
+- orderings that feed window functions carry a total tiebreak
+  (ts, event_id / date, orderkey) so both engines see the same sequence.
+
+Reference parity: the reference (a ClickHouse partition-sync tool) has no
+analytics of its own — these are the training-pipeline/warehouse
+extensions the brief asks for, built Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clickhouse_table_copier_spark.queries import _events, _t, register
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout: interleave the bits of two column coordinates into one
+# clustering key, bucket rows by its high bits, and report per-bucket
+# extent of BOTH dimensions. This is the multi-dimensional data-layout
+# primitive (Morton curve): sorting/partitioning 100 TB by z_bucket gives
+# every bucket a tight min/max on BOTH o_custkey and o_totalprice, so a
+# predicate on either column prunes buckets via ordinary min/max file
+# stats — the same mechanism behind Delta/Iceberg Z-ORDER clustering.
+# The interleave is pure integer bit arithmetic (identical `&`/`<<`/`>>`
+# expression text in Spark SQL and DuckDB — no UDF, stays in codegen).
+# ---------------------------------------------------------------------------
+def _zvalue_sql(gx: str, gy: str, bits: int = 8) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({gx} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({gy} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+_ZORDER_GRID = """
+SELECT o_orderkey,
+       CAST(o_custkey % 256 AS BIGINT) AS gx,
+       CAST(least(CAST(floor(o_totalprice / 2500.0) AS BIGINT), 255) AS BIGINT) AS gy
+FROM orders
+"""
+
+
+@register(
+    "zorder_layout",
+    oracle=f"""
+    WITH grid AS ({_ZORDER_GRID}),
+    z AS (
+      SELECT gx, gy, CAST({_zvalue_sql('gx', 'gy')} AS BIGINT) AS zval
+      FROM grid
+    )
+    SELECT CAST(zval >> 10 AS BIGINT) AS z_bucket,
+           count(*) AS n_rows,
+           CAST(min(gx) AS BIGINT) AS min_gx, CAST(max(gx) AS BIGINT) AS max_gx,
+           CAST(min(gy) AS BIGINT) AS min_gy, CAST(max(gy) AS BIGINT) AS max_gy
+    FROM z
+    GROUP BY 1
+    ORDER BY z_bucket
+    """,
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 256).cast("bigint").alias("gx"),
+        F.least(
+            F.floor(F.col("o_totalprice") / 2500.0).cast("bigint"), F.lit(255)
+        )
+        .cast("bigint")
+        .alias("gy"),
+    )
+    z = grid.withColumn("zval", F.expr(_zvalue_sql("gx", "gy")).cast("bigint"))
+    return (
+        z.groupBy(F.shiftright("zval", 10).cast("bigint").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("gx").alias("min_gx"),
+            F.max("gx").alias("max_gx"),
+            F.min("gy").alias("min_gy"),
+            F.max("gy").alias("max_gy"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compaction planner: greedy sequential bin-packing of partitions into
+# target-row bins — the small-files problem at 100 TB. The plan is one
+# grouped count + one window prefix-sum (exclusive cumsum DIV target):
+# metadata-sized, no data movement; the executor-side rewrite that
+# consumes it is a plain repartition-by-bin write. Matches how table
+# formats (Delta OPTIMIZE, Iceberg rewriteDataFiles) pick file groups.
+# ---------------------------------------------------------------------------
+_COMPACT_TARGET = 4000
+
+
+@register(
+    "compaction_plan",
+    oracle=f"""
+    WITH parts AS (
+      SELECT CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+             count(*) AS part_rows
+      FROM lineitem GROUP BY 1
+    ),
+    planned AS (
+      SELECT ship_month, part_rows,
+             CAST(coalesce(sum(part_rows) OVER (
+               ORDER BY ship_month
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {_COMPACT_TARGET} AS BIGINT) AS bin
+      FROM parts
+    )
+    SELECT bin, count(*) AS n_parts,
+           CAST(sum(part_rows) AS BIGINT) AS bin_rows,
+           CAST(min(ship_month) AS INTEGER) AS first_month,
+           CAST(max(ship_month) AS INTEGER) AS last_month
+    FROM planned GROUP BY bin ORDER BY bin
+    """,
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.month("l_shipdate").cast("int").alias("ship_month"))
+        .agg(F.count(F.lit(1)).alias("part_rows"))
+    )
+    w = Window.orderBy("ship_month").rowsBetween(Window.unboundedPreceding, -1)
+    planned = parts.withColumn(
+        "bin",
+        (F.coalesce(F.sum("part_rows").over(w), F.lit(0)) / _COMPACT_TARGET)
+        .cast("bigint"),
+    )
+    return (
+        planned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("part_rows").cast("bigint").alias("bin_rows"),
+            F.min("ship_month").alias("first_month"),
+            F.max("ship_month").alias("last_month"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (trapezoidal) per event series — the
+# irregular-sampling aggregate (TimescaleDB time_weight('linear')): each
+# adjacent pair contributes mean(v, v_next) x dt. Exactness discipline:
+# epochs are µs integers (second-level conversions truncate vs round
+# differently across engines), values go through DECIMAL before any
+# arithmetic, and each term (v + v2) x dt stays decimal x integer —
+# fully exact and reorder-proof — with the trapezoid's /2 folded into
+# ONE final double division. One window pass + one grouped agg: scales
+# as a single shuffle on the series key.
+# ---------------------------------------------------------------------------
+@register(
+    "time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             CAST(value AS DECIMAL(18,6)) AS v,
+             lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS t2,
+             lead(CAST(value AS DECIMAL(18,6))) OVER w AS v2
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           CAST(CAST(sum(CAST((v + v2) * (t2 - t) AS DECIMAL(38,6))) AS DOUBLE)
+                / CAST(2 * sum(t2 - t) AS DOUBLE) AS DOUBLE) AS twa_value,
+           count(*) AS n_intervals
+    FROM seq WHERE t2 IS NOT NULL AND t2 > t
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    v_dec = F.col("value").cast("decimal(18,6)")
+    seq = ev.select(
+        "event_type",
+        t_us.alias("t"),
+        v_dec.alias("v"),
+        F.lead(t_us).over(w).alias("t2"),
+        F.lead(v_dec).over(w).alias("v2"),
+    ).where(F.col("t2").isNotNull() & (F.col("t2") > F.col("t")))
+    term = (
+        (F.col("v") + F.col("v2")) * (F.col("t2") - F.col("t"))
+    ).cast("decimal(38,6)")
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            (
+                F.sum(term).cast("double")
+                / (F.lit(2) * F.sum(F.col("t2") - F.col("t"))).cast("double")
+            )
+            .cast("double")
+            .alias("twa_value"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 7-day moving average of daily totals per series — the dashboard
+# smoothing primitive. Daily totals are exact decimal sums; the moving
+# window is ROWS 6 PRECEDING over the (small) per-day aggregate, so the
+# expensive part is one map-side-combinable groupBy of the raw events and
+# the window runs over days x series, not rows. The ratio is computed
+# from the exact decimal window-sum and the window count, in DOUBLE.
+# ---------------------------------------------------------------------------
+@register(
+    "moving_avg_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             sum(CAST(value AS DECIMAL(18,6))) AS d_total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day,
+           CAST(d_total AS DOUBLE) AS daily_total,
+           CAST(CAST(sum(d_total) OVER w AS DOUBLE)
+                / count(*) OVER w AS DOUBLE) AS ma7
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY event_type, day
+    """,
+)
+def q_moving_avg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("d_total"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("d_total").cast("double").alias("daily_total"),
+        (F.sum("d_total").over(w).cast("double") / F.count(F.lit(1)).over(w))
+        .cast("double")
+        .alias("ma7"),
+    ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# Markov transition counts: per-user event sequences -> (state, next)
+# frequencies — the session-flow / next-action model. One window lead()
+# over (user, ts) then a grouped count: a single shuffle on user_id, then
+# one on the 25-row transition key (map-side combined). The per-user
+# ordering carries event_id as the total tiebreak so both engines see
+# identical sequences under same-timestamp events.
+# ---------------------------------------------------------------------------
+@register(
+    "markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS state,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_state
+      FROM events
+    )
+    SELECT state, next_state, count(*) AS n
+    FROM seq WHERE next_state IS NOT NULL
+    GROUP BY state, next_state
+    ORDER BY state, next_state
+    """,
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("state"),
+        F.lead("event_type").over(w).alias("next_state"),
+    ).where(F.col("next_state").isNotNull())
+    return (
+        seq.groupBy("state", "next_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("state", "next_state")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted two-stage aggregation: the skew-safe shape for hot grouping keys.
+# Stage 1 groups by (key, salt) — spreading one hot key over S reducers —
+# stage 2 merges the S partials per key. Because the partial sums are
+# exact decimals, the two-stage result EQUALS the direct groupBy, and the
+# oracle is exactly that direct SQL: the query's green hash is the proof
+# the rewrite is semantics-preserving. At 100 TB this is the manual
+# fallback when AQE skew handling can't help (single-key aggregation
+# hotspots); S=8 here, sized to reducer count in production.
+# ---------------------------------------------------------------------------
+@register(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           count(*) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    stage1 = (
+        ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(8)))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("pv"),
+            F.count(F.lit(1)).alias("pn"),
+        )
+    )
+    return (
+        stage1.groupBy("event_type")
+        .agg(
+            F.sum("pv").cast("double").alias("total_value"),
+            F.sum("pn").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document. The per-doc ranking score is tf/df (the
+# corpus-size factor N is constant within one ranking, and log() is
+# monotone, so tf/df ranks identically to tf·log-idf whenever df ties
+# break the same way — and the (score, term) tiebreak pins that); the
+# division is ONE double op on exact integers, bit-identical across
+# engines. Plan: one tokenize pass → (doc, term) tf counts → df by one
+# more grouped agg → shuffle join tf⋈df on term → per-doc window top-3.
+# At 100 TB the df side is vocabulary-sized (zipf-truncated), far
+# smaller than the corpus, and the window partitions by doc — no global
+# sort anywhere.
+# ---------------------------------------------------------------------------
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
+      GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    ranked AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term ASC) AS rk
+      FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, tf, df
+    FROM ranked WHERE rk <= 3
+    ORDER BY doc_id, rk
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.dedup import normalized_text, spread
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split(normalized_text("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf").cast("double") / F.col("df")).desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df, "term")
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "rk", "term", "tf", "df")
+        .orderBy("doc_id", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Term co-occurrence with a-priori pruning: pairs of FREQUENT terms
+# appearing in the same document. The pruning is the scale story: the
+# pair join runs only over tokens that survive the document-frequency
+# threshold (downward closure — an infrequent term can't be in a frequent
+# pair), so per-doc fan-out is bounded by the frequent-vocabulary hits in
+# that doc, not by document length; the frequent-vocab list is
+# broadcast-sized by construction.
+# ---------------------------------------------------------------------------
+_COOC_MIN_DF = 25
+_COOC_MIN_PAIR = 10
+
+
+@register(
+    "term_cooccurrence",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ),
+    freq AS (
+      SELECT term FROM toks WHERE term <> ''
+      GROUP BY term HAVING count(*) >= {_COOC_MIN_DF}
+    ),
+    ft AS (
+      SELECT doc_id, term FROM toks WHERE term IN (SELECT term FROM freq)
+    )
+    SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_docs
+    FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY 1, 2 HAVING count(*) >= {_COOC_MIN_PAIR}
+    ORDER BY n_docs DESC, term_a, term_b
+    LIMIT 30
+    """,
+)
+def q_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.dedup import normalized_text, spread
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(normalized_text("text"), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    freq = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= _COOC_MIN_DF)
+        .select("term")
+    )
+    ft = toks.join(F.broadcast(freq), "term")
+    a = ft.select("doc_id", F.col("term").alias("term_a"))
+    b = ft.select("doc_id", F.col("term").alias("term_b"))
+    return (
+        a.join(b, "doc_id")
+        .where(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= _COOC_MIN_PAIR)
+        .orderBy(F.desc("n_docs"), "term_a", "term_b")
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history: collapse each customer's order-status stream into
+# validity intervals (type-2 slowly-changing dimension). Regime starts
+# are rows whose status differs from the previous row (lag); interval end
+# = next regime's start (lead). Two window passes over the same
+# (customer, date, orderkey) ordering — one shuffle total — then a
+# compact per-status rollup so the result is verdict-sized. The same
+# plan maintains dimension tables incrementally at 100 TB: only regime
+# STARTS are stored, ends are derived.
+# ---------------------------------------------------------------------------
+@register(
+    "scd2_history",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             lag(o_orderstatus) OVER w AS prev_status
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    starts AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+             lead(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS valid_to
+      FROM seq
+      WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+    )
+    SELECT o_orderstatus AS status,
+           count(*) AS n_intervals,
+           CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_current,
+           CAST(sum(CASE WHEN valid_to IS NOT NULL
+                    THEN date_diff('day', CAST(valid_from AS DATE),
+                                   CAST(valid_to AS DATE))
+                    ELSE 0 END) AS BIGINT) AS closed_days
+    FROM starts GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderdate",
+        "o_orderkey",
+        F.lag("o_orderstatus").over(w).alias("prev_status"),
+    )
+    starts = seq.where(
+        F.col("prev_status").isNull()
+        | (F.col("prev_status") != F.col("o_orderstatus"))
+    ).select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate")
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .alias("valid_to"),
+    )
+    return (
+        starts.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_current"),
+            F.sum(
+                F.when(
+                    F.col("valid_to").isNotNull(),
+                    F.datediff(
+                        F.col("valid_to").cast("date"),
+                        F.col("valid_from").cast("date"),
+                    ),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("closed_days"),
+        )
+        .orderBy("status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar (int8) quantization error for embeddings: per-dimension min/max
+# → 255-level codes → reconstruction MSE per label. The dim-stats side is
+# 64 rows — broadcast to the exploded vectors (BroadcastHashJoin on dim),
+# so the only full shuffle is the final per-label rollup of decimal-exact
+# partial sums. Rounding uses floor(x + 0.5) (identical across engines,
+# unlike round()'s half-even vs half-up split); error terms are double →
+# DECIMAL(38,12) before summing. This is the memory-4×-reduction gate for
+# ANN at 100 TB: ship int8 codes, keep the fp32 originals cold.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_quantization_error",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label,
+             CAST(unnest(generate_series(1, len(embedding))) AS INTEGER) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT dim, min(val) AS lo, max(val) AS hi FROM ex GROUP BY dim
+    ),
+    coded AS (
+      SELECT ex.label,
+             ex.val,
+             stats.lo + greatest(least(CAST(floor((ex.val - stats.lo)
+                   / (stats.hi - stats.lo) * 255 + 0.5) AS BIGINT), 255), 0)
+               * (stats.hi - stats.lo) / 255 AS vd
+      FROM ex JOIN stats USING (dim)
+    )
+    SELECT label,
+           CAST(CAST(sum(CAST((val - vd) * (val - vd) AS DECIMAL(38,12))) AS DOUBLE)
+                / count(*) AS DOUBLE) AS mse,
+           count(*) AS n_values
+    FROM coded GROUP BY label ORDER BY label
+    """,
+)
+def q_embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim0", "valf"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    stats = ex.groupBy("dim").agg(
+        F.min("val").alias("lo"), F.max("val").alias("hi")
+    )
+    span = F.col("hi") - F.col("lo")
+    q = F.greatest(
+        F.least(
+            F.floor((F.col("val") - F.col("lo")) / span * 255 + 0.5).cast("bigint"),
+            F.lit(255),
+        ),
+        F.lit(0),
+    )
+    coded = ex.join(F.broadcast(stats), "dim").select(
+        "label", "val", (F.col("lo") + q * span / 255).alias("vd")
+    )
+    err = ((F.col("val") - F.col("vd")) * (F.col("val") - F.col("vd"))).cast(
+        "decimal(38,12)"
+    )
+    return (
+        coded.groupBy("label")
+        .agg(
+            (F.sum(err).cast("double") / F.count(F.lit(1)))
+            .cast("double")
+            .alias("mse"),
+            F.count(F.lit(1)).alias("n_values"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model counts: adjacent token pairs with conditional
+# probability p(w2|w1) = n(w1,w2) / Σ_w n(w1,w). Adjacency comes from
+# position-aligned self-equi-join ((doc, pos+1) = (doc, pos)) — hash
+# keys, not array slicing, so the same plan text works in both engines
+# and at any document length. The conditional denominator is a window
+# sum over the already-aggregated bigram table (vocabulary-sized, not
+# corpus-sized).
+# ---------------------------------------------------------------------------
+@register(
+    "bigram_lm",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g')), ' '),
+               x -> x <> '') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT w1, w2, count(*) AS n
+      FROM (
+        SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        FROM toks WHERE len(t) >= 2
+      )
+      GROUP BY 1, 2
+    )
+    SELECT w1, w2, n,
+           CAST(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY w1) AS DOUBLE)
+             AS p_cond
+    FROM bg
+    ORDER BY n DESC, w1, w2
+    LIMIT 15
+    """,
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.dedup import normalized_text, spread
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(normalized_text("text"), " "), lambda t: t != F.lit("")
+        ).alias("t"),
+    )
+    ex = toks.select(
+        "doc_id", F.posexplode("t").alias("pos0", "term")
+    ).select("doc_id", F.col("term"), (F.col("pos0") + 1).cast("bigint").alias("pos"))
+    a = ex.select("doc_id", F.col("term").alias("w1"), F.col("pos"))
+    b = ex.select(
+        "doc_id", F.col("term").alias("w2"), (F.col("pos") - 1).alias("pos")
+    )
+    bg = (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wsum = Window.partitionBy("w1")
+    return (
+        bg.select(
+            "w1",
+            "w2",
+            "n",
+            (F.col("n").cast("double") / F.sum("n").over(wsum))
+            .cast("double")
+            .alias("p_cond"),
+        )
+        .orderBy(F.desc("n"), "w1", "w2")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized statistics: clamp each series at its own [p05, p95] before
+# aggregating — the robust-mean primitive for metric pipelines with
+# outliers. Percentile interpolation is bit-identical between Spark
+# percentile() and DuckDB quantile_cont() (established by
+# order_value_percentiles); the clamp + decimal-sum pass reuses the same
+# single-shuffle grouped-agg shape, with the per-series bounds broadcast
+# back onto the raw rows.
+# ---------------------------------------------------------------------------
+@register(
+    "winsorized_stats",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(sum(CAST(greatest(least(e.value, b.p95), b.p05)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS winsorized_sum,
+           CAST(sum(CASE WHEN e.value < b.p05 OR e.value > b.p95
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+           count(*) AS n_events
+    FROM events e JOIN bounds b USING (event_type)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    j = ev.join(F.broadcast(bounds), "event_type")
+    clamped = F.greatest(F.least(F.col("value"), F.col("p95")), F.col("p05"))
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.sum(clamped.cast("decimal(18,6)"))
+            .cast("double")
+            .alias("winsorized_sum"),
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("p05"))
+                    | (F.col("value") > F.col("p95")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_clamped"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
