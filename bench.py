@@ -44,6 +44,17 @@ EXTENDED = [
     "sketch_distinct_bounds",
     "sketch_quantile_bounds",
     "fk_integrity_audit",
+    # round-4 additions
+    "zorder_layout",
+    "tfidf_top_terms",
+    "term_cooccurrence",
+    "time_weighted_avg",
+    "embedding_quantization_error",
+    "pagerank_nations",
+    # fuzzy_name_pairs is excluded: on TPC-H's zero-padded names the TRUE
+    # lev<=3 answer at sf0.1 is ~28M pairs (25% of all pairs), so the
+    # run is output-bound (~150 s) and would triple bench wall-clock;
+    # see operators/fuzzy.py for the density analysis.
 ]
 
 HEADLINE = [

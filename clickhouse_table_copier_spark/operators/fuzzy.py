@@ -37,6 +37,15 @@ only on candidates. On low-entropy data where the true answer itself is
 dense, candidate count tracks answer size instead of n². ``max_df``
 optionally drops variants hotter than the cap for an approximate
 high-recall mode at extreme scale (off by default: exactness).
+
+Measured density caveat (TPC-H customer names): zero-padded ids vary in
+only ~log10(n) trailing digit positions, so the TRUE lev<=3 relation is
+quadratically dense — at sf0.01, 785k of 1.1M possible pairs qualify; at
+sf0.1, 28M of 112M. Any exact method is output-bound there; this one
+does ~answer-proportional work plus the variant-join duplication
+(~10x: a near pair shares many deletion skeletons). On realistic-entropy
+names (the operator's actual use case) the candidate set is sparse and
+the join is the cheap part.
 """
 
 from __future__ import annotations
@@ -99,10 +108,13 @@ def edit_distance_self_join(
         F.col("_s").alias("_sb"),
     )
     # Catalyst still sees the pre-explode table size and would try to
-    # BROADCAST the exploded side (n × |variants| rows); pin a shuffled
-    # hash join — the correct plan for a large self-join at any scale.
+    # BROADCAST the exploded side (n × |variants| rows); pin a sort-merge
+    # join — the robust plan for a large-large self-join: no in-memory
+    # hash map to build (a forced shuffle-hash build OOMs once the
+    # variant side outgrows executor memory), spills gracefully, and the
+    # sort on the variant key is exactly the shuffle the join needs.
     cand = (
-        a.hint("shuffle_hash").join(b.hint("shuffle_hash"), "_var")
+        a.hint("merge").join(b.hint("merge"), "_var")
         .where(F.col("key_a") < F.col("key_b"))
         .select("key_a", "key_b", "_sa", "_sb")
         .distinct()

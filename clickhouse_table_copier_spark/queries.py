@@ -46,7 +46,9 @@ def register(name: str, oracle: str | None = None):
 # queries with no driver row from the PREVIOUS round — the 37 that r03's
 # window skipped (all green in r01/r02) — plus the new round's additions,
 # so the union of round windows always covers the whole registry.
-# r04 window: 37 r03-unchecked + 12 round-4 queries = 49 of 50 slots.
+# r04 window: 15 round-4 queries (never checked — highest priority) + 35
+# of the 37 r03-unchecked (all green in r01/r02; the two bumped out,
+# partition_set_ops and huge_int_casts, keep their r01/r02 rows).
 _DRIVER_WINDOW_FIRST = [
     # r03-unchecked (green driver rows on file from r01/r02)
     "pricing_summary",
@@ -84,8 +86,6 @@ _DRIVER_WINDOW_FIRST = [
     "customer_running_totals",
     "top_orders_per_customer",
     "event_sessions",
-    "partition_set_ops",
-    "huge_int_casts",
     # round-4 additions — first driver check this round
     "zorder_layout",
     "compaction_plan",
@@ -99,6 +99,9 @@ _DRIVER_WINDOW_FIRST = [
     "embedding_quantization_error",
     "bigram_lm",
     "winsorized_stats",
+    "pagerank_nations",
+    "reservoir_sample",
+    "incremental_rollup_merge",
 ]
 
 

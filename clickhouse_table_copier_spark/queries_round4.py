@@ -747,3 +747,207 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the nation-level trade graph — the iterative-algorithm
+# showcase. The graph build is the heavy, distributed part: lineitem ⋈
+# orders ⋈ customer / ⋈ supplier aggregates ~100 TB of fact rows down to
+# a ≤ 25×25 weighted digraph (one shuffle per join, dims broadcast). The
+# 3 damped iterations then run over that metadata-sized edge list with
+# 25-row broadcast joins per step — plan size constant in data scale.
+# Exactness: per-destination contribution sums are explicit left-to-right
+# folds over sources sorted by src (array_sort + F.aggregate / DuckDB
+# list_reduce(list(...ORDER BY...)) — the train_centroids_exact pattern),
+# so the doubles match bit-for-bit; order-free partial sums are the
+# production path on graphs too big for this (same up to last-ulp).
+# ---------------------------------------------------------------------------
+_PR_DAMP = 0.85
+_PR_ITERS = 3
+
+_PR_EDGES_SQL = """
+SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY 1, 2
+"""
+
+
+def _pagerank_oracle() -> str:
+    base = 0.15 / 25
+    ctes = [
+        f"edges AS ({_PR_EDGES_SQL})",
+        """ratio AS (
+          SELECT src, dst,
+                 CAST(w AS DOUBLE) / sum(CAST(w AS DOUBLE)) OVER (PARTITION BY src)
+                   AS r
+          FROM edges
+        )""",
+        "pr0 AS (SELECT n_nationkey AS node, CAST(0.04 AS DOUBLE) AS pr FROM nation)",
+    ]
+    for i in range(_PR_ITERS):
+        ctes.append(f"""contrib{i} AS (
+          SELECT ratio.dst AS node,
+                 list_reduce(
+                   list(pr{i}.pr * ratio.r ORDER BY ratio.src),
+                   (a, b) -> a + b) AS s
+          FROM ratio JOIN pr{i} ON ratio.src = pr{i}.node
+          GROUP BY ratio.dst
+        )""")
+        ctes.append(f"""pr{i + 1} AS (
+          SELECT pr0.node,
+                 CAST({base} + {_PR_DAMP} * coalesce(c.s, 0.0) AS DOUBLE) AS pr
+          FROM pr0 LEFT JOIN contrib{i} c ON pr0.node = c.node
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT n.n_name AS nation, CAST(p.pr AS DOUBLE) AS pagerank
+    FROM pr{_PR_ITERS} p JOIN nation n ON p.node = n.n_nationkey
+    ORDER BY nation
+    """
+    )
+
+
+@register("pagerank_nations", oracle=_pagerank_oracle())
+def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    wsrc = Window.partitionBy("src")
+    ratio = edges.select(
+        "src",
+        "dst",
+        (F.col("w").cast("double") / F.sum(F.col("w").cast("double")).over(wsrc))
+        .alias("r"),
+    )
+    pr = nation.select(
+        F.col("n_nationkey").alias("node"), F.lit(0.04).cast("double").alias("pr")
+    )
+    base = 0.15 / 25
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ratio.join(F.broadcast(pr), ratio.src == F.col("node"))
+            .select("src", "dst", (F.col("pr") * F.col("r")).alias("term"))
+            .groupBy("dst")
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("src", "term"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["term"],
+                ).alias("s")
+            )
+        )
+        pr = (
+            nation.select(F.col("n_nationkey").alias("node"))
+            .join(F.broadcast(contrib), F.col("node") == contrib.dst, "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(_PR_DAMP) * F.coalesce(F.col("s"), F.lit(0.0)))
+                .cast("double")
+                .alias("pr"),
+            )
+        )
+    return (
+        pr.join(F.broadcast(nation), pr.node == nation.n_nationkey)
+        .select(F.col("n_name").alias("nation"), F.col("pr").alias("pagerank"))
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic reservoir sample: k docs per language, selected by
+# ranking on a cryptographic hash of the id — statistically equivalent to
+# a uniform without-replacement reservoir but reproducible across runs,
+# engines, and partitionings (the property a training pipeline actually
+# needs from "random" sampling). One window top-k per group; at 100 TB
+# the same hash-rank is computable as a filter threshold when k/N is
+# known, avoiding even the window sort.
+# ---------------------------------------------------------------------------
+_RESERVOIR_K = 5
+
+
+@register(
+    "reservoir_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id
+    FROM ranked WHERE rk <= {_RESERVOIR_K}
+    ORDER BY lang, rk
+    """,
+)
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).cast("int").alias("rk"))
+        .where(F.col("rk") <= _RESERVOIR_K)
+        .select("lang", "rk", "doc_id")
+        .orderBy("lang", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance: partial aggregates from a base segment
+# and a delta segment MERGE into the same totals as a full recompute —
+# the pattern behind incremental materialized views. The Spark side
+# genuinely runs the two-phase shape (two segment-local groupBys unioned,
+# then re-aggregated); the oracle is the direct one-pass GROUP BY, so the
+# green hash PROVES merge-equivalence. Decimal partials make the proof
+# exact. At 100 TB only the delta segment is scanned per refresh.
+# ---------------------------------------------------------------------------
+_ROLLUP_PIVOT = "1997-01-01"
+
+
+@register(
+    "incremental_rollup_merge",
+    oracle="""
+    SELECT CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+
+    def partial(seg: DataFrame) -> DataFrame:
+        return seg.groupBy(
+            F.month("l_shipdate").cast("int").alias("ship_month")
+        ).agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("pq"),
+            F.count(F.lit(1)).alias("pn"),
+        )
+
+    base = partial(li.where(F.col("l_shipdate") < F.lit(_ROLLUP_PIVOT)))
+    delta = partial(li.where(F.col("l_shipdate") >= F.lit(_ROLLUP_PIVOT)))
+    return (
+        base.unionByName(delta)
+        .groupBy("ship_month")
+        .agg(
+            F.sum("pq").cast("double").alias("total_qty"),
+            F.sum("pn").alias("n_rows"),
+        )
+        .orderBy("ship_month")
+    )
