@@ -82,3 +82,63 @@ def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_df = spark.createDataFrame(rows, result.schema)
     shutil.rmtree(work, ignore_errors=True)
     return out_df
+
+
+_EVENT_SCHEMA_UID = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+
+@register(
+    "streaming_click_attribution",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           c.event_id AS click_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts
+    FROM events p JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+)
+def q_streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join under the SQL oracle gate: the
+    purchases⋈clicks attribution topology runs as a real two-stream
+    Structured Streaming job (symmetric hash join, watermark-bounded
+    state — streaming/interval_join.py), and the DuckDB oracle is the
+    equivalent BATCH interval join, so the driver's hash comparison
+    proves stream/batch join consistency the same way
+    streaming_window_counts proves it for windowed aggregation."""
+    from clickhouse_table_copier_spark.streaming.interval_join import (
+        attribution_join,
+    )
+
+    work = tempfile.mkdtemp(prefix="ctc_stream_j_")
+    src = f"{work}/src"
+    out = f"{work}/out"
+    ck = f"{work}/ck"
+
+    ev = _events(spark, sf_dir).select("event_id", "ts", "user_id", "event_type")
+    ev.write.mode("overwrite").parquet(src)
+
+    q = attribution_join(spark, src, _EVENT_SCHEMA_UID, out, ck, window="1 hour")
+    q.awaitTermination()
+
+    result = spark.read.parquet(out).select(
+        "user_id",
+        "purchase_id",
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "click_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+    )
+    rows = result.collect()
+    out_df = spark.createDataFrame(rows, result.schema)
+    shutil.rmtree(work, ignore_errors=True)
+    return out_df
