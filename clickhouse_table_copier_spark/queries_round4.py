@@ -834,6 +834,10 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("w").cast("double") / F.sum(F.col("w").cast("double")).over(wsrc))
         .alias("r"),
     )
+    # materialize the edge list ONCE: it is metadata-sized (≤ nodes²
+    # rows) while its lineage is the full fact join — without this every
+    # iteration's plan re-evaluates that join (3 redundant 100 TB scans)
+    ratio = spark.createDataFrame(ratio.collect(), ratio.schema)
     pr = nation.select(
         F.col("n_nationkey").alias("node"), F.lit(0.04).cast("double").alias("pr")
     )
