@@ -46,10 +46,10 @@ def register(name: str, oracle: str | None = None):
 # queries with no driver row from the PREVIOUS round — the 37 that r03's
 # window skipped (all green in r01/r02) — plus the new round's additions,
 # so the union of round windows always covers the whole registry.
-# r04 window: 16 round-4 queries (never checked — highest priority) + 34
-# of the 37 r03-unchecked (all green in r01/r02; the three bumped out —
-# partition_set_ops, huge_int_casts, event_sessions — keep their
-# r01/r02 rows).
+# r04 window: 17 round-4 queries (never checked — highest priority) + 33
+# of the 37 r03-unchecked (all green in r01/r02; the four bumped out —
+# partition_set_ops, huge_int_casts, event_sessions,
+# top_orders_per_customer — keep their r01/r02 rows).
 _DRIVER_WINDOW_FIRST = [
     # r03-unchecked (green driver rows on file from r01/r02)
     "pricing_summary",
@@ -85,7 +85,6 @@ _DRIVER_WINDOW_FIRST = [
     "similarity_ivf_search",
     "dedup_embedding_cosine",
     "customer_running_totals",
-    "top_orders_per_customer",
     # round-4 additions — first driver check this round
     "zorder_layout",
     "compaction_plan",
@@ -103,6 +102,7 @@ _DRIVER_WINDOW_FIRST = [
     "reservoir_sample",
     "incremental_rollup_merge",
     "streaming_click_attribution",
+    "source_lang_drift",
 ]
 
 

@@ -955,3 +955,73 @@ def q_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square drift statistic: does each source's language mix differ from
+# the corpus mix? Per (source, lang) cell: (o·g − rt·ct)² / (g·rt·ct),
+# computed from INTEGER counts only — the classic contingency chi² put in
+# exact rational form, so there is no cross-engine log() to drift (the
+# reason this is chi² and not KL: libm ln() differs in the last ulp
+# between JVM and C). Each term's one double division runs on identical
+# integers; the per-source sum is an ordered fold over lang. Plan: one
+# grouped count + two broadcast-joined marginals — a single shuffle.
+# This is the training-mix monitoring gate: sources whose chi² jumps
+# between snapshots changed composition.
+# ---------------------------------------------------------------------------
+@register(
+    "source_lang_drift",
+    oracle="""
+    WITH cells AS (
+      SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2
+    ),
+    rt AS (SELECT source, sum(o) AS rt FROM cells GROUP BY 1),
+    ct AS (SELECT lang, sum(o) AS ct FROM cells GROUP BY 1),
+    g AS (SELECT sum(o) AS g FROM cells),
+    terms AS (
+      SELECT cells.source, cells.lang,
+             CAST(CAST((cells.o * g.g - rt.rt * ct.ct) AS DOUBLE)
+                  * (cells.o * g.g - rt.rt * ct.ct)
+                  / (CAST(g.g AS DOUBLE) * rt.rt * ct.ct) AS DOUBLE) AS term
+      FROM cells JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN g
+    )
+    SELECT source,
+           list_reduce(list(term ORDER BY lang), (a, b) -> a + b) AS chi2,
+           CAST(count(*) AS BIGINT) AS n_langs
+    FROM terms GROUP BY source ORDER BY source
+    """,
+)
+def q_source_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
+    # marginals + grand total as WINDOW sums over the cells table: cells
+    # is contingency-table-sized (sources × langs) at ANY data scale, so
+    # the unpartitioned window is safe — and it avoids a constant-key
+    # join, whose folded 1=1 condition Catalyst degrades to a
+    # BroadcastNestedLoopJoin (the global plan guard forbids that shape)
+    terms = cells.select(
+        "source",
+        "lang",
+        "o",
+        F.sum("o").over(Window.partitionBy("source")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("lang")).alias("ct"),
+        F.sum("o").over(Window.partitionBy()).alias("g"),
+    )
+    num = F.col("o") * F.col("g") - F.col("rt") * F.col("ct")
+    term = (
+        num.cast("double") * num
+        / (F.col("g").cast("double") * F.col("rt") * F.col("ct"))
+    ).cast("double")
+    return (
+        terms.select("source", "lang", term.alias("term"))
+        .groupBy("source")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("lang", "term"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["term"],
+            ).alias("chi2"),
+            F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
