@@ -138,3 +138,36 @@ def test_reservoir_sample_is_partitioning_invariant(spark):
         .collect()
     )
     assert [tuple(r) for r in base] == [tuple(r) for r in reparted]
+
+
+def test_events_loader_handles_both_parquet_ts_generations(spark, tmp_path):
+    """The driver has shipped events.ts as TIMESTAMP(NANOS) (Spark reads
+    it as a long under nanosAsLong) and as native TIMESTAMP(MICROS); the
+    loader must normalize BOTH to the same µs TIMESTAMP_NTZ values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clickhouse_table_copier_spark.queries import _events
+
+    ts_us = [1_700_000_000_123_456, 1_700_000_999_654_321]
+    cols = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["click", "view"]),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(["{}", "{}"]),
+    }
+    for sub, ts_arr in [
+        ("us", pa.array(ts_us, pa.timestamp("us"))),
+        ("ns", pa.array([t * 1000 for t in ts_us], pa.timestamp("ns"))),
+    ]:
+        d = tmp_path / sub
+        d.mkdir()
+        pq.write_table(
+            pa.table({**cols, "ts": ts_arr}), str(d / "events.parquet")
+        )
+
+    got_us = _events(spark, str(tmp_path / "us")).orderBy("event_id").collect()
+    got_ns = _events(spark, str(tmp_path / "ns")).orderBy("event_id").collect()
+    assert [r["ts"] for r in got_us] == [r["ts"] for r in got_ns]
+    assert dict(_events(spark, str(tmp_path / "ns")).dtypes)["ts"] == "timestamp_ntz"
