@@ -168,6 +168,25 @@ _FUNCTIONS: list[tuple[str, str]] = [
         "bitShiftRight",
         "(a BIGINT, n BIGINT) RETURNS BIGINT RETURN shiftright(a, CAST(n AS INT))",
     ),
+    # third pass: string-search / array staples (each maps to one Spark
+    # builtin with identical semantics — 1-based positions, 0 when absent,
+    # mirroring ClickHouse).
+    # CAVEAT, documented not shimmed: ClickHouse position(haystack,
+    # needle) collides with Spark's builtin position(substr, str) —
+    # SAME NAME, REVERSED ARGUMENTS — and builtins cannot be replaced by
+    # SQL functions. Migrating queries must swap the arguments or use
+    # locate(needle, haystack).
+    ("indexOf", "(a ARRAY<STRING>, x STRING) RETURNS BIGINT RETURN coalesce(array_position(a, x), 0)"),
+    ("has", "(a ARRAY<STRING>, x STRING) RETURNS BOOLEAN RETURN array_contains(a, x)"),
+    ("arrayUniq", "(a ARRAY<STRING>) RETURNS INT RETURN size(array_distinct(a))"),
+    ("arrayDistinct", "(a ARRAY<STRING>) RETURNS ARRAY<STRING> RETURN array_distinct(a)"),
+    ("arraySort", "(a ARRAY<STRING>) RETURNS ARRAY<STRING> RETURN sort_array(a)"),
+    ("arrayReverse", "(a ARRAY<STRING>) RETURNS ARRAY<STRING> RETURN reverse(a)"),
+    ("arraySlice", "(a ARRAY<STRING>, o BIGINT, n BIGINT) RETURNS ARRAY<STRING> RETURN slice(a, CAST(o AS INT), CAST(n AS INT))"),
+    ("replaceAll", "(s STRING, f STRING, t STRING) RETURNS STRING RETURN replace(s, f, t)"),
+    ("replaceRegexpAll", "(s STRING, p STRING, r STRING) RETURNS STRING RETURN regexp_replace(s, p, r)"),
+    ("trimBoth", "(s STRING) RETURNS STRING RETURN trim(s)"),
+    ("modulo", "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a % b"),
 ]
 
 

@@ -340,3 +340,45 @@ def test_clickhouse_dialect_second_pass(spark):
     ).collect()
     for r in rows:
         assert r["dow"] == datetime.date.fromisoformat(str(r["d"])).isoweekday()
+
+
+def test_clickhouse_dialect_third_pass(spark):
+    """String-search / array staples: 1-based positions with 0-absent,
+    ClickHouse semantics, each vs an independently stated expectation."""
+    from clickhouse_table_copier_spark.functions.ch_dialect import (
+        register_clickhouse_functions,
+    )
+
+    register_clickhouse_functions(spark)
+    row = spark.sql(
+        """
+        SELECT locate('world', 'hello world') AS pos,
+               locate('xyz', 'hello') AS pos0,
+               indexOf(array('a','b','c'), 'b') AS idx,
+               indexOf(array('a','b','c'), 'z') AS idx0,
+               has(array('a','b'), 'a') AS has_t,
+               has(array('a','b'), 'z') AS has_f,
+               arrayUniq(array('a','b','a','c')) AS uniq,
+               arrayDistinct(array('b','a','b')) AS dist,
+               arraySort(array('c','a','b')) AS srt,
+               arrayReverse(array('a','b','c')) AS rev,
+               arraySlice(array('a','b','c','d'), 2, 2) AS sl,
+               replaceAll('a-b-c', '-', '_') AS rall,
+               replaceRegexpAll('a1b22c', '[0-9]+', '#') AS rre,
+               trimBoth('  x  ') AS trm,
+               modulo(10, 3) AS md,
+               modulo(-7, 3) AS mdneg
+        """
+    ).collect()[0]
+    assert row["pos"] == 7 and row["pos0"] == 0
+    assert row["idx"] == 2 and row["idx0"] == 0
+    assert row["has_t"] is True and row["has_f"] is False
+    assert row["uniq"] == 3
+    assert row["dist"] == ["b", "a"]
+    assert row["srt"] == ["a", "b", "c"]
+    assert row["rev"] == ["c", "b", "a"]
+    assert row["sl"] == ["b", "c"]
+    assert row["rall"] == "a_b_c"
+    assert row["rre"] == "a#b#c"
+    assert row["trm"] == "x"
+    assert row["md"] == 1 and row["mdneg"] == -1  # sign of dividend (CH parity)
