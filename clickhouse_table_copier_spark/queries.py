@@ -46,10 +46,11 @@ def register(name: str, oracle: str | None = None):
 # queries with no driver row from the PREVIOUS round — the 37 that r03's
 # window skipped (all green in r01/r02) — plus the new round's additions,
 # so the union of round windows always covers the whole registry.
-# r04 window: 17 round-4 queries (never checked — highest priority) + 33
-# of the 37 r03-unchecked (all green in r01/r02; the four bumped out —
+# r04 window: 18 round-4 queries (never checked — highest priority) + 32
+# of the 37 r03-unchecked (all green in r01/r02; the five bumped out —
 # partition_set_ops, huge_int_casts, event_sessions,
-# top_orders_per_customer — keep their r01/r02 rows).
+# top_orders_per_customer, customer_running_totals — keep their
+# r01/r02 rows).
 _DRIVER_WINDOW_FIRST = [
     # r03-unchecked (green driver rows on file from r01/r02)
     "pricing_summary",
@@ -84,7 +85,6 @@ _DRIVER_WINDOW_FIRST = [
     "similarity_lsh_topk",
     "similarity_ivf_search",
     "dedup_embedding_cosine",
-    "customer_running_totals",
     # round-4 additions — first driver check this round
     "zorder_layout",
     "compaction_plan",
@@ -103,6 +103,7 @@ _DRIVER_WINDOW_FIRST = [
     "incremental_rollup_merge",
     "streaming_click_attribution",
     "source_lang_drift",
+    "equi_depth_deciles",
 ]
 
 

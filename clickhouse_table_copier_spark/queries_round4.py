@@ -1025,3 +1025,44 @@ def q_source_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-DEPTH histogram (deciles) of order values — the complement of the
+# equi-width value_histogram. VERIFICATION path: exact ntile(10) over a
+# totally-tiebroken ordering (deterministic in both engines, including
+# remainder distribution to the leading buckets). At 100 TB the exact
+# global sort is replaced by approx_percentile boundaries + one bucketed
+# count — same output shape, sketch-bounded error — mirroring the
+# train_centroids / train_centroids_exact two-path pattern.
+# ---------------------------------------------------------------------------
+@register(
+    "equi_depth_deciles",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT CAST(decile AS INTEGER) AS decile,
+           count(*) AS n_orders,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi
+    FROM ranked GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_equi_depth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_totalprice", F.ntile(10).over(w).cast("int").alias("decile")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("decile")
+    )
