@@ -51,6 +51,20 @@ EXTENDED = [
     "time_weighted_avg",
     "embedding_quantization_error",
     "pagerank_nations",
+    "compaction_plan",
+    "moving_avg_daily",
+    "markov_transitions",
+    "skew_salted_agg",
+    "scd2_history",
+    "bigram_lm",
+    "winsorized_stats",
+    "reservoir_sample",
+    "incremental_rollup_merge",
+    "source_lang_drift",
+    "equi_depth_deciles",
+    # streaming_click_attribution excluded: it writes its own source
+    # parquet + runs a checkpointed streaming job per call — wall-clock
+    # is dominated by that scaffolding, not the operator
     # fuzzy_name_pairs is excluded: on TPC-H's zero-padded names the TRUE
     # lev<=3 answer at sf0.1 is ~28M pairs (25% of all pairs), so the
     # run is output-bound (~150 s) and would triple bench wall-clock;
