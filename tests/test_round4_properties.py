@@ -171,3 +171,56 @@ def test_events_loader_handles_both_parquet_ts_generations(spark, tmp_path):
     got_ns = _events(spark, str(tmp_path / "ns")).orderBy("event_id").collect()
     assert [r["ts"] for r in got_us] == [r["ts"] for r in got_ns]
     assert dict(_events(spark, str(tmp_path / "ns")).dtypes)["ts"] == "timestamp_ntz"
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """The whole point of the bucketed layout: the recurring fact⋈fact
+    join must plan WITHOUT any Exchange (both sides pre-shuffled at
+    write time), while the identical join over plain parquet shuffles.
+    Values must match the plain join exactly."""
+    from clickhouse_table_copier_spark.operators.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+    from clickhouse_table_copier_spark.queries import _t
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS bkt_test")
+    spark.sql("USE bkt_test")
+    # disable auto-broadcast: at fixture scale the planner would broadcast
+    # the small side and skip the bucketed path entirely (at the layout's
+    # target scale both sides are far beyond any broadcast threshold)
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = _t(spark, SF_ORACLE, "lineitem").select("l_orderkey", "l_quantity")
+        orders = _t(spark, SF_ORACLE, "orders").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+        )
+        write_bucketed(li, "bkt_test.li_b", "l_orderkey", n_buckets=8)
+        write_bucketed(orders, "bkt_test.ord_b", "l_orderkey", n_buckets=8)
+
+        joined = bucketed_join(spark, "bkt_test.li_b", "bkt_test.ord_b", "l_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, (
+            f"bucketed join still shuffles:\n{plan[:600]}"
+        )
+        assert "SortMergeJoin" in plan
+
+        plain = li.join(orders, "l_orderkey")
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        # the same join over plain parquet DOES shuffle both sides
+        assert "Exchange hashpartitioning" in plain_plan
+
+        got = joined.groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"),
+        ).collect()[0]
+        want = plain.groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"),
+        ).collect()[0]
+        assert (got["n"], got["q"]) == (want["n"], want["q"])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP DATABASE IF EXISTS bkt_test CASCADE")
+        spark.sql("USE default")
