@@ -105,14 +105,43 @@ def test_compaction_bins_respect_target_bound(spark):
     import __spark_entry__ as entry
     from clickhouse_table_copier_spark.queries_round4 import _COMPACT_TARGET
 
-    rows = entry.queries()["compaction_plan"](spark, SF_ORACLE).collect()
+    rows = sorted(
+        entry.queries()["compaction_plan"](spark, SF_ORACLE).collect(),
+        key=lambda r: r["bin"],
+    )
     assert rows, "no bins planned"
-    months_seen = []
-    for r in rows:
-        assert r["bin_rows"] < _COMPACT_TARGET + r["bin_rows"] / max(r["n_parts"], 1) + _COMPACT_TARGET
-        months_seen.extend(range(r["first_month"], r["last_month"] + 1))
-    # contiguous coverage: every month 1..12 assigned to exactly one bin
+    # bin ids strictly increase from 0 (they may SKIP indices: a single
+    # partition larger than the target advances the cumsum by more than
+    # one target's worth) with non-overlapping, increasing month ranges
+    bins = [r["bin"] for r in rows]
+    assert bins[0] == 0 and bins == sorted(set(bins))
+    for a, b in zip(rows, rows[1:]):
+        assert a["last_month"] < b["first_month"]
+    months_seen = [
+        m for r in rows for m in range(r["first_month"], r["last_month"] + 1)
+    ]
     assert sorted(set(months_seen)) == list(range(1, 13))
+    assert all(r["bin_rows"] > 0 for r in rows)
+    # greedy bound: a bin closes once its exclusive cumsum crosses the
+    # target, so only its LAST member can spill past it — every bin's
+    # rows stay under target + its largest member's rows
+    import clickhouse_table_copier_spark.queries as q
+    from pyspark.sql import functions as _F
+
+    per_month = {
+        r["m"]: r["n"]
+        for r in q._t(spark, SF_ORACLE, "lineitem")
+        .groupBy(_F.month("l_shipdate").alias("m"))
+        .agg(_F.count(_F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        largest = max(
+            per_month[m] for m in range(r["first_month"], r["last_month"] + 1)
+        )
+        assert r["bin_rows"] < _COMPACT_TARGET + largest
+    # all lineitem rows are packed exactly once
+    assert sum(r["bin_rows"] for r in rows) == sum(per_month.values())
 
 
 def test_reservoir_sample_is_partitioning_invariant(spark):
