@@ -42,68 +42,76 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's correctness gate checks the FIRST 50 registered queries in
-# dict order. Rotation rule (VERDICT r3 #9): every round, front the
-# queries with no driver row from the PREVIOUS round — the 37 that r03's
-# window skipped (all green in r01/r02) — plus the new round's additions,
-# so the union of round windows always covers the whole registry.
-# r04 window: 18 round-4 queries (never checked — highest priority) + 32
-# of the 37 r03-unchecked (all green in r01/r02; the five bumped out —
-# partition_set_ops, huge_int_casts, event_sessions,
-# top_orders_per_customer, customer_running_totals — keep their
-# r01/r02 rows).
+# dict order. The window is now EVIDENCE-DERIVED (VERDICT r4 #2):
+# ``registry_evidence.must_front()`` computes, from the committed
+# CORRECTNESS_r*.json files plus the fingerprint snapshot
+# (registry_fingerprints.json), exactly which queries require a driver row
+# this round — never-green queries and queries whose implementation/oracle
+# changed since their last green row. tests/test_registry_order.py fails
+# if any such query sits outside the first 50, so an omission like r04's
+# (similarity_ivf_topk left out despite its new oracle) cannot recur.
+#
+# r05 window = 15 evidence-required (1 never-green + 14 fingerprint-stale,
+# including the SymSpell fuzzy rewrite and every _events-loader dependent
+# query) + new round-5 queries + carryover fill of r04-unchecked queries
+# ordered oldest-last-green first. Bumped-out tail queries all carry green
+# r03 rows and unchanged fingerprints.
 _DRIVER_WINDOW_FIRST = [
-    # r03-unchecked (green driver rows on file from r01/r02)
-    "pricing_summary",
-    "orders_by_nation",
-    "top_parts_by_quantity",
-    "events_multikey_stats",
-    "events_multikey_predicate",
-    "partition_stats_rollup",
-    "distinct_parts_per_month",
-    "returnflag_month_matrix",
-    "customers_without_orders",
-    "customer_segments_with_orders",
-    "flag_status_cube",
-    "shipping_priority_revenue",
-    "returned_item_losses",
-    "schema_intersection",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_clusters_jaccard",
-    "dedup_simhash",
-    "text_stats",
-    "dataset_split",
-    "token_counts",
-    "text_quality",
-    "gopher_quality",
-    "vocab_top_terms",
-    "stratified_sample",
-    "dedup_lsh_eval",
-    "similarity_brute_topk",
-    "similarity_lsh_buckets",
-    "similarity_lsh_topk",
-    "similarity_ivf_search",
-    "dedup_embedding_cosine",
-    # round-4 additions — first driver check this round
-    "zorder_layout",
-    "compaction_plan",
-    "time_weighted_avg",
-    "moving_avg_daily",
-    "markov_transitions",
-    "skew_salted_agg",
-    "tfidf_top_terms",
-    "term_cooccurrence",
-    "scd2_history",
-    "embedding_quantization_error",
-    "bigram_lm",
-    "winsorized_stats",
-    "pagerank_nations",
-    "reservoir_sample",
-    "incremental_rollup_merge",
-    "streaming_click_attribution",
-    "source_lang_drift",
-    "equi_depth_deciles",
+    # never driver-verified — 4 rounds outstanding, highest priority
+    "similarity_ivf_topk",
+    # fingerprint-stale: code/oracle changed since last green row
+    "fuzzy_name_pairs",
+    "event_funnel",
+    "event_sessions",
+    "retention_cohorts",
+    "events_gap_fill",
+    "events_anomaly_hours",
+    "asof_join_status",
+    "streaming_window_counts",
+    "heavy_hitter_terms",
+    "hypertable_rollup",
+    "range_join_value_bands",
+    "value_histogram",
+    "ch_dialect_sql",
+    "json_passthrough_extract",
+    # --- new round-5 queries are inserted here as they are added ---
+    # carryover fill: no r04 row, green earlier, fingerprint-verified;
+    # oldest last-green first (r02 before r03)
+    "customer_running_totals",
+    "huge_int_casts",
+    "partition_set_ops",
+    "top_orders_per_customer",
+    "ann_ivf_pq_adc",
+    "ann_pq_adc",
+    "array_string_ops",
+    "bm25_rank",
+    "ch_dialect_partitions",
+    "corpus_dedup_summary",
+    "decontamination",
+    "doc_chunking",
+    "doc_dup_ngram_fraction",
+    "doc_winnowing",
+    "dq_expectations",
+    "filtered_row_count",
+    "fk_integrity_audit",
+    "ipv4_roundtrip",
+    "ipv6_canon",
+    "local_supplier_volume",
+    "order_value_percentiles",
+    "part_type_revenue",
+    "partition_diff",
+    "partition_fingerprints",
+    "partition_stats",
+    "pii_redaction",
+    "quality_weighted_sample",
+    "readable_partition_sizes",
+    "row_count",
+    "schema_align",
+    "semantic_dedup",
+    "seq_packing",
+    "sketch_distinct_bounds",
+    "sketch_quantile_bounds",
+    "sql_frontend_revenue",
 ]
 
 

@@ -1,0 +1,204 @@
+"""Evidence-derived driver-window requirements.
+
+The external driver value-checks only the FIRST 50 registered queries per
+round (CORRECTNESS_r{N}.json).  Which queries MUST sit inside that window
+is not a matter of judgment — it is derivable from committed evidence:
+
+* a query with **no green row** in any committed ``CORRECTNESS_r*.json``
+  has never been driver-verified and must be fronted;
+* a query whose **implementation or oracle changed** since its last green
+  row carries only a stale verification and must be fronted again.
+
+"Changed" is detected by fingerprinting: sha256 over the query function's
+source, its oracle SQL, and the source of every same-package helper
+function the query's source references by name (one level deep — this
+catches shared-loader drift such as the round-4 ``_events`` rewrite
+without invalidating the whole registry on unrelated edits).
+
+``registry_fingerprints.json`` (committed, same directory) records the
+fingerprint each query had **when its latest green driver row was
+produced**.  Discipline: entries are refreshed only at round start, right
+after a new CORRECTNESS file lands and before any code is edited — at that
+moment current source == verified source for every query in the file.  Run
+
+    python -m clickhouse_table_copier_spark.registry_evidence --update
+
+to do that refresh (it only touches queries green in the latest round).
+``tests/test_registry_order.py`` asserts ``must_front() ⊆ first 50``, so a
+round can no longer silently repeat the r04 omission that left
+``similarity_ivf_topk`` driver-unchecked for four rounds.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import inspect
+import json
+import os
+import re
+
+_PKG = "clickhouse_table_copier_spark"
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_REPO = os.path.dirname(_HERE)
+SNAPSHOT_PATH = os.path.join(_HERE, "registry_fingerprints.json")
+
+
+def _candidate_objects(fn) -> dict[str, object]:
+    """Objects the fn body can reach by bare name: module globals plus
+    targets of function-local ``from X import name`` statements (the
+    registry's dominant import style for shared loaders like _events)."""
+    import ast
+    import importlib
+    import textwrap
+
+    src = textwrap.dedent(inspect.getsource(fn))
+    cands: dict[str, object] = {}
+    for name in set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", src)):
+        obj = fn.__globals__.get(name)
+        if obj is not None:
+            cands[name] = obj
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:  # decorated source edge cases
+        return cands
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom) and node.module:
+            try:
+                mod = importlib.import_module(node.module)
+            except ImportError:
+                continue
+            for alias in node.names:
+                obj = getattr(mod, alias.name, None)
+                if obj is not None:
+                    cands[alias.asname or alias.name] = obj
+    return cands
+
+
+def _helper_sources(fn) -> dict[str, str]:
+    """Source of same-package functions referenced by name in fn's body."""
+    out: dict[str, str] = {}
+    for name, obj in _candidate_objects(fn).items():
+        if (
+            inspect.isfunction(obj)
+            and obj is not fn
+            and (obj.__module__ or "").startswith(_PKG)
+        ):
+            try:
+                out[name] = inspect.getsource(obj)
+            except (OSError, TypeError):
+                pass
+    return out
+
+
+def query_fingerprint(fn, oracle: str | None) -> str:
+    h = hashlib.sha256()
+    h.update(inspect.getsource(fn).encode())
+    h.update(b"\x00")
+    h.update((oracle or "").encode())
+    for name, src in sorted(_helper_sources(fn).items()):
+        h.update(b"\x00" + name.encode() + b"\x00" + src.encode())
+    return h.hexdigest()
+
+
+def _correctness_files() -> list[str]:
+    return sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")))
+
+
+def green_history() -> dict[str, int]:
+    """query name -> latest round with a fully-green driver row."""
+    out: dict[str, int] = {}
+    for path in _correctness_files():
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
+        with open(path) as f:
+            data = json.load(f)
+        for name, row in data.items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and not row.get("err")
+            ):
+                out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
+def load_snapshot() -> dict[str, str]:
+    if os.path.exists(SNAPSHOT_PATH):
+        with open(SNAPSHOT_PATH) as f:
+            return json.load(f)
+    return {}
+
+
+def must_front(queries: dict, oracles: dict[str, str]) -> dict[str, str]:
+    """Queries requiring a driver row this round -> human-readable reason."""
+    snap = load_snapshot()
+    green = green_history()
+    need: dict[str, str] = {}
+    for name, fn in queries.items():
+        if name not in green:
+            need[name] = "no green driver row in any committed CORRECTNESS file"
+            continue
+        fp = query_fingerprint(fn, oracles.get(name))
+        if name not in snap:
+            need[name] = "no verified fingerprint on record"
+        elif snap[name] != fp:
+            need[name] = (
+                f"implementation/oracle changed since last green row (r{green[name]:02d})"
+            )
+    return need
+
+
+def update_snapshot(queries: dict, oracles: dict[str, str]) -> list[str]:
+    """Record current fingerprints for queries green in the LATEST round.
+
+    Call only at round start, before editing code, so that 'current
+    source' is exactly the source the driver just verified.
+    """
+    files = _correctness_files()
+    if not files:
+        return []
+    with open(files[-1]) as f:
+        latest = json.load(f)
+    snap = load_snapshot()
+    updated = []
+    for name, row in latest.items():
+        if name not in queries:
+            continue
+        if (
+            row.get("rows_match")
+            and row.get("schema_match")
+            and row.get("hash_match")
+            and not row.get("err")
+        ):
+            snap[name] = query_fingerprint(queries[name], oracles.get(name))
+            updated.append(name)
+    with open(SNAPSHOT_PATH, "w") as f:
+        json.dump(dict(sorted(snap.items())), f, indent=1)
+        f.write("\n")
+    return updated
+
+
+def main(argv: list[str]) -> int:
+    import __spark_entry__ as entry
+
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    if "--update" in argv:
+        updated = update_snapshot(qs, os_)
+        print(f"snapshot refreshed for {len(updated)} queries green in latest round")
+    need = must_front(qs, os_)
+    names = list(qs)
+    for name, why in sorted(need.items()):
+        pos = names.index(name)
+        flag = "OK   " if pos < 50 else "MISS "
+        print(f"{flag} #{pos:3d} {name}: {why}")
+    bad = [n for n in need if names.index(n) >= 50]
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    import sys
+
+    sys.path.insert(0, _REPO)
+    raise SystemExit(main(sys.argv[1:]))

@@ -1,7 +1,16 @@
 """The driver's correctness gate checks only the FIRST 50 registered
-queries (both r01 and r02 CORRECTNESS files hold exactly 50 entries, in
-registration order). Pin that every query that has never received a driver
-correctness row sits inside that window, so round 3's file covers them."""
+queries. Which queries MUST be inside that window is derived from
+committed evidence, not a hand-maintained list (VERDICT r4 #2):
+
+* ``CORRECTNESS_r*.json`` — a query with no green row anywhere has never
+  been driver-verified;
+* ``registry_fingerprints.json`` — a query whose current source/oracle
+  fingerprint differs from the one recorded at its last green row carries
+  only a stale verification.
+
+Both classes must sit inside the first 50, so a window rotation can no
+longer silently repeat r04's omission (similarity_ivf_topk left
+unchecked for four rounds)."""
 
 from __future__ import annotations
 
@@ -11,16 +20,49 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry
+from clickhouse_table_copier_spark import registry_evidence
 from clickhouse_table_copier_spark.queries import _DRIVER_WINDOW_FIRST
 
 DRIVER_WINDOW = 50
 
 
-def test_never_driver_checked_queries_front_the_window():
+def test_evidence_required_queries_front_the_window():
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    names = list(qs)
+    need = registry_evidence.must_front(qs, oracles)
+    assert need, (
+        "must_front() should never be empty while any query lacks a green "
+        "row or carries an un-snapshotted change — if truly all-verified, "
+        "relax this assertion"
+    )
+    outside = {
+        n: why for n, why in need.items() if names.index(n) >= DRIVER_WINDOW
+    }
+    assert not outside, (
+        f"queries requiring a driver row are outside the first "
+        f"{DRIVER_WINDOW}: {outside}"
+    )
+
+
+def test_window_list_is_registered_and_inside_window():
     names = list(entry.queries())
+    assert len(_DRIVER_WINDOW_FIRST) <= DRIVER_WINDOW
     for n in _DRIVER_WINDOW_FIRST:
         assert n in names, f"{n} not registered"
         assert names.index(n) < DRIVER_WINDOW, f"{n} outside the driver window"
+
+
+def test_snapshot_entries_match_registry():
+    """Every snapshot entry names a registered query (no orphans), and no
+    snapshotted fingerprint claims verification for a query without a
+    green row."""
+    snap = registry_evidence.load_snapshot()
+    qs = entry.queries()
+    green = registry_evidence.green_history()
+    orphans = set(snap) - set(qs)
+    assert not orphans, f"snapshot entries for unregistered queries: {orphans}"
+    unverified = {n for n in snap if n not in green}
+    assert not unverified, f"snapshotted but never green: {unverified}"
 
 
 def test_oracles_follow_the_same_order():
@@ -33,6 +75,6 @@ def test_oracles_follow_the_same_order():
 def test_registry_complete():
     qs = entry.queries()
     oracles = entry.oracle_sql()
-    assert len(qs) >= 87
+    assert len(qs) >= 105
     # since round 4 every registered query is oracled (trained IVF included)
     assert set(qs) - set(oracles) == set()
