@@ -76,7 +76,9 @@ _DRIVER_WINDOW_FIRST = [
     "json_passthrough_extract",
     # round-5 edits to previously-verified queries (fingerprint-stale)
     "dedup_embedding_cosine",
+    "equi_depth_deciles",
     # --- new round-5 queries are inserted here as they are added ---
+    "equi_depth_deciles_approx",
     # carryover fill: no r04 row, green earlier, fingerprint-verified;
     # oldest last-green first (r02 before r03)
     "customer_running_totals",
@@ -111,8 +113,6 @@ _DRIVER_WINDOW_FIRST = [
     "schema_align",
     "semantic_dedup",
     "seq_packing",
-    "sketch_distinct_bounds",
-    "sketch_quantile_bounds",
 ]
 
 

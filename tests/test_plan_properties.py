@@ -79,6 +79,36 @@ def test_no_nested_loop_or_cartesian_anywhere(spark, name):
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
 
 
+# Windows over provably-bounded inputs (grouped aggregates of a
+# low-cardinality key, never raw rows) may sort globally: the exchange
+# moves at most a few hundred rows at any data scale. Every exemption
+# names the bounding agg.
+_BOUNDED_GLOBAL_WINDOWS = {
+    # prefix-sum bin-packing runs over partition STATS (one row per
+    # ship_month partition after the groupBy — 12 rows; cardinality is
+    # the partition count, not the row count, at any scale)
+    "compaction_plan": "window input is groupBy(ship_month) output",
+}
+
+_GLOBAL_WINDOW_RE = re.compile(
+    r"Window .*\n.*Sort .*\n.*Exchange SinglePartition"
+)
+
+
+@pytest.mark.parametrize("name", sorted(_QS))
+def test_no_unpartitioned_window_sort(spark, name):
+    """Scale invariant (VERDICT r4 #4): no registered query may plan a
+    window over an unpartitioned global sort — `Window + Sort + Exchange
+    SinglePartition` funnels every row through one task. Equi-depth
+    ranking must go through sketch-partitioned local ranks instead
+    (see q_equi_depth_deciles)."""
+    if name in _BOUNDED_GLOBAL_WINDOWS:
+        pytest.skip(f"bounded: {_BOUNDED_GLOBAL_WINDOWS[name]}")
+    plan = _plan(spark, name)
+    m = _GLOBAL_WINDOW_RE.search(plan)
+    assert m is None, f"{name} plans an unpartitioned window sort:\n{m.group(0)}"
+
+
 @pytest.mark.parametrize("name", ["pricing_summary", "events_multikey_stats"])
 def test_aggregations_have_no_python_udfs(spark, name):
     """Hot-path queries stay JVM-side: no BatchEvalPython / ArrowEvalPython
