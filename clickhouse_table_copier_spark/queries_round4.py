@@ -700,6 +700,13 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order_value_percentiles); the clamp + decimal-sum pass reuses the same
 # single-shuffle grouped-agg shape, with the per-series bounds broadcast
 # back onto the raw rows.
+#
+# TWO-PATH (r4 verdict #6): this exact formulation buffers each group's
+# values in percentile() — the small-data VERIFICATION path. The scale
+# path is `winsorized_stats_approx` below: percentile_approx bounds
+# (mergeable constant-memory GK sketch) with the clamp-count gated
+# against the sketch's rank-error guarantee, the same split as
+# equi_depth_deciles / equi_depth_deciles_approx.
 # ---------------------------------------------------------------------------
 @register(
     "winsorized_stats",
@@ -744,6 +751,60 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_clamped"),
             F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized stats, sketch path: per-group percentile_approx bounds
+# (constant-memory, mergeable — the only formulation that survives a
+# group too big to buffer). The clamp bounds are sketch-dependent and
+# can't cross engines, so the output is the engine-independent verdict:
+# the clamped-row count must sit within the GK rank-error guarantee of
+# the nominal 10% (2·n/accuracy each side, +1% tie slack). The oracle
+# states the expected shape literally; a sketch outside its guarantee
+# hash-mismatches.
+# ---------------------------------------------------------------------------
+@register(
+    "winsorized_stats_approx",
+    oracle="""
+    SELECT event_type, count(*) AS n_events, TRUE AS clamp_ok
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_winsorized_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    accuracy = 10000
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", F.array(F.lit(0.05), F.lit(0.95)), accuracy
+        ).alias("bs"),
+        F.count(F.lit(1)).alias("n_grp"),
+    )
+    j = ev.join(F.broadcast(bounds), "event_type")
+    clamped_out = (
+        (F.col("value") < F.col("bs")[0]) | (F.col("value") > F.col("bs")[1])
+    ).cast("int")
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(clamped_out).alias("n_clamped"),
+            F.first("n_grp").alias("n_grp"),
+        )
+        .select(
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            (
+                F.abs(
+                    F.col("n_clamped")
+                    - F.lit(0.1) * F.col("n_grp").cast("double")
+                )
+                <= F.lit(2.0) * F.col("n_grp") / accuracy
+                + F.lit(0.01) * F.col("n_grp")
+                + F.lit(2)
+            ).alias("clamp_ok"),
         )
         .orderBy("event_type")
     )
