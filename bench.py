@@ -166,6 +166,11 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "extended_queries": extended,
+            # methodology tag (ADVICE r4): extended numbers switched from
+            # one-shot cold (≤ r03) to min-of-N warm (≥ r04) — consumers
+            # must not compare across that boundary
+            "extended_timing": "min_warm",
+            "headline_timing": "min_warm",
             "iterations": iters,
             "sf": sf_val,
         }

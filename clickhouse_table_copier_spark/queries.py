@@ -77,6 +77,7 @@ _DRIVER_WINDOW_FIRST = [
     # round-5 edits to previously-verified queries (fingerprint-stale)
     "dedup_embedding_cosine",
     "equi_depth_deciles",
+    "streaming_click_attribution",
     # --- new round-5 queries are inserted here as they are added ---
     "equi_depth_deciles_approx",
     "winsorized_stats_approx",
@@ -112,7 +113,6 @@ _DRIVER_WINDOW_FIRST = [
     "readable_partition_sizes",
     "row_count",
     "schema_align",
-    "semantic_dedup",
 ]
 
 

@@ -131,6 +131,25 @@ def q_streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     q = attribution_join(spark, src, _EVENT_SCHEMA_UID, out, ck, window="1 hour")
     q.awaitTermination()
 
+    # Single-batch guard (see attribution_join's docstring): the batch
+    # oracle is only equivalent if the whole source landed in ONE
+    # micro-batch — a split listing could advance the watermark past
+    # unread late files and silently drop cross-batch pairs. Fail loudly
+    # here instead. availableNow adds a final empty commit batch; count
+    # only batches that actually read rows.
+    n_src = ev.count()
+    data_batches = [
+        p for p in q.recentProgress if p["numInputRows"] and p["numInputRows"] > 0
+    ]
+    if len(data_batches) != 1 or data_batches[0]["numInputRows"] not in (
+        n_src,  # unified source scan
+        2 * n_src,  # per-branch scans (observed on Spark 4.1)
+    ):
+        raise RuntimeError(
+            "attribution stream split across micro-batches; batch-oracle "
+            f"equivalence void: {[(p['batchId'], p['numInputRows']) for p in q.recentProgress]}"
+        )
+
     result = spark.read.parquet(out).select(
         "user_id",
         "purchase_id",

@@ -34,7 +34,19 @@ def attribution_join(
 ):
     """Start (availableNow) the purchases⋈clicks interval join; returns
     the StreamingQuery. Output rows: (user_id, purchase_id, purchase_ts,
-    click_id, click_ts)."""
+    click_id, click_ts).
+
+    SINGLE-BATCH ASSUMPTION (ADVICE r4): batch-oracle equivalence relies
+    on availableNow ingesting ALL part files in ONE micro-batch, so the
+    watermark only advances after every event is in state. If
+    maxFilesPerTrigger were set (it is not, and must not be here) or the
+    engine split the listing, time-unordered part files across batches
+    could advance the watermark past not-yet-read late events and
+    silently drop cross-batch pairs — nondeterministically, because file
+    listing order is not a time order. queries_streaming.py's caller
+    asserts the run consumed exactly one batch (numInputRows of batch 0 ==
+    total source rows) so any future split fails the oracle gate loudly
+    instead of dropping rows."""
     # watermarks require TIMESTAMP (not NTZ); the engine pins the session
     # to UTC (queries._events) so the cast is a deterministic relabel
     events = spark.readStream.schema(schema).parquet(src_dir).withColumn(
