@@ -418,3 +418,83 @@ def simhash_near_pairs(
     return pairs.withColumn("hamming", hamming).where(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def repeated_span_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    min_run: int = 2,
+) -> DataFrame:
+    """Cross-document repeated SPANS: maximal runs of consecutive shared
+    word k-grams between document pairs — the substring-level dedup signal
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better") that set-based MinHash/Jaccard can't see, because a long
+    verbatim quotation inside two otherwise-different documents barely
+    moves set similarity.
+
+    Distributed gaps-and-islands formulation (never all-pairs, never a
+    suffix array in one task):
+
+    1. explode word positions; hash each k-gram (md5-derived, so the
+       oracle reproduces it — collisions affect both engines identically);
+    2. inverted-index self-join on the gram hash (cost Σ df² — near-unique
+       k-grams at k≥4 keep df tiny; the shared-shingle-index max_df lever
+       applies unchanged if a corpus has degenerate hot grams);
+    3. matches on the same pair at the same positional offset
+       (``pos_a − pos_b``) are consecutive iff ``pos_a − row_number()`` is
+       constant — one window PARTITIONED BY (pair, offset), no global sort;
+    4. runs of ≥ ``min_run`` grams are spans of ``k + run − 1`` words.
+
+    Output: (id_a, id_b, longest_span_words, n_spans) per pair with at
+    least one qualifying span.
+    """
+    from pyspark.sql import Window
+
+    toks = spread(df).select(
+        F.col(id_col), F.split(normalized_text(text_col), " ").alias("w")
+    )
+    grams = (
+        toks.where(F.size("w") >= k)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.size("w") - k + 1)).alias("pos"),
+            F.col("w"),
+        )
+        .select(
+            id_col,
+            "pos",
+            F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.expr(f"slice(w, pos, {k})"), " ")), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    matches = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.pos").alias("pa"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    wrun = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    runs = matches.withColumn("grp", F.col("pa") - F.row_number().over(wrun))
+    spans = (
+        runs.groupBy("id_a", "id_b", "diag", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .where(F.col("run_len") >= min_run)
+    )
+    return spans.groupBy("id_a", "id_b").agg(
+        (F.max("run_len") + k - 1).cast("bigint").alias("longest_span_words"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+    )

