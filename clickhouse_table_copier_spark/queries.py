@@ -82,6 +82,7 @@ _DRIVER_WINDOW_FIRST = [
     "equi_depth_deciles_approx",
     "winsorized_stats_approx",
     "cross_doc_spans",
+    "cdc_merge_apply",
     # carryover fill: no r04 row, green earlier, fingerprint-verified;
     # oldest last-green first (r02 before r03)
     "customer_running_totals",
@@ -112,7 +113,6 @@ _DRIVER_WINDOW_FIRST = [
     "pii_redaction",
     "quality_weighted_sample",
     "readable_partition_sizes",
-    "row_count",
 ]
 
 

@@ -85,3 +85,96 @@ def q_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_span_pairs(
         docs, "doc_id", "text", k=SPAN_K, min_run=SPAN_MIN_RUN
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch CDC apply (operators/cdc.py): a deterministic changelog derived
+# from the customer table itself — two overlapping update generations
+# (seq 1 and 2, proving last-writer-wins), deletes that override updates
+# (seq 3), and inserts of brand-new keys — merged into the post-image.
+# Output is the per-segment post-image summary, so every op type moves
+# the numbers. Decimal sums keep the totals reorder-proof.
+# ---------------------------------------------------------------------------
+_CDC_CHANGES_SQL = """
+      SELECT c_custkey, 1 AS seq, 'U' AS op, c_name, c_nationkey,
+             c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, 2, 'U', c_name, c_nationkey,
+             c_acctbal + 250.0, c_mktsegment
+      FROM customer WHERE c_custkey % 21 = 0
+      UNION ALL
+      SELECT c_custkey, 3, 'D', NULL, NULL, NULL, NULL
+      FROM customer WHERE c_custkey % 13 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 1, 'U', c_name, c_nationkey,
+             50.0, c_mktsegment
+      FROM customer WHERE c_custkey % 11 = 0
+"""
+
+
+@register(
+    "cdc_merge_apply",
+    oracle=f"""
+    WITH changes AS ({_CDC_CHANGES_SQL}),
+    latest AS (
+      SELECT * FROM (
+        SELECT c_custkey, op, c_name, c_nationkey, c_acctbal, c_mktsegment,
+               row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+        FROM changes
+      ) WHERE rn = 1
+    ),
+    final AS (
+      SELECT coalesce(l.c_custkey, b.c_custkey) AS c_custkey,
+             CASE WHEN l.op = 'U' THEN l.c_acctbal ELSE b.c_acctbal END AS c_acctbal,
+             CASE WHEN l.op = 'U' THEN l.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment
+      FROM customer b FULL OUTER JOIN latest l USING (c_custkey)
+      WHERE l.op IS NULL OR l.op <> 'D'
+    )
+    SELECT c_mktsegment, count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM final GROUP BY 1
+    """,
+)
+def q_cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.cdc import apply_changelog
+
+    cust = _t(spark, sf_dir, "customer")
+
+    def gen(pred: str, seq: int, op: str, bal_expr: str, key_expr: str = "c_custkey"):
+        return cust.where(F.expr(pred)).select(
+            F.expr(key_expr).alias("c_custkey"),
+            F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"),
+            *(
+                [
+                    F.col("c_name"),
+                    F.col("c_nationkey"),
+                    F.expr(bal_expr).alias("c_acctbal"),
+                    F.col("c_mktsegment"),
+                ]
+                if op == "U"
+                else [
+                    F.lit(None).cast("string").alias("c_name"),
+                    F.lit(None).cast("int").alias("c_nationkey"),
+                    F.lit(None).cast("double").alias("c_acctbal"),
+                    F.lit(None).cast("string").alias("c_mktsegment"),
+                ]
+            ),
+        )
+
+    changes = (
+        gen("c_custkey % 7 = 0", 1, "U", "c_acctbal + 100.0")
+        .unionAll(gen("c_custkey % 21 = 0", 2, "U", "c_acctbal + 250.0"))
+        .unionAll(gen("c_custkey % 13 = 0", 3, "D", "NULL"))
+        .unionAll(
+            gen("c_custkey % 11 = 0", 1, "U", "50.0", "c_custkey + 1000000")
+        )
+    )
+    final = apply_changelog(cust, changes, key="c_custkey")
+    return final.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_acctbal"),
+    )
