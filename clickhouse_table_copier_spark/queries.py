@@ -83,6 +83,7 @@ _DRIVER_WINDOW_FIRST = [
     "winsorized_stats_approx",
     "cross_doc_spans",
     "cdc_merge_apply",
+    "embedding_decontamination",
     # carryover fill: no r04 row, green earlier, fingerprint-verified;
     # oldest last-green first (r02 before r03)
     "customer_running_totals",
@@ -112,7 +113,6 @@ _DRIVER_WINDOW_FIRST = [
     "partition_stats",
     "pii_redaction",
     "quality_weighted_sample",
-    "readable_partition_sizes",
 ]
 
 

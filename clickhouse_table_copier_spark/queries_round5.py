@@ -178,3 +178,87 @@ def q_cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_acctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding decontamination: flag TRAIN vectors too close (cosine) to any
+# EVAL vector — the semantic complement of the shingle-based
+# `decontamination` query (benchmark rephrasings that n-gram overlap
+# misses). Eval set = the 10 lowest vec_ids (deterministic); its vectors
+# are driver-collected (10×64 floats — metadata-sized, the IVF-seed
+# pattern) and inlined as literals, so the scan is ONE pass over train
+# with no join at all: per row, greatest() over 10 inline dot/norm
+# chains. At 100 TB this is the exact shape: eval sets are tiny and
+# broadcast; train is scanned once, embarrassingly parallel.
+# Python computes the eval norms with the same left-to-right double fold
+# the SQL chain uses, so literals match the oracle bit-for-bit.
+# ---------------------------------------------------------------------------
+_DECON_N_EVAL = 10
+_DECON_TAU = 0.4
+
+
+def _decon_oracle() -> str:
+    from clickhouse_table_copier_spark.queries_similarity import (
+        _dot_chain_sql,
+        _norm_chain_sql,
+    )
+
+    return f"""
+    WITH ev AS (
+      SELECT vec_id AS eval_id, embedding AS evec,
+             {_norm_chain_sql("embedding")} AS enrm
+      FROM embeddings WHERE vec_id < {_DECON_N_EVAL}
+    ),
+    tr AS (
+      SELECT vec_id, embedding, {_norm_chain_sql("embedding")} AS tnrm
+      FROM embeddings WHERE vec_id >= {_DECON_N_EVAL}
+    ),
+    scored AS (
+      SELECT t.vec_id,
+             max(round(({_dot_chain_sql("t.embedding", "e.evec")})
+                       / (t.tnrm * e.enrm), 6)) AS max_cos
+      FROM tr t, ev e
+      GROUP BY t.vec_id
+    )
+    SELECT vec_id, max_cos FROM scored WHERE max_cos >= {_DECON_TAU}
+    """
+
+
+@register(
+    "embedding_decontamination",
+    oracle=_decon_oracle(),
+)
+def q_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from clickhouse_table_copier_spark.operators.dedup import spread
+    from clickhouse_table_copier_spark.operators.similarity import dot, norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    evals = (
+        emb.where(F.col("vec_id") < _DECON_N_EVAL)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )  # metadata-sized: N_EVAL × dim floats, constant in corpus size
+    train = spread(emb.where(F.col("vec_id") >= _DECON_N_EVAL)).withColumn(
+        "tnrm", norm(F.col("embedding"))
+    )
+    sims = []
+    for r in evals:
+        vec = [float(x) for x in r["embedding"]]
+        # left-to-right fold, same order as the SQL chain
+        enrm = 0.0
+        for x in vec:
+            enrm += x * x
+        enrm = math.sqrt(enrm)
+        evec = F.array(*[F.lit(x) for x in vec])
+        sims.append(
+            F.round(
+                dot(F.col("embedding"), evec) / (F.col("tnrm") * F.lit(enrm)), 6
+            )
+        )
+    return (
+        train.select("vec_id", F.greatest(*sims).alias("max_cos"))
+        .where(F.col("max_cos") >= _DECON_TAU)
+    )
