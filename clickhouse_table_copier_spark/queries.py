@@ -84,6 +84,9 @@ _DRIVER_WINDOW_FIRST = [
     "cross_doc_spans",
     "cdc_merge_apply",
     "embedding_decontamination",
+    "content_defined_chunks",
+    "mad_outliers",
+    "flag_status_grouping_sets",
     # carryover fill: no r04 row, green earlier, fingerprint-verified;
     # oldest last-green first (r02 before r03)
     "customer_running_totals",
@@ -110,9 +113,6 @@ _DRIVER_WINDOW_FIRST = [
     "part_type_revenue",
     "partition_diff",
     "partition_fingerprints",
-    "partition_stats",
-    "pii_redaction",
-    "quality_weighted_sample",
 ]
 
 

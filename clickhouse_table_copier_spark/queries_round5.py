@@ -262,3 +262,203 @@ def q_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         train.select("vec_id", F.greatest(*sims).alias("max_cos"))
         .where(F.col("max_cos") >= _DECON_TAU)
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking: boundaries where the rolling word-bigram hash
+# ≡ 0 (mod divisor) — unlike doc_chunking's fixed-size slices, an edit
+# early in a document does NOT shift later chunk boundaries (the
+# rsync/CDC-storage property, here for document-level incremental
+# re-embedding: only chunks whose content changed re-embed). Expression
+# only: explode positions, md5 bigram hash, boundary flag, chunk id =
+# prefix-sum of flags over a doc-partitioned window.
+# ---------------------------------------------------------------------------
+_CDC_CHUNK_K = 2
+_CDC_CHUNK_MOD = 16
+
+
+@register(
+    "content_defined_chunks",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL.format(c="text")}, ' ') AS w
+      FROM documents
+    ),
+    pos_t AS (
+      SELECT doc_id, len(w) AS n,
+             unnest(generate_series(1, greatest(len(w) - {_CDC_CHUNK_K} + 1, 0))) AS pos,
+             w
+      FROM norm WHERE len(w) >= {_CDC_CHUNK_K}
+    ),
+    flags AS (
+      SELECT doc_id, pos,
+             CASE WHEN CAST('0x' || substring(
+                    md5(array_to_string(w[pos:pos+{_CDC_CHUNK_K}-1], ' ')), 1, 15)
+                    AS BIGINT) % {_CDC_CHUNK_MOD} = 0
+                  THEN 1 ELSE 0 END AS b
+      FROM pos_t
+    ),
+    chunked AS (
+      SELECT doc_id,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS chunk_id
+      FROM flags
+    ),
+    per_chunk AS (
+      SELECT doc_id, chunk_id, count(*) AS chunk_words
+      FROM chunked GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(min(chunk_words) AS BIGINT) AS min_chunk_words,
+           CAST(max(chunk_words) AS BIGINT) AS max_chunk_words
+    FROM per_chunk GROUP BY 1
+    """,
+)
+def q_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.dedup import (
+        normalized_text,
+        spread,
+    )
+
+    k, mod = _CDC_CHUNK_K, _CDC_CHUNK_MOD
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.split(normalized_text("text"), " ").alias("w")
+    ).where(F.size("w") >= k)
+    flags = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("w") - k + 1)).alias("pos"),
+        F.col("w"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.expr(f"slice(w, pos, {k})"), " ")),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % mod
+            == 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("b"),
+    )
+    wc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = flags.select("doc_id", F.sum("b").over(wc).alias("chunk_id"))
+    per_chunk = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).alias("chunk_words")
+    )
+    return per_chunk.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.min("chunk_words").cast("bigint").alias("min_chunk_words"),
+        F.max("chunk_words").cast("bigint").alias("max_chunk_words"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers: per-series median + MAD (median absolute deviation),
+# flag |x − med| > 3σ̂ where σ̂ = 1.4826·MAD — the robust z-score that a
+# mean/stddev gate gets wrong under the very outliers it hunts. Exact
+# medians interpolate identically in both engines
+# (order_value_percentiles precedent). Two grouped passes with the tiny
+# per-series bounds broadcast back — the winsorized_stats shape; its
+# _approx sibling documents the constant-memory sketch path that replaces
+# percentile() when a series outgrows one task's buffer.
+# ---------------------------------------------------------------------------
+@register(
+    "mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(any_value(d.med) AS DOUBLE) AS med,
+           CAST(any_value(m.mad) AS DOUBLE) AS mad,
+           CAST(sum(CASE WHEN d.adev > 4.4478 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           count(*) AS n_events
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.queries import _events
+
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").cast("double").alias("med"),
+            F.first("mad").cast("double").alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > F.lit(4.4478) * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS: the multi-granularity rollup surface between cube
+# (flag_status_cube) and plain GROUP BY — one shuffle produces the
+# (flag, status), (flag), and grand-total granularities. Absent keys are
+# rendered '*' via coalesce (both columns are non-null in the schema), so
+# the output is engine-agnostic without relying on GROUPING() parity.
+# ---------------------------------------------------------------------------
+@register(
+    "flag_status_grouping_sets",
+    oracle="""
+    SELECT coalesce(l_returnflag, '*') AS rf,
+           coalesce(l_linestatus, '*') AS ls,
+           count(*) AS cnt,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q_flag_status_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "lineitem")
+    df.createOrReplaceTempView("ctc_gs_lineitem")
+    return df.sparkSession.sql(
+        """
+        SELECT coalesce(l_returnflag, '*') AS rf,
+               coalesce(l_linestatus, '*') AS ls,
+               count(*) AS cnt,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM ctc_gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
