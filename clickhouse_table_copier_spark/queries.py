@@ -87,6 +87,8 @@ _DRIVER_WINDOW_FIRST = [
     "content_defined_chunks",
     "mad_outliers",
     "flag_status_grouping_sets",
+    "mixture_resample",
+    "span_dedup_survivors",
     # carryover fill: no r04 row, green earlier, fingerprint-verified;
     # oldest last-green first (r02 before r03)
     "customer_running_totals",
@@ -111,8 +113,6 @@ _DRIVER_WINDOW_FIRST = [
     "local_supplier_volume",
     "order_value_percentiles",
     "part_type_revenue",
-    "partition_diff",
-    "partition_fingerprints",
 ]
 
 

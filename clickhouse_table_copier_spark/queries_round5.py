@@ -462,3 +462,143 @@ def q_flag_status_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture resampling (the DoReMi/data-mixing materialization step):
+# given target mixture weights per source, find the largest total corpus
+# T the weights can serve (T = min_s n_s/w_s — the scarcest source binds)
+# and deterministically select k_s = w_s·T docs per source. ALL mixture
+# arithmetic is integer (weights in basis points, floor division), so
+# both engines agree exactly; selection order is the portable md5 rank,
+# so the chosen doc SET is engine-identical (checksummed by sum(doc_id)).
+# One grouped count (20 rows) + one source-partitioned rank window.
+# Weights derive from the source number (r_s = 1 + src%4, normalized to
+# 10000 bp) instead of a 20-literal table.
+# ---------------------------------------------------------------------------
+@register(
+    "mixture_resample",
+    oracle="""
+    WITH wt AS (
+      SELECT source, count(*) AS n_s,
+             (1 + CAST(substring(source, 4) AS INTEGER) % 4) * 200 AS bp
+      FROM documents GROUP BY 1
+    ),
+    t AS (
+      SELECT source, n_s, bp,
+             min(n_s * 10000 // bp) OVER () AS t_total
+      FROM wt
+    ),
+    quota AS (SELECT source, n_s, bp * t_total // 10000 AS k_s FROM t),
+    ranked AS (
+      SELECT d.source, d.doc_id, q.k_s, q.n_s,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+               AS rn
+      FROM documents d JOIN quota q USING (source)
+    )
+    SELECT source,
+           CAST(any_value(n_s) AS BIGINT) AS n_source,
+           CAST(count(*) AS BIGINT) AS n_selected,
+           CAST(sum(doc_id) AS BIGINT) AS sel_checksum
+    FROM ranked WHERE rn <= k_s
+    GROUP BY 1
+    """,
+)
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    wt = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s")).withColumn(
+        "bp",
+        (1 + F.substring("source", 4, 10).cast("int") % 4) * 200,
+    )
+    # global min over the 20-row weight table: unordered window, no sort,
+    # metadata-sized exchange
+    t = wt.withColumn(
+        "t_total",
+        F.min(F.expr("n_s * 10000 div bp")).over(Window.partitionBy()),
+    )
+    quota = t.withColumn("k_s", F.expr("bp * t_total div 10000")).select(
+        "source", "n_s", "k_s"
+    )
+    wrank = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = (
+        docs.join(F.broadcast(quota), "source")
+        .withColumn("rn", F.row_number().over(wrank))
+        .where(F.col("rn") <= F.col("k_s"))
+    )
+    return ranked.groupBy("source").agg(
+        F.first("n_s").cast("bigint").alias("n_source"),
+        F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+        F.sum("doc_id").cast("bigint").alias("sel_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Span-dedup SURVIVORS — the action step after cross_doc_spans: any pair
+# sharing a span of ≥ SPAN_DROP_WORDS words drops its higher doc_id
+# (keep-min survivorship, the exact_dedup convention), and the cleaned
+# corpus is the anti-join against that drop set. Output is the
+# per-source survivor summary with a sum(doc_id) checksum proving both
+# engines kept the same document SET.
+# ---------------------------------------------------------------------------
+SPAN_DROP_WORDS = 10
+
+
+@register(
+    "span_dedup_survivors",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL.format(c="text")}, ' ') AS w
+      FROM documents
+    ),
+    pos_t AS (
+      SELECT doc_id, w,
+             unnest(generate_series(1, greatest(len(w) - {SPAN_K} + 1, 0))) AS pos
+      FROM norm WHERE len(w) >= {SPAN_K}
+    ),
+    grams AS (
+      SELECT doc_id, pos,
+             CAST('0x' || substring(
+               md5(array_to_string(w[pos:pos+{SPAN_K}-1], ' ')), 1, 15)
+               AS BIGINT) AS h
+      FROM pos_t
+    ),
+    m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
+             a.pos - b.pos AS diag
+      FROM grams a JOIN grams b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT id_a, id_b, diag, pa,
+             pa - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pa)
+               AS grp
+      FROM m
+    ),
+    spans AS (
+      SELECT id_b FROM runs GROUP BY id_a, id_b, diag, grp
+      HAVING count(*) + {SPAN_K} - 1 >= {SPAN_DROP_WORDS}
+    ),
+    drops AS (SELECT DISTINCT id_b AS doc_id FROM spans)
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_survivors,
+           CAST(sum(d.doc_id) AS BIGINT) AS survivor_checksum
+    FROM documents d LEFT JOIN drops x USING (doc_id)
+    WHERE x.doc_id IS NULL
+    GROUP BY 1
+    """,
+)
+def q_span_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.dedup import repeated_span_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = repeated_span_pairs(
+        docs, "doc_id", "text", k=SPAN_K, min_run=SPAN_DROP_WORDS - SPAN_K + 1
+    )
+    drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = docs.join(drops, "doc_id", "left_anti")
+    return survivors.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_survivors"),
+        F.sum("doc_id").cast("bigint").alias("survivor_checksum"),
+    )
