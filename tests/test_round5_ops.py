@@ -1,0 +1,209 @@
+"""Semantics tests for the round-5 operators, independent of the DuckDB
+oracle gate: planted-input checks for span dedup, MERGE-semantics edge
+cases for the CDC apply, the content-defined-chunking stability property
+(an early edit must not shift later chunk boundaries), and determinism
+of the mixture resampler under repartitioning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# repeated_span_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_repeated_span_detects_planted_span(spark):
+    from clickhouse_table_copier_spark.operators.dedup import repeated_span_pairs
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 shared words
+    docs = _docs(
+        spark,
+        [
+            (1, f"one two three {span} four five"),
+            (2, f"six seven {span} eight nine ten"),
+            (3, "totally different words only here"),
+        ],
+    )
+    out = repeated_span_pairs(docs, "doc_id", "text", k=4, min_run=2).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row["id_a"], row["id_b"]) == (1, 2)
+    # 8 shared words with k=4 → run of 5 grams → span of 8 words
+    assert row["longest_span_words"] == 8
+    assert row["n_spans"] == 1
+
+
+def test_repeated_span_requires_consecutive_grams(spark):
+    from clickhouse_table_copier_spark.operators.dedup import repeated_span_pairs
+
+    # docs share two separated 4-word phrases, but never 5+ consecutive
+    # words → single-gram matches only, below min_run=2
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta xx yy zz epsilon zeta eta theta qq"),
+            (2, "pp alpha beta gamma delta rr ss epsilon zeta eta theta tt"),
+        ],
+    )
+    out = repeated_span_pairs(docs, "doc_id", "text", k=4, min_run=2).collect()
+    assert out == []
+
+
+# ---------------------------------------------------------------------------
+# apply_changelog
+# ---------------------------------------------------------------------------
+
+
+def test_apply_changelog_merge_semantics(spark):
+    from clickhouse_table_copier_spark.operators.cdc import apply_changelog
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, bal double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 1, "U", "a1", 11.0),  # overridden by seq 2
+            (1, 2, "U", "a2", 12.0),  # last writer wins
+            (2, 1, "D", None, None),  # delete
+            (4, 1, "U", "d", 40.0),  # insert (new key)
+            (3, 1, "D", None, None),  # delete...
+            (3, 2, "U", "c2", 33.0),  # ...then re-insert (U after D wins)
+        ],
+        "k long, seq int, op string, name string, bal double",
+    )
+    out = {
+        r["k"]: (r["name"], r["bal"])
+        for r in apply_changelog(base, changes, key="k").collect()
+    }
+    assert out == {1: ("a2", 12.0), 3: ("c2", 33.0), 4: ("d", 40.0)}
+
+
+def test_apply_changelog_untouched_keys_pass_through(spark):
+    from clickhouse_table_copier_spark.operators.cdc import apply_changelog
+
+    base = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double")
+    changes = spark.createDataFrame([], "k long, seq int, op string, v double")
+    out = sorted(
+        (r["k"], r["v"]) for r in apply_changelog(base, changes, key="k").collect()
+    )
+    assert out == [(1, 1.0), (2, 2.0)]
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking: stability under a prefix edit
+# ---------------------------------------------------------------------------
+
+
+def _chunks_of(spark, text: str) -> list[str]:
+    """Chunk word-contents via the same boundary rule as the registered
+    query (bigram hash % 16 == 0)."""
+    from clickhouse_table_copier_spark.operators.dedup import normalized_text
+    from pyspark.sql import Window
+
+    k, mod = 2, 16
+    df = _docs(spark, [(1, text)])
+    toks = df.select("doc_id", F.split(normalized_text("text"), " ").alias("w"))
+    flags = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("w") - k + 1)).alias("pos"),
+        F.col("w"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.expr(f"element_at(w, pos)").alias("word"),
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.expr(f"slice(w, pos, {k})"), " ")), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % mod
+            == 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("b"),
+    )
+    wc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rows = (
+        flags.select("pos", "word", F.sum("b").over(wc).alias("chunk_id"))
+        .orderBy("pos")
+        .collect()
+    )
+    chunks: dict[int, list[str]] = {}
+    for r in rows:
+        chunks.setdefault(r["chunk_id"], []).append(r["word"])
+    return [" ".join(v) for _, v in sorted(chunks.items())]
+
+
+def test_cdc_chunk_boundaries_survive_prefix_edit(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    body = " ".join(rng.choice(vocab) for _ in range(120))
+    prefix = "inserted words at the front of the document"
+
+    base_chunks = _chunks_of(spark, body)
+    edited_chunks = _chunks_of(spark, f"{prefix} {body}")
+
+    # every base chunk except possibly the first (whose leading boundary
+    # context straddles the edit) must reappear verbatim in the edited
+    # doc's chunks — fixed-size chunking would shift ALL of them
+    assert len(base_chunks) >= 3, "fixture too short to be meaningful"
+    surviving = [c for c in base_chunks[1:] if c in edited_chunks]
+    assert surviving == base_chunks[1:], (
+        f"chunks shifted after prefix edit: {base_chunks[1:]} vs {edited_chunks}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# mixture resampling: determinism + quota feasibility
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_resample_deterministic_under_repartition(spark):
+    from clickhouse_table_copier_spark.queries_round5 import q_mixture_resample
+
+    def run():
+        return {
+            r["source"]: (r["n_selected"], r["sel_checksum"])
+            for r in q_mixture_resample(spark, SF_ORACLE).collect()
+        }
+
+    a = run()
+    assert a, "empty resample output"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # different reducer count → different physical partitioning of the
+        # rank shuffle; the selected SET must not change
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b
+    for _src, (n_sel, _) in a.items():
+        assert n_sel > 0
+
+
+def test_mixture_resample_quota_never_exceeds_source(spark):
+    from clickhouse_table_copier_spark.queries_round5 import q_mixture_resample
+
+    for r in q_mixture_resample(spark, SF_ORACLE).collect():
+        assert r["n_selected"] <= r["n_source"]
