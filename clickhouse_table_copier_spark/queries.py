@@ -89,6 +89,8 @@ _DRIVER_WINDOW_FIRST = [
     "flag_status_grouping_sets",
     "mixture_resample",
     "span_dedup_survivors",
+    "ewma_user_value",
+    "intra_doc_repeats",
     # carryover fill: no r04 row, green earlier, fingerprint-verified;
     # oldest last-green first (r02 before r03)
     "customer_running_totals",
@@ -111,8 +113,6 @@ _DRIVER_WINDOW_FIRST = [
     "ipv4_roundtrip",
     "ipv6_canon",
     "local_supplier_volume",
-    "order_value_percentiles",
-    "part_type_revenue",
 ]
 
 

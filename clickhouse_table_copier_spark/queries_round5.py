@@ -602,3 +602,157 @@ def q_span_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_survivors"),
         F.sum("doc_id").cast("bigint").alias("survivor_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA per series — the order-dependent RECURRENCE (s_i = α·x_i +
+# (1−α)·s_{i−1}) that plain window sums can't express. Formulated as the
+# established ordered-fold pattern (train_centroids_exact, pagerank):
+# Spark folds the (ts, event_id)-sorted series left-to-right with a
+# seeded-by-first-element accumulator; DuckDB's list_reduce seeds the
+# same way by definition, so the doubles match bit-for-bit (α = 0.25 and
+# 1−α = 0.75 are exact binary fractions). collect_list buffers one
+# series per group — the VERIFICATION shape; at stream scale the same
+# recurrence runs incrementally in the streaming state store
+# (streaming/incremental.py holds the per-key state machinery).
+# ---------------------------------------------------------------------------
+_EWMA_ALPHA = 0.25
+
+
+@register(
+    "ewma_user_value",
+    oracle=f"""
+    SELECT user_id,
+           count(*) AS n_events,
+           list_reduce(
+             list(value ORDER BY ts, event_id),
+             (s, x) -> {_EWMA_ALPHA} * x + {1 - _EWMA_ALPHA} * s
+           ) AS ewma
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.queries import _events
+
+    a = _EWMA_ALPHA
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    fold = F.aggregate(
+        arr,
+        F.struct(F.lit(False).alias("init"), F.lit(0.0).alias("s")),
+        lambda acc, x: F.struct(
+            F.lit(True).alias("init"),
+            F.when(
+                acc["init"], F.lit(a) * x["value"] + F.lit(1 - a) * acc["s"]
+            )
+            .otherwise(x["value"])
+            .alias("s"),
+        ),
+        lambda acc: acc["s"],
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        fold.alias("ewma"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# INTRA-document repeated spans — the within-doc complement of
+# cross_doc_spans and the span-level Gopher repetition signal: a
+# document that repeats its own ≥(k+min_run−1)-word span is boilerplate-
+# or loop-generated. Same gaps-and-islands machinery on the self-join
+# diagonal (pos_b − pos_a > 0 keeps one triangle and excludes the
+# trivial self-match).
+# ---------------------------------------------------------------------------
+@register(
+    "intra_doc_repeats",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL.format(c="text")}, ' ') AS w
+      FROM documents
+    ),
+    pos_t AS (
+      SELECT doc_id, w,
+             unnest(generate_series(1, greatest(len(w) - {SPAN_K} + 1, 0))) AS pos
+      FROM norm WHERE len(w) >= {SPAN_K}
+    ),
+    grams AS (
+      SELECT doc_id, pos,
+             CAST('0x' || substring(
+               md5(array_to_string(w[pos:pos+{SPAN_K}-1], ' ')), 1, 15)
+               AS BIGINT) AS h
+      FROM pos_t
+    ),
+    m AS (
+      SELECT a.doc_id, a.pos AS pa, b.pos - a.pos AS diag
+      FROM grams a JOIN grams b
+        ON a.doc_id = b.doc_id AND a.h = b.h AND b.pos > a.pos
+    ),
+    runs AS (
+      SELECT doc_id, diag, pa,
+             pa - row_number() OVER (PARTITION BY doc_id, diag ORDER BY pa)
+               AS grp
+      FROM m
+    ),
+    spans AS (
+      SELECT doc_id, count(*) AS run_len
+      FROM runs GROUP BY doc_id, diag, grp
+      HAVING count(*) >= {SPAN_MIN_RUN}
+    )
+    SELECT doc_id,
+           CAST(max(run_len) + {SPAN_K} - 1 AS BIGINT) AS longest_repeat_words,
+           CAST(count(*) AS BIGINT) AS n_repeat_spans
+    FROM spans GROUP BY 1
+    """,
+)
+def q_intra_doc_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.dedup import (
+        normalized_text,
+        spread,
+    )
+
+    k = SPAN_K
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.split(normalized_text("text"), " ").alias("w")
+    ).where(F.size("w") >= k)
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("w") - k + 1)).alias("pos"),
+        F.col("w"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(
+            F.substring(
+                F.md5(F.array_join(F.expr(f"slice(w, pos, {k})"), " ")), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    m = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.h") == F.col("b.h"))
+        & (F.col("b.pos") > F.col("a.pos")),
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("a.pos").alias("pa"),
+        (F.col("b.pos") - F.col("a.pos")).alias("diag"),
+    )
+    wrun = Window.partitionBy("doc_id", "diag").orderBy("pa")
+    spans = (
+        m.withColumn("grp", F.col("pa") - F.row_number().over(wrun))
+        .groupBy("doc_id", "diag", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .where(F.col("run_len") >= SPAN_MIN_RUN)
+    )
+    return spans.groupBy("doc_id").agg(
+        (F.max("run_len") + k - 1).cast("bigint").alias("longest_repeat_words"),
+        F.count(F.lit(1)).cast("bigint").alias("n_repeat_spans"),
+    )
