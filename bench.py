@@ -62,6 +62,19 @@ EXTENDED = [
     "incremental_rollup_merge",
     "source_lang_drift",
     "equi_depth_deciles",
+    # round-5 additions
+    "equi_depth_deciles_approx",
+    "winsorized_stats_approx",
+    "cross_doc_spans",
+    "span_dedup_survivors",
+    "intra_doc_repeats",
+    "cdc_merge_apply",
+    "embedding_decontamination",
+    "content_defined_chunks",
+    "mad_outliers",
+    "flag_status_grouping_sets",
+    "mixture_resample",
+    "ewma_user_value",
     # streaming_click_attribution excluded: it writes its own source
     # parquet + runs a checkpointed streaming job per call — wall-clock
     # is dominated by that scaffolding, not the operator
