@@ -127,3 +127,96 @@ def latest_user_stats(spark: SparkSession, output_dir: str) -> DataFrame:
     hist = spark.read.parquet(output_dir)
     w_latest = hist.groupBy("user_id").agg(F.max("batch_seq").alias("batch_seq"))
     return hist.join(w_latest, ["user_id", "batch_seq"]).drop("batch_seq")
+
+
+EWMA_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+_EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+        T.StructField("init", T.BooleanType()),
+    ]
+)
+
+
+def _make_update_ewma(alpha: float):
+    """Streaming counterpart of the batch ordered-fold EWMA
+    (queries_round5.q_ewma_user_value): the recurrence s ← α·x + (1−α)·s
+    carried in GroupState across micro-batches. Within a batch the
+    key-group is sorted by (ts, event_id) before folding; across batches
+    the caller must deliver files in event-time order (the test drives
+    one time-ordered file per trigger) — with an out-of-order source,
+    front this operator with a watermark-sorted window, as the interval
+    join does. Closure, not module-level: see _make_update_user_stats.
+    """
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            n, s, init = state.get
+        else:
+            n, s, init = 0, 0.0, False
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for x in pdf["value"].astype("float64"):
+                x = float(x)
+                s = (alpha * x + (1.0 - alpha) * s) if init else x
+                init = True
+            n += len(pdf)
+        state.update((n, s, init))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "ewma": [s]}
+        )
+
+    return update
+
+
+def stateful_ewma(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    output_dir: str,
+    checkpoint_dir: str,
+    alpha: float = 0.25,
+    max_files_per_trigger: int = 1,
+):
+    """availableNow run folding the per-user EWMA recurrence in GroupState,
+    one source file per micro-batch (so cross-batch state carry is
+    actually exercised, not collapsed into one batch)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .option("latestFirst", "false")
+        .parquet(source_dir)
+    )
+    if isinstance(stream.schema["ts"].dataType, T.TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    updated = stream.groupBy("user_id").applyInPandasWithState(
+        _make_update_ewma(alpha),
+        outputStructType=EWMA_OUT_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_seq", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(output_dir)
+
+    return (
+        updated.writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -371,3 +371,55 @@ def test_streaming_exact_dedup_across_runs(spark, tmp_path):
     union = spark.createDataFrame(batch1 + batch2, schema)
     batch_groups = exact_dedup(union, "doc_id", "text")
     assert batch_groups.count() == got2.count()
+
+
+def test_stateful_ewma_matches_batch_fold(spark, tmp_path):
+    """The streaming EWMA (GroupState recurrence, state carried across two
+    separate time-ordered availableNow runs) lands on exactly the batch
+    ordered-fold result — same fold, same doubles."""
+    from clickhouse_table_copier_spark.queries import _events
+    from clickhouse_table_copier_spark.queries_round5 import q_ewma_user_value
+    from clickhouse_table_copier_spark.streaming.stateful import stateful_ewma
+
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+
+    ev = _events(spark, SF_SMOKE).select("event_id", "ts", "user_id", "value")
+    split_us = ev.agg(
+        F.expr("percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.5)").alias("m")
+    ).collect()[0]["m"]
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    first = ev.where(us <= split_us)
+    second = ev.where(us > split_us)
+    assert first.count() > 0 and second.count() > 0
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    # run 1: the EARLIER half only; run 2 adds the later half — state must
+    # resume mid-series from the checkpoint for the fold to come out right
+    first.coalesce(1).write.mode("append").parquet(src_dir)
+    stateful_ewma(spark, src_dir, schema, out_dir, ck_dir).awaitTermination()
+    second.coalesce(1).write.mode("append").parquet(src_dir)
+    stateful_ewma(spark, src_dir, schema, out_dir, ck_dir).awaitTermination()
+
+    hist = spark.read.parquet(out_dir)
+    latest = hist.join(
+        hist.groupBy("user_id").agg(F.max("batch_seq").alias("batch_seq")),
+        ["user_id", "batch_seq"],
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma"]) for r in latest.collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in q_ewma_user_value(spark, SF_SMOKE).collect()
+    }
+    assert got == want
