@@ -109,6 +109,53 @@ def test_no_unpartitioned_window_sort(spark, name):
     assert m is None, f"{name} plans an unpartitioned window sort:\n{m.group(0)}"
 
 
+def test_fact_join_is_runtime_bloom_filterable(spark):
+    """The engine's selective dim⋈fact joins must stay runtime-filterable:
+    Spark injects a bloom filter from the filtered dim side into the fact
+    scan (might_contain pushdown) when the fact side is large enough. At
+    cluster scale the default 10 GB applicationSideScanSizeThreshold
+    triggers this naturally; here the threshold is forced to 0 to prove
+    the join shape qualifies — plain equi-keys with no expression
+    wrapping on the fact key, which is exactly what injection requires.
+    Result equality vs the un-filtered plan is asserted too."""
+    from pyspark.sql import functions as F
+
+    sf = SF_ORACLE
+
+    def build():
+        # rebuild per conf change: a DataFrame memoizes its queryExecution
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    expected = build().collect()
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        q = build()
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, (
+            "no runtime bloom filter injected — fact-side join key no "
+            "longer qualifies (wrapped in an expression?)"
+        )
+        assert [tuple(r) for r in q.collect()] == [tuple(r) for r in expected]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 @pytest.mark.parametrize("name", ["pricing_summary", "events_multikey_stats"])
 def test_aggregations_have_no_python_udfs(spark, name):
     """Hot-path queries stay JVM-side: no BatchEvalPython / ArrowEvalPython
