@@ -91,6 +91,7 @@ _DRIVER_WINDOW_FIRST = [
     "span_dedup_survivors",
     "ewma_user_value",
     "intra_doc_repeats",
+    "nation_pair_trade",
     # carryover fill: no r04 row, green earlier, fingerprint-verified;
     # oldest last-green first (r02 before r03)
     "customer_running_totals",
@@ -112,7 +113,6 @@ _DRIVER_WINDOW_FIRST = [
     "fk_integrity_audit",
     "ipv4_roundtrip",
     "ipv6_canon",
-    "local_supplier_volume",
 ]
 
 

@@ -756,3 +756,61 @@ def q_intra_doc_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("run_len") + k - 1).cast("bigint").alias("longest_repeat_words"),
         F.count(F.lit(1)).cast("bigint").alias("n_repeat_spans"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nation-pair trade volume (TPC-H Q7 shape): supplier nation → customer
+# nation revenue flows through the full fact join. Both dims broadcast;
+# the only real shuffle is the lineitem⋈orders equi-join — the same
+# distributed graph-build stage pagerank_nations starts from, here kept
+# as the classic analytics rollup. Decimal revenue keeps sums exact.
+# ---------------------------------------------------------------------------
+@register(
+    "nation_pair_trade",
+    oracle="""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           count(*) AS n_items,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST((1 - l_discount) * 100 AS BIGINT)) / 100.0
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ns ON s_nationkey = ns.n_nationkey
+    JOIN nation nc ON c_nationkey = nc.n_nationkey
+    WHERE ns.n_nationkey <> nc.n_nationkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 100
+    """,
+)
+def q_nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    ns = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    # exact rational revenue: price decimal × integer discount-percent
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .where(F.col("s_nk") != F.col("c_nk"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(rev) / 100.0).cast("double").alias("revenue"),
+        )
+        .where(F.col("n_items") >= 100)
+    )
