@@ -78,6 +78,9 @@ _DRIVER_WINDOW_FIRST = [
     "dedup_embedding_cosine",
     "equi_depth_deciles",
     "streaming_click_attribution",
+    "dedup_ngram_jaccard",
+    "dedup_clusters_jaccard",
+    "dedup_lsh_eval",
     # --- new round-5 queries are inserted here as they are added ---
     "equi_depth_deciles_approx",
     "winsorized_stats_approx",
@@ -110,9 +113,6 @@ _DRIVER_WINDOW_FIRST = [
     "doc_winnowing",
     "dq_expectations",
     "filtered_row_count",
-    "fk_integrity_audit",
-    "ipv4_roundtrip",
-    "ipv6_canon",
 ]
 
 

@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 
 def test_multimodal_decode_and_features(spark):
@@ -1325,3 +1325,28 @@ def test_bmp_pixel_stats_match_constructed_pixels(spark):
         assert abs(r["mean_b"] - exp[2]) < 1e-9
         exp_luma = 0.299 * exp[0] + 0.587 * exp[1] + 0.114 * exp[2]
         assert abs(r["mean_luma"] - exp_luma) < 1e-9
+
+
+def test_ngram_jaccard_prefix_filter_equivalent(spark):
+    """The PPJoin prefix-filtered path must produce exactly the
+    grouped-count join's pairs and values — the lemma guarantees no pair
+    at threshold t escapes the rarest-first prefixes."""
+    from clickhouse_table_copier_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = (
+        spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(400)
+    )
+    base = {
+        (r["id_a"], r["id_b"]): (r["inter_cnt"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    pf = {
+        (r["id_a"], r["id_b"]): (r["inter_cnt"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5, prefix_filter=True
+        ).collect()
+    }
+    assert base, "fixture should contain qualifying pairs"
+    assert base == pf
