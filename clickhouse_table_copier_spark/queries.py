@@ -95,6 +95,7 @@ _DRIVER_WINDOW_FIRST = [
     "ewma_user_value",
     "intra_doc_repeats",
     "nation_pair_trade",
+    "order_window_functions",
     # carryover fill: no r04 row, green earlier, fingerprint-verified;
     # oldest last-green first (r02 before r03)
     "customer_running_totals",
@@ -111,7 +112,6 @@ _DRIVER_WINDOW_FIRST = [
     "doc_chunking",
     "doc_dup_ngram_fraction",
     "doc_winnowing",
-    "dq_expectations",
     "filtered_row_count",
 ]
 

@@ -814,3 +814,64 @@ def q_nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_items") >= 100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking-window surface: percent_rank, cume_dist, lag with default, and
+# full-frame last_value over each customer's order sequence, aggregated
+# per customer. Rank-based doubles are exact rationals ((rank−1)/(n−1));
+# the lag gap uses the INTEGER order key (cross-engine exact, unlike
+# subtracting computed doubles); the window ordering carries the total
+# (o_orderdate, o_orderkey) tiebreak.
+# ---------------------------------------------------------------------------
+@register(
+    "order_window_functions",
+    oracle="""
+    WITH w_vals AS (
+      SELECT o_custkey,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd,
+             o_orderkey - lag(o_orderkey, 1, 0) OVER w AS key_gap,
+             first_value(o_totalprice) OVER w AS first_price,
+             last_value(o_totalprice) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_price
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           CAST(sum(CASE WHEN pr <= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_first_half,
+           CAST(max(cd) AS DOUBLE) AS max_cume_dist,
+           CAST(sum(key_gap) AS BIGINT) AS key_gap_sum,
+           CAST(any_value(first_price) AS DOUBLE) AS first_price,
+           CAST(any_value(last_price) AS DOUBLE) AS last_price
+    FROM w_vals GROUP BY 1
+    """,
+)
+def q_order_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    vals = orders.select(
+        "o_custkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        (F.col("o_orderkey") - F.lag("o_orderkey", 1, 0).over(w)).alias(
+            "key_gap"
+        ),
+        F.first_value("o_totalprice").over(w).alias("first_price"),
+        F.last_value("o_totalprice").over(wfull).alias("last_price"),
+    )
+    return vals.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("pr") <= 0.5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_first_half"),
+        F.max("cd").cast("double").alias("max_cume_dist"),
+        F.sum("key_gap").cast("bigint").alias("key_gap_sum"),
+        F.first("first_price").cast("double").alias("first_price"),
+        F.first("last_price").cast("double").alias("last_price"),
+    )
