@@ -771,7 +771,7 @@ def q_intra_doc_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
            count(*) AS n_items,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * CAST((1 - l_discount) * 100 AS BIGINT)) / 100.0
+                    * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0
                 AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -797,8 +797,10 @@ def q_nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
     )
     # exact rational revenue: price decimal × integer discount-percent
-    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        (1 - F.col("l_discount")) * 100
+    # floor(x+0.5), not a raw BIGINT cast: Spark's double->long cast
+    # truncates while DuckDB's rounds, so 93.99999999999999 would diverge
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * F.floor(
+        (1 - F.col("l_discount")) * 100 + F.lit(0.5)
     ).cast("bigint")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
