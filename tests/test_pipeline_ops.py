@@ -1350,3 +1350,34 @@ def test_ngram_jaccard_prefix_filter_equivalent(spark):
     }
     assert base, "fixture should contain qualifying pairs"
     assert base == pf
+
+
+def test_resize_images_real_nearest_neighbor_pixels(spark):
+    """PNG resize is now a REAL nearest-neighbor resample: resizing a
+    known gradient and re-decoding must yield exactly the index-sampled
+    source pixels (ys = arange(th)*h//th, xs = arange(tw)*w//tw)."""
+    import numpy as np
+
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        _make_png_raster_decoder,
+        encode_png,
+        resize_images,
+    )
+
+    w, h = 8, 6
+    src = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            src[y, x] = (x * 30, y * 40, (x + y) * 10)
+    media = spark.createDataFrame(
+        [(0, bytearray(encode_png(src.tobytes(), w, h, 3)))],
+        "media_id long, content binary",
+    )
+    out = resize_images(media, target_w=4, target_h=3).collect()[0]
+    got = _make_png_raster_decoder()(bytes(out["content"]))
+    assert got is not None, "resized output is no longer a decodable PNG"
+    tw, th, nch, arr = got[0], got[1], got[2], got[3]
+    assert (tw, th, nch) == (4, 3, 3)
+    xs = (np.arange(4) * w) // 4
+    ys = (np.arange(3) * h) // 3
+    assert np.array_equal(arr, src[ys][:, xs])
