@@ -109,6 +109,27 @@ def test_no_unpartitioned_window_sort(spark, name):
     assert m is None, f"{name} plans an unpartitioned window sort:\n{m.group(0)}"
 
 
+@pytest.mark.parametrize(
+    "name,allowed",
+    [
+        ("cross_doc_spans", {"doc_id", "text"}),
+        ("intra_doc_repeats", {"doc_id", "text"}),
+        ("content_defined_chunks", {"doc_id", "text"}),
+        ("ewma_user_value", {"user_id", "ts", "event_id", "value"}),
+        ("mad_outliers", {"event_type", "value", "ts"}),
+    ],
+)
+def test_round5_scans_prune_columns(spark, name, allowed):
+    """Round-5 operators must not drag unused columns through their
+    exploded/joined hot paths — the scan's ReadSchema stays within the
+    columns the operator actually consumes."""
+    plan = _plan(spark, name)
+    for schema in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        extra = cols - allowed
+        assert not extra, f"{name} scan reads unused columns: {extra}"
+
+
 def test_fact_join_is_runtime_bloom_filterable(spark):
     """The engine's selective dim⋈fact joins must stay runtime-filterable:
     Spark injects a bloom filter from the filtered dim side into the fact
