@@ -287,6 +287,111 @@ def _make_png_raster_decoder():
     return decode_png_raster
 
 
+def _make_gif_decoder():
+    """REAL GIF pixel decode as a closure: logical-screen/image-descriptor
+    parse, global or local color table, and a full LSB-first LZW
+    decompressor (variable code width, clear/EOI, max 12 bits) — pure
+    Python, no image libraries. First frame only, non-interlaced; those
+    keep the seam. Returns ``(w, h, 3, [mean R, G, B])`` or ``None``.
+    With this the PIL seam is JPEG-only."""
+    import struct as _struct
+
+    def _lzw(min_code: int, data: bytes, n_pixels: int):
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        code_size = min_code + 1
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        out = bytearray()
+        prev = None
+        bitpos, total = 0, len(data) * 8
+        while bitpos + code_size <= total and len(out) < n_pixels:
+            byte_i, bit_o = bitpos >> 3, bitpos & 7
+            chunk = int.from_bytes(data[byte_i : byte_i + 4], "little")
+            code = (chunk >> bit_o) & ((1 << code_size) - 1)
+            bitpos += code_size
+            if code == clear:
+                del table[end + 1 :]
+                code_size = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                break
+            if prev is None:
+                entry = table[code]
+            else:
+                if code < len(table):
+                    entry = table[code]
+                elif code == len(table):
+                    entry = prev + prev[:1]
+                else:
+                    return None
+                table.append(prev + entry[:1])
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            out += entry
+            prev = entry
+        return bytes(out[:n_pixels]) if len(out) >= n_pixels else None
+
+    def decode_gif(b: bytes):
+        if b[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        try:
+            sw, sh, flags, _bg, _ar = _struct.unpack("<HHBBB", b[6:13])
+            pos = 13
+            gct = None
+            if flags & 0x80:
+                n = 2 << (flags & 0x07)
+                gct = b[pos : pos + 3 * n]
+                pos += 3 * n
+            while pos < len(b):
+                block = b[pos]
+                if block == 0x21:  # extension: label + sub-blocks
+                    pos += 2
+                    while b[pos] != 0:
+                        pos += 1 + b[pos]
+                    pos += 1
+                elif block == 0x2C:  # image descriptor
+                    _l, _t, w, h, iflags = _struct.unpack(
+                        "<HHHHB", b[pos + 1 : pos + 10]
+                    )
+                    pos += 10
+                    ct = gct
+                    if iflags & 0x80:
+                        n = 2 << (iflags & 0x07)
+                        ct = b[pos : pos + 3 * n]
+                        pos += 3 * n
+                    if ct is None or iflags & 0x40:  # no table / interlaced
+                        return None
+                    min_code = b[pos]
+                    pos += 1
+                    data = bytearray()
+                    while b[pos] != 0:
+                        ln = b[pos]
+                        data += b[pos + 1 : pos + 1 + ln]
+                        pos += 1 + ln
+                    idx = _lzw(min_code, bytes(data), w * h)
+                    if idx is None:
+                        return None
+                    sums = [0, 0, 0]
+                    for i in idx:
+                        off = 3 * i
+                        if off + 3 > len(ct):
+                            return None
+                        sums[0] += ct[off]
+                        sums[1] += ct[off + 1]
+                        sums[2] += ct[off + 2]
+                    npx = w * h
+                    return w, h, 3, [s / npx for s in sums]
+                elif block == 0x3B:
+                    return None
+                else:
+                    return None
+            return None
+        except Exception:
+            return None
+
+    return decode_gif
+
+
 def _make_bmp_decoder():
     """Pure-numpy BMP raster decode as a CLOSURE (pickles by value, like
     the PNG decoder). Covers the uncompressed BI_RGB 24/32-bit raster —
@@ -344,19 +449,20 @@ PIXEL_STATS_SCHEMA = T.StructType(
 
 def image_pixel_stats(df: DataFrame) -> DataFrame:
     """REAL per-channel pixel statistics (mean R/G/B + Rec.601 luma) for
-    PNG and uncompressed-BMP streams, decoded with the pure-Python
-    zlib/numpy decoders — no image libraries. Other formats yield NULL
-    stats (their decode stays behind the PIL seam, now JPEG/GIF-only).
+    PNG, uncompressed-BMP, and GIF streams, decoded with the pure-Python
+    zlib/numpy/LZW decoders — no image libraries. Other formats yield
+    NULL stats (their decode stays behind the PIL seam, now JPEG-only).
     Same Arrow-batched mapInPandas shape as every decode stage here."""
     decode_png = _make_png_decoder()
     decode_bmp = _make_bmp_decoder()
+    decode_gif = _make_gif_decoder()
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(content)
-                got = decode_png(b) or decode_bmp(b)
+                got = decode_png(b) or decode_bmp(b) or decode_gif(b)
                 if got is None:
                     out.append((mid, None, None, None, None, None, None, None))
                     continue

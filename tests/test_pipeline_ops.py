@@ -1381,3 +1381,113 @@ def test_resize_images_real_nearest_neighbor_pixels(spark):
     xs = (np.arange(4) * w) // 4
     ys = (np.arange(3) * h) // 3
     assert np.array_equal(arr, src[ys][:, xs])
+
+
+def _gif_bytes(w, h, idx_pixels, palette, lzw_payload, min_code=7):
+    """Assemble a single-frame GIF89a around a prepared LZW payload."""
+    import struct
+
+    n_entries = len(palette) // 3
+    size_bits = max(1, (n_entries - 1).bit_length() - 1)
+    hdr = (
+        b"GIF89a"
+        + struct.pack("<HH", w, h)
+        + bytes([0x80 | size_bits, 0, 0])
+        + palette
+    )
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    sub = b""
+    data = lzw_payload
+    while data:
+        chunk, data = data[:255], data[255:]
+        sub += bytes([len(chunk)]) + chunk
+    return hdr + desc + bytes([min_code]) + sub + b"\x00" + b"\x3b"
+
+
+def _lzw_encode(min_code, indices):
+    """Reference GIF-LZW encoder (greedy string table, LSB-first packing,
+    width bumps at 2^width) for the decoder roundtrip test."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code + 1
+    out_bits = []
+
+    def emit(code, w):
+        for i in range(w):
+            out_bits.append((code >> i) & 1)
+
+    emit(clear, width)
+    prev = b""
+    for p in indices:
+        cur = prev + bytes([p])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        table[cur] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        prev = bytes([p])
+    if prev:
+        emit(table[prev], width)
+    emit(end, width)
+    by = bytearray()
+    for i in range(0, len(out_bits), 8):
+        v = 0
+        for j, bit in enumerate(out_bits[i : i + 8]):
+            v |= bit << j
+        by.append(v)
+    return bytes(by)
+
+
+def test_gif_pixel_decode_uncompressed_trick(spark):
+    """Hand-built GIF using the classic uncompressed-LZW trick (a clear
+    code before every pixel keeps the table empty, so codes are plain
+    byte-aligned palette indices): decoded means must be exact."""
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        _make_gif_decoder,
+    )
+
+    palette = bytearray(128 * 3)
+    for i in range(128):
+        palette[3 * i : 3 * i + 3] = bytes([i, (2 * i) % 256, (255 - i)])
+    pixels = [0, 1, 2, 3, 10, 20, 30, 40]  # 4x2
+    payload = b"".join(b"\x80" + bytes([p]) for p in pixels) + b"\x81"
+    gif = _gif_bytes(4, 2, pixels, bytes(palette), payload)
+    got = _make_gif_decoder()(gif)
+    assert got is not None
+    w, h, nch, means = got
+    assert (w, h, nch) == (4, 2, 3)
+    exp = [
+        sum(palette[3 * p + c] for p in pixels) / len(pixels) for c in range(3)
+    ]
+    assert means == exp
+
+
+def test_gif_pixel_decode_real_lzw_roundtrip(spark):
+    """A genuinely LZW-compressed stream (repeating pattern → dictionary
+    growth and a code-width bump) decodes to the exact source pixels."""
+    import random
+
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        _make_gif_decoder,
+    )
+
+    rng = random.Random(3)
+    w, h = 16, 12
+    pixels = [rng.choice([0, 1, 2, 5, 5, 5, 9]) for _ in range(w * h)]
+    palette = bytearray(16 * 3)
+    for i in range(16):
+        palette[3 * i : 3 * i + 3] = bytes([i * 16, 255 - i * 16, i * 7])
+    payload = _lzw_encode(4, pixels)
+    gif = _gif_bytes(w, h, pixels, bytes(palette), payload, min_code=4)
+    got = _make_gif_decoder()(gif)
+    assert got is not None
+    gw, gh, nch, means = got
+    assert (gw, gh, nch) == (w, h, 3)
+    exp = [
+        sum(palette[3 * p + c] for p in pixels) / len(pixels) for c in range(3)
+    ]
+    assert means == exp
