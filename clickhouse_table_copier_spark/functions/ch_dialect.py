@@ -187,6 +187,20 @@ _FUNCTIONS: list[tuple[str, str]] = [
     ("replaceRegexpAll", "(s STRING, p STRING, r STRING) RETURNS STRING RETURN regexp_replace(s, p, r)"),
     ("trimBoth", "(s STRING) RETURNS STRING RETURN trim(s)"),
     ("modulo", "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a % b"),
+    # fourth pass: arithmetic / string staples. splitByChar keeps the
+    # ClickHouse argument order (separator FIRST) and \Q..\E-quotes the
+    # separator because Spark's split takes a regex.
+    ("intDiv", "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a div b"),
+    (
+        "splitByChar",
+        "(sep STRING, s STRING) RETURNS ARRAY<STRING> "
+        "RETURN split(s, concat('\\\\Q', sep, '\\\\E'))",
+    ),
+    ("empty", "(s STRING) RETURNS BOOLEAN RETURN s = ''"),
+    ("notEmpty", "(s STRING) RETURNS BOOLEAN RETURN s <> ''"),
+    ("lengthUTF8", "(s STRING) RETURNS INT RETURN length(s)"),
+    ("lowerUTF8", "(s STRING) RETURNS STRING RETURN lower(s)"),
+    ("upperUTF8", "(s STRING) RETURNS STRING RETURN upper(s)"),
 ]
 
 

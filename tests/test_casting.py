@@ -166,6 +166,25 @@ def test_clickhouse_dialect_functions(spark):
     )
     assert "EvalPython" not in plan
 
+    row4 = spark.sql(
+        """
+        SELECT intDiv(-7, 2) AS idiv,
+               splitByChar(',', 'a,b,,c') AS parts,
+               splitByChar('.', '10.0.0.1') AS dotted,
+               empty('') AS e1, notEmpty('x') AS ne1,
+               lengthUTF8('héllo') AS chars,
+               lowerUTF8('ÉT') AS lo, upperUTF8('éz') AS up
+        """
+    ).first()
+    # ClickHouse intDiv truncates toward zero for mixed signs... Spark's
+    # `div` also truncates toward zero: -7 div 2 = -3
+    assert row4["idiv"] == -3
+    assert row4["parts"] == ["a", "b", "", "c"]
+    assert row4["dotted"] == ["10", "0", "0", "1"]  # regex dot is quoted
+    assert row4["e1"] is True and row4["ne1"] is True
+    assert row4["chars"] == 5  # characters, not bytes
+    assert row4["lo"] == "ét" and row4["up"] == "ÉZ"
+
 
 def test_canonical_ipv6_matches_stdlib_rfc5952(spark):
     """canonical_ipv6 vs Python's ipaddress.compressed (an independent
