@@ -75,10 +75,50 @@ def _candidate_objects(fn) -> dict[str, object]:
     return cands
 
 
+def _is_simple(obj, depth: int = 0) -> bool:
+    """Recursively plain data only — a container holding functions or
+    arbitrary objects reprs with memory addresses, which would make the
+    fingerprint nondeterministic across processes."""
+    if depth > 4:
+        return False
+    if isinstance(obj, (str, int, float, bool, bytes)) or obj is None:
+        return True
+    if isinstance(obj, (list, tuple, set, frozenset)):
+        return all(_is_simple(x, depth + 1) for x in obj)
+    if isinstance(obj, dict):
+        return all(
+            _is_simple(k, depth + 1) and _is_simple(v, depth + 1)
+            for k, v in obj.items()
+        )
+    return False
+
+
+def _const_repr(obj) -> str | None:
+    """Deterministic repr for simple module-level constants; None for
+    anything whose repr isn't stable or that isn't plain data."""
+    if not _is_simple(obj):
+        return None
+    if isinstance(obj, (set, frozenset)):
+        return repr(sorted(obj, key=repr))
+    return repr(obj)  # insertion-ordered, deterministic per source
+
+
+# Registry accumulators referenced by the ``register`` helper: they grow
+# with every unrelated registration and must never enter a fingerprint.
+_EXCLUDED_GLOBALS = {"_QUERIES", "_ORACLES", "_DRIVER_WINDOW_FIRST"}
+
+
 def _helper_sources(fn) -> dict[str, str]:
-    """Source of same-package functions referenced by name in fn's body."""
+    """Dependency closure of fn's body, one level deep: the SOURCE of
+    same-package functions it references by name, plus the REPR of
+    simple module-level constants referenced by fn or those helpers
+    (so editing e.g. a dialect-function table or a parameter constant
+    marks its queries stale, not just editing function bodies)."""
     out: dict[str, str] = {}
+    helpers: list = []
     for name, obj in _candidate_objects(fn).items():
+        if name in _EXCLUDED_GLOBALS:
+            continue
         if (
             inspect.isfunction(obj)
             and obj is not fn
@@ -86,8 +126,23 @@ def _helper_sources(fn) -> dict[str, str]:
         ):
             try:
                 out[name] = inspect.getsource(obj)
+                helpers.append(obj)
             except (OSError, TypeError):
                 pass
+        else:
+            r = _const_repr(obj)
+            if r is not None:
+                out[name] = r
+    for helper in helpers:
+        try:
+            for name, obj in _candidate_objects(helper).items():
+                if name in out or name in _EXCLUDED_GLOBALS:
+                    continue
+                r = _const_repr(obj)
+                if r is not None:
+                    out[name] = r
+        except (OSError, TypeError):
+            pass
     return out
 
 
