@@ -75,6 +75,8 @@ EXTENDED = [
     "flag_status_grouping_sets",
     "mixture_resample",
     "ewma_user_value",
+    "nation_pair_trade",
+    "order_window_functions",
     # streaming_click_attribution excluded: it writes its own source
     # parquet + runs a checkpointed streaming job per call — wall-clock
     # is dominated by that scaffolding, not the operator

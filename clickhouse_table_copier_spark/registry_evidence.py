@@ -108,6 +108,15 @@ def _const_repr(obj) -> str | None:
 _EXCLUDED_GLOBALS = {"_QUERIES", "_ORACLES", "_DRIVER_WINDOW_FIRST"}
 
 
+def _excluded_name(name: str) -> bool:
+    """Mutable runtime state must not enter fingerprints. Registries are
+    excluded by name; process-lifetime caches by the ``*_CACHE`` naming
+    convention (an empty cache is trivially 'simple data' and would flip
+    the fingerprint the first time it fills — observed with the shared
+    shingle index)."""
+    return name in _EXCLUDED_GLOBALS or name.endswith("_CACHE")
+
+
 def _helper_sources(fn) -> dict[str, str]:
     """Dependency closure of fn's body, one level deep: the SOURCE of
     same-package functions it references by name, plus the REPR of
@@ -117,7 +126,7 @@ def _helper_sources(fn) -> dict[str, str]:
     out: dict[str, str] = {}
     helpers: list = []
     for name, obj in _candidate_objects(fn).items():
-        if name in _EXCLUDED_GLOBALS:
+        if _excluded_name(name):
             continue
         if (
             inspect.isfunction(obj)
@@ -136,7 +145,7 @@ def _helper_sources(fn) -> dict[str, str]:
     for helper in helpers:
         try:
             for name, obj in _candidate_objects(helper).items():
-                if name in out or name in _EXCLUDED_GLOBALS:
+                if name in out or _excluded_name(name):
                     continue
                 r = _const_repr(obj)
                 if r is not None:
