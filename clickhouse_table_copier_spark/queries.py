@@ -82,6 +82,7 @@ _DRIVER_WINDOW_FIRST = [
     "dedup_clusters_jaccard",
     "dedup_lsh_eval",
     # --- new round-5 queries are inserted here as they are added ---
+    "ann_ivf_pq_refine",
     "equi_depth_deciles_approx",
     "winsorized_stats_approx",
     "cross_doc_spans",

@@ -877,3 +877,114 @@ def q_order_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("first_price").cast("double").alias("first_price"),
         F.first("last_price").cast("double").alias("last_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-stage ANN: IVF-PQ candidate generation + EXACT re-rank (the FAISS
+# "refine" read path; Jégou et al. 2011 §V). Stage 1 is the composed
+# ann_ivf_pq_adc pipeline — cell-pruned, codes-only, no raw vectors —
+# widened to 30 candidates; stage 2 joins ONLY those 30 ids back to the
+# raw embedding table and orders by exact squared L2. At 100 TB stage 1
+# touches M-byte codes inside n_probe partitions and stage 2 is a
+# broadcast semi-join fetching 30 vectors — the raw-vector scan never
+# happens. The oracle replays both stages with every float chain in
+# Spark's fold order.
+# ---------------------------------------------------------------------------
+_REFINE_C = 30  # stage-1 candidate count (3x the final k)
+
+
+def _refine_oracle() -> str:
+    from clickhouse_table_copier_spark.queries_round3 import (
+        _PQ_ADC_SUM,
+        _PQ_DT_COLS,
+        _PQ_ENC_CTES,
+        _PQ_K,
+        _PQ_M,
+    )
+    from clickhouse_table_copier_spark.queries_similarity import _sqdist_chain_sql
+
+    enc_joins = " ".join(
+        f"JOIN enc{m} e{m} ON e{m}.vec_id = e0.vec_id" for m in range(1, _PQ_M)
+    )
+    dt_joins = " ".join(f"JOIN dt t{m} ON t{m}.code = e{m}.c{m}" for m in range(_PQ_M))
+    return f"""
+    WITH cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cv
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    codes AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding AS cv
+      FROM embeddings ORDER BY vec_id LIMIT {_PQ_K}
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    probes AS (
+      SELECT c.cell FROM cents c, q
+      ORDER BY {_sqdist_chain_sql("q.qv", "c.cv")} ASC, c.cell ASC
+      LIMIT 3
+    ),
+    pairs AS (
+      SELECT e.vec_id, c.cell, {_sqdist_chain_sql("e.embedding", "c.cv")} AS d
+      FROM embeddings e, cents c WHERE e.vec_id <> 0
+    ),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+        FROM pairs
+      ) WHERE rn = 1
+    ),
+    {_PQ_ENC_CTES},
+    dt AS (SELECT c.code, {_PQ_DT_COLS} FROM codes c, q),
+    cand AS (
+      SELECT e0.vec_id, round({_PQ_ADC_SUM}, 6) AS adc_dist
+      FROM assigned a
+      JOIN enc0 e0 ON e0.vec_id = a.vec_id
+      {enc_joins}
+      {dt_joins}
+      WHERE a.cell IN (SELECT cell FROM probes)
+      ORDER BY adc_dist ASC, e0.vec_id ASC
+      LIMIT {_REFINE_C}
+    )
+    SELECT c.vec_id,
+           round({_sqdist_chain_sql("e.embedding", "q.qv")}, 6) AS exact_dist
+    FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, q
+    ORDER BY exact_dist ASC, c.vec_id ASC
+    LIMIT 10
+    """
+
+
+@register("ann_ivf_pq_refine", oracle=_refine_oracle())
+def q_ann_ivf_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.dedup import spread
+    from clickhouse_table_copier_spark.operators.ivf import (
+        _sq_dist,
+        assign_cells,
+        probe_cells,
+    )
+    from clickhouse_table_copier_spark.operators.pq import (
+        pq_adc_scores,
+        pq_codebooks_from_seeds,
+        pq_encode,
+    )
+    from clickhouse_table_copier_spark.queries_round3 import _PQ_K, _PQ_M
+
+    emb = spread(_t(spark, sf_dir, "embeddings"))
+    seeds = emb.orderBy("vec_id").limit(_PQ_K).select("embedding").collect()
+    seed_vecs = [[float(x) for x in r["embedding"]] for r in seeds]
+    books = pq_codebooks_from_seeds(seed_vecs, _PQ_M)
+    probe = probe_cells(seed_vecs, seed_vecs[0], 3)
+    base = emb.where(F.col("vec_id") != 0)
+    cells = assign_cells(base, seed_vecs).where(F.col("cell").isin(probe))
+    scored = pq_adc_scores(pq_encode(cells, books), books, seed_vecs[0])
+    cand = (
+        scored.select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(_REFINE_C)
+    )
+    # exact re-rank: the candidate ids broadcast onto the vector table —
+    # only these 30 raw vectors are ever materialized
+    refined = base.join(F.broadcast(cand.select("vec_id")), "vec_id").select(
+        "vec_id",
+        F.round(_sq_dist(F.col("embedding"), seed_vecs[0]), 6).alias("exact_dist"),
+    )
+    return refined.orderBy(F.asc("exact_dist"), F.asc("vec_id")).limit(10)

@@ -207,3 +207,39 @@ def test_mixture_resample_quota_never_exceeds_source(spark):
 
     for r in q_mixture_resample(spark, SF_ORACLE).collect():
         assert r["n_selected"] <= r["n_source"]
+
+
+# ---------------------------------------------------------------------------
+# ann_ivf_pq_refine: exact re-rank can only improve recall over raw ADC
+# ---------------------------------------------------------------------------
+
+
+def test_refine_recall_at_least_adc(spark):
+    """recall@10 vs brute-force exact L2: the refine stage re-orders the
+    30 ADC candidates by true distance, so its top-10 must overlap the
+    exact top-10 at least as much as the pure-ADC top-10 does."""
+    from clickhouse_table_copier_spark.operators.dedup import spread
+    from clickhouse_table_copier_spark.operators.ivf import _sq_dist
+    from clickhouse_table_copier_spark.queries_round3 import q_ann_ivf_pq_adc
+    from clickhouse_table_copier_spark.queries_round5 import q_ann_ivf_pq_refine
+
+    sf = SF_ORACLE
+    emb = spread(spark.read.parquet(f"{sf}/embeddings.parquet"))
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").head()["embedding"]
+    ]
+    exact_ids = {
+        r["vec_id"]
+        for r in emb.where(F.col("vec_id") != 0)
+        .select("vec_id", _sq_dist(F.col("embedding"), qv).alias("d"))
+        .orderBy(F.asc("d"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    }
+    adc_ids = {r["vec_id"] for r in q_ann_ivf_pq_adc(spark, sf).collect()}
+    refine_ids = {r["vec_id"] for r in q_ann_ivf_pq_refine(spark, sf).collect()}
+    assert len(refine_ids & exact_ids) >= len(adc_ids & exact_ids)
+    # the refine output must come from the ADC candidate pool's cells, so
+    # every refined id is also reachable by the stage-1 scan
+    assert len(refine_ids) == 10
