@@ -83,6 +83,7 @@ _DRIVER_WINDOW_FIRST = [
     "dedup_lsh_eval",
     # --- new round-5 queries are inserted here as they are added ---
     "ann_ivf_pq_refine",
+    "streaming_sessions",
     "equi_depth_deciles_approx",
     "winsorized_stats_approx",
     "cross_doc_spans",
@@ -112,8 +113,6 @@ _DRIVER_WINDOW_FIRST = [
     "decontamination",
     "doc_chunking",
     "doc_dup_ngram_fraction",
-    "doc_winnowing",
-    "filtered_row_count",
 ]
 
 

@@ -161,3 +161,95 @@ def q_streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     out_df = spark.createDataFrame(rows, result.schema)
     shutil.rmtree(work, ignore_errors=True)
     return out_df
+
+
+_EVENT_SCHEMA_SESS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+    ]
+)
+
+
+@register(
+    "streaming_sessions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             lag(CAST(ts AS TIMESTAMP)) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR date_diff('second', prev_ts, ts) > 1800 THEN 1
+                  ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows under the SQL oracle gate: the streaming
+    sessionizer (streaming/incremental.py::session_window_stats —
+    ``session_window`` merge state, watermark eviction, append mode) runs
+    as a real availableNow job, and the DuckDB oracle is the equivalent
+    BATCH gaps-and-islands sessionization. Boundary semantics verified
+    empirically: session_window merges an event exactly ``gap`` after the
+    previous one (merge iff diff <= gap), identical to the batch rule
+    "new session iff diff > 1800 s" — so streaming and batch agree on
+    every session's (start, end = last_ts + gap, count).
+
+    The far-future sentinel (user_id = -1) pushes the watermark past every
+    real session so append mode emits them all; the sentinel's own open
+    session is never emitted and its user id is filtered from the result
+    regardless.
+    """
+    from clickhouse_table_copier_spark.streaming.incremental import (
+        session_window_stats,
+    )
+
+    work = tempfile.mkdtemp(prefix="ctc_stream_s_")
+    src = f"{work}/src"
+    out = f"{work}/out"
+    ck = f"{work}/ck"
+
+    ev = _events(spark, sf_dir).select("event_id", "ts", "user_id")
+    ev.write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [(10**9, -1)], "event_id BIGINT, user_id BIGINT"
+    ).select(
+        "event_id",
+        F.expr("TIMESTAMP_NTZ '2035-01-01 00:00:00'").alias("ts"),
+        "user_id",
+    ).select("event_id", "ts", "user_id").write.mode("append").parquet(src)
+
+    q = session_window_stats(spark, src, _EVENT_SCHEMA_SESS, out, ck)
+    q.awaitTermination()
+
+    result = (
+        spark.read.parquet(out)
+        .where(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+    rows = result.collect()
+    out_df = spark.createDataFrame(rows, result.schema)
+    shutil.rmtree(work, ignore_errors=True)
+    return out_df
