@@ -84,6 +84,7 @@ _DRIVER_WINDOW_FIRST = [
     # --- new round-5 queries are inserted here as they are added ---
     "ann_ivf_pq_refine",
     "streaming_sessions",
+    "cluster_safe_split",
     "equi_depth_deciles_approx",
     "winsorized_stats_approx",
     "cross_doc_spans",
@@ -112,7 +113,6 @@ _DRIVER_WINDOW_FIRST = [
     "corpus_dedup_summary",
     "decontamination",
     "doc_chunking",
-    "doc_dup_ngram_fraction",
 ]
 
 

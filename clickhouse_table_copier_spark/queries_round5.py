@@ -988,3 +988,112 @@ def q_ann_ivf_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(_sq_dist(F.col("embedding"), seed_vecs[0]), 6).alias("exact_dist"),
     )
     return refined.orderBy(F.asc("exact_dist"), F.asc("vec_id")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe dataset split: train/val/test assignment keyed by the
+# near-dup CLUSTER representative, not the document id — so two near-
+# duplicate documents can never straddle train and eval (the benchmark-
+# contamination failure mode hash-per-doc splits have). Pipeline: exact
+# jaccard pairs (>= 0.5, shared shingle index) → connected components
+# (iterative min-label propagation) → rep_id = coalesce(cluster min id,
+# own id) → md5(rep_id) bucketed 80/10/10. n_rehomed counts docs whose
+# cluster split differs from the naive doc-hash split — the docs a
+# per-doc split would have leaked. Scale: the components operator is the
+# established label-propagation loop; everything after is hash arithmetic
+# + one groupBy.
+# ---------------------------------------------------------------------------
+def _split_case_sql(idexpr: str) -> str:
+    b = f"CAST('0x' || substring(md5(CAST({idexpr} AS VARCHAR)), 1, 2) AS INTEGER)"
+    return (
+        f"CASE WHEN {b} < 204 THEN 'train' "
+        f"WHEN {b} < 230 THEN 'val' ELSE 'test' END"
+    )
+
+
+def _cluster_split_oracle() -> str:
+    from clickhouse_table_copier_spark.queries_pipeline import _JACCARD_PAIRS_SQL
+
+    return f"""
+    WITH RECURSIVE
+    {_JACCARD_PAIRS_SQL},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach AS (
+      SELECT u AS id, u AS lbl FROM edges
+      UNION
+      SELECT e.u AS id, r.lbl FROM edges e JOIN reach r ON e.v = r.id
+    ),
+    comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    assigned AS (
+      SELECT c.doc_id, coalesce(k.cluster_id, c.doc_id) AS rep_id
+      FROM corpus c LEFT JOIN comp k ON k.id = c.doc_id
+    ),
+    sp AS (
+      SELECT doc_id, rep_id,
+             {_split_case_sql("rep_id")} AS split,
+             {_split_case_sql("doc_id")} AS doc_split
+      FROM assigned
+    )
+    SELECT split,
+           count(*) AS n_docs,
+           count(DISTINCT rep_id) AS n_clusters,
+           CAST(sum(CASE WHEN split <> doc_split THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rehomed
+    FROM sp GROUP BY 1
+    """
+
+
+@register("cluster_safe_split", oracle=_cluster_split_oracle())
+def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+    from clickhouse_table_copier_spark.queries_pipeline import (
+        _corpus,
+        _shared_shingle_index,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        _corpus(spark, sf_dir),
+        "doc_id",
+        "text",
+        threshold=0.5,
+        index=_shared_shingle_index(spark, sf_dir),
+    ).select("id_a", "id_b")
+    clusters = dedup_clusters(pairs)
+
+    def bucket(c):
+        return F.conv(F.substring(F.md5(c.cast("string")), 1, 2), 16, 10).cast("int")
+
+    def split_of(c):
+        b = bucket(c)
+        return (
+            F.when(b < 204, F.lit("train"))
+            .when(b < 230, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    assigned = (
+        _corpus(spark, sf_dir)
+        .select("doc_id")
+        .join(clusters, F.col("doc_id") == F.col("id"), "left")
+        .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("rep_id"))
+    )
+    sp = assigned.select(
+        "doc_id",
+        "rep_id",
+        split_of(F.col("rep_id")).alias("split"),
+        split_of(F.col("doc_id")).alias("doc_split"),
+    )
+    return sp.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("rep_id").alias("n_clusters"),
+        F.sum(F.when(F.col("split") != F.col("doc_split"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rehomed"),
+    )

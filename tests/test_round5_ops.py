@@ -243,3 +243,55 @@ def test_refine_recall_at_least_adc(spark):
     # the refine output must come from the ADC candidate pool's cells, so
     # every refined id is also reachable by the stage-1 scan
     assert len(refine_ids) == 10
+
+
+# ---------------------------------------------------------------------------
+# cluster_safe_split: near-dups never straddle splits
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_safe_split_no_leakage(spark):
+    """Every jaccard-cluster lands in exactly one split, and the operator
+    is not vacuous: at least one doc was rehomed relative to the naive
+    per-doc hash split (the fixture corpus plants near-dup copies)."""
+    from clickhouse_table_copier_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+    from clickhouse_table_copier_spark.queries_pipeline import (
+        _corpus,
+        _shared_shingle_index,
+    )
+    from clickhouse_table_copier_spark.queries_round5 import q_cluster_safe_split
+
+    sf = SF_ORACLE
+    pairs = ngram_jaccard_pairs(
+        _corpus(spark, sf), "doc_id", "text", threshold=0.5,
+        index=_shared_shingle_index(spark, sf),
+    ).select("id_a", "id_b")
+    clusters = dedup_clusters(pairs)
+
+    def bucket(c):
+        return F.conv(F.substring(F.md5(c.cast("string")), 1, 2), 16, 10).cast("int")
+
+    def split_of(c):
+        b = bucket(c)
+        return (
+            F.when(b < 204, F.lit("train"))
+            .when(b < 230, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    per_doc = clusters.select(
+        "id", "cluster_id", split_of(F.col("cluster_id")).alias("split")
+    )
+    straddlers = (
+        per_doc.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .where(F.col("n_splits") > 1)
+        .count()
+    )
+    assert straddlers == 0
+    agg = {r["split"]: r for r in q_cluster_safe_split(spark, sf).collect()}
+    assert sum(r["n_rehomed"] for r in agg.values()) > 0
+    assert set(agg) == {"train", "val", "test"}
