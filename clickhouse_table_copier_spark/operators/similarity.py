@@ -208,3 +208,91 @@ def lsh_topk(
         F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
     )
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+GEMM_SCALE = 1 << 20  # fixed-point quantization scale for integer-exact dots
+
+
+def gemm_topk_int(
+    df: DataFrame,
+    query_vecs: list[list[float]],
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = GEMM_SCALE,
+) -> DataFrame:
+    """Batch top-k similarity for MANY queries at once via an Arrow-batched
+    integer GEMM — the vectorized scale path when the query set is a
+    matrix, not a single vector (expression-fold dots pay per-query plan
+    cost; one ``V @ Q.T`` amortizes all queries in one BLAS call per
+    batch).
+
+    Determinism is the design constraint: float GEMM sums in
+    backend-dependent order, which would break cross-engine hash
+    comparison. So both sides are quantized to fixed-point int64
+    (``floor(x * scale + 0.5)`` — the package's established half-up rule)
+    and the dot is integer arithmetic: exact, associative,
+    order-independent, overflow-safe for |x| ≤ 8, dim ≤ 64k at the
+    default scale (|term| ≤ 2^46·dim < 2^63).
+
+    Plan shape: mapInPandas emits a PARTIAL top-k (k rows per query per
+    batch) — the shuffle carries O(k · queries · partitions) rows, never
+    the corpus — then one window ranks the partials globally. Ties break
+    to the lower id in both stages.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    qi = np.array(
+        [
+            [int(np.floor(float(x) * scale + 0.5)) for x in v]
+            for v in query_vecs
+        ],
+        dtype=np.int64,
+    )
+    qids = list(query_ids)
+
+    def make_fn(qi, qids, k, scale, id_col, vec_col):
+        def fn(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                v = np.array(
+                    [
+                        np.floor(np.asarray(e, dtype=np.float64) * scale + 0.5)
+                        for e in pdf[vec_col]
+                    ],
+                    dtype=np.int64,
+                )
+                s = v @ qi.T  # (rows, queries), exact int64
+                ids = pdf[id_col].to_numpy()
+                out_q: list[int] = []
+                out_id: list[int] = []
+                out_s: list[int] = []
+                for j, qid in enumerate(qids):
+                    col = s[:, j]
+                    order = np.lexsort((ids, -col))[:k]
+                    out_q.extend([qid] * len(order))
+                    out_id.extend(int(i) for i in ids[order])
+                    out_s.extend(int(x) for x in col[order])
+                yield pd.DataFrame({"q_id": out_q, id_col: out_id, "score": out_s})
+
+        return fn
+
+    schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("score", T.LongType()),
+        ]
+    )
+    partial = df.select(id_col, vec_col).mapInPandas(
+        make_fn(qi, qids, k, scale, id_col, vec_col), schema
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )

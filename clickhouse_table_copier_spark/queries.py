@@ -85,6 +85,9 @@ _DRIVER_WINDOW_FIRST = [
     "ann_ivf_pq_refine",
     "streaming_sessions",
     "cluster_safe_split",
+    "similarity_gemm_topk",
+    "priority_waiting_orders",
+    "small_quantity_revenue",
     "equi_depth_deciles_approx",
     "winsorized_stats_approx",
     "cross_doc_spans",
@@ -110,9 +113,6 @@ _DRIVER_WINDOW_FIRST = [
     "array_string_ops",
     "bm25_rank",
     "ch_dialect_partitions",
-    "corpus_dedup_summary",
-    "decontamination",
-    "doc_chunking",
 ]
 
 

@@ -1097,3 +1097,157 @@ def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_rehomed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Priority-waiting orders (TPC-H Q4 shape): orders in one quarter that
+# have at least one LATE lineitem (shipped > 90 days after the order
+# date), counted per priority. The join strategy is the point: EXISTS
+# renders as a LEFT SEMI hash join on l_orderkey — lineitem is never
+# widened, duplicates never multiply the count, and the date predicate
+# prunes orders before the join. At 100 TB: one keyed shuffle, semi-join
+# short-circuits on first match per key.
+# ---------------------------------------------------------------------------
+@register(
+    "priority_waiting_orders",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1995-01-01'
+      AND o.o_orderdate < DATE '1995-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY 1
+    """,
+)
+def q_priority_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    waiting = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)),
+        "left_semi",
+    )
+    return waiting.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+# ---------------------------------------------------------------------------
+# Small-quantity revenue (TPC-H Q17 shape): revenue from lineitems whose
+# quantity is below 20% of their part's average quantity, for one brand.
+# The correlated scalar subquery becomes a two-pass plan: per-part avg
+# quantities aggregated once (a small dim-sized table), then BROADCAST
+# back onto the brand-filtered fact scan. Quantities are small integers,
+# so 5*qty < avg-sum*... is kept EXACT by comparing 5*qty*cnt < sum (no
+# division, no doubles) — decimal money for the revenue sum.
+# ---------------------------------------------------------------------------
+@register(
+    "small_quantity_revenue",
+    oracle="""
+    WITH pavg AS (
+      SELECT l_partkey,
+             sum(CAST(l_quantity AS BIGINT)) AS qty_sum,
+             count(*) AS qty_cnt
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS small_qty_revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1'
+    JOIN pavg a ON a.l_partkey = l.l_partkey
+    WHERE CAST(l.l_quantity AS BIGINT) * 5 * a.qty_cnt < a.qty_sum
+    """,
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    pavg = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty_sum"),
+        F.count(F.lit(1)).alias("qty_cnt"),
+    )
+    small = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(pavg.withColumnRenamed("l_partkey", "a_partkey")),
+            F.col("a_partkey") == F.col("l_partkey"),
+        )
+        .where(
+            F.col("l_quantity").cast("bigint") * 5 * F.col("qty_cnt")
+            < F.col("qty_sum")
+        )
+    )
+    return small.agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("small_qty_revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-query similarity via integer GEMM (operators/similarity.py::
+# gemm_topk_int): top-5 neighbors for each of 4 query vectors in ONE
+# Arrow-batched pass — V @ Q.T per batch, fixed-point int64 so the scores
+# are exact and order-independent (float GEMM would sum in BLAS-dependent
+# order and break the cross-engine hash gate). The oracle replays the
+# same quantization (floor(x*2^20 + 0.5)) with a DuckDB list
+# comprehension and ranks with the same (score DESC, vec_id ASC) window.
+# ---------------------------------------------------------------------------
+_GEMM_Q = 4
+_GEMM_K = 5
+
+
+def _gemm_oracle() -> str:
+    from clickhouse_table_copier_spark.operators.similarity import GEMM_SCALE
+
+    term = (
+        f"CAST(floor(CAST(c.embedding[i] AS DOUBLE) * {GEMM_SCALE} + 0.5) AS BIGINT)"
+        f" * CAST(floor(CAST(q.qe[i] AS DOUBLE) * {GEMM_SCALE} + 0.5) AS BIGINT)"
+    )
+    return f"""
+    WITH qv AS (
+      SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+      WHERE vec_id < {_GEMM_Q}
+    ),
+    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {_GEMM_Q}),
+    scored AS (
+      SELECT q.q_id, c.vec_id,
+             CAST(list_sum([{term} FOR i IN range(1, 65)]) AS BIGINT) AS score
+      FROM qv q, c
+    )
+    SELECT q_id, vec_id, score FROM (
+      SELECT q_id, vec_id, score,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, vec_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= {_GEMM_K}
+    """
+
+
+@register("similarity_gemm_topk", oracle=_gemm_oracle())
+def q_similarity_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.dedup import spread
+    from clickhouse_table_copier_spark.operators.similarity import gemm_topk_int
+
+    emb = spread(_t(spark, sf_dir, "embeddings"))
+    qrows = (
+        emb.where(F.col("vec_id") < _GEMM_Q)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qvecs = [[float(x) for x in r["embedding"]] for r in qrows]
+    qids = [int(r["vec_id"]) for r in qrows]
+    corpus = emb.where(F.col("vec_id") >= _GEMM_Q)
+    return gemm_topk_int(corpus, qvecs, qids, k=_GEMM_K)

@@ -295,3 +295,46 @@ def test_cluster_safe_split_no_leakage(spark):
     agg = {r["split"]: r for r in q_cluster_safe_split(spark, sf).collect()}
     assert sum(r["n_rehomed"] for r in agg.values()) > 0
     assert set(agg) == {"train", "val", "test"}
+
+
+# ---------------------------------------------------------------------------
+# gemm_topk_int
+# ---------------------------------------------------------------------------
+
+
+def test_gemm_topk_partition_invariance_and_exactness(spark):
+    """The partial-topk + global-window plan must give identical results
+    regardless of physical partitioning, and the integer scores must
+    equal a driver-side exact recomputation."""
+    import numpy as np
+
+    from clickhouse_table_copier_spark.operators.similarity import (
+        GEMM_SCALE,
+        gemm_topk_int,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    qrows = emb.where(F.col("vec_id") < 2).orderBy("vec_id").collect()
+    qvecs = [[float(x) for x in r["embedding"]] for r in qrows]
+    qids = [int(r["vec_id"]) for r in qrows]
+    corpus = emb.where(F.col("vec_id") >= 2)
+
+    base = sorted(
+        map(tuple, gemm_topk_int(corpus, qvecs, qids, k=4).collect())
+    )
+    shuffled = sorted(
+        map(tuple, gemm_topk_int(corpus.repartition(13), qvecs, qids, k=4).collect())
+    )
+    assert base == shuffled
+
+    # driver-side exact recomputation of one returned score
+    all_vecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in corpus.collect()
+    }
+    qi = [int(np.floor(x * GEMM_SCALE + 0.5)) for x in qvecs[0]]
+    for q_id, vec_id, score in base:
+        if q_id != qids[0]:
+            continue
+        vi = [int(np.floor(x * GEMM_SCALE + 0.5)) for x in all_vecs[vec_id]]
+        assert score == sum(a * b for a, b in zip(qi, vi))
