@@ -77,6 +77,13 @@ EXTENDED = [
     "ewma_user_value",
     "nation_pair_trade",
     "order_window_functions",
+    "ann_ivf_pq_refine",
+    "cluster_safe_split",
+    "similarity_gemm_topk",
+    "priority_waiting_orders",
+    "small_quantity_revenue",
+    # streaming_sessions excluded for the same scaffolding reason as
+    # streaming_click_attribution (per-call source copy + checkpoint)
     # streaming_click_attribution excluded: it writes its own source
     # parquet + runs a checkpointed streaming job per call — wall-clock
     # is dominated by that scaffolding, not the operator

@@ -88,6 +88,8 @@ _DRIVER_WINDOW_FIRST = [
     "similarity_gemm_topk",
     "priority_waiting_orders",
     "small_quantity_revenue",
+    "cms_token_frequency",
+    "hll_partition_merge",
     "equi_depth_deciles_approx",
     "winsorized_stats_approx",
     "cross_doc_spans",
@@ -109,9 +111,6 @@ _DRIVER_WINDOW_FIRST = [
     "partition_set_ops",
     "top_orders_per_customer",
     "ann_ivf_pq_adc",
-    "ann_pq_adc",
-    "array_string_ops",
-    "bm25_rank",
     "ch_dialect_partitions",
 ]
 

@@ -1251,3 +1251,148 @@ def q_similarity_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qids = [int(r["vec_id"]) for r in qrows]
     corpus = emb.where(F.col("vec_id") >= _GEMM_Q)
     return gemm_topk_int(corpus, qvecs, qids, k=_GEMM_K)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) token frequency: d=4
+# md5-derived hash rows x w=1024 slots, built with ONE shuffle of
+# (d, slot) pairs; estimates for the true top-20 tokens are min over the
+# d counters. Every hash is md5 — both engines build the IDENTICAL
+# sketch, so the oracle checks the estimates by VALUE, not by bound
+# (lower_ok additionally pins the CMS guarantee est >= true). At 100 TB
+# the sketch is a 4096-row table: constant state, mergeable by addition,
+# probe joins broadcast.
+# ---------------------------------------------------------------------------
+_CMS_D = 4
+_CMS_W = 1024
+_CMS_PROBES = 20
+
+_CMS_SLOT_SQL = (
+    "CAST('0x' || substring(md5(CAST({d} AS VARCHAR) || '|' || {tok}), 1, 8)"
+    f" AS BIGINT) % {_CMS_W}"
+)
+
+
+@register(
+    "cms_token_frequency",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split({_NORM_SQL.format(c="text")}, ' ')) AS tok
+      FROM documents
+    ),
+    clean AS (SELECT tok FROM toks WHERE tok <> ''),
+    counts AS (SELECT tok, count(*) AS c FROM clean GROUP BY 1),
+    probes AS (SELECT tok, c FROM counts ORDER BY c DESC, tok ASC LIMIT {_CMS_PROBES}),
+    ds AS (SELECT unnest(range(0, {_CMS_D})) AS d),
+    cms AS (
+      SELECT d, {_CMS_SLOT_SQL.format(d="d", tok="tok")} AS slot, count(*) AS cnt
+      FROM clean, ds GROUP BY 1, 2
+    ),
+    probe_slots AS (
+      SELECT p.tok, p.c, ds.d,
+             {_CMS_SLOT_SQL.format(d="ds.d", tok="p.tok")} AS slot
+      FROM probes p, ds
+    )
+    SELECT ps.tok,
+           CAST(any_value(ps.c) AS BIGINT) AS true_cnt,
+           CAST(min(m.cnt) AS BIGINT) AS est_cnt,
+           min(m.cnt) >= any_value(ps.c) AS lower_ok
+    FROM probe_slots ps JOIN cms m ON m.d = ps.d AND m.slot = ps.slot
+    GROUP BY ps.tok
+    """,
+)
+def q_cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.dedup import normalized_text, spread
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(F.split(normalized_text("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+
+    def slot(d_col, tok_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(d_col.cast("string"), F.lit("|"), tok_col)), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _CMS_W
+        )
+
+    ds = F.explode(F.array(*[F.lit(d) for d in range(_CMS_D)])).alias("d")
+    cms = (
+        toks.select("tok", ds)
+        .select("d", slot(F.col("d"), F.col("tok")).alias("slot"))
+        .groupBy("d", "slot")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(_CMS_PROBES)
+    )
+    probe_slots = probes.select("tok", "c", ds).select(
+        "tok", "c", "d", slot(F.col("d"), F.col("tok")).alias("slot")
+    )
+    return (
+        F.broadcast(probe_slots)
+        .join(cms, ["d", "slot"])
+        .groupBy("tok")
+        .agg(
+            F.first("c").cast("bigint").alias("true_cnt"),
+            F.min("cnt").cast("bigint").alias("est_cnt"),
+            (F.min("cnt") >= F.first("c")).alias("lower_ok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL partial-sketch merge: per-month HLL sketches of distinct parts,
+# RE-AGGREGATED into the global distinct estimate via hll_union_agg —
+# the incremental_rollup_merge pattern for COUNT(DISTINCT), which plain
+# partial counts cannot do (distincts don't add). The gate licenses the
+# sketch path exactly like sketch_distinct_bounds: every per-month
+# estimate AND the merged-total estimate must land within 5% of exact.
+# At 100 TB: partials are one constant-size binary per partition,
+# mergeable without rescanning history.
+# ---------------------------------------------------------------------------
+@register(
+    "hll_partition_merge",
+    oracle="""
+    SELECT CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+           TRUE AS approx_ok
+    FROM lineitem GROUP BY 1
+    UNION ALL
+    SELECT -1 AS ship_month,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+           TRUE AS approx_ok
+    FROM lineitem
+    """,
+)
+def q_hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    per_month = li.groupBy(
+        F.month("l_shipdate").cast("int").alias("ship_month")
+    ).agg(
+        F.expr("hll_sketch_agg(l_partkey)").alias("sk"),
+        F.countDistinct("l_partkey").cast("bigint").alias("n_exact"),
+    )
+    gate = (
+        F.abs(
+            F.expr("hll_sketch_estimate(sk)").cast("double") - F.col("n_exact")
+        )
+        <= F.col("n_exact") * F.lit(0.05)
+    )
+    per = per_month.select("ship_month", "n_exact", gate.alias("approx_ok"))
+    merged_sk = per_month.agg(F.expr("hll_union_agg(sk)").alias("sk"))
+    global_exact = li.agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("n_exact")
+    )
+    merged = merged_sk.crossJoin(global_exact).select(
+        F.lit(-1).cast("int").alias("ship_month"), "n_exact", gate.alias("approx_ok")
+    )
+    return per.unionAll(merged)
