@@ -1388,11 +1388,24 @@ def q_hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         <= F.col("n_exact") * F.lit(0.05)
     )
     per = per_month.select("ship_month", "n_exact", gate.alias("approx_ok"))
-    merged_sk = per_month.agg(F.expr("hll_union_agg(sk)").alias("sk"))
+    # Assemble the merged-total row WITHOUT a join: union the per-month
+    # sketch partials with the 1-row global-exact aggregate (null-padded on
+    # the other side) and fold both in one single-partition agg —
+    # hll_union_agg and max() each skip nulls, so each output column picks
+    # up exactly its own input rows. A crossJoin of the two 1-row frames
+    # would plan BroadcastNestedLoopJoin Cross and trip the repo-wide
+    # no-cartesian plan guard (tests/test_plan_properties.py); a
+    # constant-key equi-join constant-folds back into the same cross.
     global_exact = li.agg(
         F.countDistinct("l_partkey").cast("bigint").alias("n_exact")
     )
-    merged = merged_sk.crossJoin(global_exact).select(
+    unioned = per_month.select(
+        "sk", F.lit(None).cast("bigint").alias("n_exact")
+    ).unionAll(global_exact.select(F.lit(None).cast("binary").alias("sk"), "n_exact"))
+    merged = unioned.agg(
+        F.expr("hll_union_agg(sk)").alias("sk"),
+        F.max("n_exact").alias("n_exact"),
+    ).select(
         F.lit(-1).cast("int").alias("ship_month"), "n_exact", gate.alias("approx_ok")
     )
     return per.unionAll(merged)
