@@ -493,6 +493,7 @@ def repeated_span_pairs(
     text_col: str,
     k: int = 4,
     min_run: int = 2,
+    max_df: int | None = 256,
 ) -> DataFrame:
     """Cross-document repeated SPANS: maximal runs of consecutive shared
     word k-grams between document pairs — the substring-level dedup signal
@@ -507,8 +508,15 @@ def repeated_span_pairs(
     1. explode word positions; hash each k-gram (md5-derived, so the
        oracle reproduces it — collisions affect both engines identically);
     2. inverted-index self-join on the gram hash (cost Σ df² — near-unique
-       k-grams at k≥4 keep df tiny; the shared-shingle-index max_df lever
-       applies unchanged if a corpus has degenerate hot grams);
+       k-grams at k≥4 keep df tiny); ``max_df`` caps that quadratic term:
+       grams occurring more than ``max_df`` times corpus-wide (boilerplate
+       like "all rights reserved and" on a web crawl, df in the millions)
+       are anti-joined out of BOTH join sides before matching, exactly as
+       :func:`ngram_jaccard_pairs` drops hot shingles. A run through a
+       dropped hot gram splits into shorter runs, so capped output is a
+       conservative (span-shortening) approximation; ``None`` is exact.
+       The hot-gram set has at most ``total_grams / max_df`` members — a
+       sliver that AQE broadcast-joins;
     3. matches on the same pair at the same positional offset
        (``pos_a − pos_b``) are consecutive iff ``pos_a − row_number()`` is
        constant — one window PARTITIONED BY (pair, offset), no global sort;
@@ -543,6 +551,14 @@ def repeated_span_pairs(
             .alias("h"),
         )
     )
+    if max_df is not None:
+        hot = (
+            grams.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("gram_df"))
+            .where(F.col("gram_df") > max_df)
+            .select("h")
+        )
+        grams = grams.join(hot, "h", "left_anti")
     a, b = grams.alias("a"), grams.alias("b")
     matches = a.join(
         b,

@@ -58,6 +58,38 @@ def test_repeated_span_requires_consecutive_grams(spark):
     assert out == []
 
 
+def test_repeated_span_max_df_bounds_hot_gram_join(spark):
+    """A boilerplate phrase planted in 120 docs (df≫max_df) must be
+    anti-joined out BEFORE the inverted-index self-join: with the cap the
+    output contains only the one genuinely-shared rare span, while the
+    uncapped run materializes all 120·119/2 boilerplate pairs — the Σ df²
+    blow-up the cap exists to prevent."""
+    from clickhouse_table_copier_spark.operators.dedup import repeated_span_pairs
+
+    boiler = "all rights reserved by the publisher"  # 6 words → 3 grams at k=4
+    rare_span = "alpha beta gamma delta epsilon zeta"  # 6 shared rare words
+    rows = [(i, f"document number {i} says {boiler} uniquely{i}") for i in range(120)]
+    rows += [
+        (1000, f"prefix words here {rare_span} suffix words"),
+        (1001, f"other opening text {rare_span} closing text"),
+    ]
+    docs = _docs(spark, rows)
+
+    capped = repeated_span_pairs(
+        docs, "doc_id", "text", k=4, min_run=2, max_df=100
+    ).collect()
+    assert len(capped) == 1
+    assert (capped[0]["id_a"], capped[0]["id_b"]) == (1000, 1001)
+    assert capped[0]["longest_span_words"] == 6
+
+    uncapped = repeated_span_pairs(
+        docs, "doc_id", "text", k=4, min_run=2, max_df=None
+    )
+    # every boilerplate doc pair (120·119/2) plus the rare pair survives
+    # without the cap — the quadratic term the cap collapses
+    assert uncapped.count() == 120 * 119 // 2 + 1
+
+
 # ---------------------------------------------------------------------------
 # apply_changelog
 # ---------------------------------------------------------------------------
