@@ -82,6 +82,8 @@ EXTENDED = [
     "similarity_gemm_topk",
     "priority_waiting_orders",
     "small_quantity_revenue",
+    "cms_token_frequency",
+    "hll_partition_merge",
     # streaming_sessions excluded for the same scaffolding reason as
     # streaming_click_attribution (per-call source copy + checkpoint)
     # streaming_click_attribution excluded: it writes its own source
@@ -175,9 +177,22 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    # The stdout line carries ONLY the headline block: the r05 line grew
+    # past the driver's tail capture once 50+ extended queries were
+    # inlined ("parsed": null). Extended mins + per-iteration series live
+    # in BENCH_DETAIL.json.
     with open(detail_path, "w") as f:
         json.dump(
-            {"iterations": iters, "iterations_sec": runs, "sf": sf_val},
+            {
+                "iterations": iters,
+                "iterations_sec": runs,
+                "extended_queries": extended,
+                # methodology tag (ADVICE r4): extended numbers switched
+                # from one-shot cold (≤ r03) to min-of-N warm (≥ r04) —
+                # consumers must not compare across that boundary
+                "extended_timing": "min_warm",
+                "sf": sf_val,
+            },
             f,
             indent=1,
         )
@@ -187,11 +202,6 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": timings,
-            "extended_queries": extended,
-            # methodology tag (ADVICE r4): extended numbers switched from
-            # one-shot cold (≤ r03) to min-of-N warm (≥ r04) — consumers
-            # must not compare across that boundary
-            "extended_timing": "min_warm",
             "headline_timing": "min_warm",
             "iterations": iters,
             "sf": sf_val,
