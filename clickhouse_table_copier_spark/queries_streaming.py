@@ -182,7 +182,7 @@ _EVENT_SCHEMA_SESS = T.StructType(
       WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
     ),
     flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, event_id, ts,
              CASE WHEN prev_ts IS NULL
                        OR date_diff('second', prev_ts, ts) > 1800 THEN 1
                   ELSE 0 END AS new_session
@@ -190,7 +190,8 @@ _EVENT_SCHEMA_SESS = T.StructType(
     ),
     sessions AS (
       SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       FROM flagged
     )

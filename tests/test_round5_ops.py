@@ -272,9 +272,35 @@ def test_refine_recall_at_least_adc(spark):
     adc_ids = {r["vec_id"] for r in q_ann_ivf_pq_adc(spark, sf).collect()}
     refine_ids = {r["vec_id"] for r in q_ann_ivf_pq_refine(spark, sf).collect()}
     assert len(refine_ids & exact_ids) >= len(adc_ids & exact_ids)
-    # the refine output must come from the ADC candidate pool's cells, so
-    # every refined id is also reachable by the stage-1 scan
     assert len(refine_ids) == 10
+
+    # every refined id must come from the stage-1 ADC candidate pool:
+    # rebuild the same 30-candidate scan the query runs and assert subset
+    from clickhouse_table_copier_spark.operators.ivf import assign_cells, probe_cells
+    from clickhouse_table_copier_spark.operators.pq import (
+        pq_adc_scores,
+        pq_codebooks_from_seeds,
+        pq_encode,
+    )
+    from clickhouse_table_copier_spark.queries_round3 import _PQ_K, _PQ_M
+    from clickhouse_table_copier_spark.queries_round5 import _REFINE_C
+
+    seeds = emb.orderBy("vec_id").limit(_PQ_K).select("embedding").collect()
+    seed_vecs = [[float(x) for x in r["embedding"]] for r in seeds]
+    books = pq_codebooks_from_seeds(seed_vecs, _PQ_M)
+    probe = probe_cells(seed_vecs, seed_vecs[0], 3)
+    base = emb.where(F.col("vec_id") != 0)
+    cells = assign_cells(base, seed_vecs).where(F.col("cell").isin(probe))
+    scored = pq_adc_scores(pq_encode(cells, books), books, seed_vecs[0])
+    cand_ids = {
+        r["vec_id"]
+        for r in scored.select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(_REFINE_C)
+        .collect()
+    }
+    assert len(cand_ids) == _REFINE_C
+    assert refine_ids <= cand_ids
 
 
 # ---------------------------------------------------------------------------

@@ -310,6 +310,63 @@ def test_session_window_stats_match_batch_sessionization(spark, tmp_path):
     assert not missing
 
 
+def test_session_window_merges_exact_gap_boundary(spark, tmp_path):
+    """Pin the merge rule AT the boundary: an event exactly ``gap``
+    seconds after the previous one merges into the same session
+    (diff <= gap), while gap+1 starts a new one — the same closed
+    boundary as the batch rule "new session iff diff > 1800 s". The
+    random fixture contains no exactly-1800-second gaps, so only this
+    synthetic pins the strict-vs-non-strict inequality."""
+    from clickhouse_table_copier_spark.streaming.incremental import (
+        session_window_stats,
+    )
+
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+
+    base = "2024-01-01 00:00:00"
+    rows = [
+        # user 1: three events, each exactly 1800 s apart -> ONE session
+        (1, f"TIMESTAMP_NTZ '{base}'", 1),
+        (2, f"TIMESTAMP_NTZ '2024-01-01 00:30:00'", 1),
+        (3, f"TIMESTAMP_NTZ '2024-01-01 01:00:00'", 1),
+        # user 2: second event 1801 s later -> TWO sessions
+        (4, f"TIMESTAMP_NTZ '{base}'", 2),
+        (5, f"TIMESTAMP_NTZ '2024-01-01 00:30:01'", 2),
+        # sentinel pushes the watermark past everything
+        (9, "TIMESTAMP_NTZ '2030-01-01 00:00:00'", 0),
+    ]
+    df = spark.createDataFrame(
+        [(eid, uid) for eid, _, uid in rows], "event_id BIGINT, user_id BIGINT"
+    )
+    ts_expr = "CASE event_id " + " ".join(
+        f"WHEN {eid} THEN {ts}" for eid, ts, _ in rows
+    ) + " END"
+    df.withColumn("ts", F.expr(ts_expr)).select(
+        "event_id", "ts", "user_id"
+    ).write.mode("append").parquet(src_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    session_window_stats(spark, src_dir, schema, out_dir, ck_dir).awaitTermination()
+
+    got = sorted(
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in spark.read.parquet(out_dir).where(F.col("user_id") > 0).collect()
+    )
+    assert got == [
+        (1, "2024-01-01 00:00:00", 3),   # exact-gap events merged
+        (2, "2024-01-01 00:00:00", 1),   # gap+1 split
+        (2, "2024-01-01 00:30:01", 1),
+    ]
+
+
 def test_streaming_exact_dedup_across_runs(spark, tmp_path):
     """First-seen-wins dedup must hold WITHIN a run, ACROSS availableNow
     runs (checkpointed state), and agree with batch exact_dedup on which
