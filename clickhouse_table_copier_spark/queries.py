@@ -57,61 +57,64 @@ def register(name: str, oracle: str | None = None):
 # ordered oldest-last-green first. Bumped-out tail queries all carry green
 # r03 rows and unchanged fingerprints.
 _DRIVER_WINDOW_FIRST = [
-    # never driver-verified — 4 rounds outstanding, highest priority
-    "similarity_ivf_topk",
-    # fingerprint-stale: code/oracle changed since last green row
-    "fuzzy_name_pairs",
-    "event_funnel",
-    "event_sessions",
-    "retention_cohorts",
-    "events_gap_fill",
-    "events_anomaly_hours",
-    "asof_join_status",
-    "streaming_window_counts",
-    "heavy_hitter_terms",
-    "hypertable_rollup",
-    "range_join_value_bands",
-    "value_histogram",
-    "ch_dialect_sql",
-    "json_passthrough_extract",
-    # round-5 edits to previously-verified queries (fingerprint-stale)
-    "dedup_embedding_cosine",
-    "equi_depth_deciles",
-    "streaming_click_attribution",
+    # --- round-6 window, evidence-derived (registry_evidence.must_front) ---
+    # never driver-verified: the eight new round-6 queries
+    "shipping_priority",
+    "customer_order_distribution",
+    "bpe_merge_candidates",
+    "token_novelty_curve",
+    "sliding_distinct_users",
+    "cluster_keep_best",
+    "user_value_trend",
+    "embedding_dim_stats",
+    # fingerprint-stale: implementation/oracle/helper changed since last
+    # green row (r6 edits: hll cartesian fix, span max_df cap, pagerank
+    # driver-math rewrite, shared jaccard-pairs cache + its consumers,
+    # tie-safe streaming_sessions oracle; shared-helper closure changes
+    # propagate to dedup_minhash_lsh / doc_dup_ngram_fraction / dedup_lsh_eval)
+    "hll_partition_merge",
+    "cross_doc_spans",
+    "span_dedup_survivors",
+    "pagerank_nations",
     "dedup_ngram_jaccard",
     "dedup_clusters_jaccard",
     "dedup_lsh_eval",
-    # --- new round-5 queries are inserted here as they are added ---
-    "ann_ivf_pq_refine",
-    "streaming_sessions",
+    "dedup_minhash_lsh",
+    "doc_dup_ngram_fraction",
     "cluster_safe_split",
-    "similarity_gemm_topk",
-    "priority_waiting_orders",
-    "small_quantity_revenue",
-    "cms_token_frequency",
-    "hll_partition_merge",
-    "equi_depth_deciles_approx",
-    "winsorized_stats_approx",
-    "cross_doc_spans",
-    "cdc_merge_apply",
-    "embedding_decontamination",
-    "content_defined_chunks",
-    "mad_outliers",
-    "flag_status_grouping_sets",
-    "mixture_resample",
-    "span_dedup_survivors",
-    "ewma_user_value",
-    "intra_doc_repeats",
-    "nation_pair_trade",
-    "order_window_functions",
-    # carryover fill: no r04 row, green earlier, fingerprint-verified;
-    # oldest last-green first (r02 before r03)
-    "customer_running_totals",
-    "huge_int_casts",
-    "partition_set_ops",
-    "top_orders_per_customer",
-    "ann_ivf_pq_adc",
-    "ch_dialect_partitions",
+    "streaming_sessions",
+    # carryover fill: unchanged fingerprints, oldest last-green (r03) first
+    "ann_pq_adc",
+    "array_string_ops",
+    "bm25_rank",
+    "corpus_dedup_summary",
+    "decontamination",
+    "doc_chunking",
+    "doc_winnowing",
+    "dq_expectations",
+    "filtered_row_count",
+    "fk_integrity_audit",
+    "ipv4_roundtrip",
+    "ipv6_canon",
+    "local_supplier_volume",
+    "order_value_percentiles",
+    "part_type_revenue",
+    "partition_diff",
+    "partition_fingerprints",
+    "partition_stats",
+    "pii_redaction",
+    "quality_weighted_sample",
+    "readable_partition_sizes",
+    "schema_align",
+    "semantic_dedup",
+    "seq_packing",
+    "sketch_distinct_bounds",
+    "sketch_quantile_bounds",
+    "sql_frontend_revenue",
+    "table_fingerprint",
+    "table_profile",
+    "time_range_count",
+    "uuid_or_zero",
 ]
 
 

@@ -1,0 +1,505 @@
+"""Query batch: round-6 operators.
+
+New surface this round: the two classic TPC-H join shapes still missing
+(Q3 shipping-priority top-k, Q13 outer-join count distribution), a
+tokenizer-training primitive (BPE first-merge pair counts over the
+frequency-collapsed word table), corpus vocabulary-growth curves
+(Heaps'-law novelty per source), a trailing-window COUNT DISTINCT built
+from mergeable per-hour partials, quality-aware dedup survivorship
+(keep-best-per-cluster instead of keep-min-id), per-key linear trend
+fitting with integer-exact normal equations, and quantized per-dimension
+embedding statistics for embedding-table QA.
+
+Cross-engine determinism: integer counts everywhere possible; doubles
+only as (a) a single correctly-rounded division of exact integers/
+decimals or (b) floor-quantized grids (never round(), whose half-way
+rule differs between engines); every LIMIT carries a total tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clickhouse_table_copier_spark.queries import _events, _t, register
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+# normalized, empty-filtered token list (DuckDB side) — matches
+# operators/dedup.normalized_text + split + filter on the Spark side
+_TOKS_SQL = (
+    "list_filter(string_split(" + _NORM_SQL + ", ' '), x -> x <> '')"
+)
+
+
+def _norm_tokens(text_col: str):
+    from clickhouse_table_copier_spark.operators.dedup import normalized_text
+
+    return F.filter(
+        F.split(normalized_text(text_col), " "), lambda t: t != F.lit("")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: shipping-priority top-k. The canonical 3-way star join
+# with selective predicates on BOTH fact branches: the segment filter
+# prunes customer before its join, and the two date predicates push into
+# the orders/lineitem scans (PushedFilters), so the only large shuffle is
+# lineitem ⋈ orders on the order key. Revenue sums go through decimal
+# (exact, associative); the top-10 is a TakeOrderedAndProject — per-
+# partition heaps + one k-row merge at the driver, never a global sort.
+# ---------------------------------------------------------------------------
+_Q3_DATE = "1997-06-01"
+
+
+@register(
+    "shipping_priority",
+    oracle=f"""
+    WITH r AS (
+      SELECT l.l_orderkey,
+             sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                 (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev,
+             o.o_orderdate, o.o_orderpriority
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '{_Q3_DATE} 00:00:00'
+        AND l.l_shipdate > TIMESTAMP '{_Q3_DATE} 00:00:00'
+      GROUP BY 1, 3, 4
+    )
+    SELECT l_orderkey, CAST(rev AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM r
+    ORDER BY rev DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit(_Q3_DATE + " 00:00:00").cast("timestamp_ntz")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        # the filtered BUILDING customer-key set is dimension-sized
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(price * (F.lit(1) - disc)).alias("rev"))
+        .select(
+            "l_orderkey",
+            F.col("rev").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+            "rev",
+        )
+        .orderBy(F.desc("rev"), F.asc("l_orderkey"))
+        .limit(10)
+        .drop("rev")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: customer order-count distribution. The LEFT OUTER join
+# keeps zero-order customers (an inner join silently drops them — the
+# classic Q13 trap), the first aggregation shuffles on the customer key,
+# and the second collapses to at most max(order-count) rows — effectively
+# free. At 100 TB both aggs partial map-side; no row ever widens.
+# ---------------------------------------------------------------------------
+@register(
+    "customer_order_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE first-merge candidates: the most frequent adjacent character pairs
+# over the corpus, weighted by word frequency — iteration 0 of byte-pair-
+# encoding tokenizer training. The scale trick IS the query shape: the
+# corpus first collapses to the (word, freq) vocabulary table (bounded by
+# vocabulary size, orders of magnitude smaller than the token stream),
+# and the quadratic-ish pair explosion runs over THAT, never over raw
+# text. Pure integer counts; top-20 via TakeOrdered with total tiebreak.
+# ---------------------------------------------------------------------------
+@register(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH words AS (
+      SELECT w, count(*) AS freq
+      FROM (SELECT unnest({_TOKS_SQL.format(c="text")}) AS w FROM documents)
+      GROUP BY 1
+    ),
+    positions AS (
+      SELECT w, freq, unnest(generate_series(1, len(w) - 1)) AS i
+      FROM words WHERE len(w) >= 2
+    )
+    SELECT substring(w, i, 1) AS sym_a, substring(w, i + 1, 1) AS sym_b,
+           CAST(sum(freq) AS BIGINT) AS n_occurrences
+    FROM positions
+    GROUP BY 1, 2
+    ORDER BY n_occurrences DESC, sym_a, sym_b
+    LIMIT 20
+    """,
+)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.dedup import spread
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    words = (
+        docs.select(F.explode(_norm_tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.where(F.length("w") >= 2).select(
+        "freq",
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        F.col("w"),
+    )
+    return (
+        pairs.select(
+            F.substring("w", F.col("i"), F.lit(1)).alias("sym_a"),
+            F.substring("w", F.col("i") + 1, F.lit(1)).alias("sym_b"),
+            "freq",
+        )
+        .groupBy("sym_a", "sym_b")
+        .agg(F.sum("freq").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("sym_a"), F.asc("sym_b"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary-growth (Heaps'-law) curve per source: cumulative distinct
+# token count as the corpus is ingested in doc_id order. Each token's
+# first-seen doc is a grouped MIN (one shuffle on (source, token)); the
+# cumulative curve is a window cumsum PARTITIONED BY source — ordered
+# within each source only, never globally. The curve is the standard
+# diagnostic for "is this source still contributing new vocabulary or
+# just repeating itself" when deciding ingestion order/cutoffs.
+# ---------------------------------------------------------------------------
+@register(
+    "token_novelty_curve",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT source, doc_id, unnest({_TOKS_SQL.format(c="text")}) AS tok
+      FROM documents
+    ),
+    first_seen AS (
+      SELECT source, tok, min(doc_id) AS first_doc
+      FROM toks GROUP BY 1, 2
+    ),
+    new_per_doc AS (
+      SELECT source, first_doc AS doc_id, count(*) AS n_new
+      FROM first_seen GROUP BY 1, 2
+    )
+    SELECT d.source, d.doc_id,
+           CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new,
+           CAST(sum(coalesce(n.n_new, 0)) OVER (
+             PARTITION BY d.source ORDER BY d.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_vocab
+    FROM (SELECT DISTINCT source, doc_id FROM documents) d
+    LEFT JOIN new_per_doc n ON n.source = d.source AND n.doc_id = d.doc_id
+    """,
+)
+def q_token_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.dedup import spread
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source", "doc_id", F.explode(_norm_tokens("text")).alias("tok")
+    ).distinct()
+    first_seen = toks.groupBy("source", "tok").agg(F.min("doc_id").alias("doc_id"))
+    new_per_doc = first_seen.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    base = docs.select("source", "doc_id").distinct()
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.join(new_per_doc, ["source", "doc_id"], "left")
+        .select(
+            "source",
+            "doc_id",
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+        )
+        .withColumn("cum_vocab", F.sum("n_new").over(w).cast("bigint"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-24h COUNT DISTINCT users per hour. Spark has no DISTINCT over
+# a range window, and per-row state would be unbounded; instead the
+# stream collapses to distinct (hour, user) PARTIALS (mergeable, hour-
+# partitioned), each partial fans out to the <= 24 windows it can serve,
+# and a second distinct+count lands the answer. Expansion factor =
+# window/granularity (24), shuffle keyed by (window_end, user) — bounded
+# and skew-free regardless of corpus size; the same shape extends to any
+# sliding-window distinct. Only hours that actually occur are reported.
+# ---------------------------------------------------------------------------
+@register(
+    "sliding_distinct_users",
+    oracle="""
+    WITH hu AS (
+      SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, user_id
+      FROM events
+    ),
+    hours AS (SELECT DISTINCT h FROM hu),
+    fanout AS (
+      SELECT h + INTERVAL 1 HOUR * unnest(generate_series(0, 23)) AS wend,
+             user_id
+      FROM hu
+    )
+    SELECT f.wend AS window_end_hour,
+           CAST(count(DISTINCT f.user_id) AS BIGINT) AS n_users
+    FROM fanout f
+    JOIN hours ho ON ho.h = f.wend
+    GROUP BY 1
+    """,
+)
+def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    hu = ev.select(
+        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("h"),
+        "user_id",
+    ).distinct()
+    hours = hu.select("h").distinct()
+    fanout = hu.select(
+        F.explode(F.sequence(F.lit(0), F.lit(23))).alias("o"), "h", "user_id"
+    ).select(
+        F.expr("timestampadd(HOUR, o, h)").alias("wend"), "user_id"
+    )
+    return (
+        fanout.join(hours.withColumnRenamed("h", "wend"), "wend")
+        .groupBy("wend")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+        .withColumnRenamed("wend", "window_end_hour")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware dedup survivorship: within each near-dup cluster keep the
+# doc with the largest distinct-token vocabulary (tiebreak: smallest id)
+# instead of blindly keeping min-id — the production survivorship rule
+# (keep the richest copy, drop truncated/boilerplate variants). Reuses
+# the shared jaccard-pairs table and the label-propagation components
+# operator; the keep choice is one grouped argmax (max_by) over an
+# integer quality score — no floats anywhere.
+# ---------------------------------------------------------------------------
+def _keep_best_oracle() -> str:
+    from clickhouse_table_copier_spark.queries_pipeline import _JACCARD_PAIRS_SQL
+
+    return f"""
+    WITH RECURSIVE
+    {_JACCARD_PAIRS_SQL},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach AS (
+      SELECT u AS id, u AS lbl FROM edges
+      UNION
+      SELECT e.u AS id, r.lbl FROM edges e JOIN reach r ON e.v = r.id
+    ),
+    comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    vocab AS (
+      SELECT doc_id, count(DISTINCT tok) AS n_vocab
+      FROM (SELECT doc_id, unnest({_TOKS_SQL.format(c="text")}) AS tok
+            FROM corpus)
+      GROUP BY 1
+    )
+    SELECT c.cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           min(CASE WHEN (v.n_vocab, -v.doc_id) =
+                 (SELECT max((v2.n_vocab, -v2.doc_id))
+                  FROM comp c2 JOIN vocab v2 ON v2.doc_id = c2.id
+                  WHERE c2.cluster_id = c.cluster_id)
+               THEN v.doc_id END) AS keep_id,
+           CAST(max(v.n_vocab) AS BIGINT) AS kept_vocab
+    FROM comp c JOIN vocab v ON v.doc_id = c.id
+    GROUP BY c.cluster_id
+    """
+
+
+@register("cluster_keep_best", oracle=_keep_best_oracle())
+def q_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.dedup import dedup_clusters
+    from clickhouse_table_copier_spark.queries_pipeline import (
+        _corpus,
+        _shared_jaccard_pairs,
+    )
+
+    pairs = _shared_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    clusters = dedup_clusters(pairs)
+    vocab = (
+        _corpus(spark, sf_dir)
+        .select("doc_id", F.explode(_norm_tokens("text")).alias("tok"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("tok").alias("n_vocab"))
+    )
+    members = clusters.join(
+        vocab, clusters.id == vocab.doc_id
+    ).select("cluster_id", "doc_id", "n_vocab")
+    # argmax by (n_vocab, -doc_id): richest copy wins, min-id breaks ties
+    return members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.expr("max_by(doc_id, struct(n_vocab, -doc_id))").alias("keep_id"),
+        F.max("n_vocab").cast("bigint").alias("kept_vocab"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-user linear trend of event value over time: least-squares slope via
+# the normal equations over integer-exact sums — n·Σxy − Σx·Σy over
+# n·Σx² − (Σx)², x in whole seconds since a fixed epoch, y through
+# decimal. Everything up to the final division is exact decimal
+# arithmetic (associative — partial aggregation safe), and the one
+# division is a correctly-rounded double op both engines perform
+# identically. One map-side-combinable shuffle on user_id; no windows,
+# no per-user sort — THE way to fit millions of tiny regressions at
+# 100 TB.
+# ---------------------------------------------------------------------------
+_TREND_EPOCH = "2024-01-01 00:00:00"
+
+
+@register(
+    "user_value_trend",
+    oracle=f"""
+    WITH pts AS (
+      SELECT user_id,
+             CAST(date_diff('second', TIMESTAMP '{_TREND_EPOCH}',
+                            CAST(ts AS TIMESTAMP)) AS DECIMAL(38,0)) AS x,
+             CAST(value AS DECIMAL(18,6)) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, CAST(count(*) AS DECIMAL(38,0)) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM pts GROUP BY 1
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           CAST(CAST(n * sxy - sx * sy AS DOUBLE) /
+                CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE) AS slope
+    FROM s
+    WHERE n >= 2 AND n * sxx - sx * sx <> 0
+    """,
+)
+def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    x = F.expr(
+        f"CAST(timestampdiff(SECOND, TIMESTAMP_NTZ '{_TREND_EPOCH}', ts)"
+        " AS DECIMAL(38,0))"
+    )
+    y = F.col("value").cast("decimal(18,6)")
+    s = (
+        ev.select("user_id", x.alias("x"), y.alias("y"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        s.where((F.col("n") >= 2) & (den != 0))
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_events"),
+            (num.cast("double") / den.cast("double")).alias("slope"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding statistics (embedding-table QA: dead dims,
+# scale drift, outlier dims before indexing/quantization). Values are
+# floor-quantized to a 1e-6 grid FIRST — floor of a correctly-rounded
+# double product is engine-exact, unlike round() whose half-way rule
+# differs — then every aggregate is integer arithmetic; means emerge as
+# one final division. posexplode is the only expansion (rows × dim),
+# aggregated immediately per dimension: 100 TB of vectors reduce to
+# `dim` rows via map-side partial aggregation, no shuffle of raw vectors.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_dim_stats",
+    oracle="""
+    WITH cells AS (
+      SELECT dim - 1 AS dim,
+             CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM (SELECT unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings)
+    )
+    SELECT dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(q) AS BIGINT) AS q_min,
+           CAST(max(q) AS BIGINT) AS q_max,
+           CAST(sum(q) AS BIGINT) AS q_sum,
+           CAST(CAST(sum(q) AS DOUBLE) / count(*) AS DOUBLE) AS q_mean
+    FROM cells
+    GROUP BY dim
+    """,
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.dedup import spread
+
+    emb = spread(_t(spark, sf_dir, "embeddings"))
+    cells = emb.select(
+        F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.floor(F.col("x").cast("double") * 1000000).cast("bigint").alias("q"),
+    )
+    return cells.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("q").cast("bigint").alias("q_min"),
+        F.max("q").cast("bigint").alias("q_max"),
+        F.sum("q").cast("bigint").alias("q_sum"),
+        (F.sum("q").cast("double") / F.count(F.lit(1))).alias("q_mean"),
+    )

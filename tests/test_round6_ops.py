@@ -1,0 +1,227 @@
+"""Semantics tests for the round-6 operators, independent of the DuckDB
+oracle gate: planted-input checks for the BPE pair counts and the
+sliding distinct window, the Q13 zero-order-customer retention property,
+keep-best-vs-min-id survivorship, Heaps'-curve invariants, and exact
+slope recovery on planted linear data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+
+
+def _write_tables(spark, tmp_path, **tables):
+    d = str(tmp_path / "sf")
+    for name, df in tables.items():
+        df.write.mode("overwrite").parquet(f"{d}/{name}.parquet")
+    return d
+
+
+# ---------------------------------------------------------------------------
+# bpe_merge_candidates
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_pair_counts_planted(spark, tmp_path):
+    from clickhouse_table_copier_spark.queries_round6 import q_bpe_merge_candidates
+
+    # "aab" x2 and "ab" x1 -> pairs: (a,a): 2, (a,b): 2+1=3
+    docs = spark.createDataFrame(
+        [(1, "aab ab"), (2, "aab")],
+        "doc_id long, text string",
+    )
+    d = _write_tables(spark, tmp_path, documents=docs)
+    got = {
+        (r["sym_a"], r["sym_b"]): r["n_occurrences"]
+        for r in q_bpe_merge_candidates(spark, d).collect()
+    }
+    # word table collapses to {aab: 2, ab: 1}; pair counts weight by freq
+    assert got == {("a", "a"): 2, ("a", "b"): 3}
+
+
+# ---------------------------------------------------------------------------
+# sliding_distinct_users
+# ---------------------------------------------------------------------------
+
+
+def test_sliding_distinct_users_planted(spark, tmp_path):
+    from clickhouse_table_copier_spark.queries_round6 import q_sliding_distinct_users
+
+    rows = [
+        # (event_id, hour offset, user)
+        (1, 0, 100),
+        (2, 0, 200),
+        (3, 23, 100),   # exactly inside hour-0's 24h forward fanout
+        (4, 25, 300),   # outside any window containing hour 0
+    ]
+    df = spark.createDataFrame(
+        [(eid, uid) for eid, _, uid in rows], "event_id long, user_id long"
+    ).withColumn("ts", F.lit(None).cast("timestamp_ntz"))
+    case = "CASE event_id " + " ".join(
+        f"WHEN {eid} THEN timestampadd(HOUR, {off}, TIMESTAMP_NTZ '2024-01-01 00:00:00')"
+        for eid, off, _ in rows
+    ) + " END"
+    ev = df.select(
+        "event_id", F.expr(case).alias("ts"), "user_id",
+        F.lit("click").alias("event_type"), F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    d = _write_tables(spark, tmp_path, events=ev)
+    got = {
+        str(r["window_end_hour"]): r["n_users"]
+        for r in q_sliding_distinct_users(spark, d).collect()
+    }
+    assert got["2024-01-01 00:00:00"] == 2           # {100, 200} at hour 0
+    assert got["2024-01-01 23:00:00"] == 2           # trailing 24h still covers hour 0
+    assert got["2024-01-02 01:00:00"] == 2           # {100 (h23), 300 (h25)}
+    assert set(got) == {
+        "2024-01-01 00:00:00", "2024-01-01 23:00:00", "2024-01-02 01:00:00"
+    }  # only hours that actually occur are reported
+
+
+# ---------------------------------------------------------------------------
+# customer_order_distribution (Q13): zero-order customers retained
+# ---------------------------------------------------------------------------
+
+
+def test_q13_keeps_zero_order_customers(spark, tmp_path):
+    from clickhouse_table_copier_spark.queries_round6 import (
+        q_customer_order_distribution,
+    )
+
+    cust = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "c_custkey long, c_name string"
+    )
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1)], "o_orderkey long, o_custkey long"
+    )
+    d = _write_tables(spark, tmp_path, customer=cust, orders=orders)
+    got = {
+        r["c_count"]: r["custdist"]
+        for r in q_customer_order_distribution(spark, d).collect()
+    }
+    # customers 2 and 3 have no orders -> the c_count=0 bucket the inner
+    # join would silently drop
+    assert got == {0: 2, 2: 1}
+
+
+# ---------------------------------------------------------------------------
+# cluster_keep_best
+# ---------------------------------------------------------------------------
+
+
+def test_keep_best_prefers_richer_copy_over_min_id(spark):
+    """On the fixture corpus, near-dup copies at doc_id+200000 carry one
+    EXTRA token ('extra token appended' adds vocabulary) — keep-best must
+    pick the higher-id richer copy where min-id survivorship would keep
+    the original."""
+    from clickhouse_table_copier_spark.queries_round6 import q_cluster_keep_best
+
+    rows = q_cluster_keep_best(spark, SF_ORACLE).collect()
+    assert rows
+    richer_kept = [
+        r for r in rows if r["keep_id"] != r["cluster_id"] and r["keep_id"] >= 200000
+    ]
+    assert richer_kept, "no cluster kept a higher-id richer copy"
+    for r in rows:
+        assert r["n_members"] >= 2  # clusters come from pairs
+        assert r["kept_vocab"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# token_novelty_curve
+# ---------------------------------------------------------------------------
+
+
+def test_novelty_curve_monotone_and_totals(spark):
+    from clickhouse_table_copier_spark.queries_round6 import q_token_novelty_curve
+
+    rows = q_token_novelty_curve(spark, SF_ORACLE).collect()
+    by_source: dict = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append((r["doc_id"], r["cum_vocab"]))
+    assert len(by_source) == 20
+    for src, seq in by_source.items():
+        seq.sort()
+        cums = [c for _, c in seq]
+        assert all(a <= b for a, b in zip(cums, cums[1:])), f"{src} not monotone"
+        assert cums[0] >= 1  # first doc contributes its whole vocabulary
+
+
+def test_novelty_final_equals_source_vocab(spark):
+    from clickhouse_table_copier_spark.operators.dedup import normalized_text
+    from clickhouse_table_copier_spark.queries_round6 import q_token_novelty_curve
+
+    rows = q_token_novelty_curve(spark, SF_ORACLE).collect()
+    final = {}
+    for r in rows:
+        cur = final.get(r["source"])
+        if cur is None or r["doc_id"] > cur[0]:
+            final[r["source"]] = (r["doc_id"], r["cum_vocab"])
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    truth = {
+        r["source"]: r["v"]
+        for r in docs.select(
+            "source",
+            F.explode(
+                F.filter(
+                    F.split(normalized_text("text"), " "), lambda t: t != F.lit("")
+                )
+            ).alias("tok"),
+        )
+        .groupBy("source")
+        .agg(F.countDistinct("tok").alias("v"))
+        .collect()
+    }
+    assert {s: c for s, (_, c) in final.items()} == truth
+
+
+# ---------------------------------------------------------------------------
+# user_value_trend: exact slope recovery on planted linear data
+# ---------------------------------------------------------------------------
+
+
+def test_trend_recovers_planted_slope(spark, tmp_path):
+    from clickhouse_table_copier_spark.queries_round6 import q_user_value_trend
+
+    # user 7: y = 2.5 + 0.125 * x_seconds (exact in binary floats)
+    pts = [(i, 7, 60 * i, 2.5 + 0.125 * 60 * i) for i in range(10)]
+    # user 8: constant timestamps -> zero denominator -> filtered out
+    pts += [(100 + i, 8, 0, float(i)) for i in range(3)]
+    df = spark.createDataFrame(
+        [(eid, uid, v) for eid, uid, _, v in pts],
+        "event_id long, user_id long, value double",
+    )
+    case = "CASE event_id " + " ".join(
+        f"WHEN {eid} THEN timestampadd(SECOND, {sec}, TIMESTAMP_NTZ '2024-01-01 00:00:00')"
+        for eid, _, sec, _ in pts
+    ) + " END"
+    ev = df.select(
+        "event_id", F.expr(case).alias("ts"), "user_id",
+        F.lit("x").alias("event_type"), "value", F.lit("{}").alias("props"),
+    )
+    d = _write_tables(spark, tmp_path, events=ev)
+    got = {r["user_id"]: r for r in q_user_value_trend(spark, d).collect()}
+    assert set(got) == {7}
+    assert got[7]["n_events"] == 10
+    assert got[7]["slope"] == pytest.approx(0.125, abs=0.0)  # exact
+
+
+# ---------------------------------------------------------------------------
+# embedding_dim_stats
+# ---------------------------------------------------------------------------
+
+
+def test_dim_stats_shape_and_counts(spark):
+    from clickhouse_table_copier_spark.queries_round6 import q_embedding_dim_stats
+
+    rows = q_embedding_dim_stats(spark, SF_ORACLE).collect()
+    n_vec = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").count()
+    assert sorted(r["dim"] for r in rows) == list(range(64))
+    for r in rows:
+        assert r["n"] == n_vec
+        assert r["q_min"] <= r["q_max"]
+        # mean is exactly q_sum / n
+        assert r["q_mean"] == r["q_sum"] / r["n"]
