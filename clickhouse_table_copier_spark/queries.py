@@ -67,6 +67,9 @@ _DRIVER_WINDOW_FIRST = [
     "cluster_keep_best",
     "user_value_trend",
     "embedding_dim_stats",
+    "lang_id_confusion",
+    "sliding_distinct_users_approx",
+    "nation_type_revenue_other",
     # fingerprint-stale: implementation/oracle/helper changed since last
     # green row (r6 edits: hll cartesian fix, span max_df cap, pagerank
     # driver-math rewrite, shared jaccard-pairs cache + its consumers,
@@ -112,9 +115,6 @@ _DRIVER_WINDOW_FIRST = [
     "sketch_quantile_bounds",
     "sql_frontend_revenue",
     "table_fingerprint",
-    "table_profile",
-    "time_range_count",
-    "uuid_or_zero",
 ]
 
 

@@ -503,3 +503,209 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("q").cast("bigint").alias("q_sum"),
         (F.sum("q").cast("double") / F.count(F.lit(1))).alias("q_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix: the n-gram-marker classifier
+# (operators/text.lang_id) evaluated against the corpus's labeled lang
+# column — (true, predicted) counts plus per-true-language recall. The
+# eval every heuristic filter needs before it gates a 100 TB ingest. One
+# expression-only scan + one shuffle on the (true, pred) cell key; recall
+# is a window share over the contingency-table-sized cell frame.
+# ---------------------------------------------------------------------------
+def _lang_confusion_oracle() -> str:
+    from clickhouse_table_copier_spark.queries_pipeline import (
+        _LANG_ID_SQL,
+        _LANG_MARKERS,
+        _lang_score_sql,
+    )
+
+    return f"""
+    WITH scored AS (
+      SELECT lang AS true_lang,
+             {_lang_score_sql(_LANG_MARKERS["en"])} AS s_en,
+             {_lang_score_sql(_LANG_MARKERS["de"])} AS s_de,
+             {_lang_score_sql(_LANG_MARKERS["fr"])} AS s_fr,
+             {_lang_score_sql(_LANG_MARKERS["es"])} AS s_es
+      FROM documents
+    ),
+    cells AS (
+      SELECT true_lang, {_LANG_ID_SQL} AS pred_lang, count(*) AS n
+      FROM scored GROUP BY 1, 2
+    )
+    SELECT true_lang, pred_lang, CAST(n AS BIGINT) AS n,
+           CAST(CAST(n AS DOUBLE) /
+                sum(n) OVER (PARTITION BY true_lang) AS DOUBLE) AS recall
+    FROM cells
+    """
+
+
+@register("lang_id_confusion", oracle=_lang_confusion_oracle())
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.dedup import spread
+    from clickhouse_table_copier_spark.operators.text import (
+        lang_id_from_scores,
+        lang_scores,
+    )
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    scored = docs.select(
+        F.col("lang").alias("true_lang"),
+        *[c.alias(f"s_{lang}") for lang, c in sorted(lang_scores("text").items())],
+    )
+    cells = (
+        scored.select(
+            "true_lang",
+            lang_id_from_scores(
+                {lang: F.col(f"s_{lang}") for lang in ("de", "en", "es", "fr")}
+            ).alias("pred_lang"),
+        )
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("true_lang")
+    return cells.select(
+        "true_lang",
+        "pred_lang",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n").cast("double") / F.sum("n").over(w)).alias("recall"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate sibling of sliding_distinct_users: per-hour HLL sketch
+# partials union-merged across each trailing 24-hour window. THE 100 TB
+# path — the exact formulation fans out (hour, user) PAIRS 24x, this one
+# fans out 24 constant-size sketches per hour regardless of user count.
+# Same sketch-gate discipline as hll_partition_merge: every window's
+# estimate must land within 5% of exact or approx_ok flags it.
+# ---------------------------------------------------------------------------
+@register(
+    "sliding_distinct_users_approx",
+    oracle="""
+    WITH hu AS (
+      SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, user_id
+      FROM events
+    ),
+    hours AS (SELECT DISTINCT h FROM hu),
+    fanout AS (
+      SELECT h + INTERVAL 1 HOUR * unnest(generate_series(0, 23)) AS wend,
+             user_id
+      FROM hu
+    )
+    SELECT f.wend AS window_end_hour,
+           CAST(count(DISTINCT f.user_id) AS BIGINT) AS n_exact,
+           TRUE AS approx_ok
+    FROM fanout f
+    JOIN hours ho ON ho.h = f.wend
+    GROUP BY 1
+    """,
+)
+def q_sliding_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    hu = ev.select(
+        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("h"),
+        "user_id",
+    )
+    sketches = hu.groupBy("h").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    hours = sketches.select("h")
+    merged = (
+        sketches.select(
+            F.explode(F.sequence(F.lit(0), F.lit(23))).alias("o"), "h", "sk"
+        )
+        .select(F.expr("timestampadd(HOUR, o, h)").alias("wend"), "sk")
+        .join(hours.withColumnRenamed("h", "wend"), "wend")
+        .groupBy("wend")
+        .agg(F.expr("hll_union_agg(sk)").alias("sk"))
+    )
+    exact = (
+        hu.distinct()
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(23))).alias("o"), "h", "user_id"
+        )
+        .select(F.expr("timestampadd(HOUR, o, h)").alias("wend"), "user_id")
+        .join(hours.withColumnRenamed("h", "wend"), "wend")
+        .groupBy("wend")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_exact"))
+    )
+    gate = (
+        F.abs(F.expr("hll_sketch_estimate(sk)").cast("double") - F.col("n_exact"))
+        <= F.col("n_exact") * F.lit(0.05)
+    )
+    return merged.join(exact, "wend").select(
+        F.col("wend").alias("window_end_hour"), "n_exact", gate.alias("approx_ok")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-N-plus-OTHER rollup: per nation, the top-2 part types by revenue
+# named explicitly and everything else collapsed into one 'OTHER' row —
+# the standard reporting shape that keeps dashboards bounded no matter
+# how wide the type dimension grows. Rank is a window over the
+# (nation x type) AGGREGATE frame (dimension-sized, partitioned by
+# nation — never over fact rows); the relabel + regroup is a second
+# dimension-sized agg. Revenue stays decimal-exact end to end.
+# ---------------------------------------------------------------------------
+@register(
+    "nation_type_revenue_other",
+    oracle="""
+    WITH cells AS (
+      SELECT n.n_name AS nation, p.p_type AS ptype,
+             sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                 (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT nation, ptype, rev,
+             row_number() OVER (PARTITION BY nation
+                                ORDER BY rev DESC, ptype) AS rk
+      FROM cells
+    )
+    SELECT nation,
+           CASE WHEN rk <= 2 THEN ptype ELSE 'OTHER' END AS part_type,
+           CAST(sum(rev) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_types
+    FROM ranked
+    GROUP BY 1, 2
+    """,
+)
+def q_nation_type_revenue_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    cells = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("p_type").alias("ptype"))
+        .agg(F.sum(price * (F.lit(1) - disc)).alias("rev"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("nation").orderBy(F.desc("rev"), F.asc("ptype"))
+    )
+    return (
+        cells.withColumn("rk", rk)
+        .select(
+            "nation",
+            F.when(F.col("rk") <= 2, F.col("ptype"))
+            .otherwise(F.lit("OTHER"))
+            .alias("part_type"),
+            "rev",
+        )
+        .groupBy("nation", "part_type")
+        .agg(
+            F.sum("rev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        )
+    )

@@ -225,3 +225,61 @@ def test_dim_stats_shape_and_counts(spark):
         assert r["q_min"] <= r["q_max"]
         # mean is exactly q_sum / n
         assert r["q_mean"] == r["q_sum"] / r["n"]
+
+
+# ---------------------------------------------------------------------------
+# batch 2: lang_id_confusion / sliding_distinct_users_approx /
+# nation_type_revenue_other
+# ---------------------------------------------------------------------------
+
+
+def test_lang_confusion_recall_partition_of_unity(spark):
+    from clickhouse_table_copier_spark.queries_round6 import q_lang_id_confusion
+
+    rows = q_lang_id_confusion(spark, SF_ORACLE).collect()
+    docs_n = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").count()
+    assert sum(r["n"] for r in rows) == docs_n
+    by_true: dict = {}
+    for r in rows:
+        by_true.setdefault(r["true_lang"], []).append(r["recall"])
+    for lang, recalls in by_true.items():
+        assert sum(recalls) == pytest.approx(1.0, abs=1e-12), lang
+
+
+def test_sliding_approx_windows_match_exact_sibling(spark):
+    from clickhouse_table_copier_spark.queries_round6 import (
+        q_sliding_distinct_users,
+        q_sliding_distinct_users_approx,
+    )
+
+    exact = {
+        r["window_end_hour"]: r["n_users"]
+        for r in q_sliding_distinct_users(spark, SF_ORACLE).collect()
+    }
+    approx = q_sliding_distinct_users_approx(spark, SF_ORACLE).collect()
+    assert {r["window_end_hour"] for r in approx} == set(exact)
+    for r in approx:
+        assert r["n_exact"] == exact[r["window_end_hour"]]
+        assert r["approx_ok"], f"HLL off by >5% at {r['window_end_hour']}"
+
+
+def test_topn_other_rollup_shape(spark):
+    from clickhouse_table_copier_spark.queries_round6 import (
+        q_nation_type_revenue_other,
+    )
+
+    rows = q_nation_type_revenue_other(spark, SF_ORACLE).collect()
+    by_nation: dict = {}
+    for r in rows:
+        by_nation.setdefault(r["nation"], []).append(r)
+    for nation, rs in by_nation.items():
+        labels = {r["part_type"] for r in rs}
+        named = labels - {"OTHER"}
+        assert len(rs) <= 3, nation          # top-2 + at most one OTHER row
+        assert len(named) <= 2, nation
+        for r in rs:
+            if r["part_type"] != "OTHER":
+                assert r["n_types"] == 1     # named rows are single types
+            else:
+                assert r["n_types"] >= 1
+        assert all(r["revenue"] > 0 for r in rs)
