@@ -365,27 +365,23 @@ def dedup_clusters(
             .agg(F.min("cluster_id").alias("nmin"))
             .withColumnRenamed("u", "id")
         )
-        new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("cluster_id"), F.coalesce("nmin", "cluster_id")).alias(
-                    "cluster_id"
-                ),
-            )
+        new_label = F.least(F.col("cluster_id"), F.coalesce("nmin", "cluster_id"))
+        new_labels = labels.join(neighbor_min, "id", "left").select(
+            "id",
+            new_label.alias("new_cluster_id"),
+            # change flag computed IN the propagation plan, so the
+            # convergence probe below is a filter over checkpointed
+            # blocks instead of a second new-vs-old join job
+            (new_label != F.col("cluster_id")).alias("chg"),
         )
         # localCheckpoint cuts the per-iteration lineage growth (otherwise
         # plan size doubles every round) and materializes for the change
         # probe + next round in one go
         new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
+        changed = new_labels.where("chg").limit(1).count()
+        labels = new_labels.select(
+            "id", F.col("new_cluster_id").alias("cluster_id")
         )
-        labels = new_labels
         if changed == 0:
             break
     edges.unpersist()
