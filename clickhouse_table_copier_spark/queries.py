@@ -58,7 +58,15 @@ def register(name: str, oracle: str | None = None):
 # r03 rows and unchanged fingerprints.
 _DRIVER_WINDOW_FIRST = [
     # --- round-6 window, evidence-derived (registry_evidence.must_front) ---
-    # never driver-verified: the eight new round-6 queries
+    # never driver-verified: the new round-6 queries (6 and 6b batches)
+    "nation_market_share",
+    "nation_year_profit",
+    "top_revenue_supplier",
+    "part_supplier_variety",
+    "large_volume_orders",
+    "disjunctive_brand_revenue",
+    "waiting_supplier_orders",
+    "idle_customer_balances",
     "shipping_priority",
     "customer_order_distribution",
     "bpe_merge_candidates",
@@ -107,14 +115,10 @@ _DRIVER_WINDOW_FIRST = [
     "partition_stats",
     "pii_redaction",
     "quality_weighted_sample",
-    "readable_partition_sizes",
-    "schema_align",
-    "semantic_dedup",
-    "seq_packing",
-    "sketch_distinct_bounds",
-    "sketch_quantile_bounds",
-    "sql_frontend_revenue",
-    "table_fingerprint",
+    # (8 more r03-green carryovers — readable_partition_sizes, schema_align, semantic_dedup,
+    # seq_packing, sketch_*_bounds, sql_frontend_revenue,
+    # table_fingerprint — bumped out by the round-6b batch; all carry
+    # green r03 rows and unchanged fingerprints, cycle back next round)
 ]
 
 
