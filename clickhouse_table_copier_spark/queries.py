@@ -58,7 +58,11 @@ def register(name: str, oracle: str | None = None):
 # r03 rows and unchanged fingerprints.
 _DRIVER_WINDOW_FIRST = [
     # --- round-6 window, evidence-derived (registry_evidence.must_front) ---
-    # never driver-verified: the new round-6 queries (6 and 6b batches)
+    # never driver-verified: the new round-6 queries (6, 6b, 6c batches)
+    "similarity_triangle_count",
+    "vocab_frequency_spectrum",
+    "streaming_dedup_survivors",
+    "bucketed_colocated_join",
     "nation_market_share",
     "nation_year_profit",
     "top_revenue_supplier",
@@ -111,14 +115,13 @@ _DRIVER_WINDOW_FIRST = [
     "order_value_percentiles",
     "part_type_revenue",
     "partition_diff",
-    "partition_fingerprints",
-    "partition_stats",
-    "pii_redaction",
-    "quality_weighted_sample",
-    # (8 more r03-green carryovers — readable_partition_sizes, schema_align, semantic_dedup,
+    # (12 more r03-green carryovers — partition_fingerprints,
+    # partition_stats, pii_redaction, quality_weighted_sample,
+    # readable_partition_sizes, schema_align, semantic_dedup,
     # seq_packing, sketch_*_bounds, sql_frontend_revenue,
-    # table_fingerprint — bumped out by the round-6b batch; all carry
-    # green r03 rows and unchanged fingerprints, cycle back next round)
+    # table_fingerprint — bumped out by the round-6b/6c batches; all
+    # carry green r03 rows and unchanged fingerprints, cycle back next
+    # round)
 ]
 
 
