@@ -1,0 +1,276 @@
+"""Query batch: round-6d — sweep-line concurrency, stream-static
+enrichment, and partition-pruned layout.
+
+- ``concurrent_sessions_curve`` — max concurrent user sessions per hour
+  via the sweep-line (+1/−1 delta) construction. The running level is a
+  GLOBAL prefix sum, which this engine never computes with a global
+  window sort: deltas are summed per instant, instants cumsum WITHIN
+  their day (partitioned window), and day-start offsets come from the
+  day-level aggregate — one metadata-sized collect (one row per day),
+  the same justified pattern as equi_depth_deciles' bucket counts.
+- ``stream_static_enrichment`` — the stateless stream-static join:
+  streaming events enriched against the static customer dimension
+  inside the micro-batch, appended to the sink, aggregated after. The
+  join itself needs no watermark or state store — the static side is
+  (re)broadcast per micro-batch.
+- ``partitioned_scan_prune`` — Hive-style partitioned layout: lineitem
+  written partitionBy(ship_month); a month-filtered read back shows
+  ``PartitionFilters`` (directory pruning — non-matching partitions are
+  never opened, the entry-level layout lever before bucketing/z-order).
+  Layout is built once per (session, sf_dir) and cached, mirroring how
+  a real deployment writes the layout once and queries it many times.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from clickhouse_table_copier_spark.queries import _events, _t, register
+
+_GAP_S = 1800
+
+
+# ---------------------------------------------------------------------------
+# Max concurrent sessions per hour. Sessions are the tie-safe
+# gaps-and-islands intervals (ORDER BY ts, event_id — the established
+# event_sessions rule); each contributes +1 at its start instant and −1
+# one second past its end. Concurrency after an instant = prefix sum of
+# per-instant nets. Distributed prefix sum WITHOUT a global sort:
+# within-day cumsum (window partitioned by day) + day offsets from the
+# collected day-level nets (one row per day — bounded by calendar time,
+# not data volume, at any SF).
+# ---------------------------------------------------------------------------
+@register(
+    "concurrent_sessions_curve",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > {_GAP_S}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid,
+             ts
+      FROM flagged
+    ),
+    iv AS (
+      SELECT user_id, sid, min(ts) AS s_start, max(ts) AS s_end
+      FROM sess GROUP BY 1, 2
+    ),
+    deltas AS (
+      SELECT s_start AS ts, 1 AS d FROM iv
+      UNION ALL
+      SELECT s_end + INTERVAL 1 SECOND, -1 FROM iv
+    ),
+    net AS (SELECT ts, sum(d) AS nd FROM deltas GROUP BY 1),
+    lvl AS (
+      SELECT ts,
+             sum(nd) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS level
+      FROM net
+    )
+    SELECT date_trunc('hour', ts) AS hour,
+           CAST(max(level) AS BIGINT) AS max_concurrent
+    FROM lvl GROUP BY 1
+    """,
+)
+def q_concurrent_sessions_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp(F.col("ts").cast("timestamp"))
+                - F.unix_timestamp(F.lag(F.col("ts").cast("timestamp")).over(w))
+                > _GAP_S
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_s"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sid"),
+    )
+    iv = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    deltas = iv.select(F.col("s_start").alias("ts"), F.lit(1).alias("d")).unionAll(
+        iv.select(
+            (F.col("s_end") + F.expr("INTERVAL 1 SECOND")).alias("ts"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    net = deltas.groupBy("ts").agg(F.sum("d").alias("nd"))
+    day = net.withColumn("day", F.date_trunc("day", "ts"))
+    # day-level nets: one row per calendar day — metadata-sized at any
+    # SF (bounded by time span, not data volume); offsets via driver
+    # cumsum, the same justified pattern as equi-depth's bucket counts
+    day_nets = sorted(
+        day.groupBy("day").agg(F.sum("nd").alias("day_nd")).collect(),
+        key=lambda r: r["day"],
+    )
+    offsets, acc = [], 0
+    for r in day_nets:
+        offsets.append((r["day"], acc))
+        acc += r["day_nd"]
+    off_df = spark.createDataFrame(
+        offsets, T.StructType([
+            T.StructField("day", day.schema["day"].dataType),
+            T.StructField("day_offset", T.LongType()),
+        ])
+    )
+    wday = Window.partitionBy("day").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lvl = (
+        day.join(F.broadcast(off_df), "day")
+        .select(
+            "ts",
+            (F.sum("nd").over(wday) + F.col("day_offset")).alias("level"),
+        )
+    )
+    return (
+        lvl.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.max("level").cast("bigint").alias("max_concurrent"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment join: every micro-batch of events joins the
+# static customer dimension (stateless — no watermark, no state store;
+# the static side broadcasts per batch), appends enriched rows, and the
+# segment-level report aggregates the sink. The oracle is the batch
+# join + aggregate, so the hash gate proves micro-batched enrichment
+# loses/duplicates nothing.
+# ---------------------------------------------------------------------------
+_ENRICH_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "stream_static_enrichment",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = tempfile.mkdtemp(prefix="ctc_enrich_q_")
+    src, out, ck = f"{work}/src", f"{work}/out", f"{work}/ck"
+    try:
+        _events(spark, sf_dir).select(
+            "event_id", "ts", "user_id", "value"
+        ).write.parquet(src)
+        dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+        stream = (
+            spark.readStream.schema(_ENRICH_SCHEMA)
+            .option("maxFilesPerTrigger", "16")
+            .parquet(src)
+        )
+        enriched = stream.join(
+            F.broadcast(dim), stream.user_id == dim.c_custkey
+        ).select("event_id", "value", "c_mktsegment")
+        (
+            enriched.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        result = (
+            spark.read.parquet(out)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("value_sum"),
+            )
+        )
+        rows = result.collect()
+        out_df = spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out_df
+
+
+# ---------------------------------------------------------------------------
+# Partition-pruned scan over a Hive-partitioned layout. The layout write
+# happens once per (session, sf_dir) — mirroring production, where the
+# table is laid out at ingest and every subsequent month-filtered query
+# opens ONLY the matching partition directory (PartitionFilters in the
+# scan; pinned by test_round6d_ops). Directory-level pruning is coarser
+# than parquet row-group stats but prunes at file-listing time — no
+# footer is even read for excluded months.
+# ---------------------------------------------------------------------------
+_PARTITIONED_LAYOUT_CACHE: dict = {}
+
+
+def partitioned_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    path = _PARTITIONED_LAYOUT_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ctc_partlayout_") + "/lineitem_by_month"
+        (
+            _t(spark, sf_dir, "lineitem")
+            .withColumn("ship_month", F.month("l_shipdate"))
+            .repartition("ship_month")
+            .write.partitionBy("ship_month")
+            .parquet(path)
+        )
+        _PARTITIONED_LAYOUT_CACHE[key] = path
+    return path
+
+
+@register(
+    "partitioned_scan_prune",
+    oracle="""
+    SELECT count(*) AS cnt,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS price_sum
+    FROM lineitem WHERE month(l_shipdate) = 3
+    """,
+)
+def q_partitioned_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = partitioned_lineitem_path(spark, sf_dir)
+    return (
+        spark.read.parquet(path)
+        .where(F.col("ship_month") == 3)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("price_sum"),
+        )
+    )
