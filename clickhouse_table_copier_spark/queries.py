@@ -58,7 +58,9 @@ def register(name: str, oracle: str | None = None):
 # r03 rows and unchanged fingerprints.
 _DRIVER_WINDOW_FIRST = [
     # --- round-6 window, evidence-derived (registry_evidence.must_front) ---
-    # never driver-verified: the new round-6 queries (6, 6b, 6c, 6d batches)
+    # never driver-verified: the new round-6 queries (6, 6b-6e batches)
+    "flag_month_unpivot",
+    "source_lang_chi2",
     "concurrent_sessions_curve",
     "stream_static_enrichment",
     "partitioned_scan_prune",
@@ -113,14 +115,13 @@ _DRIVER_WINDOW_FIRST = [
     "filtered_row_count",
     "fk_integrity_audit",
     "ipv4_roundtrip",
-    "ipv6_canon",
-    "local_supplier_volume",
-    # (15 more r03-green carryovers — order_value_percentiles,
+    # (17 more r03-green carryovers — ipv6_canon, local_supplier_volume,
+    # order_value_percentiles,
     # part_type_revenue, partition_diff, partition_fingerprints,
     # partition_stats, pii_redaction, quality_weighted_sample,
     # readable_partition_sizes, schema_align, semantic_dedup,
     # seq_packing, sketch_*_bounds, sql_frontend_revenue,
-    # table_fingerprint — bumped out by the round-6b/6c/6d batches; all
+    # table_fingerprint — bumped out by the round-6b…6e batches; all
     # carry green r03 rows and unchanged fingerprints, cycle back next
     # round)
 ]
