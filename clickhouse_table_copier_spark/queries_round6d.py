@@ -121,7 +121,12 @@ def q_concurrent_sessions_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     net = deltas.groupBy("ts").agg(F.sum("d").alias("nd"))
-    day = net.withColumn("day", F.date_trunc("day", "ts"))
+    # two consumers (the day-offset collect and the final curve) share
+    # the sessionize→deltas→net lineage; checkpoint it so the window
+    # stages run ONCE (same mechanism as the label-propagation loop)
+    day = net.withColumn("day", F.date_trunc("day", "ts")).localCheckpoint(
+        eager=True
+    )
     # day-level nets: one row per calendar day — metadata-sized at any
     # SF (bounded by time span, not data volume); offsets via driver
     # cumsum, the same justified pattern as equi-depth's bucket counts

@@ -26,6 +26,8 @@ NEW = [
     "concurrent_sessions_curve",
     "stream_static_enrichment",
     "partitioned_scan_prune",
+    "flag_month_unpivot",
+    "source_lang_chi2",
 ]
 
 
