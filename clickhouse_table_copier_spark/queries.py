@@ -58,7 +58,8 @@ def register(name: str, oracle: str | None = None):
 # r03 rows and unchanged fingerprints.
 _DRIVER_WINDOW_FIRST = [
     # --- round-6 window, evidence-derived (registry_evidence.must_front) ---
-    # never driver-verified: the new round-6 queries (6, 6b-6e batches)
+    # never driver-verified: the new round-6 queries (6, 6b-6f batches)
+    "schema_evolution_read",
     "flag_month_unpivot",
     "source_lang_chi2",
     "concurrent_sessions_curve",
@@ -114,8 +115,8 @@ _DRIVER_WINDOW_FIRST = [
     "dq_expectations",
     "filtered_row_count",
     "fk_integrity_audit",
-    "ipv4_roundtrip",
-    # (17 more r03-green carryovers — ipv6_canon, local_supplier_volume,
+    # (18 more r03-green carryovers — ipv4_roundtrip, ipv6_canon,
+    # local_supplier_volume,
     # order_value_percentiles,
     # part_type_revenue, partition_diff, partition_fingerprints,
     # partition_stats, pii_redaction, quality_weighted_sample,
