@@ -104,27 +104,29 @@ _DRIVER_WINDOW_FIRST = [
     "doc_dup_ngram_fraction",
     "cluster_safe_split",
     "streaming_sessions",
+    # fingerprint-stale from the round-6 broadcast-hint policy sweep
+    # (SF-linear sides de-hinted, strategy left to Catalyst/AQE):
+    "orders_by_nation",
+    "local_supplier_volume",
+    "part_type_revenue",
+    "nation_pair_trade",
+    "small_quantity_revenue",
     # carryover fill: unchanged fingerprints, oldest last-green (r03) first
     "ann_pq_adc",
     "array_string_ops",
     "bm25_rank",
     "corpus_dedup_summary",
     "decontamination",
-    "doc_chunking",
-    "doc_winnowing",
-    "dq_expectations",
-    "filtered_row_count",
-    "fk_integrity_audit",
-    # (18 more r03-green carryovers — ipv4_roundtrip, ipv6_canon,
-    # local_supplier_volume,
-    # order_value_percentiles,
-    # part_type_revenue, partition_diff, partition_fingerprints,
+    # (21 more r03-green carryovers — doc_chunking, doc_winnowing,
+    # dq_expectations, filtered_row_count, fk_integrity_audit,
+    # ipv4_roundtrip, ipv6_canon, order_value_percentiles,
+    # partition_diff, partition_fingerprints,
     # partition_stats, pii_redaction, quality_weighted_sample,
     # readable_partition_sizes, schema_align, semantic_dedup,
     # seq_packing, sketch_*_bounds, sql_frontend_revenue,
-    # table_fingerprint — bumped out by the round-6b…6e batches; all
-    # carry green r03 rows and unchanged fingerprints, cycle back next
-    # round)
+    # table_fingerprint — bumped out by the round-6b…6f batches and the
+    # hint-policy sweep; all carry green r03 rows and unchanged
+    # fingerprints, cycle back next round)
 ]
 
 

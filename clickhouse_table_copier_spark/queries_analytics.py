@@ -80,8 +80,10 @@ def q_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     return (
+        # customer scales with SF — no broadcast hint; Catalyst/AQE
+        # broadcast it at test scale and shuffle it on a cluster
         orders.join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            customer.select("c_custkey", "c_nationkey"),
             orders.o_custkey == F.col("c_custkey"),
         )
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)

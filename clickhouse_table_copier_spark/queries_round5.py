@@ -804,8 +804,9 @@ def q_nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # customer/supplier scale with SF — strategy left to Catalyst/AQE
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
         .where(F.col("s_nk") != F.col("c_nk"))
@@ -1168,9 +1169,11 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("qty_cnt"),
     )
     small = (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        # part and the per-part stats both scale with SF — no broadcast
+        # hints; at cluster scale this is the classic partkey co-shuffle
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .join(
-            F.broadcast(pavg.withColumnRenamed("l_partkey", "a_partkey")),
+            pavg.withColumnRenamed("l_partkey", "a_partkey"),
             F.col("a_partkey") == F.col("l_partkey"),
         )
         .where(

@@ -98,8 +98,9 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.col("l_discount").cast("decimal(18,2)")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        # the filtered BUILDING customer-key set is dimension-sized
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # the BUILDING key set is SF-linear (1/5 of customers) — its
+        # join strategy is left to Catalyst/AQE
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(price * (F.lit(1) - disc)).alias("rev"))
         .select(
@@ -685,8 +686,9 @@ def q_nation_type_revenue_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,2)")
     cells = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # part/supplier scale with SF — strategy left to Catalyst/AQE
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.col("p_type").alias("ptype"))
         .agg(F.sum(price * (F.lit(1) - disc)).alias("rev"))
