@@ -218,40 +218,43 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def bucketed_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Write both sides bucketed on the join key, return the joined agg.
+    """Write both sides bucketed on the join key (via the round-4
+    ``operators.bucketing`` layout primitives), return the joined agg.
 
     Exposed separately so the plan test can assert the no-Exchange
     property on the same frame the registered query materializes.
     """
-    work = tempfile.mkdtemp(prefix="ctc_bucketed_")
+    from clickhouse_table_copier_spark.operators.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
     # repartition to the bucket count first so each side writes exactly
     # one file per bucket instead of input-splits × buckets
-    (
-        li.repartition(_BUCKETS, "l_orderkey")
-        .write.bucketBy(_BUCKETS, "l_orderkey")
-        .sortBy("l_orderkey")
-        .option("path", f"{work}/lineitem_b")
-        .mode("overwrite")
-        .saveAsTable("ctc_bucketed_lineitem")
+    write_bucketed(
+        li.repartition(_BUCKETS, "l_orderkey"),
+        "ctc_bucketed_lineitem",
+        "l_orderkey",
+        n_buckets=_BUCKETS,
     )
-    (
-        orders.repartition(_BUCKETS, "o_orderkey")
-        .write.bucketBy(_BUCKETS, "o_orderkey")
-        .sortBy("o_orderkey")
-        .option("path", f"{work}/orders_b")
-        .mode("overwrite")
-        .saveAsTable("ctc_bucketed_orders")
+    write_bucketed(
+        orders.repartition(_BUCKETS, "l_orderkey"),
+        "ctc_bucketed_orders",
+        "l_orderkey",
+        n_buckets=_BUCKETS,
     )
-    lb = spark.table("ctc_bucketed_lineitem")
-    ob = spark.table("ctc_bucketed_orders")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,2)")
     return (
-        lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        bucketed_join(
+            spark, "ctc_bucketed_lineitem", "ctc_bucketed_orders", "l_orderkey"
+        )
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("line_cnt"),
@@ -261,16 +264,6 @@ def bucketed_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def drop_bucketed_tables(spark: SparkSession) -> None:
+    # managed tables: DROP removes the warehouse files too
     for t in ("ctc_bucketed_lineitem", "ctc_bucketed_orders"):
-        loc = None
-        try:
-            loc = (
-                spark.sql(f"DESCRIBE TABLE EXTENDED {t}")
-                .where(F.col("col_name") == "Location")
-                .collect()
-            )
-        except Exception:
-            pass
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        if loc:
-            shutil.rmtree(loc[0]["data_type"].removeprefix("file:"), ignore_errors=True)
