@@ -106,6 +106,14 @@ EXTENDED = [
     "idle_customer_balances",
     "similarity_triangle_count",
     "vocab_frequency_spectrum",
+    "concurrent_sessions_curve",
+    "partitioned_scan_prune",
+    "flag_month_unpivot",
+    "source_lang_chi2",
+    "schema_evolution_read",
+    # stream_static_enrichment excluded: per-call source copy + a
+    # checkpointed streaming job — scaffolding-dominated like
+    # streaming_sessions below
     # streaming_dedup_survivors excluded: per-call source copy + two
     # checkpointed streaming runs — scaffolding-dominated like
     # streaming_sessions below
