@@ -38,6 +38,7 @@ import clickhouse_table_copier_spark.queries_round6c  # noqa: E402,F401
 import clickhouse_table_copier_spark.queries_round6d  # noqa: E402,F401
 import clickhouse_table_copier_spark.queries_round6e  # noqa: E402,F401
 import clickhouse_table_copier_spark.queries_round6f  # noqa: E402,F401
+import clickhouse_table_copier_spark.queries_round6g  # noqa: E402,F401
 
 
 def entry(spark: SparkSession) -> DataFrame:

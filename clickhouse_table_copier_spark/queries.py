@@ -58,7 +58,8 @@ def register(name: str, oracle: str | None = None):
 # r03 rows and unchanged fingerprints.
 _DRIVER_WINDOW_FIRST = [
     # --- round-6 window, evidence-derived (registry_evidence.must_front) ---
-    # never driver-verified: the new round-6 queries (6, 6b-6f batches)
+    # never driver-verified: the new round-6 queries (6, 6b-6g batches)
+    "snapshot_changelog",
     "schema_evolution_read",
     "flag_month_unpivot",
     "source_lang_chi2",
@@ -116,8 +117,8 @@ _DRIVER_WINDOW_FIRST = [
     "array_string_ops",
     "bm25_rank",
     "corpus_dedup_summary",
-    "decontamination",
-    # (21 more r03-green carryovers — doc_chunking, doc_winnowing,
+    # (22 more r03-green carryovers — decontamination, doc_chunking,
+    # doc_winnowing,
     # dq_expectations, filtered_row_count, fk_integrity_audit,
     # ipv4_roundtrip, ipv6_canon, order_value_percentiles,
     # partition_diff, partition_fingerprints,
