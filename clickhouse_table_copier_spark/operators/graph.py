@@ -1,0 +1,79 @@
+"""Triangle enumeration over an undirected edge list.
+
+Per-node triangle participation counts via the oriented-wedge join
+(Schank & Wagner 2005 / Cohen's MapReduce formulation): orient every
+edge from its "smaller" endpoint to its "larger" one under a total
+order, build wedges by self-joining out-edges on their source, and
+close each wedge against the oriented edge set. Each triangle has
+exactly one node with two out-edges under ANY total order, so it is
+counted exactly once — two equi-joins, never a cartesian.
+
+Two orderings:
+
+- ``orient="id"`` — order by vertex id. Correct, but a hub vertex with
+  degree d contributes O(d²) wedges if its id is small.
+- ``orient="degree"`` (default) — order by (degree, id). Out-degrees
+  are then bounded by O(√m) on any graph (the arboricity argument), so
+  wedge fan-out is O(m^1.5) worst-case REGARDLESS of hubs — the form
+  that survives a social-graph-shaped corpus at 100 TB. Costs one extra
+  degree aggregation + broadcast-join of the degree table.
+
+Both produce identical triangles; tests assert the equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def triangles_per_node(pairs: DataFrame, orient: str = "degree") -> DataFrame:
+    """Per-node triangle counts for an undirected, deduplicated edge
+    list with columns ``id_a < id_b``. Returns (doc_id, n_triangles)
+    for every node in at least one triangle."""
+    if orient == "id":
+        e = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    elif orient == "degree":
+        deg = (
+            pairs.select(F.col("id_a").alias("n"))
+            .unionAll(pairs.select(F.col("id_b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        da = deg.select(F.col("n").alias("id_a"), F.col("d").alias("da"))
+        db = deg.select(F.col("n").alias("id_b"), F.col("d").alias("db"))
+        # the degree table is node-sized (SF-linear) — join strategy is
+        # left to Catalyst/AQE per the engine's broadcast-hint policy
+        withdeg = pairs.join(da, "id_a").join(db, "id_b")
+        a_first = (F.col("da") < F.col("db")) | (
+            (F.col("da") == F.col("db")) & (F.col("id_a") < F.col("id_b"))
+        )
+        e = withdeg.select(
+            F.when(a_first, F.col("id_a")).otherwise(F.col("id_b")).alias("u"),
+            F.when(a_first, F.col("id_b")).otherwise(F.col("id_a")).alias("v"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        )
+    else:
+        raise ValueError(f"unknown orientation: {orient!r}")
+
+    if orient == "id":
+        # wedge (u; v1 < v2) closed by oriented edge v1→v2
+        e1 = e.select(F.col("u"), F.col("v").alias("v1"))
+        e2 = e.select(F.col("u"), F.col("v").alias("v2"))
+        wedges = e1.join(e2, "u").where(F.col("v1") < F.col("v2"))
+        closer = e.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    else:
+        # order among out-neighbors follows the same (degree, id) order
+        e1 = e.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
+        e2 = e.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
+        wedges = e1.join(e2, "u").where(
+            (F.col("d1") < F.col("d2"))
+            | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+        )
+        closer = e.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(closer, ["v1", "v2"]).select("u", "v1", "v2")
+    return (
+        tri.select(F.explode(F.array("u", "v1", "v2")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

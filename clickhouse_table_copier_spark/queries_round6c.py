@@ -32,15 +32,15 @@ from clickhouse_table_copier_spark.queries_round6 import _norm_tokens, _NORM_SQL
 
 
 # ---------------------------------------------------------------------------
-# Triangle count per node over the jaccard-pairs graph. Edges arrive
-# id-ordered (id_a < id_b) from the shared verified-pairs table, so the
-# classic two-join enumeration (e1=(a,b), e2=(b,c), e3=(a,c)) counts
-# each triangle exactly once — two equi-joins on edge endpoints, never a
-# cartesian. At 100 TB the standard refinement is to orient edges by
-# DEGREE instead of id (bounds the join fan-out by arboricity); on a
-# near-dup graph — bounded components by construction — id-orientation
-# already keeps the fan-out small, and the shared pairs table means no
-# shingle work is redone here.
+# Triangle count per node over the jaccard-pairs graph, via the
+# DEGREE-ORIENTED wedge join (operators/graph.py): edges are directed
+# from their (degree, id)-smaller endpoint, so out-degrees — and hence
+# the wedge join's fan-out — are bounded by O(√m) even if a hub vertex
+# appears (the arboricity argument). The id-oriented variant is kept in
+# the operator and proven equal by test; the oracle enumerates
+# triangles directly from the undirected pair list, so the driver hash
+# also proves orientation-invariance. Shares the persisted pairs table —
+# no shingle work is redone here.
 # ---------------------------------------------------------------------------
 def _triangle_oracle() -> str:
     from clickhouse_table_copier_spark.queries_pipeline import _JACCARD_PAIRS_SQL
@@ -61,28 +61,11 @@ def _triangle_oracle() -> str:
 
 @register("similarity_triangle_count", oracle=_triangle_oracle())
 def q_similarity_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.graph import triangles_per_node
     from clickhouse_table_copier_spark.queries_pipeline import _shared_jaccard_pairs
 
     pairs = _shared_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
-    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.id_b") == F.col("e2.id_a"))
-        .join(
-            e3,
-            (F.col("e3.id_a") == F.col("e1.id_a"))
-            & (F.col("e3.id_b") == F.col("e2.id_b")),
-        )
-        .select(
-            F.col("e1.id_a").alias("a"),
-            F.col("e1.id_b").alias("b"),
-            F.col("e2.id_b").alias("c"),
-        )
-    )
-    return (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
+    return triangles_per_node(pairs, orient="degree")
 
 
 # ---------------------------------------------------------------------------

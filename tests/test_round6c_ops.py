@@ -97,6 +97,44 @@ def test_triangle_count_matches_bruteforce(spark):
     assert got == want
 
 
+def test_triangle_orientations_agree_and_hub_graph_exact(spark):
+    """id- and degree-oriented enumerations must produce identical
+    per-node counts — on the fixture graph AND on a planted hub graph
+    (a wheel: hub h connected to a cycle of 12 rim nodes → every rim
+    node is in exactly 2 triangles with the hub, the hub in 12)."""
+    from clickhouse_table_copier_spark.operators.graph import triangles_per_node
+    from clickhouse_table_copier_spark.queries_pipeline import _shared_jaccard_pairs
+
+    pairs = _shared_jaccard_pairs(spark, SF_SMOKE).select("id_a", "id_b")
+    by_id = {
+        r["doc_id"]: r["n_triangles"]
+        for r in triangles_per_node(pairs, orient="id").collect()
+    }
+    by_deg = {
+        r["doc_id"]: r["n_triangles"]
+        for r in triangles_per_node(pairs, orient="degree").collect()
+    }
+    assert by_id == by_deg
+
+    hub, rim = 0, list(range(1, 13))
+    edges = [(min(hub, r), max(hub, r)) for r in rim] + [
+        (min(a, b), max(a, b))
+        for a, b in zip(rim, rim[1:] + rim[:1])
+    ]
+    wheel = spark.createDataFrame(sorted(set(edges)), "id_a BIGINT, id_b BIGINT")
+    got = {
+        r["doc_id"]: r["n_triangles"]
+        for r in triangles_per_node(wheel, orient="degree").collect()
+    }
+    want = {hub: 12, **{r: 2 for r in rim}}
+    assert got == want
+    got_id = {
+        r["doc_id"]: r["n_triangles"]
+        for r in triangles_per_node(wheel, orient="id").collect()
+    }
+    assert got_id == want
+
+
 def test_streaming_dedup_drops_cross_run_duplicates(spark, tmp_path):
     """Every exact copy is ingested in run 2 while its original was seen
     in run 1 — survivors of run 2 must be exactly the modified near-dups,
