@@ -39,6 +39,7 @@ import clickhouse_table_copier_spark.queries_round6d  # noqa: E402,F401
 import clickhouse_table_copier_spark.queries_round6e  # noqa: E402,F401
 import clickhouse_table_copier_spark.queries_round6f  # noqa: E402,F401
 import clickhouse_table_copier_spark.queries_round6g  # noqa: E402,F401
+import clickhouse_table_copier_spark.queries_round6h  # noqa: E402,F401
 
 
 def entry(spark: SparkSession) -> DataFrame:

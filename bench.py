@@ -111,6 +111,11 @@ EXTENDED = [
     "flag_month_unpivot",
     "source_lang_chi2",
     "schema_evolution_read",
+    # round-6h: the last four classic TPC-H shapes
+    "forecast_revenue_change",
+    "returned_item_revenue",
+    "important_part_value",
+    "min_cost_supplier",
     # stream_static_enrichment excluded: per-call source copy + a
     # checkpointed streaming job — scaffolding-dominated like
     # streaming_sessions below

@@ -112,12 +112,17 @@ _DRIVER_WINDOW_FIRST = [
     "part_type_revenue",
     "nation_pair_trade",
     "small_quantity_revenue",
-    # carryover fill: unchanged fingerprints, oldest last-green (r03) first
-    "ann_pq_adc",
-    "array_string_ops",
-    "bm25_rank",
-    "corpus_dedup_summary",
-    # (22 more r03-green carryovers — decontamination, doc_chunking,
+    # round-6h additions (never driver-verified): the last four classic
+    # TPC-H shapes — these take the final 4 window slots, displacing the
+    # r03-green carryover fill (ann_pq_adc, array_string_ops, bm25_rank,
+    # corpus_dedup_summary cycle back next round; all have unchanged
+    # fingerprints and green r03 rows)
+    "forecast_revenue_change",
+    "returned_item_revenue",
+    "important_part_value",
+    "min_cost_supplier",
+    # (26 r03-green carryovers — ann_pq_adc, array_string_ops, bm25_rank,
+    # corpus_dedup_summary, decontamination, doc_chunking,
     # doc_winnowing,
     # dq_expectations, filtered_row_count, fk_integrity_audit,
     # ipv4_roundtrip, ipv6_canon, order_value_percentiles,

@@ -1,0 +1,311 @@
+"""Query batch: round-6h — the last four classic TPC-H join/agg shapes.
+
+Completes the adapted TPC-H sweep started in rounds 5-6 (Q1/Q3/Q4/Q5/Q7/
+Q8/Q9/Q13/Q15/Q16/Q17/Q18/Q19/Q21/Q22 already registered). The fixture
+has no ``partsupp`` table and no comment/shipmode columns, so Q2/Q11 are
+re-anchored on lineitem-derived supply facts and Q6/Q10 on the columns
+that exist; each keeps the *shape* that makes the original query a
+distinct physical-plan exercise:
+
+* Q6  — pure scan-filter-agg; the whole query should collapse into one
+  pushed-down parquet scan plus a two-level partial/final aggregate.
+* Q10 — selective-filter fact join, top-k by revenue (TakeOrdered).
+* Q11 — grouped value vs a GLOBAL-fraction threshold (uncorrelated
+  scalar subquery executed as its own 1-row job, exactly as Spark's
+  ScalarSubquery node would — never a constant-key join, which
+  constant-folds into a banned nested-loop join).
+* Q2  — argmin-per-group with join-back semantics, done as a
+  *partitioned* window min (one shuffle, no second fact scan, no global
+  sort).
+
+Cross-engine determinism: revenue sums go through DECIMAL(18,2) (exact,
+associative); unit-cost division stays in DOUBLE, where both engines
+perform the identical IEEE-754 operation on identical parquet bits, so
+equality joins and strict comparisons agree bit-for-bit. Discount-band
+bounds use midpoints (0.045/0.075) between the fixture's 0.01-step
+domain values so representability of the band edges cannot matter.
+
+Reference parity: the Go reference (clickhouse-table-copier) executes no
+analytics itself — these shapes cover the query surface its ClickHouse
+targets serve (internal/clickhouse/queries.go generates only
+metadata SQL); they are part of this engine's analytics superset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clickhouse_table_copier_spark.queries import _t, register
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: forecast revenue change. No join at all — the value of
+# the query as a plan exercise is that EVERY predicate (ship-year range,
+# discount band, quantity cap) must reach the parquet scan as a pushed
+# filter and only 3 columns may be read; test_round6h_q6_scan_pushdown
+# pins both. At 100 TB this is the canonical "scan-bound" query: with
+# lineitem partitioned by ship month the year range prunes ~88% of files
+# before any row is read, and the aggregate is a two-level partial/final
+# HashAggregate producing exactly one row per task then one row total.
+# ---------------------------------------------------------------------------
+@register(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue_delta,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount > 0.045 AND l_discount < 0.075
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= lo)
+        & (F.col("l_shipdate") < hi)
+        & (F.col("l_discount") > 0.045)
+        & (F.col("l_discount") < 0.075)
+        & (F.col("l_quantity") < 24)
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return li.agg(
+        F.sum(price * disc).cast("double").alias("revenue_delta"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item reporting. The selective conjunction
+# (one quarter AND l_returnflag='R') lands on the FACT side before the
+# joins; customer/nation are dimension joins. Top-20 goes through
+# TakeOrderedAndProject (per-partition heap + driver merge of 20-row
+# partials — no global sort at any scale). LIMIT determinism: ordered by
+# the EXACT decimal revenue first, then the unique customer key, so equal
+# revenues cannot reorder across engines.
+# ---------------------------------------------------------------------------
+@register(
+    "returned_item_revenue",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                 (1 - CAST(l.l_discount AS DECIMAL(18,2)))) DESC,
+             c.c_custkey
+    LIMIT 20
+    """,
+)
+def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp_ntz")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        # customer is SF-linear: strategy left to Catalyst/AQE (round-6
+        # hint policy); nation is a true fixed-size dim -> broadcast
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(price * (F.lit(1) - disc)).alias("rev"))
+        .orderBy(F.desc("rev"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("rev").cast("double").alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: grouped value vs a global-fraction threshold. The
+# fixture has no partsupp, so "stock value" is re-anchored as the exact
+# decimal sum of extended price per part over lines shipped by NATION_7
+# suppliers. The classic trap is the scalar subquery: a constant-key
+# join-back gets its equi-condition constant-folded away and re-plans as
+# a BroadcastNestedLoopJoin (banned by the repo's no-cartesian guard —
+# observed, not hypothetical), so the global total is executed exactly
+# the way Spark executes an uncorrelated ScalarSubquery: as its own
+# 1-row job, whose scalar then parameterizes the main plan as a literal.
+# The collect is one DOUBLE — metadata-sized at any data scale. The
+# part-value lineage is evaluated twice (rows + total) — at production
+# scale persist `pv`; both passes are the same map-side-combined
+# aggregate, never a widened shuffle. Threshold compare happens in
+# DOUBLE on both engines after EXACT decimal sums, so the verdict set is
+# bit-deterministic.
+# ---------------------------------------------------------------------------
+@register(
+    "important_part_value",
+    oracle="""
+    WITH pv AS (
+      SELECT l.l_partkey,
+             sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS value
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_7'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, CAST(value AS DOUBLE) AS part_value
+    FROM pv
+    WHERE CAST(value AS DOUBLE) >
+          (SELECT CAST(sum(value) AS DOUBLE) * 0.001 FROM pv)
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    pv = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("value"))
+    )
+    # 1-row global total executed as its own job — the DataFrame-API
+    # equivalent of Spark's uncorrelated ScalarSubquery (see docstring)
+    threshold = pv.agg(
+        (F.sum("value").cast("double") * F.lit(0.001)).alias("threshold")
+    ).collect()[0]["threshold"]
+    return (
+        pv.where(F.col("value").cast("double") > F.lit(threshold))
+        .select(
+            "l_partkey",
+            F.col("value").cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape: minimum-cost supplier per part. Without partsupp the
+# per-(part, supplier) offer price is derived from lineitem history:
+# min unit price ever shipped (extendedprice/quantity in DOUBLE — the
+# identical IEEE division on identical parquet bits in both engines).
+# The argmin-with-ties join-back is done as a window MIN partitioned by
+# part (one shuffle on l_partkey, no second fact scan, no global sort —
+# guard-clean), then filtered to rows equal to their partition minimum;
+# ties keep every qualifying supplier, ordered deterministically. The
+# EUROPE region restriction lands on the supplier dimension BEFORE the
+# fact join; part p_size=25 is a broadcast-joined dim filter.
+# ---------------------------------------------------------------------------
+@register(
+    "min_cost_supplier",
+    oracle="""
+    WITH offers AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             min(l.l_extendedprice / l.l_quantity) AS unit_cost
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+      GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    ranked AS (
+      SELECT o.*, min(unit_cost) OVER (PARTITION BY l_partkey) AS best
+      FROM offers o
+    )
+    SELECT p.p_partkey, p.p_name, r.l_suppkey AS s_suppkey,
+           s.s_name, s.s_acctbal, n.n_name,
+           r.unit_cost
+    FROM ranked r
+    JOIN part p     ON r.l_partkey = p.p_partkey
+    JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE r.unit_cost = r.best AND p.p_size = 25
+    ORDER BY r.unit_cost, p.p_partkey, r.l_suppkey
+    """,
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    euro_nations = F.broadcast(
+        nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        ).select("n_nationkey", "n_name")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(euro_nations, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    offers = (
+        li.join(
+            # ~1/5 of suppliers: a true small dim (fixed region fraction),
+            # but SF-linear — strategy left to Catalyst/AQE
+            supp.select("s_suppkey"),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = F.min("unit_cost").over(Window.partitionBy("l_partkey"))
+    winners = offers.withColumn("best", best).where(
+        F.col("unit_cost") == F.col("best")
+    )
+    part = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_size") == 25)
+        .select("p_partkey", "p_name")
+    )
+    return (
+        winners.join(part, winners.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), winners.l_suppkey == supp.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            "s_acctbal",
+            "n_name",
+            "unit_cost",
+        )
+        .orderBy(F.asc("unit_cost"), F.asc("p_partkey"), F.asc("s_suppkey"))
+    )
