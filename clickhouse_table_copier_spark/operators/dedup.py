@@ -483,23 +483,27 @@ def simhash_near_pairs(
     ).select("id_a", "id_b", "hamming")
 
 
-def repeated_span_pairs(
+def repeated_span_runs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     k: int = 4,
-    min_run: int = 2,
     max_df: int | None = 256,
 ) -> DataFrame:
-    """Cross-document repeated SPANS: maximal runs of consecutive shared
-    word k-grams between document pairs — the substring-level dedup signal
-    (Lee et al., "Deduplicating Training Data Makes Language Models
-    Better") that set-based MinHash/Jaccard can't see, because a long
-    verbatim quotation inside two otherwise-different documents barely
-    moves set similarity.
+    """UN-thresholded shared-run table feeding :func:`repeated_span_pairs`:
+    one row per maximal run of consecutive shared word k-grams between a
+    document pair — ``(id_a, id_b, run_len)`` down to run_len = 1.
 
-    Distributed gaps-and-islands formulation (never all-pairs, never a
-    suffix array in one task):
+    Split out so consumers with DIFFERENT run-length thresholds (the
+    span-pair report at min_run=2 and the span-dedup drop set at
+    min_run=7 both register as queries) can share ONE persisted
+    evaluation of the expensive upstream — normalize → gram hash →
+    inverted-index self-join → gaps-and-islands — instead of running it
+    twice; filtering a run table by length is free, rebuilding it is the
+    whole cost. Same sharing pattern as the jaccard-pairs artifact
+    (queries_pipeline._shared_jaccard_pairs).
+
+    Pipeline (never all-pairs, never a suffix array in one task):
 
     1. explode word positions; hash each k-gram (md5-derived, so the
        oracle reproduces it — collisions affect both engines identically);
@@ -515,11 +519,7 @@ def repeated_span_pairs(
        sliver that AQE broadcast-joins;
     3. matches on the same pair at the same positional offset
        (``pos_a − pos_b``) are consecutive iff ``pos_a − row_number()`` is
-       constant — one window PARTITIONED BY (pair, offset), no global sort;
-    4. runs of ≥ ``min_run`` grams are spans of ``k + run − 1`` words.
-
-    Output: (id_a, id_b, longest_span_words, n_spans) per pair with at
-    least one qualifying span.
+       constant — one window PARTITIONED BY (pair, offset), no global sort.
     """
     from pyspark.sql import Window
 
@@ -568,11 +568,41 @@ def repeated_span_pairs(
     )
     wrun = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
     runs = matches.withColumn("grp", F.col("pa") - F.row_number().over(wrun))
-    spans = (
+    return (
         runs.groupBy("id_a", "id_b", "diag", "grp")
         .agg(F.count(F.lit(1)).alias("run_len"))
-        .where(F.col("run_len") >= min_run)
+        .select("id_a", "id_b", "run_len")
     )
+
+
+def repeated_span_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    min_run: int = 2,
+    max_df: int | None = 256,
+    runs: DataFrame | None = None,
+) -> DataFrame:
+    """Cross-document repeated SPANS: maximal runs of consecutive shared
+    word k-grams between document pairs — the substring-level dedup signal
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better") that set-based MinHash/Jaccard can't see, because a long
+    verbatim quotation inside two otherwise-different documents barely
+    moves set similarity.
+
+    The heavy lifting (and the scale story) lives in
+    :func:`repeated_span_runs`; this thresholds runs of ≥ ``min_run``
+    grams — spans of ``k + run − 1`` words — and aggregates per pair.
+    Pass a precomputed/persisted ``runs`` frame (built with the same
+    ``k``/``max_df``) to share that upstream across thresholds.
+
+    Output: (id_a, id_b, longest_span_words, n_spans) per pair with at
+    least one qualifying span.
+    """
+    if runs is None:
+        runs = repeated_span_runs(df, id_col, text_col, k=k, max_df=max_df)
+    spans = runs.where(F.col("run_len") >= min_run)
     return spans.groupBy("id_a", "id_b").agg(
         (F.max("run_len") + k - 1).cast("bigint").alias("longest_span_words"),
         F.count(F.lit(1)).cast("bigint").alias("n_spans"),

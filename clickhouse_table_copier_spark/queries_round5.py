@@ -25,6 +25,28 @@ from clickhouse_table_copier_spark.queries import _t, register
 SPAN_K = 4
 SPAN_MIN_RUN = 2
 
+# Shared span-runs artifact: cross_doc_spans (min_run=2) and
+# span_dedup_survivors (min_run=7) both consume repeated_span_runs — the
+# normalize → gram-hash → inverted-index join → gaps-and-islands pipeline
+# that dominates both queries. Persist it once per (session, sf_dir) and
+# let each query apply its own threshold; same LRU pattern (and fingerprint
+# exclusion via the *_CACHE suffix) as the jaccard-pairs artifact.
+_SPAN_RUNS_CACHE: dict = {}
+
+
+def _shared_span_runs(spark: SparkSession, sf_dir: str):
+    from clickhouse_table_copier_spark.operators.dedup import repeated_span_runs
+    from clickhouse_table_copier_spark.queries_pipeline import _cache_get
+
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), SPAN_K)
+    return _cache_get(
+        _SPAN_RUNS_CACHE,
+        key,
+        lambda: repeated_span_runs(
+            _t(spark, sf_dir, "documents"), "doc_id", "text", k=SPAN_K
+        ),
+    )
+
 _NORM_SQL = (
     "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', '', 'g'),"
     " '\\s+', ' ', 'g'))"
@@ -83,7 +105,12 @@ def q_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return repeated_span_pairs(
-        docs, "doc_id", "text", k=SPAN_K, min_run=SPAN_MIN_RUN
+        docs,
+        "doc_id",
+        "text",
+        k=SPAN_K,
+        min_run=SPAN_MIN_RUN,
+        runs=_shared_span_runs(spark, sf_dir),
     )
 
 
@@ -594,7 +621,12 @@ def q_span_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     pairs = repeated_span_pairs(
-        docs, "doc_id", "text", k=SPAN_K, min_run=SPAN_DROP_WORDS - SPAN_K + 1
+        docs,
+        "doc_id",
+        "text",
+        k=SPAN_K,
+        min_run=SPAN_DROP_WORDS - SPAN_K + 1,
+        runs=_shared_span_runs(spark, sf_dir),
     )
     drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     survivors = docs.join(drops, "doc_id", "left_anti")

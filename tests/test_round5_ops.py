@@ -396,3 +396,42 @@ def test_gemm_topk_partition_invariance_and_exactness(spark):
             continue
         vi = [int(np.floor(x * GEMM_SCALE + 0.5)) for x in all_vecs[vec_id]]
         assert score == sum(a * b for a, b in zip(qi, vi))
+
+
+def test_shared_span_runs_cache_is_reused_and_consistent(spark):
+    """Both span queries consume ONE persisted runs frame per
+    (session, sf_dir): a second _shared_span_runs call returns the same
+    object, and thresholding the shared frame at min_run reproduces
+    repeated_span_pairs built from scratch."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_table_copier_spark.operators.dedup import (
+        repeated_span_pairs,
+    )
+    from clickhouse_table_copier_spark.queries import _t
+    from clickhouse_table_copier_spark.queries_round5 import (
+        SPAN_K,
+        SPAN_MIN_RUN,
+        _shared_span_runs,
+    )
+    from tests.conftest import SF_SMOKE
+
+    runs1 = _shared_span_runs(spark, SF_SMOKE)
+    runs2 = _shared_span_runs(spark, SF_SMOKE)
+    assert runs1 is runs2, "cache must return the SAME persisted frame"
+    assert runs1.storageLevel.useMemory, "runs frame must be persisted"
+
+    docs = _t(spark, SF_SMOKE, "documents")
+    fresh = {
+        (r["id_a"], r["id_b"], r["longest_span_words"], r["n_spans"])
+        for r in repeated_span_pairs(
+            docs, "doc_id", "text", k=SPAN_K, min_run=SPAN_MIN_RUN
+        ).collect()
+    }
+    shared = {
+        (r["id_a"], r["id_b"], r["longest_span_words"], r["n_spans"])
+        for r in repeated_span_pairs(
+            docs, "doc_id", "text", k=SPAN_K, min_run=SPAN_MIN_RUN, runs=runs1
+        ).collect()
+    }
+    assert fresh == shared
