@@ -141,6 +141,28 @@ def _shared_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Connected components over the shared pairs: the iterative label
+# propagation (O(diameter) grouped-agg rounds) is by far the costliest
+# downstream of the pairs artifact, and THREE registered queries need the
+# identical (id, cluster_id) frame — the cluster report, the keep-best
+# survivorship, and the leakage-safe split. One propagation per
+# (session, sf_dir); consumers pay only their own final joins/aggs.
+_DEDUP_CLUSTERS_CACHE: dict = {}
+
+
+def _shared_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.dedup import dedup_clusters
+
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    return _cache_get(
+        _DEDUP_CLUSTERS_CACHE,
+        key,
+        lambda: dedup_clusters(
+            _shared_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup: hash-groupBy on normalized content (md5 keys shuffle, not
 # documents). Duplicate groups only (dup_cnt > 1) to keep output focused.
@@ -303,9 +325,7 @@ _JACCARD_PAIRS_SQL = f"""
     """,
 )
 def q_dedup_clusters_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clickhouse_table_copier_spark.operators.dedup import dedup_clusters
-
-    return dedup_clusters(_shared_jaccard_pairs(spark, sf_dir))
+    return _shared_dedup_clusters(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

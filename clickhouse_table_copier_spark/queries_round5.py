@@ -1082,14 +1082,12 @@ def _cluster_split_oracle() -> str:
 
 @register("cluster_safe_split", oracle=_cluster_split_oracle())
 def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clickhouse_table_copier_spark.operators.dedup import dedup_clusters
     from clickhouse_table_copier_spark.queries_pipeline import (
         _corpus,
-        _shared_jaccard_pairs,
+        _shared_dedup_clusters,
     )
 
-    pairs = _shared_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
-    clusters = dedup_clusters(pairs)
+    clusters = _shared_dedup_clusters(spark, sf_dir)
 
     def bucket(c):
         return F.conv(F.substring(F.md5(c.cast("string")), 1, 2), 16, 10).cast("int")

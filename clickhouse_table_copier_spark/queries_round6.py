@@ -366,14 +366,12 @@ def _keep_best_oracle() -> str:
 
 @register("cluster_keep_best", oracle=_keep_best_oracle())
 def q_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clickhouse_table_copier_spark.operators.dedup import dedup_clusters
     from clickhouse_table_copier_spark.queries_pipeline import (
         _corpus,
-        _shared_jaccard_pairs,
+        _shared_dedup_clusters,
     )
 
-    pairs = _shared_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
-    clusters = dedup_clusters(pairs)
+    clusters = _shared_dedup_clusters(spark, sf_dir)
     vocab = (
         _corpus(spark, sf_dir)
         .select("doc_id", F.explode(_norm_tokens("text")).alias("tok"))
