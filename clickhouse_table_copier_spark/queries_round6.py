@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from clickhouse_table_copier_spark.queries import _events, _t, register
 
@@ -271,14 +272,115 @@ def q_token_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Trailing-24h COUNT DISTINCT users per hour. Spark has no DISTINCT over
-# a range window, and per-row state would be unbounded; instead the
-# stream collapses to distinct (hour, user) PARTIALS (mergeable, hour-
-# partitioned), each partial fans out to the <= 24 windows it can serve,
-# and a second distinct+count lands the answer. Expansion factor =
-# window/granularity (24), shuffle keyed by (window_end, user) — bounded
-# and skew-free regardless of corpus size; the same shape extends to any
-# sliding-window distinct. Only hours that actually occur are reported.
+# a range window, and per-row state would be unbounded. Round-6 rewrite:
+# instead of fanning every distinct (hour, user) pair out to the <= 24
+# windows it serves (expansion factor 24 on the widest shuffle), the
+# count is a SWEEP LINE over per-user coverage intervals:
+#
+#   1. distinct (hour h, user) partials — mergeable, hour-partitioned;
+#   2. per user, hours whose gap is <= 23 h merge into islands (their
+#      [h, h+23] coverages overlap) via the gaps-and-islands window
+#      PARTITIONED BY user — one lag + one running sum, never global;
+#   3. each island [a, b] covers window-ends [a, b+23]: delta +1 at a,
+#      −1 at b+24 — TWO rows per island, the 24x fanout is gone;
+#   4. prefix-sum the hour-keyed net deltas with the same
+#      day-partitioned-cumsum + collected-day-offsets mechanism as
+#      concurrent_sessions_curve (no global window sort; the day table
+#      is bounded by time span, not data volume);
+#   5. report only hours that actually occur (inner join), exactly as
+#      the fanout formulation did.
+#
+# Shuffle volume drops from 24x|distinct pairs| to |distinct pairs| +
+# 2x|islands|; the result frame is shared with the HLL sibling below
+# (its 5% gate needs the exact counts), computed once per
+# (session, sf_dir).
 # ---------------------------------------------------------------------------
+_SLIDING_EXACT_CACHE: dict = {}
+
+
+def _sliding_exact_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(window_end_hour, n_users) for every observed hour — exact, via
+    the sweep-line formulation above. Persisted per (session, sf_dir);
+    consumed by both the exact query and the HLL sibling's gate."""
+    from clickhouse_table_copier_spark.queries_pipeline import _cache_get
+
+    def build() -> DataFrame:
+        ev = _events(spark, sf_dir)
+        hu = ev.select(
+            F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("h"),
+            "user_id",
+        ).distinct()
+        wu = Window.partitionBy("user_id").orderBy("h")
+        gap_h = (
+            F.unix_timestamp(F.col("h").cast("timestamp"))
+            - F.unix_timestamp(F.lag(F.col("h").cast("timestamp")).over(wu))
+        ) / 3600
+        flagged = hu.withColumn(
+            "new_island",
+            F.when(gap_h.isNull() | (gap_h > 23), F.lit(1)).otherwise(F.lit(0)),
+        )
+        islands = flagged.withColumn(
+            "island",
+            F.sum("new_island").over(
+                wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        iv = islands.groupBy("user_id", "island").agg(
+            F.min("h").alias("a"), F.max("h").alias("b")
+        )
+        deltas = iv.select(F.col("a").alias("h"), F.lit(1).alias("d")).unionAll(
+            iv.select(
+                F.expr("timestampadd(HOUR, 24, b)").alias("h"),
+                F.lit(-1).alias("d"),
+            )
+        )
+        # observed hours enter the timeline with d=0 so the prefix value
+        # is defined AT every reported hour, delta there or not
+        hours = hu.select("h").distinct()
+        net = (
+            deltas.unionAll(hours.select("h", F.lit(0).alias("d")))
+            .groupBy("h")
+            .agg(F.sum("d").alias("nd"))
+            .withColumn("day", F.date_trunc("day", "h"))
+            .localCheckpoint(eager=True)  # two consumers below
+        )
+        day_nets = sorted(
+            net.groupBy("day").agg(F.sum("nd").alias("day_nd")).collect(),
+            key=lambda r: r["day"],
+        )
+        offsets, acc = [], 0
+        for r in day_nets:
+            offsets.append((r["day"], acc))
+            acc += r["day_nd"]
+        off_df = spark.createDataFrame(
+            offsets,
+            T.StructType(
+                [
+                    T.StructField("day", net.schema["day"].dataType),
+                    T.StructField("day_offset", T.LongType()),
+                ]
+            ),
+        )
+        wday = Window.partitionBy("day").orderBy("h").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        prefix = net.withColumn("cum", F.sum("nd").over(wday)).join(
+            F.broadcast(off_df), "day"
+        )
+        return (
+            prefix.join(hours, "h")
+            .select(
+                F.col("h").alias("window_end_hour"),
+                (F.col("cum") + F.col("day_offset"))
+                .cast("bigint")
+                .alias("n_users"),
+            )
+        )
+
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    return _cache_get(_SLIDING_EXACT_CACHE, key, build)
+
+
 @register(
     "sliding_distinct_users",
     oracle="""
@@ -300,23 +402,7 @@ def q_token_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    hu = ev.select(
-        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("h"),
-        "user_id",
-    ).distinct()
-    hours = hu.select("h").distinct()
-    fanout = hu.select(
-        F.explode(F.sequence(F.lit(0), F.lit(23))).alias("o"), "h", "user_id"
-    ).select(
-        F.expr("timestampadd(HOUR, o, h)").alias("wend"), "user_id"
-    )
-    return (
-        fanout.join(hours.withColumnRenamed("h", "wend"), "wend")
-        .groupBy("wend")
-        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
-        .withColumnRenamed("wend", "window_end_hour")
-    )
+    return _sliding_exact_counts(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -573,11 +659,13 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Approximate sibling of sliding_distinct_users: per-hour HLL sketch
-# partials union-merged across each trailing 24-hour window. THE 100 TB
-# path — the exact formulation fans out (hour, user) PAIRS 24x, this one
-# fans out 24 constant-size sketches per hour regardless of user count.
-# Same sketch-gate discipline as hll_partition_merge: every window's
-# estimate must land within 5% of exact or approx_ok flags it.
+# partials union-merged across each trailing 24-hour window — 24
+# constant-size sketches per hour regardless of user count, the shape
+# that ALSO runs incrementally (keep 24 hourly sketches hot, merge on
+# tick). Same sketch-gate discipline as hll_partition_merge: every
+# window's estimate must land within 5% of exact or approx_ok flags it;
+# the exact side comes from the shared sweep-line frame above, computed
+# once for both siblings.
 # ---------------------------------------------------------------------------
 @register(
     "sliding_distinct_users_approx",
@@ -619,15 +707,9 @@ def q_sliding_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("wend")
         .agg(F.expr("hll_union_agg(sk)").alias("sk"))
     )
-    exact = (
-        hu.distinct()
-        .select(
-            F.explode(F.sequence(F.lit(0), F.lit(23))).alias("o"), "h", "user_id"
-        )
-        .select(F.expr("timestampadd(HOUR, o, h)").alias("wend"), "user_id")
-        .join(hours.withColumnRenamed("h", "wend"), "wend")
-        .groupBy("wend")
-        .agg(F.countDistinct("user_id").cast("bigint").alias("n_exact"))
+    exact = _sliding_exact_counts(spark, sf_dir).select(
+        F.col("window_end_hour").alias("wend"),
+        F.col("n_users").alias("n_exact"),
     )
     gate = (
         F.abs(F.expr("hll_sketch_estimate(sk)").cast("double") - F.col("n_exact"))

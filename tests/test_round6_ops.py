@@ -283,3 +283,35 @@ def test_topn_other_rollup_shape(spark):
             else:
                 assert r["n_types"] >= 1
         assert all(r["revenue"] > 0 for r in rs)
+
+
+def test_sliding_sweepline_equals_fanout_bruteforce(spark):
+    """The round-6 sweep-line rewrite must reproduce the original 24x
+    fanout formulation exactly on real fixture data — every observed
+    hour, every count."""
+    from clickhouse_table_copier_spark.queries import _events
+    from clickhouse_table_copier_spark.queries_round6 import (
+        _sliding_exact_counts,
+    )
+
+    ev = _events(spark, SF_ORACLE)
+    hu = ev.select(
+        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("h"),
+        "user_id",
+    ).distinct()
+    hours = hu.select("h").distinct()
+    fanout = (
+        hu.select(
+            F.explode(F.sequence(F.lit(0), F.lit(23))).alias("o"), "h", "user_id"
+        )
+        .select(F.expr("timestampadd(HOUR, o, h)").alias("wend"), "user_id")
+        .join(hours.withColumnRenamed("h", "wend"), "wend")
+        .groupBy("wend")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
+    brute = {str(r["wend"]): r["n_users"] for r in fanout.collect()}
+    got = {
+        str(r["window_end_hour"]): r["n_users"]
+        for r in _sliding_exact_counts(spark, SF_ORACLE).collect()
+    }
+    assert got == brute
