@@ -483,12 +483,51 @@ def simhash_near_pairs(
     ).select("id_a", "id_b", "hamming")
 
 
+def span_grams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+) -> DataFrame:
+    """Positional word k-gram hashes: ``(id, pos, h)`` — one row per
+    k-gram occurrence, h md5-derived (oracle-reproducible; collisions
+    affect both engines identically). The shared front end of BOTH
+    span-dedup granularities: :func:`repeated_span_runs` (cross-document)
+    and the intra-document repeat signal join this frame against itself
+    with different equi-keys, so callers that need both should build it
+    once (queries_round5 persists it per session)."""
+    return (
+        spread(df)
+        .select(F.col(id_col), F.split(normalized_text(text_col), " ").alias("w"))
+        .where(F.size("w") >= k)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.size("w") - k + 1)).alias("pos"),
+            F.col("w"),
+        )
+        .select(
+            id_col,
+            "pos",
+            F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.expr(f"slice(w, pos, {k})"), " ")), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+
+
 def repeated_span_runs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     k: int = 4,
     max_df: int | None = 256,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """UN-thresholded shared-run table feeding :func:`repeated_span_pairs`:
     one row per maximal run of consecutive shared word k-grams between a
@@ -523,30 +562,8 @@ def repeated_span_runs(
     """
     from pyspark.sql import Window
 
-    toks = spread(df).select(
-        F.col(id_col), F.split(normalized_text(text_col), " ").alias("w")
-    )
-    grams = (
-        toks.where(F.size("w") >= k)
-        .select(
-            id_col,
-            F.explode(F.sequence(F.lit(1), F.size("w") - k + 1)).alias("pos"),
-            F.col("w"),
-        )
-        .select(
-            id_col,
-            "pos",
-            F.conv(
-                F.substring(
-                    F.md5(F.array_join(F.expr(f"slice(w, pos, {k})"), " ")), 1, 15
-                ),
-                16,
-                10,
-            )
-            .cast("bigint")
-            .alias("h"),
-        )
-    )
+    if grams is None:
+        grams = span_grams(df, id_col, text_col, k=k)
     if max_df is not None:
         hot = (
             grams.groupBy("h")

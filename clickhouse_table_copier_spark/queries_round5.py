@@ -32,6 +32,25 @@ SPAN_MIN_RUN = 2
 # let each query apply its own threshold; same LRU pattern (and fingerprint
 # exclusion via the *_CACHE suffix) as the jaccard-pairs artifact.
 _SPAN_RUNS_CACHE: dict = {}
+# The positional gram-hash frame under the runs table is ALSO the front
+# end of the intra-document repeat signal (same normalize → explode →
+# md5 pipeline, different self-join key), so it persists separately and
+# both consumers start from it.
+_SPAN_GRAMS_CACHE: dict = {}
+
+
+def _shared_span_grams(spark: SparkSession, sf_dir: str):
+    from clickhouse_table_copier_spark.operators.dedup import span_grams
+    from clickhouse_table_copier_spark.queries_pipeline import _cache_get
+
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), SPAN_K)
+    return _cache_get(
+        _SPAN_GRAMS_CACHE,
+        key,
+        lambda: span_grams(
+            _t(spark, sf_dir, "documents"), "doc_id", "text", k=SPAN_K
+        ),
+    )
 
 
 def _shared_span_runs(spark: SparkSession, sf_dir: str):
@@ -43,7 +62,11 @@ def _shared_span_runs(spark: SparkSession, sf_dir: str):
         _SPAN_RUNS_CACHE,
         key,
         lambda: repeated_span_runs(
-            _t(spark, sf_dir, "documents"), "doc_id", "text", k=SPAN_K
+            _t(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            k=SPAN_K,
+            grams=_shared_span_grams(spark, sf_dir),
         ),
     )
 
@@ -739,33 +762,10 @@ def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_intra_doc_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clickhouse_table_copier_spark.operators.dedup import (
-        normalized_text,
-        spread,
-    )
-
     k = SPAN_K
-    docs = spread(_t(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id", F.split(normalized_text("text"), " ").alias("w")
-    ).where(F.size("w") >= k)
-    grams = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.size("w") - k + 1)).alias("pos"),
-        F.col("w"),
-    ).select(
-        "doc_id",
-        "pos",
-        F.conv(
-            F.substring(
-                F.md5(F.array_join(F.expr(f"slice(w, pos, {k})"), " ")), 1, 15
-            ),
-            16,
-            10,
-        )
-        .cast("bigint")
-        .alias("h"),
-    )
+    # same positional gram-hash front end as the cross-doc span queries —
+    # one persisted build per (session, sf_dir)
+    grams = _shared_span_grams(spark, sf_dir)
     a, b = grams.alias("a"), grams.alias("b")
     m = a.join(
         b,
