@@ -1398,12 +1398,23 @@ def q_cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One fact scan: collapse to DISTINCT (month, partkey) pairs first —
+    # every downstream number is insensitive to duplicates (count distinct
+    # by definition, HLL sketches by construction), so the dedup shuffle
+    # replaces THREE full-fact aggregations (per-month countDistinct,
+    # global countDistinct, per-month sketch build) with cheap passes over
+    # the pairs frame. localCheckpoint because three consumers share it.
     li = _t(spark, sf_dir, "lineitem")
-    per_month = li.groupBy(
-        F.month("l_shipdate").cast("int").alias("ship_month")
-    ).agg(
+    pairs = (
+        li.select(
+            F.month("l_shipdate").cast("int").alias("ship_month"), "l_partkey"
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    per_month = pairs.groupBy("ship_month").agg(
         F.expr("hll_sketch_agg(l_partkey)").alias("sk"),
-        F.countDistinct("l_partkey").cast("bigint").alias("n_exact"),
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
     )
     gate = (
         F.abs(
@@ -1420,7 +1431,7 @@ def q_hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would plan BroadcastNestedLoopJoin Cross and trip the repo-wide
     # no-cartesian plan guard (tests/test_plan_properties.py); a
     # constant-key equi-join constant-folds back into the same cross.
-    global_exact = li.agg(
+    global_exact = pairs.agg(
         F.countDistinct("l_partkey").cast("bigint").alias("n_exact")
     )
     unioned = per_month.select(
