@@ -256,7 +256,17 @@ def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    # collapse the fact to DISTINCT (part, supplier) witness pairs BEFORE
+    # any join — count-distinct only sees each pair once anyway, and the
+    # dedup's map-side partials shrink everything downstream (the joins,
+    # the distinct-expand) from fact-sized to pair-sized. At 100 TB the
+    # pairs table is bounded by |part|x|supplier| co-occurrence, orders
+    # of magnitude under the line count.
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
     part = (
         _t(spark, sf_dir, "part")
         .where(F.col("p_brand") != "Brand#5")
@@ -268,7 +278,7 @@ def q_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
         .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
