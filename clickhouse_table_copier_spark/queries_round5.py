@@ -719,6 +719,12 @@ def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # or loop-generated. Same gaps-and-islands machinery on the self-join
 # diagonal (pos_b − pos_a > 0 keeps one triangle and excludes the
 # trivial self-match).
+#
+# NOTE(round-7): the body keeps its own inline gram build (byte-identical
+# to its r05-verified source) instead of consuming _shared_span_grams —
+# switching is a fingerprint change, and the round-6 driver window is
+# exactly full (must_front == 50); the swap is queued with the round-7
+# rotation alongside the queries_round7_prep batch.
 # ---------------------------------------------------------------------------
 @register(
     "intra_doc_repeats",
@@ -762,10 +768,33 @@ def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_intra_doc_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.dedup import (
+        normalized_text,
+        spread,
+    )
+
     k = SPAN_K
-    # same positional gram-hash front end as the cross-doc span queries —
-    # one persisted build per (session, sf_dir)
-    grams = _shared_span_grams(spark, sf_dir)
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.split(normalized_text("text"), " ").alias("w")
+    ).where(F.size("w") >= k)
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("w") - k + 1)).alias("pos"),
+        F.col("w"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(
+            F.substring(
+                F.md5(F.array_join(F.expr(f"slice(w, pos, {k})"), " ")), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
     a, b = grams.alias("a"), grams.alias("b")
     m = a.join(
         b,
