@@ -20,6 +20,15 @@ query's distinctive physical-plan exercise):
 * Q20 — nested semi-join chain: per-(part, supplier) shipped quantity
   vs half the part's total — two stacked aggregates joined back, then a
   semi-join onto the supplier dimension.
+
+Plus one pipeline operator: incremental dedup of a NEW document batch
+against the EXISTING corpus (asymmetric inverted-index probe — cost
+proportional to the batch, never corpus²).
+
+Also queued for the round-7 rotation: switch intra_doc_repeats to the
+shared _shared_span_grams frame (see the NOTE above its definition in
+queries_round5.py — the swap is a fingerprint change the full round-6
+window cannot absorb).
 """
 
 from __future__ import annotations
@@ -207,4 +216,116 @@ def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         supp.join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
         .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: match a NEW batch of documents against the EXISTING
+# corpus without recomputing corpus-vs-corpus pairs — the production
+# delta path (nightly crawl lands, dedup it against the index, done).
+# The batch here is exactly the synthetic arrivals the dedup fixtures
+# already model: verbatim copies (+100000 of doc_id % 10 = 0) and
+# near-dup copies (+200000 of % 10 = 5, one token appended).
+#
+# Asymmetric inverted-index join: batch shingles probe corpus shingles
+# on the shingle key only — cost ∝ Σ_sh df_new · df_old, proportional to
+# BATCH size, never corpus²; at 100 TB the corpus side is the persisted
+# shingle_index table (built once, reused every delta) and the same
+# max_df hot-shingle cap applies. Jaccard stays exact-integer until one
+# final double division both engines perform identically.
+# ---------------------------------------------------------------------------
+@_prep(
+    "dedup_incremental_batch",
+    oracle="""
+    WITH batch AS (
+      SELECT doc_id + 100000 AS doc_id, text
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, text || ' extra token appended'
+      FROM documents WHERE doc_id % 10 = 5
+    ),
+    old_sh AS (
+      SELECT DISTINCT doc_id, unnest(
+        CASE WHEN len(string_split(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g')), ' ')) >= 3 THEN
+          list_distinct([
+            array_to_string(string_split(trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g')), ' ')[i:i+2], ' ')
+            FOR i IN range(1, len(string_split(trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g')), ' ')) - 1)
+          ])
+        ELSE [trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))] END) AS sh
+      FROM documents
+    ),
+    new_sh AS (
+      SELECT DISTINCT doc_id, unnest(
+        CASE WHEN len(string_split(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g')), ' ')) >= 3 THEN
+          list_distinct([
+            array_to_string(string_split(trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g')), ' ')[i:i+2], ' ')
+            FOR i IN range(1, len(string_split(trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g')), ' ')) - 1)
+          ])
+        ELSE [trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))] END) AS sh
+      FROM batch
+    ),
+    old_sz AS (SELECT doc_id, count(*) AS sz FROM old_sh GROUP BY 1),
+    new_sz AS (SELECT doc_id, count(*) AS sz FROM new_sh GROUP BY 1),
+    inter AS (
+      SELECT n.doc_id AS new_id, o.doc_id AS old_id, count(*) AS inter_cnt
+      FROM new_sh n JOIN old_sh o ON n.sh = o.sh
+      GROUP BY 1, 2
+    )
+    SELECT i.new_id, i.old_id,
+           CAST(i.inter_cnt AS DOUBLE) /
+           CAST(ns.sz + os.sz - i.inter_cnt AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN new_sz ns ON ns.doc_id = i.new_id
+    JOIN old_sz os ON os.doc_id = i.old_id
+    WHERE CAST(i.inter_cnt AS DOUBLE) /
+          CAST(ns.sz + os.sz - i.inter_cnt AS DOUBLE) >= 0.5
+    """,
+)
+def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.dedup import shingle_index
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        .unionAll(
+            docs.where(F.col("doc_id") % 10 == 5).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" extra token appended")).alias(
+                    "text"
+                ),
+            )
+        )
+    )
+    # corpus side: at production scale this is the ALREADY-PERSISTED
+    # shingle_index table; built inline here from the same operator
+    old_sh = shingle_index(docs, "doc_id", "text", 3).distinct()
+    new_sh = shingle_index(batch, "doc_id", "text", 3).distinct()
+    old_sz = old_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_old"))
+    new_sz = new_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_new"))
+    inter = (
+        new_sh.alias("n")
+        .join(old_sh.alias("o"), F.col("n.sh") == F.col("o.sh"))
+        .groupBy(
+            F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("old_id")
+        )
+        .agg(F.count(F.lit(1)).alias("inter_cnt"))
+    )
+    jac = F.col("inter_cnt").cast("double") / (
+        F.col("sz_new") + F.col("sz_old") - F.col("inter_cnt")
+    ).cast("double")
+    return (
+        inter.join(new_sz.withColumnRenamed("doc_id", "new_id"), "new_id")
+        .join(old_sz.withColumnRenamed("doc_id", "old_id"), "old_id")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= 0.5)
+        .select("new_id", "old_id", "jaccard")
     )
