@@ -23,7 +23,10 @@ query's distinctive physical-plan exercise):
 
 Plus one pipeline operator: incremental dedup of a NEW document batch
 against the EXISTING corpus (asymmetric inverted-index probe — cost
-proportional to the batch, never corpus²).
+proportional to the batch, never corpus²), and one window-surface
+completion: a trailing-7-day RANGE-frame rolling revenue (the registry's
+first rangeBetween — gap-correct where rowsBetween assumes contiguous
+days).
 
 Also queued for the round-7 rotation: switch intra_doc_repeats to the
 shared _shared_span_grams frame (see the NOTE above its definition in
@@ -328,4 +331,62 @@ def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= 0.5)
         .select("new_id", "old_id", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame window surface: trailing-7-DAY revenue per return flag.
+# Unlike moving_avg_daily's rowsBetween(-6, 0) — which silently assumes
+# contiguous days — a RANGE frame is anchored to the ORDER value itself
+# (epoch-day index), so calendar gaps shorten the window instead of
+# pulling in stale rows; this is the first rangeBetween use in the
+# registry surface. The window input is the (flag, day) AGGREGATE frame
+# — bounded by time span × flag cardinality at any data scale (the
+# documented dimension-frame case), partitioned by flag (never a global
+# sort). Revenue is exact decimal; only the output casts to double.
+# ---------------------------------------------------------------------------
+@_prep(
+    "rolling_7d_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT l_returnflag,
+             CAST(l_shipdate AS DATE) AS day,
+             date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE))
+               AS day_idx,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+      FROM lineitem GROUP BY 1, 2, 3
+    )
+    SELECT l_returnflag, day,
+           CAST(rev AS DOUBLE) AS daily_revenue,
+           CAST(sum(rev) OVER (
+             PARTITION BY l_returnflag ORDER BY day_idx
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_7d_revenue
+    FROM daily
+    """,
+)
+def q_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    daily = li.groupBy(
+        "l_returnflag",
+        F.to_date("l_shipdate").alias("day"),
+        F.datediff(F.to_date("l_shipdate"), F.lit("1995-01-01").cast("date"))
+        .alias("day_idx"),
+    ).agg(F.sum(rev).alias("rev"))
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("day_idx")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "l_returnflag",
+        "day",
+        F.col("rev").cast("double").alias("daily_revenue"),
+        F.sum("rev").over(w).cast("double").alias("rolling_7d_revenue"),
     )
