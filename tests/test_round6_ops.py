@@ -315,3 +315,63 @@ def test_sliding_sweepline_equals_fanout_bruteforce(spark):
         for r in _sliding_exact_counts(spark, SF_ORACLE).collect()
     }
     assert got == brute
+
+
+def test_sliding_sweepline_randomized_vs_python_bruteforce(spark):
+    """Random event sets (seeded) through the sweep-line core vs a
+    pure-Python brute force — catches island-merge edge cases (gaps of
+    exactly 23/24/25 h, single-hour users, duplicate hours) that one
+    fixture draw can miss. 12 cases keeps the wall cost ~30 s; bump
+    locally when touching the sweep-line."""
+    import random
+    from datetime import datetime, timedelta
+
+    from clickhouse_table_copier_spark.queries_round6 import (
+        _SLIDING_EXACT_CACHE,
+        _sliding_exact_counts,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    base = datetime(2024, 1, 1)
+    for case in range(12):
+        n_users = rng.randint(1, 5)
+        rows = []
+        eid = 0
+        for u in range(n_users):
+            for _ in range(rng.randint(1, 12)):
+                off = rng.choice(
+                    [rng.randint(0, 30), rng.randint(0, 200), 23, 24, 25]
+                )
+                eid += 1
+                rows.append((eid, base + timedelta(hours=off), 100 + u))
+        ev = spark.createDataFrame(
+            [
+                (e, t, u, "click", 1.0, "{}")
+                for e, t, u in rows
+            ],
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string",
+        )
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+            got = {
+                (str(r["window_end_hour"]), r["n_users"])
+                for r in _sliding_exact_counts(spark, d).collect()
+            }
+            # cache key is (appId, sf_dir): temp dirs could in principle
+            # recycle paths across cases — drop the entry to be safe
+            _SLIDING_EXACT_CACHE.clear()
+        # brute force: for each observed hour h, count users with any
+        # event hour in [h-23, h]
+        hours = sorted({t.replace(minute=0, second=0) for _, t, _ in rows})
+        brute = set()
+        for h in hours:
+            users = {
+                u
+                for _, t, u in rows
+                if h - timedelta(hours=23) <= t.replace(minute=0, second=0) <= h
+            }
+            brute.add((str(h), len(users)))
+        assert got == brute, f"case {case} mismatch"
