@@ -26,7 +26,10 @@ against the EXISTING corpus (asymmetric inverted-index probe — cost
 proportional to the batch, never corpus²), and one window-surface
 completion: a trailing-7-day RANGE-frame rolling revenue (the registry's
 first rangeBetween — gap-correct where rowsBetween assumes contiguous
-days).
+days), and one stateful-streaming operator: per-source Misra-Gries
+heavy hitters in the state store across two availableNow runs, gated to
+exact recounts so the classical > n/k guarantee yields a FULL value
+oracle.
 
 Also queued for the round-7 rotation: switch intra_doc_repeats to the
 shared _shared_span_grams frame (see the NOTE above its definition in
@@ -389,4 +392,96 @@ def q_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.col("rev").cast("double").alias("daily_revenue"),
         F.sum("rev").over(w).cast("double").alias("rolling_7d_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters: per-source Misra-Gries summaries maintained
+# in the state store across micro-batches and across TWO separate
+# availableNow runs (the second half of the corpus arrives after the
+# first run finishes — candidates must survive the checkpoint), then the
+# candidate set is recounted exactly in batch and gated at the classical
+# threshold: a token qualifies iff exact_count · k > n_source. The MG
+# guarantee (every token with frequency > n/k survives the summary)
+# makes the gated output EXACTLY the true heavy-hitter set, so this
+# streaming-stateful operator gets a full value oracle, not a weaker
+# rows-only check. k = 25 < vocabulary size, so the decrement path is
+# genuinely exercised on the fixture.
+# ---------------------------------------------------------------------------
+_MG_K = 25
+
+_TOKS_NORM_SQL = (
+    "string_split(trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g')), ' ')"
+)
+
+
+@_prep(
+    "streaming_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKS_NORM_SQL}) AS token FROM documents
+    ),
+    cnt AS (SELECT source, token, count(*) AS c FROM toks GROUP BY 1, 2),
+    tot AS (SELECT source, count(*) AS n FROM toks GROUP BY 1)
+    SELECT c.source, c.token, CAST(c.c AS BIGINT) AS exact_count
+    FROM cnt c JOIN tot t ON c.source = t.source
+    WHERE c.c * {_MG_K} > t.n
+    """,
+)
+def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from clickhouse_table_copier_spark.operators.dedup import normalized_text
+    from clickhouse_table_copier_spark.streaming.stateful import (
+        latest_mg_candidates,
+        streaming_misra_gries,
+    )
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "source",
+            "doc_id",
+            F.explode(F.split(normalized_text("text"), " ")).alias("token"),
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("source", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("token", T.StringType()),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix="ctc_mg_q_")
+    src, out, ck = f"{work}/src", f"{work}/out", f"{work}/ck"
+    try:
+        # run 1: even docs; run 2: odd docs — every source's summary must
+        # cross the checkpoint boundary to stay correct
+        toks.where(F.col("doc_id") % 2 == 0).write.parquet(src)
+        streaming_misra_gries(spark, src, schema, out, ck, k=_MG_K)\
+            .awaitTermination()
+        toks.where(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+        streaming_misra_gries(spark, src, schema, out, ck, k=_MG_K)\
+            .awaitTermination()
+        candidates = latest_mg_candidates(spark, out).select("source", "token")
+        exact = toks.groupBy("source", "token").agg(
+            F.count(F.lit(1)).cast("bigint").alias("exact_count")
+        )
+        totals = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+        result = (
+            exact.join(candidates, ["source", "token"], "left_semi")
+            .join(totals, "source")
+            .where(F.col("exact_count") * _MG_K > F.col("n"))
+            .select("source", "token", "exact_count")
+        )
+        # the streaming outputs live in the temp dir — freeze before cleanup
+        rows = result.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "source string, token string, exact_count bigint"
     )

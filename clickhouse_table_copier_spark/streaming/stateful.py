@@ -220,3 +220,125 @@ def stateful_ewma(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Misra-Gries heavy hitters: the k-counter frequency summary
+# (Misra & Gries 1982) maintained per key in GroupState across
+# micro-batches AND across separate availableNow runs. The summary is
+# O(k) per key regardless of stream length, and carries the classical
+# guarantee: every token with true frequency > n/k is present in the
+# final summary (decrements can only under-count each token by < n/k).
+# Consumers therefore use it as a CANDIDATE set and recount candidates
+# exactly in batch — the same sketch-then-exact-gate discipline as the
+# batch heavy_hitter_terms operator (operators/sketches.py).
+# ---------------------------------------------------------------------------
+MG_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("token", T.StringType()),
+        T.StructField("mg_count", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+_MG_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("tokens", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def _make_update_misra_gries(k: int):
+    """k-counter MG update as a closure (see _make_update_user_stats for
+    why closures, not module functions). Tokens within a batch group are
+    processed in (doc_id, token) order so a rerun of the same batch
+    sequence reproduces the same summary; the FINAL gated output is
+    order-independent anyway (any processing order yields a superset of
+    the true > n/k heavy hitters)."""
+
+    def update(key, pdfs, state: GroupState):
+        (source,) = key
+        if state.exists:
+            toks, cnts, n = state.get
+            summary = dict(zip(toks, cnts))
+        else:
+            summary, n = {}, 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["doc_id", "token"])
+            for tok in pdf["token"]:
+                n += 1
+                if tok in summary:
+                    summary[tok] += 1
+                elif len(summary) < k - 1:
+                    summary[tok] = 1
+                else:
+                    # decrement-all step: drops every counter by one,
+                    # evicting zeros — the O(k) amortized trade that
+                    # bounds the summary
+                    summary = {t: c - 1 for t, c in summary.items() if c > 1}
+        state.update((list(summary.keys()), list(summary.values()), n))
+        yield pd.DataFrame(
+            {
+                "source": [source] * len(summary),
+                "token": list(summary.keys()),
+                "mg_count": list(summary.values()),
+                "n_seen": [n] * len(summary),
+            }
+        )
+
+    return update
+
+
+def streaming_misra_gries(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    output_dir: str,
+    checkpoint_dir: str,
+    k: int = 25,
+    max_files_per_trigger: int = 1,
+):
+    """availableNow run maintaining a per-source MG summary in GroupState,
+    one source file per micro-batch so cross-batch (and, driven twice,
+    cross-RUN) state carry is actually exercised."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .option("latestFirst", "false")
+        .parquet(source_dir)
+    )
+    updated = stream.groupBy("source").applyInPandasWithState(
+        _make_update_misra_gries(k),
+        outputStructType=MG_OUT_SCHEMA,
+        stateStructType=_MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_seq", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(output_dir)
+
+    return (
+        updated.writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def latest_mg_candidates(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Each source's summary from the LAST batch that touched it (update
+    mode re-emits the whole summary whenever the group receives data)."""
+    out = spark.read.parquet(output_dir)
+    last = out.groupBy("source").agg(F.max("batch_seq").alias("batch_seq"))
+    return out.join(last, ["source", "batch_seq"]).select(
+        "source", "token", "mg_count", "n_seen"
+    )

@@ -48,3 +48,57 @@ def test_prep_plans_obey_repo_guards(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
         assert not gw.search(plan), name
+
+
+def test_mg_candidates_superset_of_true_heavies(spark, tmp_path):
+    """The Misra-Gries guarantee the gated query RELIES on, checked
+    directly: after both availableNow runs, every token with true
+    frequency > n/k sits in the surviving candidate summary."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from clickhouse_table_copier_spark.operators.dedup import normalized_text
+    from clickhouse_table_copier_spark.queries import _t
+    from clickhouse_table_copier_spark.queries_round7_prep import _MG_K
+    from clickhouse_table_copier_spark.streaming.stateful import (
+        latest_mg_candidates,
+        streaming_misra_gries,
+    )
+
+    toks = _t(spark, SF_ORACLE, "documents").select(
+        "source",
+        "doc_id",
+        F.explode(F.split(normalized_text("text"), " ")).alias("token"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("source", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("token", T.StringType()),
+        ]
+    )
+    src, out, ck = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    toks.where(F.col("doc_id") % 2 == 0).write.parquet(src)
+    streaming_misra_gries(spark, src, schema, out, ck, k=_MG_K).awaitTermination()
+    toks.where(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+    streaming_misra_gries(spark, src, schema, out, ck, k=_MG_K).awaitTermination()
+
+    cand = {
+        (r["source"], r["token"])
+        for r in latest_mg_candidates(spark, out).collect()
+    }
+    exact = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    totals = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    true_heavy = {
+        (r["source"], r["token"])
+        for r in exact.join(totals, "source")
+        .where(F.col("c") * _MG_K > F.col("n"))
+        .collect()
+    }
+    assert true_heavy, "fixture must produce at least one heavy hitter"
+    assert true_heavy <= cand, true_heavy - cand
+    # and the summary really is bounded: <= k-1 counters per source
+    per_source: dict = {}
+    for s, t in cand:
+        per_source[s] = per_source.get(s, 0) + 1
+    assert all(v <= _MG_K - 1 for v in per_source.values()), per_source
