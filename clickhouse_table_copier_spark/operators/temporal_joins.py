@@ -104,3 +104,95 @@ def range_join(
         & (left[time_col] < iv[end_col])
     )
     return left.join(iv, cond).drop(iv[key])
+
+
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    time_col: str,
+    value_cols: list[str] | None = None,
+    tolerance_s: int = 86400,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Backward as-of join with a STALENESS BOUND: latest right values
+    at-or-before each left time, but only if that match is within
+    ``tolerance_s`` seconds — older matches become NULL, exactly as a
+    feature-store lookup must refuse stale features instead of silently
+    attributing last month's state (pandas ``merge_asof(tolerance=...)``
+    semantics, same union-window plan as :func:`asof_join` — one shuffle
+    on the key, no join node at all).
+
+    The matched right (timestamp, values) travel as ONE struct through
+    ``last(..., ignorenulls)`` so the tolerance test and the carried
+    values can never desynchronize. Ties at equal right timestamps are
+    broken by ``order_col`` ascending (the LAST such row wins — pass the
+    unique event id to make cross-engine tie order total).
+    """
+    from pyspark.sql import Window
+
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (key, time_col)
+    ]
+    rec = F.struct(
+        F.col(time_col).alias("__t"), *[F.col(c).alias(c) for c in value_cols]
+    )
+    l_extra = [c for c in left.columns if c not in (key, time_col)]
+
+    def _ord(side: DataFrame):
+        if order_col is not None and order_col in side.columns:
+            return F.col(order_col).alias("__ord")
+        return F.lit(None).cast("long").alias("__ord")
+
+    l_tag = left.select(
+        F.col(key),
+        F.col(time_col),
+        F.lit(1).alias("__is_left"),
+        _ord(left),
+        F.lit(None).cast(
+            "struct<__t:timestamp_ntz,"
+            + ",".join(
+                f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
+            )
+            + ">"
+        ).alias("__r_rec"),
+        *[F.col(c) for c in l_extra],
+    )
+    r_tag = right.select(
+        F.col(key),
+        F.col(time_col),
+        F.lit(0).alias("__is_left"),
+        _ord(right),
+        rec.alias("__r_rec"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in l_extra
+        ],
+    )
+    unioned = l_tag.unionByName(r_tag)
+    order = [F.col(time_col), F.col("__is_left")]
+    if order_col is not None:
+        # per-side order values: among right rows at one timestamp the
+        # LAST (max __ord) wins, matching the oracle's ts DESC, id DESC
+        order.append(F.col("__ord").asc_nulls_first())
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*", F.last("__r_rec", ignorenulls=True).over(w).alias("__m")
+    )
+    fresh = (
+        F.unix_timestamp(F.col(time_col).cast("timestamp"))
+        - F.unix_timestamp(F.col("__m.__t").cast("timestamp"))
+    ) <= tolerance_s
+    out_cols = (
+        [F.col(key), F.col(time_col)]
+        + [F.col(c) for c in l_extra]
+        + [
+            F.when(fresh, F.col(f"__m.{c}")).alias(c)
+            for c in value_cols
+        ]
+    )
+    return carried.where(F.col("__is_left") == 1).select(*out_cols)

@@ -29,7 +29,9 @@ first rangeBetween — gap-correct where rowsBetween assumes contiguous
 days), and one stateful-streaming operator: per-source Misra-Gries
 heavy hitters in the state store across two availableNow runs, gated to
 exact recounts so the classical > n/k guarantee yields a FULL value
-oracle.
+oracle. And one temporal-join variant: tolerance-bounded as-of
+(asof_join_tolerance — stale matches refused, merge_asof(tolerance=...)
+semantics).
 
 Also queued for the round-7 rotation: switch intra_doc_repeats to the
 shared _shared_span_grams frame (see the NOTE above its definition in
@@ -485,3 +487,62 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "source string, token string, exact_count bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# Tolerance-bounded as-of: each purchase attributed to the user's latest
+# click at-or-before it — but only within 1 day; staler matches are
+# refused (NULL), the feature-store freshness rule plain as-of silently
+# violates. operators/temporal_joins.asof_join_tolerance: same
+# union-window plan as the registered asof_join_status (one shuffle on
+# user_id, zero join nodes); the matched (ts, value) travel as one
+# struct so the freshness test and the carried value cannot
+# desynchronize. Tie order among clicks at one timestamp is made total
+# with the unique event id (latent-risk rule from the r5 advisor).
+# On the fixture ~1/3 of purchases match at 1 day — both branches of
+# the tolerance are exercised.
+# ---------------------------------------------------------------------------
+_ASOF_TOL_S = 86400
+
+
+@_prep(
+    "asof_tolerance_attribution",
+    oracle=f"""
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'click'
+    )
+    SELECT l.event_id, l.user_id, l.ts,
+           (SELECT r.value FROM r
+            WHERE r.user_id = l.user_id AND r.ts <= l.ts
+              AND r.ts >= l.ts - INTERVAL {_ASOF_TOL_S} SECOND
+            ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS click_value
+    FROM l
+    """,
+)
+def q_asof_tolerance_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.temporal_joins import (
+        asof_join_tolerance,
+    )
+    from clickhouse_table_copier_spark.queries import _events
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.col("value").alias("click_value")
+    )
+    out = asof_join_tolerance(
+        purchases,
+        clicks,
+        key="user_id",
+        time_col="ts",
+        value_cols=["click_value"],
+        tolerance_s=_ASOF_TOL_S,
+        order_col="event_id",
+    )
+    return out.select("event_id", "user_id", "ts", "click_value")

@@ -102,3 +102,59 @@ def test_mg_candidates_superset_of_true_heavies(spark, tmp_path):
     for s, t in cand:
         per_source[s] = per_source.get(s, 0) + 1
     assert all(v <= _MG_K - 1 for v in per_source.values()), per_source
+
+
+def test_asof_tolerance_boundary_inclusive(spark):
+    """A match EXACTLY tolerance_s old is kept; one second older is
+    refused — pinning the inclusive boundary both engines implement."""
+    from datetime import datetime
+
+    from clickhouse_table_copier_spark.operators.temporal_joins import (
+        asof_join_tolerance,
+    )
+
+    t0 = datetime(2024, 1, 10, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, t0, 101), (2, t0, 102)], "user_id long, ts timestamp_ntz, event_id long"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 9, 12, 0, 0), 9, 7.0),   # exactly 86400 s
+            (2, datetime(2024, 1, 9, 11, 59, 59), 8, 9.0),  # 86401 s
+        ],
+        "user_id long, ts timestamp_ntz, event_id long, v double",
+    )
+    out = {
+        r["user_id"]: r["v"]
+        for r in asof_join_tolerance(
+            left, right, "user_id", "ts", ["v"], tolerance_s=86400,
+            order_col="event_id",
+        ).collect()
+    }
+    assert out[1] == 7.0
+    assert out[2] is None
+
+
+def test_asof_tolerance_right_tie_takes_max_order(spark):
+    """Two right rows at the SAME timestamp: the max-order_col one wins,
+    matching the oracle's ORDER BY ts DESC, event_id DESC."""
+    from datetime import datetime
+
+    from clickhouse_table_copier_spark.operators.temporal_joins import (
+        asof_join_tolerance,
+    )
+
+    t0 = datetime(2024, 1, 10, 12, 0, 0)
+    tr = datetime(2024, 1, 10, 11, 0, 0)
+    left = spark.createDataFrame(
+        [(1, t0, 101)], "user_id long, ts timestamp_ntz, event_id long"
+    )
+    right = spark.createDataFrame(
+        [(1, tr, 5, 50.0), (1, tr, 9, 90.0), (1, tr, 7, 70.0)],
+        "user_id long, ts timestamp_ntz, event_id long, v double",
+    )
+    rows = asof_join_tolerance(
+        left, right, "user_id", "ts", ["v"], tolerance_s=86400,
+        order_col="event_id",
+    ).collect()
+    assert rows[0]["v"] == 90.0
