@@ -57,82 +57,65 @@ def register(name: str, oracle: str | None = None):
 # ordered oldest-last-green first. Bumped-out tail queries all carry green
 # r03 rows and unchanged fingerprints.
 _DRIVER_WINDOW_FIRST = [
-    # --- round-6 window, evidence-derived (registry_evidence.must_front) ---
-    # never driver-verified: the new round-6 queries (6, 6b-6g batches)
-    "snapshot_changelog",
-    "schema_evolution_read",
-    "flag_month_unpivot",
-    "source_lang_chi2",
-    "concurrent_sessions_curve",
-    "stream_static_enrichment",
-    "partitioned_scan_prune",
-    "similarity_triangle_count",
-    "vocab_frequency_spectrum",
-    "streaming_dedup_survivors",
-    "bucketed_colocated_join",
-    "nation_market_share",
-    "nation_year_profit",
-    "top_revenue_supplier",
-    "part_supplier_variety",
-    "large_volume_orders",
-    "disjunctive_brand_revenue",
-    "waiting_supplier_orders",
-    "idle_customer_balances",
-    "shipping_priority",
-    "customer_order_distribution",
-    "bpe_merge_candidates",
-    "token_novelty_curve",
-    "sliding_distinct_users",
-    "cluster_keep_best",
-    "user_value_trend",
-    "embedding_dim_stats",
-    "lang_id_confusion",
-    "sliding_distinct_users_approx",
-    "nation_type_revenue_other",
-    # fingerprint-stale: implementation/oracle/helper changed since last
-    # green row (r6 edits: hll cartesian fix, span max_df cap, pagerank
-    # driver-math rewrite, shared jaccard-pairs cache + its consumers,
-    # tie-safe streaming_sessions oracle; shared-helper closure changes
-    # propagate to dedup_minhash_lsh / doc_dup_ngram_fraction / dedup_lsh_eval)
-    "hll_partition_merge",
-    "cross_doc_spans",
-    "span_dedup_survivors",
-    "pagerank_nations",
-    "dedup_ngram_jaccard",
-    "dedup_clusters_jaccard",
-    "dedup_lsh_eval",
-    "dedup_minhash_lsh",
-    "doc_dup_ngram_fraction",
-    "cluster_safe_split",
-    "streaming_sessions",
-    # fingerprint-stale from the round-6 broadcast-hint policy sweep
-    # (SF-linear sides de-hinted, strategy left to Catalyst/AQE):
-    "orders_by_nation",
-    "local_supplier_volume",
-    "part_type_revenue",
-    "nation_pair_trade",
-    "small_quantity_revenue",
-    # round-6h additions (never driver-verified): the last four classic
-    # TPC-H shapes — these take the final 4 window slots, displacing the
-    # r03-green carryover fill (ann_pq_adc, array_string_ops, bm25_rank,
-    # corpus_dedup_summary cycle back next round; all have unchanged
-    # fingerprints and green r03 rows)
-    "forecast_revenue_change",
-    "returned_item_revenue",
-    "important_part_value",
-    "min_cost_supplier",
-    # (26 r03-green carryovers — ann_pq_adc, array_string_ops, bm25_rank,
-    # corpus_dedup_summary, decontamination, doc_chunking,
-    # doc_winnowing,
-    # dq_expectations, filtered_row_count, fk_integrity_audit,
-    # ipv4_roundtrip, ipv6_canon, order_value_percentiles,
-    # partition_diff, partition_fingerprints,
-    # partition_stats, pii_redaction, quality_weighted_sample,
-    # readable_partition_sizes, schema_align, semantic_dedup,
-    # seq_packing, sketch_*_bounds, sql_frontend_revenue,
-    # table_fingerprint — bumped out by the round-6b…6f batches and the
-    # hint-policy sweep; all carry green r03 rows and unchanged
-    # fingerprints, cycle back next round)
+    # --- round-7 window, evidence-derived (registry_evidence.must_front) ---
+    # never driver-verified: the rotated-in round-7 batch
+    # (queries_round7_prep — TPC-H Q12/Q14/Q20 shapes, incremental batch
+    # dedup, RANGE-frame rolling revenue, stateful streaming Misra-Gries,
+    # tolerance-bounded as-of)
+    "priority_shipping_months",
+    "promo_revenue_share",
+    "dominant_part_suppliers",
+    "dedup_incremental_batch",
+    "rolling_7d_revenue",
+    "streaming_heavy_hitters",
+    "asof_tolerance_attribution",
+    # fingerprint-stale: the queued swap onto _shared_span_grams landed
+    "intra_doc_repeats",
+    # carryover fill, oldest-last-green first (registry_evidence
+    # green_history ordering): 30 r03-green + 12 r04-green queries whose
+    # fingerprints are unchanged since their last driver row
+    "ann_pq_adc",
+    "array_string_ops",
+    "bm25_rank",
+    "corpus_dedup_summary",
+    "decontamination",
+    "doc_chunking",
+    "doc_winnowing",
+    "dq_expectations",
+    "filtered_row_count",
+    "fk_integrity_audit",
+    "ipv4_roundtrip",
+    "ipv6_canon",
+    "order_value_percentiles",
+    "partition_diff",
+    "partition_fingerprints",
+    "partition_stats",
+    "pii_redaction",
+    "quality_weighted_sample",
+    "readable_partition_sizes",
+    "schema_align",
+    "semantic_dedup",
+    "seq_packing",
+    "sketch_distinct_bounds",
+    "sketch_quantile_bounds",
+    "sql_frontend_revenue",
+    "table_fingerprint",
+    "table_profile",
+    "time_range_count",
+    "uuid_or_zero",
+    "virtual_column_part",
+    "bigram_lm",
+    "compaction_plan",
+    "customer_segments_with_orders",
+    "customers_without_orders",
+    "dataset_split",
+    "dedup_exact",
+    "dedup_simhash",
+    "distinct_parts_per_month",
+    "embedding_quantization_error",
+    "events_multikey_predicate",
+    "events_multikey_stats",
+    "flag_status_cube",
 ]
 
 

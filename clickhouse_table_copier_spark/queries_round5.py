@@ -720,11 +720,11 @@ def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # diagonal (pos_b − pos_a > 0 keeps one triangle and excludes the
 # trivial self-match).
 #
-# NOTE(round-7): the body keeps its own inline gram build (byte-identical
-# to its r05-verified source) instead of consuming _shared_span_grams —
-# switching is a fingerprint change, and the round-6 driver window is
-# exactly full (must_front == 50); the swap is queued with the round-7
-# rotation alongside the queries_round7_prep batch.
+# Round-7: now consumes the persisted _shared_span_grams artifact (the
+# swap queued in r6 — it was a fingerprint change the full round-6
+# window couldn't absorb), so all three span-level consumers
+# (cross_doc_spans, span_dedup_survivors, intra_doc_repeats) start from
+# ONE materialized gram frame per (session, sf_dir).
 # ---------------------------------------------------------------------------
 @register(
     "intra_doc_repeats",
@@ -768,33 +768,8 @@ def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_intra_doc_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clickhouse_table_copier_spark.operators.dedup import (
-        normalized_text,
-        spread,
-    )
-
     k = SPAN_K
-    docs = spread(_t(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id", F.split(normalized_text("text"), " ").alias("w")
-    ).where(F.size("w") >= k)
-    grams = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.size("w") - k + 1)).alias("pos"),
-        F.col("w"),
-    ).select(
-        "doc_id",
-        "pos",
-        F.conv(
-            F.substring(
-                F.md5(F.array_join(F.expr(f"slice(w, pos, {k})"), " ")), 1, 15
-            ),
-            16,
-            10,
-        )
-        .cast("bigint")
-        .alias("h"),
-    )
+    grams = _shared_span_grams(spark, sf_dir)
     a, b = grams.alias("a"), grams.alias("b")
     m = a.join(
         b,

@@ -22,13 +22,17 @@ def test_prep_query_matches_oracle(spark, name):
     compare(df, oracle, name)
 
 
-def test_prep_queries_not_yet_registered():
-    """Guard both directions: the prep names must NOT be registered this
-    round (the window is full), and the prep dicts stay in lockstep."""
+def test_prep_queries_registered_in_round7():
+    """Round-7 rotation happened: every prep query is in the main
+    registry with the same function and oracle, and the prep dicts stay
+    in lockstep."""
     import __spark_entry__ as entry
 
-    qs = entry.queries()
-    assert not set(PREP_QUERIES) & set(qs)
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    assert set(PREP_QUERIES) <= set(qs)
+    for name, fn in PREP_QUERIES.items():
+        assert qs[name] is fn
+        assert oracles[name] == PREP_ORACLES[name]
     assert set(PREP_QUERIES) == set(PREP_ORACLES)
 
 
