@@ -53,6 +53,13 @@ def triangles_per_node(pairs: DataFrame, orient: str = "degree") -> DataFrame:
             F.when(a_first, F.col("id_b")).otherwise(F.col("id_a")).alias("v"),
             F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
         )
+        # e is consumed THREE times below (both wedge sides + the closer);
+        # without a cut, the degree aggregation and both degree joins
+        # replay per consumer (measured 3× the id-oriented cost at sf0.1).
+        # The oriented edge list is edge-sized — at scale you'd write it
+        # once and read it three times; localCheckpoint is the in-process
+        # form (same pattern as the sessions-curve sweep line).
+        e = e.localCheckpoint(eager=False)
     else:
         raise ValueError(f"unknown orientation: {orient!r}")
 

@@ -89,10 +89,30 @@ _SHINGLE_INDEX_CACHE: dict = {}
 _SHINGLE_INDEX_CACHE_MAX = 4
 
 
+# Artifact compaction target. A derived artifact inherits the partition
+# count of the pipeline that BUILT it (e.g. a 64-way union feeding a
+# 1,375-row pair list), but it is READ many times by many consumers —
+# every scan schedules one task per cached partition, so an oversharded
+# artifact taxes each consumer with pure scheduling overhead (measured:
+# the degree-oriented triangle count spent ~2.5 s/iteration rescanning a
+# 64-partition 1,375-row pairs cache). Sizing partitions to the MEASURED
+# row count at materialization is exactly what a production materialized
+# table does at write time (compaction); values are untouched.
+_ARTIFACT_ROWS_PER_PART = 131_072
+
+
 def _cache_get(cache: dict, key, build) -> DataFrame:
     df = cache.pop(key, None)  # pop+reinsert = LRU order
     if df is None:
         df = build().persist()
+        rows = df.count()  # materialize once, at build time
+        parts = df.rdd.getNumPartitions()
+        want = max(1, min(parts, -(-rows // _ARTIFACT_ROWS_PER_PART)))
+        if want < parts:
+            compact = df.coalesce(want).persist()
+            compact.count()
+            df.unpersist()
+            df = compact
     cache[key] = df
     while len(cache) > _SHINGLE_INDEX_CACHE_MAX:
         old = cache.pop(next(iter(cache)))
