@@ -42,85 +42,31 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's correctness gate checks the FIRST 50 registered queries in
-# dict order. The window is now EVIDENCE-DERIVED (VERDICT r4 #2):
-# ``registry_evidence.must_front()`` computes, from the committed
-# CORRECTNESS_r*.json files plus the fingerprint snapshot
-# (registry_fingerprints.json), exactly which queries require a driver row
-# this round — never-green queries and queries whose implementation/oracle
-# changed since their last green row. tests/test_registry_order.py fails
-# if any such query sits outside the first 50, so an omission like r04's
-# (similarity_ivf_topk left out despite its new oracle) cannot recur.
-#
-# r05 window = 15 evidence-required (1 never-green + 14 fingerprint-stale,
-# including the SymSpell fuzzy rewrite and every _events-loader dependent
-# query) + new round-5 queries + carryover fill of r04-unchecked queries
-# ordered oldest-last-green first. Bumped-out tail queries all carry green
-# r03 rows and unchanged fingerprints.
-_DRIVER_WINDOW_FIRST = [
-    # --- round-7 window, evidence-derived (registry_evidence.must_front) ---
-    # never driver-verified: the rotated-in round-7 batch
-    # (queries_round7_prep — TPC-H Q12/Q14/Q20 shapes, incremental batch
-    # dedup, RANGE-frame rolling revenue, stateful streaming Misra-Gries,
-    # tolerance-bounded as-of)
-    "priority_shipping_months",
-    "promo_revenue_share",
-    "dominant_part_suppliers",
-    "dedup_incremental_batch",
-    "rolling_7d_revenue",
-    "streaming_heavy_hitters",
-    "asof_tolerance_attribution",
-    # fingerprint-stale: the queued swap onto _shared_span_grams landed
-    "intra_doc_repeats",
-    # carryover fill, oldest-last-green first (registry_evidence
-    # green_history ordering): 30 r03-green + 12 r04-green queries whose
-    # fingerprints are unchanged since their last driver row
-    "ann_pq_adc",
-    "array_string_ops",
-    "bm25_rank",
-    "corpus_dedup_summary",
-    "decontamination",
-    "doc_chunking",
-    "doc_winnowing",
-    "dq_expectations",
-    "filtered_row_count",
-    "fk_integrity_audit",
-    "ipv4_roundtrip",
-    "ipv6_canon",
-    "order_value_percentiles",
-    "partition_diff",
-    "partition_fingerprints",
-    "partition_stats",
-    "pii_redaction",
-    "quality_weighted_sample",
-    "readable_partition_sizes",
-    "schema_align",
-    "semantic_dedup",
-    "seq_packing",
-    "sketch_distinct_bounds",
-    "sketch_quantile_bounds",
-    "sql_frontend_revenue",
-    "table_fingerprint",
-    "table_profile",
-    "time_range_count",
-    "uuid_or_zero",
-    "virtual_column_part",
-    "bigram_lm",
-    "compaction_plan",
-    "customer_segments_with_orders",
-    "customers_without_orders",
-    "dataset_split",
-    "dedup_exact",
-    "dedup_simhash",
-    "distinct_parts_per_month",
-    "embedding_quantization_error",
-    "events_multikey_predicate",
-    "events_multikey_stats",
-    "flag_status_cube",
-]
+# dict order. Since round 7 the window is COMPUTED, not hand-maintained:
+# ``registry_evidence.driver_window`` derives the full verification order
+# from committed evidence — queries needing a driver row this round
+# (never-green in any CORRECTNESS_r*.json, or fingerprint-stale vs
+# registry_fingerprints.json) front the window alphabetically, and every
+# other query follows oldest-last-green first. With N registered queries
+# each unchanged query is re-verified by the driver at least every
+# ceil(N/50) rounds; tests/test_registry_order.py pins the served order
+# to the derived spec, so the r04 omission class (a query left outside
+# the window while needing verification) cannot recur by construction.
+_WINDOW_CACHE: dict = {}
+
+
+def _driver_window() -> list[str]:
+    from clickhouse_table_copier_spark import registry_evidence
+
+    key = tuple(sorted(_QUERIES))
+    if key not in _WINDOW_CACHE:
+        _WINDOW_CACHE.clear()  # registry grew: stale order is useless
+        _WINDOW_CACHE[key] = registry_evidence.driver_window(_QUERIES, _ORACLES)
+    return _WINDOW_CACHE[key]
 
 
 def _window_ordered(d: dict) -> dict:
-    out = {n: d[n] for n in _DRIVER_WINDOW_FIRST if n in d}
+    out = {n: d[n] for n in _driver_window() if n in d}
     out.update((n, v) for n, v in d.items() if n not in out)
     return out
 

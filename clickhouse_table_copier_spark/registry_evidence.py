@@ -105,7 +105,7 @@ def _const_repr(obj) -> str | None:
 
 # Registry accumulators referenced by the ``register`` helper: they grow
 # with every unrelated registration and must never enter a fingerprint.
-_EXCLUDED_GLOBALS = {"_QUERIES", "_ORACLES", "_DRIVER_WINDOW_FIRST"}
+_EXCLUDED_GLOBALS = {"_QUERIES", "_ORACLES"}
 
 
 def _excluded_name(name: str) -> bool:
@@ -212,6 +212,27 @@ def must_front(queries: dict, oracles: dict[str, str]) -> dict[str, str]:
                 f"implementation/oracle changed since last green row (r{green[name]:02d})"
             )
     return need
+
+
+DRIVER_WINDOW = 50
+
+
+def driver_window(queries: dict, oracles: dict[str, str]) -> list[str]:
+    """The full evidence-derived verification order (round-7 steady-state
+    policy, COVERAGE.md): queries requiring a driver row this round
+    (never-green or fingerprint-stale) first, alphabetical; then every
+    other query oldest-last-green first, name-tiebroken.  The driver
+    checks the first ``DRIVER_WINDOW`` entries, so with N registered
+    queries a fingerprint-unchanged query re-earns a fresh driver row at
+    least every ``ceil(N / DRIVER_WINDOW)`` rounds — bounded, derivable
+    staleness with zero hand-maintenance (between driver rounds the full
+    registry stays hash-verified locally by tests/test_oracle_queries).
+    Deterministic across processes: fingerprints are sha256 over source
+    text and green history reads committed CORRECTNESS files."""
+    need = must_front(queries, oracles)
+    green = green_history()
+    fill = sorted((green.get(n, 0), n) for n in queries if n not in need)
+    return sorted(need) + [n for _, n in fill]
 
 
 def update_snapshot(queries: dict, oracles: dict[str, str]) -> list[str]:

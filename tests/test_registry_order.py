@@ -21,9 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry
 from clickhouse_table_copier_spark import registry_evidence
-from clickhouse_table_copier_spark.queries import _DRIVER_WINDOW_FIRST
 
-DRIVER_WINDOW = 50
+DRIVER_WINDOW = registry_evidence.DRIVER_WINDOW
 
 
 def test_evidence_required_queries_front_the_window():
@@ -44,12 +43,28 @@ def test_evidence_required_queries_front_the_window():
     )
 
 
-def test_window_list_is_registered_and_inside_window():
-    names = list(entry.queries())
-    assert len(_DRIVER_WINDOW_FIRST) <= DRIVER_WINDOW
-    for n in _DRIVER_WINDOW_FIRST:
-        assert n in names, f"{n} not registered"
-        assert names.index(n) < DRIVER_WINDOW, f"{n} outside the driver window"
+def test_served_order_matches_derived_spec():
+    """Since round 7 the window is computed, not hand-maintained: the
+    order ``queries()`` actually serves must be exactly the
+    evidence-derived spec — must_front first (alphabetical), then
+    oldest-last-green fill. Catches any drift between the registry's
+    caching layer and the spec function."""
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    assert list(qs) == registry_evidence.driver_window(qs, oracles)
+
+
+def test_rotation_staleness_is_bounded():
+    """The policy's bound: with the oldest-last-green fill, every
+    registered query either needs a row this round (fronted) or sits at
+    a position that guarantees a fresh driver row within
+    ceil(N/DRIVER_WINDOW) rounds of its last green row. Concretely:
+    the fill is non-decreasing in last-green round, so the stalest
+    queries are always verified first."""
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    need = registry_evidence.must_front(qs, oracles)
+    green = registry_evidence.green_history()
+    fill_rounds = [green.get(n, 0) for n in qs if n not in need]
+    assert fill_rounds == sorted(fill_rounds)
 
 
 def test_snapshot_entries_match_registry():
