@@ -196,3 +196,120 @@ def asof_join_tolerance(
         ]
     )
     return carried.where(F.col("__is_left") == 1).select(*out_cols)
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    time_col: str,
+    value_cols: list[str] | None = None,
+    tolerance_s: int = 86400,
+    order_col: str | None = None,
+) -> DataFrame:
+    """NEAREST-direction as-of join (pandas ``merge_asof(direction=
+    'nearest', tolerance=...)``): each left row takes the right row with
+    the smallest absolute time distance within ``tolerance_s``, looking
+    both backward and forward. Tie rules, total and cross-engine
+    deterministic: equal distance prefers the BACKWARD match (the earlier
+    right row); equal right timestamps within a side prefer the max
+    ``order_col``.
+
+    Plan: the same union-window carry as :func:`asof_join_tolerance` run
+    in BOTH directions — the backward pass orders (ts, right-first) and
+    carries the latest prior right struct; the forward pass orders
+    (ts DESC, right-first) and carries the earliest later right struct.
+    Both windows hash-partition on the same key, so the second pass
+    reuses the first's exchange — still ONE shuffle of each side's rows
+    and zero join nodes, which is the only as-of form that survives when
+    both sides are fact-sized.
+    """
+    from pyspark.sql import Window
+
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (key, time_col)
+    ]
+    rec = F.struct(
+        F.col(time_col).alias("__t"), *[F.col(c).alias(c) for c in value_cols]
+    )
+    l_extra = [c for c in left.columns if c not in (key, time_col)]
+
+    def _ord(side: DataFrame):
+        if order_col is not None and order_col in side.columns:
+            return F.col(order_col).alias("__ord")
+        return F.lit(None).cast("long").alias("__ord")
+
+    rec_type = (
+        "struct<__t:timestamp_ntz,"
+        + ",".join(
+            f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
+        )
+        + ">"
+    )
+    l_tag = left.select(
+        F.col(key),
+        F.col(time_col),
+        F.lit(1).alias("__is_left"),
+        _ord(left),
+        F.lit(None).cast(rec_type).alias("__r_rec"),
+        *[F.col(c) for c in l_extra],
+    )
+    r_tag = right.select(
+        F.col(key),
+        F.col(time_col),
+        F.lit(0).alias("__is_left"),
+        _ord(right),
+        rec.alias("__r_rec"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in l_extra
+        ],
+    )
+    unioned = l_tag.unionByName(r_tag)
+    frame = (Window.unboundedPreceding, Window.currentRow)
+    # backward: latest right at-or-before; among equal right timestamps
+    # the LAST (max __ord) is carried
+    w_back = (
+        Window.partitionBy(key)
+        .orderBy(F.col(time_col), F.col("__is_left"), F.col("__ord").asc_nulls_first())
+        .rowsBetween(*frame)
+    )
+    # forward: earliest right at-or-after; ts DESC puts later rows first,
+    # right rows still sort before left at the same instant, and __ord
+    # ascending again leaves the max-__ord right row as the carried last
+    w_fwd = (
+        Window.partitionBy(key)
+        .orderBy(
+            F.col(time_col).desc(),
+            F.col("__is_left"),
+            F.col("__ord").asc_nulls_first(),
+        )
+        .rowsBetween(*frame)
+    )
+    carried = unioned.select(
+        "*",
+        F.last("__r_rec", ignorenulls=True).over(w_back).alias("__b"),
+        F.last("__r_rec", ignorenulls=True).over(w_fwd).alias("__f"),
+    )
+
+    def _dist(m):
+        # exact integer microseconds — nearest-direction comparisons must
+        # not second-truncate, or two candidates 0.4 s apart tie wrongly
+        return F.abs(
+            F.unix_micros(F.col(time_col).cast("timestamp"))
+            - F.unix_micros(m["__t"].cast("timestamp"))
+        )
+
+    tol_us = int(tolerance_s) * 1_000_000
+    b_ok = F.col("__b").isNotNull() & (_dist(F.col("__b")) <= tol_us)
+    f_ok = F.col("__f").isNotNull() & (_dist(F.col("__f")) <= tol_us)
+    take_b = b_ok & (
+        ~f_ok | (_dist(F.col("__b")) <= _dist(F.col("__f")))
+    )
+    chosen = F.when(take_b, F.col("__b")).when(f_ok, F.col("__f"))
+    out_cols = (
+        [F.col(key), F.col(time_col)]
+        + [F.col(c) for c in l_extra]
+        + [chosen[c].alias(c) for c in value_cols]
+    )
+    return carried.where(F.col("__is_left") == 1).select(*out_cols)
