@@ -116,6 +116,29 @@ EXTENDED = [
     "returned_item_revenue",
     "important_part_value",
     "min_cost_supplier",
+    # round-7 rotation batch (streaming_heavy_hitters excluded: per-call
+    # source copy + two checkpointed streaming runs, scaffolding-dominated
+    # like the other streaming queries below)
+    "priority_shipping_months",
+    "promo_revenue_share",
+    "dominant_part_suppliers",
+    "dedup_incremental_batch",
+    "rolling_7d_revenue",
+    "asof_tolerance_attribution",
+    # round-7b additions (streaming_ewma_value excluded: same per-call
+    # streaming scaffolding)
+    "embedding_covariance",
+    "priority_sample_wor",
+    "collocation_lift",
+    "locf_gap_fill",
+    "revenue_concentration",
+    "asof_nearest_attribution",
+    # round-7c additions
+    "bucketed_interval_attribution",
+    "incremental_join_delta",
+    "holt_linear_trend",
+    "event_debounce",
+    "yoy_nation_growth",
     # stream_static_enrichment excluded: per-call source copy + a
     # checkpointed streaming job — scaffolding-dominated like
     # streaming_sessions below

@@ -106,6 +106,51 @@ def range_join(
     return left.join(iv, cond).drop(iv[key])
 
 
+def range_join_bucketed(
+    left: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    time_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """The SCALE path of :func:`range_join`, for interval sides too big
+    to broadcast: each interval explodes into the time buckets it
+    covers, the probe side computes its single bucket, and the interval
+    containment becomes an EQUI-join on (key, bucket) plus a residual
+    ``start <= t < end`` filter — hash-joinable, hence shuffle-
+    partitionable across any cluster, where the non-equi form either
+    broadcasts or degenerates to a nested loop.
+
+    Fan-out is ⌈interval length / bucket_s⌉ rows per interval — pick
+    ``bucket_s`` near the typical interval length so the blow-up is a
+    small constant. Each (row, interval) pair meets in EXACTLY one
+    bucket (the row's), so no post-join dedup is needed.
+    """
+    us = 1_000_000
+    width = int(bucket_s) * us
+    probe = left.withColumn(
+        "__bkt",
+        F.floor(F.unix_micros(F.col(time_col).cast("timestamp")) / width),
+    )
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    # end is exclusive: an interval ending exactly on a bucket boundary
+    # must not claim that bucket
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp")) - 1
+    iv = intervals.withColumn(
+        "__bkt",
+        F.explode(F.sequence(F.floor(s_us / width), F.floor(e_us / width))),
+    )
+    cond = (
+        (probe[key] == iv[key])
+        & (probe["__bkt"] == iv["__bkt"])
+        & (probe[time_col] >= iv[start_col])
+        & (probe[time_col] < iv[end_col])
+    )
+    return probe.join(iv, cond).drop(iv[key]).drop(iv["__bkt"]).drop("__bkt")
+
+
 def asof_join_tolerance(
     left: DataFrame,
     right: DataFrame,
