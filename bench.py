@@ -139,6 +139,9 @@ EXTENDED = [
     "holt_linear_trend",
     "event_debounce",
     "yoy_nation_growth",
+    # round-7d additions
+    "bpe_iterative_merges",
+    "readability_scores",
     # stream_static_enrichment excluded: per-call source copy + a
     # checkpointed streaming job — scaffolding-dominated like
     # streaming_sessions below
