@@ -142,6 +142,9 @@ EXTENDED = [
     # round-7d additions
     "bpe_iterative_merges",
     "readability_scores",
+    # round-7e additions
+    "key_skew_report",
+    "weekly_seasonal_anomalies",
     # stream_static_enrichment excluded: per-call source copy + a
     # checkpointed streaming job — scaffolding-dominated like
     # streaming_sessions below

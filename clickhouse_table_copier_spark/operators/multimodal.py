@@ -666,6 +666,128 @@ def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224) -> Da
     )
 
 
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+_AHASH_BANDS = 4  # 4 × 16-bit bands over the 64-bit hash
+
+
+def image_ahash(df: DataFrame) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint per image: decode →
+    integer luma → 8×8 nearest-neighbor downsample → threshold each cell
+    at the mean → 64-bit hash. Pure integer arithmetic end to end
+    (luma = (299·R + 587·G + 114·B) // 1000, mean comparison on
+    sum·64 vs cell·64·count cross-multiplication), so the hash is
+    deterministic across partitionings and platforms. Images the
+    pure-Python raster decoder doesn't cover yield NULL (the documented
+    JPEG/GIF seam) and drop out of dedup rather than fake a hash.
+    """
+
+    def make_fn():
+        import numpy as _np
+
+        decode_raster = _make_png_raster_decoder()
+
+        def fn(batches):
+            for pdf in batches:
+                ids, hashes = [], []
+                for mid, content in zip(pdf["media_id"], pdf["content"]):
+                    got = decode_raster(bytes(content))
+                    if got is None:
+                        ids.append(mid)
+                        hashes.append(None)
+                        continue
+                    w, h, nch, arr = got
+                    a = arr.astype(_np.int64)
+                    if nch == 1:
+                        luma = a[:, :, 0]
+                    else:  # RGB(A): integer ITU-R 601 luma
+                        luma = (
+                            299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]
+                        ) // 1000
+                    xs = (_np.arange(8) * w) // 8
+                    ys = (_np.arange(8) * h) // 8
+                    cells = luma[ys][:, xs]  # (8, 8) int64
+                    total = int(cells.sum())
+                    # cell > mean  ⇔  cell·64 > total (integer-exact)
+                    bits = (cells.reshape(-1) * 64 > total).astype(_np.int64)
+                    hval = 0
+                    for b in bits:
+                        hval = (hval << 1) | int(b)
+                    # keep inside signed int64 (bit 63 set is fine in
+                    # Python but must wrap for Spark LongType)
+                    if hval >= 1 << 63:
+                        hval -= 1 << 64
+                    ids.append(mid)
+                    hashes.append(hval)
+                yield pd.DataFrame({"media_id": ids, "ahash": hashes})
+
+        return fn
+
+    return df.select("media_id", "content").mapInPandas(make_fn(), AHASH_SCHEMA)
+
+
+def near_duplicate_images(
+    df: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate image pairs: aHash + banded LSH join + exact
+    Hamming verify. The 64-bit hash splits into 4 × 16-bit bands;
+    candidates share at least one exact band, then ``bit_count(a XOR b)
+    <= max_hamming`` verifies. For ``max_hamming < 4`` the pigeonhole
+    principle makes the banding EXACT (≤3 differing bits cannot touch
+    all 4 bands), so this is the full answer, not a recall trade-off —
+    the same guarantee structure as the MinHash-LSH text path, and the
+    same scale shape: candidates are generated by an equi-join on
+    (band_id, band_value), never an all-pairs scan."""
+    if max_hamming >= _AHASH_BANDS:
+        raise ValueError(
+            f"banding is exact only for max_hamming < {_AHASH_BANDS}"
+        )
+    hashes = image_ahash(df).where(F.col("ahash").isNotNull())
+    bands = hashes.select(
+        "media_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftrightunsigned(F.col("ahash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(_AHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("media_id", "ahash", "b.band_id", "b.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.ahash").alias("h_a"),
+            F.col("b.ahash").alias("h_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.where(ham <= max_hamming)
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled frame index,
     without decoding (expression-only). The decode of selected frames
