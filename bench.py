@@ -145,6 +145,8 @@ EXTENDED = [
     # round-7e additions
     "key_skew_report",
     "weekly_seasonal_anomalies",
+    # round-7f additions
+    "audience_overlap_minhash",
     # stream_static_enrichment excluded: per-call source copy + a
     # checkpointed streaming job — scaffolding-dominated like
     # streaming_sessions below
