@@ -147,6 +147,9 @@ EXTENDED = [
     "weekly_seasonal_anomalies",
     # round-7f additions
     "audience_overlap_minhash",
+    # round-7g additions
+    "funnel_conversion_ci",
+    "hierarchical_share_rollup",
     # stream_static_enrichment excluded: per-call source copy + a
     # checkpointed streaming job — scaffolding-dominated like
     # streaming_sessions below
