@@ -10,10 +10,12 @@ is not a matter of judgment — it is derivable from committed evidence:
   row carries only a stale verification and must be fronted again.
 
 "Changed" is detected by fingerprinting: sha256 over the query function's
-source, its oracle SQL, and the source of every same-package helper
-function the query's source references by name (one level deep — this
-catches shared-loader drift such as the round-4 ``_events`` rewrite
-without invalidating the whole registry on unrelated edits).
+source, its oracle SQL, and (v2, round-7 hardening) the source of the
+TRANSITIVE closure of same-package helper functions reachable by bare
+name, plus simple module-level constants at every level. v1 entries
+(one-level closure) keep verifying under v1 until their next green row
+migrates them — the `2:` prefix in ``registry_fingerprints.json`` marks
+the scheme an entry was recorded under.
 
 ``registry_fingerprints.json`` (committed, same directory) records the
 fingerprint each query had **when its latest green driver row was
@@ -117,12 +119,12 @@ def _excluded_name(name: str) -> bool:
     return name in _EXCLUDED_GLOBALS or name.endswith("_CACHE")
 
 
-def _helper_sources(fn) -> dict[str, str]:
-    """Dependency closure of fn's body, one level deep: the SOURCE of
-    same-package functions it references by name, plus the REPR of
-    simple module-level constants referenced by fn or those helpers
-    (so editing e.g. a dialect-function table or a parameter constant
-    marks its queries stale, not just editing function bodies)."""
+def _helper_sources_v1(fn) -> dict[str, str]:
+    """Legacy (round ≤7) closure, one level deep: the SOURCE of
+    same-package functions fn references by name, plus the REPR of
+    simple module-level constants referenced by fn or those helpers.
+    Kept verbatim so snapshot entries recorded under v1 keep verifying
+    until their next green row migrates them to v2."""
     out: dict[str, str] = {}
     helpers: list = []
     for name, obj in _candidate_objects(fn).items():
@@ -155,14 +157,70 @@ def _helper_sources(fn) -> dict[str, str]:
     return out
 
 
-def query_fingerprint(fn, oracle: str | None) -> str:
+_DEEP_MAX_DEPTH = 6
+
+
+def _helper_sources_v2(fn) -> dict[str, str]:
+    """TRANSITIVE dependency closure (round-7 hardening): BFS over
+    same-package functions reachable by bare name, source-hashed at
+    EVERY level, plus const reprs at every level. Closes the v1
+    soundness hole where an edit to a helper-of-a-helper (observed:
+    queries_pipeline._cache_get, reached only via _shared_jaccard_pairs)
+    changed executed behavior without flagging any query stale. Depth
+    is capped defensively; name collisions keep the first (nearest)
+    binding, matching lookup semantics."""
+    out: dict[str, str] = {}
+    frontier = [fn]
+    seen_fns = {id(fn)}
+    for _ in range(_DEEP_MAX_DEPTH):
+        nxt: list = []
+        for f in frontier:
+            try:
+                cands = _candidate_objects(f)
+            except (OSError, TypeError):
+                continue
+            for name, obj in cands.items():
+                if _excluded_name(name) or name in out:
+                    continue
+                if (
+                    inspect.isfunction(obj)
+                    and obj is not fn
+                    and (obj.__module__ or "").startswith(_PKG)
+                ):
+                    try:
+                        out[name] = inspect.getsource(obj)
+                    except (OSError, TypeError):
+                        continue
+                    if id(obj) not in seen_fns:
+                        seen_fns.add(id(obj))
+                        nxt.append(obj)
+                else:
+                    r = _const_repr(obj)
+                    if r is not None:
+                        out[name] = r
+        if not nxt:
+            break
+        frontier = nxt
+    return out
+
+
+def query_fingerprint(fn, oracle: str | None, version: int = 2) -> str:
+    helpers = _helper_sources_v2(fn) if version >= 2 else _helper_sources_v1(fn)
     h = hashlib.sha256()
     h.update(inspect.getsource(fn).encode())
     h.update(b"\x00")
     h.update((oracle or "").encode())
-    for name, src in sorted(_helper_sources(fn).items()):
+    for name, src in sorted(helpers.items()):
         h.update(b"\x00" + name.encode() + b"\x00" + src.encode())
     return h.hexdigest()
+
+
+def _snap_version(entry: str) -> tuple[int, str]:
+    """Snapshot value format: bare hex = v1 (legacy), '2:<hex>' = v2."""
+    if ":" in entry:
+        v, hexd = entry.split(":", 1)
+        return int(v), hexd
+    return 1, entry
 
 
 def _correctness_files() -> list[str]:
@@ -204,10 +262,12 @@ def must_front(queries: dict, oracles: dict[str, str]) -> dict[str, str]:
         if name not in green:
             need[name] = "no green driver row in any committed CORRECTNESS file"
             continue
-        fp = query_fingerprint(fn, oracles.get(name))
         if name not in snap:
             need[name] = "no verified fingerprint on record"
-        elif snap[name] != fp:
+            continue
+        ver, stored = _snap_version(snap[name])
+        fp = query_fingerprint(fn, oracles.get(name), version=ver)
+        if stored != fp:
             need[name] = (
                 f"implementation/oracle changed since last green row (r{green[name]:02d})"
             )
@@ -257,7 +317,11 @@ def update_snapshot(queries: dict, oracles: dict[str, str]) -> list[str]:
             and row.get("hash_match")
             and not row.get("err")
         ):
-            snap[name] = query_fingerprint(queries[name], oracles.get(name))
+            # new rows record under the v2 (deep-closure) scheme; v1
+            # entries migrate one green row at a time
+            snap[name] = "2:" + query_fingerprint(
+                queries[name], oracles.get(name), version=2
+            )
             updated.append(name)
     with open(SNAPSHOT_PATH, "w") as f:
         json.dump(dict(sorted(snap.items())), f, indent=1)

@@ -80,6 +80,29 @@ def test_snapshot_entries_match_registry():
     assert not unverified, f"snapshotted but never green: {unverified}"
 
 
+def test_deep_fingerprint_reaches_second_level_helpers():
+    """The v2 (round-7) closure must include helpers-of-helpers: the
+    observed v1 hole was queries_pipeline._cache_get — reached only via
+    _shared_jaccard_pairs — whose edit changed executed physical
+    behavior without flagging any consumer stale."""
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    fn = qs["similarity_triangle_count"]
+    deep = registry_evidence._helper_sources_v2(fn)
+    shallow = registry_evidence._helper_sources_v1(fn)
+    assert "_cache_get" in deep
+    assert "_cache_get" not in shallow  # the documented v1 limitation
+    # and the two schemes therefore fingerprint differently
+    o = oracles["similarity_triangle_count"]
+    assert registry_evidence.query_fingerprint(
+        fn, o, version=2
+    ) != registry_evidence.query_fingerprint(fn, o, version=1)
+
+
+def test_snapshot_version_parsing():
+    assert registry_evidence._snap_version("abc123") == (1, "abc123")
+    assert registry_evidence._snap_version("2:def456") == (2, "def456")
+
+
 def test_oracles_follow_the_same_order():
     qnames = list(entry.queries())
     onames = list(entry.oracle_sql())
