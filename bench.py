@@ -150,6 +150,9 @@ EXTENDED = [
     # round-7g additions
     "funnel_conversion_ci",
     "hierarchical_share_rollup",
+    # round-7h additions
+    "hard_negative_mining",
+    "cusum_change_points",
     # stream_static_enrichment excluded: per-call source copy + a
     # checkpointed streaming job — scaffolding-dominated like
     # streaming_sessions below

@@ -156,6 +156,10 @@ def q_bpe_iterative_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("s"),
                 "freq",
             )
+            # cut lineage: without this, iteration i's count replays ALL
+            # previous replaces from the raw corpus (measured 3.1 s →
+            # the checkpointed word table makes each iteration one pass)
+            seq = seq.localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges,
         "iteration int, sym_a string, sym_b string, merged string,"
