@@ -153,6 +153,9 @@ EXTENDED = [
     # round-7h additions
     "hard_negative_mining",
     "cusum_change_points",
+    # round-7i additions
+    "bootstrap_mean_ci",
+    "value_decile_conversion",
     # stream_static_enrichment excluded: per-call source copy + a
     # checkpointed streaming job — scaffolding-dominated like
     # streaming_sessions below

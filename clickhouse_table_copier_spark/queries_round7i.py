@@ -1,0 +1,234 @@
+"""Query batch: round-7i — distributed uncertainty quantification.
+
+- ``bootstrap_mean_ci`` — 95% confidence interval for the per-type mean
+  value via the POISSON BOOTSTRAP (Chamandy et al., the distributed
+  bootstrap): instead of resampling n rows globally (impossible without
+  a shuffle of the whole dataset per replicate), every row contributes
+  Poisson(1)-many copies to each of B=64 replicas independently — one
+  map-side explode, B grouped sums, zero data movement beyond the
+  aggregate. Determinism: the Poisson draw inverts a hash-uniform
+  against EXACT integer CDF cutoffs inlined as literals, replica means
+  are decimal-sum / integer-count divisions, and the CI bounds are
+  order statistics of the sorted 64 means — every step identical in
+  both engines.
+- ``value_decile_conversion`` — the calibration curve: exact value
+  deciles (the equi-depth distributed-rank machinery) × purchase rate
+  per decile. "Do higher-value events convert more" with equal-mass
+  buckets, not arbitrary bin edges.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_table_copier_spark.queries import _events, register
+
+_BOOT_B = 64
+# Poisson(1) CDF cutoffs as exact integer thresholds on a 48-bit
+# uniform; capped at 6 copies (P(w>6) ≈ 8e-5 — the truncation applies
+# identically in both engines, so exactness is unaffected)
+_POIS_CUM = []
+_acc = 0.0
+for _k in range(7):
+    _acc += math.exp(-1.0) / math.factorial(_k)
+    _POIS_CUM.append(min(int(_acc * (1 << 48)), (1 << 48) - 1))
+
+
+def _weight_sql(u: str) -> str:
+    """Branchless weight: number of cutoffs the uniform exceeds."""
+    return "(" + " + ".join(
+        f"(CASE WHEN {u} >= {c} THEN 1 ELSE 0 END)" for c in _POIS_CUM
+    ) + ")"
+
+
+@register(
+    "bootstrap_mean_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT event_type, value, unnest(generate_series(1, {_BOOT_B})) AS b,
+             event_id
+      FROM events
+    ),
+    weighted AS (
+      SELECT event_type, b,
+             {_weight_sql(
+                 "CAST('0x' || substring(md5(CAST(event_id AS VARCHAR) || '#' ||"
+                 " CAST(b AS VARCHAR)), 1, 12) AS BIGINT)"
+             )} AS w,
+             value
+      FROM reps
+    ),
+    rep_means AS (
+      SELECT event_type, b,
+             CAST(CAST(sum(w * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  / sum(w) AS DOUBLE) AS m
+      FROM weighted GROUP BY 1, 2 HAVING sum(w) > 0
+    ),
+    sorted_means AS (
+      SELECT event_type, list_sort(list(m)) AS ms, count(*) AS n_reps
+      FROM rep_means GROUP BY 1
+    ),
+    base AS (
+      SELECT event_type,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  / count(*) AS DOUBLE) AS mean_value,
+             count(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT base.event_type, CAST(base.n AS BIGINT) AS n,
+           base.mean_value,
+           CAST(s.n_reps AS BIGINT) AS n_reps,
+           ms[2] AS ci_lo, ms[63] AS ci_hi
+    FROM base JOIN sorted_means s ON base.event_type = s.event_type
+    """,
+)
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("event_type", "event_id", "value")
+    reps = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("event_id").cast("string"),
+                    F.lit("#"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = None
+    for c in _POIS_CUM:
+        term = F.when(u >= c, 1).otherwise(0)
+        w = term if w is None else w + term
+    rep_means = (
+        reps.select("event_type", "b", w.alias("w"), "value")
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum(
+                F.col("w") * F.col("value").cast("decimal(18,2)")
+            ).alias("swx"),
+            F.sum("w").alias("sw"),
+        )
+        .where(F.col("sw") > 0)
+        .select(
+            "event_type",
+            (F.col("swx").cast("double") / F.col("sw")).alias("m"),
+        )
+    )
+    sorted_means = rep_means.groupBy("event_type").agg(
+        F.array_sort(F.collect_list("m")).alias("ms"),
+        F.count(F.lit(1)).cast("bigint").alias("n_reps"),
+    )
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_value"),
+    )
+    return base.join(sorted_means, "event_type").select(
+        "event_type",
+        "n",
+        "mean_value",
+        "n_reps",
+        F.element_at("ms", 2).alias("ci_lo"),
+        F.element_at("ms", 63).alias("ci_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calibration curve: exact equal-mass value deciles × purchase rate.
+# Reuses the equi_depth distributed-rank design (sketch partitions →
+# local ranks → metadata-sized offsets → exact ntile) over event values;
+# the conversion rate per decile is an integer ratio, one double
+# division. Ties on equal values are made total by event_id, so decile
+# membership is deterministic cross-engine.
+# ---------------------------------------------------------------------------
+_CAL_PARTS = 32
+
+
+@register(
+    "value_decile_conversion",
+    oracle="""
+    WITH ranked AS (
+      SELECT value, event_type,
+             ntile(10) OVER (ORDER BY value, event_id) AS decile
+      FROM events
+    )
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(value) AS DOUBLE) AS lo,
+           CAST(max(value) AS DOUBLE) AS hi,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases,
+           CAST(CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     AS DOUBLE) / count(*) AS DOUBLE) AS purchase_rate
+    FROM ranked GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_value_decile_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    pcts = [i / _CAL_PARTS for i in range(1, _CAL_PARTS)]
+    bounds_row = ev.agg(
+        F.percentile_approx(
+            "value", F.array(*[F.lit(p) for p in pcts]), 1000
+        ).alias("bs")
+    ).collect()[0]
+    bounds = sorted(set(float(x) for x in bounds_row["bs"]))
+    bucket = F.aggregate(
+        F.array(*[F.lit(x) for x in bounds]),
+        F.lit(0),
+        lambda acc, x: acc
+        + F.when(F.col("value") > x, F.lit(1)).otherwise(F.lit(0)),
+    )
+    wloc = Window.partitionBy("bk").orderBy("value", "event_id")
+    local = ev.withColumn("bk", bucket).withColumn(
+        "lr", F.row_number().over(wloc)
+    )
+    cnt_rows = local.groupBy("bk").agg(F.count(F.lit(1)).alias("c")).collect()
+    cnt = {int(r["bk"]): int(r["c"]) for r in cnt_rows}
+    n = sum(cnt.values())
+    offsets, acc = {}, 0
+    for b in sorted(cnt):
+        offsets[b] = acc
+        acc += cnt[b]
+    off_expr = F.lit(0)
+    for b, o in offsets.items():
+        off_expr = F.when(F.col("bk") == b, F.lit(o)).otherwise(off_expr)
+    s, r = n // 10, n % 10
+    pivot = r * (s + 1)
+    rank = off_expr + F.col("lr")
+    decile = (
+        F.when(rank <= pivot, F.ceil(rank / F.lit(s + 1)))
+        .otherwise(F.lit(r) + F.ceil((rank - pivot) / F.lit(max(s, 1))))
+        .cast("int")
+    )
+    is_p = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    return (
+        local.select("value", "event_type", decile.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("value").cast("double").alias("lo"),
+            F.max("value").cast("double").alias("hi"),
+            F.sum(is_p).cast("bigint").alias("n_purchases"),
+            (F.sum(is_p).cast("double") / F.count(F.lit(1))).alias(
+                "purchase_rate"
+            ),
+        )
+        .orderBy("decile")
+    )
