@@ -156,6 +156,9 @@ EXTENDED = [
     # round-7i additions
     "bootstrap_mean_ci",
     "value_decile_conversion",
+    # round-7j additions
+    "survival_curve",
+    "cluster_size_distribution",
     # stream_static_enrichment excluded: per-call source copy + a
     # checkpointed streaming job — scaffolding-dominated like
     # streaming_sessions below
