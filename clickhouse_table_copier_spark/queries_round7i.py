@@ -27,14 +27,19 @@ from pyspark.sql import functions as F
 from clickhouse_table_copier_spark.queries import _events, register
 
 _BOOT_B = 64
-# Poisson(1) CDF cutoffs as exact integer thresholds on a 48-bit
-# uniform; capped at 6 copies (P(w>6) ≈ 8e-5 — the truncation applies
-# identically in both engines, so exactness is unaffected)
+# Poisson(1) CDF cutoffs as exact integer thresholds on a 16-bit
+# uniform. 16 bits quantize the Poisson probabilities by ≤ 2^-16 —
+# identically in both engines, so exactness is unaffected — and let ONE
+# md5 digest feed SIX replicas (two 12-hex conv parses, each split into
+# three 16-bit slots by integer div/mod); draws above the 7th cutoff
+# are capped, again identically.
 _POIS_CUM = []
 _acc = 0.0
 for _k in range(7):
     _acc += math.exp(-1.0) / math.factorial(_k)
-    _POIS_CUM.append(min(int(_acc * (1 << 48)), (1 << 48) - 1))
+    _POIS_CUM.append(min(int(_acc * (1 << 16)), (1 << 16) - 1))
+
+_BOOT_GROUPS = (_BOOT_B + 5) // 6  # md5 digests per row
 
 
 def _weight_sql(u: str) -> str:
@@ -48,23 +53,32 @@ def _weight_sql(u: str) -> str:
     "bootstrap_mean_ci",
     oracle=f"""
     WITH reps AS (
-      SELECT event_type, value, unnest(generate_series(1, {_BOOT_B})) AS b,
-             event_id
+      -- integer cents: value is 2-decimal by construction, so
+      -- round(value*100) is the same exact integer in both engines and
+      -- every downstream sum is plain int64 (the decimal formulation
+      -- measured 2x slower over the 6.4M replica rows)
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+             unnest(generate_series(1, {_BOOT_B})) AS b, event_id
       FROM events
     ),
     weighted AS (
+      -- one md5 feeds SIX replicas: digest group g = (b+5)//6, within-
+      -- digest index j = (b-1)%6 selects 12-hex half j//3 and 16-bit
+      -- slot j%3 of that half's integer value
       SELECT event_type, b,
              {_weight_sql(
-                 "CAST('0x' || substring(md5(CAST(event_id AS VARCHAR) || '#' ||"
-                 " CAST(b AS VARCHAR)), 1, 12) AS BIGINT)"
+                 "((CAST('0x' || substring(md5(CAST(event_id AS VARCHAR) || '#' ||"
+                 " CAST((b + 5) // 6 AS VARCHAR)),"
+                 " 1 + 12 * (((b - 1) % 6) // 3), 12) AS BIGINT)"
+                 " // CAST(power(65536, ((b - 1) % 6) % 3) AS BIGINT)) % 65536)"
              )} AS w,
-             value
+             cents
       FROM reps
     ),
     rep_means AS (
       SELECT event_type, b,
-             CAST(CAST(sum(w * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-                  / sum(w) AS DOUBLE) AS m
+             CAST(CAST(sum(w * cents) AS DOUBLE)
+                  / CAST(sum(w) AS DOUBLE) / 100.0 AS DOUBLE) AS m
       FROM weighted GROUP BY 1, 2 HAVING sum(w) > 0
     ),
     sorted_means AS (
@@ -73,8 +87,8 @@ def _weight_sql(u: str) -> str:
     ),
     base AS (
       SELECT event_type,
-             CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-                  / count(*) AS DOUBLE) AS mean_value,
+             CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) / 100.0 AS DOUBLE) AS mean_value,
              count(*) AS n
       FROM events GROUP BY 1
     )
@@ -86,45 +100,89 @@ def _weight_sql(u: str) -> str:
     """,
 )
 def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir).select("event_type", "event_id", "value")
-    reps = ev.select(
+    ev = _events(spark, sf_dir).select(
         "event_type",
         "event_id",
-        "value",
-        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
-    u = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("event_id").cast("string"),
-                    F.lit("#"),
-                    F.col("b").cast("string"),
-                )
-            ),
-            1,
-            12,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    w = None
-    for c in _POIS_CUM:
-        term = F.when(u >= c, 1).otherwise(0)
-        w = term if w is None else w + term
+
+    def weight(u):
+        w = None
+        for c in _POIS_CUM:
+            term = F.when(u >= c, 1).otherwise(0)
+            w = term if w is None else w + term
+        return w
+
+    # FLAT two-stage explode, no higher-order functions anywhere:
+    # Spark evaluates HOF lambdas on the interpreted path (measured
+    # 21-26 s warm at sf0.1 for a transform/flatten formulation of the
+    # same arithmetic), while these plain expressions stay inside
+    # whole-stage codegen. Stage 1 explodes the digest GROUPS and
+    # computes one md5 per (row, group); stage 2 unpacks each digest's
+    # six 16-bit slots into replica weights. b = (g-1)·6 + slot + 1
+    # matches the oracle's g = (b+5)//6, j = (b-1)%6.
+    grouped = ev.select(
+        "event_type",
+        "cents",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_GROUPS))).alias("g"),
+        "event_id",
+    ).select(
+        "event_type",
+        "cents",
+        "g",
+        F.md5(
+            F.concat(
+                F.col("event_id").cast("string"),
+                F.lit("#"),
+                F.col("g").cast("string"),
+            )
+        ).alias("dg"),
+    )
+    # the uniforms are exploded as a COLUMN before the 7-way CASE chain
+    # reads them (inlining weight(conv(...)) duplicates the conv into
+    # every CASE branch — no common-subexpression elimination there:
+    # measured 22 s warm at sf0.1), and each 12-hex conv parse is split
+    # into three 16-bit slots by div/mod so only TWO convs run per
+    # digest (one conv per replica measured 7.7 s)
+    halves = [
+        F.conv(F.substring("dg", 1 + 12 * h, 12), 16, 10).cast("bigint")
+        for h in range(2)
+    ]
+    slot_uniforms = F.array(
+        *[
+            (halves[j // 3] / (65536 ** (j % 3))).cast("bigint") % 65536
+            for j in range(6)
+        ]
+    )
+    reps = (
+        grouped.select(
+            "event_type",
+            "cents",
+            "g",
+            F.posexplode(slot_uniforms).alias("slot", "u"),
+        )
+        .where((F.col("g") - 1) * 6 + F.col("slot") + 1 <= _BOOT_B)
+        .select(
+            "event_type",
+            "cents",
+            ((F.col("g") - 1) * 6 + F.col("slot") + 1).alias("b"),
+            weight(F.col("u")).alias("w"),
+        )
+    )
     rep_means = (
-        reps.select("event_type", "b", w.alias("w"), "value")
-        .groupBy("event_type", "b")
+        reps.groupBy("event_type", "b")
         .agg(
-            F.sum(
-                F.col("w") * F.col("value").cast("decimal(18,2)")
-            ).alias("swx"),
+            F.sum(F.col("w") * F.col("cents")).alias("swc"),
             F.sum("w").alias("sw"),
         )
         .where(F.col("sw") > 0)
         .select(
             "event_type",
-            (F.col("swx").cast("double") / F.col("sw")).alias("m"),
+            (
+                F.col("swc").cast("double")
+                / F.col("sw").cast("double")
+                / F.lit(100.0)
+            ).alias("m"),
         )
     )
     sorted_means = rep_means.groupBy("event_type").agg(
@@ -134,8 +192,9 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         (
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
-            / F.count(F.lit(1))
+            F.sum("cents").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(100.0)
         ).alias("mean_value"),
     )
     return base.join(sorted_means, "event_type").select(

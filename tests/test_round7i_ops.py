@@ -39,28 +39,28 @@ def test_bootstrap_weights_mean_one(spark):
     )
     from clickhouse_table_copier_spark.queries import _events
 
-    ev = _events(spark, SF_ORACLE).select("event_id").limit(500)
-    reps = ev.select(
-        "event_id", F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b")
-    )
-    u = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("event_id").cast("string"),
-                    F.lit("#"),
-                    F.col("b").cast("string"),
-                )
-            ),
-            1, 12,
-        ),
-        16, 10,
-    ).cast("bigint")
-    w = None
-    for c in _POIS_CUM:
-        t = F.when(u >= c, 1).otherwise(0)
-        w = t if w is None else w + t
-    mean_w = reps.select(w.alias("w")).agg(F.avg("w")).collect()[0][0]
+    import hashlib
+
+    # (a) the DESIGN expectation is exact arithmetic on the cutoffs:
+    # E[w] = Σ_k P(u ≥ c_k) — must be 1 up to the 16-bit quantization
+    design_e = sum((65536 - c) / 65536 for c in _POIS_CUM)
+    assert abs(design_e - 1.0) < 1e-3
+    # (b) the realized md5 draws over the full sf0.01 fixture (640k
+    # draws — a fixed deterministic set, so tolerance covers its
+    # one-time sampling deviation, ~8 standard errors)
+    ids = [
+        r["event_id"]
+        for r in _events(spark, SF_ORACLE).select("event_id").collect()
+    ]
+    total = 0
+    for eid in ids:
+        for b in range(1, _BOOT_B + 1):
+            g, j = (b + 5) // 6, (b - 1) % 6
+            d = hashlib.md5(f"{eid}#{g}".encode()).hexdigest()
+            half = int(d[12 * (j // 3) : 12 * (j // 3) + 12], 16)
+            u = (half // (65536 ** (j % 3))) % 65536
+            total += sum(1 for c in _POIS_CUM if u >= c)
+    mean_w = total / (len(ids) * _BOOT_B)
     assert abs(mean_w - 1.0) < 0.01
 
 
