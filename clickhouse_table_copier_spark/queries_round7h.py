@@ -102,41 +102,64 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     np2 = {lab: sum(s * s for s in sv) for lab, sv in protos.items()}
 
-    ne2 = F.aggregate(
-        F.transform("q", lambda x: x * x), F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    # scoring via an Arrow-batched integer GEMM (the gemm_topk_int
+    # pattern): one numpy V @ S.T per batch gives every (vec, proto)
+    # dot exactly in int64. The earlier zip_with/aggregate formulation
+    # computed the same integers through higher-order-function lambdas,
+    # which Spark evaluates interpreted — measured 4.3 s warm at sf0.1
+    # vs ~0.5 s for the BLAS call.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    labs = sorted(protos)
+    smat = np.array([protos[lab] for lab in labs], dtype=np.int64)
+    np2_arr = [float(np2[lab]) for lab in labs]
+
+    def make_fn(labs, smat, np2_arr):
+        def fn(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                q = np.stack(
+                    [np.asarray(v, dtype=np.int64) for v in pdf["q"]]
+                )
+                dots = q @ smat.T  # (rows, protos), exact int64
+                ne2 = (q * q).sum(axis=1)  # exact int64
+                rows = len(pdf)
+                out_proto, out_vec, out_lab, out_cos = [], [], [], []
+                for j, lab in enumerate(labs):
+                    cos = (
+                        dots[:, j].astype(np.float64)
+                        / np.sqrt(ne2.astype(np.float64))
+                        / np.sqrt(np2_arr[j])
+                    )
+                    out_proto.extend([lab] * rows)
+                    out_vec.extend(int(x) for x in pdf["vec_id"])
+                    out_lab.extend(int(x) for x in pdf["label"])
+                    out_cos.extend(float(x) for x in cos)
+                yield pd.DataFrame(
+                    {
+                        "proto_label": out_proto,
+                        "vec_id": out_vec,
+                        "neg_label": out_lab,
+                        "cosine": out_cos,
+                    }
+                )
+
+        return fn
+
+    schema = T.StructType(
+        [
+            T.StructField("proto_label", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("neg_label", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    per_proto = []
-    for lab in sorted(protos):
-        sv = F.array(*[F.lit(int(s)).cast("long") for s in protos[lab]])
-        dot = F.aggregate(
-            F.zip_with("q", sv, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        per_proto.append(
-            F.struct(
-                F.lit(lab).alias("proto_label"),
-                (
-                    dot.cast("double")
-                    / F.sqrt(F.col("ne2").cast("double"))
-                    / F.sqrt(F.lit(float(np2[lab])))
-                ).alias("cosine"),
-            )
-        )
     scored = (
-        cells.withColumn("ne2", ne2)
-        .select(
-            "vec_id",
-            "label",
-            F.explode(F.array(*per_proto)).alias("pc"),
-        )
-        .select(
-            F.col("pc.proto_label").alias("proto_label"),
-            "vec_id",
-            F.col("label").alias("neg_label"),
-            F.col("pc.cosine").alias("cosine"),
-        )
+        cells.select("vec_id", "label", "q")
+        .mapInPandas(make_fn(labs, smat, np2_arr), schema)
         .where(F.col("neg_label") != F.col("proto_label"))
     )
     w = Window.partitionBy("proto_label").orderBy(
@@ -145,7 +168,12 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= _HN_TOP)
-        .select("proto_label", "vec_id", "neg_label", "cosine")
+        .select(
+            F.col("proto_label").cast("int").alias("proto_label"),
+            "vec_id",
+            F.col("neg_label").cast("int").alias("neg_label"),
+            "cosine",
+        )
     )
 
 
