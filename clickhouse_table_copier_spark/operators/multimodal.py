@@ -666,6 +666,49 @@ def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224) -> Da
     )
 
 
+def _make_bmp_raster_decoder():
+    """BMP raster decode (closure): the same uncompressed BI_RGB
+    24/32-bit parse as :func:`_make_bmp_decoder`, but returning the
+    full pixel array ``(w, h, nch, uint8 (h, w, nch) in RGB(A) order,
+    TOP-DOWN row order)`` — normalized so the same image stored as PNG
+    or BMP yields the identical raster, which is what cross-format
+    perceptual hashing requires. Returns None for uncovered variants."""
+
+    def decode_bmp_raster(content: bytes):
+        import numpy as _np
+
+        try:
+            if content[:2] != b"BM":
+                return None
+            off = int.from_bytes(content[10:14], "little")
+            hdr_size = int.from_bytes(content[14:18], "little")
+            if hdr_size < 40:
+                return None
+            w = int.from_bytes(content[18:22], "little", signed=True)
+            h = int.from_bytes(content[22:26], "little", signed=True)
+            bpp = int.from_bytes(content[28:30], "little")
+            comp = int.from_bytes(content[30:34], "little")
+            if comp != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+                return None
+            rows = abs(h)
+            nch = bpp // 8
+            stride = ((w * nch + 3) // 4) * 4
+            if len(content) < off + stride * rows:
+                return None
+            raster = _np.frombuffer(
+                content, dtype=_np.uint8, count=stride * rows, offset=off
+            ).reshape(rows, stride)[:, : w * nch].reshape(rows, w, nch)
+            if h > 0:  # positive height = bottom-up storage: flip
+                raster = raster[::-1]
+            # BGR(A) → RGB(A)
+            order = [2, 1, 0] + ([3] if nch == 4 else [])
+            return w, rows, nch, _np.ascontiguousarray(raster[:, :, order])
+        except Exception:
+            return None
+
+    return decode_bmp_raster
+
+
 AHASH_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -682,21 +725,28 @@ def image_ahash(df: DataFrame) -> DataFrame:
     at the mean → 64-bit hash. Pure integer arithmetic end to end
     (luma = (299·R + 587·G + 114·B) // 1000, mean comparison on
     sum·64 vs cell·64·count cross-multiplication), so the hash is
-    deterministic across partitionings and platforms. Images the
-    pure-Python raster decoder doesn't cover yield NULL (the documented
-    JPEG/GIF seam) and drop out of dedup rather than fake a hash.
+    deterministic across partitionings and platforms. PNG and BMP
+    rasters both decode (normalized to RGB top-down, so THE SAME image
+    hashes identically regardless of container — cross-format dedup);
+    images neither pure-Python decoder covers yield NULL (the
+    documented JPEG/GIF seam) and drop out of dedup rather than fake a
+    hash.
     """
 
     def make_fn():
         import numpy as _np
 
-        decode_raster = _make_png_raster_decoder()
+        decode_png = _make_png_raster_decoder()
+        decode_bmp = _make_bmp_raster_decoder()
 
         def fn(batches):
             for pdf in batches:
                 ids, hashes = [], []
                 for mid, content in zip(pdf["media_id"], pdf["content"]):
-                    got = decode_raster(bytes(content))
+                    b = bytes(content)
+                    got = decode_png(b)
+                    if got is None:
+                        got = decode_bmp(b)
                     if got is None:
                         ids.append(mid)
                         hashes.append(None)

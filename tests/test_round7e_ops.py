@@ -111,6 +111,50 @@ def test_near_duplicate_banding_matches_bruteforce(spark):
     assert got == want
 
 
+def _bmp_bytes(arr: np.ndarray) -> bytes:
+    """Minimal uncompressed 24-bit BMP from an RGB top-down array —
+    stored bottom-up (positive height), BGR, 4-byte row padding."""
+    import struct
+
+    h, w, _ = arr.shape
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(w):
+            r, g, b = arr[y, x]
+            row += bytes((int(b), int(g), int(r)))
+        row += b"\x00" * (stride - w * 3)
+        rows.append(bytes(row))
+    raster = b"".join(rows)
+    header = (
+        b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    )
+    return header + raster
+
+
+def test_ahash_cross_format_png_bmp_identical(spark):
+    """THE SAME image stored as PNG and as (bottom-up, BGR, padded) BMP
+    must produce the identical aHash — the raster normalization that
+    makes cross-format image dedup work — and the pair must surface in
+    near_duplicate_images at Hamming 0."""
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        near_duplicate_images,
+    )
+
+    arr = _gradient(5, w=30, h=22)
+    rows = [
+        _png_row(1, arr),
+        (2, "image", bytearray(_bmp_bytes(arr)), '{"fmt":"bmp"}'),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r["ahash"] for r in image_ahash(df).collect()}
+    assert got[1] is not None and got[1] == got[2]
+    pairs = near_duplicate_images(df, max_hamming=3).collect()
+    assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
+
+
 def test_near_duplicate_rejects_wide_threshold(spark):
     with pytest.raises(ValueError):
         near_duplicate_images(synthesize_media_table(spark, 4), max_hamming=4)
