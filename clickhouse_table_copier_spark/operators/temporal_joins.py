@@ -134,6 +134,11 @@ def range_join_bucketed(
         "__bkt",
         F.floor(F.unix_micros(F.col(time_col).cast("timestamp")) / width),
     )
+    # degenerate intervals (end <= start) can never satisfy the residual
+    # start <= t < end — drop them BEFORE the explode, because
+    # F.sequence(stop < start) would otherwise generate a silent
+    # DESCENDING bucket list (unbounded fan-out when end << start)
+    intervals = intervals.where(F.col(end_col) > F.col(start_col))
     s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
     # end is exclusive: an interval ending exactly on a bucket boundary
     # must not claim that bucket
@@ -149,6 +154,33 @@ def range_join_bucketed(
         & (probe[time_col] < iv[end_col])
     )
     return probe.join(iv, cond).drop(iv[key]).drop(iv["__bkt"]).drop("__bkt")
+
+
+def _rec_type(right: DataFrame, time_col: str, value_cols: list[str]) -> str:
+    """DDL type of the carried right struct. The ``__t`` field takes
+    ``time_col``'s ACTUAL type — hardcoding timestamp_ntz made
+    unionByName fail (or silently coerce) for TimestampType/date right
+    sides even though the operator is otherwise type-generic."""
+    t = right.schema[time_col].dataType.simpleString()
+    fields = ",".join(
+        f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
+    )
+    return f"struct<__t:{t}" + ("," + fields if fields else "") + ">"
+
+
+def _ord_col(side: DataFrame, order_col: str | None, rec=None):
+    """Per-row tie-order value. With an ``order_col`` the caller controls
+    tie semantics (and can match an external oracle); without one, the
+    RIGHT side (``rec`` given) falls back to ``xxhash64`` of the carried
+    struct so equal-timestamp ties are still deterministic across runs,
+    partitionings, and retries — never partition-order-dependent. Left
+    rows carry no struct; their tie order is irrelevant (every left row
+    at a timestamp sees the same carried right record), so NULL."""
+    if order_col is not None and order_col in side.columns:
+        return F.col(order_col).cast("long").alias("__ord")
+    if rec is not None:
+        return F.xxhash64(rec).alias("__ord")
+    return F.lit(None).cast("long").alias("__ord")
 
 
 def asof_join_tolerance(
@@ -172,7 +204,11 @@ def asof_join_tolerance(
     ``last(..., ignorenulls)`` so the tolerance test and the carried
     values can never desynchronize. Ties at equal right timestamps are
     broken by ``order_col`` ascending (the LAST such row wins — pass the
-    unique event id to make cross-engine tie order total).
+    unique event id to make cross-engine tie order total); with
+    ``order_col=None`` the tiebreaker falls back to ``xxhash64`` of the
+    carried struct — still deterministic across runs and partitionings,
+    though not meaningful to an external oracle (pass ``order_col`` when
+    cross-engine comparison matters).
     """
     from pyspark.sql import Window
 
@@ -183,31 +219,21 @@ def asof_join_tolerance(
         F.col(time_col).alias("__t"), *[F.col(c).alias(c) for c in value_cols]
     )
     l_extra = [c for c in left.columns if c not in (key, time_col)]
-
-    def _ord(side: DataFrame):
-        if order_col is not None and order_col in side.columns:
-            return F.col(order_col).alias("__ord")
-        return F.lit(None).cast("long").alias("__ord")
+    rec_type = _rec_type(right, time_col, value_cols)
 
     l_tag = left.select(
         F.col(key),
         F.col(time_col),
         F.lit(1).alias("__is_left"),
-        _ord(left),
-        F.lit(None).cast(
-            "struct<__t:timestamp_ntz,"
-            + ",".join(
-                f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
-            )
-            + ">"
-        ).alias("__r_rec"),
+        _ord_col(left, order_col),
+        F.lit(None).cast(rec_type).alias("__r_rec"),
         *[F.col(c) for c in l_extra],
     )
     r_tag = right.select(
         F.col(key),
         F.col(time_col),
         F.lit(0).alias("__is_left"),
-        _ord(right),
+        _ord_col(right, order_col, rec),
         rec.alias("__r_rec"),
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)
@@ -215,11 +241,9 @@ def asof_join_tolerance(
         ],
     )
     unioned = l_tag.unionByName(r_tag)
-    order = [F.col(time_col), F.col("__is_left")]
-    if order_col is not None:
-        # per-side order values: among right rows at one timestamp the
-        # LAST (max __ord) wins, matching the oracle's ts DESC, id DESC
-        order.append(F.col("__ord").asc_nulls_first())
+    # among right rows at one timestamp the LAST (max __ord) wins,
+    # matching the oracle's ts DESC, id DESC
+    order = [F.col(time_col), F.col("__is_left"), F.col("__ord").asc_nulls_first()]
     w = (
         Window.partitionBy(key)
         .orderBy(*order)
@@ -258,7 +282,9 @@ def asof_join_nearest(
     both backward and forward. Tie rules, total and cross-engine
     deterministic: equal distance prefers the BACKWARD match (the earlier
     right row); equal right timestamps within a side prefer the max
-    ``order_col``.
+    ``order_col`` (falling back to the max ``xxhash64`` of the carried
+    struct when ``order_col=None`` — deterministic, but pass the unique
+    id when the tie order must match an external oracle).
 
     Plan: the same union-window carry as :func:`asof_join_tolerance` run
     in BOTH directions — the backward pass orders (ts, right-first) and
@@ -278,24 +304,12 @@ def asof_join_nearest(
         F.col(time_col).alias("__t"), *[F.col(c).alias(c) for c in value_cols]
     )
     l_extra = [c for c in left.columns if c not in (key, time_col)]
-
-    def _ord(side: DataFrame):
-        if order_col is not None and order_col in side.columns:
-            return F.col(order_col).alias("__ord")
-        return F.lit(None).cast("long").alias("__ord")
-
-    rec_type = (
-        "struct<__t:timestamp_ntz,"
-        + ",".join(
-            f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
-        )
-        + ">"
-    )
+    rec_type = _rec_type(right, time_col, value_cols)
     l_tag = left.select(
         F.col(key),
         F.col(time_col),
         F.lit(1).alias("__is_left"),
-        _ord(left),
+        _ord_col(left, order_col),
         F.lit(None).cast(rec_type).alias("__r_rec"),
         *[F.col(c) for c in l_extra],
     )
@@ -303,7 +317,7 @@ def asof_join_nearest(
         F.col(key),
         F.col(time_col),
         F.lit(0).alias("__is_left"),
-        _ord(right),
+        _ord_col(right, order_col, rec),
         rec.alias("__r_rec"),
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)

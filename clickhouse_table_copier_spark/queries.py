@@ -51,7 +51,9 @@ def register(name: str, oracle: str | None = None):
 # each unchanged query is re-verified by the driver at least every
 # ceil(N/50) rounds; tests/test_registry_order.py pins the served order
 # to the derived spec, so the r04 omission class (a query left outside
-# the window while needing verification) cannot recur by construction.
+# the window while needing verification) cannot recur for v2-verified
+# entries; legacy v1 entries are covered by the transitional deep-closure
+# baseline stamped at round start (registry_evidence module docstring).
 _WINDOW_CACHE: dict = {}
 
 

@@ -1,7 +1,10 @@
-"""Round-8 prep: implemented and DuckDB-parity-tested NOW, registered
-next round (the same discipline as queries_round7_prep: the round-7
-driver window carries 34 must-verify queries, and holding these back
-keeps 16 rotation slots for the oldest-green re-verification cycle).
+"""Round-8 batch (implemented + DuckDB-parity-tested during round 7 as a
+prep module, REGISTERED in round 8 — the queries_round7_prep discipline:
+the round-7 driver window carried 34 must-verify queries, so holding
+these back preserved 16 rotation slots for oldest-green re-verification;
+``_prep`` now feeds both the local PREP_* dicts, kept so
+tests/test_round8_prep.py keeps running the standalone parity harness,
+and the main registry).
 
 - ``basket_type_lift`` — market-basket affinity over orders: for every
   pair of part types co-purchased in one order, lift =
@@ -25,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from clickhouse_table_copier_spark.queries import _events, _t
+from clickhouse_table_copier_spark.queries import _events, _t, register
 
 PREP_QUERIES: dict = {}
 PREP_ORACLES: dict[str, str] = {}
@@ -35,7 +38,7 @@ def _prep(name: str, oracle: str):
     def deco(fn):
         PREP_QUERIES[name] = fn
         PREP_ORACLES[name] = oracle
-        return fn
+        return register(name, oracle)(fn)
 
     return deco
 

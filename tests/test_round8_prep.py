@@ -22,14 +22,17 @@ def test_prep_query_matches_oracle(spark, name):
     compare(df, oracle, name)
 
 
-def test_prep_queries_not_yet_registered():
-    """The prep names must NOT be registered this round (rotation-slot
-    budget), and the prep dicts stay in lockstep."""
+def test_prep_queries_registered_round8():
+    """Round 8: the prep batch IS registered (same oracle text, same
+    callables), and the prep dicts stay in lockstep."""
     import __spark_entry__ as entry
 
-    qs = entry.queries()
-    assert not set(PREP_QUERIES) & set(qs)
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    assert set(PREP_QUERIES) <= set(qs)
     assert set(PREP_QUERIES) == set(PREP_ORACLES)
+    for name in PREP_QUERIES:
+        assert qs[name] is PREP_QUERIES[name]
+        assert os_[name] == PREP_ORACLES[name]
 
 
 def test_prep_plans_obey_repo_guards(spark):
