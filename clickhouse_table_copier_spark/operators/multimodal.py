@@ -792,7 +792,14 @@ def near_duplicate_images(
     all 4 bands), so this is the full answer, not a recall trade-off —
     the same guarantee structure as the MinHash-LSH text path, and the
     same scale shape: candidates are generated by an equi-join on
-    (band_id, band_value), never an all-pairs scan."""
+    (band_id, band_value), never an all-pairs scan.
+
+    Raising ``max_hamming`` past ``_AHASH_BANDS - 1`` would silently turn
+    the exact answer into a recall trade-off (a pair differing in >=4
+    bits can differ in every band and never collide), so the guard below
+    REJECTS it rather than degrade: callers who want a looser radius must
+    widen the banding (8 x 8-bit bands is exact to hamming<=7) and accept
+    the larger candidate fan-in explicitly."""
     if max_hamming >= _AHASH_BANDS:
         raise ValueError(
             f"banding is exact only for max_hamming < {_AHASH_BANDS}"
@@ -835,19 +842,6 @@ def near_duplicate_images(
     return (
         cand.where(ham <= max_hamming)
         .select("id_a", "id_b", ham.cast("int").alias("hamming"))
-    )
-
-
-def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame-sampling *plan*: one output row per sampled frame index,
-    without decoding (expression-only). The decode of selected frames
-    would chain through ``mapInPandas`` like ``extract_features``."""
-    n_frames = (F.length("content") / 100 + 1).cast("int")  # stub: bytes→frames
-    return df.select(
-        "media_id",
-        F.explode(
-            F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
-        ).alias("frame_idx"),
     )
 
 

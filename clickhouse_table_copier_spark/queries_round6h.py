@@ -27,7 +27,7 @@ domain values so representability of the band edges cannot matter.
 
 Reference parity: the Go reference (clickhouse-table-copier) executes no
 analytics itself — these shapes cover the query surface its ClickHouse
-targets serve (internal/clickhouse/queries.go generates only
+targets serve (database/database.go:322-551 generates only
 metadata SQL); they are part of this engine's analytics superset.
 """
 

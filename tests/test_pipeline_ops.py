@@ -14,8 +14,9 @@ def test_multimodal_decode_and_features(spark):
     from clickhouse_table_copier_spark.operators.multimodal import (
         decode_image_meta,
         extract_features,
-        frame_sample_plan,
         synthesize_media_table,
+        synthesize_video_table,
+        video_frame_plan,
     )
 
     media = synthesize_media_table(spark, 64)
@@ -46,8 +47,11 @@ def test_multimodal_decode_and_features(spark):
         map(tuple, ((r["media_id"], tuple(r["feature"])) for r in feats2))
     )
 
-    frames = frame_sample_plan(media, every_n=1)
-    assert frames.count() > 64  # ≥1 frame per media, longer blobs give >1
+    # frame plan is duration-driven (real MP4 mvhd walk), one row per
+    # sampled frame index — the legacy byte-length heuristic is gone
+    vids = synthesize_video_table(spark, 8)
+    frames = video_frame_plan(vids, fps=30, every_n=30)
+    assert frames.count() >= 8  # ≥1 sampled frame per parseable video
 
 
 def test_simhash_near_pairs_finds_neardups(spark):
