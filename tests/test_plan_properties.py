@@ -88,6 +88,9 @@ _BOUNDED_GLOBAL_WINDOWS = {
     # ship_month partition after the groupBy — 12 rows; cardinality is
     # the partition count, not the row count, at any scale)
     "compaction_plan": "window input is groupBy(ship_month) output",
+    # largest-remainder ranking runs over the groupBy(n_name) revenue
+    # aggregate — one row per nation at any data scale
+    "nation_seat_apportionment": "window input is groupBy(n_name) output",
 }
 
 _GLOBAL_WINDOW_RE = re.compile(
