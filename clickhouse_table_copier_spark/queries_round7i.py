@@ -27,19 +27,43 @@ from pyspark.sql import functions as F
 from clickhouse_table_copier_spark.queries import _events, register
 
 _BOOT_B = 64
-# Poisson(1) CDF cutoffs as exact integer thresholds on a 16-bit
-# uniform. 16 bits quantize the Poisson probabilities by ≤ 2^-16 —
-# identically in both engines, so exactness is unaffected — and let ONE
-# md5 digest feed SIX replicas (two 12-hex conv parses, each split into
-# three 16-bit slots by integer div/mod); draws above the 7th cutoff
-# are capped, again identically.
-_POIS_CUM = []
+# Poisson(1) CDF cutoffs as exact integer thresholds on an 8-bit
+# uniform. 8 bits quantize the Poisson probabilities by ≤ 2⁻⁸ —
+# IDENTICALLY in both engines, so cross-engine exactness is unaffected
+# (the draws come from the same quantized distribution everywhere; the
+# CI itself is a bootstrap estimate whose Monte-Carlo error with B=64
+# dwarfs a 0.4% cell-probability quantization) — and let ONE md5 digest
+# feed TWELVE replicas (two 12-hex conv parses, each split into six
+# 8-bit slots by integer div/mod). The r7 16-bit variant needed 11
+# digests per row; this needs 6. Measured honestly: halving digests
+# alone moved nothing (4.9 → 5.1 s warm at sf0.1) because the md5
+# stage was 0.3 s of the 4.9 — the real cost was the whole fan-out
+# running as ONE task off a single parquet split; spread() below fixed
+# that (4.9 → 1.6 s). The 8-bit packing stays: fewer digests is
+# strictly less work per row at any scale, and the parallelism fix
+# stacks on top of it. Draws above the 7th cutoff are capped, again
+# identically.
+# Largest-remainder rounding of the CDF cutoffs: plain floor/cap at 8
+# bits biases E[w] to 1.0117 (the cap clamps three cutoffs to 255), so
+# the fractional parts are redistributed until Σ(256−c) = 256 — making
+# E[w] = Σ P(u ≥ c_k) EXACTLY 1, the unbiased-resample property. A
+# cutoff can land on 256 ("never fires"), which just lowers the weight
+# cap identically in both engines.
+_real = []
 _acc = 0.0
 for _k in range(7):
     _acc += math.exp(-1.0) / math.factorial(_k)
-    _POIS_CUM.append(min(int(_acc * (1 << 16)), (1 << 16) - 1))
+    _real.append(_acc * (1 << 8))
+_POIS_CUM = [int(_r) for _r in _real]
+_deficit = (7 * (1 << 8) - (1 << 8)) - sum(_POIS_CUM)
+for _i in sorted(
+    range(7), key=lambda i: _real[i] - int(_real[i]), reverse=True
+)[:_deficit]:
+    _POIS_CUM[_i] += 1
+del _real, _deficit
 
-_BOOT_GROUPS = (_BOOT_B + 5) // 6  # md5 digests per row
+_BOOT_SLOTS = 12  # replicas per digest: 2 halves × six 8-bit slots
+_BOOT_GROUPS = -(-_BOOT_B // _BOOT_SLOTS)  # md5 digests per row
 
 
 def _weight_sql(u: str) -> str:
@@ -62,15 +86,15 @@ def _weight_sql(u: str) -> str:
       FROM events
     ),
     weighted AS (
-      -- one md5 feeds SIX replicas: digest group g = (b+5)//6, within-
-      -- digest index j = (b-1)%6 selects 12-hex half j//3 and 16-bit
-      -- slot j%3 of that half's integer value
+      -- one md5 feeds TWELVE replicas: digest group g = (b+11)//12,
+      -- within-digest index j = (b-1)%12 selects 12-hex half j//6 and
+      -- 8-bit slot j%6 of that half's integer value
       SELECT event_type, b,
              {_weight_sql(
                  "((CAST('0x' || substring(md5(CAST(event_id AS VARCHAR) || '#' ||"
-                 " CAST((b + 5) // 6 AS VARCHAR)),"
-                 " 1 + 12 * (((b - 1) % 6) // 3), 12) AS BIGINT)"
-                 " // CAST(power(65536, ((b - 1) % 6) % 3) AS BIGINT)) % 65536)"
+                 " CAST((b + 11) // 12 AS VARCHAR)),"
+                 " 1 + 12 * (((b - 1) % 12) // 6), 12) AS BIGINT)"
+                 " // CAST(power(256, ((b - 1) % 12) % 6) AS BIGINT)) % 256)"
              )} AS w,
              cents
       FROM reps
@@ -100,7 +124,15 @@ def _weight_sql(u: str) -> str:
     """,
 )
 def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir).select(
+    from clickhouse_table_copier_spark.operators.dedup import spread
+
+    # spread() BEFORE the fan-out: the events parquet arrives as 1-2
+    # input splits, and without it the whole 64× replica explode +
+    # weight arithmetic chains into a single task (measured: the entire
+    # 4.9 s warm sf0.1 time was one core; spreading the source rows
+    # first runs the same plan in ~1.3 s on 32). At real scale file
+    # counts make this a no-op.
+    ev = spread(_events(spark, sf_dir)).select(
         "event_type",
         "event_id",
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
@@ -119,8 +151,8 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same arithmetic), while these plain expressions stay inside
     # whole-stage codegen. Stage 1 explodes the digest GROUPS and
     # computes one md5 per (row, group); stage 2 unpacks each digest's
-    # six 16-bit slots into replica weights. b = (g-1)·6 + slot + 1
-    # matches the oracle's g = (b+5)//6, j = (b-1)%6.
+    # twelve 8-bit slots into replica weights. b = (g-1)·12 + slot + 1
+    # matches the oracle's g = (b+11)//12, j = (b-1)%12.
     grouped = ev.select(
         "event_type",
         "cents",
@@ -142,7 +174,7 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reads them (inlining weight(conv(...)) duplicates the conv into
     # every CASE branch — no common-subexpression elimination there:
     # measured 22 s warm at sf0.1), and each 12-hex conv parse is split
-    # into three 16-bit slots by div/mod so only TWO convs run per
+    # into six 8-bit slots by div/mod so only TWO convs run per
     # digest (one conv per replica measured 7.7 s)
     halves = [
         F.conv(F.substring("dg", 1 + 12 * h, 12), 16, 10).cast("bigint")
@@ -150,8 +182,8 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     slot_uniforms = F.array(
         *[
-            (halves[j // 3] / (65536 ** (j % 3))).cast("bigint") % 65536
-            for j in range(6)
+            (halves[j // 6] / (256 ** (j % 6))).cast("bigint") % 256
+            for j in range(_BOOT_SLOTS)
         ]
     )
     reps = (
@@ -161,11 +193,11 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g",
             F.posexplode(slot_uniforms).alias("slot", "u"),
         )
-        .where((F.col("g") - 1) * 6 + F.col("slot") + 1 <= _BOOT_B)
+        .where((F.col("g") - 1) * _BOOT_SLOTS + F.col("slot") + 1 <= _BOOT_B)
         .select(
             "event_type",
             "cents",
-            ((F.col("g") - 1) * 6 + F.col("slot") + 1).alias("b"),
+            ((F.col("g") - 1) * _BOOT_SLOTS + F.col("slot") + 1).alias("b"),
             weight(F.col("u")).alias("w"),
         )
     )

@@ -42,9 +42,9 @@ def test_bootstrap_weights_mean_one(spark):
     import hashlib
 
     # (a) the DESIGN expectation is exact arithmetic on the cutoffs:
-    # E[w] = Σ_k P(u ≥ c_k) — must be 1 up to the 16-bit quantization
-    design_e = sum((65536 - c) / 65536 for c in _POIS_CUM)
-    assert abs(design_e - 1.0) < 1e-3
+    # largest-remainder rounding makes E[w] = Σ_k P(u ≥ c_k) EXACTLY 1
+    design_e = sum((256 - c) / 256 for c in _POIS_CUM)
+    assert design_e == 1.0
     # (b) the realized md5 draws over the full sf0.01 fixture (640k
     # draws — a fixed deterministic set, so tolerance covers its
     # one-time sampling deviation, ~8 standard errors)
@@ -55,10 +55,10 @@ def test_bootstrap_weights_mean_one(spark):
     total = 0
     for eid in ids:
         for b in range(1, _BOOT_B + 1):
-            g, j = (b + 5) // 6, (b - 1) % 6
+            g, j = (b + 11) // 12, (b - 1) % 12
             d = hashlib.md5(f"{eid}#{g}".encode()).hexdigest()
-            half = int(d[12 * (j // 3) : 12 * (j // 3) + 12], 16)
-            u = (half // (65536 ** (j % 3))) % 65536
+            half = int(d[12 * (j // 6) : 12 * (j // 6) + 12], 16)
+            u = (half // (256 ** (j % 6))) % 256
             total += sum(1 for c in _POIS_CUM if u >= c)
     mean_w = total / (len(ids) * _BOOT_B)
     assert abs(mean_w - 1.0) < 0.01
