@@ -159,6 +159,17 @@ EXTENDED = [
     # round-7j additions
     "survival_curve",
     "cluster_size_distribution",
+    # round-8 additions
+    "basket_type_lift",
+    "funnel_time_percentiles",
+    "intra_doc_repeats_planted",
+    "rfm_segments",
+    "brand_price_ols",
+    "cuped_adjusted_lift",
+    "supplier_part_cosine",
+    "doc_containment",
+    "nation_seat_apportionment",
+    "user_active_coverage",
     # stream_static_enrichment excluded: per-call source copy + a
     # checkpointed streaming job — scaffolding-dominated like
     # streaming_sessions below

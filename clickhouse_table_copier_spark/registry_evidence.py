@@ -371,10 +371,56 @@ def update_snapshot(queries: dict, oracles: dict[str, str]) -> list[str]:
     return updated
 
 
+def staleness_report(queries: dict) -> str:
+    """Markdown rotation-staleness report (VERDICT r7 item 7): for every
+    registered query, rounds since its last green driver row, grouped by
+    that round.  'Age' counts from the round AFTER the latest committed
+    CORRECTNESS file (the round currently being built), so a query green
+    in the latest file has age 1.  The window policy promises a bound of
+    ceil(N / DRIVER_WINDOW) rounds for fingerprint-unchanged queries."""
+    files = _correctness_files()
+    latest_round = 0
+    if files:
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", files[-1])
+        latest_round = int(m.group(1)) if m else 0
+    current = latest_round + 1
+    green = green_history()
+    by_round: dict[int, list[str]] = {}
+    for name in queries:
+        by_round.setdefault(green.get(name, 0), []).append(name)
+    n = len(queries)
+    bound = -(-n // DRIVER_WINDOW)
+    lines = [
+        f"Registry: {n} queries; window {DRIVER_WINDOW}; policy bound "
+        f"ceil({n}/{DRIVER_WINDOW}) = {bound} rounds. Ages counted at "
+        f"round r{current:02d} (latest committed file: r{latest_round:02d}).",
+        "",
+        "| last green | age (rounds) | n | queries |",
+        "|---|---|---|---|",
+    ]
+    for rnd in sorted(by_round, reverse=True):
+        names = sorted(by_round[rnd])
+        label = f"r{rnd:02d}" if rnd else "never"
+        age = str(current - rnd) if rnd else "n/a (fronted this round)"
+        lines.append(
+            f"| {label} | {age} | {len(names)} | {', '.join(names)} |"
+        )
+    oldest = min((r for r in by_round if r), default=current)
+    lines += [
+        "",
+        f"Oldest green row: r{oldest:02d} (age {current - oldest}); "
+        f"policy bound {bound}.",
+    ]
+    return "\n".join(lines)
+
+
 def main(argv: list[str]) -> int:
     import __spark_entry__ as entry
 
     qs, os_ = entry.queries(), entry.oracle_sql()
+    if "--staleness" in argv:
+        print(staleness_report(qs))
+        return 0
     if "--update" in argv:
         updated = update_snapshot(qs, os_)
         print(f"snapshot refreshed for {len(updated)} queries green in latest round")

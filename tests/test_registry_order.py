@@ -157,3 +157,35 @@ def test_registry_complete():
     assert len(qs) >= 105
     # since round 4 every registered query is oracled (trained IVF included)
     assert set(qs) - set(oracles) == set()
+
+
+def test_staleness_report_covers_every_query():
+    """The --staleness report (VERDICT r7 item 7) must mention every
+    registered query exactly once, state the correct policy bound, and
+    never report an age beyond that bound for a query with a green row
+    (the oldest-first fill makes the bound self-enforcing)."""
+    qs = entry.queries()
+    report = registry_evidence.staleness_report(qs)
+    for name in qs:
+        assert report.count(f" {name},") + report.count(f" {name} |") + report.count(
+            f"| {name},"
+        ) >= 1 or f"{name}" in report
+    n = len(qs)
+    bound = -(-n // registry_evidence.DRIVER_WINDOW)
+    assert f"= {bound} rounds" in report
+    # per-query uniqueness: total names across table rows == registry size
+    import re as _re
+
+    rows = [l for l in report.splitlines() if l.startswith("| r") or l.startswith("| never")]
+    listed = [
+        nm.strip()
+        for row in rows
+        for nm in row.rsplit("|", 2)[-2].split(",")
+        if nm.strip()
+    ]
+    assert sorted(listed) == sorted(qs)
+    # ages of green queries never exceed the bound
+    for row in rows:
+        cells = [c.strip() for c in row.split("|")[1:-1]]
+        if cells[0] != "never":
+            assert int(cells[1]) <= bound
