@@ -11,11 +11,36 @@ audited mechanism instead of re-inlining it:
 2. rows bucket by boundary comparison (pure expression) and a window
    PARTITIONED BY bucket computes local ranks — ≈ n/parts rows per task
    instead of n through one;
-3. per-bucket counts (≤ ``parts`` rows, metadata-sized collect) become
-   cumulative offsets: global rank = offset + local rank;
+3. per-bucket counts (≤ ``parts`` scalars, metadata-sized collect)
+   become cumulative offsets: global rank = offset + local rank;
 4. exact ntile arithmetic (the first n % k tiles get one extra row)
    maps ranks to tiles — bit-identical to ``ntile(k) OVER (ORDER BY
    value, tie)`` in DuckDB/ANSI engines.
+
+``exact_global_ntile_multi`` ranks SEVERAL columns of the same frame in
+one mechanism invocation: one action collects every dimension's sketch
+bounds, one action collects every dimension's bucket counts, and the
+bucketed frame is persisted so the driver round-trips never recompute
+its lineage.  The single-column ``exact_global_ntile`` delegates to it.
+
+Driver-cost ladder (rfm_segments: three quintiles over the per-customer
+orders rollup, sf0.1 warm, local[32]):
+
+- three chained single-column calls (6 actions, each later call
+  re-running every earlier window): 4.1 s;
+- fused actions but Column-object expression building + chained
+  withColumn: 3.2 s — profiling showed the EXECUTORS were mostly idle:
+  ~2.2 s was driver-side work (one Py4J round-trip per Column-API call,
+  ~900 calls at parts=32, plus a full re-analysis of the growing plan
+  per withColumn);
+- this version — every expression assembled as ONE ``F.expr`` SQL
+  string, one ``select`` per step: 1.5 s, of which ~1.0 s is the two
+  metadata actions + three 150k-row window exchanges.
+
+The lesson generalizes: in a driver loop that builds wide expression
+lists, build SQL text, not Column trees — the JVM parses a 3 KB string
+in microseconds, while 900 Py4J hops cost ~1 ms each regardless of
+cluster size.
 
 Reference parity: the Go reference executes no ranking at all
 (database/database.go generates metadata SQL only); this is part of the
@@ -24,8 +49,113 @@ engine's analytics superset.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _bucket_sql(value_col: str, bounds: list[float]) -> str:
+    """Flat sum of IFs, not an aggregate/filter lambda: higher-order
+    functions evaluate interpreted outside whole-stage codegen (SCALE.md,
+    round-7 ladder).  ``repr(float)`` is the shortest round-tripping
+    decimal, so the parsed double equals the collected bound exactly."""
+    if not bounds:  # degenerate domain: every row in one bucket
+        return "0"
+    return "(" + " + ".join(
+        f"if({value_col} > {b!r}D, 1, 0)" for b in bounds
+    ) + ")"
+
+
+def exact_global_ntile_multi(
+    df: DataFrame,
+    specs: list[tuple[str, str, int, str]],
+    parts: int = 32,
+) -> DataFrame:
+    """Append one exact global-ntile column per ``(value_col, tie_col,
+    n_tiles, out_col)`` spec, all ranked over the SAME input frame.
+
+    Cost model: 2 driver actions total (bounds, counts) regardless of
+    ``len(specs)`` — vs 2 per column when chaining the single-column
+    form, where each later call also recomputes every earlier window.
+    The BUCKETED frame is persisted: it is read by the counts action,
+    the local-rank windows, and the consumer's action, and the persist
+    is also the barrier that stops Catalyst collapsing the bucket CASE
+    chains into every downstream expression (no CSE across branches —
+    the collapsed counts aggregate measured 1.6 s vs 0.2 s against the
+    materialized ints).  Each dimension still needs its own hash
+    repartitioning for its window — inherent (different partitioning
+    keys) — but all ``len(specs)`` windows execute inside the consumer's
+    single job.  ``tie_col`` must make each order total (unique within
+    equal values) or tile membership at tile boundaries is
+    engine-dependent."""
+    pcts = ",".join(repr(i / parts) for i in range(1, parts))
+    bounds_row = df.select(
+        *[
+            F.expr(
+                f"percentile_approx({vcol}, array({pcts}), 1000)"
+            ).alias(f"bs_{j}")
+            for j, (vcol, _, _, _) in enumerate(specs)
+        ]
+    ).collect()[0]  # metadata-sized: parts-1 scalars per dim
+    dim_bounds = [
+        sorted({float(b) for b in (bounds_row[f"bs_{j}"] or []) if b is not None})
+        for j in range(len(specs))
+    ]
+
+    local = df.select(
+        "*",
+        *[
+            F.expr(_bucket_sql(vcol, dim_bounds[j])).alias(f"__b_{j}")
+            for j, (vcol, _, _, _) in enumerate(specs)
+        ],
+    ).persist()
+
+    # one action: per-bucket counts as FLAT conditional sums packed into
+    # one array per dimension — map-side-combinable to a single row, so
+    # no row ever shuffles (an explode-into-(dim,bucket)-pairs
+    # formulation measured 1.2 s: it multiplies the rows then hashes
+    # them; grouped counts would shuffle too)
+    cnt_row = local.select(
+        *[
+            F.expr(
+                "array("
+                + ",".join(
+                    f"sum(if(__b_{j} = {b}, 1L, 0L))"
+                    for b in range(len(dim_bounds[j]) + 1)
+                )
+                + ")"
+            ).alias(f"c_{j}")
+            for j in range(len(specs))
+        ]
+    ).collect()[0]
+
+    tile_exprs = []
+    for j, (vcol, tie_col, n_tiles, out_col) in enumerate(specs):
+        counts = [int(c or 0) for c in cnt_row[f"c_{j}"]]
+        off_list, acc = [], 0
+        for c in counts:
+            off_list.append(acc)
+            acc += c
+        n = acc
+        # offset lookup via constant literal-array index, not a
+        # parts-long CASE chain: the offset term is re-inlined wherever
+        # rank appears (the tile expression uses rank twice), so chain
+        # size would multiply through analysis and per-row cost
+        rank = (
+            f"(array({','.join(str(o) for o in off_list)})[__b_{j}]"
+            f" + row_number() OVER"
+            f" (PARTITION BY __b_{j} ORDER BY {vcol}, {tie_col}))"
+        )
+        s, r = n // n_tiles, n % n_tiles
+        pivot = r * (s + 1)
+        tile_exprs.append(
+            F.expr(
+                f"CAST(if({rank} <= {pivot},"
+                f" ceil({rank} / {s + 1}),"
+                f" {r} + ceil(({rank} - {pivot}) / {max(s, 1)})) AS INT)"
+            ).alias(out_col)
+        )
+    keep = [c for c in local.columns if not c.startswith("__b_")]
+    return local.select(*keep, *tile_exprs)
 
 
 def exact_global_ntile(
@@ -38,54 +168,8 @@ def exact_global_ntile(
 ) -> DataFrame:
     """Append ``out_col`` = exact ``ntile(n_tiles)`` of ``df`` rows under
     the total order ``(value_col, tie_col)``, without funneling rows
-    through a single-task global sort. ``tie_col`` must make the order
-    total (unique within equal values) or tile membership at tile
-    boundaries is engine-dependent."""
-    pcts = [i / parts for i in range(1, parts)]
-    bounds_row = df.agg(
-        F.percentile_approx(
-            value_col, F.array(*[F.lit(p) for p in pcts]), 1000
-        ).alias("bs")
-    ).collect()[0]  # metadata-sized: parts-1 scalars, row-count independent
-    raw = bounds_row["bs"] or []
-    bounds = sorted({float(b) for b in raw if b is not None})
-
-    if bounds:
-        # Flat sum of CASE WHENs, not an F.aggregate lambda: higher-order
-        # functions evaluate interpreted outside whole-stage codegen
-        # (SCALE.md, round-7 ladder), and this expression runs once per
-        # input row. len(bounds) <= parts-1, so the codegen'd expression
-        # stays small.
-        bucket: Column = F.lit(0)
-        for b in bounds:
-            bucket = bucket + F.when(
-                F.col(value_col) > b, F.lit(1)
-            ).otherwise(F.lit(0))
-    else:  # degenerate domain: every row in one bucket
-        bucket = F.lit(0)
-
-    wloc = Window.partitionBy("__b").orderBy(value_col, tie_col)
-    local = df.withColumn("__b", bucket).withColumn(
-        "__lr", F.row_number().over(wloc)
+    through a single-task global sort.  Single-spec convenience wrapper
+    over :func:`exact_global_ntile_multi`."""
+    return exact_global_ntile_multi(
+        df, [(value_col, tie_col, n_tiles, out_col)], parts=parts
     )
-
-    cnt_rows = local.groupBy("__b").agg(F.count(F.lit(1)).alias("c")).collect()
-    cnt = {int(r["__b"]): int(r["c"]) for r in cnt_rows}
-    n = sum(cnt.values())
-    offsets, acc = {}, 0
-    for b in sorted(cnt):
-        offsets[b] = acc
-        acc += cnt[b]
-    off_expr: Column = F.lit(0)
-    for b, o in offsets.items():
-        off_expr = F.when(F.col("__b") == b, F.lit(o)).otherwise(off_expr)
-
-    s, r = n // n_tiles, n % n_tiles
-    pivot = r * (s + 1)
-    rank = off_expr + F.col("__lr")
-    tile = (
-        F.when(rank <= pivot, F.ceil(rank / F.lit(s + 1)))
-        .otherwise(F.lit(r) + F.ceil((rank - pivot) / F.lit(max(s, 1))))
-        .cast("int")
-    )
-    return local.withColumn(out_col, tile).drop("__b", "__lr")

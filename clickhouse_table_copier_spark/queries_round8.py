@@ -195,12 +195,19 @@ def q_intra_doc_repeats_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-customer recency (last-order epoch µs),
     frequency (order count), monetary (exact cents), each assigned an
-    EXACT global quintile by :func:`operators.ranks.exact_global_ntile`
-    — sketch-partitioned local ranks + metadata-sized offsets, never an
-    `ntile() OVER ()` single-task global sort.  The output is the
-    ≤125-row segment rollup, so the three ranking passes are the only
-    SF-linear stages and each is fully distributed."""
-    from clickhouse_table_copier_spark.operators.ranks import exact_global_ntile
+    EXACT global quintile by
+    :func:`operators.ranks.exact_global_ntile_multi` — sketch-partitioned
+    local ranks + metadata-sized offsets, never an `ntile() OVER ()`
+    single-task global sort.  The three dimensions rank in ONE mechanism
+    invocation: 2 driver actions total (fused bounds, packed count
+    arrays) over the persisted per-customer frame, instead of 6 actions
+    each re-running the upstream chain (measured 4.1 → 1.5 s warm at
+    sf0.1; the full ladder is in the ranks.py module docstring).
+    The output is the ≤125-row segment rollup, so the three ranking
+    passes are the only SF-linear stages and each is fully distributed."""
+    from clickhouse_table_copier_spark.operators.ranks import (
+        exact_global_ntile_multi,
+    )
 
     base = (
         _t(spark, sf_dir, "orders")
@@ -213,9 +220,14 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mon"),
         )
     )
-    t = exact_global_ntile(base, "rec", "custkey", 5, "r_tile")
-    t = exact_global_ntile(t, "freq", "custkey", 5, "f_tile")
-    t = exact_global_ntile(t, "mon", "custkey", 5, "m_tile")
+    t = exact_global_ntile_multi(
+        base,
+        [
+            ("rec", "custkey", 5, "r_tile"),
+            ("freq", "custkey", 5, "f_tile"),
+            ("mon", "custkey", 5, "m_tile"),
+        ],
+    )
     return t.groupBy("r_tile", "f_tile", "m_tile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         (F.sum("mon").cast("bigint").cast("double") / F.lit(100.0)).alias(
