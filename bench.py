@@ -170,6 +170,8 @@ EXTENDED = [
     "doc_containment",
     "nation_seat_apportionment",
     "user_active_coverage",
+    "window_funnel_anchors",
+    "weighted_price_quantiles",
     # stream_static_enrichment excluded: per-call source copy + a
     # checkpointed streaming job — scaffolding-dominated like
     # streaming_sessions below

@@ -173,3 +173,123 @@ def exact_global_ntile(
     return exact_global_ntile_multi(
         df, [(value_col, tie_col, n_tiles, out_col)], parts=parts
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    quantiles: list[tuple[str, int, int]] = (
+        ("p25", 1, 4),
+        ("p50", 1, 2),
+        ("p75", 3, 4),
+    ),
+    parts: int = 32,
+) -> DataFrame:
+    """EXACT lower weighted quantiles per group, never a global sort.
+
+    For each group and each ``(label, num, den)`` the result value is the
+    smallest ``v`` with ``den · Σ{w : value ≤ v} ≥ num · W`` (``W`` =
+    group's total weight) — the standard lower weighted quantile, and
+    every comparison is INTEGER (the quantile is a rational, weights are
+    integers), so the answer is bit-identical to any ANSI engine's
+    cumulative-window formulation with no float threshold anywhere.
+
+    Mechanism = the exact_global_ntile design extended to weights:
+
+    1. GLOBAL ``percentile_approx`` bounds partition values into ~parts
+       buckets (sketch error only moves rows between buckets, never the
+       answer);
+    2. ties collapse exactly: one row per (group, value) with summed
+       weight — also what bounds the window cost below;
+    3. one metadata action collects per-(group, bucket) weight sums
+       (≤ |groups|·parts scalars), locating each quantile's target
+       bucket and its exact in-bucket remaining target;
+    4. only rows in TARGET buckets (≤ |groups|·|quantiles| buckets) flow
+       into the cumulative window, partitioned by (group, bucket) — the
+       within-bucket scan is ≈ n/parts rows per task.
+
+    Output: one row per group with one column per quantile label.
+    Weights must be positive integers; ``group_col`` cardinality must be
+    metadata-sized (the step-3 collect is |groups|·parts rows).
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    pcts = ",".join(repr(i / parts) for i in range(1, parts))
+    raw = df.select(
+        F.expr(f"percentile_approx({value_col}, array({pcts}), 1000)").alias(
+            "bs"
+        )
+    ).collect()[0]["bs"]
+    bounds = sorted({float(b) for b in (raw or []) if b is not None})
+
+    vw = (
+        df.groupBy(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+        .agg(F.sum(F.col(weight_col).cast("decimal(38,0)")).alias("w"))
+        .select("g", "v", "w", F.expr(_bucket_sql("v", bounds)).alias("b"))
+        .persist()
+    )
+
+    bw_rows = vw.groupBy("g", "b").agg(F.sum("w").alias("bw")).collect()
+    per_group: dict[object, dict[int, int]] = {}
+    for r in bw_rows:
+        per_group.setdefault(r["g"], {})[int(r["b"])] = int(r["bw"])
+
+    # metadata rows: (group, label, target bucket, exact in-bucket target)
+    targets = []
+    for g, bweights in per_group.items():
+        total = sum(bweights.values())
+        for label, num, den in quantiles:
+            goal = num * total  # compare den·cum ≥ num·W in integers
+            cum = 0
+            for b in sorted(bweights):
+                if den * (cum + bweights[b]) >= goal:
+                    targets.append((g, label, b, goal - den * cum))
+                    break
+                cum += bweights[b]
+    from decimal import Decimal
+
+    tgt = spark.createDataFrame(
+        [(g, lab, b, Decimal(t)) for g, lab, b, t in targets],
+        schema=(
+            f"g {df.schema[group_col].dataType.simpleString()},"
+            " label string, b int, tgt decimal(38,0)"
+        ),
+    )
+
+    # the window partitions by (g, label): two quantiles of one group
+    # can share a target bucket, and the broadcast join duplicates those
+    # rows once per label — a (g, b)-partitioned cumsum would mix the
+    # duplicates and double-count
+    wcum = Window.partitionBy("g", "label").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    den_expr = (
+        "CASE "
+        + " ".join(f"WHEN label = '{label}' THEN {den}" for label, _, den in quantiles)
+        + " END"
+    )
+    vw_a, tgt_a = vw.alias("vw"), F.broadcast(tgt).alias("tgt")
+    hits = vw_a.join(
+        tgt_a,
+        (F.col("vw.g") == F.col("tgt.g")) & (F.col("vw.b") == F.col("tgt.b")),
+    ).select(
+        F.col("vw.g").alias("g"),
+        F.col("tgt.label").alias("label"),
+        F.col("vw.v").alias("v"),
+        F.col("vw.w").alias("w"),
+        F.col("tgt.tgt").alias("tgt"),
+    )
+    # within-bucket exact cumulative weight; the first row meeting the
+    # integer inequality is the quantile value
+    hits = hits.select(
+        "g", "label", "v", "tgt", F.sum("w").over(wcum).alias("cum")
+    ).where(F.expr(den_expr).cast("decimal(38,0)") * F.col("cum") >= F.col("tgt"))
+    per_label = hits.groupBy("g", "label").agg(F.min("v").alias("qv"))
+    agg_cols = [
+        F.max(F.when(F.col("label") == label, F.col("qv"))).alias(label)
+        for label, _, _ in quantiles
+    ]
+    return per_label.groupBy(F.col("g").alias(group_col)).agg(*agg_cols)

@@ -372,3 +372,85 @@ def asof_join_nearest(
         + [chosen[c].alias(c) for c in value_cols]
     )
     return carried.where(F.col("__is_left") == 1).select(*out_cols)
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    time_col: str,
+    value_cols: list[str] | None = None,
+    order_col: str | None = None,
+) -> DataFrame:
+    """FORWARD as-of join, strict: for each left row, the EARLIEST right
+    row with ``right.time > left.time`` per key (pandas ``merge_asof(
+    direction='forward', allow_exact_matches=False)``) — the "next event
+    after" primitive funnels and reaction-time analyses need.  Same
+    union-window plan as :func:`asof_join`: one shuffle on the key, no
+    join node, cost = sort-within-key at any scale.
+
+    The frame is ``ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING``
+    with right rows sorted BEFORE left rows at equal timestamps, so an
+    equal-timestamp right row falls outside a left row's frame — that
+    ordering trick is what makes the match strict.  Among right rows at
+    the same (future) timestamp the FIRST by ``order_col`` ascending
+    wins (mirror of the backward operators' last-wins rule; pass the
+    unique event id to make cross-engine tie order total — the
+    ``order_col=None`` fallback hashes the carried struct, deterministic
+    but not oracle-meaningful).  The matched (timestamp, values) travel
+    as one struct, so callers can bound the look-ahead window on
+    ``<out>__t`` without a desynchronized second column.
+
+    Returns the left columns plus ``value_cols`` (NULL when no later
+    right row exists) plus ``__next_t`` = the matched right timestamp.
+    """
+    from pyspark.sql import Window
+
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (key, time_col)
+    ]
+    rec = F.struct(
+        F.col(time_col).alias("__t"), *[F.col(c).alias(c) for c in value_cols]
+    )
+    l_extra = [c for c in left.columns if c not in (key, time_col)]
+    rec_type = _rec_type(right, time_col, value_cols)
+
+    l_tag = left.select(
+        F.col(key),
+        F.col(time_col),
+        F.lit(1).alias("__is_left"),
+        _ord_col(left, order_col),
+        F.lit(None).cast(rec_type).alias("__r_rec"),
+        *[F.col(c) for c in l_extra],
+    )
+    r_tag = right.select(
+        F.col(key),
+        F.col(time_col),
+        F.lit(0).alias("__is_left"),
+        _ord_col(right, order_col, rec),
+        rec.alias("__r_rec"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in l_extra
+        ],
+    )
+    unioned = l_tag.unionByName(r_tag)
+    # right (0) before left (1) at equal timestamps: excluded from the
+    # 1-FOLLOWING frame => strict `>`; among future rights the first by
+    # (time, __ord) wins
+    order = [F.col(time_col), F.col("__is_left"), F.col("__ord").asc_nulls_last()]
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    carried = unioned.select(
+        "*", F.first("__r_rec", ignorenulls=True).over(w).alias("__m")
+    )
+    out_cols = (
+        [F.col(key), F.col(time_col)]
+        + [F.col(c) for c in l_extra]
+        + [F.col(f"__m.{c}").alias(c) for c in value_cols]
+        + [F.col("__m.__t").alias("__next_t")]
+    )
+    return carried.where(F.col("__is_left") == 1).select(*out_cols)
