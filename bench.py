@@ -172,6 +172,9 @@ EXTENDED = [
     "user_active_coverage",
     "window_funnel_anchors",
     "weighted_price_quantiles",
+    "benford_first_digit",
+    "token_fertility_by_lang",
+    "gini_by_nation",
     # stream_static_enrichment excluded: per-call source copy + a
     # checkpointed streaming job — scaffolding-dominated like
     # streaming_sessions below
