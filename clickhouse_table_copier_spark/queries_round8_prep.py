@@ -76,11 +76,14 @@ _BASKET_MIN_SUPPORT = 20
 def q_basket_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    # persisted: FOUR consumers (the corpus count, the support collect,
+    # and both sides of the pair self-join) would otherwise each re-run
+    # the join+distinct (measured 3.3 -> 2.3 s warm at sf0.1)
     ot = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_type")
         .distinct()
-    )
+    ).persist()
     # corpus totals: one number + a 6-row type-support frame collected —
     # metadata-sized (type cardinality, not data volume)
     n_orders = ot.select("l_orderkey").distinct().count()
