@@ -175,6 +175,8 @@ EXTENDED = [
     "benford_first_digit",
     "token_fertility_by_lang",
     "gini_by_nation",
+    "session_path_topk",
+    "source_contamination_matrix",
     # stream_static_enrichment excluded: per-call source copy + a
     # checkpointed streaming job — scaffolding-dominated like
     # streaming_sessions below
