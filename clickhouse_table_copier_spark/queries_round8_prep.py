@@ -199,11 +199,15 @@ def q_funnel_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bs")
     ).collect()[0]
     bounds = sorted(set(float(x) for x in bounds_row["bs"]))
-    bucket = F.aggregate(
-        F.array(*[F.lit(x) for x in bounds]),
-        F.lit(0),
-        lambda acc, x: acc
-        + F.when(F.col("dur_us").cast("double") > x, F.lit(1)).otherwise(F.lit(0)),
+    # flat IF-sum, not an F.aggregate lambda: higher-order functions
+    # evaluate interpreted outside codegen (the operators/ranks.py
+    # round-8 ladder; same swap as _bucket_sql there)
+    bucket = F.expr(
+        "(" + " + ".join(
+            f"if(CAST(dur_us AS DOUBLE) > {b!r}D, 1, 0)" for b in bounds
+        ) + ")"
+        if bounds
+        else "0"
     )
     wloc = Window.partitionBy("bk").orderBy("dur_us", "user_id")
     local = durations.withColumn("bk", bucket).withColumn(
