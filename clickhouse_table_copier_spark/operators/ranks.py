@@ -198,11 +198,15 @@ def weighted_quantiles(
 
     Mechanism = the exact_global_ntile design extended to weights:
 
-    1. GLOBAL ``percentile_approx`` bounds partition values into ~parts
-       buckets (sketch error only moves rows between buckets, never the
-       answer);
-    2. ties collapse exactly: one row per (group, value) with summed
-       weight — also what bounds the window cost below;
+    1. ties collapse exactly FIRST: one row per (group, value) with
+       summed weight, persisted — every later step (bounds, counts,
+       window) reads this one artifact, so the raw frame is scanned
+       exactly once (bounds-then-collapse measured a second full input
+       scan worth ~15% of the query);
+    2. GLOBAL ``percentile_approx`` bounds over the collapsed values
+       partition them into ~parts buckets (the sketch is unweighted —
+       over distinct values — but bounds only *partition* rows, so
+       neither sketch error nor the missing weights reaches the answer);
     3. one metadata action collects per-(group, bucket) weight sums
        (≤ |groups|·parts scalars), locating each quantile's target
        bucket and its exact in-bucket remaining target;
@@ -217,20 +221,20 @@ def weighted_quantiles(
     from pyspark.sql import Window
 
     spark = df.sparkSession
+    vw0 = (
+        df.groupBy(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+        .agg(F.sum(F.col(weight_col).cast("decimal(38,0)")).alias("w"))
+        .persist()
+    )
     pcts = ",".join(repr(i / parts) for i in range(1, parts))
-    raw = df.select(
-        F.expr(f"percentile_approx({value_col}, array({pcts}), 1000)").alias(
-            "bs"
-        )
+    raw = vw0.select(
+        F.expr(f"percentile_approx(v, array({pcts}), 1000)").alias("bs")
     ).collect()[0]["bs"]
     bounds = sorted({float(b) for b in (raw or []) if b is not None})
 
-    vw = (
-        df.groupBy(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
-        .agg(F.sum(F.col(weight_col).cast("decimal(38,0)")).alias("w"))
-        .select("g", "v", "w", F.expr(_bucket_sql("v", bounds)).alias("b"))
-        .persist()
-    )
+    # cheap flat-IF projection over the persisted collapse — re-evaluated
+    # per consumer, never re-shuffled
+    vw = vw0.select("g", "v", "w", F.expr(_bucket_sql("v", bounds)).alias("b"))
 
     bw_rows = vw.groupBy("g", "b").agg(F.sum("w").alias("bw")).collect()
     per_group: dict[object, dict[int, int]] = {}
