@@ -195,6 +195,16 @@ EXTENDED = [
     # lev<=3 answer at sf0.1 is ~28M pairs (25% of all pairs), so the
     # run is output-bound (~150 s) and would triple bench wall-clock;
     # see operators/fuzzy.py for the density analysis.
+    # round-8e ML-pipeline batch
+    "value_drift_tvd",
+    "multi_touch_attribution",
+    "stratified_kfold_balance",
+    "target_encoding_loo",
+    "ks_cohort_distance",
+    # round-8f time-series / cohort-test batch
+    "daily_autocorr",
+    "mannwhitney_u_cohorts",
+    "temporal_split_leakage",
 ]
 
 HEADLINE = [

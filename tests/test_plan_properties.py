@@ -91,6 +91,9 @@ _BOUNDED_GLOBAL_WINDOWS = {
     # largest-remainder ranking runs over the groupBy(n_name) revenue
     # aggregate — one row per nation at any data scale
     "nation_seat_apportionment": "window input is groupBy(n_name) output",
+    # ACF series indexing runs over the groupBy(day) daily aggregate —
+    # one row per CALENDAR day at any data scale
+    "daily_autocorr": "window input is groupBy(day) output",
 }
 
 _GLOBAL_WINDOW_RE = re.compile(
