@@ -57,6 +57,7 @@ import clickhouse_table_copier_spark.queries_round8c  # noqa: E402,F401
 import clickhouse_table_copier_spark.queries_round8d  # noqa: E402,F401
 import clickhouse_table_copier_spark.queries_round8e  # noqa: E402,F401
 import clickhouse_table_copier_spark.queries_round8f  # noqa: E402,F401
+import clickhouse_table_copier_spark.queries_round8g  # noqa: E402,F401
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -205,6 +205,9 @@ EXTENDED = [
     "daily_autocorr",
     "mannwhitney_u_cohorts",
     "temporal_split_leakage",
+    # round-8g CH aggregate-dialect parity
+    "ch_retention_agg",
+    "ch_sequence_match",
 ]
 
 HEADLINE = [
