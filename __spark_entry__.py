@@ -58,6 +58,8 @@ import clickhouse_table_copier_spark.queries_round8d  # noqa: E402,F401
 import clickhouse_table_copier_spark.queries_round8e  # noqa: E402,F401
 import clickhouse_table_copier_spark.queries_round8f  # noqa: E402,F401
 import clickhouse_table_copier_spark.queries_round8g  # noqa: E402,F401
+import clickhouse_table_copier_spark.queries_round8h  # noqa: E402,F401
+import clickhouse_table_copier_spark.queries_round8i  # noqa: E402,F401
 
 
 def entry(spark: SparkSession) -> DataFrame:

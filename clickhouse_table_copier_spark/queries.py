@@ -44,16 +44,18 @@ def register(name: str, oracle: str | None = None):
 # The driver's correctness gate checks the FIRST 50 registered queries in
 # dict order. Since round 7 the window is COMPUTED, not hand-maintained:
 # ``registry_evidence.driver_window`` derives the full verification order
-# from committed evidence — queries needing a driver row this round
-# (never-green in any CORRECTNESS_r*.json, or fingerprint-stale vs
-# registry_fingerprints.json) front the window alphabetically, and every
-# other query follows oldest-last-green first. With N registered queries
-# each unchanged query is re-verified by the driver at least every
-# ceil(N/50) rounds; tests/test_registry_order.py pins the served order
-# to the derived spec, so the r04 omission class (a query left outside
-# the window while needing verification) cannot recur for v2-verified
-# entries; legacy v1 entries are covered by the transitional deep-closure
-# baseline stamped at round start (registry_evidence module docstring).
+# from committed evidence. Priority (round-8 refinement): (1) CHANGED —
+# green row but fingerprint/deep-closure drifted; (2) DUE — unchanged but
+# at the ceil(N/50)-round age bound; (3) FRESH — never-green, awaiting a
+# first driver row (ranked below the age guarantee because new queries
+# are already hash-verified locally every CI run; a registration burst
+# may push the alphabetical tail one round out); (4) everything else,
+# oldest-last-green first. tests/test_registry_order.py pins the served
+# order to the derived spec, so the r04 omission class (a query left
+# outside the window while needing verification) cannot recur for
+# v2-verified entries; legacy v1 entries are covered by the transitional
+# deep-closure baseline stamped at round start (registry_evidence module
+# docstring).
 _WINDOW_CACHE: dict = {}
 
 

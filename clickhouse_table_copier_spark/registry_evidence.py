@@ -308,22 +308,55 @@ def must_front(queries: dict, oracles: dict[str, str]) -> dict[str, str]:
 DRIVER_WINDOW = 50
 
 
+def _current_round() -> int:
+    files = _correctness_files()
+    if not files:
+        return 1
+    m = re.search(r"CORRECTNESS_r(\d+)\.json$", files[-1])
+    return (int(m.group(1)) if m else 0) + 1
+
+
 def driver_window(queries: dict, oracles: dict[str, str]) -> list[str]:
-    """The full evidence-derived verification order (round-7 steady-state
-    policy, COVERAGE.md): queries requiring a driver row this round
-    (never-green or fingerprint-stale) first, alphabetical; then every
-    other query oldest-last-green first, name-tiebroken.  The driver
-    checks the first ``DRIVER_WINDOW`` entries, so with N registered
-    queries a fingerprint-unchanged query re-earns a fresh driver row at
-    least every ``ceil(N / DRIVER_WINDOW)`` rounds — bounded, derivable
-    staleness with zero hand-maintenance (between driver rounds the full
-    registry stays hash-verified locally by tests/test_oracle_queries).
-    Deterministic across processes: fingerprints are sha256 over source
-    text and green history reads committed CORRECTNESS files."""
+    """The full evidence-derived verification order (round-7 policy,
+    priority-refined in round 8, COVERAGE.md).  Four classes:
+
+    1. CHANGED (alphabetical): must_front entries that HAVE a green row
+       — their verification went stale under them (fingerprint or
+       deep-closure drift), the highest-risk class.
+    2. DUE (oldest-green first): fingerprint-unchanged queries whose age
+       has reached the policy bound ceil(N / DRIVER_WINDOW) — skipping
+       them this round would break the staleness guarantee.
+    3. FRESH (alphabetical): never-green queries awaiting their FIRST
+       driver row.  They rank BELOW the age guarantee on purpose: a new
+       query is already value-hash-verified locally every CI run, so
+       first-row latency is cheaper than letting an old row silently
+       exceed the bound.  When a registration burst overflows the
+       window, the alphabetical tail waits a round — by construction,
+       never at the expense of classes 1-2.
+    4. The rest, oldest-last-green first, name-tiebroken.
+
+    The driver checks the first ``DRIVER_WINDOW`` entries, so with N
+    registered queries a fingerprint-unchanged query re-earns a fresh
+    driver row at least every ``ceil(N / DRIVER_WINDOW)`` rounds —
+    bounded, derivable staleness with zero hand-maintenance (between
+    driver rounds the full registry stays hash-verified locally by
+    tests/test_oracle_queries).  Deterministic across processes:
+    fingerprints are sha256 over source text and green history reads
+    committed CORRECTNESS files."""
     need = must_front(queries, oracles)
     green = green_history()
-    fill = sorted((green.get(n, 0), n) for n in queries if n not in need)
-    return sorted(need) + [n for _, n in fill]
+    changed = sorted(n for n in need if green.get(n, 0))
+    fresh = sorted(n for n in need if not green.get(n, 0))
+    bound = -(-len(queries) // DRIVER_WINDOW)
+    current = _current_round()
+    rest = [n for n in queries if n not in need]
+    due = sorted(
+        (green[n], n) for n in rest if current - green[n] >= bound
+    )
+    fill = sorted(
+        (green[n], n) for n in rest if current - green[n] < bound
+    )
+    return changed + [n for _, n in due] + fresh + [n for _, n in fill]
 
 
 def update_snapshot(queries: dict, oracles: dict[str, str]) -> list[str]:

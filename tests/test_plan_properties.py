@@ -94,6 +94,15 @@ _BOUNDED_GLOBAL_WINDOWS = {
     # ACF series indexing runs over the groupBy(day) daily aggregate —
     # one row per CALENDAR day at any data scale
     "daily_autocorr": "window input is groupBy(day) output",
+    # deltaSum's ordered lag runs over the groupBy(day) daily aggregate —
+    # one row per CALENDAR day at any data scale
+    "ch_delta_sum": "window input is groupBy(day) output",
+    # MASE's two lags run over the same calendar-bounded daily aggregate
+    "mase_seasonal_baseline": "window input is groupBy(day) output",
+    # RRF ranking windows run over TakeOrdered top-k lists (<= 20 rows)
+    "ann_rank_fusion": "windows rank TakeOrderedAndProject top-k frames",
+    # CDF cumulation runs over the fixed 50-bin histogram
+    "wasserstein_value_drift": "window input is a fixed 50-bin histogram",
 }
 
 _GLOBAL_WINDOW_RE = re.compile(

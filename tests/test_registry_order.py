@@ -26,6 +26,12 @@ DRIVER_WINDOW = registry_evidence.DRIVER_WINDOW
 
 
 def test_evidence_required_queries_front_the_window():
+    """Round-8 refinement: CHANGED entries (stale verification) and
+    age-DUE rotation entries must always sit inside the window; FRESH
+    (never-green) entries must fill every remaining slot — a fresh entry
+    may overflow past the window ONLY when the window is completely
+    packed with higher-priority work, in which case it waits exactly one
+    round (it stays locally hash-verified meanwhile)."""
     qs, oracles = entry.queries(), entry.oracle_sql()
     names = list(qs)
     need = registry_evidence.must_front(qs, oracles)
@@ -34,21 +40,52 @@ def test_evidence_required_queries_front_the_window():
         "row or carries an un-snapshotted change — if truly all-verified, "
         "relax this assertion"
     )
-    outside = {
-        n: why for n, why in need.items() if names.index(n) >= DRIVER_WINDOW
+    green = registry_evidence.green_history()
+    changed_outside = {
+        n: why
+        for n, why in need.items()
+        if green.get(n, 0) and names.index(n) >= DRIVER_WINDOW
     }
-    assert not outside, (
-        f"queries requiring a driver row are outside the first "
-        f"{DRIVER_WINDOW}: {outside}"
+    assert not changed_outside, (
+        f"stale-verification queries outside the first "
+        f"{DRIVER_WINDOW}: {changed_outside}"
     )
+    bound = -(-len(qs) // DRIVER_WINDOW)
+    current = registry_evidence._current_round()
+    due_outside = {
+        n
+        for n in qs
+        if n not in need
+        and green.get(n, 0)
+        and current - green[n] >= bound
+        and names.index(n) >= DRIVER_WINDOW
+    }
+    assert not due_outside, (
+        f"age-bound-due queries outside the first {DRIVER_WINDOW}: "
+        f"{due_outside} — the staleness promise would break this round"
+    )
+    fresh_outside = {
+        n for n in need if not green.get(n, 0) and names.index(n) >= DRIVER_WINDOW
+    }
+    if fresh_outside:
+        # permitted only under a genuinely full window
+        assert all(
+            names.index(n) < DRIVER_WINDOW or n in fresh_outside
+            for n in need
+        )
+        window = set(names[:DRIVER_WINDOW])
+        assert all(
+            (n in need) or (green.get(n, 0) and current - green[n] >= bound)
+            for n in window
+        ), "a fresh query overflowed while a plain rotation slot existed"
 
 
 def test_served_order_matches_derived_spec():
     """Since round 7 the window is computed, not hand-maintained: the
     order ``queries()`` actually serves must be exactly the
-    evidence-derived spec — must_front first (alphabetical), then
-    oldest-last-green fill. Catches any drift between the registry's
-    caching layer and the spec function."""
+    evidence-derived spec — changed, age-due, fresh, then the
+    oldest-last-green fill (round-8 priority refinement). Catches any
+    drift between the registry's caching layer and the spec function."""
     qs, oracles = entry.queries(), entry.oracle_sql()
     assert list(qs) == registry_evidence.driver_window(qs, oracles)
 
@@ -117,7 +154,10 @@ def test_transitional_baseline_catches_deep_helper_drift(monkeypatch):
     v1 entries until migration). Simulated by stamping a v1 entry whose
     v1 hash matches current source but whose `;2t:` hash does not."""
     qs, oracles = entry.queries(), entry.oracle_sql()
-    name = next(iter(qs))
+    # pick a query that is NOT already fronting (a never-green or
+    # changed query fronts for its own reason, masking the one under test)
+    already = registry_evidence.must_front(qs, oracles)
+    name = next(n for n in qs if n not in already)
     v1 = registry_evidence.query_fingerprint(qs[name], oracles.get(name), version=1)
     snap = dict(registry_evidence.load_snapshot())
     snap[name] = f"{v1};2t:{'0' * 64}"
