@@ -20,6 +20,10 @@ NEW = [
     "wasserstein_value_drift",
     "zone_map_prune_estimate",
     "mase_seasonal_baseline",
+    "ch_arg_min_max",
+    "user_step_bitmask",
+    "feature_hashing_collisions",
+    "ab_srm_check",
 ]
 
 
