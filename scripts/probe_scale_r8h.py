@@ -24,6 +24,9 @@ NEW = [
     "user_step_bitmask",
     "feature_hashing_collisions",
     "ab_srm_check",
+    "pca_variance_explained",
+    "embedding_whitening_check",
+    "ann_ndcg_eval",
 ]
 
 

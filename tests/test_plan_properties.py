@@ -101,6 +101,8 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "mase_seasonal_baseline": "window input is groupBy(day) output",
     # RRF ranking windows run over TakeOrdered top-k lists (<= 20 rows)
     "ann_rank_fusion": "windows rank TakeOrderedAndProject top-k frames",
+    # NDCG position windows run over TakeOrdered top-10 lists
+    "ann_ndcg_eval": "windows rank TakeOrderedAndProject top-k frames",
     # CDF cumulation runs over the fixed 50-bin histogram
     "wasserstein_value_drift": "window input is a fixed 50-bin histogram",
 }

@@ -191,12 +191,23 @@ def test_oracles_follow_the_same_order():
     assert onames == [n for n in qnames if n in set(onames)]
 
 
+# The ONLY queries allowed to register without a DuckDB oracle: outputs
+# that require an eigendecomposition, which no SQL dialect expresses.
+# The driver records the weaker rows-only check for these BY DESIGN;
+# their math is pinned by tests/test_round8k_ops.py (planted-anisotropy
+# spectrum recovery, whitening-to-identity). Anything else added here
+# without a genuine non-SQL-expressibility argument is a test failure
+# waiting to be written.
+_ROWS_ONLY_BY_DESIGN = {"pca_variance_explained", "embedding_whitening_check"}
+
+
 def test_registry_complete():
     qs = entry.queries()
     oracles = entry.oracle_sql()
     assert len(qs) >= 105
-    # since round 4 every registered query is oracled (trained IVF included)
-    assert set(qs) - set(oracles) == set()
+    # since round 4 every registered query is oracled, except the pinned
+    # eigen-based rows-only set above
+    assert set(qs) - set(oracles) == _ROWS_ONLY_BY_DESIGN
 
 
 def test_staleness_report_covers_every_query():
