@@ -27,6 +27,9 @@ NEW = [
     "pca_variance_explained",
     "embedding_whitening_check",
     "ann_ndcg_eval",
+    "graph_degree_distribution",
+    "graph_assortativity",
+    "arrival_dispersion_index",
 ]
 
 
