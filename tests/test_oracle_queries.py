@@ -35,6 +35,13 @@ def test_entry_smoke(spark):
 def test_every_query_has_oracle_or_is_declared():
     # Since round 4 every registered query is oracled — including the
     # trained-IVF path, whose Lloyd training is made cross-engine
-    # reproducible by ordered-fold means (train_centroids_exact).
+    # reproducible by ordered-fold means (train_centroids_exact) — with
+    # the single pinned exception class: eigen-based outputs no SQL
+    # dialect expresses (the _ROWS_ONLY_BY_DESIGN set in
+    # tests/test_registry_order.py, where the justification lives).
+    from tests.test_registry_order import _ROWS_ONLY_BY_DESIGN
+
     missing = sorted(set(_QUERIES) - set(_ORACLES))
-    assert missing == [], f"queries without oracle: {missing}"
+    assert missing == sorted(_ROWS_ONLY_BY_DESIGN), (
+        f"queries without oracle beyond the pinned eigen set: {missing}"
+    )
