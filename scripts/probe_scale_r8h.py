@@ -54,7 +54,10 @@ def main() -> None:
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).collect()
                 ts.append(time.perf_counter() - t0)
-                spark.catalog.clearCache()
+                # NO clearCache here: bench.py keeps shared artifacts
+                # persisted across queries, so clearing would measure
+                # artifact REBUILD as if it were per-call cost (observed
+                # 10.4 vs 1.1 s on graph_assortativity)
             results.setdefault(name, {})[key] = (ts[0], min(ts[1:]))
     print("| Query | sf0.01 first/warm | sf0.1 first/warm | warm factor |")
     print("|---|---|---|---|")
