@@ -47,9 +47,10 @@ def register(name: str, oracle: str | None = None):
 # from committed evidence. Priority (round-8 refinement): (1) CHANGED —
 # green row but fingerprint/deep-closure drifted; (2) DUE — unchanged but
 # at the ceil(N/50)-round age bound; (3) FRESH — never-green, awaiting a
-# first driver row (ranked below the age guarantee because new queries
-# are already hash-verified locally every CI run; a registration burst
-# may push the alphabetical tail one round out); (4) everything else,
+# first driver row, FIFO on the committed first-seen round (ranked below
+# the age guarantee because new queries are already hash-verified
+# locally every CI run; a registration burst defers the queue tail, and
+# FIFO means later bursts can never starve it); (4) everything else,
 # oldest-last-green first. tests/test_registry_order.py pins the served
 # order to the derived spec, so the r04 omission class (a query left
 # outside the window while needing verification) cannot recur for

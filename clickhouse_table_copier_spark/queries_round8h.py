@@ -256,6 +256,10 @@ def q_theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     one = daily.agg(
         F.sort_array(F.collect_list(F.struct("x", "y"))).alias("pts")
+    ).where(
+        # <2 points -> no pairwise slopes: return ZERO rows exactly as
+        # the oracle's order-statistic select does on an empty slope set
+        F.expr("size(pts) >= 2")
     )
     with_slope = one.select(
         "pts",

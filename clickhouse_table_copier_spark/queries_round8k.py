@@ -71,12 +71,17 @@ def _driver_covariance(spark: SparkSession, sf_dir: str):
     ).collect()
     n = int(rows[0]["n"])
     cov = np.zeros((DIM, DIM))
+    mu = np.zeros(DIM)
     for r in rows:
         i, j = int(r["dim_i"]), int(r["dim_j"])
         cov[i, j] = cov[j, i] = float(r["q_cov"]) / (
             LINALG_SCALE * LINALG_SCALE
         )
-    return cov, n
+        if i == j:
+            # the linear sums ride along on the same rows — per-dim
+            # means cost nothing extra (no second corpus scan)
+            mu[i] = float(r["s_i"]) / n / LINALG_SCALE
+    return cov, mu, n
 
 
 @register("pca_variance_explained")  # eigenvalues: no SQL oracle (rows-only)
@@ -90,7 +95,7 @@ def q_pca_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
     descending; values rounded to 9dp)."""
     import numpy as np
 
-    cov, n = _driver_covariance(spark, sf_dir)
+    cov, _mu, n = _driver_covariance(spark, sf_dir)
     vals = np.linalg.eigvalsh(cov)[::-1]  # descending
     total = float(vals.sum())
     rows, cum = [], 0.0
@@ -131,27 +136,15 @@ def q_embedding_whitening_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantized_gram_partials,
     )
 
-    cov, n = _driver_covariance(spark, sf_dir)
+    cov, mu, n = _driver_covariance(spark, sf_dir)
     vals, vecs = np.linalg.eigh(cov)
     w = vecs @ np.diag(1.0 / np.sqrt(np.maximum(vals, 0) + _ZCA_EPS)) @ vecs.T
 
-    # per-dim means for centering, from the same exact grid
+    # per-dim means for centering came along with the covariance rows
+    # (linalg carries the linear sums) — the whitening job is exactly
+    # two corpus passes: the covariance Gram and the verify Gram
     emb = _t(spark, sf_dir, "embeddings")
     scale = 1_000_000
-    sums = (
-        quantized_gram_partials(emb, "embedding", scale)
-        .where(F.col("i") == F.col("j"))
-        .groupBy("i")
-        .agg(
-            F.sum(F.col("s_i").cast("decimal(38,0)")).alias("s"),
-            F.sum(F.col("n").cast("decimal(38,0)")).alias("n"),
-        )
-        .collect()
-    )
-    mu = np.zeros(DIM)
-    for r in sums:
-        mu[int(r["i"])] = float(r["s"]) / float(r["n"]) / scale
-
     w_b = spark.sparkContext.broadcast(w)
     mu_b = spark.sparkContext.broadcast(mu)
 

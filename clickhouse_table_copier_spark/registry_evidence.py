@@ -57,6 +57,7 @@ _PKG = "clickhouse_table_copier_spark"
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _REPO = os.path.dirname(_HERE)
 SNAPSHOT_PATH = os.path.join(_HERE, "registry_fingerprints.json")
+FIRST_SEEN_PATH = os.path.join(_HERE, "registry_first_seen.json")
 
 
 def _candidate_objects(fn) -> dict[str, object]:
@@ -276,6 +277,18 @@ def load_snapshot() -> dict[str, str]:
     return {}
 
 
+def load_first_seen() -> dict[str, int]:
+    """Committed {query: round it was first registered} record — stamped
+    by the round-start ``--update`` run, so a FRESH query's queue
+    position is derivable evidence, not process memory.  Mid-round
+    registrations have no stamp until the next round start and sort as
+    newest (ties broken by name)."""
+    if os.path.exists(FIRST_SEEN_PATH):
+        with open(FIRST_SEEN_PATH) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+    return {}
+
+
 def must_front(queries: dict, oracles: dict[str, str]) -> dict[str, str]:
     """Queries requiring a driver row this round -> human-readable reason."""
     snap = load_snapshot()
@@ -326,13 +339,15 @@ def driver_window(queries: dict, oracles: dict[str, str]) -> list[str]:
     2. DUE (oldest-green first): fingerprint-unchanged queries whose age
        has reached the policy bound ceil(N / DRIVER_WINDOW) — skipping
        them this round would break the staleness guarantee.
-    3. FRESH (alphabetical): never-green queries awaiting their FIRST
-       driver row.  They rank BELOW the age guarantee on purpose: a new
-       query is already value-hash-verified locally every CI run, so
-       first-row latency is cheaper than letting an old row silently
-       exceed the bound.  When a registration burst overflows the
-       window, the alphabetical tail waits a round — by construction,
-       never at the expense of classes 1-2.
+    3. FRESH (FIFO on committed first-seen round, name tiebreak):
+       never-green queries awaiting their FIRST driver row.  They rank
+       BELOW the age guarantee on purpose: a new query is already
+       value-hash-verified locally every CI run, so first-row latency
+       is cheaper than letting an old row silently exceed the bound.
+       When a registration burst overflows the window the tail waits —
+       but FIFO means later registrations can never push in front of an
+       already-waiting query, so no name is starved indefinitely, and
+       the wait never comes at the expense of classes 1-2.
     4. The rest, oldest-last-green first, name-tiebroken.
 
     The driver checks the first ``DRIVER_WINDOW`` entries, so with N
@@ -346,9 +361,22 @@ def driver_window(queries: dict, oracles: dict[str, str]) -> list[str]:
     need = must_front(queries, oracles)
     green = green_history()
     changed = sorted(n for n in need if green.get(n, 0))
-    fresh = sorted(n for n in need if not green.get(n, 0))
     bound = -(-len(queries) // DRIVER_WINDOW)
     current = _current_round()
+    # FRESH ordering is FIFO on the committed first-seen round (name
+    # tiebreak): a query registered earlier is ALWAYS admitted before a
+    # later registration, so a sustained burst of alphabetically-early
+    # names cannot starve an older waiting query — the r04-omission
+    # class stays impossible for new queries too
+    first_seen = load_first_seen()
+    fresh = [
+        n
+        for _, n in sorted(
+            (first_seen.get(n, current), n)
+            for n in need
+            if not green.get(n, 0)
+        )
+    ]
     rest = [n for n in queries if n not in need]
     due = sorted(
         (green[n], n) for n in rest if current - green[n] >= bound
@@ -401,6 +429,18 @@ def update_snapshot(queries: dict, oracles: dict[str, str]) -> list[str]:
     with open(SNAPSHOT_PATH, "w") as f:
         json.dump(dict(sorted(snap.items())), f, indent=1)
         f.write("\n")
+    # FIFO queue positions for never-green queries: stamp every
+    # registered query missing a stamp with the CURRENT round, prune
+    # unregistered names. Green queries keep their stamp (harmless —
+    # only the FRESH class reads it).
+    first_seen = load_first_seen()
+    current = _current_round()
+    first_seen = {k: v for k, v in first_seen.items() if k in queries}
+    for name in queries:
+        first_seen.setdefault(name, current)
+    with open(FIRST_SEEN_PATH, "w") as f:
+        json.dump(dict(sorted(first_seen.items())), f, indent=1)
+        f.write("\n")
     return updated
 
 
@@ -411,12 +451,8 @@ def staleness_report(queries: dict) -> str:
     CORRECTNESS file (the round currently being built), so a query green
     in the latest file has age 1.  The window policy promises a bound of
     ceil(N / DRIVER_WINDOW) rounds for fingerprint-unchanged queries."""
-    files = _correctness_files()
-    latest_round = 0
-    if files:
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", files[-1])
-        latest_round = int(m.group(1)) if m else 0
-    current = latest_round + 1
+    current = _current_round()
+    latest_round = current - 1
     green = green_history()
     by_round: dict[int, list[str]] = {}
     for name in queries:
@@ -459,11 +495,25 @@ def main(argv: list[str]) -> int:
         print(f"snapshot refreshed for {len(updated)} queries green in latest round")
     need = must_front(qs, os_)
     names = list(qs)
+    green = green_history()
+    # round-8 policy: a FRESH (never-green) entry outside the window is
+    # a DEFERred first verification, not a failure — only CHANGED (or
+    # DUE, which driver_window places by construction) outside the
+    # window breaks an actual guarantee
     for name, why in sorted(need.items()):
         pos = names.index(name)
-        flag = "OK   " if pos < 50 else "MISS "
+        if pos < DRIVER_WINDOW:
+            flag = "OK   "
+        elif not green.get(name, 0):
+            flag = "DEFER"
+        else:
+            flag = "MISS "
         print(f"{flag} #{pos:3d} {name}: {why}")
-    bad = [n for n in need if names.index(n) >= 50]
+    bad = [
+        n
+        for n in need
+        if names.index(n) >= DRIVER_WINDOW and green.get(n, 0)
+    ]
     return 1 if bad else 0
 
 

@@ -69,15 +69,35 @@ def test_evidence_required_queries_front_the_window():
     }
     if fresh_outside:
         # permitted only under a genuinely full window
-        assert all(
-            names.index(n) < DRIVER_WINDOW or n in fresh_outside
-            for n in need
-        )
         window = set(names[:DRIVER_WINDOW])
         assert all(
             (n in need) or (green.get(n, 0) and current - green[n] >= bound)
             for n in window
         ), "a fresh query overflowed while a plain rotation slot existed"
+
+
+def test_fresh_queue_is_fifo_not_alphabetical(monkeypatch):
+    """Starvation-proofing: a never-green query with an OLDER committed
+    first-seen round must front before alphabetically-earlier but
+    newer registrations — later bursts cannot push in front of an
+    already-waiting query."""
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    green = registry_evidence.green_history()
+    fresh = sorted(n for n in qs if not green.get(n, 0))
+    if len(fresh) < 2:
+        import pytest
+
+        pytest.skip("needs at least two never-green queries")
+    # pretend the alphabetically-LAST fresh query has been waiting since
+    # round 1 — it must now lead the FRESH class
+    stamped = dict(registry_evidence.load_first_seen())
+    stamped[fresh[-1]] = 1
+    monkeypatch.setattr(
+        registry_evidence, "load_first_seen", lambda: stamped
+    )
+    order = registry_evidence.driver_window(qs, oracles)
+    fresh_served = [n for n in order if n in set(fresh)]
+    assert fresh_served[0] == fresh[-1]
 
 
 def test_served_order_matches_derived_spec():
