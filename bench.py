@@ -208,6 +208,30 @@ EXTENDED = [
     # round-8g CH aggregate-dialect parity
     "ch_retention_agg",
     "ch_sequence_match",
+    # round-8h CH combinators + robust/agreement statistics
+    "ch_if_combinators",
+    "ch_delta_sum",
+    "theilsen_daily_trend",
+    "hellinger_source_drift",
+    "cohens_kappa_quality",
+    # round-8i hybrid retrieval, drift, layout, forecast
+    "ann_rank_fusion",
+    "wasserstein_value_drift",
+    "zone_map_prune_estimate",
+    "mase_seasonal_baseline",
+    # round-8j dialect + experiment/feature audits
+    "ch_arg_min_max",
+    "user_step_bitmask",
+    "feature_hashing_collisions",
+    "ab_srm_check",
+    # round-8k embedding linalg + ranking eval
+    "pca_variance_explained",
+    "embedding_whitening_check",
+    "ann_ndcg_eval",
+    # round-8l graph shape + arrival process
+    "graph_degree_distribution",
+    "graph_assortativity",
+    "arrival_dispersion_index",
 ]
 
 HEADLINE = [
