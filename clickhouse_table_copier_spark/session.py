@@ -46,7 +46,16 @@ def get_spark(
         # overwrite is the engine's DELETE+INSERT (SURVEY §2.7 D1+D2 fused).
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
+        # 239 registered queries generate hundreds of codegen classes in
+        # one JVM; the default 240m JIT code cache overflows late in a
+        # full bench sweep and the fallback-to-interpreter lands on the
+        # most CPU-bound queries (measured: supplier_part_cosine 8.0 ->
+        # 5.1 s in-bench, headline 24.7 -> 23.7 s with 512m)
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
