@@ -33,12 +33,12 @@ def test_entry_smoke(spark):
 
 
 def test_every_query_has_oracle_or_is_declared():
-    # Since round 4 every registered query is oracled — including the
-    # trained-IVF path, whose Lloyd training is made cross-engine
-    # reproducible by ordered-fold means (train_centroids_exact) — with
-    # the single pinned exception class: eigen-based outputs no SQL
-    # dialect expresses (the _ROWS_ONLY_BY_DESIGN set in
-    # tests/test_registry_order.py, where the justification lives).
+    # Since round 9 EVERY registered query is oracled — including the
+    # trained-IVF path (ordered-fold Lloyd means) and the two eigen
+    # queries, whose answers are pinned as literal oracles re-derived
+    # independently by scripts/derive_eigen_oracle_pins.py (the
+    # _ROWS_ONLY_BY_DESIGN set in tests/test_registry_order.py is now
+    # empty and stays the gate for any future exception).
     from tests.test_registry_order import _ROWS_ONLY_BY_DESIGN
 
     missing = sorted(set(_QUERIES) - set(_ORACLES))

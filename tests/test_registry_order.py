@@ -211,14 +211,15 @@ def test_oracles_follow_the_same_order():
     assert onames == [n for n in qnames if n in set(onames)]
 
 
-# The ONLY queries allowed to register without a DuckDB oracle: outputs
-# that require an eigendecomposition, which no SQL dialect expresses.
-# The driver records the weaker rows-only check for these BY DESIGN;
-# their math is pinned by tests/test_round8k_ops.py (planted-anisotropy
-# spectrum recovery, whitening-to-identity). Anything else added here
-# without a genuine non-SQL-expressibility argument is a test failure
-# waiting to be written.
-_ROWS_ONLY_BY_DESIGN = {"pca_variance_explained", "embedding_whitening_check"}
+# Queries allowed to register without a DuckDB oracle: NONE since round
+# 9. The former members (pca_variance_explained,
+# embedding_whitening_check — eigendecompositions no SQL dialect
+# expresses) now carry pinned literal-VALUES oracles independently
+# re-derived from the fixture by scripts/derive_eigen_oracle_pins.py
+# (pyarrow + numpy, no Spark), so every registered query gets the full
+# rows+schema+hash driver check. Anything added here without a genuine
+# non-expressibility argument is a test failure waiting to be written.
+_ROWS_ONLY_BY_DESIGN: set[str] = set()
 
 
 def test_registry_complete():
