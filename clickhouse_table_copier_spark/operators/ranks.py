@@ -52,6 +52,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Frames persisted by this module's mechanisms. The returned DataFrames
+# READ these caches lazily, so the module cannot unpersist them itself —
+# the lifetime is caller-owned (round-8 ADVICE): a long-lived driver
+# sweeping many queries should call release_caches() after each
+# consumer's action (bench.py does, between timed queries) or the
+# storage-memory pressure accumulates one cached frame per call.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist every frame this module persisted since the last call.
+    Safe to call at any time: consumers that already collected are done
+    with the cache, and a consumer that re-executes afterwards simply
+    recomputes the (cheap, pre-shuffle) lineage."""
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped: nothing to release
+
 
 def _bucket_sql(value_col: str, bounds: list[float]) -> str:
     """Flat sum of IFs, not an aggregate/filter lambda: higher-order
@@ -86,7 +107,14 @@ def exact_global_ntile_multi(
     keys) — but all ``len(specs)`` windows execute inside the consumer's
     single job.  ``tie_col`` must make each order total (unique within
     equal values) or tile membership at tile boundaries is
-    engine-dependent."""
+    engine-dependent.
+
+    Ranked columns must be NON-NULL: a NULL falls into bucket 0 (every
+    ``if(v > b)`` comparison is false) and Spark's window ORDER BY ranks
+    NULLS FIRST while ANSI/DuckDB ``ntile`` defaults NULLS LAST, so the
+    bit-identical claim would silently break. The precondition is
+    CHECKED, riding on the bounds action (zero extra jobs): a NULL in
+    any spec's value column raises ``ValueError``."""
     pcts = ",".join(repr(i / parts) for i in range(1, parts))
     bounds_row = df.select(
         *[
@@ -94,8 +122,20 @@ def exact_global_ntile_multi(
                 f"percentile_approx({vcol}, array({pcts}), 1000)"
             ).alias(f"bs_{j}")
             for j, (vcol, _, _, _) in enumerate(specs)
-        ]
-    ).collect()[0]  # metadata-sized: parts-1 scalars per dim
+        ],
+        *[
+            F.expr(f"sum(if({vcol} is null, 1, 0))").alias(f"nn_{j}")
+            for j, (vcol, _, _, _) in enumerate(specs)
+        ],
+    ).collect()[0]  # metadata-sized: parts-1 scalars + 1 count per dim
+    for j, (vcol, _, _, _) in enumerate(specs):
+        if int(bounds_row[f"nn_{j}"] or 0):
+            raise ValueError(
+                f"exact_global_ntile: value column {vcol!r} has "
+                f"{bounds_row[f'nn_{j}']} NULL rows — NULL rank order is "
+                "engine-dependent (Spark NULLS FIRST vs ANSI ntile NULLS "
+                "LAST); filter or coalesce them first"
+            )
     dim_bounds = [
         sorted({float(b) for b in (bounds_row[f"bs_{j}"] or []) if b is not None})
         for j in range(len(specs))
@@ -108,6 +148,7 @@ def exact_global_ntile_multi(
             for j, (vcol, _, _, _) in enumerate(specs)
         ],
     ).persist()
+    _LIVE_CACHES.append(local)  # caller-owned lifetime: see release_caches
 
     # one action: per-bucket counts as FLAT conditional sums packed into
     # one array per dimension — map-side-combinable to a single row, so
@@ -226,10 +267,24 @@ def weighted_quantiles(
         .agg(F.sum(F.col(weight_col).cast("decimal(38,0)")).alias("w"))
         .persist()
     )
+    _LIVE_CACHES.append(vw0)  # caller-owned lifetime: see release_caches
     pcts = ",".join(repr(i / parts) for i in range(1, parts))
-    raw = vw0.select(
-        F.expr(f"percentile_approx(v, array({pcts}), 1000)").alias("bs")
-    ).collect()[0]["bs"]
+    # precondition checks ride on the bounds action (zero extra jobs):
+    # NULL values break cross-engine rank order, non-positive collapsed
+    # weights break the integer threshold inequality
+    chk = vw0.select(
+        F.expr(f"percentile_approx(v, array({pcts}), 1000)").alias("bs"),
+        F.expr("sum(if(v is null, 1, 0))").alias("null_v"),
+        F.expr("sum(if(w is null or w <= 0, 1, 0))").alias("bad_w"),
+    ).collect()[0]
+    if int(chk["null_v"] or 0) or int(chk["bad_w"] or 0):
+        raise ValueError(
+            f"weighted_quantiles: {chk['null_v']} NULL values / "
+            f"{chk['bad_w']} non-positive collapsed weights in "
+            f"({value_col!r}, {weight_col!r}) — the exact integer "
+            "threshold needs non-null values and positive weights"
+        )
+    raw = chk["bs"]
     bounds = sorted({float(b) for b in (raw or []) if b is not None})
 
     # cheap flat-IF projection over the persisted collapse — re-evaluated

@@ -168,19 +168,32 @@ def _rec_type(right: DataFrame, time_col: str, value_cols: list[str]) -> str:
     return f"struct<__t:{t}" + ("," + fields if fields else "") + ">"
 
 
-def _ord_col(side: DataFrame, order_col: str | None, rec=None):
-    """Per-row tie-order value. With an ``order_col`` the caller controls
-    tie semantics (and can match an external oracle); without one, the
-    RIGHT side (``rec`` given) falls back to ``xxhash64`` of the carried
-    struct so equal-timestamp ties are still deterministic across runs,
-    partitionings, and retries — never partition-order-dependent. Left
-    rows carry no struct; their tie order is irrelevant (every left row
-    at a timestamp sees the same carried right record), so NULL."""
-    if order_col is not None and order_col in side.columns:
-        return F.col(order_col).cast("long").alias("__ord")
-    if rec is not None:
-        return F.xxhash64(rec).alias("__ord")
-    return F.lit(None).cast("long").alias("__ord")
+def _ord_cols(left: DataFrame, right: DataFrame, order_col: str | None, rec):
+    """(left ``__ord``, right ``__ord``) tie-order expressions with one
+    UNIFIED type. With an ``order_col`` on the right, the column keeps
+    its NATIVE type — ordering by a string/uuid event id stays total and
+    deterministic, where the former ``cast('long')`` silently nulled
+    non-numeric ids and degraded tie order to partition-order-dependent
+    (round-8 ADVICE). The left side contributes NULL of that same type
+    (left tie order is irrelevant — every left row at a timestamp sees
+    the same carried right record — but the union needs matching types);
+    a same-named left column rides along natively for schema parity.
+    Without an ``order_col`` on the right, the right falls back to
+    ``xxhash64`` of the carried struct — still deterministic across
+    runs, partitionings, and retries, though not meaningful to an
+    external oracle (pass ``order_col`` when cross-engine comparison
+    matters)."""
+    if order_col is not None and order_col in right.columns:
+        t = right.schema[order_col].dataType
+        r_expr = F.col(order_col).alias("__ord")
+        l_expr = (
+            F.col(order_col) if order_col in left.columns else F.lit(None)
+        ).cast(t).alias("__ord")
+        return l_expr, r_expr
+    r_expr = (
+        F.xxhash64(rec) if rec is not None else F.lit(None).cast("long")
+    ).alias("__ord")
+    return F.lit(None).cast("long").alias("__ord"), r_expr
 
 
 def asof_join_tolerance(
@@ -220,12 +233,13 @@ def asof_join_tolerance(
     )
     l_extra = [c for c in left.columns if c not in (key, time_col)]
     rec_type = _rec_type(right, time_col, value_cols)
+    l_ord, r_ord = _ord_cols(left, right, order_col, rec)
 
     l_tag = left.select(
         F.col(key),
         F.col(time_col),
         F.lit(1).alias("__is_left"),
-        _ord_col(left, order_col),
+        l_ord,
         F.lit(None).cast(rec_type).alias("__r_rec"),
         *[F.col(c) for c in l_extra],
     )
@@ -233,7 +247,7 @@ def asof_join_tolerance(
         F.col(key),
         F.col(time_col),
         F.lit(0).alias("__is_left"),
-        _ord_col(right, order_col, rec),
+        r_ord,
         rec.alias("__r_rec"),
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)
@@ -305,11 +319,12 @@ def asof_join_nearest(
     )
     l_extra = [c for c in left.columns if c not in (key, time_col)]
     rec_type = _rec_type(right, time_col, value_cols)
+    l_ord, r_ord = _ord_cols(left, right, order_col, rec)
     l_tag = left.select(
         F.col(key),
         F.col(time_col),
         F.lit(1).alias("__is_left"),
-        _ord_col(left, order_col),
+        l_ord,
         F.lit(None).cast(rec_type).alias("__r_rec"),
         *[F.col(c) for c in l_extra],
     )
@@ -317,7 +332,7 @@ def asof_join_nearest(
         F.col(key),
         F.col(time_col),
         F.lit(0).alias("__is_left"),
-        _ord_col(right, order_col, rec),
+        r_ord,
         rec.alias("__r_rec"),
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)
@@ -414,12 +429,13 @@ def asof_join_forward(
     )
     l_extra = [c for c in left.columns if c not in (key, time_col)]
     rec_type = _rec_type(right, time_col, value_cols)
+    l_ord, r_ord = _ord_cols(left, right, order_col, rec)
 
     l_tag = left.select(
         F.col(key),
         F.col(time_col),
         F.lit(1).alias("__is_left"),
-        _ord_col(left, order_col),
+        l_ord,
         F.lit(None).cast(rec_type).alias("__r_rec"),
         *[F.col(c) for c in l_extra],
     )
@@ -427,7 +443,7 @@ def asof_join_forward(
         F.col(key),
         F.col(time_col),
         F.lit(0).alias("__is_left"),
-        _ord_col(right, order_col, rec),
+        r_ord,
         rec.alias("__r_rec"),
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)

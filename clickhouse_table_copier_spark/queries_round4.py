@@ -1147,7 +1147,7 @@ def q_equi_depth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice", F.array(*[F.lit(p) for p in pcts]), 1000
         ).alias("bs")
     ).collect()[0]  # metadata-sized: 31 doubles, independent of row count
-    bounds = sorted(set(float(b) for b in bounds_row["bs"]))
+    bounds = sorted(set(float(b) for b in (bounds_row["bs"] or [])))  # percentile_approx -> NULL on empty input
 
     # 2. exact bucket membership (monotone in o_totalprice), local ranks
     bucket = F.aggregate(
@@ -1227,7 +1227,7 @@ def q_equi_depth_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice", F.array(*[F.lit(p) for p in pcts]), accuracy
         ).alias("bs")
     ).collect()[0]  # metadata-sized: 9 doubles
-    bounds = [float(b) for b in bounds_row["bs"]]
+    bounds = [float(b) for b in (bounds_row["bs"] or [])]  # percentile_approx -> NULL on empty input
     bucket = F.aggregate(
         F.array(*[F.lit(b) for b in bounds]),
         F.lit(1),

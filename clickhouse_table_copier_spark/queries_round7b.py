@@ -393,7 +393,7 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev").cast("double"), F.array(*[F.lit(p) for p in pcts]), 1000
         ).alias("bs")
     ).collect()[0]
-    bounds = sorted(set(float(x) for x in bounds_row["bs"]))
+    bounds = sorted(set(float(x) for x in (bounds_row["bs"] or [])))  # percentile_approx -> NULL on empty input
     bucket = F.aggregate(
         F.array(*[F.lit(x) for x in bounds]),
         F.lit(0),

@@ -198,7 +198,7 @@ def q_funnel_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dur_us").cast("double"), F.array(*[F.lit(p) for p in pcts]), 1000
         ).alias("bs")
     ).collect()[0]
-    bounds = sorted(set(float(x) for x in bounds_row["bs"]))
+    bounds = sorted(set(float(x) for x in (bounds_row["bs"] or [])))  # percentile_approx -> NULL on empty input
     # flat IF-sum, not an F.aggregate lambda: higher-order functions
     # evaluate interpreted outside codegen (the operators/ranks.py
     # round-8 ladder; same swap as _bucket_sql there)

@@ -14,6 +14,19 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _driver_java_opts(env_opts: str | None = None) -> str:
+    """Driver JVM options: the engine's ReservedCodeCacheSize default
+    merged with (never replacing) deployment-supplied flags from
+    SPARK_DRIVER_JAVA_OPTS. An explicit ReservedCodeCacheSize in the env
+    wins — the env value is then used verbatim, because appending ours
+    after it would override it (later duplicate JVM flags win)."""
+    if env_opts is None:
+        env_opts = os.environ.get("SPARK_DRIVER_JAVA_OPTS", "")
+    if "ReservedCodeCacheSize" in env_opts:
+        return env_opts
+    return (env_opts + " -XX:ReservedCodeCacheSize=512m").strip()
+
+
 def get_spark(
     app_name: str = "clickhouse-table-copier-spark",
     master: str | None = None,
@@ -51,11 +64,12 @@ def get_spark(
         # one JVM; the default 240m JIT code cache overflows late in a
         # full bench sweep and the fallback-to-interpreter lands on the
         # most CPU-bound queries (measured: supplier_part_cosine 8.0 ->
-        # 5.1 s in-bench, headline 24.7 -> 23.7 s with 512m)
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=512m",
-        )
+        # 5.1 s in-bench, headline 24.7 -> 23.7 s with 512m). Merged with
+        # deployment-supplied flags via the SPARK_DRIVER_JAVA_OPTS env
+        # escape hatch (same pattern as SPARK_DRIVER_MEMORY) — see
+        # _driver_java_opts. No-op when a JVM already exists, like every
+        # other conf here.
+        .config("spark.driver.extraJavaOptions", _driver_java_opts())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -153,3 +153,45 @@ def test_bucketed_range_join_inverted_interval_dropped(spark):
         ).collect()
     ]
     assert got == [3]
+
+
+def test_asof_tolerance_string_order_col_native_type(spark):
+    """Round-9 ADVICE fix: a NON-NUMERIC order_col (string event id)
+    must keep its native type in the tie-order column — the former
+    cast('long') nulled it silently, degrading the documented
+    deterministic last-wins tie order to partition-order-dependence.
+    Two right rows share a timestamp; the lexicographically LAST id
+    must win regardless of input order or partitioning."""
+    from clickhouse_table_copier_spark.operators.temporal_joins import (
+        asof_join_tolerance,
+    )
+
+    left = _mk(spark, [(1, "2024-01-01 10:00:30")], "k long, ts string")
+    left = left.select("k", F.col("ts").cast("timestamp_ntz").alias("ts"))
+    rows = [
+        (1, "2024-01-01 10:00:00", "id-b", 2.0),
+        (1, "2024-01-01 10:00:00", "id-a", 1.0),
+        (1, "2024-01-01 10:00:00", "id-c", 3.0),
+    ]
+    for perm in (rows, rows[::-1]):
+        for nparts in (1, 3):
+            right = _mk(
+                spark, perm, "k long, ts string, eid string, v double"
+            ).select(
+                "k",
+                F.col("ts").cast("timestamp_ntz").alias("ts"),
+                "eid",
+                "v",
+            ).repartition(nparts)
+            out = asof_join_tolerance(
+                left,
+                right,
+                key="k",
+                time_col="ts",
+                value_cols=["v"],
+                tolerance_s=3600,
+                order_col="eid",
+            ).collect()
+            assert len(out) == 1
+            # max __ord in NATIVE string order: "id-c" wins
+            assert out[0]["v"] == 3.0, (perm, nparts, out)
