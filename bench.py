@@ -270,6 +270,18 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+    # Self-calibration (round-8 verdict item): a 2 s Spark-free probe of
+    # the host's EFFECTIVE parallelism runs before and after the sweep
+    # and is stamped into both outputs. local[N] wall-clock scales with
+    # effective cores, which co-tenant load has twice pushed to 4-12 on
+    # this 32-CPU host with no cgroup visible (r6, r8: uniform +52%
+    # "regressions" on untouched plans) — the stamp turns every record
+    # into evidence that distinguishes host drift from plan changes.
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from probe_host import probe
+
+    probe_before = probe()
+
     # The JVM writes startup banners straight to fd 1; contract is ONE JSON
     # line on stdout. Point fd 1 at stderr for the run, restore at the end.
     real_stdout = os.dup(1)
@@ -338,6 +350,7 @@ def main() -> None:
     # past the driver's tail capture once 50+ extended queries were
     # inlined ("parsed": null). Extended mins + per-iteration series live
     # in BENCH_DETAIL.json.
+    probe_after = probe()
     with open(detail_path, "w") as f:
         json.dump(
             {
@@ -348,6 +361,8 @@ def main() -> None:
                 # from one-shot cold (≤ r03) to min-of-N warm (≥ r04) —
                 # consumers must not compare across that boundary
                 "extended_timing": "min_warm",
+                "host_probe_before": probe_before,
+                "host_probe_after": probe_after,
                 "sf": sf_val,
             },
             f,
@@ -361,6 +376,12 @@ def main() -> None:
             "queries": timings,
             "headline_timing": "min_warm",
             "iterations": iters,
+            # min of the before/after effective-core readings: the
+            # pessimistic bound on the host during this record
+            "host_effective_cores": min(
+                probe_before["effective_cores"],
+                probe_after["effective_cores"],
+            ),
             "sf": sf_val,
         }
     )
