@@ -183,6 +183,32 @@ def _shared_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Supplier→(part, quantity) sparse vectors: the inverted-index side of
+# supplier_part_cosine. One lineitem scan+groupBy per (session, sf_dir),
+# COMPACTED by _cache_get — the artifact (~80k rows at sf0.1) feeds six
+# cached reads per bench pass (self-join a/b sides + norms, × min-of-3),
+# and at 32 partitions each read paid 32 tasks of scheduling for
+# kilobytes of data (the triangle-count r7 diagnosis, same fix).
+# ---------------------------------------------------------------------------
+_SUPPLIER_VEC_CACHE: dict = {}
+
+
+def _shared_supplier_part_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        return (
+            _t(spark, sf_dir, "lineitem")
+            .groupBy(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+            .agg(
+                F.sum(F.col("l_quantity").cast("bigint"))
+                .cast("bigint")
+                .alias("q")
+            )
+        )
+
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    return _cache_get(_SUPPLIER_VEC_CACHE, key, build)
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup: hash-groupBy on normalized content (md5 keys shuffle, not
 # documents). Duplicate groups only (dup_cnt > 1) to keep output focused.

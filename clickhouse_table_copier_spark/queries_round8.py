@@ -543,14 +543,18 @@ def q_supplier_part_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the n-gram index uses: drop ubiquitous parts from the JOIN side
     (they carry no discriminative signal but dominate the quadratic
     term) — not needed at fixture df ≈ 30.  The vector frame feeds three
-    consumers (both join sides + norms), so it persists: without the
-    cache each consumer re-runs the lineitem scan+groupBy (measured
-    5.5 → 3.6 s warm at sf0.1)."""
-    sp = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
-        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"))
-    ).persist()
+    consumers (both join sides + norms), so it is a SHARED session
+    artifact (one lineitem scan+groupBy per session, measured
+    5.5 → 3.6 s warm at sf0.1 when first cached), and since round 9 it
+    goes through ``_cache_get``'s measured-size compaction: ~80k rows in
+    32 partitions made every cached read pay 32 tasks of scheduling —
+    the r7 triangle-count diagnosis — and compaction also lets AQE
+    broadcast the self-join sides instead of exchanging both."""
+    from clickhouse_table_copier_spark.queries_pipeline import (
+        _shared_supplier_part_vectors,
+    )
+
+    sp = _shared_supplier_part_vectors(spark, sf_dir)
     qd = "decimal(18,0)"
     norms = sp.groupBy("s").agg(
         F.sum(F.col("q").cast(qd) * F.col("q").cast(qd))
