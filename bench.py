@@ -232,6 +232,15 @@ EXTENDED = [
     "graph_degree_distribution",
     "graph_assortativity",
     "arrival_dispersion_index",
+    # round-9 model-eval / feature-audit batch
+    "auc_exact",
+    "pr_curve_thresholds",
+    "calibration_ece",
+    "welch_ttest_ab",
+    "psi_feature_stability",
+    "categorical_association",
+    "gini_split_gain",
+    "knn_label_noise",
 ]
 
 HEADLINE = [
