@@ -97,9 +97,19 @@ def q_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact AUC of the price score for the high-priority class: the
     rank-sum identity AUC = U/(n₁·n₀) with midrank ties kept integer by
     doubling (u2 = 2U; per collapsed score v the contribution is
-    2·p_n·(#neg below) + p_n·q_n).  The cumulative window runs over the
-    COLLAPSED cent domain — bounded regardless of row count — and
-    gini_ppm = 2·AUC − 1 rides along from the same integers."""
+    2·p_n·(#neg below) + p_n·q_n).
+
+    Scale shape: the cumulative "#neg below v" is DISTRIBUTED — a
+    single global-ORDER window would funnel the whole collapsed domain
+    through one task (WindowExec's all-to-one-partition warning, the
+    exact shape operators/ranks exists to avoid).  Instead the collapsed
+    values bucket by a mergeable percentile_approx sketch (bounds only
+    PARTITION the domain, so sketch error cannot reach the answer);
+    per-bucket negative totals roll up on the ≤parts-row bucket frame
+    into exact offsets, and the within-bucket cumsum window is
+    partitioned BY bucket — ≈ domain/parts rows per task.  One input
+    scan, two metadata-sized shuffles, no all-to-one stage."""
+    parts = 32
     e = _t(spark, sf_dir, "orders").select(
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
         F.expr(_POS_SQL).alias("pos"),
@@ -108,27 +118,53 @@ def q_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos").cast("bigint").alias("p_n"),
         F.sum(1 - F.col("pos")).cast("bigint").alias("q_n"),
     )
-    wall = Window.partitionBy()
-    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    c = g.select(
+    pcts = ",".join(repr(i / parts) for i in range(1, parts))
+    row = g.select(
+        F.expr(f"percentile_approx(v, array({pcts}), 1000)").alias("bs")
+    ).collect()[0]
+    bounds = sorted({int(b) for b in (row["bs"] or []) if b is not None})
+    bexpr = (
+        "(" + " + ".join(f"if(v > {b}L, 1, 0)" for b in bounds) + ")"
+        if bounds
+        else "0"
+    )
+    gb = g.withColumn("b", F.expr(bexpr))
+    # per-bucket negative totals → exact cumulative offsets, computed on
+    # the ≤parts-row bucket frame (the all-to-one window is fine THERE)
+    boff = gb.groupBy("b").agg(F.sum("q_n").alias("bq")).select(
+        "b",
+        (
+            F.sum("bq").over(
+                Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - F.col("bq")
+        ).alias("q_off"),
+    )
+    wcum = (
+        Window.partitionBy("b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = gb.join(F.broadcast(boff), "b").select(
         "p_n",
         "q_n",
-        (F.sum("q_n").over(wcum) - F.col("q_n")).alias("qb"),
-        F.sum("p_n").over(wall).alias("np"),
-        F.sum("q_n").over(wall).alias("nq"),
+        (
+            F.col("q_off") + F.sum("q_n").over(wcum) - F.col("q_n")
+        ).alias("qb"),
     )
-    u2 = F.sum(2 * F.col("p_n") * F.col("qb") + F.col("p_n") * F.col("q_n"))
     return c.agg(
-        F.max("np").cast("bigint").alias("n_pos"),
-        F.max("nq").cast("bigint").alias("n_neg"),
-        u2.cast("bigint").alias("u2"),
+        F.sum("p_n").cast("bigint").alias("n_pos"),
+        F.sum("q_n").cast("bigint").alias("n_neg"),
+        F.sum(2 * F.col("p_n") * F.col("qb") + F.col("p_n") * F.col("q_n"))
+        .cast("bigint")
+        .alias("u2"),
         F.expr(
             "CAST(sum(2 * p_n * qb + p_n * q_n) * 1000000"
-            " div (2 * max(np) * max(nq)) AS BIGINT)"
+            " div (2 * sum(p_n) * sum(q_n)) AS BIGINT)"
         ).alias("auc_ppm"),
         F.expr(
             "CAST(sum(2 * p_n * qb + p_n * q_n) * 1000000"
-            " div (max(np) * max(nq)) - 1000000 AS BIGINT)"
+            " div (sum(p_n) * sum(q_n)) - 1000000 AS BIGINT)"
         ).alias("gini_ppm"),
     )
 
