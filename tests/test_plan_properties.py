@@ -105,6 +105,10 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "ann_ndcg_eval": "windows rank TakeOrderedAndProject top-k frames",
     # CDF cumulation runs over the fixed 50-bin histogram
     "wasserstein_value_drift": "window input is a fixed 50-bin histogram",
+    # the cumulative-offset window runs over the groupBy(bucket) frame
+    # (<= parts = 32 rows at any scale); the DATA-sized cumsum window is
+    # partitioned BY bucket — the whole point of the r9 AUC plan change
+    "auc_exact": "offset window input is groupBy(bucket) output (<= 32 rows)",
 }
 
 _GLOBAL_WINDOW_RE = re.compile(
