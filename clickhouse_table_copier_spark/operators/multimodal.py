@@ -6,12 +6,15 @@ them, and decode happens exactly once, inside an Arrow-batched
 ``mapInPandas`` stage at the edge of the pipeline.
 
 IMAGE support (no image libraries in this container): ``decode_image_meta``
-parses real header bytes for PNG/JPEG/GIF/BMP; PNG gets REAL pixel decode
-too — a pure-Python zlib chunk-walk + unfilter (``_make_png_decoder``),
-feeding ``image_pixel_stats`` (mean R/G/B/luma) and the first feature
-slots of ``extract_features``. Everything else keeps the md5-derived
-deterministic stand-in behind the REAL Spark-side contract — schema, Arrow
-batching, partition preservation — so swapping in PIL/ffmpeg later changes
+parses real header bytes for PNG/JPEG/GIF/BMP, and ALL FOUR formats get
+REAL pixel decode — pure-Python zlib chunk-walk + unfilter for PNG,
+raw-raster numpy for BMP, a full LZW decompressor for GIF, and a
+baseline-sequential Huffman + IDCT decoder for JPEG
+(``_make_jpeg_decoder``) — feeding ``image_pixel_stats`` (mean
+R/G/B/luma) and the first feature slots of ``extract_features``. Only
+progressive/arithmetic/12-bit JPEG keeps the md5-derived deterministic
+stand-in behind the REAL Spark-side contract — schema, Arrow batching,
+partition preservation — so plugging PIL/ffmpeg for those later changes
 one inner function, not the pipeline.
 
 AUDIO is fully REAL: WAV (RIFF/PCM) needs no media libraries, so
@@ -293,7 +296,8 @@ def _make_gif_decoder():
     decompressor (variable code width, clear/EOI, max 12 bits) — pure
     Python, no image libraries. First frame only, non-interlaced; those
     keep the seam. Returns ``(w, h, 3, [mean R, G, B])`` or ``None``.
-    With this the PIL seam is JPEG-only."""
+    With the round-9 JPEG decoder alongside, the PIL seam is down to
+    progressive/arithmetic/12-bit JPEG and exotic palette variants."""
     import struct as _struct
 
     def _lzw(min_code: int, data: bytes, n_pixels: int):
@@ -399,7 +403,7 @@ def _make_bmp_decoder():
     padded to 4-byte stride, so the mean is one vectorized reduction.
     Returns (w, h, n_channels, [mean_r, mean_g, mean_b]) in 0-255, or
     None when the stream isn't a decodable BMP (paletted/compressed
-    variants stay behind the PIL seam, now JPEG/GIF-only)."""
+    variants stay behind the PIL seam)."""
 
     def decode_bmp(content: bytes):
         import numpy as _np
@@ -433,6 +437,275 @@ def _make_bmp_decoder():
     return decode_bmp
 
 
+def _make_jpeg_decoder():
+    """REAL baseline-JPEG pixel decode as a closure (pickles by value,
+    like the PNG/GIF/BMP decoders): segment walk (DQT/DHT/SOF0/DRI/SOS),
+    canonical Huffman decode with 0xFF00 byte-unstuffing and RSTn
+    handling, dequantize + zigzag, orthonormal 8×8 IDCT as two numpy
+    matmuls per block, nearest-neighbor chroma upsampling for 4:2:0 /
+    4:2:2 / 4:4:4, and JFIF YCbCr→RGB.  Pure Python + numpy — no image
+    libraries.  Baseline sequential (SOF0) with 1 or 3 components and
+    sampling factors ≤ 2 only; progressive (SOF2), arithmetic coding,
+    and 12-bit precision return ``None`` and stay behind the PIL seam.
+    Returns ``(w, h, nch, [mean R, G, B])`` in 0-255, or ``None``.
+    """
+    import struct as _struct
+
+    def _huff_table(bits, vals):
+        # canonical code assignment (ITU T.81 Annex C): map
+        # (length, code) -> symbol
+        table = {}
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                table[(ln, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+        return table
+
+    _ZIGZAG = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+
+    class _Bits:
+        """MSB-first bit reader over the entropy stream with 0xFF00
+        unstuffing; RSTn markers end the current run (consumed by the
+        MCU loop, which resets DC predictions)."""
+
+        def __init__(self, data: bytes, pos: int):
+            self.d = data
+            self.pos = pos
+            self.bit = 0
+            self.marker = None
+
+        def read_bit(self) -> int:
+            if self.marker is not None:
+                raise EOFError
+            b = self.d[self.pos]
+            if b == 0xFF:
+                nxt = self.d[self.pos + 1]
+                if nxt != 0x00:  # a real marker terminates entropy data
+                    self.marker = nxt
+                    raise EOFError
+            v = (b >> (7 - self.bit)) & 1
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1 + (1 if b == 0xFF else 0)  # skip stuffed 00
+            return v
+
+        def receive(self, n: int) -> int:
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | self.read_bit()
+            return v
+
+        def align_past_rst(self):
+            # byte-align and consume one RSTn marker
+            self.bit = 0
+            while self.d[self.pos] != 0xFF:
+                self.pos += 1
+            self.pos += 2
+            self.marker = None
+
+    def _extend(v: int, n: int) -> int:
+        return v - (1 << n) + 1 if n and v < (1 << (n - 1)) else v
+
+    def _decode_huff(bits: _Bits, table) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | bits.read_bit()
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad huffman code")
+
+    import numpy as _np
+
+    # orthonormal DCT-II matrix: IDCT(block) = M.T @ block @ M
+    _M = _np.array(
+        [
+            [
+                (1 / (2 * _np.sqrt(2)) if u == 0 else 0.5)
+                * _np.cos((2 * x + 1) * u * _np.pi / 16)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+
+    def decode_jpeg(b: bytes):
+        try:
+            if b[:2] != b"\xff\xd8":
+                return None
+            qt: dict[int, object] = {}
+            hdc: dict[int, dict] = {}
+            hac: dict[int, dict] = {}
+            comps = None
+            w = h = 0
+            restart = 0
+            pos = 2
+            while pos + 4 <= len(b):
+                if b[pos] != 0xFF:
+                    return None
+                marker = b[pos + 1]
+                if marker == 0xFF:  # fill byte padding before a marker
+                    pos += 1
+                    continue
+                if marker == 0xD9:  # EOI before SOS: no image
+                    return None
+                size = _struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+                seg = b[pos + 4 : pos + 2 + size]
+                if marker == 0xDB:  # DQT: one or more tables
+                    s = 0
+                    while s < len(seg):
+                        prec, tid = seg[s] >> 4, seg[s] & 15
+                        if prec != 0:
+                            return None  # 16-bit tables: PIL seam
+                        qt[tid] = _np.frombuffer(
+                            seg[s + 1 : s + 65], dtype=_np.uint8
+                        ).astype(_np.int32)
+                        s += 65
+                elif marker == 0xC4:  # DHT
+                    s = 0
+                    while s < len(seg):
+                        cls, tid = seg[s] >> 4, seg[s] & 15
+                        bits16 = list(seg[s + 1 : s + 17])
+                        n = sum(bits16)
+                        vals = list(seg[s + 17 : s + 17 + n])
+                        (hdc if cls == 0 else hac)[tid] = _huff_table(
+                            bits16, vals
+                        )
+                        s += 17 + n
+                elif marker == 0xC0:  # SOF0 baseline
+                    if seg[0] != 8:
+                        return None  # 12-bit precision: PIL seam
+                    h, w = _struct.unpack(">HH", seg[1:5])
+                    nc = seg[5]
+                    if nc not in (1, 3):
+                        return None
+                    comps = []
+                    for c in range(nc):
+                        cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                        comps.append(
+                            {
+                                "id": cid,
+                                "hs": hv >> 4,
+                                "vs": hv & 15,
+                                "tq": tq,
+                            }
+                        )
+                    if any(
+                        c["hs"] not in (1, 2) or c["vs"] not in (1, 2)
+                        for c in comps
+                    ):
+                        return None
+                elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    return None  # progressive/extended/arithmetic: PIL seam
+                elif marker == 0xDD:  # DRI
+                    restart = _struct.unpack(">H", seg[:2])[0]
+                elif marker == 0xDA:  # SOS: entropy data follows
+                    if comps is None:
+                        return None
+                    ns = seg[0]
+                    sel = {}
+                    for c in range(ns):
+                        cid, tt = seg[1 + 2 * c : 3 + 2 * c]
+                        sel[cid] = (tt >> 4, tt & 15)
+                    bits = _Bits(b, pos + 2 + size)
+                    hmax = max(c["hs"] for c in comps)
+                    vmax = max(c["vs"] for c in comps)
+                    mcux = -(-w // (8 * hmax))
+                    mcuy = -(-h // (8 * vmax))
+                    planes = []
+                    for c in comps:
+                        pw = mcux * c["hs"] * 8
+                        ph = mcuy * c["vs"] * 8
+                        planes.append(_np.zeros((ph, pw)))
+                    pred = [0] * len(comps)
+                    n_mcu = 0
+                    for my in range(mcuy):
+                        for mx in range(mcux):
+                            if restart and n_mcu and n_mcu % restart == 0:
+                                bits.align_past_rst()
+                                pred = [0] * len(comps)
+                            for ci, c in enumerate(comps):
+                                tdc, tac = sel[c["id"]]
+                                q = qt[c["tq"]]
+                                for by in range(c["vs"]):
+                                    for bx in range(c["hs"]):
+                                        zz = _np.zeros(64, dtype=_np.int32)
+                                        t = _decode_huff(bits, hdc[tdc])
+                                        diff = _extend(bits.receive(t), t)
+                                        pred[ci] += diff
+                                        zz[0] = pred[ci]
+                                        k = 1
+                                        while k < 64:
+                                            rs = _decode_huff(bits, hac[tac])
+                                            r, s = rs >> 4, rs & 15
+                                            if s == 0:
+                                                if r == 15:
+                                                    k += 16  # ZRL
+                                                    continue
+                                                break  # EOB
+                                            k += r
+                                            zz[k] = _extend(bits.receive(s), s)
+                                            k += 1
+                                        blk = _np.zeros(64)
+                                        blk[_ZIGZAG] = zz * q
+                                        blk = blk.reshape(8, 8)
+                                        px = _M.T @ blk @ _M + 128.0
+                                        y0 = (my * c["vs"] + by) * 8
+                                        x0 = (mx * c["hs"] + bx) * 8
+                                        planes[ci][
+                                            y0 : y0 + 8, x0 : x0 + 8
+                                        ] = px
+                            n_mcu += 1
+                    full = []
+                    for ci, c in enumerate(comps):
+                        p = planes[ci]
+                        p = _np.repeat(
+                            _np.repeat(p, vmax // c["vs"], axis=0),
+                            hmax // c["hs"],
+                            axis=1,
+                        )
+                        full.append(p[:h, :w])
+                    if len(comps) == 1:
+                        g = _np.clip(full[0], 0, 255)
+                        m = float(g.mean())
+                        return w, h, 1, [m, m, m]
+                    y, cb, cr = full
+                    r = y + 1.402 * (cr - 128.0)
+                    g = (
+                        y
+                        - 0.344136 * (cb - 128.0)
+                        - 0.714136 * (cr - 128.0)
+                    )
+                    bl = y + 1.772 * (cb - 128.0)
+                    return (
+                        w,
+                        h,
+                        3,
+                        [
+                            float(_np.clip(r, 0, 255).mean()),
+                            float(_np.clip(g, 0, 255).mean()),
+                            float(_np.clip(bl, 0, 255).mean()),
+                        ],
+                    )
+                pos += 2 + size
+            return None
+        except Exception:
+            return None
+
+    return decode_jpeg
+
+
 PIXEL_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -449,20 +722,25 @@ PIXEL_STATS_SCHEMA = T.StructType(
 
 def image_pixel_stats(df: DataFrame) -> DataFrame:
     """REAL per-channel pixel statistics (mean R/G/B + Rec.601 luma) for
-    PNG, uncompressed-BMP, and GIF streams, decoded with the pure-Python
-    zlib/numpy/LZW decoders — no image libraries. Other formats yield
-    NULL stats (their decode stays behind the PIL seam, now JPEG-only).
-    Same Arrow-batched mapInPandas shape as every decode stage here."""
+    PNG, uncompressed-BMP, GIF, and baseline-JPEG streams, decoded with
+    the pure-Python zlib/numpy/LZW/Huffman+IDCT decoders — no image
+    libraries. Remaining formats yield NULL stats (progressive /
+    arithmetic / 12-bit JPEG stay behind the PIL seam). Same
+    Arrow-batched mapInPandas shape as every decode stage here."""
     decode_png = _make_png_decoder()
     decode_bmp = _make_bmp_decoder()
     decode_gif = _make_gif_decoder()
+    decode_jpeg = _make_jpeg_decoder()
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(content)
-                got = decode_png(b) or decode_bmp(b) or decode_gif(b)
+                got = (
+                    decode_png(b) or decode_bmp(b)
+                    or decode_gif(b) or decode_jpeg(b)
+                )
                 if got is None:
                     out.append((mid, None, None, None, None, None, None, None))
                     continue

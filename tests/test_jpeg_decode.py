@@ -1,0 +1,306 @@
+"""Round-trip tests for the pure-numpy baseline-JPEG decoder
+(operators/multimodal._make_jpeg_decoder) — the last PIL-seam format.
+
+The ENCODER lives here, test-side: a minimal standards-compliant
+baseline sequential (SOF0) writer — level shift, orthonormal 8×8 DCT,
+quantize, zigzag, DC-diff/AC run-length tokens, canonical Huffman
+tables BUILT from the symbols actually used (every code one fixed
+length L with n < 2^L, which satisfies the prefix and no-all-ones
+rules), 0xFF byte stuffing, optional restart markers.  Encoding with
+all-ones quant tables makes the loss tiny, so decoded channel means pin
+planted values within ±1.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from clickhouse_table_copier_spark.operators.multimodal import (
+    _make_jpeg_decoder,
+)
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_M = np.array(
+    [
+        [
+            (1 / (2 * np.sqrt(2)) if u == 0 else 0.5)
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, length: int):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def align(self):
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # 1-fill pad
+
+    def marker(self, m: int):
+        self.align()
+        self.out += bytes([0xFF, m])
+
+
+def _blocks(plane: np.ndarray):
+    h, w = plane.shape
+    for y in range(0, h, 8):
+        for x in range(0, w, 8):
+            yield plane[y : y + 8, x : x + 8]
+
+
+def _tokens_for_block(block: np.ndarray, pred: int):
+    """(tokens, new_pred): DC (size, bits) then AC run-length pairs."""
+    coef = _M @ (block - 128.0) @ _M.T
+    q = np.rint(coef).astype(int)
+    zz = q.flatten()[_ZIGZAG]
+    toks = []
+    diff = int(zz[0]) - pred
+    mag = abs(diff)
+    t = mag.bit_length()
+    bits = diff if diff >= 0 else diff + (1 << t) - 1
+    toks.append(("dc", t, bits, t))
+    run = 0
+    last_nz = max([k for k in range(1, 64) if zz[k]] or [0])
+    for k in range(1, 64):
+        v = int(zz[k])
+        if k > last_nz:
+            toks.append(("ac", 0x00, 0, 0))  # EOB
+            break
+        if v == 0:
+            run += 1
+            if run == 16:
+                toks.append(("ac", 0xF0, 0, 0))  # ZRL
+                run = 0
+            continue
+        s = abs(v).bit_length()
+        bits = v if v >= 0 else v + (1 << s) - 1
+        toks.append(("ac", (run << 4) | s, bits, s))
+        run = 0
+    else:
+        if last_nz == 63:
+            pass  # block ended on a nonzero coefficient: no EOB needed
+    return toks, int(zz[0])
+
+
+def _canonical_table(symbols):
+    """All symbols at one length L with n < 2^L: canonical, prefix-free,
+    and the all-ones code stays unused. Returns (bits16, vals, code_map)."""
+    vals = sorted(set(symbols))
+    n = len(vals)
+    length = max(2, n.bit_length())
+    if n >= (1 << length):  # defensive; cannot happen with bit_length
+        length += 1
+    bits16 = [0] * 16
+    bits16[length - 1] = n
+    code_map = {v: (length, i) for i, v in enumerate(vals)}
+    return bits16, vals, code_map
+
+
+def encode_baseline_jpeg(
+    img: np.ndarray, subsample: bool = False, dri: int = 0
+) -> bytes:
+    """Minimal baseline JFIF writer. ``img``: (h, w) grayscale or
+    (h, w, 3) RGB uint8; dims must be multiples of the MCU size (8, or
+    16 with ``subsample``). All-ones quant tables (near-lossless)."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+        hs, vs = [1], [1]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            planes, hs, vs = [y, cb, cr], [2, 1, 1], [2, 1, 1]
+        else:
+            planes, hs, vs = [y, cb, cr], [1, 1, 1], [1, 1, 1]
+    hmax, vmax = max(hs), max(vs)
+    mcux, mcuy = w // (8 * hmax), h // (8 * vmax)
+
+    # pass 1: token stream in MCU-interleaved order with restart resets
+    tokens = []
+    pred = [0] * len(planes)
+    n_mcu = 0
+    rst_positions = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and n_mcu and n_mcu % dri == 0:
+                rst_positions.append(len(tokens))
+                pred = [0] * len(planes)
+            for ci, p in enumerate(planes):
+                for by in range(vs[ci]):
+                    for bx in range(hs[ci]):
+                        y0, x0 = (my * vs[ci] + by) * 8, (mx * hs[ci] + bx) * 8
+                        blk = p[y0 : y0 + 8, x0 : x0 + 8]
+                        toks, pred[ci] = _tokens_for_block(blk, pred[ci])
+                        tokens.extend(toks)
+            n_mcu += 1
+
+    dc_bits, dc_vals, dc_map = _canonical_table(
+        [t[1] for t in tokens if t[0] == "dc"]
+    )
+    ac_bits, ac_vals, ac_map = _canonical_table(
+        [t[1] for t in tokens if t[0] == "ac"]
+    )
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    qt = bytes([0]) + bytes([1] * 64)  # table 0, all-ones
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(qt)) + qt
+    # SOF0
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(planes)])
+    for ci in range(len(planes)):
+        sof += bytes([ci + 1, (hs[ci] << 4) | vs[ci], 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT (class 0 table 0 = DC, class 1 table 0 = AC)
+    for cls, (bits16, vals) in enumerate(
+        [(dc_bits, dc_vals), (ac_bits, ac_vals)]
+    ):
+        body = bytes([cls << 4]) + bytes(bits16) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    # SOS
+    sos = bytes([len(planes)])
+    for ci in range(len(planes)):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    bw = _BitWriter()
+    rst_iter = iter(rst_positions + [-1])
+    next_rst = next(rst_iter)
+    rst_n = 0
+    for i, (kind, sym, bits, blen) in enumerate(tokens):
+        if i == next_rst:
+            bw.marker(0xD0 + (rst_n & 7))
+            rst_n += 1
+            next_rst = next(rst_iter)
+        ln, code = (dc_map if kind == "dc" else ac_map)[sym]
+        bw.put(code, ln)
+        if blen:
+            bw.put(bits, blen)
+    bw.align()
+    out += bw.out + b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+decode_jpeg = _make_jpeg_decoder()
+
+
+def test_solid_color_444_roundtrip():
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[..., 0], img[..., 1], img[..., 2] = 200, 60, 120
+    got = decode_jpeg(encode_baseline_jpeg(img))
+    assert got is not None
+    w, h, nch, means = got
+    assert (w, h, nch) == (16, 16, 3)
+    assert abs(means[0] - 200) < 1.0
+    assert abs(means[1] - 60) < 1.0
+    assert abs(means[2] - 120) < 1.0
+
+
+def test_gray_gradient_roundtrip():
+    img = np.tile(np.arange(16, dtype=np.uint8) * 10 + 20, (16, 1))
+    got = decode_jpeg(encode_baseline_jpeg(img))
+    assert got is not None
+    w, h, nch, means = got
+    assert (w, h, nch) == (16, 16, 1)
+    assert abs(means[0] - float(img.mean())) < 1.0
+
+
+def test_subsampled_420_roundtrip():
+    img = np.zeros((16, 32, 3), dtype=np.uint8)
+    img[:, :16] = (250, 10, 10)
+    img[:, 16:] = (10, 10, 250)
+    got = decode_jpeg(encode_baseline_jpeg(img, subsample=True))
+    assert got is not None
+    w, h, nch, means = got
+    assert (w, h, nch) == (32, 16, 3)
+    # 4:2:0 chroma is lossy at the color edge; means stay within a few
+    # counts of the planted 130/10/130 averages
+    assert abs(means[0] - 130) < 4.0
+    assert abs(means[1] - 10) < 4.0
+    assert abs(means[2] - 130) < 4.0
+
+
+def test_restart_markers_roundtrip():
+    img = np.zeros((16, 48, 3), dtype=np.uint8)
+    img[..., 0] = np.linspace(0, 240, 48, dtype=np.uint8)[None, :]
+    img[..., 1] = 77
+    img[..., 2] = 180
+    plain = decode_jpeg(encode_baseline_jpeg(img))
+    rst = decode_jpeg(encode_baseline_jpeg(img, dri=2))
+    assert plain is not None and rst is not None
+    # restart intervals must not change the decoded image
+    assert plain[:3] == rst[:3]
+    for a, b in zip(plain[3], rst[3]):
+        assert abs(a - b) < 1e-9
+
+
+def test_progressive_stays_behind_seam():
+    # SOF2 (progressive) frame header: decoder must decline, not guess
+    sof2 = b"\xff\xc2" + struct.pack(">H", 11) + b"\x08" + struct.pack(
+        ">HH", 8, 8
+    ) + b"\x01\x11\x00"
+    assert decode_jpeg(b"\xff\xd8" + sof2 + b"\x00" * 32) is None
+
+
+def test_header_only_fixture_declines():
+    # the synthesize_media_table "jpeg" entries have no entropy data
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        synthesize_media_table,
+    )
+    # build the same byte shape inline (no Spark needed): SOI+APP0+SOF0+pad
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 16, 16) + b"\x01\x11\x00"
+    assert decode_jpeg(b"\xff\xd8" + app0 + sof0 + b"\x12" * 64) is None
+    assert synthesize_media_table is not None  # referenced shape
+
+
+def test_image_pixel_stats_includes_jpeg(spark):
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_pixel_stats,
+    )
+
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[..., 0], img[..., 1], img[..., 2] = 30, 190, 90
+    content = encode_baseline_jpeg(img)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(content), '{"fmt":"jpeg"}')], MEDIA_SCHEMA
+    )
+    row = image_pixel_stats(df).collect()[0]
+    assert row["width"] == 16 and row["channels"] == 3
+    assert abs(row["mean_r"] - 30) < 1.0
+    assert abs(row["mean_g"] - 190) < 1.0
+    assert abs(row["mean_b"] - 90) < 1.0
