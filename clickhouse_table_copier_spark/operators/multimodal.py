@@ -437,7 +437,7 @@ def _make_bmp_decoder():
     return decode_bmp
 
 
-def _make_jpeg_decoder():
+def _make_jpeg_raster_decoder():
     """REAL baseline-JPEG pixel decode as a closure (pickles by value,
     like the PNG/GIF/BMP decoders): segment walk (DQT/DHT/SOF0/DRI/SOS),
     canonical Huffman decode with 0xFF00 byte-unstuffing and RSTn
@@ -447,7 +447,9 @@ def _make_jpeg_decoder():
     libraries.  Baseline sequential (SOF0) with 1 or 3 components and
     sampling factors ≤ 2 only; progressive (SOF2), arithmetic coding,
     and 12-bit precision return ``None`` and stay behind the PIL seam.
-    Returns ``(w, h, nch, [mean R, G, B])`` in 0-255, or ``None``.
+    Returns ``(w, h, nch, uint8 raster (h, w, nch), top-down RGB)`` or
+    ``None`` — the same contract as the PNG/BMP raster decoders, so
+    aHash/resize consume JPEG identically (cross-format dedup).
     """
     import struct as _struct
 
@@ -676,10 +678,13 @@ def _make_jpeg_decoder():
                             axis=1,
                         )
                         full.append(p[:h, :w])
+                    def _u8(x):
+                        return _np.clip(_np.rint(x), 0, 255).astype(
+                            _np.uint8
+                        )
+
                     if len(comps) == 1:
-                        g = _np.clip(full[0], 0, 255)
-                        m = float(g.mean())
-                        return w, h, 1, [m, m, m]
+                        return w, h, 1, _u8(full[0])[:, :, None]
                     y, cb, cr = full
                     r = y + 1.402 * (cr - 128.0)
                     g = (
@@ -688,20 +693,35 @@ def _make_jpeg_decoder():
                         - 0.714136 * (cr - 128.0)
                     )
                     bl = y + 1.772 * (cb - 128.0)
-                    return (
-                        w,
-                        h,
-                        3,
-                        [
-                            float(_np.clip(r, 0, 255).mean()),
-                            float(_np.clip(g, 0, 255).mean()),
-                            float(_np.clip(bl, 0, 255).mean()),
-                        ],
-                    )
+                    return w, h, 3, _np.dstack([_u8(r), _u8(g), _u8(bl)])
                 pos += 2 + size
             return None
         except Exception:
             return None
+
+    return decode_jpeg
+
+
+def _make_jpeg_decoder():
+    """Channel-mean wrapper over :func:`_make_jpeg_raster_decoder` with
+    the GIF/BMP decoders' ``(w, h, nch, [mean R, G, B])`` contract —
+    what :func:`image_pixel_stats` consumes."""
+    decode_raster = _make_jpeg_raster_decoder()
+
+    def decode_jpeg(b: bytes):
+        got = decode_raster(b)
+        if got is None:
+            return None
+        w, h, nch, arr = got
+        a = arr.astype(float)
+        if nch == 1:
+            m = float(a.mean())
+            return w, h, 1, [m, m, m]
+        return w, h, 3, [
+            float(a[..., 0].mean()),
+            float(a[..., 1].mean()),
+            float(a[..., 2].mean()),
+        ]
 
     return decode_jpeg
 
@@ -890,14 +910,16 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
-    """Resize stage: REAL nearest-neighbor resample for the PNG streams
-    the pure-Python decoder covers (8-bit gray/RGB/RGBA, non-interlaced):
-    decode raster → numpy index-sample → re-encode PNG at the target
-    size. Other containers (JPEG/GIF, exotic PNGs) keep the documented
-    stub: the PNG header is re-written with the target dims and a real
-    deployment swaps in PIL/libvips — the Spark plumbing (Arrow-batched
-    mapInPandas, binary in/binary out, partition-preserving) is identical
-    either way.
+    """Resize stage: REAL nearest-neighbor resample for the PNG and
+    baseline-JPEG streams the pure-Python decoders cover: decode raster
+    → numpy index-sample → re-encode PNG at the target size (JPEG input
+    transcodes to PNG — lossless on the sampled pixels, and every
+    downstream stage here reads PNG). Other containers (GIF raster,
+    progressive JPEG, exotic PNGs) keep the documented stub: the PNG
+    header is re-written with the target dims and a real deployment
+    swaps in PIL/libvips — the Spark plumbing (Arrow-batched
+    mapInPandas, binary in/binary out, partition-preserving) is
+    identical either way.
     """
 
     def make_fn(tw: int, th: int):
@@ -906,13 +928,14 @@ def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224) -> Da
         import numpy as _np
 
         decode_raster = _make_png_raster_decoder()
+        decode_jpg = _make_jpeg_raster_decoder()
 
         def fn(batches):
             for pdf in batches:
                 ids, outs = [], []
                 for mid, content in zip(pdf["media_id"], pdf["content"]):
                     b = bytes(content)
-                    got = decode_raster(b)
+                    got = decode_raster(b) or decode_jpg(b)
                     if got is not None:
                         w, h, nch, arr = got
                         xs = (_np.arange(tw) * w) // tw
@@ -1004,11 +1027,13 @@ def image_ahash(df: DataFrame) -> DataFrame:
     (luma = (299·R + 587·G + 114·B) // 1000, mean comparison on
     sum·64 vs cell·64·count cross-multiplication), so the hash is
     deterministic across partitionings and platforms. PNG and BMP
-    rasters both decode (normalized to RGB top-down, so THE SAME image
-    hashes identically regardless of container — cross-format dedup);
-    images neither pure-Python decoder covers yield NULL (the
-    documented JPEG/GIF seam) and drop out of dedup rather than fake a
-    hash.
+    and baseline-JPEG rasters all decode (normalized to RGB top-down, so
+    THE SAME image hashes near-identically regardless of container —
+    cross-format dedup; JPEG is lossy, so its hash matches the lossless
+    containers' whenever the 8×8 luma cells survive quantization, which
+    the cross-format test pins); images no pure-Python decoder covers
+    yield NULL (the GIF-raster / progressive-JPEG seam) and drop out of
+    dedup rather than fake a hash.
     """
 
     def make_fn():
@@ -1016,6 +1041,7 @@ def image_ahash(df: DataFrame) -> DataFrame:
 
         decode_png = _make_png_raster_decoder()
         decode_bmp = _make_bmp_raster_decoder()
+        decode_jpg = _make_jpeg_raster_decoder()
 
         def fn(batches):
             for pdf in batches:
@@ -1025,6 +1051,8 @@ def image_ahash(df: DataFrame) -> DataFrame:
                     got = decode_png(b)
                     if got is None:
                         got = decode_bmp(b)
+                    if got is None:
+                        got = decode_jpg(b)
                     if got is None:
                         ids.append(mid)
                         hashes.append(None)
