@@ -290,14 +290,16 @@ def _make_png_raster_decoder():
     return decode_png_raster
 
 
-def _make_gif_decoder():
+def _make_gif_raster_decoder():
     """REAL GIF pixel decode as a closure: logical-screen/image-descriptor
     parse, global or local color table, and a full LSB-first LZW
     decompressor (variable code width, clear/EOI, max 12 bits) — pure
     Python, no image libraries. First frame only, non-interlaced; those
-    keep the seam. Returns ``(w, h, 3, [mean R, G, B])`` or ``None``.
-    With the round-9 JPEG decoder alongside, the PIL seam is down to
-    progressive/arithmetic/12-bit JPEG and exotic palette variants."""
+    keep the seam. Returns ``(w, h, 3, uint8 RGB raster)`` or ``None``
+    — the PNG/BMP/JPEG raster contract, so aHash/resize consume GIF
+    identically (cross-format dedup). With all four rasters decoding,
+    the PIL seam is down to progressive/arithmetic/12-bit JPEG,
+    interlaced GIF, and exotic palette variants."""
     import struct as _struct
 
     def _lzw(min_code: int, data: bytes, n_pixels: int):
@@ -375,16 +377,13 @@ def _make_gif_decoder():
                     idx = _lzw(min_code, bytes(data), w * h)
                     if idx is None:
                         return None
-                    sums = [0, 0, 0]
-                    for i in idx:
-                        off = 3 * i
-                        if off + 3 > len(ct):
-                            return None
-                        sums[0] += ct[off]
-                        sums[1] += ct[off + 1]
-                        sums[2] += ct[off + 2]
-                    npx = w * h
-                    return w, h, 3, [s / npx for s in sums]
+                    import numpy as _np
+
+                    ia = _np.frombuffer(idx, dtype=_np.uint8)
+                    if int(ia.max()) * 3 + 3 > len(ct):
+                        return None  # index beyond the color table
+                    pal = _np.frombuffer(ct, dtype=_np.uint8).reshape(-1, 3)
+                    return w, h, 3, pal[ia].reshape(h, w, 3)
                 elif block == 0x3B:
                     return None
                 else:
@@ -392,6 +391,27 @@ def _make_gif_decoder():
             return None
         except Exception:
             return None
+
+    return decode_gif
+
+
+def _make_gif_decoder():
+    """Channel-mean wrapper over :func:`_make_gif_raster_decoder` with
+    the ``(w, h, 3, [mean R, G, B])`` contract image_pixel_stats
+    consumes."""
+    decode_raster = _make_gif_raster_decoder()
+
+    def decode_gif(b: bytes):
+        got = decode_raster(b)
+        if got is None:
+            return None
+        w, h, nch, arr = got
+        a = arr.astype(float)
+        return w, h, 3, [
+            float(a[..., 0].mean()),
+            float(a[..., 1].mean()),
+            float(a[..., 2].mean()),
+        ]
 
     return decode_gif
 
@@ -929,13 +949,14 @@ def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224) -> Da
 
         decode_raster = _make_png_raster_decoder()
         decode_jpg = _make_jpeg_raster_decoder()
+        decode_gif = _make_gif_raster_decoder()
 
         def fn(batches):
             for pdf in batches:
                 ids, outs = [], []
                 for mid, content in zip(pdf["media_id"], pdf["content"]):
                     b = bytes(content)
-                    got = decode_raster(b) or decode_jpg(b)
+                    got = decode_raster(b) or decode_jpg(b) or decode_gif(b)
                     if got is not None:
                         w, h, nch, arr = got
                         xs = (_np.arange(tw) * w) // tw
@@ -1042,6 +1063,7 @@ def image_ahash(df: DataFrame) -> DataFrame:
         decode_png = _make_png_raster_decoder()
         decode_bmp = _make_bmp_raster_decoder()
         decode_jpg = _make_jpeg_raster_decoder()
+        decode_gif = _make_gif_raster_decoder()
 
         def fn(batches):
             for pdf in batches:
@@ -1053,6 +1075,8 @@ def image_ahash(df: DataFrame) -> DataFrame:
                         got = decode_bmp(b)
                     if got is None:
                         got = decode_jpg(b)
+                    if got is None:
+                        got = decode_gif(b)
                     if got is None:
                         ids.append(mid)
                         hashes.append(None)

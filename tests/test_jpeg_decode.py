@@ -360,3 +360,32 @@ def test_resize_decodes_jpeg_to_png(spark):
     assert (w, h, nch) == (8, 8, 3)
     assert abs(float(arr[..., 0].mean()) - 90) < 2
     assert abs(float(arr[..., 2].mean()) - 210) < 2
+
+
+def test_ahash_cross_format_gif(spark):
+    """GIF raster decode (round-9): the same high-contrast image as PNG
+    and as GIF hashes identically — GIF is palette-lossless, so unlike
+    JPEG the equality is exact by construction."""
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+        image_ahash,
+    )
+    from tests.test_pipeline_ops import _gif_bytes, _lzw_encode
+
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[:8] = 230
+    img[8:] = 20
+    png = encode_png(img.tobytes(), 16, 16, channels=3)
+    palette = bytes([230, 230, 230, 20, 20, 20]) + bytes(6)  # 4 entries
+    pixels = [0] * (8 * 16) + [1] * (8 * 16)
+    gif = _gif_bytes(16, 16, pixels, palette, _lzw_encode(2, pixels), min_code=2)
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(png), '{"fmt":"png"}'),
+            (2, "image", bytearray(gif), '{"fmt":"gif"}'),
+        ],
+        MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r["ahash"] for r in image_ahash(df).collect()}
+    assert got[1] is not None and got[1] == got[2]
