@@ -886,15 +886,17 @@ FEATURE_SCHEMA = T.StructType(
 
 def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
     """Feature extractor with the real pipeline shape; the first four
-    slots are REAL pixel statistics when the stream is a decodable PNG.
-
-    PNG (8-bit gray/RGB/RGBA): slots 0-3 = mean R, G, B, Rec.601 luma in
-    [0,1), computed by the pure-Python zlib decoder. Remaining slots (and
-    every slot of non-PNG streams) stay md5(content)-derived — the
+    slots are REAL pixel statistics for every format the pure-Python
+    decoders cover (PNG, uncompressed BMP, GIF, baseline JPEG): slots
+    0-3 = mean R, G, B, Rec.601 luma in [0,1). Remaining slots (and
+    every slot of undecodable streams) stay md5(content)-derived — the
     documented seam where a model forward pass / PIL plugs in. Schema,
     Arrow batching and partitioning are the production shape either way.
     """
     decode_png = _make_png_decoder()
+    decode_bmp = _make_bmp_decoder()
+    decode_gif = _make_gif_decoder()
+    decode_jpg = _make_jpeg_decoder()
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -906,7 +908,10 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
                     int.from_bytes(h[(2 * j) % 16 : (2 * j) % 16 + 2], "big") / 65536.0
                     for j in range(dim)
                 ]
-                got = decode_png(b)
+                got = (
+                    decode_png(b) or decode_bmp(b)
+                    or decode_gif(b) or decode_jpg(b)
+                )
                 if got is not None:
                     _, _, nch, means = got
                     r, g, bl = (means * 3)[:3] if nch == 1 else means[:3]
