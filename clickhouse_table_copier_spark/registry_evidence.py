@@ -70,7 +70,10 @@ def _candidate_objects(fn) -> dict[str, object]:
 
     src = textwrap.dedent(inspect.getsource(fn))
     cands: dict[str, object] = {}
-    for name in set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", src)):
+    # sorted: set iteration order varies with string-hash randomization
+    # across processes; candidate order decides which binding wins a
+    # bare-name collision in the BFS closure, so it must be stable
+    for name in sorted(set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", src))):
         obj = fn.__globals__.get(name)
         if obj is not None:
             cands[name] = obj
@@ -121,16 +124,26 @@ def _const_repr(obj) -> str | None:
 
 # Registry accumulators referenced by the ``register`` helper: they grow
 # with every unrelated registration and must never enter a fingerprint.
+# (The per-module PREP_QUERIES/PREP_ORACLES staging dicts are NOT here:
+# they are populated once during module import and immutable afterwards,
+# so PREP_ORACLES — a plain str→str dict — is a legitimate, stable
+# fingerprint input; excluding it would silently re-fingerprint every
+# prep-batch query.)
 _EXCLUDED_GLOBALS = {"_QUERIES", "_ORACLES"}
 
 
 def _excluded_name(name: str) -> bool:
     """Mutable runtime state must not enter fingerprints. Registries are
-    excluded by name; process-lifetime caches by the ``*_CACHE`` naming
-    convention (an empty cache is trivially 'simple data' and would flip
-    the fingerprint the first time it fills — observed with the shared
-    shingle index)."""
-    return name in _EXCLUDED_GLOBALS or name.endswith("_CACHE")
+    excluded by name; process-lifetime caches by the ``*_CACHE``/
+    ``*_CACHES`` naming convention (an empty cache is trivially 'simple
+    data' and would flip the fingerprint the first time it fills —
+    observed with the shared shingle index, and again in round 9 with
+    ranks._LIVE_CACHES: a suite that had RUN the ranks queries computed
+    a different rfm_segments fingerprint than a fresh process, so the
+    staleness sentinel fired on process history instead of source
+    drift).  tests/test_registry_evidence_hardening.py pins both the
+    run-state invariance and the no-new-mutable-globals sweep."""
+    return name in _EXCLUDED_GLOBALS or name.endswith(("_CACHE", "_CACHES"))
 
 
 def _helper_sources_v1(fn) -> dict[str, str]:
