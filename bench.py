@@ -241,6 +241,10 @@ EXTENDED = [
     "categorical_association",
     "gini_split_gain",
     "knn_label_noise",
+    # round-9b corpus quality-filtering batch
+    "quality_filter_funnel",
+    "doc_perplexity_buckets",
+    "oov_rate_by_lang",
 ]
 
 HEADLINE = [
