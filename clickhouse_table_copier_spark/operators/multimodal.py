@@ -528,11 +528,20 @@ def _make_jpeg_raster_decoder():
             return v
 
         def align_past_rst(self):
-            # byte-align and consume one RSTn marker
+            # byte-align and consume one RSTn marker; the padding bits
+            # before it may themselves end in a stuffed FF 00 pair
+            # (encoder pads with 1-bits), which is entropy data, not
+            # the marker — skip those instead of mistaking them for it
             self.bit = 0
-            while self.d[self.pos] != 0xFF:
-                self.pos += 1
-            self.pos += 2
+            p = self.pos
+            while True:
+                if self.d[p] != 0xFF:
+                    p += 1
+                elif self.d[p + 1] == 0x00:
+                    p += 2  # stuffed data byte
+                else:
+                    break
+            self.pos = p + 2
             self.marker = None
 
     def _extend(v: int, n: int) -> int:
@@ -935,12 +944,12 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
-    """Resize stage: REAL nearest-neighbor resample for the PNG and
-    baseline-JPEG streams the pure-Python decoders cover: decode raster
-    → numpy index-sample → re-encode PNG at the target size (JPEG input
-    transcodes to PNG — lossless on the sampled pixels, and every
-    downstream stage here reads PNG). Other containers (GIF raster,
-    progressive JPEG, exotic PNGs) keep the documented stub: the PNG
+    """Resize stage: REAL nearest-neighbor resample for the formats the
+    pure-Python decoders cover — PNG, baseline JPEG, and GIF: decode
+    raster → numpy index-sample → re-encode PNG at the target size
+    (JPEG/GIF input transcodes to PNG — lossless on the sampled pixels,
+    and every downstream stage here reads PNG). Remaining containers
+    (progressive JPEG, exotic PNGs) keep the documented stub: the PNG
     header is re-written with the target dims and a real deployment
     swaps in PIL/libvips — the Spark plumbing (Arrow-batched
     mapInPandas, binary in/binary out, partition-preserving) is
@@ -1052,14 +1061,14 @@ def image_ahash(df: DataFrame) -> DataFrame:
     at the mean → 64-bit hash. Pure integer arithmetic end to end
     (luma = (299·R + 587·G + 114·B) // 1000, mean comparison on
     sum·64 vs cell·64·count cross-multiplication), so the hash is
-    deterministic across partitionings and platforms. PNG and BMP
-    and baseline-JPEG rasters all decode (normalized to RGB top-down, so
+    deterministic across partitionings and platforms. PNG, BMP, GIF and
+    baseline-JPEG rasters all decode (normalized to RGB top-down, so
     THE SAME image hashes near-identically regardless of container —
     cross-format dedup; JPEG is lossy, so its hash matches the lossless
     containers' whenever the 8×8 luma cells survive quantization, which
     the cross-format test pins); images no pure-Python decoder covers
-    yield NULL (the GIF-raster / progressive-JPEG seam) and drop out of
-    dedup rather than fake a hash.
+    yield NULL (the progressive-JPEG seam) and drop out of dedup rather
+    than fake a hash.
     """
 
     def make_fn():
@@ -1101,8 +1110,8 @@ def image_ahash(df: DataFrame) -> DataFrame:
                     # cell > mean  ⇔  cell·64 > total (integer-exact)
                     bits = (cells.reshape(-1) * 64 > total).astype(_np.int64)
                     hval = 0
-                    for b in bits:
-                        hval = (hval << 1) | int(b)
+                    for bit in bits:
+                        hval = (hval << 1) | int(bit)
                     # keep inside signed int64 (bit 63 set is fine in
                     # Python but must wrap for Spark LongType)
                     if hval >= 1 << 63:

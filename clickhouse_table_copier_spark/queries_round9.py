@@ -53,6 +53,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from clickhouse_table_copier_spark.operators.ranks import _bucket_sql
 from clickhouse_table_copier_spark.queries import _events, _t, register
 
 # ---------------------------------------------------------------------------
@@ -123,12 +124,11 @@ def q_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"percentile_approx(v, array({pcts}), 1000)").alias("bs")
     ).collect()[0]
     bounds = sorted({int(b) for b in (row["bs"] or []) if b is not None})
-    bexpr = (
-        "(" + " + ".join(f"if(v > {b}L, 1, 0)" for b in bounds) + ")"
-        if bounds
-        else "0"
+    # cent values stay < 2^53, so _bucket_sql's double comparison is
+    # exact for these bigint bounds
+    gb = g.withColumn(
+        "b", F.expr(_bucket_sql("v", [float(b) for b in bounds]))
     )
-    gb = g.withColumn("b", F.expr(bexpr))
     # per-bucket negative totals → exact cumulative offsets, computed on
     # the ≤parts-row bucket frame (the all-to-one window is fine THERE)
     boff = gb.groupBy("b").agg(F.sum("q_n").alias("bq")).select(
@@ -218,7 +218,14 @@ def q_pr_curve_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias(f"fp_{t}")
         )
-    one = e.agg(*aggs, F.sum("pos").cast("bigint").alias("npos"))
+    one = e.agg(
+        *aggs,
+        F.sum("pos").cast("bigint").alias("npos"),
+        F.count(F.lit(1)).alias("n_total"),
+    ).where(F.col("n_total") > 0)
+    # empty input yields zero rows (the oracle's cross join with an
+    # empty side produces no groups), matching the empty→empty
+    # convention used by the percentile-bounds queries.
     # unpivot the single wide row into the 9-row curve (metadata-sized)
     rows = ", ".join(
         f"struct({t}L AS thr, tp_{t} AS tp, fp_{t} AS fp, npos AS npos)"
@@ -731,7 +738,9 @@ def q_gini_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias(f"pl_{t}")
         )
-    one = e.agg(*aggs)
+    # empty input yields zero rows, matching the oracle's empty cross
+    # join (same convention as pr_curve_thresholds)
+    one = e.agg(*aggs).where(F.col("n") > 0)
     rows = ", ".join(
         f"struct({t}L AS thr, nl_{t} AS nl, pl_{t} AS pl, n AS n, np AS np)"
         for t in _PR_THRESHOLDS

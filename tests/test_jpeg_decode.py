@@ -267,6 +267,32 @@ def test_restart_markers_roundtrip():
         assert abs(a - b) < 1e-9
 
 
+def test_rst_after_stuffed_ff_pad():
+    """The 1-fill pad before an RST marker can complete a 0xFF byte,
+    which the writer stuffs as FF 00 — the stream then reads
+    '... FF 00 FF D0'. align_past_rst must skip the stuffed pair, not
+    consume it as the marker (pre-fix the decoder returned None)."""
+    rng = np.random.default_rng(7)
+    hits = 0
+    for _ in range(500):
+        img = rng.integers(0, 256, size=(8, 64), dtype=np.uint8)
+        enc = encode_baseline_jpeg(img, dri=1)
+        if not any(
+            bytes([0xFF, 0x00, 0xFF, 0xD0 + k]) in enc for k in range(8)
+        ):
+            continue
+        hits += 1
+        got = decode_jpeg(enc)
+        plain = decode_jpeg(encode_baseline_jpeg(img))
+        assert got is not None, "decoder declined a stuffed-FF/RST image"
+        assert got[:3] == plain[:3]
+        for a, b in zip(got[3], plain[3]):
+            assert abs(a - b) < 1e-9
+        if hits >= 3:
+            break
+    assert hits >= 1, "no fixture exhibited the stuffed-FF pad before RST"
+
+
 def test_progressive_stays_behind_seam():
     # SOF2 (progressive) frame header: decoder must decline, not guess
     sof2 = b"\xff\xc2" + struct.pack(">H", 11) + b"\x08" + struct.pack(

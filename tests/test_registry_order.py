@@ -79,6 +79,24 @@ def test_evidence_required_queries_front_the_window():
             f"({due_outside}) while a lower-priority slot existed — the "
             "staleness promise broke without cause"
         )
+        # and the overflow must be the DUE *tail*: no query left outside
+        # may be MORE overdue than a DUE query that made the window —
+        # otherwise the oldest entries starve while younger ones verify
+        due_inside = {
+            n
+            for n in window
+            if n not in need
+            and green.get(n, 0)
+            and current - green[n] >= bound
+        }
+        if due_inside:
+            oldest_out = max(current - green[n] for n in due_outside)
+            youngest_in = min(current - green[n] for n in due_inside)
+            assert oldest_out <= youngest_in, (
+                f"a DUE query aged {oldest_out} rounds sits outside the "
+                f"window while one aged {youngest_in} made it in — the "
+                "overflow is not the DUE tail"
+            )
     fresh_outside = {
         n for n in need if not green.get(n, 0) and names.index(n) >= DRIVER_WINDOW
     }
