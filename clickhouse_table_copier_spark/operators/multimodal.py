@@ -128,100 +128,110 @@ def encode_png(pixels: bytes, width: int, height: int, channels: int = 3) -> byt
 
 
 def _make_png_decoder():
-    """REAL PNG pixel decode as a closure (pickles by value): chunk walk,
-    concatenated-IDAT inflate, per-scanline unfilter (all five PNG filter
-    types), for 8-bit gray/RGB/RGBA non-interlaced streams. Returns
+    """REAL PNG pixel decode as a closure (pickles by value). Returns
     ``(width, height, channels, [per-channel mean 0-255])`` or ``None``
-    when the bytes aren't a PNG this decoder covers — those keep the
-    documented PIL seam (header-only metadata, md5-derived features)."""
-    import struct as _struct
-    import zlib as _zlib
+    when the bytes aren't a PNG — delegates the raster work to
+    :func:`_make_png_raster_decoder` (every color type, bit depths
+    1/2/4/8/16, Adam7) and reduces to channel means."""
+
+    decode_raster = _make_png_raster_decoder()
 
     def decode_png(b: bytes):
-        if b[:8] != b"\x89PNG\r\n\x1a\n":
+        got = decode_raster(b)
+        if got is None:
             return None
-        pos, idat, meta = 8, [], None
-        try:
-            while pos + 8 <= len(b):
-                size, ctype = _struct.unpack(">I4s", b[pos : pos + 8])
-                body = b[pos + 8 : pos + 8 + size]
-                if len(body) < size:
-                    return None
-                if ctype == b"IHDR":
-                    w, h, depth, color, _, _, interlace = _struct.unpack(
-                        ">IIBBBBB", body
-                    )
-                    meta = (w, h, depth, color, interlace)
-                elif ctype == b"IDAT":
-                    idat.append(body)
-                elif ctype == b"IEND":
-                    break
-                pos += 12 + size  # length + type + body + crc
-            if meta is None or not idat:
-                return None
-            w, h, depth, color, interlace = meta
-            nch = {0: 1, 2: 3, 6: 4}.get(color)
-            if nch is None or depth != 8 or interlace != 0:
-                return None
-            raw = _zlib.decompress(b"".join(idat))
-            stride = w * nch
-            if len(raw) != (stride + 1) * h:
-                return None
-            sums = [0] * nch
-            prev = bytearray(stride)
-            for y in range(h):
-                off = y * (stride + 1)
-                f = raw[off]
-                line = bytearray(raw[off + 1 : off + 1 + stride])
-                if f == 1:  # Sub
-                    for i in range(nch, stride):
-                        line[i] = (line[i] + line[i - nch]) & 0xFF
-                elif f == 2:  # Up
-                    for i in range(stride):
-                        line[i] = (line[i] + prev[i]) & 0xFF
-                elif f == 3:  # Average
-                    for i in range(stride):
-                        a = line[i - nch] if i >= nch else 0
-                        line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-                elif f == 4:  # Paeth
-                    for i in range(stride):
-                        a = line[i - nch] if i >= nch else 0
-                        c = prev[i - nch] if i >= nch else 0
-                        p = a + prev[i] - c
-                        pa, pb, pc = abs(p - a), abs(p - prev[i]), abs(p - c)
-                        pr = (
-                            a
-                            if (pa <= pb and pa <= pc)
-                            else (prev[i] if pb <= pc else c)
-                        )
-                        line[i] = (line[i] + pr) & 0xFF
-                elif f != 0:
-                    return None
-                for i in range(stride):
-                    sums[i % nch] += line[i]
-                prev = line
-            npx = w * h
-            return w, h, nch, [s / npx for s in sums]
-        except Exception:
-            return None
+        w, h, nch, arr = got
+        return w, h, nch, [float(m) for m in arr.mean(axis=(0, 1))]
 
     return decode_png
 
 
 def _make_png_raster_decoder():
-    """REAL PNG raster decode as a closure: same chunk-walk/unfilter as
-    :func:`_make_png_decoder` but returns the full pixel array
-    ``(w, h, nch, numpy uint8 of shape (h, w, nch))`` instead of channel
-    means — the input the real resize kernel needs."""
+    """REAL PNG raster decode as a closure: chunk walk, concatenated-IDAT
+    inflate, per-scanline unfilter (all five filter types), returning the
+    full pixel array ``(w, h, nch, numpy uint8 of shape (h, w, nch))`` —
+    the input the real resize kernel needs.
+
+    Covers every PNG color type: 0 (gray), 2 (RGB), 3 (palette → RGB, or
+    RGBA when a tRNS chunk is present), 4 (gray+alpha → RGBA) and
+    6 (RGBA); bit depths 1/2/4/8/16 (16-bit reduces to the high byte,
+    the standard 8-bit approximation); and both interlace methods
+    (Adam7 passes reassemble into the same raster as a sequential
+    stream of the same image). Output channel count is always 1, 3 or
+    4 so every downstream stage (luma aHash, nearest-neighbor resize,
+    :func:`encode_png` re-encode) consumes it unchanged."""
     import struct as _struct
     import zlib as _zlib
 
     import numpy as _np
 
+    # (x0, y0, dx, dy) of the seven Adam7 passes, in stream order
+    _ADAM7 = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+
+    def _unfilter(raw, off, w, h, bpp, stride):
+        """Undo scanline filters for one (sub-)image of ``h`` rows of
+        ``stride`` bytes starting at ``raw[off]``; returns (bytes, new
+        offset) or None on an unknown filter type."""
+        out = bytearray()
+        prev = bytearray(stride)
+        for _ in range(h):
+            f = raw[off]
+            line = bytearray(raw[off + 1 : off + 1 + stride])
+            off += 1 + stride
+            if f == 1:  # Sub
+                for i in range(bpp, stride):
+                    line[i] = (line[i] + line[i - bpp]) & 0xFF
+            elif f == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif f == 3:  # Average
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+            elif f == 4:  # Paeth
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + prev[i] - c
+                    pa, pb, pc = abs(p - a), abs(p - prev[i]), abs(p - c)
+                    pr = (
+                        a
+                        if (pa <= pb and pa <= pc)
+                        else (prev[i] if pb <= pc else c)
+                    )
+                    line[i] = (line[i] + pr) & 0xFF
+            elif f != 0:
+                return None
+            out += line
+            prev = line
+        return bytes(out), off
+
+    def _samples(flat, w, h, nraw, depth, stride):
+        """Unfiltered bytes → (h, w, nraw) uint8 raw samples (sub-8-bit
+        values NOT yet scaled; 16-bit already reduced to the high byte)."""
+        if depth == 8:
+            return _np.frombuffer(flat, dtype=_np.uint8).reshape(h, w, nraw)
+        if depth == 16:
+            a = _np.frombuffer(flat, dtype=_np.uint8).reshape(h, w, nraw, 2)
+            return a[..., 0].copy()  # big-endian high byte
+        # 1/2/4-bit: rows are bit-packed MSB-first, padded to the byte
+        rows = []
+        for y in range(h):
+            bits = _np.unpackbits(
+                _np.frombuffer(flat[y * stride : (y + 1) * stride], dtype=_np.uint8)
+            )
+            vals = bits.reshape(-1, depth)
+            weights = 1 << _np.arange(depth - 1, -1, -1)
+            rows.append((vals * weights).sum(axis=1)[: w * nraw])
+        return _np.stack(rows).astype(_np.uint8).reshape(h, w, nraw)
+
     def decode_png_raster(b: bytes):
         if b[:8] != b"\x89PNG\r\n\x1a\n":
             return None
-        pos, idat, meta = 8, [], None
+        pos, idat, meta, plte, trns = 8, [], None, None, None
         try:
             while pos + 8 <= len(b):
                 size, ctype = _struct.unpack(">I4s", b[pos : pos + 8])
@@ -233,6 +243,10 @@ def _make_png_raster_decoder():
                         ">IIBBBBB", body
                     )
                     meta = (w, h, depth, color, interlace)
+                elif ctype == b"PLTE":
+                    plte = body
+                elif ctype == b"tRNS":
+                    trns = body
                 elif ctype == b"IDAT":
                     idat.append(body)
                 elif ctype == b"IEND":
@@ -241,49 +255,64 @@ def _make_png_raster_decoder():
             if meta is None or not idat:
                 return None
             w, h, depth, color, interlace = meta
-            nch = {0: 1, 2: 3, 6: 4}.get(color)
-            if nch is None or depth != 8 or interlace != 0:
+            nraw = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+            if nraw is None or interlace not in (0, 1):
                 return None
+            if depth not in (1, 2, 4, 8, 16) or (
+                depth < 8 and color not in (0, 3)
+            ) or (depth == 16 and color == 3):
+                return None  # combinations the PNG spec itself forbids
             raw = _zlib.decompress(b"".join(idat))
-            stride = w * nch
-            if len(raw) != (stride + 1) * h:
-                return None
-            rows = []
-            prev = bytearray(stride)
-            for y in range(h):
-                off = y * (stride + 1)
-                f = raw[off]
-                line = bytearray(raw[off + 1 : off + 1 + stride])
-                if f == 1:  # Sub
-                    for i in range(nch, stride):
-                        line[i] = (line[i] + line[i - nch]) & 0xFF
-                elif f == 2:  # Up
-                    for i in range(stride):
-                        line[i] = (line[i] + prev[i]) & 0xFF
-                elif f == 3:  # Average
-                    for i in range(stride):
-                        a = line[i - nch] if i >= nch else 0
-                        line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-                elif f == 4:  # Paeth
-                    for i in range(stride):
-                        a = line[i - nch] if i >= nch else 0
-                        c = prev[i - nch] if i >= nch else 0
-                        p = a + prev[i] - c
-                        pa, pb, pc = abs(p - a), abs(p - prev[i]), abs(p - c)
-                        pr = (
-                            a
-                            if (pa <= pb and pa <= pc)
-                            else (prev[i] if pb <= pc else c)
-                        )
-                        line[i] = (line[i] + pr) & 0xFF
-                elif f != 0:
+
+            def subimage(off, sw, sh):
+                stride = (sw * nraw * depth + 7) // 8
+                bpp = max(1, (nraw * depth) // 8)
+                got = _unfilter(raw, off, sw, sh, bpp, stride)
+                if got is None:
                     return None
-                rows.append(bytes(line))
-                prev = line
-            arr = _np.frombuffer(b"".join(rows), dtype=_np.uint8).reshape(
-                h, w, nch
-            )
-            return w, h, nch, arr
+                flat, off = got
+                return _samples(flat, sw, sh, nraw, depth, stride), off
+
+            if interlace == 0:
+                got = subimage(0, w, h)
+                if got is None:
+                    return None
+                arr = got[0]
+            else:  # Adam7: seven sequential sub-images reassemble
+                arr = _np.zeros((h, w, nraw), dtype=_np.uint8)
+                off = 0
+                for x0, y0, dx, dy in _ADAM7:
+                    pw = (w - x0 + dx - 1) // dx
+                    ph = (h - y0 + dy - 1) // dy
+                    if pw <= 0 or ph <= 0:
+                        continue
+                    got = subimage(off, pw, ph)
+                    if got is None:
+                        return None
+                    sub, off = got
+                    arr[y0::dy, x0::dx] = sub
+
+            if color == 3:  # palette lookup (indices never scale)
+                if plte is None:
+                    return None
+                pal = _np.frombuffer(plte, dtype=_np.uint8).reshape(-1, 3)
+                idx = arr[:, :, 0]
+                if int(idx.max()) >= len(pal):
+                    return None
+                rgb = pal[idx]
+                if trns is None:
+                    return w, h, 3, rgb
+                alpha = _np.full(256, 255, dtype=_np.uint8)
+                alpha[: len(trns)] = _np.frombuffer(trns, dtype=_np.uint8)
+                return w, h, 4, _np.dstack([rgb, alpha[idx]])
+            if depth < 8:  # gray: scale to full 8-bit range
+                arr = (
+                    arr.astype(_np.uint16) * 255 // ((1 << depth) - 1)
+                ).astype(_np.uint8)
+            if color == 4:  # gray+alpha → RGBA (downstream reads RGB[A])
+                g, a = arr[:, :, 0], arr[:, :, 1]
+                return w, h, 4, _np.dstack([g, g, g, a])
+            return w, h, nraw, arr
         except Exception:
             return None
 
@@ -948,12 +977,13 @@ def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224) -> Da
     pure-Python decoders cover — PNG, baseline JPEG, and GIF: decode
     raster → numpy index-sample → re-encode PNG at the target size
     (JPEG/GIF input transcodes to PNG — lossless on the sampled pixels,
-    and every downstream stage here reads PNG). Remaining containers
-    (progressive JPEG, exotic PNGs) keep the documented stub: the PNG
-    header is re-written with the target dims and a real deployment
-    swaps in PIL/libvips — the Spark plumbing (Arrow-batched
-    mapInPandas, binary in/binary out, partition-preserving) is
-    identical either way.
+    and every downstream stage here reads PNG; palette/interlaced/16-bit
+    PNG input transcodes to the plain 8-bit form the decoder
+    normalizes to). Remaining containers (progressive JPEG) keep the
+    documented stub: the PNG header is re-written with the target dims
+    and a real deployment swaps in PIL/libvips — the Spark plumbing
+    (Arrow-batched mapInPandas, binary in/binary out,
+    partition-preserving) is identical either way.
     """
 
     def make_fn(tw: int, th: int):

@@ -1,0 +1,214 @@
+"""PNG variant coverage for the pure-Python raster decoder.
+
+The reference pipeline treats images as opaque binaries with typed
+metadata (SURVEY.md §2.8); our decode stage must accept what real
+corpora contain.  Beyond the 8-bit gray/RGB/RGBA sequential streams the
+round-5 decoder covered, real PNGs use palettes (color type 3),
+gray+alpha (4), bit depths 1/2/4/16, and Adam7 interlacing — this file
+pins the full matrix with hand-packed fixtures (KNOWN pixel values, no
+external image library anywhere) and the cross-variant identity that
+makes dedup work: THE SAME image must produce THE SAME raster whatever
+container variant carries it.
+"""
+
+import struct
+import zlib
+
+import numpy as np
+
+from clickhouse_table_copier_spark.operators.multimodal import (
+    _make_png_decoder,
+    _make_png_raster_decoder,
+    encode_png,
+)
+
+decode_raster = _make_png_raster_decoder()
+decode_means = _make_png_decoder()
+
+ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+    return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+
+def make_png(
+    w, h, depth, color, raw, plte=None, trns=None, interlace=0
+) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", plte)
+    if trns is not None:
+        out += _chunk(b"tRNS", trns)
+    return out + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+
+
+def _pack_row(values, depth) -> bytes:
+    """Bit-pack one scanline of sub-8-bit samples, MSB-first, byte-padded."""
+    bits = []
+    for v in values:
+        bits += [(int(v) >> k) & 1 for k in range(depth - 1, -1, -1)]
+    return np.packbits(np.array(bits, dtype=np.uint8)).tobytes()
+
+
+def _filter_sub(row: bytes, bpp: int) -> bytes:
+    """Apply PNG filter type 1 (Sub) — exercises the decoder's unfilter
+    path on fixtures, not just filter-0 streams."""
+    out = bytearray(row)
+    for i in range(len(row) - 1, bpp - 1, -1):
+        out[i] = (out[i] - row[i - bpp]) & 0xFF
+    return bytes(out)
+
+
+def test_palette_png_decodes_to_rgb():
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, (6, 3), dtype=np.uint8)
+    idx = rng.integers(0, 6, (7, 9), dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(7))
+    got = decode_raster(make_png(9, 7, 8, 3, raw, plte=pal.tobytes()))
+    assert got is not None and got[:3] == (9, 7, 3)
+    assert np.array_equal(got[3], pal[idx])
+
+
+def test_palette_4bit_and_trns_alpha():
+    rng = np.random.default_rng(12)
+    pal = rng.integers(0, 256, (5, 3), dtype=np.uint8)
+    idx = rng.integers(0, 5, (6, 5), dtype=np.uint8)
+    raw = b"".join(b"\x00" + _pack_row(idx[y], 4) for y in range(6))
+    trns = bytes([10, 255, 30])  # entries past the table default to 255
+    got = decode_raster(
+        make_png(5, 6, 4, 3, raw, plte=pal.tobytes(), trns=trns)
+    )
+    assert got is not None and got[:3] == (5, 6, 4)
+    assert np.array_equal(got[3][:, :, :3], pal[idx])
+    exp_a = np.array([10, 255, 30, 255, 255], dtype=np.uint8)[idx]
+    assert np.array_equal(got[3][:, :, 3], exp_a)
+
+
+def test_gray_subbyte_depths_scale_to_8bit():
+    rng = np.random.default_rng(13)
+    for depth in (1, 2, 4):
+        hi = 1 << depth
+        g = rng.integers(0, hi, (4, 11), dtype=np.uint8)
+        raw = b"".join(b"\x00" + _pack_row(g[y], depth) for y in range(4))
+        got = decode_raster(make_png(11, 4, depth, 0, raw))
+        assert got is not None and got[:3] == (11, 4, 1), depth
+        exp = (g.astype(int) * 255 // (hi - 1)).astype(np.uint8)
+        assert np.array_equal(got[3][:, :, 0], exp), depth
+
+
+def test_gray16_and_rgb16_reduce_to_high_byte():
+    rng = np.random.default_rng(14)
+    g16 = rng.integers(0, 65536, (6, 8), dtype=np.uint16)
+    raw = b"".join(b"\x00" + g16[y].astype(">u2").tobytes() for y in range(6))
+    got = decode_raster(make_png(8, 6, 16, 0, raw))
+    assert got is not None and got[:3] == (8, 6, 1)
+    assert np.array_equal(got[3][:, :, 0], (g16 >> 8).astype(np.uint8))
+
+    rgb16 = rng.integers(0, 65536, (4, 5, 3), dtype=np.uint16)
+    raw = b"".join(
+        b"\x00" + rgb16[y].astype(">u2").tobytes() for y in range(4)
+    )
+    got = decode_raster(make_png(5, 4, 16, 2, raw))
+    assert got is not None and got[:3] == (5, 4, 3)
+    assert np.array_equal(got[3], (rgb16 >> 8).astype(np.uint8))
+
+
+def test_gray_alpha_expands_to_rgba():
+    rng = np.random.default_rng(15)
+    ga = rng.integers(0, 256, (5, 5, 2), dtype=np.uint8)
+    raw = b"".join(b"\x00" + ga[y].tobytes() for y in range(5))
+    got = decode_raster(make_png(5, 5, 8, 4, raw))
+    assert got is not None and got[:3] == (5, 5, 4)
+    for c in range(3):
+        assert np.array_equal(got[3][:, :, c], ga[:, :, 0])
+    assert np.array_equal(got[3][:, :, 3], ga[:, :, 1])
+
+
+def _adam7_stream(img: np.ndarray, sample_bytes) -> bytes:
+    """Interleave an (h, w, nch) image into the seven-pass Adam7 stream
+    (filter 0 rows); ``sample_bytes(row)`` serializes one pass row."""
+    h, w = img.shape[:2]
+    stream = bytearray()
+    for x0, y0, dx, dy in ADAM7:
+        sub = img[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        for y in range(ph):
+            stream += b"\x00" + sample_bytes(sub[y])
+    return bytes(stream)
+
+
+def test_adam7_rgb_matches_sequential():
+    """The SAME image in sequential and Adam7 containers must produce
+    the SAME raster — the identity cross-container dedup relies on."""
+    rng = np.random.default_rng(16)
+    img = rng.integers(0, 256, (13, 10, 3), dtype=np.uint8)
+    seq = decode_raster(encode_png(img.tobytes(), 10, 13, 3))
+    inter = decode_raster(
+        make_png(
+            10, 13, 8, 2,
+            _adam7_stream(img, lambda r: r.tobytes()),
+            interlace=1,
+        )
+    )
+    assert seq is not None and inter is not None
+    assert seq[:3] == inter[:3] == (10, 13, 3)
+    assert np.array_equal(seq[3], inter[3]) and np.array_equal(seq[3], img)
+
+
+def test_adam7_gray16():
+    rng = np.random.default_rng(17)
+    g16 = rng.integers(0, 65536, (6, 9), dtype=np.uint16)
+    raw = _adam7_stream(
+        g16[:, :, None], lambda r: r[:, 0].astype(">u2").tobytes()
+    )
+    got = decode_raster(make_png(9, 6, 16, 0, raw, interlace=1))
+    assert got is not None and got[:3] == (9, 6, 1)
+    assert np.array_equal(got[3][:, :, 0], (g16 >> 8).astype(np.uint8))
+
+
+def test_sub_filter_on_16bit_uses_two_byte_bpp():
+    """Filter offsets are in BYTES per pixel: a 16-bit gray Sub-filtered
+    row must unfilter with bpp=2, not 1."""
+    rng = np.random.default_rng(18)
+    g16 = rng.integers(0, 65536, (3, 7), dtype=np.uint16)
+    rows = []
+    for y in range(3):
+        row = g16[y].astype(">u2").tobytes()
+        rows.append(b"\x01" + _filter_sub(row, 2))
+    got = decode_raster(make_png(7, 3, 16, 0, b"".join(rows)))
+    assert got is not None
+    assert np.array_equal(got[3][:, :, 0], (g16 >> 8).astype(np.uint8))
+
+
+def test_means_decoder_covers_variants():
+    """The channel-means decoder (used by image_pixel_stats) rides the
+    raster decoder, so the new variants flow through it too."""
+    pal = np.array([[100, 0, 0], [0, 200, 0]], dtype=np.uint8)
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    got = decode_means(make_png(2, 2, 8, 3, raw, plte=pal.tobytes()))
+    assert got is not None and got[:3] == (2, 2, 3)
+    assert abs(got[3][0] - 50.0) < 1e-9
+    assert abs(got[3][1] - 100.0) < 1e-9
+    assert abs(got[3][2] - 0.0) < 1e-9
+
+
+def test_spec_forbidden_combinations_decline():
+    # 16-bit palette and sub-8-bit RGB are illegal per the PNG spec —
+    # decline rather than guess
+    raw = b"\x00\x00"
+    assert decode_raster(make_png(1, 1, 16, 3, raw, plte=b"\x00\x00\x00")) is None
+    assert decode_raster(make_png(1, 1, 4, 2, raw)) is None
+    # palette stream without a PLTE chunk is undecodable
+    assert decode_raster(make_png(1, 1, 8, 3, b"\x00\x07")) is None
+    # index past the palette end: corrupt, decline
+    bad = make_png(1, 1, 8, 3, b"\x00\x05", plte=b"\x01\x02\x03")
+    assert decode_raster(bad) is None
