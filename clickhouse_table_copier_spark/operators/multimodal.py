@@ -487,14 +487,18 @@ def _make_bmp_decoder():
 
 
 def _make_jpeg_raster_decoder():
-    """REAL baseline-JPEG pixel decode as a closure (pickles by value,
-    like the PNG/GIF/BMP decoders): segment walk (DQT/DHT/SOF0/DRI/SOS),
-    canonical Huffman decode with 0xFF00 byte-unstuffing and RSTn
-    handling, dequantize + zigzag, orthonormal 8×8 IDCT as two numpy
-    matmuls per block, nearest-neighbor chroma upsampling for 4:2:0 /
-    4:2:2 / 4:4:4, and JFIF YCbCr→RGB.  Pure Python + numpy — no image
-    libraries.  Baseline sequential (SOF0) with 1 or 3 components and
-    sampling factors ≤ 2 only; progressive (SOF2), arithmetic coding,
+    """REAL JPEG pixel decode as a closure (pickles by value, like the
+    PNG/GIF/BMP decoders): segment walk (DQT/DHT/SOF/DRI/SOS), canonical
+    Huffman decode with 0xFF00 byte-unstuffing and RSTn handling,
+    dequantize + zigzag, orthonormal 8×8 IDCT as two numpy matmuls per
+    block, nearest-neighbor chroma upsampling for 4:2:0 / 4:2:2 / 4:4:4,
+    and JFIF YCbCr→RGB.  Pure Python + numpy — no image libraries.
+    Covers BOTH entropy modes: baseline sequential (SOF0) and
+    progressive (SOF2: spectral-selection + successive-approximation
+    scans accumulate into per-component coefficient grids, reconstructed
+    at EOI — same quantized coefficients ⇒ bit-identical raster to the
+    baseline encoding of the same image, which the cross-mode tests
+    pin).  1 or 3 components, sampling factors ≤ 2; arithmetic coding
     and 12-bit precision return ``None`` and stay behind the PIL seam.
     Returns ``(w, h, nch, uint8 raster (h, w, nch), top-down RGB)`` or
     ``None`` — the same contract as the PNG/BMP raster decoders, so
@@ -600,6 +604,202 @@ def _make_jpeg_raster_decoder():
         ]
     )
 
+    def _finish(planes, comps, w, h, hmax, vmax):
+        """Padded per-component pixel planes → (w, h, nch, uint8 array):
+        upsample subsampled chroma, crop to the true dims, color-convert.
+        Shared by the baseline and progressive paths."""
+        full = []
+        for ci, c in enumerate(comps):
+            p = planes[ci]
+            p = _np.repeat(
+                _np.repeat(p, vmax // c["vs"], axis=0),
+                hmax // c["hs"],
+                axis=1,
+            )
+            full.append(p[:h, :w])
+
+        def _u8(x):
+            return _np.clip(_np.rint(x), 0, 255).astype(_np.uint8)
+
+        if len(comps) == 1:
+            return w, h, 1, _u8(full[0])[:, :, None]
+        y, cb, cr = full
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        bl = y + 1.772 * (cb - 128.0)
+        return w, h, 3, _np.dstack([_u8(r), _u8(g), _u8(bl)])
+
+    def _idct_block(zz, q):
+        blk = _np.zeros(64)
+        blk[_ZIGZAG] = zz * q
+        return _M.T @ blk.reshape(8, 8) @ _M + 128.0
+
+    def _progressive_scan(
+        b, start, seg, ns, sel, comps, coef, restart, hdc, hac, w, h
+    ):
+        """Decode ONE progressive (SOF2) scan into the per-component
+        zigzag-order coefficient grids: spectral selection [Ss, Se] +
+        successive approximation (Ah, Al) per ITU T.81 Annex G, with the
+        EOB-run and correction-bit semantics libjpeg's jdphuff.c
+        documents. Returns ``(position of the next top-level marker,
+        coef)`` or None on malformed data."""
+        Ss, Se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+        Ah, Al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+        hmax = max(c["hs"] for c in comps)
+        vmax = max(c["vs"] for c in comps)
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        if coef is None:
+            coef = [
+                _np.zeros(
+                    (mcuy * c["vs"], mcux * c["hs"], 64), dtype=_np.int32
+                )
+                for c in comps
+            ]
+        order = []
+        for i in range(ns):
+            cid = seg[1 + 2 * i]
+            matches = [j for j, c in enumerate(comps) if c["id"] == cid]
+            if not matches:
+                return None
+            order.append(matches[0])
+        bits = _Bits(b, start)
+        pred = {ci: 0 for ci in order}
+        eobrun = 0
+
+        def _nblocks(c):
+            # non-interleaved scans cover the COMPONENT's own sampled
+            # grid, which can be narrower than the MCU-padded grid
+            nbw = (-(-(w * c["hs"]) // hmax) + 7) // 8
+            nbh = (-(-(h * c["vs"]) // vmax) + 7) // 8
+            return nbw, nbh
+
+        if Ss == 0:  # DC scan (the only kind that may interleave)
+            if Se != 0:
+                return None
+
+            def dc_unit(ci, byi, bxi):
+                if Ah == 0:
+                    t = _decode_huff(bits, hdc[sel[comps[ci]["id"]][0]])
+                    pred[ci] += _extend(bits.receive(t), t)
+                    coef[ci][byi, bxi, 0] = pred[ci] << Al
+                elif bits.read_bit():
+                    coef[ci][byi, bxi, 0] |= 1 << Al
+
+            n_unit = 0
+            if ns > 1:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if restart and n_unit and n_unit % restart == 0:
+                            bits.align_past_rst()
+                            for key in pred:
+                                pred[key] = 0
+                        for ci in order:
+                            c = comps[ci]
+                            for by2 in range(c["vs"]):
+                                for bx2 in range(c["hs"]):
+                                    dc_unit(
+                                        ci,
+                                        my * c["vs"] + by2,
+                                        mx * c["hs"] + bx2,
+                                    )
+                        n_unit += 1
+            else:
+                ci = order[0]
+                nbw, nbh = _nblocks(comps[ci])
+                for byi in range(nbh):
+                    for bxi in range(nbw):
+                        if restart and n_unit and n_unit % restart == 0:
+                            bits.align_past_rst()
+                            pred[ci] = 0
+                        dc_unit(ci, byi, bxi)
+                        n_unit += 1
+        else:  # AC scan: exactly one component
+            if ns != 1:
+                return None
+            ci = order[0]
+            tac = hac[sel[comps[ci]["id"]][1]]
+            nbw, nbh = _nblocks(comps[ci])
+            p1, m1 = 1 << Al, -(1 << Al)
+            n_unit = 0
+            for byi in range(nbh):
+                for bxi in range(nbw):
+                    if restart and n_unit and n_unit % restart == 0:
+                        bits.align_past_rst()
+                        eobrun = 0
+                    zz = coef[ci][byi, bxi]
+                    if Ah == 0:  # first pass for this band
+                        if eobrun > 0:
+                            eobrun -= 1
+                        else:
+                            k = Ss
+                            while k <= Se:
+                                rs = _decode_huff(bits, tac)
+                                r, s = rs >> 4, rs & 15
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16  # ZRL
+                                        continue
+                                    eobrun = (1 << r) - 1
+                                    if r:
+                                        eobrun += bits.receive(r)
+                                    break
+                                k += r
+                                if k > Se:
+                                    return None
+                                zz[k] = _extend(bits.receive(s), s) << Al
+                                k += 1
+                    else:  # refinement: correction bits + new ±1·2^Al
+                        k = Ss
+                        if eobrun == 0:
+                            while k <= Se:
+                                rs = _decode_huff(bits, tac)
+                                r, s = rs >> 4, rs & 15
+                                if s == 0:
+                                    if r < 15:
+                                        eobrun = 1 << r
+                                        if r:
+                                            eobrun += bits.receive(r)
+                                        break
+                                    sval = 0  # ZRL: 16 zero-history slots
+                                else:
+                                    if s != 1:
+                                        return None
+                                    sval = p1 if bits.read_bit() else m1
+                                while k <= Se:
+                                    if zz[k]:
+                                        if bits.read_bit() and not (
+                                            zz[k] & p1
+                                        ):
+                                            zz[k] += p1 if zz[k] > 0 else m1
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if sval and k <= Se:
+                                    zz[k] = sval
+                                k += 1
+                        if eobrun > 0:
+                            while k <= Se:
+                                if zz[k]:
+                                    if bits.read_bit() and not (zz[k] & p1):
+                                        zz[k] += p1 if zz[k] > 0 else m1
+                                k += 1
+                            eobrun -= 1
+                    n_unit += 1
+        # advance to the next top-level marker past this scan's bytes
+        p = bits.pos
+        while p + 1 < len(b):
+            if (
+                b[p] == 0xFF
+                and b[p + 1] != 0x00
+                and not (0xD0 <= b[p + 1] <= 0xD7)
+            ):
+                break
+            p += 1
+        return p, coef
+
     def decode_jpeg(b: bytes):
         try:
             if b[:2] != b"\xff\xd8":
@@ -610,16 +810,36 @@ def _make_jpeg_raster_decoder():
             comps = None
             w = h = 0
             restart = 0
+            progressive = False
+            coef = None  # progressive: per-comp zigzag coefficient grids
             pos = 2
-            while pos + 4 <= len(b):
+            # pos+2: EOI (2 bytes, no payload) ends the stream — checked
+            # before any size read, so payload markers still need pos+4
+            while pos + 2 <= len(b):
                 if b[pos] != 0xFF:
                     return None
                 marker = b[pos + 1]
                 if marker == 0xFF:  # fill byte padding before a marker
                     pos += 1
                     continue
-                if marker == 0xD9:  # EOI before SOS: no image
-                    return None
+                if marker == 0xD9:  # EOI: progressive reconstructs here
+                    if not (progressive and coef is not None):
+                        return None  # EOI before any decoded scan
+                    hmax = max(c["hs"] for c in comps)
+                    vmax = max(c["vs"] for c in comps)
+                    planes = []
+                    for ci, c in enumerate(comps):
+                        q = qt[c["tq"]]
+                        bh, bw = coef[ci].shape[:2]
+                        plane = _np.zeros((bh * 8, bw * 8))
+                        for byi in range(bh):
+                            for bxi in range(bw):
+                                plane[
+                                    byi * 8 : byi * 8 + 8,
+                                    bxi * 8 : bxi * 8 + 8,
+                                ] = _idct_block(coef[ci][byi, bxi], q)
+                        planes.append(plane)
+                    return _finish(planes, comps, w, h, hmax, vmax)
                 size = _struct.unpack(">H", b[pos + 2 : pos + 4])[0]
                 seg = b[pos + 4 : pos + 2 + size]
                 if marker == 0xDB:  # DQT: one or more tables
@@ -643,9 +863,10 @@ def _make_jpeg_raster_decoder():
                             bits16, vals
                         )
                         s += 17 + n
-                elif marker == 0xC0:  # SOF0 baseline
+                elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
                     if seg[0] != 8:
                         return None  # 12-bit precision: PIL seam
+                    progressive = marker == 0xC2
                     h, w = _struct.unpack(">HH", seg[1:5])
                     nc = seg[5]
                     if nc not in (1, 3):
@@ -667,7 +888,7 @@ def _make_jpeg_raster_decoder():
                     ):
                         return None
                 elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                    return None  # progressive/extended/arithmetic: PIL seam
+                    return None  # extended/lossless/arithmetic: PIL seam
                 elif marker == 0xDD:  # DRI
                     restart = _struct.unpack(">H", seg[:2])[0]
                 elif marker == 0xDA:  # SOS: entropy data follows
@@ -678,6 +899,15 @@ def _make_jpeg_raster_decoder():
                     for c in range(ns):
                         cid, tt = seg[1 + 2 * c : 3 + 2 * c]
                         sel[cid] = (tt >> 4, tt & 15)
+                    if progressive:
+                        got = _progressive_scan(
+                            b, pos + 2 + size, seg, ns, sel, comps,
+                            coef, restart, hdc, hac, w, h,
+                        )
+                        if got is None:
+                            return None
+                        pos, coef = got
+                        continue
                     bits = _Bits(b, pos + 2 + size)
                     hmax = max(c["hs"] for c in comps)
                     vmax = max(c["vs"] for c in comps)
@@ -717,41 +947,14 @@ def _make_jpeg_raster_decoder():
                                             k += r
                                             zz[k] = _extend(bits.receive(s), s)
                                             k += 1
-                                        blk = _np.zeros(64)
-                                        blk[_ZIGZAG] = zz * q
-                                        blk = blk.reshape(8, 8)
-                                        px = _M.T @ blk @ _M + 128.0
+                                        px = _idct_block(zz, q)
                                         y0 = (my * c["vs"] + by) * 8
                                         x0 = (mx * c["hs"] + bx) * 8
                                         planes[ci][
                                             y0 : y0 + 8, x0 : x0 + 8
                                         ] = px
                             n_mcu += 1
-                    full = []
-                    for ci, c in enumerate(comps):
-                        p = planes[ci]
-                        p = _np.repeat(
-                            _np.repeat(p, vmax // c["vs"], axis=0),
-                            hmax // c["hs"],
-                            axis=1,
-                        )
-                        full.append(p[:h, :w])
-                    def _u8(x):
-                        return _np.clip(_np.rint(x), 0, 255).astype(
-                            _np.uint8
-                        )
-
-                    if len(comps) == 1:
-                        return w, h, 1, _u8(full[0])[:, :, None]
-                    y, cb, cr = full
-                    r = y + 1.402 * (cr - 128.0)
-                    g = (
-                        y
-                        - 0.344136 * (cb - 128.0)
-                        - 0.714136 * (cr - 128.0)
-                    )
-                    bl = y + 1.772 * (cb - 128.0)
-                    return w, h, 3, _np.dstack([_u8(r), _u8(g), _u8(bl)])
+                    return _finish(planes, comps, w, h, hmax, vmax)
                 pos += 2 + size
             return None
         except Exception:
@@ -800,10 +1003,10 @@ PIXEL_STATS_SCHEMA = T.StructType(
 
 def image_pixel_stats(df: DataFrame) -> DataFrame:
     """REAL per-channel pixel statistics (mean R/G/B + Rec.601 luma) for
-    PNG, uncompressed-BMP, GIF, and baseline-JPEG streams, decoded with
-    the pure-Python zlib/numpy/LZW/Huffman+IDCT decoders — no image
-    libraries. Remaining formats yield NULL stats (progressive /
-    arithmetic / 12-bit JPEG stay behind the PIL seam). Same
+    PNG, uncompressed-BMP, GIF, and JPEG (baseline + progressive)
+    streams, decoded with the pure-Python zlib/numpy/LZW/Huffman+IDCT
+    decoders — no image libraries. Remaining formats yield NULL stats
+    (arithmetic / 12-bit JPEG stay behind the PIL seam). Same
     Arrow-batched mapInPandas shape as every decode stage here."""
     decode_png = _make_png_decoder()
     decode_bmp = _make_bmp_decoder()
@@ -979,10 +1182,10 @@ def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224) -> Da
     (JPEG/GIF input transcodes to PNG — lossless on the sampled pixels,
     and every downstream stage here reads PNG; palette/interlaced/16-bit
     PNG input transcodes to the plain 8-bit form the decoder
-    normalizes to). Remaining containers (progressive JPEG) keep the
-    documented stub: the PNG header is re-written with the target dims
-    and a real deployment swaps in PIL/libvips — the Spark plumbing
-    (Arrow-batched mapInPandas, binary in/binary out,
+    normalizes to). Undecodable containers (arithmetic / 12-bit JPEG)
+    keep the documented stub: the PNG header is re-written with the
+    target dims and a real deployment swaps in PIL/libvips — the Spark
+    plumbing (Arrow-batched mapInPandas, binary in/binary out,
     partition-preserving) is identical either way.
     """
 
@@ -1097,7 +1300,7 @@ def image_ahash(df: DataFrame) -> DataFrame:
     cross-format dedup; JPEG is lossy, so its hash matches the lossless
     containers' whenever the 8×8 luma cells survive quantization, which
     the cross-format test pins); images no pure-Python decoder covers
-    yield NULL (the progressive-JPEG seam) and drop out of dedup rather
+    yield NULL (arithmetic / 12-bit JPEG) and drop out of dedup rather
     than fake a hash.
     """
 

@@ -293,8 +293,9 @@ def test_rst_after_stuffed_ff_pad():
     assert hits >= 1, "no fixture exhibited the stuffed-FF pad before RST"
 
 
-def test_progressive_stays_behind_seam():
-    # SOF2 (progressive) frame header: decoder must decline, not guess
+def test_progressive_header_only_declines():
+    # SOF2 frame header with no scans and no EOI: nothing to
+    # reconstruct — decline rather than return an all-gray guess
     sof2 = b"\xff\xc2" + struct.pack(">H", 11) + b"\x08" + struct.pack(
         ">HH", 8, 8
     ) + b"\x01\x11\x00"
@@ -410,6 +411,361 @@ def test_ahash_cross_format_gif(spark):
         [
             (1, "image", bytearray(png), '{"fmt":"png"}'),
             (2, "image", bytearray(gif), '{"fmt":"gif"}'),
+        ],
+        MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r["ahash"] for r in image_ahash(df).collect()}
+    assert got[1] is not None and got[1] == got[2]
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) encoding: spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+
+
+def _zz_grids(img, subsample):
+    """Per-component zigzag coefficient grids (nbh, nbw, 64) plus the
+    sampling factors — all-ones quant, same color path as the baseline
+    encoder."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        planes, hs, vs = [img.astype(np.float64)], [1], [1]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            planes, hs, vs = [y, cb, cr], [2, 1, 1], [2, 1, 1]
+        else:
+            planes, hs, vs = [y, cb, cr], [1, 1, 1], [1, 1, 1]
+    grids = []
+    for p in planes:
+        ph, pw = p.shape
+        nbh, nbw = ph // 8, pw // 8
+        g = np.zeros((nbh, nbw, 64), dtype=np.int64)
+        for by in range(nbh):
+            for bx in range(nbw):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = _M @ (blk - 128.0) @ _M.T
+                g[by, bx] = np.rint(coef).astype(np.int64).flatten()[_ZIGZAG]
+        grids.append(g)
+    return grids, hs, vs, h, w
+
+
+def _dc_first_tokens(grids, hs, vs, comps, al, dri):
+    """Interleaved DC-first scan: baseline DC diff coding of dc >> al
+    (arithmetic shift per T.81)."""
+    mcux = grids[0].shape[1] // hs[0]
+    mcuy = grids[0].shape[0] // vs[0]
+    toks, pred, n_mcu, rst_n = [], [0] * len(comps), 0, 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and n_mcu and n_mcu % dri == 0:
+                toks.append(("rst", rst_n & 7))
+                rst_n += 1
+                pred = [0] * len(comps)
+            for ci in comps:
+                for by in range(vs[ci]):
+                    for bx in range(hs[ci]):
+                        v = int(grids[ci][my * vs[ci] + by, mx * hs[ci] + bx, 0]) >> al
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        t = abs(diff).bit_length()
+                        bits = diff if diff >= 0 else diff + (1 << t) - 1
+                        toks.append(("h", t))
+                        if t:
+                            toks.append(("b", bits, t))
+            n_mcu += 1
+    return toks
+
+
+def _dc_refine_tokens(grids, hs, vs, comps, al, dri):
+    """Interleaved DC refinement: one raw bit per block, no Huffman.
+    DRI stays in effect for every scan, so RSTs appear here too."""
+    mcux = grids[0].shape[1] // hs[0]
+    mcuy = grids[0].shape[0] // vs[0]
+    toks, n_mcu, rst_n = [], 0, 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and n_mcu and n_mcu % dri == 0:
+                toks.append(("rst", rst_n & 7))
+                rst_n += 1
+            for ci in comps:
+                for by in range(vs[ci]):
+                    for bx in range(hs[ci]):
+                        dc = int(grids[ci][my * vs[ci] + by, mx * hs[ci] + bx, 0])
+                        toks.append(("b", (dc >> al) & 1, 1))
+            n_mcu += 1
+    return toks
+
+
+def _ac_first_tokens(grid, ss, se, al, dri):
+    """AC-first scan over one component's block grid, with EOB runs.
+    Point transform truncates toward zero (libjpeg jcphuff semantics).
+    In non-interleaved scans the restart unit is one block; pending EOB
+    runs flush before each RST."""
+    toks = []
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            toks.append(("h", nb << 4))
+            if nb:
+                toks.append(("b", eobrun & ((1 << nb) - 1), nb))
+            eobrun = 0
+
+    nbh, nbw = grid.shape[:2]
+    n_blk, rst_n = 0, 0
+    for by in range(nbh):
+        for bx in range(nbw):
+            if dri and n_blk and n_blk % dri == 0:
+                flush()
+                toks.append(("rst", rst_n & 7))
+                rst_n += 1
+            n_blk += 1
+            zz = grid[by, bx]
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                v = (abs(v) >> al) * (1 if v >= 0 else -1)
+                if v == 0:
+                    r += 1
+                    continue
+                flush()
+                while r > 15:
+                    toks.append(("h", 0xF0))
+                    r -= 16
+                t = abs(v).bit_length()
+                bits = v if v > 0 else v + (1 << t) - 1
+                toks.append(("h", (r << 4) | t))
+                toks.append(("b", bits, t))
+                r = 0
+            if r:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+    flush()
+    return toks
+
+
+def _ac_refine_tokens(grid, ss, se, al, dri):
+    """AC refinement over one component's grid: correction bits for
+    history-nonzero coefficients, (run, ±1) codes for newly-nonzero
+    ones, EOB runs carrying buffered correction bits — the
+    jcphuff.c encode_mcu_AC_refine structure."""
+    toks = []
+    eobrun = 0
+    be_bits: list = []  # correction bits buffered across EOB-run blocks
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            toks.append(("h", nb << 4))
+            if nb:
+                toks.append(("b", eobrun & ((1 << nb) - 1), nb))
+            eobrun = 0
+        for bit in be_bits:
+            toks.append(("b", bit, 1))
+        be_bits.clear()
+
+    nbh, nbw = grid.shape[:2]
+    n_blk, rst_n = 0, 0
+    for byi in range(nbh):
+        for bxi in range(nbw):
+            if dri and n_blk and n_blk % dri == 0:
+                flush()
+                toks.append(("rst", rst_n & 7))
+                rst_n += 1
+            n_blk += 1
+            zz = grid[byi, bxi]
+            absv = [(abs(int(zz[k])) >> al) for k in range(ss, se + 1)]
+            eob = -1  # band index of the last NEWLY-nonzero coefficient
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob = i
+            r, br = 0, []
+            for i, temp in enumerate(absv):
+                if temp == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob:
+                    flush()
+                    toks.append(("h", 0xF0))
+                    r -= 16
+                    for bit in br:
+                        toks.append(("b", bit, 1))
+                    br = []
+                if temp > 1:
+                    br.append(temp & 1)
+                    continue
+                flush()
+                toks.append(("h", (r << 4) | 1))
+                toks.append(("b", 1 if int(zz[ss + i]) > 0 else 0, 1))
+                for bit in br:
+                    toks.append(("b", bit, 1))
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                be_bits.extend(br)
+                if eobrun == 0x7FFF:
+                    flush()
+    flush()
+    return toks
+
+
+def encode_progressive_jpeg(
+    img: np.ndarray, subsample: bool = False, dri: int = 0
+) -> bytes:
+    """Minimal progressive (SOF2) JFIF writer: spectral selection +
+    successive approximation with per-scan canonical Huffman tables.
+    Scan script: interleaved DC first (Al=1); AC bands 1-5 / 6-63 per
+    component first at Al=1; DC refinement to Al=0; AC refinements of
+    both bands to Al=0. Dims must be multiples of the MCU size (8, or
+    16 with ``subsample``) so interleaved and per-component block grids
+    coincide."""
+    grids, hs, vs, h, w = _zz_grids(img, subsample)
+    ncomp = len(grids)
+    all_comps = list(range(ncomp))
+
+    out = bytearray(b"\xff\xd8")
+    qtb = bytes([0]) + bytes([1] * 64)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(qtb)) + qtb
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (hs[ci] << 4) | vs[ci], 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+
+    scans = [("dc_first", all_comps, 0, 0, 0, 1)]
+    for ci in all_comps:
+        scans.append(("ac_first", [ci], 1, 5, 0, 1))
+        scans.append(("ac_first", [ci], 6, 63, 0, 1))
+    scans.append(("dc_refine", all_comps, 0, 0, 1, 0))
+    for ci in all_comps:
+        scans.append(("ac_refine", [ci], 1, 5, 1, 0))
+        scans.append(("ac_refine", [ci], 6, 63, 1, 0))
+
+    for kind, comps, ss, se, ah, al in scans:
+        if kind == "dc_first":
+            toks = _dc_first_tokens(grids, hs, vs, comps, al, dri)
+        elif kind == "dc_refine":
+            toks = _dc_refine_tokens(grids, hs, vs, comps, al, dri)
+        elif kind == "ac_first":
+            toks = _ac_first_tokens(grids[comps[0]], ss, se, al, dri)
+        else:
+            toks = _ac_refine_tokens(grids[comps[0]], ss, se, al, dri)
+        syms = [t[1] for t in toks if t[0] == "h"]
+        if syms:
+            bits16, vals, cmap = _canonical_table(syms)
+            cls = 0 if kind.startswith("dc") else 1
+            body = bytes([cls << 4]) + bytes(bits16) + bytes(vals)
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+        else:
+            cmap = {}
+        sos = bytes([len(comps)])
+        for ci in comps:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        bw_ = _BitWriter()
+        for t in toks:
+            if t[0] == "h":
+                ln, code = cmap[t[1]]
+                bw_.put(code, ln)
+            elif t[0] == "b":
+                bw_.put(t[1], t[2])
+            else:  # restart marker
+                bw_.marker(0xD0 + t[1])
+        bw_.align()
+        out += bw_.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_gray_roundtrip():
+    img = np.tile(np.arange(16, dtype=np.uint8) * 10 + 20, (16, 1))
+    got = decode_jpeg(encode_progressive_jpeg(img))
+    plain = decode_jpeg(encode_baseline_jpeg(img))
+    assert got is not None and plain is not None
+    assert got[:3] == plain[:3] == (16, 16, 1)
+    # same coefficients, same reconstruction: bit-identical pixels
+    assert np.array_equal(got[3], plain[3])
+
+
+def test_progressive_rgb_matches_baseline():
+    """The progressive and baseline encodings carry the SAME quantized
+    coefficients, so the decoder must reconstruct identical rasters —
+    the cross-mode identity that lets progressive inputs join
+    cross-format dedup."""
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    got = decode_jpeg(encode_progressive_jpeg(img))
+    plain = decode_jpeg(encode_baseline_jpeg(img))
+    assert got is not None and plain is not None
+    assert got[:3] == plain[:3] == (32, 24, 3)
+    assert np.array_equal(got[3], plain[3])
+
+
+def test_progressive_subsampled_420():
+    img = np.zeros((16, 32, 3), dtype=np.uint8)
+    img[:, :16] = (250, 10, 10)
+    img[:, 16:] = (10, 10, 250)
+    got = decode_jpeg(encode_progressive_jpeg(img, subsample=True))
+    plain = decode_jpeg(encode_baseline_jpeg(img, subsample=True))
+    assert got is not None and plain is not None
+    assert got[:3] == plain[:3] == (32, 16, 3)
+    assert np.array_equal(got[3], plain[3])
+
+
+def test_progressive_with_restart_markers():
+    img = np.zeros((16, 48, 3), dtype=np.uint8)
+    img[..., 0] = np.linspace(0, 240, 48, dtype=np.uint8)[None, :]
+    img[..., 1] = 77
+    img[..., 2] = 180
+    got = decode_jpeg(encode_progressive_jpeg(img, dri=2))
+    plain = decode_jpeg(encode_baseline_jpeg(img))
+    assert got is not None and plain is not None
+    assert got[:3] == plain[:3]
+    assert np.array_equal(got[3], plain[3])
+
+
+def test_progressive_sparse_blocks_exercise_eob_runs():
+    """A mostly-flat image makes most blocks all-zero in the AC bands —
+    long EOB runs with appended length bits on both passes."""
+    img = np.full((32, 32), 128, dtype=np.uint8)
+    img[5, 7] = 200  # one active block
+    got = decode_jpeg(encode_progressive_jpeg(img))
+    plain = decode_jpeg(encode_baseline_jpeg(img))
+    assert got is not None and plain is not None
+    assert np.array_equal(got[3], plain[3])
+
+
+def test_ahash_cross_mode_progressive(spark):
+    """A progressive and a baseline encoding of the SAME image carry the
+    same quantized coefficients, so their aHashes are identical — the
+    cross-mode identity that lets progressive inputs join dedup."""
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_ahash,
+    )
+
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[:8] = 230
+    img[8:] = 20
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(encode_baseline_jpeg(img)), '{"fmt":"jpeg"}'),
+            (2, "image", bytearray(encode_progressive_jpeg(img)), '{"fmt":"jpeg"}'),
         ],
         MEDIA_SCHEMA,
     )
