@@ -323,12 +323,13 @@ def _make_gif_raster_decoder():
     """REAL GIF pixel decode as a closure: logical-screen/image-descriptor
     parse, global or local color table, and a full LSB-first LZW
     decompressor (variable code width, clear/EOI, max 12 bits) — pure
-    Python, no image libraries. First frame only, non-interlaced; those
-    keep the seam. Returns ``(w, h, 3, uint8 RGB raster)`` or ``None``
-    — the PNG/BMP/JPEG raster contract, so aHash/resize consume GIF
-    identically (cross-format dedup). With all four rasters decoding,
-    the PIL seam is down to progressive/arithmetic/12-bit JPEG,
-    interlaced GIF, and exotic palette variants."""
+    Python, no image libraries. First frame only, sequential or
+    interlaced (the four-pass row order scatters back). Returns
+    ``(w, h, 3, uint8 RGB raster)`` or ``None`` — the PNG/BMP/JPEG
+    raster contract, so aHash/resize consume GIF identically
+    (cross-format dedup). With all four rasters decoding, the PIL seam
+    is down to arithmetic-coded/12-bit JPEG and paletted/compressed
+    BMP variants."""
     import struct as _struct
 
     def _lzw(min_code: int, data: bytes, n_pixels: int):
@@ -394,7 +395,7 @@ def _make_gif_raster_decoder():
                         n = 2 << (iflags & 0x07)
                         ct = b[pos : pos + 3 * n]
                         pos += 3 * n
-                    if ct is None or iflags & 0x40:  # no table / interlaced
+                    if ct is None:  # no global or local color table
                         return None
                     min_code = b[pos]
                     pos += 1
@@ -412,7 +413,20 @@ def _make_gif_raster_decoder():
                     if int(ia.max()) * 3 + 3 > len(ct):
                         return None  # index beyond the color table
                     pal = _np.frombuffer(ct, dtype=_np.uint8).reshape(-1, 3)
-                    return w, h, 3, pal[ia].reshape(h, w, 3)
+                    arr = pal[ia].reshape(h, w, 3)
+                    if iflags & 0x40:  # interlaced: rows arrive in the
+                        # four GIF passes (8/8 from 0, 8/8 from 4,
+                        # 4/4 from 2, 2/2 from 1) — scatter them back
+                        order = (
+                            list(range(0, h, 8))
+                            + list(range(4, h, 8))
+                            + list(range(2, h, 4))
+                            + list(range(1, h, 2))
+                        )
+                        out = _np.empty_like(arr)
+                        out[order] = arr
+                        arr = out
+                    return w, h, 3, arr
                 elif block == 0x3B:
                     return None
                 else:
@@ -446,42 +460,24 @@ def _make_gif_decoder():
 
 
 def _make_bmp_decoder():
-    """Pure-numpy BMP raster decode as a CLOSURE (pickles by value, like
-    the PNG decoder). Covers the uncompressed BI_RGB 24/32-bit raster —
-    the whole of what a BMP usually is; the rows are raw BGR(A) bytes
-    padded to 4-byte stride, so the mean is one vectorized reduction.
-    Returns (w, h, n_channels, [mean_r, mean_g, mean_b]) in 0-255, or
-    None when the stream isn't a decodable BMP (paletted/compressed
-    variants stay behind the PIL seam)."""
+    """Channel-mean wrapper over :func:`_make_bmp_raster_decoder` with
+    the ``(w, h, nch, [mean_r, mean_g, mean_b])`` contract
+    image_pixel_stats consumes — covers whatever the raster decoder
+    covers (BI_RGB 24/32-bit plus 1/4/8-bit paletted)."""
+
+    decode_raster = _make_bmp_raster_decoder()
 
     def decode_bmp(content: bytes):
-        import numpy as _np
-
-        try:
-            if content[:2] != b"BM":
-                return None
-            off = int.from_bytes(content[10:14], "little")
-            hdr_size = int.from_bytes(content[14:18], "little")
-            if hdr_size < 40:  # BITMAPCOREHEADER etc: different layout
-                return None
-            w = int.from_bytes(content[18:22], "little", signed=True)
-            h = int.from_bytes(content[22:26], "little", signed=True)
-            bpp = int.from_bytes(content[28:30], "little")
-            comp = int.from_bytes(content[30:34], "little")
-            if comp != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
-                return None
-            rows = abs(h)  # negative height = top-down; means don't care
-            nch = bpp // 8
-            stride = ((w * nch + 3) // 4) * 4
-            if len(content) < off + stride * rows:
-                return None
-            raster = _np.frombuffer(
-                content, dtype=_np.uint8, count=stride * rows, offset=off
-            ).reshape(rows, stride)[:, : w * nch].reshape(rows, w, nch)
-            bgr = raster.astype(_np.float64).mean(axis=(0, 1))
-            return w, rows, nch, [float(bgr[2]), float(bgr[1]), float(bgr[0])]
-        except Exception:
+        got = decode_raster(content)
+        if got is None:
             return None
+        w, h, nch, arr = got
+        a = arr.astype(float)
+        return w, h, nch, [
+            float(a[..., 0].mean()),
+            float(a[..., 1].mean()),
+            float(a[..., 2].mean()),
+        ]
 
     return decode_bmp
 
@@ -1236,12 +1232,14 @@ def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224) -> Da
 
 
 def _make_bmp_raster_decoder():
-    """BMP raster decode (closure): the same uncompressed BI_RGB
-    24/32-bit parse as :func:`_make_bmp_decoder`, but returning the
-    full pixel array ``(w, h, nch, uint8 (h, w, nch) in RGB(A) order,
-    TOP-DOWN row order)`` — normalized so the same image stored as PNG
-    or BMP yields the identical raster, which is what cross-format
-    perceptual hashing requires. Returns None for uncovered variants."""
+    """BMP raster decode (closure): uncompressed BI_RGB at 24/32 bits
+    plus the 1/4/8-bit paletted forms (BGRA-quad color table after the
+    info header, MSB-first packed indices, 4-byte row stride).  Returns
+    the full pixel array ``(w, h, nch, uint8 (h, w, nch) in RGB(A)
+    order, TOP-DOWN row order)`` — normalized so the same image stored
+    as PNG or BMP yields the identical raster, which is what
+    cross-format perceptual hashing requires.  Returns None for
+    uncovered variants (RLE/bitfield compression)."""
 
     def decode_bmp_raster(content: bytes):
         import numpy as _np
@@ -1257,21 +1255,52 @@ def _make_bmp_raster_decoder():
             h = int.from_bytes(content[22:26], "little", signed=True)
             bpp = int.from_bytes(content[28:30], "little")
             comp = int.from_bytes(content[30:34], "little")
-            if comp != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+            if comp != 0 or w <= 0 or h == 0:
                 return None
             rows = abs(h)
-            nch = bpp // 8
-            stride = ((w * nch + 3) // 4) * 4
-            if len(content) < off + stride * rows:
+            if bpp in (24, 32):
+                nch = bpp // 8
+                stride = ((w * nch + 3) // 4) * 4
+                if len(content) < off + stride * rows:
+                    return None
+                raster = _np.frombuffer(
+                    content, dtype=_np.uint8, count=stride * rows, offset=off
+                ).reshape(rows, stride)[:, : w * nch].reshape(rows, w, nch)
+                # BGR(A) → RGB(A)
+                order = [2, 1, 0] + ([3] if nch == 4 else [])
+                raster = raster[:, :, order]
+            elif bpp in (1, 4, 8):
+                n_pal = int.from_bytes(content[46:50], "little") or (1 << bpp)
+                pal_off = 14 + hdr_size
+                if len(content) < pal_off + 4 * n_pal:
+                    return None
+                pal = _np.frombuffer(
+                    content, dtype=_np.uint8, count=4 * n_pal, offset=pal_off
+                ).reshape(-1, 4)[:, [2, 1, 0]]  # BGRA quads → RGB
+                stride = ((w * bpp + 31) // 32) * 4
+                if len(content) < off + stride * rows:
+                    return None
+                raw = _np.frombuffer(
+                    content, dtype=_np.uint8, count=stride * rows, offset=off
+                ).reshape(rows, stride)
+                if bpp == 8:
+                    idx = raw[:, :w]
+                else:  # MSB-first packed indices
+                    bits = _np.unpackbits(raw, axis=1)
+                    vals = bits[:, : (bits.shape[1] // bpp) * bpp].reshape(
+                        rows, -1, bpp
+                    )
+                    weights = 1 << _np.arange(bpp - 1, -1, -1)
+                    idx = (vals * weights).sum(axis=2).astype(_np.uint8)[:, :w]
+                if int(idx.max()) >= n_pal:
+                    return None  # index beyond the color table
+                raster = pal[idx]
+                nch = 3
+            else:
                 return None
-            raster = _np.frombuffer(
-                content, dtype=_np.uint8, count=stride * rows, offset=off
-            ).reshape(rows, stride)[:, : w * nch].reshape(rows, w, nch)
             if h > 0:  # positive height = bottom-up storage: flip
                 raster = raster[::-1]
-            # BGR(A) → RGB(A)
-            order = [2, 1, 0] + ([3] if nch == 4 else [])
-            return w, rows, nch, _np.ascontiguousarray(raster[:, :, order])
+            return w, rows, nch, _np.ascontiguousarray(raster)
         except Exception:
             return None
 

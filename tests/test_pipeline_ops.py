@@ -1387,7 +1387,7 @@ def test_resize_images_real_nearest_neighbor_pixels(spark):
     assert np.array_equal(arr, src[ys][:, xs])
 
 
-def _gif_bytes(w, h, idx_pixels, palette, lzw_payload, min_code=7):
+def _gif_bytes(w, h, idx_pixels, palette, lzw_payload, min_code=7, iflags=0):
     """Assemble a single-frame GIF89a around a prepared LZW payload."""
     import struct
 
@@ -1399,7 +1399,7 @@ def _gif_bytes(w, h, idx_pixels, palette, lzw_payload, min_code=7):
         + bytes([0x80 | size_bits, 0, 0])
         + palette
     )
-    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags)
     sub = b""
     data = lzw_payload
     while data:

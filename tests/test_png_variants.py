@@ -212,3 +212,107 @@ def test_spec_forbidden_combinations_decline():
     # index past the palette end: corrupt, decline
     bad = make_png(1, 1, 8, 3, b"\x00\x05", plte=b"\x01\x02\x03")
     assert decode_raster(bad) is None
+
+
+def test_gif_interlaced_matches_sequential():
+    """An interlaced GIF carries rows in the four-pass order; the
+    decoder must scatter them back so the raster equals the sequential
+    encoding of the same image (cross-container identity)."""
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        _make_gif_raster_decoder,
+    )
+    from tests.test_pipeline_ops import _gif_bytes, _lzw_encode
+
+    dec = _make_gif_raster_decoder()
+    rng = np.random.default_rng(21)
+    h, w = 13, 6
+    img_idx = rng.integers(0, 4, (h, w), dtype=np.uint8)
+    palette = bytes(
+        [10, 20, 30, 200, 100, 0, 0, 200, 100, 50, 50, 250]
+    )
+    seq_pixels = list(img_idx.flatten())
+    seq = _gif_bytes(
+        w, h, seq_pixels, palette, _lzw_encode(2, seq_pixels), min_code=2
+    )
+    order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    inter_pixels = list(img_idx[order].flatten())
+    inter = _gif_bytes(
+        w, h, inter_pixels, palette,
+        _lzw_encode(2, inter_pixels), min_code=2, iflags=0x40,
+    )
+    got_seq, got_inter = dec(seq), dec(inter)
+    assert got_seq is not None and got_inter is not None
+    assert got_seq[:3] == got_inter[:3] == (w, h, 3)
+    pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+    assert np.array_equal(got_seq[3], pal[img_idx])
+    assert np.array_equal(got_inter[3], got_seq[3])
+
+
+def _bmp_paletted(w, h, idx, palette_rgb, bpp):
+    """Build a bottom-up paletted BMP: BITMAPINFOHEADER + BGRA-quad
+    color table + MSB-first packed indices, 4-byte row stride."""
+    n_pal = len(palette_rgb)
+    pal = b"".join(bytes([b_, g, r, 0]) for r, g, b_ in palette_rgb)
+    stride = ((w * bpp + 31) // 32) * 4
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        bits = []
+        for v in idx[y]:
+            bits += [(int(v) >> k) & 1 for k in range(bpp - 1, -1, -1)]
+        packed = np.packbits(np.array(bits, dtype=np.uint8)).tobytes()
+        rows.append(packed + b"\x00" * (stride - len(packed)))
+    data = b"".join(rows)
+    off = 14 + 40 + len(pal)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(data), 0, 0, n_pal, 0
+    )
+    return hdr + info + pal + data
+
+
+def test_bmp_paletted_depths_decode():
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        _make_bmp_raster_decoder,
+    )
+
+    dec = _make_bmp_raster_decoder()
+    rng = np.random.default_rng(22)
+    pal = [tuple(int(x) for x in rng.integers(0, 256, 3)) for _ in range(16)]
+    for bpp, n_colors in ((1, 2), (4, 16), (8, 16)):
+        idx = rng.integers(0, n_colors, (5, 7), dtype=np.uint8)
+        got = dec(_bmp_paletted(7, 5, idx, pal[:n_colors], bpp))
+        assert got is not None and got[:3] == (7, 5, 3), bpp
+        exp = np.array(pal[:n_colors], dtype=np.uint8)[idx]
+        assert np.array_equal(got[3], exp), bpp
+
+
+def test_bmp_paletted_matches_png_raster():
+    """Cross-container identity: the same image as an 8-bit paletted BMP
+    and as an RGB PNG must produce the same raster."""
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        _make_bmp_raster_decoder,
+    )
+
+    dec = _make_bmp_raster_decoder()
+    rng = np.random.default_rng(23)
+    pal = [tuple(int(x) for x in rng.integers(0, 256, 3)) for _ in range(4)]
+    idx = rng.integers(0, 4, (6, 9), dtype=np.uint8)
+    rgb = np.array(pal, dtype=np.uint8)[idx]
+    bmp_got = dec(_bmp_paletted(9, 6, idx, pal, 8))
+    png_got = decode_raster(encode_png(rgb.tobytes(), 9, 6, 3))
+    assert bmp_got is not None and png_got is not None
+    assert np.array_equal(bmp_got[3], png_got[3])
+
+
+def test_bmp_out_of_range_index_declines():
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        _make_bmp_raster_decoder,
+    )
+
+    dec = _make_bmp_raster_decoder()
+    idx = np.array([[3]], dtype=np.uint8)  # palette has 2 entries
+    bad = _bmp_paletted(1, 1, idx, [(1, 2, 3), (4, 5, 6)], 8)
+    assert dec(bad) is None
