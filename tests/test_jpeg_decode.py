@@ -1,14 +1,20 @@
-"""Round-trip tests for the pure-numpy baseline-JPEG decoder
-(operators/multimodal._make_jpeg_decoder) — the last PIL-seam format.
+"""Round-trip tests for the pure-numpy JPEG decoder
+(operators/multimodal._make_jpeg_decoder) in BOTH entropy modes.
 
-The ENCODER lives here, test-side: a minimal standards-compliant
+The ENCODERS live here, test-side: a minimal standards-compliant
 baseline sequential (SOF0) writer — level shift, orthonormal 8×8 DCT,
 quantize, zigzag, DC-diff/AC run-length tokens, canonical Huffman
 tables BUILT from the symbols actually used (every code one fixed
 length L with n < 2^L, which satisfies the prefix and no-all-ones
-rules), 0xFF byte stuffing, optional restart markers.  Encoding with
-all-ones quant tables makes the loss tiny, so decoded channel means pin
-planted values within ±1.
+rules), 0xFF byte stuffing, optional restart markers — and a
+progressive (SOF2) writer over the same coefficient pipeline:
+spectral-selection bands, successive-approximation first/refine scans,
+EOB runs with buffered correction bits (jcphuff.c structure), per-scan
+canonical tables.  Encoding with all-ones quant tables makes the loss
+tiny, so decoded channel means pin planted values within ±1; and since
+both modes carry the SAME quantized coefficients, the decoder must
+produce bit-identical rasters across modes (pinned per-fixture and as
+a hypothesis property).
 """
 
 from __future__ import annotations
@@ -771,3 +777,29 @@ def test_ahash_cross_mode_progressive(spark):
     )
     got = {r["media_id"]: r["ahash"] for r in image_ahash(df).collect()}
     assert got[1] is not None and got[1] == got[2]
+
+
+# ---------------------------------------------------------------------------
+# Property: progressive and baseline encodings of ANY image decode to the
+# same raster (they carry identical quantized coefficients).
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    bw=st.integers(1, 4),
+    bh=st.integers(1, 4),
+    gray=st.booleans(),
+    dri=st.sampled_from([0, 1, 3]),
+)
+def test_progressive_equals_baseline_property(seed, bw, bh, gray, dri):
+    rng = np.random.default_rng(seed)
+    shape = (bh * 8, bw * 8) if gray else (bh * 8, bw * 8, 3)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    prog = decode_jpeg(encode_progressive_jpeg(img, dri=dri))
+    base = decode_jpeg(encode_baseline_jpeg(img, dri=dri))
+    assert prog is not None and base is not None
+    assert prog[:3] == base[:3]
+    assert np.array_equal(prog[3], base[3])
