@@ -328,8 +328,8 @@ def _make_gif_raster_decoder():
     ``(w, h, 3, uint8 RGB raster)`` or ``None`` — the PNG/BMP/JPEG
     raster contract, so aHash/resize consume GIF identically
     (cross-format dedup). With all four rasters decoding, the PIL seam
-    is down to arithmetic-coded/12-bit JPEG and paletted/compressed
-    BMP variants."""
+    is down to arithmetic-coded/12-bit JPEG and bitfield-compressed
+    BMP."""
     import struct as _struct
 
     def _lzw(min_code: int, data: bytes, n_pixels: int):
@@ -1124,7 +1124,7 @@ FEATURE_SCHEMA = T.StructType(
 def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
     """Feature extractor with the real pipeline shape; the first four
     slots are REAL pixel statistics for every format the pure-Python
-    decoders cover (PNG, uncompressed BMP, GIF, baseline JPEG): slots
+    decoders cover (PNG, BMP, GIF, JPEG — all variants each): slots
     0-3 = mean R, G, B, Rec.601 luma in [0,1). Remaining slots (and
     every slot of undecodable streams) stay md5(content)-derived — the
     documented seam where a model forward pass / PIL plugs in. Schema,
@@ -1232,14 +1232,66 @@ def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224) -> Da
 
 
 def _make_bmp_raster_decoder():
-    """BMP raster decode (closure): uncompressed BI_RGB at 24/32 bits
-    plus the 1/4/8-bit paletted forms (BGRA-quad color table after the
-    info header, MSB-first packed indices, 4-byte row stride).  Returns
-    the full pixel array ``(w, h, nch, uint8 (h, w, nch) in RGB(A)
-    order, TOP-DOWN row order)`` — normalized so the same image stored
-    as PNG or BMP yields the identical raster, which is what
-    cross-format perceptual hashing requires.  Returns None for
-    uncovered variants (RLE/bitfield compression)."""
+    """BMP raster decode (closure): uncompressed BI_RGB at 24/32 bits,
+    the 1/4/8-bit paletted forms (BGRA-quad color table after the info
+    header, MSB-first packed indices, 4-byte row stride), and BI_RLE8 /
+    BI_RLE4 run-length compression (encoded runs, absolute runs, EOL /
+    EOB / delta escapes).  Returns the full pixel array ``(w, h, nch,
+    uint8 (h, w, nch) in RGB(A) order, TOP-DOWN row order)`` —
+    normalized so the same image stored as PNG or BMP yields the
+    identical raster, which is what cross-format perceptual hashing
+    requires.  Returns None for uncovered variants (bitfield
+    compression)."""
+
+    def _unrle(data: bytes, w: int, rows: int, bpp: int):
+        """BI_RLE8/BI_RLE4 → (rows, w) index array, bottom-up row order
+        (the caller flips).  Escapes: 00 00 = end of line, 00 01 = end
+        of bitmap, 00 02 dx dy = delta (skipped pixels keep index 0),
+        00 n>=3 = absolute run (word-aligned); else (count, value) with
+        4-bit values alternating high/low nibble."""
+        import numpy as _np
+
+        out = _np.zeros((rows, w), dtype=_np.uint8)
+        x = y = pos = 0
+        while pos + 1 < len(data) and y < rows:
+            n, v = data[pos], data[pos + 1]
+            pos += 2
+            if n:  # encoded run
+                if bpp == 8:
+                    vals = [v] * n
+                else:
+                    vals = [(v >> 4), v & 15] * ((n + 1) // 2)
+                end = min(x + n, w)
+                out[y, x:end] = vals[: end - x]
+                x += n
+            elif v == 0:  # end of line
+                x, y = 0, y + 1
+            elif v == 1:  # end of bitmap
+                return out
+            elif v == 2:  # delta
+                if pos + 1 >= len(data):
+                    return None
+                x += data[pos]
+                y += data[pos + 1]
+                pos += 2
+            else:  # absolute run of v literal pixels, word-aligned
+                if bpp == 8:
+                    nbytes = v
+                    vals = list(data[pos : pos + v])
+                else:
+                    nbytes = (v + 1) // 2
+                    raw = data[pos : pos + nbytes]
+                    vals = []
+                    for byte in raw:
+                        vals += [byte >> 4, byte & 15]
+                    vals = vals[:v]
+                if len(vals) < v:
+                    return None
+                pos += nbytes + (nbytes & 1)  # pad to 16-bit boundary
+                end = min(x + v, w)
+                out[y, x:end] = vals[: end - x]
+                x += v
+        return out
 
     def decode_bmp_raster(content: bytes):
         import numpy as _np
@@ -1255,9 +1307,27 @@ def _make_bmp_raster_decoder():
             h = int.from_bytes(content[22:26], "little", signed=True)
             bpp = int.from_bytes(content[28:30], "little")
             comp = int.from_bytes(content[30:34], "little")
-            if comp != 0 or w <= 0 or h == 0:
+            if w <= 0 or h == 0:
                 return None
+            if comp not in (0, 1, 2) or (
+                comp == 1 and bpp != 8
+            ) or (comp == 2 and bpp != 4):
+                return None
+            if comp and h < 0:
+                return None  # RLE is defined bottom-up only
             rows = abs(h)
+            if comp:  # BI_RLE8 / BI_RLE4
+                n_pal = int.from_bytes(content[46:50], "little") or (1 << bpp)
+                pal_off = 14 + hdr_size
+                if len(content) < pal_off + 4 * n_pal:
+                    return None
+                pal = _np.frombuffer(
+                    content, dtype=_np.uint8, count=4 * n_pal, offset=pal_off
+                ).reshape(-1, 4)[:, [2, 1, 0]]
+                idx = _unrle(content[off:], w, rows, bpp)
+                if idx is None or int(idx.max()) >= n_pal:
+                    return None
+                return w, rows, 3, _np.ascontiguousarray(pal[idx][::-1])
             if bpp in (24, 32):
                 nch = bpp // 8
                 stride = ((w * nch + 3) // 4) * 4

@@ -316,3 +316,85 @@ def test_bmp_out_of_range_index_declines():
     idx = np.array([[3]], dtype=np.uint8)  # palette has 2 entries
     bad = _bmp_paletted(1, 1, idx, [(1, 2, 3), (4, 5, 6)], 8)
     assert dec(bad) is None
+
+
+def _bmp_rle(w, h, rle_data, palette_rgb, bpp):
+    """Build a bottom-up BI_RLE8/BI_RLE4 BMP around prepared RLE bytes."""
+    n_pal = len(palette_rgb)
+    pal = b"".join(bytes([b_, g, r, 0]) for r, g, b_ in palette_rgb)
+    off = 14 + 40 + len(pal)
+    comp = 1 if bpp == 8 else 2
+    hdr = b"BM" + struct.pack("<IHHI", off + len(rle_data), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, comp, len(rle_data), 0, 0, n_pal, 0
+    )
+    return hdr + info + pal + rle_data
+
+
+def test_bmp_rle8_runs_absolute_eol_eob():
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        _make_bmp_raster_decoder,
+    )
+
+    dec = _make_bmp_raster_decoder()
+    pal = [(10, 0, 0), (0, 20, 0), (0, 0, 30), (40, 40, 40)]
+    # bottom row first: 4×idx1, 2×idx2 | EOL | absolute run 1,3,0,2 +
+    # encoded 2×idx3 | EOL | delta skips the whole last row | EOB
+    rle = bytes(
+        [4, 1, 2, 2, 0, 0]  # row 0 (bottom): 1 1 1 1 2 2
+        + [0, 4, 1, 3, 0, 2, 2, 3, 0, 0]  # row 1: abs(1 3 0 2) then 3 3
+        + [0, 1]  # end of bitmap: row 2 (top) stays index 0
+    )
+    got = dec(_bmp_rle(6, 3, rle, pal, 8))
+    assert got is not None and got[:3] == (6, 3, 3)
+    exp_idx = np.array(
+        [
+            [0, 0, 0, 0, 0, 0],  # top (never written)
+            [1, 3, 0, 2, 3, 3],
+            [1, 1, 1, 1, 2, 2],  # bottom
+        ],
+        dtype=np.uint8,
+    )
+    exp = np.array(pal, dtype=np.uint8)[exp_idx]
+    assert np.array_equal(got[3], exp)
+
+
+def test_bmp_rle4_nibble_runs():
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        _make_bmp_raster_decoder,
+    )
+
+    dec = _make_bmp_raster_decoder()
+    pal = [(1, 1, 1), (2, 2, 2), (3, 3, 3), (4, 4, 4)]
+    # encoded run of 5 with value 0x12 alternates 1,2,1,2,1; then
+    # absolute run of 3 nibbles 0x30 0x20 -> 3,0,2 (padded to a word)
+    rle = bytes([5, 0x12] + [0, 3, 0x30, 0x20] + [0, 0] + [0, 1])
+    got = dec(_bmp_rle(8, 1, rle, pal, 4))
+    assert got is not None and got[:3] == (8, 1, 3)
+    exp_idx = np.array([[1, 2, 1, 2, 1, 3, 0, 2]], dtype=np.uint8)
+    exp = np.array(pal, dtype=np.uint8)[exp_idx]
+    assert np.array_equal(got[3], exp)
+
+
+def test_bmp_rle8_matches_uncompressed():
+    """Cross-variant identity: the same indexed image RLE8-encoded and
+    stored uncompressed must decode to the same raster."""
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        _make_bmp_raster_decoder,
+    )
+
+    dec = _make_bmp_raster_decoder()
+    rng = np.random.default_rng(31)
+    pal = [tuple(int(x) for x in rng.integers(0, 256, 3)) for _ in range(4)]
+    idx = rng.integers(0, 4, (5, 7), dtype=np.uint8)
+    # naive RLE8 encoder: one encoded run per pixel, EOL per row
+    rle = bytearray()
+    for y in range(4, -1, -1):  # bottom-up
+        for v in idx[y]:
+            rle += bytes([1, int(v)])
+        rle += b"\x00\x00"
+    rle[-1:] = b"\x01"  # last EOL becomes EOB
+    got_rle = dec(_bmp_rle(7, 5, bytes(rle), pal, 8))
+    got_flat = dec(_bmp_paletted(7, 5, idx, pal, 8))
+    assert got_rle is not None and got_flat is not None
+    assert np.array_equal(got_rle[3], got_flat[3])
