@@ -255,6 +255,8 @@ def _make_png_raster_decoder():
             if meta is None or not idat:
                 return None
             w, h, depth, color, interlace = meta
+            if w <= 0 or h <= 0:  # zero-area: decline, don't crash
+                return None  # downstream index math on an empty raster
             nraw = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
             if nraw is None or interlace not in (0, 1):
                 return None
@@ -389,6 +391,8 @@ def _make_gif_raster_decoder():
                     _l, _t, w, h, iflags = _struct.unpack(
                         "<HHHHB", b[pos + 1 : pos + 10]
                     )
+                    if w == 0 or h == 0:  # zero-area frame: decline
+                        return None
                     pos += 10
                     ct = gct
                     if iflags & 0x80:
@@ -864,6 +868,8 @@ def _make_jpeg_raster_decoder():
                         return None  # 12-bit precision: PIL seam
                     progressive = marker == 0xC2
                     h, w = _struct.unpack(">HH", seg[1:5])
+                    if w == 0 or h == 0:  # zero-area frame: decline
+                        return None
                     nc = seg[5]
                     if nc not in (1, 3):
                         return None
@@ -1173,9 +1179,9 @@ RESIZED_SCHEMA = T.StructType(
 
 def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
     """Resize stage: REAL nearest-neighbor resample for the formats the
-    pure-Python decoders cover — PNG, baseline JPEG, and GIF: decode
+    pure-Python decoders cover — PNG, JPEG, GIF, and BMP: decode
     raster → numpy index-sample → re-encode PNG at the target size
-    (JPEG/GIF input transcodes to PNG — lossless on the sampled pixels,
+    (JPEG/GIF/BMP input transcodes to PNG — lossless on the sampled pixels,
     and every downstream stage here reads PNG; palette/interlaced/16-bit
     PNG input transcodes to the plain 8-bit form the decoder
     normalizes to). Undecodable containers (arithmetic / 12-bit JPEG)
@@ -1193,13 +1199,19 @@ def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224) -> Da
         decode_raster = _make_png_raster_decoder()
         decode_jpg = _make_jpeg_raster_decoder()
         decode_gif = _make_gif_raster_decoder()
+        decode_bmp = _make_bmp_raster_decoder()
 
         def fn(batches):
             for pdf in batches:
                 ids, outs = [], []
                 for mid, content in zip(pdf["media_id"], pdf["content"]):
                     b = bytes(content)
-                    got = decode_raster(b) or decode_jpg(b) or decode_gif(b)
+                    got = (
+                        decode_raster(b)
+                        or decode_jpg(b)
+                        or decode_gif(b)
+                        or decode_bmp(b)
+                    )
                     if got is not None:
                         w, h, nch, arr = got
                         xs = (_np.arange(tw) * w) // tw
@@ -1316,14 +1328,16 @@ def _make_bmp_raster_decoder():
             if comp and h < 0:
                 return None  # RLE is defined bottom-up only
             rows = abs(h)
-            if comp:  # BI_RLE8 / BI_RLE4
+            pal = n_pal = None
+            if bpp in (1, 4, 8):  # paletted (flat or RLE): shared table
                 n_pal = int.from_bytes(content[46:50], "little") or (1 << bpp)
                 pal_off = 14 + hdr_size
                 if len(content) < pal_off + 4 * n_pal:
                     return None
                 pal = _np.frombuffer(
                     content, dtype=_np.uint8, count=4 * n_pal, offset=pal_off
-                ).reshape(-1, 4)[:, [2, 1, 0]]
+                ).reshape(-1, 4)[:, [2, 1, 0]]  # BGRA quads → RGB
+            if comp:  # BI_RLE8 / BI_RLE4
                 idx = _unrle(content[off:], w, rows, bpp)
                 if idx is None or int(idx.max()) >= n_pal:
                     return None
@@ -1340,13 +1354,6 @@ def _make_bmp_raster_decoder():
                 order = [2, 1, 0] + ([3] if nch == 4 else [])
                 raster = raster[:, :, order]
             elif bpp in (1, 4, 8):
-                n_pal = int.from_bytes(content[46:50], "little") or (1 << bpp)
-                pal_off = 14 + hdr_size
-                if len(content) < pal_off + 4 * n_pal:
-                    return None
-                pal = _np.frombuffer(
-                    content, dtype=_np.uint8, count=4 * n_pal, offset=pal_off
-                ).reshape(-1, 4)[:, [2, 1, 0]]  # BGRA quads → RGB
                 stride = ((w * bpp + 31) // 32) * 4
                 if len(content) < off + stride * rows:
                     return None

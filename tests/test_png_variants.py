@@ -398,3 +398,55 @@ def test_bmp_rle8_matches_uncompressed():
     got_flat = dec(_bmp_paletted(7, 5, idx, pal, 8))
     assert got_rle is not None and got_flat is not None
     assert np.array_equal(got_rle[3], got_flat[3])
+
+
+def test_zero_area_images_decline():
+    """w=0 or h=0 headers must decline in every decoder — an empty
+    raster would crash the aHash/resize index math inside mapInPandas
+    instead of yielding the contract NULL."""
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        _make_bmp_raster_decoder,
+        _make_gif_raster_decoder,
+        _make_jpeg_raster_decoder,
+    )
+    from tests.test_pipeline_ops import _gif_bytes, _lzw_encode
+
+    # PNG: width = 0
+    assert decode_raster(make_png(0, 2, 8, 0, b"\x00" * 2)) is None
+    # GIF: height = 0 in the image descriptor
+    gif = _gif_bytes(3, 0, [], bytes(6), _lzw_encode(2, [0]), min_code=2)
+    assert _make_gif_raster_decoder()(gif) is None
+    # JPEG: SOF with width = 0
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(
+        ">HH", 8, 0
+    ) + b"\x01\x11\x00"
+    assert _make_jpeg_raster_decoder()(b"\xff\xd8" + sof0 + b"\x00" * 16) is None
+    # BMP: h == 0 (already guarded; pinned here with the others)
+    bad = bytearray(_bmp_paletted(1, 1, np.zeros((1, 1), np.uint8), [(0, 0, 0)], 8))
+    bad[22:26] = struct.pack("<i", 0)
+    assert _make_bmp_raster_decoder()(bytes(bad)) is None
+
+
+def test_resize_covers_bmp(spark):
+    """resize_images decodes BMP like every other raster container and
+    re-encodes at the target size (not the pass-through fallback)."""
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _make_png_raster_decoder,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(33)
+    pal = [tuple(int(x) for x in rng.integers(0, 256, 3)) for _ in range(4)]
+    idx = rng.integers(0, 4, (16, 16), dtype=np.uint8)
+    bmp = _bmp_paletted(16, 16, idx, pal, 8)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(bmp), '{"fmt":"bmp"}')], MEDIA_SCHEMA
+    )
+    out = resize_images(df, 8, 8).collect()
+    dec = _make_png_raster_decoder()
+    got = dec(bytes(out[0]["content"]))
+    assert got is not None and got[:3] == (8, 8, 3)
+    rgb = np.array(pal, dtype=np.uint8)[idx]
+    xs = (np.arange(8) * 16) // 8
+    assert np.array_equal(got[3], rgb[xs][:, xs])
