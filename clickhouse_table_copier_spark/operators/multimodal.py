@@ -1794,28 +1794,76 @@ def synthesize_audio_table(spark, n: int = 32) -> DataFrame:
 
 
 def _make_wav_parser():
-    """RIFF/PCM parser as a closure (pickles by value — executors don't
-    import this package). Returns (sample_rate, channels, bits, pcm_bytes)."""
+    """RIFF/WAVE parser as a closure (pickles by value — executors don't
+    import this package). Returns (sample_rate, channels, bits,
+    format_tag, pcm_bytes) — tag 1 = integer PCM, 3 = IEEE float — or
+    None when the bytes aren't a parseable RIFF/WAVE (decline, don't
+    fail the task: the image decoders' contract)."""
     import struct as _struct
 
     def parse_wav(b: bytes):
-        if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
-            raise ValueError("not a RIFF/WAVE container")
-        pos, sr, ch, bits, pcm = 12, None, None, None, None
-        while pos + 8 <= len(b):
-            cid = b[pos : pos + 4]
-            size = _struct.unpack("<I", b[pos + 4 : pos + 8])[0]
-            body = b[pos + 8 : pos + 8 + size]
-            if cid == b"fmt ":
-                _, ch, sr, _, _, bits = _struct.unpack("<HHIIHH", body[:16])
-            elif cid == b"data":
-                pcm = body
-            pos += 8 + size + (size % 2)  # chunks are word-aligned
-        if sr is None or pcm is None:
-            raise ValueError("missing fmt/data chunk")
-        return sr, ch, bits, pcm
+        try:
+            if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                return None
+            pos, sr, ch, bits, tag, pcm = 12, None, None, None, None, None
+            while pos + 8 <= len(b):
+                cid = b[pos : pos + 4]
+                size = _struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+                body = b[pos + 8 : pos + 8 + size]
+                if cid == b"fmt ":
+                    tag, ch, sr, _, _, bits = _struct.unpack(
+                        "<HHIIHH", body[:16]
+                    )
+                elif cid == b"data":
+                    pcm = body
+                pos += 8 + size + (size % 2)  # chunks are word-aligned
+            if sr is None or pcm is None or not ch or not bits:
+                return None
+            return sr, ch, bits, tag, pcm
+        except Exception:
+            return None
 
     return parse_wav
+
+
+def _make_pcm_to_float():
+    """Sample-format dispatch as a closure: PCM payload → float64 array
+    in [-1, 1).  Integer PCM (tag 1) at 8 (unsigned), 16, 24 (3-byte
+    LE), 32 bits; IEEE float (tag 3) at 32/64.  Returns None for
+    formats outside that set (e.g. WAVE_FORMAT_EXTENSIBLE, ADPCM) —
+    decline rather than misread."""
+    import numpy as _np
+
+    def pcm_to_float(pcm: bytes, bits: int, tag: int):
+        if tag == 3:
+            if bits == 32:
+                return _np.frombuffer(pcm, dtype="<f4").astype(_np.float64)
+            if bits == 64:
+                return _np.frombuffer(pcm, dtype="<f8").astype(_np.float64)
+            return None
+        if tag != 1:
+            return None
+        if bits == 8:  # 8-bit WAV is unsigned
+            x = _np.frombuffer(pcm, dtype=_np.uint8).astype(_np.float64)
+            return (x - 128.0) / 128.0
+        if bits == 16:
+            return (
+                _np.frombuffer(pcm, dtype="<i2").astype(_np.float64) / 32768.0
+            )
+        if bits == 24:  # 3-byte little-endian signed
+            raw = _np.frombuffer(
+                pcm[: (len(pcm) // 3) * 3], dtype=_np.uint8
+            ).reshape(-1, 3).astype(_np.int64)
+            v = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+            v -= (v >> 23) << 24  # sign-extend bit 23
+            return v.astype(_np.float64) / float(1 << 23)
+        if bits == 32:
+            return _np.frombuffer(pcm, dtype="<i4").astype(_np.float64) / float(
+                1 << 31
+            )
+        return None
+
+    return pcm_to_float
 
 
 def decode_audio_meta(df: DataFrame) -> DataFrame:
@@ -1826,7 +1874,11 @@ def decode_audio_meta(df: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                sr, ch, bits, pcm = parse_wav(bytes(content))
+                got = parse_wav(bytes(content))
+                if got is None:  # not RIFF/WAVE: NULL metadata row
+                    out.append((mid, None, None, None, None, None))
+                    continue
+                sr, ch, bits, _tag, pcm = got
                 n = len(pcm) // (ch * bits // 8)
                 out.append((mid, sr, ch, bits, n, n / sr))
             yield pd.DataFrame(
@@ -1844,8 +1896,12 @@ def audio_features(df: DataFrame, window: int = 256) -> DataFrame:
     """REAL windowed DSP over the PCM payload: RMS energy and
     zero-crossing rate per ``window`` samples (numpy, Arrow-batched,
     partition-preserving). The standard front-end of audio quality
-    filtering / VAD in a training-data pipeline."""
+    filtering / VAD in a training-data pipeline. Sample formats:
+    integer PCM at 8/16/24/32 bits and IEEE float at 32/64, mono or
+    multi-channel (mean downmix); unparseable blobs and unsupported
+    codecs emit no windows (decline, don't misread)."""
     parse_wav = _make_wav_parser()
+    pcm_to_float = _make_pcm_to_float()
 
     def make_fn(win: int):
         def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1854,11 +1910,17 @@ def audio_features(df: DataFrame, window: int = 256) -> DataFrame:
             for pdf in batches:
                 rows = []
                 for mid, content in zip(pdf["media_id"], pdf["content"]):
-                    sr, ch, bits, pcm = parse_wav(bytes(content))
-                    x = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
+                    got = parse_wav(bytes(content))
+                    if got is None:
+                        continue
+                    sr, ch, bits, tag, pcm = got
+                    x = pcm_to_float(pcm, bits, tag)
+                    if x is None:
+                        continue
                     if ch > 1:
-                        x = x.reshape(-1, ch).mean(axis=1)
-                    x = x / 32768.0
+                        x = x[: (len(x) // ch) * ch].reshape(-1, ch).mean(
+                            axis=1
+                        )
                     for w in range(0, len(x), win):
                         seg = x[w : w + win]
                         rms = float(np.sqrt(np.mean(seg * seg)))

@@ -1495,3 +1495,77 @@ def test_gif_pixel_decode_real_lzw_roundtrip(spark):
         sum(palette[3 * p + c] for p in pixels) / len(pixels) for c in range(3)
     ]
     assert means == exp
+
+
+def test_audio_sample_formats_agree(spark):
+    """The SAME sine tone stored as 8/16/24/32-bit PCM and 32-bit IEEE
+    float must produce near-identical RMS/ZCR windows — the
+    cross-format identity for audio (quantization only)."""
+    import math
+    import struct as _struct
+
+    import numpy as np
+
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+    )
+
+    sr, n, freq = 8000, 1024, 220.0
+    xs = [math.sin(2 * math.pi * freq * t / sr) * 0.5 for t in range(n)]
+
+    def wav(tag, bits, payload):
+        hdr = (
+            b"RIFF" + _struct.pack("<I", 36 + len(payload)) + b"WAVE"
+            + b"fmt " + _struct.pack(
+                "<IHHIIHH", 16, tag, 1, sr, sr * bits // 8, bits // 8, bits
+            )
+            + b"data" + _struct.pack("<I", len(payload))
+        )
+        return hdr + payload
+
+    p16 = b"".join(_struct.pack("<h", int(v * 32767)) for v in xs)
+    p8 = bytes(int(v * 127) + 128 for v in xs)
+    p24 = b"".join(
+        int(v * ((1 << 23) - 1)).to_bytes(3, "little", signed=True)
+        for v in xs
+    )
+    p32 = b"".join(_struct.pack("<i", int(v * ((1 << 31) - 1))) for v in xs)
+    pf32 = b"".join(_struct.pack("<f", v) for v in xs)
+    rows = [
+        (1, "audio", bytearray(wav(1, 16, p16)), '{"fmt":"wav"}'),
+        (2, "audio", bytearray(wav(1, 8, p8)), '{"fmt":"wav"}'),
+        (3, "audio", bytearray(wav(1, 24, p24)), '{"fmt":"wav"}'),
+        (4, "audio", bytearray(wav(1, 32, p32)), '{"fmt":"wav"}'),
+        (5, "audio", bytearray(wav(3, 32, pf32)), '{"fmt":"wav"}'),
+        (6, "audio", bytearray(b"not a wav at all"), '{"fmt":"?"}'),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = audio_features(df, window=256).collect()
+    by_id = {}
+    for r in feats:
+        by_id.setdefault(r["media_id"], {})[r["window_idx"]] = (
+            r["rms"], r["zcr"]
+        )
+    assert 6 not in by_id  # non-WAV: no windows, no crash
+    assert set(by_id) == {1, 2, 3, 4, 5}
+    ref = by_id[1]
+    for mid in (2, 3, 4, 5):
+        assert set(by_id[mid]) == set(ref), mid
+        for wi, (rms, zcr) in by_id[mid].items():
+            # 8-bit quantization is the coarsest: ±0.01 absolute
+            assert abs(rms - ref[wi][0]) < 0.01, (mid, wi)
+            assert abs(zcr - ref[wi][1]) < 0.05, (mid, wi)
+
+
+def test_audio_meta_declines_non_wav(spark):
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_audio_meta,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(b"\x00\x01garbage"), "{}")], MEDIA_SCHEMA
+    )
+    row = decode_audio_meta(df).collect()[0]
+    assert row["sample_rate"] is None and row["n_samples"] is None
