@@ -1,0 +1,146 @@
+"""WebDataset / tar-shard ingest for multimodal training data.
+
+The multimodal operators (``operators/multimodal.py``) consume a
+``(media_id, kind, content, meta_json)`` frame; real corpora arrive as
+directories of tar shards in the WebDataset convention — members named
+``<key>.<field>`` (e.g. ``000123.jpg``, ``000123.txt``,
+``000123.json``), one sample per key, many samples per shard, many
+shards per dataset.  This module is the REAL ingest seam between "files
+on storage" and the decode pipeline:
+
+- :func:`read_webdataset` — tar shards → one row per member
+  ``(shard, key, field, content)``.
+- :func:`group_samples` — member rows → one row per sample with a
+  ``map<field, binary>`` of its parts.
+- :func:`to_media_table` — samples → the multimodal operators' input
+  contract, choosing the first present field from a priority list.
+
+Scale shape (100 TB): ``spark.read.format("binaryFile")`` yields ONE row
+per shard, so each task expands one shard with stdlib ``tarfile`` from
+an in-memory buffer — the standard WebDataset execution model (a shard
+is the unit of parallelism; size shards ~1 GB so a 100 TB corpus is
+~100k tasks).  Member expansion is a ``mapInPandas`` generator that
+yields one output batch PER SHARD, so peak memory is one shard's
+members, not the whole partition.  ``group_samples`` shuffles once on
+(shard, key); keys never span shards in the WebDataset convention, so
+the groupBy is shard-local in spirit and AQE coalesces the small
+post-shuffle partitions.
+
+Reference parity: the reference engine (noperformance/clickhouse-table-copier,
+internal/clickhouse/database/database.go) reads only SQL tables; binary
+ingest is part of the north-star LLM-pipeline surface (SURVEY.md §2.8),
+not a reference port.
+"""
+
+from __future__ import annotations
+
+import io
+import tarfile
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEMBER_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.StringType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("field", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
+    """Read tar shards under ``path`` (a file, directory, or glob the
+    ``binaryFile`` source accepts) into one row per tar member:
+    ``(shard, key, field, content)``.
+
+    WebDataset naming: ``key`` is the member name up to the FIRST dot
+    of the basename, ``field`` everything after it (so ``a/b.cap.txt``
+    → key ``a/b``, field ``cap.txt``); members with no dot get field
+    ``""``.  Directories and other non-file members are skipped.
+    Non-tar shards raise — a corrupt shard in an ingest listing is an
+    error to surface, not data to silently drop.
+    """
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                shards, keys, fields, blobs = [], [], [], []
+                with tarfile.open(
+                    fileobj=io.BytesIO(bytes(content)), mode="r:*"
+                ) as tf:
+                    for m in tf:
+                        if not m.isfile():
+                            continue
+                        f = tf.extractfile(m)
+                        if f is None:
+                            continue
+                        name = m.name
+                        base_start = name.rfind("/") + 1
+                        dot = name.find(".", base_start)
+                        if dot == -1:
+                            key, field = name, ""
+                        else:
+                            key, field = name[:dot], name[dot + 1 :]
+                        shards.append(path_)
+                        keys.append(key)
+                        fields.append(field)
+                        blobs.append(bytearray(f.read()))
+                # one batch per shard: peak memory = one shard's members
+                yield pd.DataFrame(
+                    {
+                        "shard": shards,
+                        "key": keys,
+                        "field": fields,
+                        "content": blobs,
+                    }
+                )
+
+    shards_df = spark.read.format("binaryFile").load(path)
+    return shards_df.select("path", "content").mapInPandas(
+        expand, MEMBER_SCHEMA
+    )
+
+
+def group_samples(members: DataFrame) -> DataFrame:
+    """Member rows → one row per sample: ``(shard, key,
+    parts map<field, binary>)``.  One shuffle on (shard, key); fields
+    within a sample are metadata-sized (a handful per key)."""
+    return members.groupBy("shard", "key").agg(
+        F.map_from_arrays(
+            F.collect_list("field"), F.collect_list("content")
+        ).alias("parts")
+    )
+
+
+def to_media_table(
+    samples: DataFrame,
+    fields: tuple = ("jpg", "jpeg", "png", "gif", "bmp"),
+    kind: str = "image",
+) -> DataFrame:
+    """Samples → the multimodal operators' ``(media_id, kind, content,
+    meta_json)`` contract.  ``content`` is the first present field from
+    ``fields`` (NULL-content rows are dropped — a sample with no image
+    part has nothing to decode); ``media_id`` is a deterministic
+    xxhash64 of (shard, key) so re-ingest is stable; ``meta_json``
+    carries the provenance the decode stages preserve."""
+    content = F.coalesce(
+        *[F.col("parts").getItem(f) for f in fields]
+    ).alias("content")
+    return (
+        samples.select(
+            F.xxhash64("shard", "key").alias("media_id"),
+            F.lit(kind).alias("kind"),
+            content,
+            F.to_json(
+                F.struct(
+                    F.col("shard").alias("shard"), F.col("key").alias("key")
+                )
+            ).alias("meta_json"),
+        )
+        .where(F.col("content").isNotNull())
+    )
