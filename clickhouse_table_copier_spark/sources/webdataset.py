@@ -14,6 +14,8 @@ on storage" and the decode pipeline:
   ``map<field, binary>`` of its parts.
 - :func:`to_media_table` — samples → the multimodal operators' input
   contract, choosing the first present field from a priority list.
+- :func:`write_webdataset` — the egress half: curated samples back to
+  tar shards (hash-partitioned by key, one streaming tar per task).
 
 Scale shape (100 TB): ``spark.read.format("binaryFile")`` yields ONE row
 per shard, so each task expands one shard with stdlib ``tarfile`` from
@@ -115,6 +117,65 @@ def group_samples(members: DataFrame) -> DataFrame:
             F.collect_list("field"), F.collect_list("content")
         ).alias("parts")
     )
+
+
+def write_webdataset(
+    samples: DataFrame, path: str, n_shards: int = 8
+) -> list:
+    """Egress: sample rows ``(key, parts map<field, binary>)`` → tar
+    shards at ``path`` (``shard-00000.tar`` …), the write half of the
+    WebDataset round trip (curated/filtered samples back to the shard
+    format trainers stream).
+
+    Samples hash-partition by key into exactly ``n_shards`` tasks; each
+    task streams ITS partition into one tar via stdlib tarfile with
+    ``w|`` (pipe mode: sequential write, no seeking, so memory is one
+    member at a time, not one shard).  Within a shard, members write in
+    key order per arriving batch; a sample's fields stay adjacent (the
+    WebDataset contract readers rely on).  Returns the shard file names
+    written.  ``path`` must be a directory visible to the executors —
+    local/NFS/fuse; on object storage a real deployment writes to the
+    mount or uploads the closed shard.
+    """
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    parted = samples.repartition(n_shards, "key")
+
+    def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(path, f"shard-{pid:05d}.tar")
+        n = 0
+        with tarfile.open(fname, "w|") as tf:
+            for pdf in batches:
+                order = pdf["key"].argsort(kind="stable")
+                for i in order:
+                    key, parts = pdf["key"].iloc[i], pdf["parts"].iloc[i]
+                    for field in sorted(parts):
+                        blob = bytes(parts[field])
+                        name = f"{key}.{field}" if field else key
+                        info = tarfile.TarInfo(name)
+                        info.size = len(blob)
+                        tf.addfile(info, io.BytesIO(blob))
+                        n += 1
+        if n == 0:
+            os.remove(fname)  # empty partition: no empty shard litter
+            yield pd.DataFrame({"shard": [], "n_members": []})
+        else:
+            yield pd.DataFrame({"shard": [fname], "n_members": [n]})
+
+    out = parted.select("key", "parts").mapInPandas(
+        write_partition,
+        T.StructType(
+            [
+                T.StructField("shard", T.StringType()),
+                T.StructField("n_members", T.LongType()),
+            ]
+        ),
+    )
+    return sorted(r["shard"] for r in out.collect())
 
 
 def to_media_table(

@@ -126,3 +126,31 @@ def test_reingest_is_deterministic(spark, shard_dir):
     ids_a = sorted(r["media_id"] for r in a.collect())
     ids_b = sorted(r["media_id"] for r in b.collect())
     assert ids_a == ids_b
+
+
+def test_write_webdataset_roundtrip(spark, shard_dir, tmp_path):
+    """Write half of the round trip: grouped samples → tar shards →
+    re-read gives back exactly the same (key, field, bytes) set."""
+    from clickhouse_table_copier_spark.sources.webdataset import (
+        write_webdataset,
+    )
+
+    samples = group_samples(read_webdataset(spark, shard_dir))
+    out_dir = str(tmp_path / "out")
+    shards = write_webdataset(samples, out_dir, n_shards=3)
+    assert shards and all(s.endswith(".tar") for s in shards)
+
+    back = read_webdataset(spark, out_dir)
+    orig = {
+        (r["key"], r["field"]): bytes(r["content"])
+        for r in read_webdataset(spark, shard_dir).collect()
+    }
+    got = {
+        (r["key"], r["field"]): bytes(r["content"]) for r in back.collect()
+    }
+    assert got == orig
+    # a sample's fields never split across shards
+    placement = {}
+    for r in back.collect():
+        placement.setdefault(r["key"], set()).add(r["shard"])
+    assert all(len(s) == 1 for s in placement.values())
