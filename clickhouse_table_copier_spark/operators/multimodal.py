@@ -1394,6 +1394,38 @@ AHASH_SCHEMA = T.StructType(
 _AHASH_BANDS = 4  # 4 × 16-bit bands over the 64-bit hash
 
 
+def _make_raster_ahash():
+    """aHash of a decoded raster as a closure: integer ITU-R 601 luma,
+    8×8 nearest-neighbor downsample, mean threshold by cross-
+    multiplication (cell > mean ⇔ cell·64 > total — integer-exact),
+    wrapped into signed int64 for Spark LongType.  Shared by
+    image_ahash and the video frame features so a video frame and the
+    same image hash identically."""
+    import numpy as _np
+
+    def raster_ahash(w: int, h: int, nch: int, arr) -> int:
+        a = arr.astype(_np.int64)
+        if nch == 1:
+            luma = a[:, :, 0]
+        else:  # RGB(A): integer ITU-R 601 luma
+            luma = (
+                299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]
+            ) // 1000
+        xs = (_np.arange(8) * w) // 8
+        ys = (_np.arange(8) * h) // 8
+        cells = luma[ys][:, xs]  # (8, 8) int64
+        total = int(cells.sum())
+        bits = (cells.reshape(-1) * 64 > total).astype(_np.int64)
+        hval = 0
+        for bit in bits:
+            hval = (hval << 1) | int(bit)
+        if hval >= 1 << 63:
+            hval -= 1 << 64
+        return hval
+
+    return raster_ahash
+
+
 def image_ahash(df: DataFrame) -> DataFrame:
     """Average-hash (aHash) perceptual fingerprint per image: decode →
     integer luma → 8×8 nearest-neighbor downsample → threshold each cell
@@ -1411,12 +1443,11 @@ def image_ahash(df: DataFrame) -> DataFrame:
     """
 
     def make_fn():
-        import numpy as _np
-
         decode_png = _make_png_raster_decoder()
         decode_bmp = _make_bmp_raster_decoder()
         decode_jpg = _make_jpeg_raster_decoder()
         decode_gif = _make_gif_raster_decoder()
+        raster_ahash = _make_raster_ahash()
 
         def fn(batches):
             for pdf in batches:
@@ -1434,29 +1465,8 @@ def image_ahash(df: DataFrame) -> DataFrame:
                         ids.append(mid)
                         hashes.append(None)
                         continue
-                    w, h, nch, arr = got
-                    a = arr.astype(_np.int64)
-                    if nch == 1:
-                        luma = a[:, :, 0]
-                    else:  # RGB(A): integer ITU-R 601 luma
-                        luma = (
-                            299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]
-                        ) // 1000
-                    xs = (_np.arange(8) * w) // 8
-                    ys = (_np.arange(8) * h) // 8
-                    cells = luma[ys][:, xs]  # (8, 8) int64
-                    total = int(cells.sum())
-                    # cell > mean  ⇔  cell·64 > total (integer-exact)
-                    bits = (cells.reshape(-1) * 64 > total).astype(_np.int64)
-                    hval = 0
-                    for bit in bits:
-                        hval = (hval << 1) | int(bit)
-                    # keep inside signed int64 (bit 63 set is fine in
-                    # Python but must wrap for Spark LongType)
-                    if hval >= 1 << 63:
-                        hval -= 1 << 64
                     ids.append(mid)
-                    hashes.append(hval)
+                    hashes.append(raster_ahash(*got))
                 yield pd.DataFrame({"media_id": ids, "ahash": hashes})
 
         return fn
@@ -1674,12 +1684,65 @@ def _make_mp4_parser():
     return parse
 
 
+def _make_avi_parser():
+    """RIFF/AVI walk as a closure: ``avih`` header (frame period,
+    counts, dims) + the ``movi`` list's stream-0 frame chunks
+    (``00dc``/``00db``).  Returns ``(usec_per_frame, total_frames,
+    n_streams, width, height, [frame bytes])`` or None.  With MJPEG
+    content each frame chunk is a baseline JPEG — which the pure-Python
+    JPEG decoder handles — so MJPEG/AVI is the one video format whose
+    FRAMES decode for real here, not just the container."""
+    import struct as _struct
+
+    def _chunks(b: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            cid = b[pos : pos + 4]
+            size = _struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+            if pos + 8 + size > end:
+                return
+            yield cid, pos + 8, pos + 8 + size
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+    def parse(b: bytes):
+        try:
+            if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+                return None
+            usec = total = streams = w = h = None
+            frames = []
+            for cid, s, e in _chunks(b, 12, len(b)):
+                if cid != b"LIST":
+                    continue
+                ltype = b[s : s + 4]
+                if ltype == b"hdrl":
+                    for cid2, s2, e2 in _chunks(b, s + 4, e):
+                        if cid2 == b"avih":
+                            (usec, _mb, _pad, _fl, total, _init,
+                             streams, _buf, w, h) = _struct.unpack(
+                                "<10I", b[s2 : s2 + 40]
+                            )
+                elif ltype == b"movi":
+                    for cid2, s2, e2 in _chunks(b, s + 4, e):
+                        if cid2 in (b"00dc", b"00db"):
+                            frames.append(b[s2:e2])
+            if usec is None or not usec or w is None:
+                return None
+            return usec, total, streams, w, h, frames
+        except Exception:
+            return None
+
+    return parse
+
+
 def decode_video_meta(df: DataFrame) -> DataFrame:
-    """Container-level video metadata via the real box walk; rows that
-    don't parse yield NULL metadata (the seam rule: never fabricate)."""
+    """Container-level video metadata via the real box/chunk walk (MP4
+    box tree or RIFF/AVI header); rows that don't parse yield NULL
+    metadata (the seam rule: never fabricate).  For AVI the timescale
+    is fixed at 1e6 (the header's frame period is in microseconds)."""
 
     def make_fn():
         parse = _make_mp4_parser()
+        parse_avi = _make_avi_parser()
 
         def fn(batches):
             for pdf in batches:
@@ -1688,7 +1751,17 @@ def decode_video_meta(df: DataFrame) -> DataFrame:
                     "duration_s", "n_tracks", "width", "height",
                 )}
                 for mid, content in zip(pdf["media_id"], pdf["content"]):
-                    got = parse(bytes(content))
+                    raw = bytes(content)
+                    got = parse(raw)
+                    if got is None:
+                        avi = parse_avi(raw)
+                        if avi is not None:
+                            usec, total, streams, w, h, _frames = avi
+                            du = int(usec) * int(total)
+                            got = (
+                                "AVI ", 1_000_000, du, du / 1e6,
+                                int(streams), int(w), int(h),
+                            )
                     out["media_id"].append(mid)
                     if got is None:
                         for k in ("brand", "timescale", "duration_units",
@@ -1731,6 +1804,83 @@ def video_frame_plan(
                 F.lit(every_n),
             )
         ).alias("frame_idx"),
+    )
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+
+def video_frame_features(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL video frame decode for MJPEG/AVI: sample every ``every_n``-th
+    stream-0 frame, decode it with the pure-Python JPEG decoder, and
+    emit per-frame luma + the SAME aHash the image pipeline computes —
+    so a video frame and the identical still image hash identically
+    (video↔image dedup, scene-change detection on the hash sequence).
+    Containers that don't parse as AVI, and frames the JPEG decoder
+    declines, emit no rows (never fabricate).  Arrow-batched
+    mapInPandas, partition-preserving — the decode fan-out stays inside
+    the task that holds the blob, no shuffle of video bytes."""
+
+    def make_fn(step: int):
+        import numpy as _np
+
+        parse_avi = _make_avi_parser()
+        decode_jpg = _make_jpeg_raster_decoder()
+        raster_ahash = _make_raster_ahash()
+
+        def fn(batches):
+            for pdf in batches:
+                rows = []
+                for mid, content in zip(pdf["media_id"], pdf["content"]):
+                    avi = parse_avi(bytes(content))
+                    if avi is None:
+                        continue
+                    _usec, _total, _streams, _w, _h, frames = avi
+                    for idx in range(0, len(frames), step):
+                        got = decode_jpg(frames[idx])
+                        if got is None:
+                            continue
+                        w, h, nch, arr = got
+                        a = arr.astype(_np.int64)
+                        if nch == 1:
+                            luma = a[:, :, 0]
+                        else:
+                            luma = (
+                                299 * a[:, :, 0]
+                                + 587 * a[:, :, 1]
+                                + 114 * a[:, :, 2]
+                            ) // 1000
+                        rows.append(
+                            (
+                                mid,
+                                idx,
+                                w,
+                                h,
+                                float(luma.mean()),
+                                raster_ahash(w, h, nch, arr),
+                            )
+                        )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "media_id", "frame_idx", "width", "height",
+                        "mean_luma", "ahash",
+                    ],
+                )
+
+        return fn
+
+    return df.select("media_id", "content").mapInPandas(
+        make_fn(every_n), VIDEO_FRAME_SCHEMA
     )
 
 

@@ -1,0 +1,123 @@
+"""MJPEG/AVI: the one video format whose FRAMES decode for real.
+
+The AVI writer lives test-side (like the JPEG encoders): a minimal
+RIFF/AVI with an avih header and a movi list of 00dc chunks, each a
+baseline JPEG from the test encoder — so every frame's pixels are
+known, and the frame pipeline (sample → JPEG decode → luma + aHash)
+verifies against the image pipeline on the same content.
+"""
+
+import struct
+
+import numpy as np
+
+from clickhouse_table_copier_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_video_meta,
+    image_ahash,
+    video_frame_features,
+)
+from tests.test_jpeg_decode import encode_baseline_jpeg
+
+
+def _riff_chunk(cid: bytes, body: bytes) -> bytes:
+    return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def _riff_list(ltype: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", ltype + body)
+
+
+def make_mjpeg_avi(frames: list, w: int, h: int, fps: int = 10) -> bytes:
+    usec = 1_000_000 // fps
+    avih = struct.pack(
+        "<10I", usec, 0, 0, 0, len(frames), 0, 1, 0, w, h
+    ) + b"\x00" * 16
+    hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih))
+    movi = _riff_list(
+        b"movi", b"".join(_riff_chunk(b"00dc", f) for f in frames)
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _img(seed: int, w=16, h=16) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def test_avi_meta_parses(spark):
+    frames = [encode_baseline_jpeg(_img(i)) for i in range(6)]
+    avi = make_mjpeg_avi(frames, 16, 16, fps=10)
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(avi), '{"fmt":"avi"}'),
+         (2, "video", bytearray(b"not a video"), "{}")],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in decode_video_meta(df).collect()}
+    m = rows[1]
+    assert m["brand"] == "AVI " and (m["width"], m["height"]) == (16, 16)
+    assert abs(m["duration_s"] - 0.6) < 1e-9  # 6 frames at 10 fps
+    assert m["n_tracks"] == 1
+    assert rows[2]["brand"] is None  # decline, don't fabricate
+
+
+def test_frame_features_match_image_pipeline(spark):
+    """A video frame and the identical still image produce the SAME
+    aHash — video↔image dedup across containers."""
+    imgs = [_img(i) for i in range(4)]
+    frames = [encode_baseline_jpeg(im) for im in imgs]
+    avi = make_mjpeg_avi(frames, 16, 16)
+    vdf = spark.createDataFrame(
+        [(1, "video", bytearray(avi), '{"fmt":"avi"}')], MEDIA_SCHEMA
+    )
+    got = {
+        r["frame_idx"]: r for r in video_frame_features(vdf).collect()
+    }
+    assert sorted(got) == [0, 1, 2, 3]
+    stills = spark.createDataFrame(
+        [(i, "image", bytearray(frames[i]), "{}") for i in range(4)],
+        MEDIA_SCHEMA,
+    )
+    want = {r["media_id"]: r["ahash"] for r in image_ahash(stills).collect()}
+    for i in range(4):
+        assert got[i]["ahash"] == want[i], i
+        assert (got[i]["width"], got[i]["height"]) == (16, 16)
+
+
+def test_frame_sampling_every_n(spark):
+    frames = [encode_baseline_jpeg(_img(i)) for i in range(10)]
+    avi = make_mjpeg_avi(frames, 16, 16)
+    vdf = spark.createDataFrame(
+        [(1, "video", bytearray(avi), "{}")], MEDIA_SCHEMA
+    )
+    idxs = sorted(
+        r["frame_idx"] for r in video_frame_features(vdf, every_n=3).collect()
+    )
+    assert idxs == [0, 3, 6, 9]
+
+
+def test_scene_change_visible_in_hash_sequence(spark):
+    """A planted scene cut flips the frame-hash sequence exactly once —
+    the signal a scene-change detector thresholds on."""
+    dark = np.full((16, 16, 3), 20, dtype=np.uint8)
+    dark[:8, :8] = 60  # structure so the hash isn't degenerate
+    bright = np.full((16, 16, 3), 220, dtype=np.uint8)
+    bright[8:, 8:] = 160
+    frames = [encode_baseline_jpeg(dark)] * 3 + [
+        encode_baseline_jpeg(bright)
+    ] * 3
+    avi = make_mjpeg_avi(frames, 16, 16)
+    vdf = spark.createDataFrame(
+        [(1, "video", bytearray(avi), "{}")], MEDIA_SCHEMA
+    )
+    hs = [
+        r["ahash"]
+        for r in sorted(
+            video_frame_features(vdf).collect(),
+            key=lambda r: r["frame_idx"],
+        )
+    ]
+    changes = sum(1 for a, b in zip(hs, hs[1:]) if a != b)
+    assert changes == 1
+    assert hs[0] == hs[1] == hs[2] and hs[3] == hs[4] == hs[5]
