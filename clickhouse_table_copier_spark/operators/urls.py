@@ -1,0 +1,116 @@
+"""URL analysis for web-corpus curation — pure Column expressions.
+
+C4/RefinedWeb-style pipelines filter and deduplicate by URL before any
+text processing: canonicalize, split into host/registrable-domain/TLD,
+score path shape, and drop blocklisted domains.  Everything here is a
+JVM-side expression (``parse_url``, regex, string ops) — codegen-
+eligible, no Python in the hot path, so a 100 TB crawl listing is one
+map-side scan; the blocklist filter is a broadcast semi-join.
+
+The registrable-domain split uses the last-two-labels approximation
+plus a small set of common second-level public suffixes (co.uk style);
+a real deployment swaps in the full Public Suffix List as a broadcast
+table — the documented seam, the operator shape is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# common second-level public suffixes for the registrable-domain split;
+# the full PSL is the documented swap-in
+_SECOND_LEVEL_SUFFIXES = (
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx",
+    "co.in", "co.kr", "com.tr", "com.ar", "co.za",
+)
+
+
+def url_host(url: Column | str) -> Column:
+    """Lowercased host with any port stripped; NULL for unparseable."""
+    u = F.col(url) if isinstance(url, str) else url
+    host = F.lower(F.parse_url(u, F.lit("HOST")))
+    return F.regexp_replace(host, ":\\d+$", "")
+
+
+def url_domain(host: Column | str) -> Column:
+    """Registrable domain from a host: last two labels, or last three
+    when the last two are a known second-level public suffix."""
+    h = F.col(host) if isinstance(host, str) else host
+    parts = F.split(h, "\\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.slice(parts, -2, 2))
+    last3 = F.concat_ws(".", F.slice(parts, -3, 3))
+    is_sls = last2.isin(*_SECOND_LEVEL_SUFFIXES)
+    return (
+        F.when(n <= 2, h)
+        .when(is_sls & (n >= 3), last3)
+        .otherwise(last2)
+    )
+
+
+def url_tld(host: Column | str) -> Column:
+    h = F.col(host) if isinstance(host, str) else host
+    return F.element_at(F.split(h, "\\."), -1)
+
+
+def url_path_depth(url: Column | str) -> Column:
+    """Number of non-empty path segments (``/a/b/c`` → 3; ``/`` → 0)."""
+    u = F.col(url) if isinstance(url, str) else url
+    path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    return F.size(segs)
+
+
+def url_query_param_count(url: Column | str) -> Column:
+    u = F.col(url) if isinstance(url, str) else url
+    q = F.parse_url(u, F.lit("QUERY"))
+    return F.when(
+        q.isNull() | (q == ""), F.lit(0)
+    ).otherwise(F.size(F.split(q, "&")))
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Dedup key: lowercase scheme+host, strip default ports, fragment,
+    trailing slash, and the common tracking parameters (utm_*, fbclid,
+    gclid).  Two URLs that render the same page map to one key."""
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.coalesce(F.parse_url(u, F.lit("PROTOCOL")), F.lit("http")))
+    host = url_host(u)
+    path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
+    path = F.regexp_replace(path, "/+$", "")
+    q = F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit(""))
+    kept = F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "")
+        & ~p.rlike("^(utm_[a-z]+|fbclid|gclid|ref|mc_cid|mc_eid)="),
+    )
+    # sort the surviving params so ?a=1&b=2 and ?b=2&a=1 collide
+    qnorm = F.array_join(F.array_sort(kept), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qnorm == "", F.lit("")).otherwise(F.concat(F.lit("?"), qnorm)),
+    )
+
+
+def filter_blocklisted(
+    df: DataFrame, url_col: str, blocklist: DataFrame
+) -> DataFrame:
+    """Drop rows whose registrable domain appears in ``blocklist``
+    (single column ``domain``) — broadcast LEFT ANTI join, so at 100 TB
+    the blocklist ships to every executor once and the filter is
+    map-side."""
+    dom = url_domain(url_host(F.col(url_col)))
+    return (
+        df.withColumn("__dom", dom)
+        .join(
+            F.broadcast(blocklist.select(F.col("domain").alias("__dom"))),
+            on="__dom",
+            how="left_anti",
+        )
+        .drop("__dom")
+    )

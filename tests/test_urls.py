@@ -1,0 +1,84 @@
+"""URL analysis ops: known URLs in, pinned parts/keys/filters out."""
+
+import pyspark.sql.functions as F
+
+from clickhouse_table_copier_spark.operators.urls import (
+    canonical_url,
+    filter_blocklisted,
+    url_domain,
+    url_host,
+    url_path_depth,
+    url_query_param_count,
+    url_tld,
+)
+
+
+def _one(spark, url, col):
+    df = spark.createDataFrame([(url,)], "u string")
+    return df.select(col.alias("v")).collect()[0]["v"]
+
+
+def test_url_parts(spark):
+    u = "https://Sub.Example.CO.UK:8443/a/b/c?x=1&y=2#frag"
+    df = spark.createDataFrame([(u,)], "u string")
+    row = df.select(
+        url_host("u").alias("host"),
+        url_domain(url_host("u")).alias("dom"),
+        url_tld(url_host("u")).alias("tld"),
+        url_path_depth("u").alias("depth"),
+        url_query_param_count("u").alias("nq"),
+    ).collect()[0]
+    assert row["host"] == "sub.example.co.uk"
+    assert row["dom"] == "example.co.uk"  # second-level public suffix
+    assert row["tld"] == "uk"
+    assert row["depth"] == 3
+    assert row["nq"] == 2
+
+
+def test_domain_plain_tld(spark):
+    assert (
+        _one(spark, "http://a.b.example.com/x", url_domain(url_host("u")))
+        == "example.com"
+    )
+    assert (
+        _one(spark, "http://localhost/x", url_domain(url_host("u")))
+        == "localhost"
+    )
+
+
+def test_canonical_url_collapses_variants(spark):
+    variants = [
+        "https://Example.com/a/b/?utm_source=x&q=1",
+        "https://example.com/a/b?q=1&utm_campaign=y",
+        "https://example.com/a/b/?q=1&fbclid=zzz",
+    ]
+    df = spark.createDataFrame([(v,) for v in variants], "u string")
+    keys = {
+        r["k"] for r in df.select(canonical_url("u").alias("k")).collect()
+    }
+    assert keys == {"https://example.com/a/b?q=1"}
+    # different content stays distinct
+    other = _one(spark, "https://example.com/a/b?q=2", canonical_url("u"))
+    assert other not in keys
+
+
+def test_canonical_sorts_params(spark):
+    a = _one(spark, "http://e.com/p?b=2&a=1", canonical_url("u"))
+    b = _one(spark, "http://e.com/p?a=1&b=2", canonical_url("u"))
+    assert a == b
+
+
+def test_blocklist_filter_is_broadcast_anti_join(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://spam.example.com/x"),
+            (2, "https://good.org/y"),
+            (3, "http://sub.deep.spam.example.com/z"),
+        ],
+        "id long, url string",
+    )
+    bl = spark.createDataFrame([("example.com",)], "domain string")
+    kept = filter_blocklisted(df, "url", bl)
+    assert [r["id"] for r in kept.collect()] == [2]
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
