@@ -63,6 +63,7 @@ def _make_extractor(min_block_chars: int, max_link_density: float):
             self.buf: list[str] = []
             self.link_chars = 0
             self.skip_depth = 0
+            self.svg_depth = 0
             self.link_depth = 0
             self.boiler_depth = 0
             self.in_title = False
@@ -75,11 +76,20 @@ def _make_extractor(min_block_chars: int, max_link_density: float):
                     (text, self.link_chars, self.boiler_depth > 0)
                 )
             self.buf, self.link_chars = [], 0
+            # browsers auto-close <a> at block boundaries; html.parser
+            # doesn't, so an unclosed <a> would otherwise mark every
+            # later block as 100% link text and drop the whole page
+            self.link_depth = 0
 
         def handle_starttag(self, tag, attrs):
             if tag in skip_tags:
                 self.skip_depth += 1
-            elif tag == "title":
+                if tag == "svg":
+                    self.svg_depth += 1
+            elif tag == "title" and not self.svg_depth:
+                # the document title lives in <head> (a skip tag), so
+                # it can't gate on skip_depth — but <title> inside
+                # <svg> is icon label text, not the document title
                 self.in_title = True
             elif tag == "a":
                 self.link_depth += 1
@@ -91,6 +101,8 @@ def _make_extractor(min_block_chars: int, max_link_density: float):
         def handle_endtag(self, tag):
             if tag in skip_tags:
                 self.skip_depth = max(0, self.skip_depth - 1)
+                if tag == "svg":
+                    self.svg_depth = max(0, self.svg_depth - 1)
             elif tag == "title":
                 self.in_title = False
             elif tag == "a":

@@ -1403,7 +1403,10 @@ def _make_raster_ahash():
     same image hash identically."""
     import numpy as _np
 
-    def raster_ahash(w: int, h: int, nch: int, arr) -> int:
+    def hash_and_luma(w: int, h: int, nch: int, arr):
+        """(aHash int64, full-raster luma array) — one luma pass feeds
+        both the hash and any mean-luma consumer, so the two can never
+        desynchronize."""
         a = arr.astype(_np.int64)
         if nch == 1:
             luma = a[:, :, 0]
@@ -1421,9 +1424,9 @@ def _make_raster_ahash():
             hval = (hval << 1) | int(bit)
         if hval >= 1 << 63:
             hval -= 1 << 64
-        return hval
+        return hval, luma
 
-    return raster_ahash
+    return hash_and_luma
 
 
 def image_ahash(df: DataFrame) -> DataFrame:
@@ -1466,7 +1469,7 @@ def image_ahash(df: DataFrame) -> DataFrame:
                         hashes.append(None)
                         continue
                     ids.append(mid)
-                    hashes.append(raster_ahash(*got))
+                    hashes.append(raster_ahash(*got)[0])
                 yield pd.DataFrame({"media_id": ids, "ahash": hashes})
 
         return fn
@@ -1704,12 +1707,26 @@ def _make_avi_parser():
             yield cid, pos + 8, pos + 8 + size
             pos += 8 + size + (size & 1)  # chunks are word-aligned
 
-    def parse(b: bytes):
+    def parse(b: bytes, with_frames: bool = True):
+        """``with_frames=False`` walks headers only — metadata scans
+        skip slicing every frame's bytes (memory = the header, not
+        ~2× the blob)."""
         try:
             if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
                 return None
             usec = total = streams = w = h = None
             frames = []
+
+            def grab(start: int, end: int):
+                # frame chunks sit directly under movi, or inside the
+                # 'rec ' sub-lists interleaved AVIs use
+                for cid2, s2, e2 in _chunks(b, start, end):
+                    if cid2 in (b"00dc", b"00db"):
+                        if with_frames:
+                            frames.append(b[s2:e2])
+                    elif cid2 == b"LIST" and b[s2 : s2 + 4] == b"rec ":
+                        grab(s2 + 4, e2)
+
             for cid, s, e in _chunks(b, 12, len(b)):
                 if cid != b"LIST":
                     continue
@@ -1722,9 +1739,7 @@ def _make_avi_parser():
                                 "<10I", b[s2 : s2 + 40]
                             )
                 elif ltype == b"movi":
-                    for cid2, s2, e2 in _chunks(b, s + 4, e):
-                        if cid2 in (b"00dc", b"00db"):
-                            frames.append(b[s2:e2])
+                    grab(s + 4, e)
             if usec is None or not usec or w is None:
                 return None
             return usec, total, streams, w, h, frames
@@ -1754,7 +1769,7 @@ def decode_video_meta(df: DataFrame) -> DataFrame:
                     raw = bytes(content)
                     got = parse(raw)
                     if got is None:
-                        avi = parse_avi(raw)
+                        avi = parse_avi(raw, with_frames=False)
                         if avi is not None:
                             usec, total, streams, w, h, _frames = avi
                             du = int(usec) * int(total)
@@ -1831,8 +1846,6 @@ def video_frame_features(df: DataFrame, every_n: int = 1) -> DataFrame:
     the task that holds the blob, no shuffle of video bytes."""
 
     def make_fn(step: int):
-        import numpy as _np
-
         parse_avi = _make_avi_parser()
         decode_jpg = _make_jpeg_raster_decoder()
         raster_ahash = _make_raster_ahash()
@@ -1850,24 +1863,9 @@ def video_frame_features(df: DataFrame, every_n: int = 1) -> DataFrame:
                         if got is None:
                             continue
                         w, h, nch, arr = got
-                        a = arr.astype(_np.int64)
-                        if nch == 1:
-                            luma = a[:, :, 0]
-                        else:
-                            luma = (
-                                299 * a[:, :, 0]
-                                + 587 * a[:, :, 1]
-                                + 114 * a[:, :, 2]
-                            ) // 1000
+                        hval, luma = raster_ahash(w, h, nch, arr)
                         rows.append(
-                            (
-                                mid,
-                                idx,
-                                w,
-                                h,
-                                float(luma.mean()),
-                                raster_ahash(w, h, nch, arr),
-                            )
+                            (mid, idx, w, h, float(luma.mean()), hval)
                         )
                 yield pd.DataFrame(
                     rows,
@@ -1967,8 +1965,10 @@ def _make_wav_parser():
                 elif cid == b"data":
                     pcm = body
                 pos += 8 + size + (size % 2)  # chunks are word-aligned
-            if sr is None or pcm is None or not ch or not bits:
+            if sr is None or not sr or pcm is None or not ch or not bits:
                 return None
+            if bits % 8:  # sub-byte widths (ADPCM family): undecodable
+                return None  # here, and they'd zero the meta divisor
             return sr, ch, bits, tag, pcm
         except Exception:
             return None

@@ -28,10 +28,17 @@ _SECOND_LEVEL_SUFFIXES = (
 
 
 def url_host(url: Column | str) -> Column:
-    """Lowercased host with any port stripped; NULL for unparseable."""
+    """Lowercased host (``parse_url`` HOST never includes the port);
+    NULL for unparseable input."""
     u = F.col(url) if isinstance(url, str) else url
-    host = F.lower(F.parse_url(u, F.lit("HOST")))
-    return F.regexp_replace(host, ":\\d+$", "")
+    return F.lower(F.parse_url(u, F.lit("HOST")))
+
+
+def url_port(url: Column | str) -> Column:
+    """Explicit port from the authority, as a string; empty when the
+    URL carries none."""
+    u = F.col(url) if isinstance(url, str) else url
+    return F.regexp_extract(u, "://[^/?#]*:(\\d+)", 1)
 
 
 def url_domain(host: Column | str) -> Column:
@@ -65,19 +72,28 @@ def url_path_depth(url: Column | str) -> Column:
 
 def url_query_param_count(url: Column | str) -> Column:
     u = F.col(url) if isinstance(url, str) else url
-    q = F.parse_url(u, F.lit("QUERY"))
-    return F.when(
-        q.isNull() | (q == ""), F.lit(0)
-    ).otherwise(F.size(F.split(q, "&")))
+    q = F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit(""))
+    # empty segments (?a=1&&b=2, trailing &) are not params
+    return F.size(F.filter(F.split(q, "&"), lambda s: s != ""))
 
 
 def canonical_url(url: Column | str) -> Column:
-    """Dedup key: lowercase scheme+host, strip default ports, fragment,
-    trailing slash, and the common tracking parameters (utm_*, fbclid,
-    gclid).  Two URLs that render the same page map to one key."""
+    """Dedup key: lowercase scheme+host, strip DEFAULT ports only
+    (http:80 / https:443 — an explicit non-default port is a different
+    origin and stays), fragment, trailing slash, and the common
+    tracking parameters (utm_*, fbclid, gclid).  Two URLs that render
+    the same page map to one key."""
     u = F.col(url) if isinstance(url, str) else url
     scheme = F.lower(F.coalesce(F.parse_url(u, F.lit("PROTOCOL")), F.lit("http")))
-    host = url_host(u)
+    port = url_port(u)
+    is_default = (
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    hostport = F.when(is_default, url_host(u)).otherwise(
+        F.concat(url_host(u), F.lit(":"), port)
+    )
     path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
     path = F.regexp_replace(path, "/+$", "")
     q = F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit(""))
@@ -91,7 +107,7 @@ def canonical_url(url: Column | str) -> Column:
     return F.concat(
         scheme,
         F.lit("://"),
-        host,
+        hostport,
         path,
         F.when(qnorm == "", F.lit("")).otherwise(F.concat(F.lit("?"), qnorm)),
     )

@@ -48,6 +48,7 @@ from pyspark.sql import types as T
 MEMBER_SCHEMA = T.StructType(
     [
         T.StructField("shard", T.StringType()),
+        T.StructField("member_idx", T.IntegerType()),
         T.StructField("key", T.StringType()),
         T.StructField("field", T.StringType()),
         T.StructField("content", T.BinaryType()),
@@ -71,11 +72,11 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for path_, content in zip(pdf["path"], pdf["content"]):
-                shards, keys, fields, blobs = [], [], [], []
+                shards, idxs, keys, fields, blobs = [], [], [], [], []
                 with tarfile.open(
                     fileobj=io.BytesIO(bytes(content)), mode="r:*"
                 ) as tf:
-                    for m in tf:
+                    for i, m in enumerate(tf):
                         if not m.isfile():
                             continue
                         f = tf.extractfile(m)
@@ -89,6 +90,7 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
                         else:
                             key, field = name[:dot], name[dot + 1 :]
                         shards.append(path_)
+                        idxs.append(i)
                         keys.append(key)
                         fields.append(field)
                         blobs.append(bytearray(f.read()))
@@ -96,6 +98,7 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
                 yield pd.DataFrame(
                     {
                         "shard": shards,
+                        "member_idx": idxs,
                         "key": keys,
                         "field": fields,
                         "content": blobs,
@@ -110,9 +113,17 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
 
 def group_samples(members: DataFrame) -> DataFrame:
     """Member rows → one row per sample: ``(shard, key,
-    parts map<field, binary>)``.  One shuffle on (shard, key); fields
-    within a sample are metadata-sized (a handful per key)."""
-    return members.groupBy("shard", "key").agg(
+    parts map<field, binary>)``.  Two shuffles — (shard, key, field)
+    for the duplicate collapse, then (shard, key) — both map-side
+    combinable; fields within a sample are metadata-sized.  Tar
+    legally permits repeated member names (the later entry supersedes)
+    — a duplicated field takes the LAST occurrence by member position,
+    rather than tripping map_from_arrays' duplicate-key error and
+    failing the whole ingest over one odd shard."""
+    last = members.groupBy("shard", "key", "field").agg(
+        F.max_by("content", "member_idx").alias("content")
+    )
+    return last.groupBy("shard", "key").agg(
         F.map_from_arrays(
             F.collect_list("field"), F.collect_list("content")
         ).alias("parts")

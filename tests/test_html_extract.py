@@ -100,3 +100,25 @@ def test_block_segmentation_counts(spark):
     row = extract_html_text(_df(spark, [page]), "raw_html").collect()[0]
     assert row["n_blocks_kept"] == 5
     assert row["text"].count("\n\n") == 4
+
+
+def test_unclosed_anchor_does_not_poison_later_blocks(spark):
+    """Browsers auto-close <a> at block boundaries; an unclosed tag
+    must not mark the rest of the page as link text."""
+    page = (
+        "<html><body><p>See <a href='/x'>here</p>"
+        f"<p>{_CONTENT_1}</p><p>{_CONTENT_2}</p></body></html>"
+    )
+    row = extract_html_text(_df(spark, [page]), "raw_html").collect()[0]
+    assert _CONTENT_1 in row["text"] and _CONTENT_2 in row["text"]
+
+
+def test_svg_title_is_not_the_document_title(spark):
+    page = (
+        "<html><head><title>Real Page</title></head><body>"
+        "<svg><title>menu icon</title></svg>"
+        f"<p>{_CONTENT_1}</p></body></html>"
+    )
+    row = extract_html_text(_df(spark, [page]), "raw_html").collect()[0]
+    assert row["title"] == "Real Page"
+    assert "menu icon" not in row["text"]

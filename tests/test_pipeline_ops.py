@@ -1569,3 +1569,34 @@ def test_audio_meta_declines_non_wav(spark):
     )
     row = decode_audio_meta(df).collect()[0]
     assert row["sample_rate"] is None and row["n_samples"] is None
+
+
+def test_audio_meta_declines_subbyte_and_zero_rate(spark):
+    """4-bit (ADPCM-style) widths and sr=0 must yield NULL metadata,
+    not a ZeroDivisionError that fails the task."""
+    import struct as _struct
+
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_audio_meta,
+    )
+
+    def wav(tag, bits, sr, payload=b"\x00" * 16):
+        return (
+            b"RIFF" + _struct.pack("<I", 36 + len(payload)) + b"WAVE"
+            + b"fmt " + _struct.pack(
+                "<IHHIIHH", 16, tag, 1, sr, max(sr, 1), 2, bits
+            )
+            + b"data" + _struct.pack("<I", len(payload)) + payload
+        )
+
+    df = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(wav(17, 4, 8000)), "{}"),  # IMA ADPCM
+            (2, "audio", bytearray(wav(1, 16, 0)), "{}"),  # sr = 0
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in decode_audio_meta(df).collect()}
+    assert rows[1]["sample_rate"] is None
+    assert rows[2]["sample_rate"] is None

@@ -82,3 +82,20 @@ def test_blocklist_filter_is_broadcast_anti_join(spark):
     assert [r["id"] for r in kept.collect()] == [2]
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_non_default_port_is_a_distinct_origin(spark):
+    a = _one(spark, "http://e.com:8080/p", canonical_url("u"))
+    b = _one(spark, "http://e.com/p", canonical_url("u"))
+    assert a == "http://e.com:8080/p" and b == "http://e.com/p"
+    # default ports collapse
+    assert _one(spark, "http://e.com:80/p", canonical_url("u")) == b
+    assert (
+        _one(spark, "https://e.com:443/p", canonical_url("u"))
+        == "https://e.com/p"
+    )
+
+
+def test_param_count_ignores_empty_segments(spark):
+    assert _one(spark, "http://e.com/p?a=1&&b=2", url_query_param_count("u")) == 2
+    assert _one(spark, "http://e.com/p?a=1&", url_query_param_count("u")) == 1

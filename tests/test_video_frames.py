@@ -121,3 +121,25 @@ def test_scene_change_visible_in_hash_sequence(spark):
     changes = sum(1 for a, b in zip(hs, hs[1:]) if a != b)
     assert changes == 1
     assert hs[0] == hs[1] == hs[2] and hs[3] == hs[4] == hs[5]
+
+
+def test_rec_sublists_and_header_only_parse(spark):
+    """Interleaved AVIs wrap frames in LIST 'rec ' sub-lists — the
+    frame walk must descend into them."""
+    frames = [encode_baseline_jpeg(_img(i)) for i in range(3)]
+    usec = 100_000
+    avih = struct.pack("<10I", usec, 0, 0, 0, 3, 0, 1, 0, 16, 16) + b"\x00" * 16
+    hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih))
+    recs = b"".join(
+        _riff_list(b"rec ", _riff_chunk(b"00dc", f)) for f in frames
+    )
+    movi = _riff_list(b"movi", recs)
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    vdf = spark.createDataFrame(
+        [(1, "video", bytearray(avi), "{}")], MEDIA_SCHEMA
+    )
+    idxs = sorted(r["frame_idx"] for r in video_frame_features(vdf).collect())
+    assert idxs == [0, 1, 2]
+    meta = decode_video_meta(vdf).collect()[0]
+    assert meta["brand"] == "AVI " and meta["n_tracks"] == 1

@@ -154,3 +154,17 @@ def test_write_webdataset_roundtrip(spark, shard_dir, tmp_path):
     for r in back.collect():
         placement.setdefault(r["key"], set()).add(r["shard"])
     assert all(len(s) == 1 for s in placement.values())
+
+
+def test_duplicate_member_names_take_last(spark, tmp_path):
+    """Tar permits repeated member names (later supersedes); one odd
+    shard must not fail the ingest with a duplicate-map-key error."""
+    p = str(tmp_path / "dup.tar")
+    with tarfile.open(p, "w") as tf:
+        for blob in (b"old text", b"new text"):
+            info = tarfile.TarInfo("s/1.txt")
+            info.size = len(blob)
+            tf.addfile(info, io.BytesIO(blob))
+    samples = group_samples(read_webdataset(spark, p)).collect()
+    assert len(samples) == 1
+    assert bytes(samples[0]["parts"]["txt"]) == b"new text"
