@@ -1,0 +1,187 @@
+"""WARC ingest — the container web crawls actually arrive in.
+
+A WARC file is a concatenation of records (``WARC/1.x`` header lines,
+a blank line, ``Content-Length`` bytes of block, a blank line); the
+``.warc.gz`` form compresses EACH RECORD as its own gzip member
+precisely so readers can stream member-at-a-time without inflating the
+whole file.  :func:`read_warc` turns shards into one row per record —
+``(warc_file, record_idx, warc_type, target_uri, warc_date,
+http_status, content_type, payload)`` — with the HTTP envelope of
+``response`` records split off so ``payload`` is the body (the HTML a
+text pipeline feeds to ``operators.html_extract``).
+
+Scale shape (100 TB): ``binaryFile`` yields one row per shard; each
+task walks its shard with a generator that yields an Arrow batch every
+``batch_records`` records, so peak memory is one batch of bodies (and
+for ``.warc.gz``, one gzip member's inflation at a time) — never the
+whole shard.  The shard is the unit of parallelism, exactly as with
+the WebDataset reader.
+
+Reference parity: none — north-star LLM-pipeline surface (SURVEY.md
+§2.8); the reference engine reads SQL tables only.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_file", T.StringType()),
+        T.StructField("record_idx", T.IntegerType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def _gzip_members(data: bytes) -> Iterator[bytes]:
+    """Inflate a multi-member gzip stream one member at a time (the
+    .warc.gz layout: one record per member)."""
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=47)  # gzip wrapper
+        out = d.decompress(data[pos:])
+        yield out + d.flush()
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:  # corrupt trailer: stop rather than spin
+            return
+        pos += consumed
+
+
+def _split_records(raw: bytes) -> Iterator[bytes]:
+    """Walk concatenated uncompressed WARC records via Content-Length."""
+    pos = 0
+    while pos < len(raw):
+        if raw[pos : pos + 5] != b"WARC/":
+            return
+        hdr_end = raw.find(b"\r\n\r\n", pos)
+        if hdr_end == -1:
+            return
+        length = None
+        for line in raw[pos:hdr_end].split(b"\r\n"):
+            k, _, v = line.partition(b":")
+            if k.strip().lower() == b"content-length":
+                length = int(v.strip())
+        if length is None:
+            return
+        end = hdr_end + 4 + length
+        yield raw[pos:end]
+        pos = end
+        while raw[pos : pos + 2] == b"\r\n":  # inter-record blank lines
+            pos += 2
+
+
+def _parse_record(rec: bytes):
+    """One raw record → (warc_type, target_uri, warc_date, http_status,
+    content_type, payload).  For response records the HTTP envelope is
+    split off; other record types carry their block verbatim."""
+    hdr_end = rec.find(b"\r\n\r\n")
+    headers: dict[str, str] = {}
+    for line in rec[:hdr_end].split(b"\r\n")[1:]:
+        k, _, v = line.partition(b":")
+        headers[k.strip().lower().decode("ascii", "replace")] = (
+            v.strip().decode("utf-8", "replace")
+        )
+    block = rec[hdr_end + 4 :]
+    try:  # gzip members carry the trailing record CRLFs: trim to length
+        block = block[: int(headers["content-length"])]
+    except (KeyError, ValueError):
+        pass
+    wtype = headers.get("warc-type", "")
+    uri = headers.get("warc-target-uri")
+    date = headers.get("warc-date")
+    status = None
+    ctype = headers.get("content-type")
+    payload = block
+    if wtype == "response" and block[:5] == b"HTTP/":
+        http_end = block.find(b"\r\n\r\n")
+        if http_end != -1:
+            lines = block[:http_end].split(b"\r\n")
+            parts = lines[0].split(b" ", 2)
+            if len(parts) >= 2 and parts[1].isdigit():
+                status = int(parts[1])
+            for line in lines[1:]:
+                k, _, v = line.partition(b":")
+                if k.strip().lower() == b"content-type":
+                    ctype = v.strip().decode("utf-8", "replace")
+            payload = block[http_end + 4 :]
+    return wtype, uri, date, status, ctype, payload
+
+
+def read_warc(
+    spark: SparkSession, path: str, batch_records: int = 256
+) -> DataFrame:
+    """WARC shards under ``path`` → one row per record.  ``.warc.gz``
+    inflates member-at-a-time; plain ``.warc`` walks Content-Length.
+    A malformed tail stops that shard's walk at the last whole record
+    (crawl files are routinely truncated mid-transfer — salvage the
+    prefix rather than fail the task)."""
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WARC_SCHEMA.fields]
+
+        def flush(rows):
+            return pd.DataFrame(rows, columns=cols)
+
+        for pdf in batches:
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content)
+                if raw[:2] == b"\x1f\x8b":
+                    records = _gzip_members(raw)
+                else:
+                    records = _split_records(raw)
+                rows, idx = [], 0
+                for rec in records:
+                    if rec[:5] != b"WARC/":
+                        continue  # e.g. a non-record gzip member
+                    wtype, uri, date, status, ctype, payload = (
+                        _parse_record(rec)
+                    )
+                    rows.append(
+                        (
+                            path_, idx, wtype, uri, date, status, ctype,
+                            bytearray(payload),
+                        )
+                    )
+                    idx += 1
+                    if len(rows) >= batch_records:
+                        yield flush(rows)
+                        rows = []
+                if rows:
+                    yield flush(rows)
+
+    shards = spark.read.format("binaryFile").load(path)
+    return shards.select("path", "content").mapInPandas(expand, WARC_SCHEMA)
+
+
+def responses_to_documents(warc_df: DataFrame) -> DataFrame:
+    """response records → ``(doc_id, url, fetched_at, raw_html)`` for
+    the HTML-extraction stage: 200-status text/html bodies only,
+    decoded as UTF-8 with replacement (charset sniffing is the
+    documented swap-in), doc_id = deterministic xxhash64 of
+    (warc_file, record_idx)."""
+    from pyspark.sql import functions as F
+
+    return (
+        warc_df.where(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & F.col("content_type").startswith("text/html")
+        )
+        .select(
+            F.xxhash64("warc_file", "record_idx").alias("doc_id"),
+            F.col("target_uri").alias("url"),
+            F.col("warc_date").alias("fetched_at"),
+            F.decode(F.col("payload"), "UTF-8").alias("raw_html"),
+        )
+    )

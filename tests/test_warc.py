@@ -1,0 +1,135 @@
+"""WARC ingest: crafted records in both layouts, end-to-end to text.
+
+The writer lives test-side: real WARC/1.0 records (warcinfo, request,
+response with an HTTP envelope) assembled byte-exactly, stored both
+plain and as the member-per-record .warc.gz layout — so the reader's
+member-at-a-time walk and the HTTP envelope split are pinned against
+known bytes, and the response flows through responses_to_documents →
+extract_html_text to prose.
+"""
+
+import gzip
+import os
+
+from clickhouse_table_copier_spark.operators.html_extract import (
+    extract_html_text,
+)
+from clickhouse_table_copier_spark.sources.warc import (
+    read_warc,
+    responses_to_documents,
+)
+
+_HTML = (
+    "<html><head><title>T</title></head><body><p>Genuine prose long "
+    "enough to clear the extractor's minimum block length easily, "
+    "flowing on and on.</p></body></html>"
+)
+
+
+def _record(headers: dict, block: bytes) -> bytes:
+    head = b"WARC/1.0\r\n" + b"".join(
+        f"{k}: {v}\r\n".encode() for k, v in headers.items()
+    )
+    head += f"Content-Length: {len(block)}\r\n".encode()
+    return head + b"\r\n" + block + b"\r\n\r\n"
+
+
+def _records() -> list:
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+        b"Server: x\r\n\r\n" + _HTML.encode()
+    )
+    return [
+        _record(
+            {"WARC-Type": "warcinfo", "WARC-Date": "2026-08-15T00:00:00Z"},
+            b"software: test-writer",
+        ),
+        _record(
+            {
+                "WARC-Type": "request",
+                "WARC-Target-URI": "https://example.com/page",
+                "WARC-Date": "2026-08-15T00:00:01Z",
+            },
+            b"GET /page HTTP/1.1\r\nHost: example.com\r\n\r\n",
+        ),
+        _record(
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "https://example.com/page",
+                "WARC-Date": "2026-08-15T00:00:02Z",
+                "Content-Type": "application/http; msgtype=response",
+            },
+            http,
+        ),
+        _record(
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "https://example.com/404",
+                "WARC-Date": "2026-08-15T00:00:03Z",
+            },
+            b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\ngone",
+        ),
+    ]
+
+
+def _write_shards(d: str) -> None:
+    recs = _records()
+    with open(os.path.join(d, "a.warc"), "wb") as f:
+        f.write(b"".join(recs))
+    # member-per-record gzip: the CC layout
+    with open(os.path.join(d, "b.warc.gz"), "wb") as f:
+        for r in recs:
+            f.write(gzip.compress(r))
+
+
+def test_both_layouts_yield_identical_records(spark, tmp_path):
+    _write_shards(str(tmp_path))
+    rows = read_warc(spark, str(tmp_path)).collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(os.path.basename(r["warc_file"]), []).append(r)
+    for fname, rs in by_file.items():
+        rs.sort(key=lambda r: r["record_idx"])
+        assert [r["warc_type"] for r in rs] == [
+            "warcinfo", "request", "response", "response",
+        ], fname
+    a = [(r["warc_type"], r["target_uri"], bytes(r["payload"]))
+         for r in by_file["a.warc"]]
+    b = [(r["warc_type"], r["target_uri"], bytes(r["payload"]))
+         for r in by_file["b.warc.gz"]]
+    assert a == b
+
+
+def test_http_envelope_split(spark, tmp_path):
+    _write_shards(str(tmp_path))
+    rows = read_warc(spark, str(tmp_path / "a.warc")).collect()
+    resp = [r for r in rows if r["warc_type"] == "response"]
+    ok = next(r for r in resp if r["http_status"] == 200)
+    assert ok["content_type"].startswith("text/html")
+    assert bytes(ok["payload"]) == _HTML.encode()
+    nf = next(r for r in resp if r["http_status"] == 404)
+    assert bytes(nf["payload"]) == b"gone"
+
+
+def test_truncated_tail_salvages_prefix(spark, tmp_path):
+    recs = _records()
+    p = tmp_path / "t.warc"
+    with open(p, "wb") as f:
+        f.write(b"".join(recs) + b"WARC/1.0\r\nWARC-Type: resp")  # cut off
+    rows = read_warc(spark, str(p)).collect()
+    assert len(rows) == 4  # the whole records survive, the stub drops
+
+
+def test_warc_to_text_end_to_end(spark, tmp_path):
+    """The full path a web corpus takes: WARC shard → 200 text/html
+    responses → HTML extraction → prose."""
+    _write_shards(str(tmp_path))
+    docs = responses_to_documents(
+        read_warc(spark, str(tmp_path / "b.warc.gz"))
+    )
+    rows = docs.collect()
+    assert len(rows) == 1  # the 404 is filtered
+    assert rows[0]["url"] == "https://example.com/page"
+    text = extract_html_text(docs, "raw_html", id_col="doc_id").collect()[0]
+    assert "Genuine prose" in text["text"]
+    assert text["title"] == "T"
