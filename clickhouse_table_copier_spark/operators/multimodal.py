@@ -1882,6 +1882,62 @@ def video_frame_features(df: DataFrame, every_n: int = 1) -> DataFrame:
     )
 
 
+def near_duplicate_videos(
+    df: DataFrame, every_n: int = 1, min_shared_ppm: int = 500_000
+) -> DataFrame:
+    """Near-duplicate video pairs by frame-hash overlap: decode sampled
+    frames (:func:`video_frame_features`), collapse each video to its
+    DISTINCT frame-hash set, generate candidate pairs through an
+    inverted index on the hash value (two videos pair once per shared
+    hash — an equi-join, never all-pairs, the dedup-module shape), and
+    keep pairs whose containment ``|A∩B| / min(|A|,|B|)`` is at least
+    ``min_shared_ppm`` parts-per-million.  A re-encoded / re-muxed copy
+    shares its aHashes (the hash is quantization-robust by the
+    cross-format tests), a trimmed copy is contained in the original —
+    both surface; unrelated videos share nothing and never pair.
+    Output: (media_a, media_b, shared, n_a, n_b, containment_ppm)."""
+    hs = (
+        video_frame_features(df, every_n=every_n)
+        .select("media_id", "ahash")
+        .distinct()
+    )
+    sizes = hs.groupBy("media_id").agg(F.count("*").alias("n"))
+    a, b_ = hs.alias("a"), hs.alias("b")
+    shared = (
+        a.join(b_, on="ahash")
+        .where(F.col("a.media_id") < F.col("b.media_id"))
+        .groupBy(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(
+        F.col("media_id").alias("media_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("media_id").alias("media_b"), F.col("n").alias("n_b")
+    )
+    out = (
+        shared.join(sa, "media_a")
+        .join(sb, "media_b")
+        .select(
+            "media_a",
+            "media_b",
+            "shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("shared") * 1_000_000
+                / F.least(F.col("n_a"), F.col("n_b"))
+            )
+            .cast("long")
+            .alias("containment_ppm"),
+        )
+    )
+    return out.where(F.col("containment_ppm") >= min_shared_ppm)
+
+
 # ---------------------------------------------------------------------------
 # Audio: REAL, not stubbed — WAV (RIFF/PCM) needs no media libraries.
 # Synthesis writes genuine PCM WAV bytes; decode parses the actual RIFF

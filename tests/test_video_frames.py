@@ -143,3 +143,35 @@ def test_rec_sublists_and_header_only_parse(spark):
     assert idxs == [0, 1, 2]
     meta = decode_video_meta(vdf).collect()[0]
     assert meta["brand"] == "AVI " and meta["n_tracks"] == 1
+
+
+def test_near_duplicate_videos(spark):
+    """A trimmed copy pairs with its original (full containment); an
+    unrelated video pairs with neither."""
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        near_duplicate_videos,
+    )
+
+    imgs = [_img(i) for i in range(6)]
+    full = make_mjpeg_avi([encode_baseline_jpeg(im) for im in imgs], 16, 16)
+    trimmed = make_mjpeg_avi(
+        [encode_baseline_jpeg(im) for im in imgs[:3]], 16, 16
+    )
+    other = make_mjpeg_avi(
+        [encode_baseline_jpeg(_img(100 + i)) for i in range(4)], 16, 16
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "video", bytearray(full), "{}"),
+            (2, "video", bytearray(trimmed), "{}"),
+            (3, "video", bytearray(other), "{}"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    pairs = {
+        (r["media_a"], r["media_b"]): r
+        for r in near_duplicate_videos(df).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)]["containment_ppm"] == 1_000_000  # fully contained
+    assert pairs[(1, 2)]["n_a"] == 6 and pairs[(1, 2)]["n_b"] == 3
