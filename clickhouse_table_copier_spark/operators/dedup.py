@@ -624,3 +624,106 @@ def repeated_span_pairs(
         (F.max("run_len") + k - 1).cast("bigint").alias("longest_span_words"),
         F.count(F.lit(1)).cast("bigint").alias("n_spans"),
     )
+
+
+def _paragraphs(id_col: str, text_col: str):
+    """(doc, paragraph, position) explode: split on blank lines, collapse
+    inner whitespace, drop empties — pure Column expressions."""
+    paras = F.split(F.col(text_col), "\\n\\s*\\n")
+    pz = F.filter(
+        F.transform(
+            paras, lambda p: F.trim(F.regexp_replace(p, "\\s+", " "))
+        ),
+        lambda p: p != "",
+    )
+    return F.posexplode(pz)
+
+
+def paragraph_dedup_stats(
+    df: DataFrame, id_col: str, text_col: str, min_len: int = 40
+) -> DataFrame:
+    """Per-document cross-corpus paragraph-duplication ratio — the
+    boilerplate signal (headers, disclaimers, templated blurbs) that
+    document-level dedup can't see because the surrounding text
+    differs.  Paragraphs (blank-line split, whitespace-normalized,
+    ≥ ``min_len`` chars) hash with xxhash64; a paragraph is DUPLICATED
+    when its hash appears in more than one distinct document.  Two
+    shuffles, both map-side combinable: (hash → distinct-doc count) and
+    the per-doc rollup; the hash frame holds hashes, never text.
+    Output: (id, n_paras, n_dup_paras, dup_ratio_ppm)."""
+    pp = df.select(
+        F.col(id_col).alias("id"), _paragraphs(id_col, text_col)
+    ).select(
+        "id", F.col("pos"), F.col("col").alias("para")
+    ).where(F.length("para") >= min_len)
+    ph = pp.select("id", "pos", F.xxhash64("para").alias("ph"))
+    docs_per_hash = ph.groupBy("ph").agg(
+        F.count_distinct("id").alias("nd")
+    )
+    return (
+        ph.join(docs_per_hash, "ph")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_paras"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_paras"),
+        )
+        .select(
+            id_col,
+            "n_paras",
+            "n_dup_paras",
+            (F.col("n_dup_paras") * 1_000_000 / F.col("n_paras"))
+            .cast("bigint")
+            .alias("dup_ratio_ppm"),
+        )
+    )
+
+
+def drop_duplicate_paragraphs(
+    df: DataFrame, id_col: str, text_col: str, min_len: int = 40
+) -> DataFrame:
+    """Rewrite each document keeping, for every paragraph seen anywhere
+    in the corpus, only its CANONICAL occurrence — the (lowest id,
+    lowest position) instance, a total order, so the result is
+    deterministic under any partitioning.  Paragraphs shorter than
+    ``min_len`` always survive (too short to be meaningful boilerplate
+    evidence).  One window over the hash groups (partitioned BY hash —
+    group sizes are duplicate counts, never corpus-sized) plus the
+    per-doc reassembly sort.  Output: (id, text) with paragraphs
+    rejoined by blank lines; documents whose every paragraph was a
+    non-canonical duplicate come back EMPTY (kept, auditable) rather
+    than silently vanishing."""
+    from pyspark.sql import Window
+
+    pp = df.select(
+        F.col(id_col).alias("id"), _paragraphs(id_col, text_col)
+    ).select("id", F.col("pos"), F.col("col").alias("para"))
+    # short paragraphs get a UNIQUE per-occurrence group (hash of the
+    # occurrence, not the text) so they always win their own window —
+    # grouping them under one NULL key would funnel every short
+    # paragraph in the corpus through a single window partition
+    ph = pp.withColumn(
+        "ph",
+        F.when(
+            F.length("para") >= min_len, F.xxhash64("para")
+        ).otherwise(F.xxhash64(F.lit("short:"), "id", "pos")),
+    )
+    w = Window.partitionBy("ph").orderBy("id", "pos")
+    keep = ph.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") == 1
+    )
+    rebuilt = keep.groupBy(F.col("id").alias(id_col)).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            "\n\n",
+        ).alias(text_col)
+    )
+    # a document whose every paragraph was a non-canonical duplicate
+    # must come back EMPTY, not vanish
+    return df.select(id_col).join(rebuilt, id_col, "left").select(
+        id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    )
