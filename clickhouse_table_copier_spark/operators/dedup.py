@@ -626,17 +626,21 @@ def repeated_span_pairs(
     )
 
 
-def _paragraphs(id_col: str, text_col: str):
-    """(doc, paragraph, position) explode: split on blank lines, collapse
-    inner whitespace, drop empties — pure Column expressions."""
+def _paragraphs(text_col: str):
+    """(position, paragraph) explode: split on blank lines, trim outer
+    whitespace, drop empties — pure Column expressions.  The paragraph
+    text stays ORIGINAL (inner newlines/spacing intact — a rebuilt
+    document must not silently reformat code blocks or verse);
+    :func:`_para_key` normalizes for MATCHING only."""
     paras = F.split(F.col(text_col), "\\n\\s*\\n")
-    pz = F.filter(
-        F.transform(
-            paras, lambda p: F.trim(F.regexp_replace(p, "\\s+", " "))
-        ),
-        lambda p: p != "",
-    )
+    pz = F.filter(F.transform(paras, F.trim), lambda p: p != "")
     return F.posexplode(pz)
+
+
+def _para_key(para) -> Column:
+    """Duplicate-match key: whitespace-collapsed content hash, so
+    spacing variants of the same boilerplate collide."""
+    return F.xxhash64(F.regexp_replace(para, "\\s+", " "))
 
 
 def paragraph_dedup_stats(
@@ -650,17 +654,20 @@ def paragraph_dedup_stats(
     when its hash appears in more than one distinct document.  Two
     shuffles, both map-side combinable: (hash → distinct-doc count) and
     the per-doc rollup; the hash frame holds hashes, never text.
-    Output: (id, n_paras, n_dup_paras, dup_ratio_ppm)."""
+    Output: (id, n_paras, n_dup_paras, dup_ratio_ppm) — one row for
+    EVERY input document (zero qualifying paragraphs reports 0/0/0,
+    matching :func:`drop_duplicate_paragraphs`' kept-not-missing
+    contract)."""
     pp = df.select(
-        F.col(id_col).alias("id"), _paragraphs(id_col, text_col)
+        F.col(id_col).alias("id"), _paragraphs(text_col)
     ).select(
         "id", F.col("pos"), F.col("col").alias("para")
     ).where(F.length("para") >= min_len)
-    ph = pp.select("id", "pos", F.xxhash64("para").alias("ph"))
+    ph = pp.select("id", "pos", _para_key("para").alias("ph"))
     docs_per_hash = ph.groupBy("ph").agg(
         F.count_distinct("id").alias("nd")
     )
-    return (
+    counted = (
         ph.join(docs_per_hash, "ph")
         .groupBy(F.col("id").alias(id_col))
         .agg(
@@ -669,11 +676,24 @@ def paragraph_dedup_stats(
             .cast("bigint")
             .alias("n_dup_paras"),
         )
+    )
+    return (
+        df.select(id_col)
+        .join(counted, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_paras", F.lit(0)).cast("bigint").alias("n_paras"),
+            F.coalesce("n_dup_paras", F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_paras"),
+        )
         .select(
             id_col,
             "n_paras",
             "n_dup_paras",
-            (F.col("n_dup_paras") * 1_000_000 / F.col("n_paras"))
+            F.when(F.col("n_paras") > 0,
+                   F.col("n_dup_paras") * 1_000_000 / F.col("n_paras"))
+            .otherwise(0)
             .cast("bigint")
             .alias("dup_ratio_ppm"),
         )
@@ -697,7 +717,7 @@ def drop_duplicate_paragraphs(
     from pyspark.sql import Window
 
     pp = df.select(
-        F.col(id_col).alias("id"), _paragraphs(id_col, text_col)
+        F.col(id_col).alias("id"), _paragraphs(text_col)
     ).select("id", F.col("pos"), F.col("col").alias("para"))
     # short paragraphs get a UNIQUE per-occurrence group (hash of the
     # occurrence, not the text) so they always win their own window —
@@ -706,7 +726,7 @@ def drop_duplicate_paragraphs(
     ph = pp.withColumn(
         "ph",
         F.when(
-            F.length("para") >= min_len, F.xxhash64("para")
+            F.length("para") >= min_len, _para_key("para")
         ).otherwise(F.xxhash64(F.lit("short:"), "id", "pos")),
     )
     w = Window.partitionBy("ph").orderBy("id", "pos")

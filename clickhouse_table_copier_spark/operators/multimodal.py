@@ -1895,11 +1895,18 @@ def near_duplicate_videos(
     shares its aHashes (the hash is quantization-robust by the
     cross-format tests), a trimmed copy is contained in the original —
     both surface; unrelated videos share nothing and never pair.
-    Output: (media_a, media_b, shared, n_a, n_b, containment_ppm)."""
+    Output: (media_a, media_b, shared, n_a, n_b, containment_ppm).
+
+    The frame-hash frame persists here: it feeds both self-join sides
+    and the size frame, and without the pin the per-frame JPEG decode
+    (the expensive stage) could run once per consumer.  Lifetime is
+    caller-owned — unpersist via ``spark.catalog.clearCache()`` or by
+    letting the session end, as with the dedup-module indexes."""
     hs = (
         video_frame_features(df, every_n=every_n)
         .select("media_id", "ahash")
         .distinct()
+        .persist()
     )
     sizes = hs.groupBy("media_id").agg(F.count("*").alias("n"))
     a, b_ = hs.alias("a"), hs.alias("b")

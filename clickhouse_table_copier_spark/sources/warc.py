@@ -46,16 +46,30 @@ WARC_SCHEMA = T.StructType(
 
 def _gzip_members(data: bytes) -> Iterator[bytes]:
     """Inflate a multi-member gzip stream one member at a time (the
-    .warc.gz layout: one record per member)."""
+    .warc.gz layout: one record per member).  Feeds fixed-size chunks
+    from a memoryview so the walk is LINEAR in the shard — handing the
+    decompressor ``data[pos:]`` per member would copy the remaining
+    shard once per member, O(members × size) on a real crawl file.
+    A corrupt or truncated member ends the walk at the last whole
+    record (salvage the prefix, never fail the task)."""
+    view = memoryview(data)
+    n = len(data)
+    chunk_size = 1 << 20
     pos = 0
-    while pos < len(data):
+    while pos < n:
         d = zlib.decompressobj(wbits=47)  # gzip wrapper
-        out = d.decompress(data[pos:])
-        yield out + d.flush()
-        consumed = len(data) - pos - len(d.unused_data)
-        if consumed <= 0:  # corrupt trailer: stop rather than spin
-            return
-        pos += consumed
+        out = bytearray()
+        try:
+            while not d.eof and pos < n:
+                chunk = view[pos : pos + chunk_size]
+                out += d.decompress(chunk)
+                pos += len(chunk)
+        except zlib.error:
+            return  # bit-flipped member: salvage what we have
+        if not d.eof:
+            return  # truncated final member
+        pos -= len(d.unused_data)  # rewind the last chunk's tail
+        yield bytes(out)
 
 
 def _split_records(raw: bytes) -> Iterator[bytes]:
@@ -71,10 +85,15 @@ def _split_records(raw: bytes) -> Iterator[bytes]:
         for line in raw[pos:hdr_end].split(b"\r\n"):
             k, _, v = line.partition(b":")
             if k.strip().lower() == b"content-length":
-                length = int(v.strip())
+                try:
+                    length = int(v.strip())
+                except ValueError:
+                    return  # malformed header: salvage the prefix
         if length is None:
             return
         end = hdr_end + 4 + length
+        if end > len(raw):
+            return  # shard cut mid-payload: drop the partial record
         yield raw[pos:end]
         pos = end
         while raw[pos : pos + 2] == b"\r\n":  # inter-record blank lines
@@ -86,6 +105,8 @@ def _parse_record(rec: bytes):
     content_type, payload).  For response records the HTTP envelope is
     split off; other record types carry their block verbatim."""
     hdr_end = rec.find(b"\r\n\r\n")
+    if hdr_end == -1:
+        return None  # header never terminated: a truncated stub
     headers: dict[str, str] = {}
     for line in rec[:hdr_end].split(b"\r\n")[1:]:
         k, _, v = line.partition(b":")
@@ -144,9 +165,10 @@ def read_warc(
                 for rec in records:
                     if rec[:5] != b"WARC/":
                         continue  # e.g. a non-record gzip member
-                    wtype, uri, date, status, ctype, payload = (
-                        _parse_record(rec)
-                    )
+                    parsed = _parse_record(rec)
+                    if parsed is None:  # truncated stub: skip
+                        continue
+                    wtype, uri, date, status, ctype, payload = parsed
                     rows.append(
                         (
                             path_, idx, wtype, uri, date, status, ctype,
@@ -176,7 +198,9 @@ def responses_to_documents(warc_df: DataFrame) -> DataFrame:
         warc_df.where(
             (F.col("warc_type") == "response")
             & (F.col("http_status") == 200)
-            & F.col("content_type").startswith("text/html")
+            # media types are case-insensitive (IIS-era servers send
+            # Text/HTML)
+            & F.lower(F.col("content_type")).startswith("text/html")
         )
         .select(
             F.xxhash64("warc_file", "record_idx").alias("doc_id"),

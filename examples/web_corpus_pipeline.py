@@ -125,9 +125,11 @@ def main() -> None:
     funnel.append(("after canonical-URL dedup", uniq.count()))
 
     text = extract_html_text(uniq, "raw_html", id_col="doc_id")
+    # quality_score is a 0-100 composite (length band + charset +
+    # stopwords); 50 is a meaningful prose bar
     good = text.where(
         (F.col("n_blocks_kept") > 0)
-        & (quality_score("text") > F.lit(0.2))
+        & (quality_score("text") >= F.lit(50))
     )
     funnel.append(("after extraction + quality gate", good.count()))
 

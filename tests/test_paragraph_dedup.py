@@ -84,3 +84,31 @@ def test_deterministic_under_repartitioning(spark):
     ra = sorted((r["doc_id"], r["text"]) for r in a.collect())
     rb = sorted((r["doc_id"], r["text"]) for r in b.collect())
     assert ra == rb
+
+
+def test_rebuild_preserves_intra_paragraph_formatting(spark):
+    """The rewrite must not reformat surviving text: a code block's
+    inner newlines and indentation come back verbatim (normalization
+    is for MATCHING only)."""
+    code = (
+        "def f(x):\n    y = x + 1\n    return y  # a code block kept "
+        "long enough to clear the minimum paragraph length gate"
+    )
+    df = spark.createDataFrame(
+        [(1, f"{code}\n\n{_P1}")], "doc_id long, text string"
+    )
+    got = drop_duplicate_paragraphs(df, "doc_id", "text").collect()[0]
+    assert got["text"] == f"{code}\n\n{_P1}"
+
+
+def test_stats_keep_docs_with_no_qualifying_paragraphs(spark):
+    df = spark.createDataFrame(
+        [(1, _P1), (2, "short"), (3, "")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in paragraph_dedup_stats(df, "doc_id", "text").collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[2]["n_paras"] == 0 and got[2]["dup_ratio_ppm"] == 0
+    assert got[3]["n_paras"] == 0 and got[3]["dup_ratio_ppm"] == 0

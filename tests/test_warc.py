@@ -133,3 +133,46 @@ def test_warc_to_text_end_to_end(spark, tmp_path):
     text = extract_html_text(docs, "raw_html", id_col="doc_id").collect()[0]
     assert "Genuine prose" in text["text"]
     assert text["title"] == "T"
+
+
+def test_gzip_truncated_member_salvages_prefix(spark, tmp_path):
+    """The .warc.gz layout truncated mid-member (the common transfer
+    failure) must salvage the preceding whole records."""
+    recs = _records()
+    p = tmp_path / "t.warc.gz"
+    with open(p, "wb") as f:
+        for r in recs:
+            f.write(gzip.compress(r))
+        f.write(gzip.compress(_record({"WARC-Type": "response"}, b"x" * 64))[:20])
+    rows = read_warc(spark, str(p)).collect()
+    assert len(rows) == 4
+
+
+def test_truncated_payload_drops_partial_record(spark, tmp_path):
+    recs = _records()
+    p = tmp_path / "cut.warc"
+    blob = b"".join(recs)
+    with open(p, "wb") as f:
+        f.write(blob[: len(blob) - 30])  # cut inside the last body
+    rows = read_warc(spark, str(p)).collect()
+    assert len(rows) == 3  # the cut record drops whole
+
+
+def test_content_type_case_insensitive(spark, tmp_path):
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: Text/HTML; charset=utf-8\r\n\r\n"
+        + _HTML.encode()
+    )
+    rec = _record(
+        {
+            "WARC-Type": "response",
+            "WARC-Target-URI": "https://example.com/up",
+            "WARC-Date": "2026-08-15T00:00:00Z",
+        },
+        http,
+    )
+    p = tmp_path / "c.warc"
+    with open(p, "wb") as f:
+        f.write(rec)
+    docs = responses_to_documents(read_warc(spark, str(p))).collect()
+    assert len(docs) == 1 and docs[0]["url"] == "https://example.com/up"
