@@ -1,0 +1,117 @@
+"""Decline-contract fuzz: no decoder may RAISE on corrupt bytes.
+
+Every raster/container decoder promises None for input it can't
+handle; a raise would escape the mapInPandas fn and fail the Spark
+task. The classic crash source is a VALID file truncated mid-stream
+(transfer cut) or with flipped bytes — so each format's fixture is
+truncated at a spread of offsets and bit-flipped at a spread of
+positions, plus pure-noise blobs wearing valid magic headers. Pure
+driver-side (no Spark session needed): the closures are exactly what
+the executors run.
+"""
+
+import numpy as np
+import pytest
+
+from clickhouse_table_copier_spark.operators.multimodal import (
+    _make_avi_parser,
+    _make_bmp_raster_decoder,
+    _make_gif_raster_decoder,
+    _make_jpeg_raster_decoder,
+    _make_png_raster_decoder,
+    _make_wav_parser,
+    encode_png,
+)
+
+
+def _fixtures():
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_jpeg_decode import encode_baseline_jpeg, encode_progressive_jpeg
+    from test_pipeline_ops import _gif_bytes, _lzw_encode
+    from test_png_variants import _bmp_paletted
+    from test_video_frames import make_mjpeg_avi
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    pal = [tuple(int(x) for x in rng.integers(0, 256, 3)) for _ in range(4)]
+    idx = rng.integers(0, 4, (16, 16), dtype=np.uint8)
+    pixels = list(idx.flatten())
+    palette = b"".join(bytes(p) for p in pal)
+    import struct
+
+    pcm = b"".join(
+        struct.pack("<h", int(8000 * np.sin(t / 5))) for t in range(256)
+    )
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return {
+        "png": encode_png(img.tobytes(), 16, 16, 3),
+        "jpeg": encode_baseline_jpeg(img),
+        "jpeg_prog": encode_progressive_jpeg(img),
+        "gif": _gif_bytes(
+            16, 16, pixels, palette, _lzw_encode(2, pixels), min_code=2
+        ),
+        "bmp": _bmp_paletted(16, 16, idx, pal, 8),
+        "avi": make_mjpeg_avi([encode_baseline_jpeg(img)] * 3, 16, 16),
+        "wav": wav,
+    }
+
+
+def _decoders():
+    wav_parse = _make_wav_parser()
+    avi_parse = _make_avi_parser()
+    return {
+        "png": _make_png_raster_decoder(),
+        "jpeg": _make_jpeg_raster_decoder(),
+        "jpeg_prog": _make_jpeg_raster_decoder(),
+        "gif": _make_gif_raster_decoder(),
+        "bmp": _make_bmp_raster_decoder(),
+        "avi": avi_parse,
+        "wav": wav_parse,
+    }
+
+
+@pytest.mark.parametrize("fmt", list(_decoders().keys()))
+def test_truncations_never_raise(fmt):
+    blob = _fixtures()[fmt]
+    dec = _decoders()[fmt]
+    # truncate at ~40 offsets spread over the file, incl. 0 and len-1
+    cuts = sorted({0, 1, len(blob) - 1} | {
+        len(blob) * k // 40 for k in range(1, 40)
+    })
+    for cut in cuts:
+        dec(blob[:cut])  # must return (anything), never raise
+
+
+@pytest.mark.parametrize("fmt", list(_decoders().keys()))
+def test_bitflips_never_raise(fmt):
+    blob = bytearray(_fixtures()[fmt])
+    dec = _decoders()[fmt]
+    rng = np.random.default_rng(11)
+    for pos in rng.integers(0, len(blob), size=60):
+        flipped = bytearray(blob)
+        flipped[pos] ^= 0xFF
+        dec(bytes(flipped))
+
+
+@pytest.mark.parametrize("fmt", list(_decoders().keys()))
+def test_noise_behind_valid_magic_never_raises(fmt):
+    magic = {
+        "png": b"\x89PNG\r\n\x1a\n",
+        "jpeg": b"\xff\xd8",
+        "jpeg_prog": b"\xff\xd8",
+        "gif": b"GIF89a",
+        "bmp": b"BM",
+        "avi": b"RIFF\x00\x01\x00\x00AVI ",
+        "wav": b"RIFF\x00\x01\x00\x00WAVE",
+    }[fmt]
+    dec = _decoders()[fmt]
+    rng = np.random.default_rng(13)
+    for i in range(40):
+        noise = rng.integers(0, 256, size=64 + i * 16, dtype=np.uint8)
+        dec(magic + noise.tobytes())
