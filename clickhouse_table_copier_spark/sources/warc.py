@@ -206,6 +206,9 @@ def responses_to_documents(warc_df: DataFrame) -> DataFrame:
             F.xxhash64("warc_file", "record_idx").alias("doc_id"),
             F.col("target_uri").alias("url"),
             F.col("warc_date").alias("fetched_at"),
-            F.decode(F.col("payload"), "UTF-8").alias("raw_html"),
+            # cast, NOT decode(): ANSI-mode decode raises
+            # MALFORMED_CHARACTER_CODING on the first Latin-1 page and
+            # kills the job; the cast replacement-decodes invalid bytes
+            F.col("payload").cast("string").alias("raw_html"),
         )
     )

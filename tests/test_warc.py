@@ -176,3 +176,27 @@ def test_content_type_case_insensitive(spark, tmp_path):
         f.write(rec)
     docs = responses_to_documents(read_warc(spark, str(p))).collect()
     assert len(docs) == 1 and docs[0]["url"] == "https://example.com/up"
+
+
+def test_non_utf8_body_does_not_kill_the_job(spark, tmp_path):
+    """A Latin-1 page must replacement-decode, not raise ANSI
+    MALFORMED_CHARACTER_CODING and fail the whole ingest."""
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        b"<html><body><p>caf\xe9 cr\xe8me, a paragraph long enough to "
+        b"survive downstream filters in any case.</p></body></html>"
+    )
+    rec = _record(
+        {
+            "WARC-Type": "response",
+            "WARC-Target-URI": "https://example.com/latin1",
+            "WARC-Date": "2026-08-15T00:00:00Z",
+        },
+        http,
+    )
+    p = tmp_path / "l1.warc"
+    with open(p, "wb") as f:
+        f.write(rec)
+    docs = responses_to_documents(read_warc(spark, str(p))).collect()
+    assert len(docs) == 1
+    assert "caf" in docs[0]["raw_html"]  # decoded with replacement
