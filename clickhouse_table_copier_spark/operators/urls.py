@@ -3,9 +3,11 @@
 C4/RefinedWeb-style pipelines filter and deduplicate by URL before any
 text processing: canonicalize, split into host/registrable-domain/TLD,
 score path shape, and drop blocklisted domains.  Everything here is a
-JVM-side expression (``parse_url``, regex, string ops) — codegen-
-eligible, no Python in the hot path, so a 100 TB crawl listing is one
-map-side scan; the blocklist filter is a broadcast semi-join.
+JVM-side expression — ``try_parse_url`` (the try_ form on purpose:
+ANSI ``parse_url`` THROWS on any malformed URL, and crawl data always
+contains some), regex, string ops — codegen-eligible, no Python in
+the hot path, so a 100 TB crawl listing is one map-side scan; the
+blocklist filter is a broadcast semi-join.
 
 The registrable-domain split uses the last-two-labels approximation
 plus a small set of common second-level public suffixes (co.uk style);
@@ -28,10 +30,10 @@ _SECOND_LEVEL_SUFFIXES = (
 
 
 def url_host(url: Column | str) -> Column:
-    """Lowercased host (``parse_url`` HOST never includes the port);
+    """Lowercased host (``try_parse_url`` HOST never includes the port);
     NULL for unparseable input."""
     u = F.col(url) if isinstance(url, str) else url
-    return F.lower(F.parse_url(u, F.lit("HOST")))
+    return F.lower(F.try_parse_url(u, F.lit("HOST")))
 
 
 def url_port(url: Column | str) -> Column:
@@ -65,14 +67,14 @@ def url_tld(host: Column | str) -> Column:
 def url_path_depth(url: Column | str) -> Column:
     """Number of non-empty path segments (``/a/b/c`` → 3; ``/`` → 0)."""
     u = F.col(url) if isinstance(url, str) else url
-    path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
+    path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
     segs = F.filter(F.split(path, "/"), lambda s: s != "")
     return F.size(segs)
 
 
 def url_query_param_count(url: Column | str) -> Column:
     u = F.col(url) if isinstance(url, str) else url
-    q = F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit(""))
+    q = F.coalesce(F.try_parse_url(u, F.lit("QUERY")), F.lit(""))
     # empty segments (?a=1&&b=2, trailing &) are not params
     return F.size(F.filter(F.split(q, "&"), lambda s: s != ""))
 
@@ -84,7 +86,7 @@ def canonical_url(url: Column | str) -> Column:
     tracking parameters (utm_*, fbclid, gclid).  Two URLs that render
     the same page map to one key."""
     u = F.col(url) if isinstance(url, str) else url
-    scheme = F.lower(F.coalesce(F.parse_url(u, F.lit("PROTOCOL")), F.lit("http")))
+    scheme = F.lower(F.coalesce(F.try_parse_url(u, F.lit("PROTOCOL")), F.lit("http")))
     port = url_port(u)
     is_default = (
         (port == "")
@@ -94,9 +96,9 @@ def canonical_url(url: Column | str) -> Column:
     hostport = F.when(is_default, url_host(u)).otherwise(
         F.concat(url_host(u), F.lit(":"), port)
     )
-    path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
+    path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
     path = F.regexp_replace(path, "/+$", "")
-    q = F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit(""))
+    q = F.coalesce(F.try_parse_url(u, F.lit("QUERY")), F.lit(""))
     kept = F.filter(
         F.split(q, "&"),
         lambda p: (p != "")
@@ -104,13 +106,17 @@ def canonical_url(url: Column | str) -> Column:
     )
     # sort the surviving params so ?a=1&b=2 and ?b=2&a=1 collide
     qnorm = F.array_join(F.array_sort(kept), "&")
-    return F.concat(
+    built = F.concat(
         scheme,
         F.lit("://"),
         hostport,
         path,
         F.when(qnorm == "", F.lit("")).otherwise(F.concat(F.lit("?"), qnorm)),
     )
+    # an unparseable URL (NULL host) keys by its raw text — a NULL key
+    # would collapse EVERY unparseable URL into one dedup group and a
+    # downstream keep-one would silently drop all but one of them
+    return F.coalesce(built, u)
 
 
 def filter_blocklisted(

@@ -99,3 +99,15 @@ def test_non_default_port_is_a_distinct_origin(spark):
 def test_param_count_ignores_empty_segments(spark):
     assert _one(spark, "http://e.com/p?a=1&&b=2", url_query_param_count("u")) == 2
     assert _one(spark, "http://e.com/p?a=1&", url_query_param_count("u")) == 1
+
+
+def test_unparseable_urls_do_not_collapse(spark):
+    """NULL-host inputs key by raw text: two different junk strings
+    must NOT share one canonical key (a NULL key would merge every
+    unparseable URL into a single dedup group)."""
+    df = spark.createDataFrame(
+        [("not a url at all",), ("::also::junk::",)], "u string"
+    )
+    keys = [r["k"] for r in df.select(canonical_url("u").alias("k")).collect()]
+    assert None not in keys
+    assert len(set(keys)) == 2
