@@ -1883,7 +1883,10 @@ def video_frame_features(df: DataFrame, every_n: int = 1) -> DataFrame:
 
 
 def near_duplicate_videos(
-    df: DataFrame, every_n: int = 1, min_shared_ppm: int = 500_000
+    df: DataFrame,
+    every_n: int = 1,
+    min_shared_ppm: int = 500_000,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate video pairs by frame-hash overlap: decode sampled
     frames (:func:`video_frame_features`), collapse each video to its
@@ -1897,6 +1900,21 @@ def near_duplicate_videos(
     both surface; unrelated videos share nothing and never pair.
     Output: (media_a, media_b, shared, n_a, n_b, containment_ppm).
 
+    ``max_df`` is the scale lever (SCALE.md), the exact shape
+    :func:`...dedup.ngram_jaccard_pairs` uses for ubiquitous shingles:
+    the candidate join emits one row per (hash, pair) so its cost is
+    Σ document-frequency² over frame hashes, and ONE ubiquitous frame —
+    a black frame, a studio card, a mid-roll slate shared by k videos —
+    contributes k(k−1)/2 candidate rows on its own.  With ``max_df``
+    set, per-hash df is counted first and hashes with df > max_df are
+    dropped from BOTH self-join sides; per-video sizes still count
+    every hash, so containment becomes a (tight) lower bound — the
+    correct direction for a dedup gate, a pair can only LOSE evidence.
+    ``None`` keeps the computation exact; at corpus scale set it to a
+    small multiple of the expected true-duplicate fan-out (copies of
+    one video share hashes at df ≈ #copies; broadcast-interstitial
+    hashes sit orders of magnitude higher).
+
     The frame-hash frame persists here: it feeds both self-join sides
     and the size frame, and without the pin the per-frame JPEG decode
     (the expensive stage) could run once per consumer.  Lifetime is
@@ -1909,7 +1927,16 @@ def near_duplicate_videos(
         .persist()
     )
     sizes = hs.groupBy("media_id").agg(F.count("*").alias("n"))
-    a, b_ = hs.alias("a"), hs.alias("b")
+    join_side = hs
+    if max_df is not None:
+        rare = (
+            hs.groupBy("ahash")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("ahash")
+        )
+        join_side = hs.join(rare, "ahash")
+    a, b_ = join_side.alias("a"), join_side.alias("b")
     shared = (
         a.join(b_, on="ahash")
         .where(F.col("a.media_id") < F.col("b.media_id"))

@@ -175,3 +175,55 @@ def test_near_duplicate_videos(spark):
     assert set(pairs) == {(1, 2)}
     assert pairs[(1, 2)]["containment_ppm"] == 1_000_000  # fully contained
     assert pairs[(1, 2)]["n_a"] == 6 and pairs[(1, 2)]["n_b"] == 3
+
+
+def test_near_duplicate_videos_hot_hash_cap(spark):
+    """The scale lever (SCALE.md): ONE ubiquitous frame — a black/intro
+    card shared by k videos — must not turn the candidate join
+    quadratic.  50 otherwise-unrelated videos share a black frame;
+    uncapped that is 50·49/2 = 1225 candidate pairs (each at full
+    containment on the 1-of-2 shared hash, so they'd ALL pass the
+    500000 ppm gate — 1225 false dup pairs).  With ``max_df`` set the
+    hot hash is dropped from BOTH join sides, the impostors vanish,
+    and a genuine duplicate pair (df = 2 ≤ cap on every shared hash)
+    still surfaces at exact full containment."""
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        near_duplicate_videos,
+    )
+
+    black = np.zeros((16, 16, 3), dtype=np.uint8)
+    black[:8, :] = 40  # structure so the hash isn't degenerate
+    black_jpg = encode_baseline_jpeg(black)
+    rows = []
+    for i in range(50):
+        avi = make_mjpeg_avi(
+            [black_jpg, encode_baseline_jpeg(_img(1000 + i))], 16, 16
+        )
+        rows.append((i, "video", bytearray(avi), "{}"))
+    # a real duplicate pair: same two (unique) frames, ids 100/101
+    dup_frames = [encode_baseline_jpeg(_img(2000 + j)) for j in range(2)]
+    for mid in (100, 101):
+        rows.append(
+            (mid, "video", bytearray(make_mjpeg_avi(dup_frames, 16, 16)), "{}")
+        )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    capped = {
+        (r["media_a"], r["media_b"]): r
+        for r in near_duplicate_videos(df, max_df=5).collect()
+    }
+    assert set(capped) == {(100, 101)}, (
+        "hot-hash cap must kill the 1225 black-frame impostor pairs "
+        "and keep the genuine duplicate"
+    )
+    r = capped[(100, 101)]
+    # sizes count EVERY hash (cap only prunes the join side), so the
+    # genuine pair keeps exact full containment
+    assert (r["shared"], r["n_a"], r["n_b"]) == (2, 2, 2)
+    assert r["containment_ppm"] == 1_000_000
+
+    # uncapped on a small slice: the blowup is real, not hypothetical —
+    # 6 black-frame videos emit all 15 impostor pairs
+    small = spark.createDataFrame(rows[:6], MEDIA_SCHEMA)
+    uncapped = near_duplicate_videos(small).collect()
+    assert len(uncapped) == 15
