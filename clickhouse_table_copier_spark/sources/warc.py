@@ -12,10 +12,15 @@ text pipeline feeds to ``operators.html_extract``).
 
 Scale shape (100 TB): ``binaryFile`` yields one row per shard; each
 task walks its shard with a generator that yields an Arrow batch every
-``batch_records`` records, so peak memory is one batch of bodies (and
-for ``.warc.gz``, one gzip member's inflation at a time) — never the
-whole shard.  The shard is the unit of parallelism, exactly as with
-the WebDataset reader.
+``batch_records`` records.  Honest per-task memory floor: ``binaryFile``
+materializes the ENTIRE compressed shard as one row's ``content``
+before ``mapInPandas`` sees it, so the floor is (whole compressed shard
+resident) + (one gzip member's inflation at a time) + (one Arrow batch
+of bodies) — the generator bounds the inflated and batched sides, not
+the compressed input side.  Size shards accordingly: Common Crawl's
+~1 GB ``.warc.gz`` shards fit comfortably on standard 4-8 GB-per-task
+executors; tens-of-GB shards do not.  The shard is the unit of
+parallelism, exactly as with the WebDataset reader.
 
 Reference parity: none — north-star LLM-pipeline surface (SURVEY.md
 §2.8); the reference engine reads SQL tables only.
@@ -23,6 +28,7 @@ Reference parity: none — north-star LLM-pipeline surface (SURVEY.md
 
 from __future__ import annotations
 
+import re
 import zlib
 from typing import Iterator
 
@@ -186,29 +192,120 @@ def read_warc(
     return shards.select("path", "content").mapInPandas(expand, WARC_SCHEMA)
 
 
-def responses_to_documents(warc_df: DataFrame) -> DataFrame:
+# BOM sniff table, longest-prefix first (UTF-32 LE before UTF-16 LE —
+# they share \xff\xfe)
+_BOMS = (
+    (b"\xef\xbb\xbf", "utf-8-sig"),
+    (b"\xff\xfe\x00\x00", "utf-32-le"),
+    (b"\x00\x00\xfe\xff", "utf-32-be"),
+    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be"),
+)
+# matches both the Content-Type parameter (charset=ISO-8859-1) and the
+# HTML meta forms (<meta charset="x">, http-equiv content="...charset=x")
+_CHARSET_RE = re.compile(
+    rb"charset\s*=\s*[\"']?\s*([A-Za-z0-9_\-:.]+)", re.I
+)
+
+
+def _sniff_decode(payload: bytes, ctype) -> str:
+    """Decode an HTML body by the charset evidence the page actually
+    carries, falling back to UTF-8: (1) a byte-order mark wins outright;
+    (2) the Content-Type header's charset parameter; (3) a ``charset=``
+    in the first 1024 bytes (the HTML5 meta-sniff window — charset
+    names are ASCII, so the scan is safe in any ASCII-compatible
+    encoding, which every declared-in-meta encoding is); (4) UTF-8.
+    Always ``errors="replace"`` and unknown charset names fall through
+    to the UTF-8 fallback — a crawl page never fails the task."""
+    import codecs
+
+    for bom, enc in _BOMS:
+        if payload.startswith(bom):
+            return payload.decode(enc, "replace")
+    enc_name = None
+    if ctype:
+        m = _CHARSET_RE.search(ctype.encode("ascii", "ignore"))
+        if m:
+            enc_name = m.group(1).decode("ascii")
+    if enc_name is None:
+        m = _CHARSET_RE.search(payload[:1024])
+        if m:
+            enc_name = m.group(1).decode("ascii")
+    if enc_name:
+        try:
+            codecs.lookup(enc_name)
+        except LookupError:
+            enc_name = None  # bogus declaration: fall back, don't raise
+    return payload.decode(enc_name or "utf-8", "replace")
+
+
+def responses_to_documents(
+    warc_df: DataFrame, sniff_charset: bool = True
+) -> DataFrame:
     """response records → ``(doc_id, url, fetched_at, raw_html)`` for
-    the HTML-extraction stage: 200-status text/html bodies only,
-    decoded as UTF-8 with replacement (charset sniffing is the
-    documented swap-in), doc_id = deterministic xxhash64 of
-    (warc_file, record_idx)."""
+    the HTML-extraction stage: 200-status text/html bodies only, doc_id
+    = deterministic xxhash64 of (warc_file, record_idx).
+
+    With ``sniff_charset`` (default) bodies decode by their declared
+    charset — BOM, then the Content-Type parameter, then the HTML5
+    1024-byte meta sniff, then UTF-8-with-replacement
+    (:func:`_sniff_decode`) — in one Arrow-batched ``mapInPandas``
+    stage; Latin-1 and Shift-JIS pages come out as the text they are,
+    not mojibake.  The bytes were crossing to Python at the very next
+    stage (``operators.html_extract``) anyway, so the sniff adds no new
+    JVM↔Python round trip.
+
+    ``sniff_charset=False`` keeps the pure-JVM fast path: cast, NOT
+    ``decode()`` — ANSI-mode decode raises MALFORMED_CHARACTER_CODING
+    on the first Latin-1 page and kills the job, while the cast DEFERS
+    validation (the JVM passes the bytes through unvalidated;
+    replacement happens later at the Arrow/Python boundary), so
+    non-UTF-8 bytes survive as replacement characters downstream rather
+    than decoded text."""
     from pyspark.sql import functions as F
 
-    return (
-        warc_df.where(
-            (F.col("warc_type") == "response")
-            & (F.col("http_status") == 200)
-            # media types are case-insensitive (IIS-era servers send
-            # Text/HTML)
-            & F.lower(F.col("content_type")).startswith("text/html")
-        )
-        .select(
+    picked = warc_df.where(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        # media types are case-insensitive (IIS-era servers send
+        # Text/HTML)
+        & F.lower(F.col("content_type")).startswith("text/html")
+    )
+    if not sniff_charset:
+        return picked.select(
             F.xxhash64("warc_file", "record_idx").alias("doc_id"),
             F.col("target_uri").alias("url"),
             F.col("warc_date").alias("fetched_at"),
-            # cast, NOT decode(): ANSI-mode decode raises
-            # MALFORMED_CHARACTER_CODING on the first Latin-1 page and
-            # kills the job; the cast replacement-decodes invalid bytes
             F.col("payload").cast("string").alias("raw_html"),
         )
+    narrow = picked.select(
+        F.xxhash64("warc_file", "record_idx").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("warc_date").alias("fetched_at"),
+        "content_type",
+        "payload",
     )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("fetched_at", T.StringType()),
+            T.StructField("raw_html", T.StringType()),
+        ]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "url": pdf["url"],
+                    "fetched_at": pdf["fetched_at"],
+                    "raw_html": [
+                        _sniff_decode(bytes(p), c)
+                        for p, c in zip(pdf["payload"], pdf["content_type"])
+                    ],
+                }
+            )
+
+    return narrow.mapInPandas(decode, out_schema)

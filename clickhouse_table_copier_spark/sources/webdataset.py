@@ -21,9 +21,14 @@ Scale shape (100 TB): ``spark.read.format("binaryFile")`` yields ONE row
 per shard, so each task expands one shard with stdlib ``tarfile`` from
 an in-memory buffer — the standard WebDataset execution model (a shard
 is the unit of parallelism; size shards ~1 GB so a 100 TB corpus is
-~100k tasks).  Member expansion is a ``mapInPandas`` generator that
-yields one output batch PER SHARD, so peak memory is one shard's
-members, not the whole partition.  ``group_samples`` shuffles once on
+~100k tasks).  Honest per-task memory floor: ``binaryFile``
+materializes the ENTIRE shard as one row's ``content`` before
+``mapInPandas`` sees it, so the floor is (whole shard resident) + (one
+extracted member) + (one emitted Arrow batch = one shard's members) —
+the batch-per-shard yield bounds the pandas side, not the input side.
+Size shards so that floor fits executor memory: ~1 GB shards are
+comfortable on standard 4-8 GB-per-task executors; 10 GB shards are
+not.  ``group_samples`` shuffles once on
 (shard, key); keys never span shards in the WebDataset convention, so
 the groupBy is shard-local in spirit and AQE coalesces the small
 post-shuffle partitions.
@@ -147,6 +152,15 @@ def write_webdataset(
     written.  ``path`` must be a directory visible to the executors —
     local/NFS/fuse; on object storage a real deployment writes to the
     mount or uploads the closed shard.
+
+    Write atomicity: each task streams to a task-ATTEMPT-unique temp
+    name and ``os.replace``\\ s it over the final ``shard-NNNNN.tar``
+    only after the tar closes cleanly, so a retried or speculative
+    attempt never interleaves with (or truncates under) a sibling —
+    readers observe either the previous complete shard or the new
+    complete shard, never a partial one.  The directory is also created
+    inside the task (executors need not share the driver's filesystem
+    view of a fresh run directory).
     """
     import os
 
@@ -156,25 +170,40 @@ def write_webdataset(
     def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        os.makedirs(path, exist_ok=True)
         fname = os.path.join(path, f"shard-{pid:05d}.tar")
+        tmp = os.path.join(
+            path, f".shard-{pid:05d}.tar.inprogress-{ctx.taskAttemptId()}"
+        )
         n = 0
-        with tarfile.open(fname, "w|") as tf:
-            for pdf in batches:
-                order = pdf["key"].argsort(kind="stable")
-                for i in order:
-                    key, parts = pdf["key"].iloc[i], pdf["parts"].iloc[i]
-                    for field in sorted(parts):
-                        blob = bytes(parts[field])
-                        name = f"{key}.{field}" if field else key
-                        info = tarfile.TarInfo(name)
-                        info.size = len(blob)
-                        tf.addfile(info, io.BytesIO(blob))
-                        n += 1
+        try:
+            with tarfile.open(tmp, "w|") as tf:
+                for pdf in batches:
+                    order = pdf["key"].argsort(kind="stable")
+                    for i in order:
+                        key, parts = pdf["key"].iloc[i], pdf["parts"].iloc[i]
+                        for field in sorted(parts):
+                            blob = bytes(parts[field])
+                            name = f"{key}.{field}" if field else key
+                            info = tarfile.TarInfo(name)
+                            info.size = len(blob)
+                            tf.addfile(info, io.BytesIO(blob))
+                            n += 1
+        except BaseException:
+            # failed attempt: leave no temp litter; the retry gets its
+            # own attempt-unique name either way
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            raise
         if n == 0:
-            os.remove(fname)  # empty partition: no empty shard litter
+            os.remove(tmp)  # empty partition: no empty shard litter
             yield pd.DataFrame({"shard": [], "n_members": []})
         else:
+            os.replace(tmp, fname)  # atomic publish on POSIX
             yield pd.DataFrame({"shard": [fname], "n_members": [n]})
 
     out = parted.select("key", "parts").mapInPandas(

@@ -199,4 +199,90 @@ def test_non_utf8_body_does_not_kill_the_job(spark, tmp_path):
         f.write(rec)
     docs = responses_to_documents(read_warc(spark, str(p))).collect()
     assert len(docs) == 1
-    assert "caf" in docs[0]["raw_html"]  # decoded with replacement
+    # no charset declared anywhere: the sniff falls back to UTF-8 with
+    # replacement — the job survives and the ASCII text is intact
+    assert "caf" in docs[0]["raw_html"]
+    # the explicit JVM fast path also survives (defers validation)
+    docs_fast = responses_to_documents(
+        read_warc(spark, str(p)), sniff_charset=False
+    ).collect()
+    assert len(docs_fast) == 1 and "caf" in docs_fast[0]["raw_html"]
+
+
+def _one_response(tmp_path, name, http_bytes, uri="https://example.com/x"):
+    rec = _record(
+        {
+            "WARC-Type": "response",
+            "WARC-Target-URI": uri,
+            "WARC-Date": "2026-08-15T00:00:00Z",
+        },
+        http_bytes,
+    )
+    p = tmp_path / name
+    with open(p, "wb") as f:
+        f.write(rec)
+    return str(p)
+
+
+def test_charset_from_content_type_header(spark, tmp_path):
+    """VERDICT r9 item 7: a declared Latin-1 page decodes to the text
+    it IS — café crème, not mojibake or replacement characters."""
+    body = "<html><body><p>caf\u00e9 cr\u00e8me</p></body></html>".encode(
+        "iso-8859-1"
+    )
+    http = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=ISO-8859-1\r\n\r\n" + body
+    )
+    p = _one_response(tmp_path, "l1h.warc", http)
+    docs = responses_to_documents(read_warc(spark, p)).collect()
+    assert len(docs) == 1
+    assert "caf\u00e9 cr\u00e8me" in docs[0]["raw_html"]
+
+
+def test_charset_from_meta_tag(spark, tmp_path):
+    """No header charset, Shift-JIS declared in <meta> within the HTML5
+    1024-byte sniff window: the Japanese text round-trips exactly."""
+    jp = "\u65e5\u672c\u8a9e\u306e\u30da\u30fc\u30b8"  # 日本語のページ
+    html = (
+        '<html><head><meta charset="shift_jis"><title>t</title></head>'
+        f"<body><p>{jp}</p></body></html>"
+    )
+    body = html.encode("shift_jis")
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    p = _one_response(tmp_path, "sjis.warc", http)
+    docs = responses_to_documents(read_warc(spark, p)).collect()
+    assert len(docs) == 1
+    assert jp in docs[0]["raw_html"]
+
+
+def test_charset_bom_wins_over_wrong_declaration(spark, tmp_path):
+    """A UTF-8 BOM outranks a (wrong) Latin-1 header declaration, and
+    the BOM itself is stripped from the decoded text."""
+    text = "caf\u00e9"
+    body = b"\xef\xbb\xbf" + f"<html><body><p>{text}</p></body></html>".encode(
+        "utf-8"
+    )
+    http = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=ISO-8859-1\r\n\r\n" + body
+    )
+    p = _one_response(tmp_path, "bom.warc", http)
+    docs = responses_to_documents(read_warc(spark, p)).collect()
+    assert len(docs) == 1
+    assert text in docs[0]["raw_html"]
+    assert not docs[0]["raw_html"].startswith("\ufeff")
+
+
+def test_charset_bogus_declaration_falls_back(spark, tmp_path):
+    """An unknown charset name must fall back to UTF-8-with-replacement,
+    never raise in the task."""
+    http = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=not-a-real-charset\r\n\r\n"
+        b"<html><body><p>plain ascii survives</p></body></html>"
+    )
+    p = _one_response(tmp_path, "bogus.warc", http)
+    docs = responses_to_documents(read_warc(spark, p)).collect()
+    assert len(docs) == 1
+    assert "plain ascii survives" in docs[0]["raw_html"]
