@@ -9,10 +9,14 @@ contains some), regex, string ops — codegen-eligible, no Python in
 the hot path, so a 100 TB crawl listing is one map-side scan; the
 blocklist filter is a broadcast semi-join.
 
-The registrable-domain split uses the last-two-labels approximation
-plus a small set of common second-level public suffixes (co.uk style);
-a real deployment swaps in the full Public Suffix List as a broadcast
-table — the documented seam, the operator shape is identical.
+The registrable-domain split here uses the last-two-labels
+approximation plus a small set of common second-level public suffixes
+(co.uk style) — zero-dependency and join-free.  The FULL Public Suffix
+List algorithm (wildcards, exceptions, longest-match, private section)
+is implemented in :mod:`operators.psl`: load the published list file
+with ``load_psl_rules`` and swap ``url_domain(...)`` for
+``psl_registrable_domain(df, host_col, rules)`` — broadcast joins only,
+still zero shuffles on the URL stream.
 """
 
 from __future__ import annotations
