@@ -330,8 +330,7 @@ def _make_gif_raster_decoder():
     ``(w, h, 3, uint8 RGB raster)`` or ``None`` — the PNG/BMP/JPEG
     raster contract, so aHash/resize consume GIF identically
     (cross-format dedup). With all four rasters decoding, the PIL seam
-    is down to arithmetic-coded/12-bit JPEG and bitfield-compressed
-    BMP."""
+    is down to arithmetic-coded/12-bit JPEG."""
     import struct as _struct
 
     def _lzw(min_code: int, data: bytes, n_pixels: int):
@@ -1248,12 +1247,13 @@ def _make_bmp_raster_decoder():
     the 1/4/8-bit paletted forms (BGRA-quad color table after the info
     header, MSB-first packed indices, 4-byte row stride), and BI_RLE8 /
     BI_RLE4 run-length compression (encoded runs, absolute runs, EOL /
-    EOB / delta escapes).  Returns the full pixel array ``(w, h, nch,
-    uint8 (h, w, nch) in RGB(A) order, TOP-DOWN row order)`` —
-    normalized so the same image stored as PNG or BMP yields the
-    identical raster, which is what cross-format perceptual hashing
-    requires.  Returns None for uncovered variants (bitfield
-    compression)."""
+    EOB / delta escapes), plus BI_BITFIELDS at 16/32 bits (arbitrary
+    per-channel masks scaled to 8 bits with integer rounding; the V3+
+    alpha mask yields a 4th channel) and implicit-555 16-bit BI_RGB.
+    Returns the full pixel array ``(w, h, nch, uint8 (h, w, nch) in
+    RGB(A) order, TOP-DOWN row order)`` — normalized so the same image
+    stored as PNG or BMP yields the identical raster, which is what
+    cross-format perceptual hashing requires."""
 
     def _unrle(data: bytes, w: int, rows: int, bpp: int):
         """BI_RLE8/BI_RLE4 → (rows, w) index array, bottom-up row order
@@ -1321,11 +1321,13 @@ def _make_bmp_raster_decoder():
             comp = int.from_bytes(content[30:34], "little")
             if w <= 0 or h == 0:
                 return None
-            if comp not in (0, 1, 2) or (
+            if comp not in (0, 1, 2, 3) or (
                 comp == 1 and bpp != 8
-            ) or (comp == 2 and bpp != 4):
+            ) or (comp == 2 and bpp != 4) or (
+                comp == 3 and bpp not in (16, 32)
+            ):
                 return None
-            if comp and h < 0:
+            if comp in (1, 2) and h < 0:
                 return None  # RLE is defined bottom-up only
             rows = abs(h)
             pal = n_pal = None
@@ -1337,12 +1339,62 @@ def _make_bmp_raster_decoder():
                 pal = _np.frombuffer(
                     content, dtype=_np.uint8, count=4 * n_pal, offset=pal_off
                 ).reshape(-1, 4)[:, [2, 1, 0]]  # BGRA quads → RGB
-            if comp:  # BI_RLE8 / BI_RLE4
+            if comp in (1, 2):  # BI_RLE8 / BI_RLE4
                 idx = _unrle(content[off:], w, rows, bpp)
                 if idx is None or int(idx.max()) >= n_pal:
                     return None
                 return w, rows, 3, _np.ascontiguousarray(pal[idx][::-1])
-            if bpp in (24, 32):
+            if comp == 3 or bpp == 16:
+                # BI_BITFIELDS (and implicit-555 16-bit BI_RGB): the
+                # R/G/B DWORD masks sit at file offset 54 whether they
+                # follow a 40-byte info header or ARE the V2+ header's
+                # mask fields; an alpha mask exists only in >=56-byte
+                # headers.  Each channel is (pixel & mask) >> shift,
+                # scaled to 8 bits with integer rounding — so 8-bit-wide
+                # masks (8888) reproduce PNG rasters bit-exactly.
+                if comp == 3:
+                    if len(content) < 66:
+                        return None
+                    rmask, gmask, bmask = (
+                        int.from_bytes(content[54 + 4 * i : 58 + 4 * i], "little")
+                        for i in range(3)
+                    )
+                    amask = (
+                        int.from_bytes(content[66:70], "little")
+                        if hdr_size >= 56 and len(content) >= 70
+                        else 0
+                    )
+                else:
+                    rmask, gmask, bmask, amask = 0x7C00, 0x03E0, 0x001F, 0
+                lim = 1 << bpp
+                if not (0 < rmask < lim and 0 < gmask < lim and 0 < bmask < lim):
+                    return None
+                itemsize = bpp // 8
+                stride = ((w * itemsize + 3) // 4) * 4
+                if len(content) < off + stride * rows:
+                    return None
+                raw = _np.frombuffer(
+                    content, dtype=_np.uint8, count=stride * rows, offset=off
+                ).reshape(rows, stride)
+                vals = (
+                    _np.ascontiguousarray(raw[:, : w * itemsize])
+                    .view("<u2" if bpp == 16 else "<u4")
+                    .reshape(rows, w)
+                    .astype(_np.uint64)
+                )
+
+                def _chan(mask):
+                    shift = (mask & -mask).bit_length() - 1
+                    maxv = mask >> shift
+                    c = (vals >> shift) & maxv
+                    return ((c * 255 + maxv // 2) // maxv).astype(_np.uint8)
+
+                chans = [_chan(rmask), _chan(gmask), _chan(bmask)]
+                if 0 < amask < lim:
+                    chans.append(_chan(amask))
+                nch = len(chans)
+                raster = _np.stack(chans, axis=2)
+            elif bpp in (24, 32):
                 nch = bpp // 8
                 stride = ((w * nch + 3) // 4) * 4
                 if len(content) < off + stride * rows:

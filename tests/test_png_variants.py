@@ -450,3 +450,126 @@ def test_resize_covers_bmp(spark):
     rgb = np.array(pal, dtype=np.uint8)[idx]
     xs = (np.arange(8) * 16) // 8
     assert np.array_equal(got[3], rgb[xs][:, xs])
+
+
+def _bmp_bitfields(w, h, pixels, bpp, masks, hdr_size=40, topdown=False):
+    """Build a BI_BITFIELDS BMP: ``pixels`` is an (h, w) array of raw
+    16/32-bit pixel values (top-down), ``masks`` = (r, g, b[, a]).
+    hdr_size 40 appends the three RGB masks after the header; hdr_size
+    >= 56 (V3/V4/V5) carries all four masks inside the header."""
+    itemsize = bpp // 8
+    stride = ((w * itemsize + 3) // 4) * 4
+    order = range(h) if topdown else range(h - 1, -1, -1)
+    fmt = "<H" if bpp == 16 else "<I"
+    rows = []
+    for y in order:
+        row = b"".join(struct.pack(fmt, int(v)) for v in pixels[y])
+        rows.append(row + b"\x00" * (stride - len(row)))
+    data = b"".join(rows)
+    r, g, b_ = masks[0], masks[1], masks[2]
+    a = masks[3] if len(masks) > 3 else 0
+    if hdr_size == 40:
+        extra = struct.pack("<III", r, g, b_)
+    else:
+        extra = struct.pack("<IIII", r, g, b_, a) + b"\x00" * (hdr_size - 56)
+    off = 14 + 40 + len(extra)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    hh = -h if topdown else h
+    info = struct.pack(
+        "<IiiHHIIiiII", hdr_size, w, hh, 1, bpp, 3, len(data), 0, 0, 0, 0
+    )
+    return hdr + info + extra + data
+
+
+def _scale(v, maxv):
+    return (v * 255 + maxv // 2) // maxv
+
+
+def test_bmp_bitfields_565():
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        _make_bmp_raster_decoder,
+    )
+
+    dec = _make_bmp_raster_decoder()
+    # two pixels: pure red (r=31), mixed (r=10, g=33, b=7)
+    px = np.array([[31 << 11, (10 << 11) | (33 << 5) | 7]], dtype=np.uint32)
+    got = dec(_bmp_bitfields(2, 1, px, 16, (0xF800, 0x07E0, 0x001F)))
+    assert got is not None and got[:3] == (2, 1, 3)
+    exp = np.array(
+        [[[255, 0, 0], [_scale(10, 31), _scale(33, 63), _scale(7, 31)]]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(got[3], exp)
+
+
+def test_bmp_bitfields_8888_matches_png(tmp_path=None):
+    """8-bit-wide masks lose nothing: a 32-bit BI_BITFIELDS BMP (V4
+    header, alpha mask) reproduces the PNG RGBA raster bit-exactly."""
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        _make_bmp_raster_decoder,
+    )
+
+    dec = _make_bmp_raster_decoder()
+    rng = np.random.default_rng(31)
+    rgba = rng.integers(0, 256, (4, 5, 4), dtype=np.uint8)
+    px = (
+        rgba[:, :, 0].astype(np.uint64) << 16
+        | rgba[:, :, 1].astype(np.uint64) << 8
+        | rgba[:, :, 2].astype(np.uint64)
+        | rgba[:, :, 3].astype(np.uint64) << 24
+    )
+    bmp = _bmp_bitfields(
+        5, 4, px, 32,
+        (0x00FF0000, 0x0000FF00, 0x000000FF, 0xFF000000),
+        hdr_size=108,
+    )
+    got = dec(bmp)
+    assert got is not None and got[:3] == (5, 4, 4)
+    png_got = decode_raster(encode_png(rgba.tobytes(), 5, 4, 4))
+    assert png_got is not None
+    assert np.array_equal(got[3], png_got[3])
+    assert np.array_equal(got[3], rgba)
+
+
+def test_bmp_bitfields_topdown_and_bottomup_agree():
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        _make_bmp_raster_decoder,
+    )
+
+    dec = _make_bmp_raster_decoder()
+    px = np.array([[0xF800, 0x07E0], [0x001F, 0xFFFF]], dtype=np.uint32)
+    masks = (0xF800, 0x07E0, 0x001F)
+    up = dec(_bmp_bitfields(2, 2, px, 16, masks, topdown=False))
+    down = dec(_bmp_bitfields(2, 2, px, 16, masks, topdown=True))
+    assert up is not None and down is not None
+    assert np.array_equal(up[3], down[3])
+
+
+def test_bmp_16bit_bi_rgb_is_implicit_555():
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        _make_bmp_raster_decoder,
+    )
+
+    dec = _make_bmp_raster_decoder()
+    # hand-build a plain BI_RGB 16-bit BMP (no masks appended)
+    px = (20 << 10) | (5 << 5) | 31  # r=20 g=5 b=31 in 555
+    data = struct.pack("<H", px) + b"\x00\x00"  # stride pad to 4
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 16, 0, len(data), 0, 0, 0, 0)
+    got = dec(hdr + info + data)
+    assert got is not None and got[:3] == (1, 1, 3)
+    exp = np.array(
+        [[[_scale(20, 31), _scale(5, 31), 255]]], dtype=np.uint8
+    )
+    assert np.array_equal(got[3], exp)
+
+
+def test_bmp_bitfields_zero_mask_declines():
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        _make_bmp_raster_decoder,
+    )
+
+    dec = _make_bmp_raster_decoder()
+    px = np.array([[0]], dtype=np.uint32)
+    assert dec(_bmp_bitfields(1, 1, px, 16, (0, 0x07E0, 0x001F))) is None
