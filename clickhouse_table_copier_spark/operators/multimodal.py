@@ -485,6 +485,57 @@ def _make_bmp_decoder():
     return decode_bmp
 
 
+# ------------------------------------------------------------------
+# Arithmetic entropy coding (SOF9 sequential / SOF10 progressive) —
+# ITU T.81 Annex D (QM coder) + Annex F (DC/AC statistical models).
+# _QM_STATES is Table D.3: (Qe, next-index-after-MPS, next-index-after-LPS,
+# MPS-switch) per estimation state; index 113 is the NON-adapting
+# equiprobable state (T.81 F.1.4.4.1.1's "fixed" bin) used for AC
+# signs and refinement bits — its transitions point at itself with
+# no switch, so decoding through it never changes it.
+# ------------------------------------------------------------------
+_QM_STATES = [
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 101, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 105, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 110, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 112, 112, 0), (0x59EB, 112, 112, 1), (0x5A1D, 113, 113, 0),
+    ]
+
+
 def _make_jpeg_raster_decoder():
     """REAL JPEG pixel decode as a closure (pickles by value, like the
     PNG/GIF/BMP decoders): segment walk (DQT/DHT/SOF/DRI/SOS), canonical
@@ -492,13 +543,18 @@ def _make_jpeg_raster_decoder():
     dequantize + zigzag, orthonormal 8×8 IDCT as two numpy matmuls per
     block, nearest-neighbor chroma upsampling for 4:2:0 / 4:2:2 / 4:4:4,
     and JFIF YCbCr→RGB.  Pure Python + numpy — no image libraries.
-    Covers BOTH entropy modes: baseline sequential (SOF0) and
-    progressive (SOF2: spectral-selection + successive-approximation
-    scans accumulate into per-component coefficient grids, reconstructed
-    at EOI — same quantized coefficients ⇒ bit-identical raster to the
-    baseline encoding of the same image, which the cross-mode tests
-    pin).  1 or 3 components, sampling factors ≤ 2; arithmetic coding
-    and 12-bit precision return ``None`` and stay behind the PIL seam.
+    Covers ALL FOUR DCT entropy/scan modes: baseline sequential (SOF0),
+    extended sequential (SOF1), progressive (SOF2: spectral-selection +
+    successive-approximation scans accumulate into per-component
+    coefficient grids, reconstructed at EOI), and ARITHMETIC coding
+    (SOF9 sequential / SOF10 progressive: the T.81 Annex D QM coder
+    with the Annex F DC/AC statistical models and DAC conditioning) —
+    same quantized coefficients ⇒ bit-identical raster whatever the
+    entropy mode, which the cross-mode tests pin.  Sample precision 8
+    or 12 (12-bit frames use 16-bit DQT entries and a 2048 level shift;
+    the uint8 raster contract maps 12-bit via v·255/4095).  1 or 3
+    components, sampling factors ≤ 2; hierarchical and lossless frames
+    return ``None`` and stay behind the PIL seam.
     Returns ``(w, h, nch, uint8 raster (h, w, nch), top-down RGB)`` or
     ``None`` — the same contract as the PNG/BMP raster decoders, so
     aHash/resize consume JPEG identically (cross-format dedup).
@@ -579,6 +635,181 @@ def _make_jpeg_raster_decoder():
     def _extend(v: int, n: int) -> int:
         return v - (1 << n) + 1 if n and v < (1 << (n - 1)) else v
 
+    class _ArithDec:
+        """T.81 Annex D arithmetic decoder over one entropy-coded
+        segment: 0xFF00 unstuffing; any real marker ends the segment
+        and the decoder ZERO-feeds from then on (T.81 D.2.7 — decoding
+        may legally request bytes past the coded data).  Registers per
+        the Annex D software conventions: 16-bit A, 32-bit C with
+        Chigh in bits 16-31; the MPS owns the bottom subinterval."""
+
+        def __init__(self, d: bytes, pos: int):
+            self.d = d
+            self.pos = pos
+            self.marker = None
+            self.ct = 0
+            # INITDEC, T.81 geometry: Chigh = the first 16 code bits,
+            # A = 0x10000 (the encoder's INITENC interval — the A
+            # sequences must mirror exactly or conditional-exchange
+            # decisions diverge; after one decision A is 16-bit again)
+            self.c = self._byte() << 16
+            self._bytein()
+            self.c = (self.c << 8) & 0xFFFFFFFF
+            self.ct -= 8
+            self.a = 0x10000
+
+        def _byte(self) -> int:
+            d = self.d
+            if self.marker is None and self.pos < len(d):
+                b = d[self.pos]
+                if b != 0xFF:
+                    self.pos += 1
+                    return b
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2  # stuffed zero: the data byte is 0xFF
+                    return 0xFF
+                self.marker = nxt  # pos stays AT the 0xFF of the marker
+            return 0
+
+        def _bytein(self):
+            self.c = (self.c + (self._byte() << 8)) & 0xFFFFFFFF
+            self.ct = 8
+
+        def next_marker_pos(self) -> int:
+            """Byte offset of the 0xFF beginning the marker that ends
+            this segment (scanning past any unread stuffed data)."""
+            d, p = self.d, self.pos
+            while p < len(d):
+                if d[p] != 0xFF:
+                    p += 1
+                elif p + 1 < len(d) and d[p + 1] == 0x00:
+                    p += 2
+                else:
+                    break
+            return p
+
+        def decode(self, idx: bytearray, mps: bytearray, i: int) -> int:
+            # DECODE + MPS/LPS_EXCHANGE + RENORMD (Figures D.17-D.20)
+            qe, nmps, nlps, sw = _QM_STATES[idx[i]]
+            self.a -= qe
+            if (self.c >> 16) < self.a:
+                if self.a & 0x8000:
+                    return mps[i]
+                if self.a < qe:  # conditional exchange: LPS result
+                    d = 1 - mps[i]
+                    if sw:
+                        mps[i] ^= 1
+                    idx[i] = nlps
+                else:
+                    d = mps[i]
+                    idx[i] = nmps
+            else:  # top subinterval, size Qe
+                self.c = (self.c - (self.a << 16)) & 0xFFFFFFFF
+                if self.a < qe:  # conditional exchange: MPS result
+                    d = mps[i]
+                    idx[i] = nmps
+                else:
+                    d = 1 - mps[i]
+                    if sw:
+                        mps[i] ^= 1
+                    idx[i] = nlps
+                self.a = qe
+            while True:  # RENORMD
+                if self.ct == 0:
+                    self._bytein()
+                self.a = (self.a << 1) & 0xFFFF
+                self.c = (self.c << 1) & 0xFFFFFFFF
+                self.ct -= 1
+                if self.a & 0x8000:
+                    break
+            return d
+
+    def _fresh_arith_stats(scan_tables):
+        """Zeroed statistics areas per table id for one scan (T.81
+        resets them at every scan and restart): DC 64 bins, AC 256,
+        plus the one fixed equiprobable bin."""
+        dcs = {t: (bytearray(64), bytearray(64)) for t in scan_tables[0]}
+        acs = {t: (bytearray(256), bytearray(256)) for t in scan_tables[1]}
+        fixed = (bytearray([113]), bytearray(1))
+        return dcs, acs, fixed
+
+    def _arith_dc_diff(dec, stats, ctx, ci, lo, hi):
+        """One DC difference (T.81 F.2.4.1, Figures F.19-F.24): the
+        context is the classification of the PREVIOUS diff (zero /
+        small± / large± → bins 0/4/8/12/16), the magnitude-category
+        chain sits at bin 20, magnitude bits 14 beyond the category."""
+        idx, mps = stats
+        s0 = ctx[ci]
+        if dec.decode(idx, mps, s0) == 0:
+            ctx[ci] = 0
+            return 0
+        sign = dec.decode(idx, mps, s0 + 1)
+        st = s0 + 2 + sign
+        m = dec.decode(idx, mps, st)
+        if m:
+            st = 20
+            while dec.decode(idx, mps, st):
+                m <<= 1
+                if m == 0x8000:
+                    raise ValueError("dc magnitude overflow")
+                st += 1
+        # conditioning category for the NEXT block (F.1.4.4.1.2)
+        if m < lo:
+            ctx[ci] = 0
+        elif m > hi:
+            ctx[ci] = 12 + 4 * sign
+        else:
+            ctx[ci] = 4 + 4 * sign
+        v = m
+        st += 14
+        m >>= 1
+        while m:
+            if dec.decode(idx, mps, st):
+                v |= m
+            m >>= 1
+        v += 1
+        return -v if sign else v
+
+    def _arith_ac_block(dec, stats, fixed, zz, ss, se, kx, al):
+        """AC coefficients of one block, indices [ss, se] (T.81
+        F.2.4.2): per-index EOB/nonzero contexts at 3·(k−1), sign via
+        the fixed bin, magnitude chain in the low (k ≤ Kx) or high
+        set, decoded values scaled by 2^al (progressive first scans)."""
+        idx, mps = stats
+        fx_idx, fx_mps = fixed
+        k = ss
+        while k <= se:
+            st = 3 * (k - 1)
+            if dec.decode(idx, mps, st):
+                return  # EOB
+            while dec.decode(idx, mps, st + 1) == 0:
+                st += 3
+                k += 1
+                if k > se:
+                    raise ValueError("ac run past Se")
+            sign = dec.decode(fx_idx, fx_mps, 0)
+            st += 2
+            m = dec.decode(idx, mps, st)
+            if m and dec.decode(idx, mps, st):
+                m = 2
+                st = 189 if k <= kx else 217
+                while dec.decode(idx, mps, st):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("ac magnitude overflow")
+                    st += 1
+            v = m
+            st += 14
+            m >>= 1
+            while m:
+                if dec.decode(idx, mps, st):
+                    v |= m
+                m >>= 1
+            v += 1
+            zz[k] = (-v if sign else v) << al
+            k += 1
+
     def _decode_huff(bits: _Bits, table) -> int:
         code, ln = 0, 0
         while ln < 16:
@@ -603,10 +834,13 @@ def _make_jpeg_raster_decoder():
         ]
     )
 
-    def _finish(planes, comps, w, h, hmax, vmax):
+    def _finish(planes, comps, w, h, hmax, vmax, maxval=255):
         """Padded per-component pixel planes → (w, h, nch, uint8 array):
-        upsample subsampled chroma, crop to the true dims, color-convert.
-        Shared by the baseline and progressive paths."""
+        upsample subsampled chroma, crop to the true dims, color-convert
+        at the sample precision, then scale to the 8-bit raster contract
+        (12-bit samples map via v·255/4095, rounded — documented, since
+        the contract is uint8 whatever the source precision).  Shared by
+        the baseline, progressive and arithmetic paths."""
         full = []
         for ci, c in enumerate(comps):
             p = planes[ci]
@@ -616,22 +850,24 @@ def _make_jpeg_raster_decoder():
                 axis=1,
             )
             full.append(p[:h, :w])
+        half = (maxval + 1) / 2.0
+        scale = 255.0 / maxval
 
         def _u8(x):
-            return _np.clip(_np.rint(x), 0, 255).astype(_np.uint8)
+            return _np.clip(_np.rint(x * scale), 0, 255).astype(_np.uint8)
 
         if len(comps) == 1:
             return w, h, 1, _u8(full[0])[:, :, None]
         y, cb, cr = full
-        r = y + 1.402 * (cr - 128.0)
-        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        bl = y + 1.772 * (cb - 128.0)
+        r = y + 1.402 * (cr - half)
+        g = y - 0.344136 * (cb - half) - 0.714136 * (cr - half)
+        bl = y + 1.772 * (cb - half)
         return w, h, 3, _np.dstack([_u8(r), _u8(g), _u8(bl)])
 
-    def _idct_block(zz, q):
+    def _idct_block(zz, q, shift=128.0):
         blk = _np.zeros(64)
         blk[_ZIGZAG] = zz * q
-        return _M.T @ blk.reshape(8, 8) @ _M + 128.0
+        return _M.T @ blk.reshape(8, 8) @ _M + shift
 
     def _progressive_scan(
         b, start, seg, ns, sel, comps, coef, restart, hdc, hac, w, h
@@ -799,6 +1035,159 @@ def _make_jpeg_raster_decoder():
             p += 1
         return p, coef
 
+    def _progressive_arith_scan(
+        b, start, seg, ns, sel, comps, coef, restart, dc_cond, ac_kx, w, h
+    ):
+        """Arithmetic (SOF10) progressive scan into the coefficient
+        grids: the Annex G scan structure with the Annex F statistical
+        models in place of Huffman codes — per-index EOB decisions
+        instead of EOB runs, the fixed equiprobable bin for signs and
+        refinement/correction bits.  Statistics, DC contexts and DC
+        predictions reset at scan start and at every restart marker
+        (T.81 F.2.1.3).  Returns ``(next-marker position, coef)``."""
+        Ss, Se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+        Ah, Al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+        hmax = max(c["hs"] for c in comps)
+        vmax = max(c["vs"] for c in comps)
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        if coef is None:
+            coef = [
+                _np.zeros(
+                    (mcuy * c["vs"], mcux * c["hs"], 64), dtype=_np.int32
+                )
+                for c in comps
+            ]
+        order = []
+        for i in range(ns):
+            cid = seg[1 + 2 * i]
+            matches = [j for j, c in enumerate(comps) if c["id"] == cid]
+            if not matches:
+                return None
+            order.append(matches[0])
+        dc_tabs = (
+            {sel[comps[ci]["id"]][0] for ci in order} if Ss == 0 else set()
+        )
+        ac_tabs = (
+            {sel[comps[ci]["id"]][1] for ci in order} if Ss != 0 else set()
+        )
+        st8 = {}
+
+        def _reset():
+            dcs, acs, fixed = _fresh_arith_stats((dc_tabs, ac_tabs))
+            st8.update(
+                dcs=dcs, acs=acs, fixed=fixed,
+                ctx=[0] * len(comps), pred=[0] * len(comps),
+            )
+
+        _reset()
+        dec = _ArithDec(b, start)
+
+        def _restart():
+            p = dec.next_marker_pos()
+            if p + 1 >= len(b) or not (0xD0 <= b[p + 1] <= 0xD7):
+                raise ValueError("expected RSTn")
+            _reset()
+            return _ArithDec(b, p + 2)
+
+        def _nblocks(c):
+            nbw = (-(-(w * c["hs"]) // hmax) + 7) // 8
+            nbh = (-(-(h * c["vs"]) // vmax) + 7) // 8
+            return nbw, nbh
+
+        if Ss == 0:  # DC scan
+            if Se != 0:
+                return None
+
+            def dc_unit(ci, byi, bxi):
+                tb = sel[comps[ci]["id"]][0]
+                if Ah == 0:
+                    ll, uu = dc_cond.get(tb, (0, 1))
+                    v = _arith_dc_diff(
+                        dec, st8["dcs"][tb], st8["ctx"], ci,
+                        (1 << ll) >> 1, (1 << uu) >> 1,
+                    )
+                    st8["pred"][ci] += v
+                    coef[ci][byi, bxi, 0] = st8["pred"][ci] << Al
+                else:
+                    fx = st8["fixed"]
+                    if dec.decode(fx[0], fx[1], 0):
+                        coef[ci][byi, bxi, 0] |= 1 << Al
+
+            n_unit = 0
+            if ns > 1:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if restart and n_unit and n_unit % restart == 0:
+                            dec = _restart()
+                        for ci in order:
+                            c = comps[ci]
+                            for by2 in range(c["vs"]):
+                                for bx2 in range(c["hs"]):
+                                    dc_unit(
+                                        ci,
+                                        my * c["vs"] + by2,
+                                        mx * c["hs"] + bx2,
+                                    )
+                        n_unit += 1
+            else:
+                ci = order[0]
+                nbw, nbh = _nblocks(comps[ci])
+                for byi in range(nbh):
+                    for bxi in range(nbw):
+                        if restart and n_unit and n_unit % restart == 0:
+                            dec = _restart()
+                        dc_unit(ci, byi, bxi)
+                        n_unit += 1
+        else:  # AC scan: exactly one component
+            if ns != 1:
+                return None
+            ci = order[0]
+            tac = sel[comps[ci]["id"]][1]
+            kx = ac_kx.get(tac, 5)
+            nbw, nbh = _nblocks(comps[ci])
+            p1, m1 = 1 << Al, -(1 << Al)
+            n_unit = 0
+            for byi in range(nbh):
+                for bxi in range(nbw):
+                    if restart and n_unit and n_unit % restart == 0:
+                        dec = _restart()
+                    zz = coef[ci][byi, bxi]
+                    acs = st8["acs"][tac]
+                    aidx, amps = acs
+                    if Ah == 0:  # first pass for this band
+                        _arith_ac_block(
+                            dec, acs, st8["fixed"], zz, Ss, Se, kx, Al
+                        )
+                    else:  # refinement pass (jdarith decode_mcu_AC_refine)
+                        kex = Se
+                        while kex > 0 and zz[kex] == 0:
+                            kex -= 1
+                        k = Ss
+                        while k <= Se:
+                            st = 3 * (k - 1)
+                            if k > kex and dec.decode(aidx, amps, st):
+                                break  # EOB: no new nonzeros follow
+                            while True:
+                                if zz[k]:
+                                    if dec.decode(aidx, amps, st + 2):
+                                        zz[k] += m1 if zz[k] < 0 else p1
+                                    break
+                                if dec.decode(aidx, amps, st + 1):
+                                    fx = st8["fixed"]
+                                    zz[k] = (
+                                        m1 if dec.decode(fx[0], fx[1], 0)
+                                        else p1
+                                    )
+                                    break
+                                st += 3
+                                k += 1
+                                if k > Se:
+                                    raise ValueError("ac refine past Se")
+                            k += 1
+                    n_unit += 1
+        return dec.next_marker_pos(), coef
+
     def decode_jpeg(b: bytes):
         try:
             if b[:2] != b"\xff\xd8":
@@ -810,6 +1199,10 @@ def _make_jpeg_raster_decoder():
             w = h = 0
             restart = 0
             progressive = False
+            arith = False
+            prec = 8
+            dc_cond: dict[int, tuple] = {}  # DAC: DC table -> (L, U)
+            ac_kx: dict[int, int] = {}  # DAC: AC table -> Kx
             coef = None  # progressive: per-comp zigzag coefficient grids
             pos = 2
             # pos+2: EOI (2 bytes, no payload) ends the stream — checked
@@ -826,6 +1219,7 @@ def _make_jpeg_raster_decoder():
                         return None  # EOI before any decoded scan
                     hmax = max(c["hs"] for c in comps)
                     vmax = max(c["vs"] for c in comps)
+                    shift = float(1 << (prec - 1))
                     planes = []
                     for ci, c in enumerate(comps):
                         q = qt[c["tq"]]
@@ -836,21 +1230,29 @@ def _make_jpeg_raster_decoder():
                                 plane[
                                     byi * 8 : byi * 8 + 8,
                                     bxi * 8 : bxi * 8 + 8,
-                                ] = _idct_block(coef[ci][byi, bxi], q)
+                                ] = _idct_block(coef[ci][byi, bxi], q, shift)
                         planes.append(plane)
-                    return _finish(planes, comps, w, h, hmax, vmax)
+                    return _finish(
+                        planes, comps, w, h, hmax, vmax, (1 << prec) - 1
+                    )
                 size = _struct.unpack(">H", b[pos + 2 : pos + 4])[0]
                 seg = b[pos + 4 : pos + 2 + size]
                 if marker == 0xDB:  # DQT: one or more tables
                     s = 0
                     while s < len(seg):
-                        prec, tid = seg[s] >> 4, seg[s] & 15
-                        if prec != 0:
-                            return None  # 16-bit tables: PIL seam
-                        qt[tid] = _np.frombuffer(
-                            seg[s + 1 : s + 65], dtype=_np.uint8
-                        ).astype(_np.int32)
-                        s += 65
+                        tprec, tid = seg[s] >> 4, seg[s] & 15
+                        if tprec == 0:
+                            qt[tid] = _np.frombuffer(
+                                seg[s + 1 : s + 65], dtype=_np.uint8
+                            ).astype(_np.int32)
+                            s += 65
+                        elif tprec == 1:  # 16-bit entries (12-bit frames)
+                            qt[tid] = _np.frombuffer(
+                                seg[s + 1 : s + 129], dtype=">u2"
+                            ).astype(_np.int32)
+                            s += 129
+                        else:
+                            return None
                 elif marker == 0xC4:  # DHT
                     s = 0
                     while s < len(seg):
@@ -862,10 +1264,16 @@ def _make_jpeg_raster_decoder():
                             bits16, vals
                         )
                         s += 17 + n
-                elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
-                    if seg[0] != 8:
-                        return None  # 12-bit precision: PIL seam
-                    progressive = marker == 0xC2
+                elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+                    # SOF0 baseline / SOF1 extended sequential / SOF2
+                    # progressive (Huffman); SOF9 sequential / SOF10
+                    # progressive (arithmetic).  Precision 8 everywhere,
+                    # 12 in the non-baseline frames (T.81 Table B.2).
+                    prec = seg[0]
+                    if prec not in (8, 12) or (marker == 0xC0 and prec != 8):
+                        return None
+                    progressive = marker in (0xC2, 0xCA)
+                    arith = marker in (0xC9, 0xCA)
                     h, w = _struct.unpack(">HH", seg[1:5])
                     if w == 0 or h == 0:  # zero-area frame: decline
                         return None
@@ -888,8 +1296,17 @@ def _make_jpeg_raster_decoder():
                         for c in comps
                     ):
                         return None
-                elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                    return None  # extended/lossless/arithmetic: PIL seam
+                elif marker == 0xCC:  # DAC: arithmetic conditioning
+                    s = 0
+                    while s + 1 < len(seg):
+                        cls, tid = seg[s] >> 4, seg[s] & 15
+                        if cls == 0:  # DC: L in low nibble, U in high
+                            dc_cond[tid] = (seg[s + 1] & 15, seg[s + 1] >> 4)
+                        else:  # AC: Kx
+                            ac_kx[tid] = seg[s + 1]
+                        s += 2
+                elif 0xC1 <= marker <= 0xCF and marker != 0xC8:
+                    return None  # hierarchical/lossless frames: PIL seam
                 elif marker == 0xDD:  # DRI
                     restart = _struct.unpack(">H", seg[:2])[0]
                 elif marker == 0xDA:  # SOS: entropy data follows
@@ -901,14 +1318,89 @@ def _make_jpeg_raster_decoder():
                         cid, tt = seg[1 + 2 * c : 3 + 2 * c]
                         sel[cid] = (tt >> 4, tt & 15)
                     if progressive:
-                        got = _progressive_scan(
-                            b, pos + 2 + size, seg, ns, sel, comps,
-                            coef, restart, hdc, hac, w, h,
-                        )
+                        if arith:
+                            got = _progressive_arith_scan(
+                                b, pos + 2 + size, seg, ns, sel, comps,
+                                coef, restart, dc_cond, ac_kx, w, h,
+                            )
+                        else:
+                            got = _progressive_scan(
+                                b, pos + 2 + size, seg, ns, sel, comps,
+                                coef, restart, hdc, hac, w, h,
+                            )
                         if got is None:
                             return None
                         pos, coef = got
                         continue
+                    if arith:  # SOF9 sequential arithmetic
+                        dec = _ArithDec(b, pos + 2 + size)
+                        dc_tabs = {sel[c["id"]][0] for c in comps}
+                        ac_tabs = {sel[c["id"]][1] for c in comps}
+                        dcs, acs, fixed = _fresh_arith_stats(
+                            (dc_tabs, ac_tabs)
+                        )
+                        hmax = max(c["hs"] for c in comps)
+                        vmax = max(c["vs"] for c in comps)
+                        mcux = -(-w // (8 * hmax))
+                        mcuy = -(-h // (8 * vmax))
+                        shift = float(1 << (prec - 1))
+                        planes = [
+                            _np.zeros(
+                                (mcuy * c["vs"] * 8, mcux * c["hs"] * 8)
+                            )
+                            for c in comps
+                        ]
+                        pred = [0] * len(comps)
+                        ctx = [0] * len(comps)
+                        n_mcu = 0
+                        for my in range(mcuy):
+                            for mx in range(mcux):
+                                if restart and n_mcu and n_mcu % restart == 0:
+                                    # T.81 F.2.1.3: restart re-inits the
+                                    # decoder, the statistics, and the
+                                    # DC state
+                                    p = dec.next_marker_pos()
+                                    if p + 1 >= len(b) or not (
+                                        0xD0 <= b[p + 1] <= 0xD7
+                                    ):
+                                        return None
+                                    dcs, acs, fixed = _fresh_arith_stats(
+                                        (dc_tabs, ac_tabs)
+                                    )
+                                    pred = [0] * len(comps)
+                                    ctx = [0] * len(comps)
+                                    dec = _ArithDec(b, p + 2)
+                                for ci, c in enumerate(comps):
+                                    tdc, tac = sel[c["id"]]
+                                    q = qt[c["tq"]]
+                                    ll, uu = dc_cond.get(tdc, (0, 1))
+                                    for by in range(c["vs"]):
+                                        for bx in range(c["hs"]):
+                                            zz = _np.zeros(
+                                                64, dtype=_np.int32
+                                            )
+                                            pred[ci] += _arith_dc_diff(
+                                                dec, dcs[tdc], ctx, ci,
+                                                (1 << ll) >> 1,
+                                                (1 << uu) >> 1,
+                                            )
+                                            zz[0] = pred[ci]
+                                            _arith_ac_block(
+                                                dec, acs[tac], fixed,
+                                                zz, 1, 63,
+                                                ac_kx.get(tac, 5), 0,
+                                            )
+                                            px = _idct_block(zz, q, shift)
+                                            y0 = (my * c["vs"] + by) * 8
+                                            x0 = (mx * c["hs"] + bx) * 8
+                                            planes[ci][
+                                                y0 : y0 + 8, x0 : x0 + 8
+                                            ] = px
+                                n_mcu += 1
+                        return _finish(
+                            planes, comps, w, h, hmax, vmax,
+                            (1 << prec) - 1,
+                        )
                     bits = _Bits(b, pos + 2 + size)
                     hmax = max(c["hs"] for c in comps)
                     vmax = max(c["vs"] for c in comps)
@@ -948,14 +1440,18 @@ def _make_jpeg_raster_decoder():
                                             k += r
                                             zz[k] = _extend(bits.receive(s), s)
                                             k += 1
-                                        px = _idct_block(zz, q)
+                                        px = _idct_block(
+                                            zz, q, float(1 << (prec - 1))
+                                        )
                                         y0 = (my * c["vs"] + by) * 8
                                         x0 = (mx * c["hs"] + bx) * 8
                                         planes[ci][
                                             y0 : y0 + 8, x0 : x0 + 8
                                         ] = px
                             n_mcu += 1
-                    return _finish(planes, comps, w, h, hmax, vmax)
+                    return _finish(
+                        planes, comps, w, h, hmax, vmax, (1 << prec) - 1
+                    )
                 pos += 2 + size
             return None
         except Exception:
