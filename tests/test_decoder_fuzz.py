@@ -28,6 +28,10 @@ def _fixtures():
     import sys
 
     sys.path.insert(0, "tests")
+    from test_jpeg_arith import (
+        encode_arith_progressive,
+        encode_arith_sequential,
+    )
     from test_jpeg_decode import encode_baseline_jpeg, encode_progressive_jpeg
     from test_pipeline_ops import _gif_bytes, _lzw_encode
     from test_png_variants import _bmp_paletted
@@ -53,6 +57,8 @@ def _fixtures():
         "png": encode_png(img.tobytes(), 16, 16, 3),
         "jpeg": encode_baseline_jpeg(img),
         "jpeg_prog": encode_progressive_jpeg(img),
+        "jpeg_arith": encode_arith_sequential(img),
+        "jpeg_arith_prog": encode_arith_progressive(img),
         "gif": _gif_bytes(
             16, 16, pixels, palette, _lzw_encode(2, pixels), min_code=2
         ),
@@ -69,6 +75,8 @@ def _decoders():
         "png": _make_png_raster_decoder(),
         "jpeg": _make_jpeg_raster_decoder(),
         "jpeg_prog": _make_jpeg_raster_decoder(),
+        "jpeg_arith": _make_jpeg_raster_decoder(),
+        "jpeg_arith_prog": _make_jpeg_raster_decoder(),
         "gif": _make_gif_raster_decoder(),
         "bmp": _make_bmp_raster_decoder(),
         "avi": avi_parse,
@@ -105,6 +113,8 @@ def test_noise_behind_valid_magic_never_raises(fmt):
         "png": b"\x89PNG\r\n\x1a\n",
         "jpeg": b"\xff\xd8",
         "jpeg_prog": b"\xff\xd8",
+        "jpeg_arith": b"\xff\xd8",
+        "jpeg_arith_prog": b"\xff\xd8",
         "gif": b"GIF89a",
         "bmp": b"BM",
         "avi": b"RIFF\x00\x01\x00\x00AVI ",
