@@ -168,3 +168,38 @@ def test_duplicate_member_names_take_last(spark, tmp_path):
     samples = group_samples(read_webdataset(spark, p)).collect()
     assert len(samples) == 1
     assert bytes(samples[0]["parts"]["txt"]) == b"new text"
+
+
+def test_entropy_mode_mix_in_one_shard_dedups(spark, tmp_path):
+    """Cross-layer: one tar shard carrying the SAME image as baseline
+    Huffman, arithmetic-sequential (SOF9), and arithmetic-progressive
+    (SOF10) JPEGs — the full path (tar → samples → media table → real
+    decode → aHash) must put all three in one dedup bucket.  This is
+    the corpus-scale invariant: a crawl's mix of encoders must never
+    split a duplicate cluster."""
+    from tests.test_jpeg_arith import (
+        encode_arith_progressive,
+        encode_arith_sequential,
+    )
+    from tests.test_jpeg_decode import encode_baseline_jpeg
+
+    img = _img(99)
+    other = _img(123)
+    d = tmp_path / "mix"
+    d.mkdir()
+    _shard(
+        str(d / "shard-0.tar"),
+        {
+            "a": {"jpg": encode_baseline_jpeg(img)},
+            "b": {"jpg": encode_arith_sequential(img)},
+            "c": {"jpg": encode_arith_progressive(img)},
+            "d": {"jpg": encode_baseline_jpeg(other)},
+        },
+    )
+    media = to_media_table(group_samples(read_webdataset(spark, str(d))))
+    rows = image_ahash(media).collect()
+    assert len(rows) == 4
+    from collections import Counter
+
+    buckets = Counter(r["ahash"] for r in rows)
+    assert sorted(buckets.values()) == [1, 3]
