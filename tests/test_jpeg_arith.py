@@ -623,14 +623,17 @@ def _enc_ac_refine(enc, stats, fixed, zz, ss, se, al):
         k += 1
 
 
-def encode_arith_progressive(img, subsample=False):
+def encode_arith_progressive(img, subsample=False, dri=0):
     """SOF10: DC first (Al=1) + DC refine, then per-component AC band
     scans (first Al=1, refine Al=0) — the same scan script as the
-    Huffman progressive test encoder, arithmetic entropy."""
+    Huffman progressive test encoder, arithmetic entropy.  ``dri``
+    inserts restart markers every ``dri`` MCUs (DC scans) / blocks
+    (AC scans), each restart flushing the coder and resetting the
+    statistics + DC state, per T.81 F.1.3.2."""
     h, w = img.shape[:2]
     grids, hs, vs = _grids(img, subsample)
     nc = len(grids)
-    out = bytearray(_headers(h, w, hs, vs, 8, 0xCA))
+    out = bytearray(_headers(h, w, hs, vs, 8, 0xCA, dri=dri))
     hmax, vmax = max(hs), max(vs)
     mcux, mcuy = w // (8 * hmax), h // (8 * vmax)
 
@@ -641,58 +644,88 @@ def encode_arith_progressive(img, subsample=False):
         sos += bytes([ss, se, (ah << 4) | al])
         return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
+    class Scan:
+        """One scan's coder + restart bookkeeping."""
+
+        def __init__(self):
+            self.enc = _ArithEnc()
+            self.st = _fresh_stats()
+            self.ctx = [0] * nc
+            self.pred = [0] * nc
+            self.n = 0
+            self.rst = 0
+            self.bytes = bytearray()
+
+        def unit_boundary(self):
+            if dri and self.n and self.n % dri == 0:
+                self.bytes += self.enc.flush()
+                self.bytes += bytes([0xFF, 0xD0 + (self.rst & 7)])
+                self.rst += 1
+                self.enc = _ArithEnc()
+                self.st = _fresh_stats()
+                self.ctx = [0] * nc
+                self.pred = [0] * nc
+
+        def finish(self):
+            self.bytes += self.enc.flush()
+            return bytes(self.bytes)
+
     # --- DC first scan, Al=1, interleaved over all components
     out += sos_header(list(range(1, nc + 1)), 0, 0, 0, 1)
-    enc = _ArithEnc()
-    st = _fresh_stats()
-    ctx, pred = [0] * nc, [0] * nc
+    sc = Scan()
     for my in range(mcuy):
         for mx in range(mcux):
+            sc.unit_boundary()
             for ci in range(nc):
                 for by in range(vs[ci]):
                     for bx in range(hs[ci]):
                         dc = int(grids[ci][my * vs[ci] + by, mx * hs[ci] + bx][0])
-                        v = (dc >> 1) - pred[ci]
-                        pred[ci] = dc >> 1
-                        _enc_dc_diff(enc, st["dc"], ctx, ci, 0, 1, v)
-    out += enc.flush()
+                        v = (dc >> 1) - sc.pred[ci]
+                        sc.pred[ci] = dc >> 1
+                        _enc_dc_diff(sc.enc, sc.st["dc"], sc.ctx, ci, 0, 1, v)
+            sc.n += 1
+    out += sc.finish()
     # --- DC refine scan, Al=0 (fixed-bin bits)
     out += sos_header(list(range(1, nc + 1)), 0, 0, 1, 0)
-    enc = _ArithEnc()
-    st = _fresh_stats()
+    sc = Scan()
     for my in range(mcuy):
         for mx in range(mcux):
+            sc.unit_boundary()
             for ci in range(nc):
                 for by in range(vs[ci]):
                     for bx in range(hs[ci]):
                         dc = int(grids[ci][my * vs[ci] + by, mx * hs[ci] + bx][0])
-                        enc.code(st["fixed"][0], st["fixed"][1], 0, dc & 1)
-    out += enc.flush()
+                        sc.enc.code(
+                            sc.st["fixed"][0], sc.st["fixed"][1], 0, dc & 1
+                        )
+            sc.n += 1
+    out += sc.finish()
     # --- AC scans per component: two bands, first then refine
     for ci in range(nc):
         g = grids[ci]
         nbh, nbw = g.shape[:2]
-        for ss_, se_ in ((1, 5), (6, 63)):
-            out += sos_header([ci + 1], ss_, se_, 0, 1)
-            enc = _ArithEnc()
-            st = _fresh_stats()
-            for by in range(nbh):
-                for bx in range(nbw):
-                    _enc_ac_coefs(
-                        enc, st["ac"], st["fixed"], g[by, bx], ss_, se_,
-                        5, al=1,
-                    )
-            out += enc.flush()
-        for ss_, se_ in ((1, 5), (6, 63)):
-            out += sos_header([ci + 1], ss_, se_, 1, 0)
-            enc = _ArithEnc()
-            st = _fresh_stats()
-            for by in range(nbh):
-                for bx in range(nbw):
-                    _enc_ac_refine(
-                        enc, st["ac"], st["fixed"], g[by, bx], ss_, se_, 0
-                    )
-            out += enc.flush()
+        for ah_, al_, fn in (
+            (0, 1, None),
+            (1, 0, None),
+        ):
+            for ss_, se_ in ((1, 5), (6, 63)):
+                out += sos_header([ci + 1], ss_, se_, ah_, al_)
+                sc = Scan()
+                for by in range(nbh):
+                    for bx in range(nbw):
+                        sc.unit_boundary()
+                        if ah_ == 0:
+                            _enc_ac_coefs(
+                                sc.enc, sc.st["ac"], sc.st["fixed"],
+                                g[by, bx], ss_, se_, 5, al=al_,
+                            )
+                        else:
+                            _enc_ac_refine(
+                                sc.enc, sc.st["ac"], sc.st["fixed"],
+                                g[by, bx], ss_, se_, al_,
+                            )
+                        sc.n += 1
+                out += sc.finish()
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -739,3 +772,119 @@ def test_ahash_cross_entropy_mode(spark):
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     hashes = {r["media_id"]: r["ahash"] for r in image_ahash(df).collect()}
     assert hashes[1] == hashes[2] == hashes[3]
+
+
+def test_qm_coder_property_roundtrip():
+    """Property: ANY decision sequence over ANY context assignment
+    roundtrips through the QM coder — encoder and decoder walk the
+    same estimation-state path or diverge visibly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st_
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        st_.lists(
+            st_.tuples(st_.integers(0, 7), st_.integers(0, 1)),
+            min_size=1,
+            max_size=400,
+        )
+    )
+    def run(seq):
+        enc = _ArithEnc()
+        idx, mps = bytearray(8), bytearray(8)
+        for i, d in seq:
+            enc.code(idx, mps, i, d)
+        data = enc.flush()
+        # decode through the library path: wrap the entropy bytes in a
+        # 1-block JPEG? Too structured — use the decoder class via a
+        # fresh factory is closure-internal, so mirror-decode with the
+        # reference decoder defined in the adversarial test above.
+        dec = _mk_ref_decoder(data)
+        idx2, mps2 = bytearray(8), bytearray(8)
+        got = [dec.decode(idx2, mps2, i) for i, _ in seq]
+        assert got == [d for _, d in seq]
+
+    run()
+
+
+def _mk_ref_decoder(data):
+    """Reference QM decoder — same register conventions as the
+    library's closure-internal _ArithDec (kept in sync by the
+    JPEG-level cross-mode tests, which exercise the real one)."""
+
+    class Dec:
+        def __init__(self, d):
+            self.d = d
+            self.pos = 0
+            self.marker = None
+            self.ct = 0
+            self.c = self._byte() << 16
+            self._bytein()
+            self.c = (self.c << 8) & 0xFFFFFFFF
+            self.ct -= 8
+            self.a = 0x10000
+
+        def _byte(self):
+            d = self.d
+            if self.marker is None and self.pos < len(d):
+                b = d[self.pos]
+                if b != 0xFF:
+                    self.pos += 1
+                    return b
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                    return 0xFF
+                self.marker = nxt
+            return 0
+
+        def _bytein(self):
+            self.c = (self.c + (self._byte() << 8)) & 0xFFFFFFFF
+            self.ct = 8
+
+        def decode(self, idx, mps, i):
+            qe, nmps, nlps, sw = _QM_STATES[idx[i]]
+            self.a -= qe
+            if (self.c >> 16) < self.a:
+                if self.a & 0x8000:
+                    return mps[i]
+                if self.a < qe:
+                    d = 1 - mps[i]
+                    if sw:
+                        mps[i] ^= 1
+                    idx[i] = nlps
+                else:
+                    d = mps[i]
+                    idx[i] = nmps
+            else:
+                self.c = (self.c - (self.a << 16)) & 0xFFFFFFFF
+                if self.a < qe:
+                    d = mps[i]
+                    idx[i] = nmps
+                else:
+                    d = 1 - mps[i]
+                    if sw:
+                        mps[i] ^= 1
+                    idx[i] = nlps
+                self.a = qe
+            while True:
+                if self.ct == 0:
+                    self._bytein()
+                self.a = (self.a << 1) & 0xFFFF
+                self.c = (self.c << 1) & 0xFFFFFFFF
+                self.ct -= 1
+                if self.a & 0x8000:
+                    break
+            return d
+
+    return Dec(data)
+
+
+def test_arith_progressive_restart_markers():
+    """Restarts inside SOF10 scans (decoder reinit of coder, stats and
+    DC state at every RSTn) leave the raster bit-identical."""
+    img = _img(23, h=32, w=32)
+    with_dri = decode_raster(encode_arith_progressive(img, dri=2))
+    plain = decode_raster(encode_arith_progressive(img))
+    assert with_dri is not None and plain is not None
+    assert np.array_equal(with_dri[3], plain[3])
