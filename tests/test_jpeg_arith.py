@@ -623,7 +623,7 @@ def _enc_ac_refine(enc, stats, fixed, zz, ss, se, al):
         k += 1
 
 
-def encode_arith_progressive(img, subsample=False, dri=0):
+def encode_arith_progressive(img, subsample=False, dri=0, precision=8):
     """SOF10: DC first (Al=1) + DC refine, then per-component AC band
     scans (first Al=1, refine Al=0) — the same scan script as the
     Huffman progressive test encoder, arithmetic entropy.  ``dri``
@@ -631,9 +631,9 @@ def encode_arith_progressive(img, subsample=False, dri=0):
     (AC scans), each restart flushing the coder and resetting the
     statistics + DC state, per T.81 F.1.3.2."""
     h, w = img.shape[:2]
-    grids, hs, vs = _grids(img, subsample)
+    grids, hs, vs = _grids(img, subsample, precision)
     nc = len(grids)
-    out = bytearray(_headers(h, w, hs, vs, 8, 0xCA, dri=dri))
+    out = bytearray(_headers(h, w, hs, vs, precision, 0xCA, dri=dri))
     hmax, vmax = max(hs), max(vs)
     mcux, mcuy = w // (8 * hmax), h // (8 * vmax)
 
@@ -888,3 +888,25 @@ def test_arith_progressive_restart_markers():
     plain = decode_raster(encode_arith_progressive(img))
     assert with_dri is not None and plain is not None
     assert np.array_equal(with_dri[3], plain[3])
+
+
+def test_12bit_progressive_arith_matches_sequential():
+    """12-bit SOF10 progressive == 12-bit SOF9 sequential, bit-exact."""
+    img = _img12(12)
+    p = decode_raster(encode_arith_progressive(img, precision=12))
+    s = decode_raster(encode_arith_sequential(img, precision=12))
+    assert p is not None and s is not None
+    assert np.array_equal(p[3], s[3])
+
+
+def test_hierarchical_and_lossless_frames_decline():
+    """The one remaining seam: SOF3 (lossless), SOF5-7 (differential),
+    SOF11/13-15 (lossless/differential arithmetic) return None —
+    decline, never a wrong raster or a raise."""
+    img = _img(40, ch=0)
+    base = encode_arith_sequential(img)
+    soi = base.index(b"\xff\xc9")
+    for sof in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+        blob = bytearray(base)
+        blob[soi + 1] = sof
+        assert decode_raster(bytes(blob)) is None, hex(sof)
