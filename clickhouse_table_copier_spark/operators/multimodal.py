@@ -1035,6 +1035,99 @@ def _make_jpeg_raster_decoder():
             p += 1
         return p, coef
 
+    def _sequential_partial_scan(
+        b, start, sel, comps, ci, coef, restart,
+        hdc, hac, dc_cond, ac_kx, w, h, arith,
+    ):
+        """ONE non-interleaved sequential scan (ns = 1: a frame split
+        into one SOS per component, T.81 A.2.2) decoded into the
+        coefficient grids — reconstruction happens at EOI exactly as
+        for progressive frames.  Handles both entropy modes.  Returns
+        ``(next-marker position, coef)``."""
+        c = comps[ci]
+        hmax = max(cc["hs"] for cc in comps)
+        vmax = max(cc["vs"] for cc in comps)
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        if coef is None:
+            coef = [
+                _np.zeros(
+                    (mcuy * cc["vs"], mcux * cc["hs"], 64), dtype=_np.int32
+                )
+                for cc in comps
+            ]
+        nbw = (-(-(w * c["hs"]) // hmax) + 7) // 8
+        nbh = (-(-(h * c["vs"]) // vmax) + 7) // 8
+        tdc, tac = sel[c["id"]]
+        if arith:
+            dec = _ArithDec(b, start)
+            dcs, acs, fixed = _fresh_arith_stats(({tdc}, {tac}))
+            ll, uu = dc_cond.get(tdc, (0, 1))
+            kx = ac_kx.get(tac, 5)
+            ctx = [0]
+            pred = [0]
+            n_unit = 0
+            for byi in range(nbh):
+                for bxi in range(nbw):
+                    if restart and n_unit and n_unit % restart == 0:
+                        p = dec.next_marker_pos()
+                        if p + 1 >= len(b) or not (
+                            0xD0 <= b[p + 1] <= 0xD7
+                        ):
+                            raise ValueError("expected RSTn")
+                        dcs, acs, fixed = _fresh_arith_stats(
+                            ({tdc}, {tac})
+                        )
+                        ctx = [0]
+                        pred = [0]
+                        dec = _ArithDec(b, p + 2)
+                    zz = coef[ci][byi, bxi]
+                    pred[0] += _arith_dc_diff(
+                        dec, dcs[tdc], ctx, 0,
+                        (1 << ll) >> 1, (1 << uu) >> 1,
+                    )
+                    zz[0] = pred[0]
+                    _arith_ac_block(dec, acs[tac], fixed, zz, 1, 63, kx, 0)
+                    n_unit += 1
+            return dec.next_marker_pos(), coef
+        bits = _Bits(b, start)
+        pred = 0
+        n_unit = 0
+        for byi in range(nbh):
+            for bxi in range(nbw):
+                if restart and n_unit and n_unit % restart == 0:
+                    bits.align_past_rst()
+                    pred = 0
+                zz = coef[ci][byi, bxi]
+                t = _decode_huff(bits, hdc[tdc])
+                pred += _extend(bits.receive(t), t)
+                zz[0] = pred
+                k = 1
+                while k < 64:
+                    rs = _decode_huff(bits, hac[tac])
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        break
+                    k += r
+                    if k > 63:
+                        raise ValueError("ac run past 63")
+                    zz[k] = _extend(bits.receive(s), s)
+                    k += 1
+                n_unit += 1
+        p = bits.pos
+        while p + 1 < len(b):
+            if (
+                b[p] == 0xFF
+                and b[p + 1] != 0x00
+                and not (0xD0 <= b[p + 1] <= 0xD7)
+            ):
+                break
+            p += 1
+        return p, coef
+
     def _progressive_arith_scan(
         b, start, seg, ns, sel, comps, coef, restart, dc_cond, ac_kx, w, h
     ):
@@ -1204,6 +1297,7 @@ def _make_jpeg_raster_decoder():
             dc_cond: dict[int, tuple] = {}  # DAC: DC table -> (L, U)
             ac_kx: dict[int, int] = {}  # DAC: AC table -> Kx
             coef = None  # progressive: per-comp zigzag coefficient grids
+            scanned: set = set()  # non-interleaved sequential bookkeeping
             pos = 2
             # pos+2: EOI (2 bytes, no payload) ends the stream — checked
             # before any size read, so payload markers still need pos+4
@@ -1214,9 +1308,15 @@ def _make_jpeg_raster_decoder():
                 if marker == 0xFF:  # fill byte padding before a marker
                     pos += 1
                     continue
-                if marker == 0xD9:  # EOI: progressive reconstructs here
-                    if not (progressive and coef is not None):
+                if marker == 0xD9:  # EOI: grid-accumulated frames
+                    # (progressive AND non-interleaved sequential)
+                    # reconstruct here
+                    if coef is None:
                         return None  # EOI before any decoded scan
+                    if not progressive and scanned != set(
+                        range(len(comps))
+                    ):
+                        return None  # a component never got its scan
                     hmax = max(c["hs"] for c in comps)
                     vmax = max(c["vs"] for c in comps)
                     shift = float(1 << (prec - 1))
@@ -1317,6 +1417,26 @@ def _make_jpeg_raster_decoder():
                     for c in range(ns):
                         cid, tt = seg[1 + 2 * c : 3 + 2 * c]
                         sel[cid] = (tt >> 4, tt & 15)
+                    if not progressive and ns < len(comps):
+                        # non-interleaved sequential: one component per
+                        # scan, grids accumulate, EOI reconstructs
+                        if ns != 1:
+                            return None  # subset-interleaved: decline
+                        cid0 = seg[1]
+                        matches = [
+                            j
+                            for j, c in enumerate(comps)
+                            if c["id"] == cid0
+                        ]
+                        if not matches:
+                            return None
+                        pos, coef = _sequential_partial_scan(
+                            b, pos + 2 + size, sel, comps, matches[0],
+                            coef, restart, hdc, hac, dc_cond, ac_kx,
+                            w, h, arith,
+                        )
+                        scanned.add(matches[0])
+                        continue
                     if progressive:
                         if arith:
                             got = _progressive_arith_scan(

@@ -910,3 +910,130 @@ def test_hierarchical_and_lossless_frames_decline():
         blob = bytearray(base)
         blob[soi + 1] = sof
         assert decode_raster(bytes(blob)) is None, hex(sof)
+
+
+# ---------------------------------------------------------------------------
+# Non-interleaved sequential frames: one SOS per component (T.81
+# A.2.2) — the last legal DCT scan layout, both entropy modes.
+# ---------------------------------------------------------------------------
+def encode_arith_sequential_noninterleaved(img, subsample=False):
+    h, w = img.shape[:2]
+    grids, hs, vs = _grids(img, subsample)
+    nc = len(grids)
+    out = bytearray(_headers(h, w, hs, vs, 8, 0xC9))
+    for ci in range(nc):
+        sos = bytes([1, ci + 1, 0x00, 0, 63, 0])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        enc = _ArithEnc()
+        st = _fresh_stats()
+        ctx = [0]
+        pred = 0
+        g = grids[ci]
+        for by in range(g.shape[0]):
+            for bx in range(g.shape[1]):
+                zz = g[by, bx]
+                diff = int(zz[0]) - pred
+                pred = int(zz[0])
+                _enc_dc_diff(enc, st["dc"], ctx, 0, 0, 1, diff)
+                _enc_ac_coefs(enc, st["ac"], st["fixed"], zz, 1, 63, 5)
+        out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_huffman_sequential_noninterleaved(img, subsample=False):
+    from tests.test_jpeg_decode import _BitWriter, _canonical_table
+
+    h, w = img.shape[:2]
+    grids, hs, vs = _grids(img, subsample)
+    nc = len(grids)
+    out = bytearray(_headers(h, w, hs, vs, 8, 0xC0))
+    for ci in range(nc):
+        g = grids[ci]
+        tokens = []
+        pred = 0
+        for by in range(g.shape[0]):
+            for bx in range(g.shape[1]):
+                zz = g[by, bx]
+                diff = int(zz[0]) - pred
+                pred = int(zz[0])
+                t = abs(diff).bit_length()
+                bits = diff if diff >= 0 else diff + (1 << t) - 1
+                tokens.append(("dc", t, bits, t))
+                nzs = [k for k in range(1, 64) if zz[k]]
+                last = nzs[-1] if nzs else 0
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if k > last:
+                        tokens.append(("ac", 0, 0, 0))
+                        break
+                    if v == 0:
+                        run += 1
+                        if run == 16:
+                            tokens.append(("ac", 0xF0, 0, 0))
+                            run = 0
+                        continue
+                    s = abs(v).bit_length()
+                    bits = v if v >= 0 else v + (1 << s) - 1
+                    tokens.append(("ac", (run << 4) | s, bits, s))
+                    run = 0
+        dc_bits, dc_vals, dc_map = _canonical_table(
+            [t[1] for t in tokens if t[0] == "dc"]
+        )
+        ac_bits, ac_vals, ac_map = _canonical_table(
+            [t[1] for t in tokens if t[0] == "ac"]
+        )
+        # tables may legally be redefined between scans
+        for cls, (bits16, vals) in enumerate(
+            [(dc_bits, dc_vals), (ac_bits, ac_vals)]
+        ):
+            body = bytes([cls << 4]) + bytes(bits16) + bytes(vals)
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+        sos = bytes([1, ci + 1, 0x00, 0, 63, 0])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        bw = _BitWriter()
+        for kind, sym, bits, blen in tokens:
+            ln, code = (dc_map if kind == "dc" else ac_map)[sym]
+            bw.put(code, ln)
+            if blen:
+                bw.put(bits, blen)
+        bw.align()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_noninterleaved_sequential_both_modes_match_interleaved():
+    img = _img(50)
+    want = decode_raster(encode_baseline_jpeg(img))
+    nh = decode_raster(encode_huffman_sequential_noninterleaved(img))
+    na = decode_raster(encode_arith_sequential_noninterleaved(img))
+    assert nh is not None and na is not None and want is not None
+    assert np.array_equal(nh[3], want[3])
+    assert np.array_equal(na[3], want[3])
+
+
+def test_noninterleaved_420_subsampled():
+    img = _img(51, h=32, w=32)
+    want = decode_raster(encode_baseline_jpeg(img, subsample=True))
+    nh = decode_raster(
+        encode_huffman_sequential_noninterleaved(img, subsample=True)
+    )
+    na = decode_raster(
+        encode_arith_sequential_noninterleaved(img, subsample=True)
+    )
+    assert nh is not None and na is not None
+    assert np.array_equal(nh[3], want[3])
+    assert np.array_equal(na[3], want[3])
+
+
+def test_missing_component_scan_declines():
+    """A sequential multi-scan file whose third component never gets a
+    scan must decline at EOI, not render a half-image."""
+    img = _img(52)
+    blob = encode_huffman_sequential_noninterleaved(img)
+    # drop the last SOS segment (find the final 0xFFDA and cut to EOI)
+    last_sos = blob.rfind(b"\xff\xda")
+    cut = blob[:last_sos] + b"\xff\xd9"
+    assert decode_raster(cut) is None
