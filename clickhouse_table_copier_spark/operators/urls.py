@@ -136,21 +136,45 @@ def canonical_url(url: Column | str) -> Column:
 
 
 def filter_blocklisted(
-    df: DataFrame, url_col: str, blocklist: DataFrame
+    df: DataFrame,
+    url_col: str,
+    blocklist: DataFrame,
+    psl_rules: DataFrame | None = None,
 ) -> DataFrame:
     """Drop rows whose registrable domain appears in ``blocklist``
     (single column ``domain``) — broadcast LEFT ANTI join, so at 100 TB
     the blocklist ships to every executor once and the filter is
     map-side.  The working domain column gets a collision-safe generated
     name so an input frame that already carries ``__dom`` (or any
-    underscore-extended variant) passes through untouched."""
+    underscore-extended variant) passes through untouched.
+
+    ``psl_rules``: a frame from :func:`operators.psl.load_psl_rules` —
+    when given, the registrable-domain split runs the FULL Public
+    Suffix List algorithm (still broadcast-join-only, zero shuffles on
+    the stream) instead of the built-in last-two-labels approximation,
+    so ``foo.blogspot.com``-style private suffixes and ``*.ck``-style
+    wildcards block at the right granularity."""
     dom_col = "__dom"
     while dom_col in df.columns:
         dom_col += "_"
-    dom = url_domain(url_host(F.col(url_col)))
+    if psl_rules is not None:
+        from clickhouse_table_copier_spark.operators.psl import (
+            psl_registrable_domain,
+        )
+
+        host_col = dom_col + "h"
+        with_dom = psl_registrable_domain(
+            df.withColumn(host_col, url_host(F.col(url_col))),
+            host_col,
+            psl_rules,
+            out_col=dom_col,
+        ).drop(host_col)
+    else:
+        with_dom = df.withColumn(
+            dom_col, url_domain(url_host(F.col(url_col)))
+        )
     return (
-        df.withColumn(dom_col, dom)
-        .join(
+        with_dom.join(
             F.broadcast(blocklist.select(F.col("domain").alias(dom_col))),
             on=dom_col,
             how="left_anti",

@@ -145,3 +145,35 @@ def test_working_columns_are_collision_safe(spark, rules):
     out = psl_registrable_domain(df, "host", rules).collect()[0]
     assert out["domain"] == "example.com"
     assert out["__psl_parts"] == "keep"
+
+
+def test_blocklist_filter_with_psl_rules(spark, rules):
+    """filter_blocklisted(psl_rules=...) blocks at the TRUE registrable
+    domain: a blogspot subdomain-site blocks without taking down every
+    other blogspot site (the last-two-labels approximation would)."""
+    from clickhouse_table_copier_spark.operators.urls import (
+        filter_blocklisted,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://spam.blogspot.com/post/1"),
+            (2, "https://nice.blogspot.com/post/2"),
+            (3, "https://sub.example.co.uk/x"),
+            (4, "https://other.co.uk/y"),
+        ],
+        "id long, url string",
+    )
+    bl = spark.createDataFrame(
+        [("spam.blogspot.com",), ("example.co.uk",)], "domain string"
+    )
+    kept = sorted(
+        r["id"] for r in filter_blocklisted(df, "url", bl, psl_rules=rules).collect()
+    )
+    assert kept == [2, 4]
+    # without PSL, the approximation maps both blogspot sites to
+    # blogspot.com and neither matches the subdomain-level blocklist
+    kept_approx = sorted(
+        r["id"] for r in filter_blocklisted(df, "url", bl).collect()
+    )
+    assert kept_approx == [1, 2, 4]
