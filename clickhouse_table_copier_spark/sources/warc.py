@@ -78,6 +78,83 @@ def _gzip_members(data: bytes) -> Iterator[bytes]:
         yield bytes(out)
 
 
+def _gzip_members_from_file(fobj) -> Iterator[bytes]:
+    """Streaming twin of :func:`_gzip_members`: inflate member-at-a-
+    time reading fixed-size chunks from an OPEN FILE, so the compressed
+    shard is never resident — peak memory is one inflated member plus
+    the 1 MiB read buffer.  Same salvage contract: a corrupt or
+    truncated member ends the walk at the last whole record."""
+    chunk_size = 1 << 20
+    pending = b""
+    while True:
+        if not pending:
+            pending = fobj.read(chunk_size)
+            if not pending:
+                return  # clean end of shard
+        d = zlib.decompressobj(wbits=47)
+        out = bytearray()
+        try:
+            while not d.eof:
+                out += d.decompress(pending)
+                if d.eof:
+                    break
+                pending = fobj.read(chunk_size)
+                if not pending:
+                    return  # truncated final member: salvage the prefix
+        except zlib.error:
+            return  # bit-flipped member
+        pending = d.unused_data
+        yield bytes(out)
+
+
+def _records_from_file(fobj) -> Iterator[bytes]:
+    """Streaming twin of :func:`_split_records` for plain ``.warc``:
+    walk Content-Length-framed records from an open file through a
+    bounded buffer (one record + one read chunk resident)."""
+    chunk_size = 1 << 20
+    buf = bytearray()
+    while True:
+        while b"\r\n\r\n" not in buf:
+            got = fobj.read(chunk_size)
+            if not got:
+                return
+            buf += got
+        if buf[:5] != b"WARC/":
+            return
+        hdr_end = buf.find(b"\r\n\r\n")
+        length = None
+        for line in bytes(buf[:hdr_end]).split(b"\r\n"):
+            k, _, v = line.partition(b":")
+            if k.strip().lower() == b"content-length":
+                try:
+                    length = int(v.strip())
+                except ValueError:
+                    return  # malformed header: salvage the prefix
+        if length is None:
+            return
+        end = hdr_end + 4 + length
+        while len(buf) < end:
+            got = fobj.read(chunk_size)
+            if not got:
+                return  # shard cut mid-payload: drop the partial record
+            buf += got
+        yield bytes(buf[:end])
+        del buf[:end]
+        while True:  # inter-record CRLFs, possibly split across reads
+            if len(buf) < 2:
+                got = fobj.read(chunk_size)
+                if got:
+                    buf += got
+                elif not buf:
+                    return  # clean end
+                else:
+                    break
+            if buf[:2] == b"\r\n":
+                del buf[:2]
+            else:
+                break
+
+
 def _split_records(raw: bytes) -> Iterator[bytes]:
     """Walk concatenated uncompressed WARC records via Content-Length."""
     pos = 0
@@ -155,11 +232,6 @@ def read_warc(
     prefix rather than fail the task)."""
 
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in WARC_SCHEMA.fields]
-
-        def flush(rows):
-            return pd.DataFrame(rows, columns=cols)
-
         for pdf in batches:
             for path_, content in zip(pdf["path"], pdf["content"]):
                 raw = bytes(content)
@@ -167,29 +239,89 @@ def read_warc(
                     records = _gzip_members(raw)
                 else:
                     records = _split_records(raw)
-                rows, idx = [], 0
-                for rec in records:
-                    if rec[:5] != b"WARC/":
-                        continue  # e.g. a non-record gzip member
-                    parsed = _parse_record(rec)
-                    if parsed is None:  # truncated stub: skip
-                        continue
-                    wtype, uri, date, status, ctype, payload = parsed
-                    rows.append(
-                        (
-                            path_, idx, wtype, uri, date, status, ctype,
-                            bytearray(payload),
-                        )
-                    )
-                    idx += 1
-                    if len(rows) >= batch_records:
-                        yield flush(rows)
-                        rows = []
-                if rows:
-                    yield flush(rows)
+                yield from _record_batches(path_, records, batch_records)
 
     shards = spark.read.format("binaryFile").load(path)
     return shards.select("path", "content").mapInPandas(expand, WARC_SCHEMA)
+
+
+def _record_batches(
+    path_: str, records: Iterator[bytes], batch_records: int
+) -> Iterator[pd.DataFrame]:
+    """Shared record→row batching for both WARC readers."""
+    cols = [f.name for f in WARC_SCHEMA.fields]
+    rows, idx = [], 0
+    for rec in records:
+        if rec[:5] != b"WARC/":
+            continue  # e.g. a non-record gzip member
+        parsed = _parse_record(rec)
+        if parsed is None:  # truncated stub: skip
+            continue
+        wtype, uri, date, status, ctype, payload = parsed
+        rows.append(
+            (path_, idx, wtype, uri, date, status, ctype, bytearray(payload))
+        )
+        idx += 1
+        if len(rows) >= batch_records:
+            yield pd.DataFrame(rows, columns=cols)
+            rows = []
+    if rows:
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def read_warc_stream(
+    spark: SparkSession, paths, batch_records: int = 256
+) -> DataFrame:
+    """Streaming twin of :func:`read_warc` for EXECUTOR-VISIBLE paths
+    (local / NFS / fuse-mounted object storage): each task OPENS its
+    shard and walks it incrementally, so the per-task memory floor
+    drops to (one inflated member) + (one Arrow batch) + (a 1 MiB read
+    buffer) — the whole compressed shard is NEVER resident, unlike
+    ``read_warc``'s ``binaryFile`` path.  Use this when shards are
+    mounted; use ``read_warc`` for URLs only ``binaryFile`` can reach.
+
+    ``paths``: a glob string (driver-side ``glob.glob``; a directory
+    is treated as ``dir/*``) or an explicit list of paths.  One task
+    per shard (the shard stays the unit of parallelism)."""
+    import glob as _glob
+    import os as _os
+
+    if isinstance(paths, str):
+        files = sorted(_glob.glob(paths))
+    else:
+        files = [str(p) for p in paths]
+    # a matched directory means its shards: expand one level
+    files = [
+        f
+        for p in files
+        for f in (
+            sorted(_glob.glob(_os.path.join(p, "*")))
+            if _os.path.isdir(p)
+            else [p]
+        )
+    ]
+    files = [f for f in files if _os.path.isfile(f)]
+    if not files:
+        raise ValueError(f"read_warc_stream: no files match {paths!r}")
+    pdf = spark.createDataFrame([(p,) for p in files], "path string")
+    pdf = pdf.repartition(len(files), "path")
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for path_ in b["path"]:
+                with open(path_, "rb") as f:
+                    head = f.read(2)
+                    f.seek(0)
+                    records = (
+                        _gzip_members_from_file(f)
+                        if head == b"\x1f\x8b"
+                        else _records_from_file(f)
+                    )
+                    yield from _record_batches(
+                        path_, records, batch_records
+                    )
+
+    return pdf.mapInPandas(expand, WARC_SCHEMA)
 
 
 # BOM sniff table, longest-prefix first (UTF-32 LE before UTF-16 LE —

@@ -286,3 +286,41 @@ def test_charset_bogus_declaration_falls_back(spark, tmp_path):
     docs = responses_to_documents(read_warc(spark, p)).collect()
     assert len(docs) == 1
     assert "plain ascii survives" in docs[0]["raw_html"]
+
+
+def test_stream_reader_matches_binaryfile_reader(spark, tmp_path):
+    """read_warc_stream (task-side open, one-member memory floor) must
+    produce EXACTLY read_warc's rows on the same shards — both layouts,
+    including the truncated-tail salvage."""
+    from clickhouse_table_copier_spark.sources.warc import read_warc_stream
+
+    _write_shards(str(tmp_path))
+    # add a truncated gzip shard: salvage must match too
+    recs = _records()
+    with open(tmp_path / "t.warc.gz", "wb") as f:
+        for r in recs:
+            f.write(gzip.compress(r))
+        f.write(gzip.compress(_record({"WARC-Type": "response"}, b"x" * 64))[:20])
+
+    def key(rows):
+        return sorted(
+            (
+                os.path.basename(r["warc_file"]), r["record_idx"],
+                r["warc_type"], r["target_uri"], r["http_status"],
+                bytes(r["payload"]),
+            )
+            for r in rows
+        )
+
+    a = key(read_warc(spark, str(tmp_path)).collect())
+    b = key(read_warc_stream(spark, str(tmp_path)).collect())
+    assert a == b
+    assert len(a) == 12  # 4 (a.warc) + 4 (b.warc.gz) + 4 salvaged (t)
+
+
+def test_stream_reader_no_files_raises(spark, tmp_path):
+    from clickhouse_table_copier_spark.sources.warc import read_warc_stream
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_warc_stream(spark, str(tmp_path / "nope-*.warc"))
