@@ -2847,3 +2847,165 @@ def audio_features(df: DataFrame, window: int = 256) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(
         make_fn(window), AUDIO_FEATURE_SCHEMA
     )
+
+
+AUDIO_FPRINT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("fhash", T.LongType()),
+    ]
+)
+
+
+def audio_fingerprint(
+    df: DataFrame, window: int = 1024, hop: int = 512, bands: int = 16
+) -> DataFrame:
+    """Per-frame audio fingerprint in the Haitsma–Kalker shape ("A
+    Highly Robust Audio Fingerprinting System", ISMIR 2002 — public
+    algorithm): Hann-windowed frames of ``window`` samples every
+    ``hop``, power spectrum, log-spaced band energies, and one bit per
+    adjacent-band pair from the SIGN of the band-difference's
+    frame-to-frame delta — the descriptor that survives re-encoding,
+    volume change (energy ratios only) and hop-aligned trimming (each
+    hash depends on two consecutive frames, so a copy cut at a hop
+    multiple keeps every interior hash).  Output: one row per frame
+    ``(media_id, frame_idx, fhash)``; unparseable blobs and
+    unsupported sample formats emit no rows (decline, never fail).
+
+    Scale shape: pure numpy inside the Arrow-batched ``mapInPandas``
+    edge — audio bytes never shuffle; the fingerprint stream is what
+    downstream joins touch (the video frame-hash pattern)."""
+    parse_wav = _make_wav_parser()
+    pcm_to_float = _make_pcm_to_float()
+
+    def make_fn(win: int, hp: int, nb: int):
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            hann = np.hanning(win)
+            lo, hi = max(1, win // 64), win // 2
+            edges = np.unique(
+                np.round(np.geomspace(lo, hi, nb + 2)).astype(int)
+            )
+            weights = 1 << np.arange(len(edges) - 2, dtype=np.int64)
+            for pdf in batches:
+                rows = []
+                for mid, content in zip(pdf["media_id"], pdf["content"]):
+                    got = parse_wav(bytes(content))
+                    if got is None:
+                        continue
+                    _sr, ch, bits, tag, pcm = got
+                    x = pcm_to_float(pcm, bits, tag)
+                    if x is None:
+                        continue
+                    if ch > 1:
+                        x = (
+                            x[: (len(x) // ch) * ch]
+                            .reshape(-1, ch)
+                            .mean(axis=1)
+                        )
+                    if len(x) < win + hp or len(edges) < 3:
+                        continue  # needs two frames for one hash
+                    n_frames = (len(x) - win) // hp + 1
+                    idx = (
+                        np.arange(win)[None, :]
+                        + hp * np.arange(n_frames)[:, None]
+                    )
+                    spec = np.abs(np.fft.rfft(x[idx] * hann, axis=1)) ** 2
+                    energy = np.stack(
+                        [
+                            spec[:, a:b].sum(axis=1)
+                            for a, b in zip(edges[:-1], edges[1:])
+                        ],
+                        axis=1,
+                    )
+                    d = energy[:, :-1] - energy[:, 1:]
+                    bitsm = (d[1:] - d[:-1]) > 0
+                    hashes = (bitsm.astype(np.int64) * weights[None, :]).sum(
+                        axis=1
+                    )
+                    rows.extend(
+                        (mid, i, int(h)) for i, h in enumerate(hashes)
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "frame_idx", "fhash"]
+                )
+
+        return fn
+
+    return df.select("media_id", "content").mapInPandas(
+        make_fn(window, hop, bands), AUDIO_FPRINT_SCHEMA
+    )
+
+
+def near_duplicate_audio(
+    df: DataFrame,
+    min_shared_ppm: int = 500_000,
+    max_df: int | None = None,
+    window: int = 1024,
+    hop: int = 512,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-duplicate audio pairs by fingerprint overlap — the audio
+    twin of :func:`near_duplicate_videos`, same mechanics and same
+    levers: collapse each clip to its DISTINCT frame-hash set, pair
+    through an inverted-index equi-join on the hash (never all-pairs),
+    keep pairs with containment ``|A∩B| / min(|A|,|B|)`` ≥
+    ``min_shared_ppm`` ppm.  ``max_df`` is the hot-hash cap (SCALE.md):
+    silence and other ubiquitous frames (the all-zero-bits hash) are
+    shared by every clip and alone would emit k(k−1)/2 candidate rows —
+    the cap anti-filters high-df hashes from BOTH join sides while
+    sizes keep counting them, so containment stays a tight lower
+    bound.  Output: (media_a, media_b, shared, n_a, n_b,
+    containment_ppm)."""
+    hs = (
+        audio_fingerprint(df, window=window, hop=hop, bands=bands)
+        .select("media_id", "fhash")
+        .distinct()
+        .persist()
+    )
+    sizes = hs.groupBy("media_id").agg(F.count("*").alias("n"))
+    join_side = hs
+    if max_df is not None:
+        rare = (
+            hs.groupBy("fhash")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("fhash")
+        )
+        join_side = hs.join(rare, "fhash")
+    a, b_ = join_side.alias("a"), join_side.alias("b")
+    shared = (
+        a.join(b_, on="fhash")
+        .where(F.col("a.media_id") < F.col("b.media_id"))
+        .groupBy(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(
+        F.col("media_id").alias("media_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("media_id").alias("media_b"), F.col("n").alias("n_b")
+    )
+    out = (
+        shared.join(sa, "media_a")
+        .join(sb, "media_b")
+        .select(
+            "media_a",
+            "media_b",
+            "shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("shared") * 1_000_000
+                / F.least(F.col("n_a"), F.col("n_b"))
+            )
+            .cast("long")
+            .alias("containment_ppm"),
+        )
+    )
+    return out.where(F.col("containment_ppm") >= min_shared_ppm)
