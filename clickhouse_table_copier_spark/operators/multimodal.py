@@ -2877,22 +2877,61 @@ def audio_fingerprint(
     edge — audio bytes never shuffle; the fingerprint stream is what
     downstream joins touch (the video frame-hash pattern)."""
     parse_wav = _make_wav_parser()
+
+    def decode(content: bytes):
+        return parse_wav(content)
+
+    return _fingerprint_frame(df, decode, window, hop, bands)
+
+
+def _make_fingerprint_core(win: int, hp: int, nb: int):
+    """Shared Haitsma-Kalker core as a closure: mono float signal →
+    one int64 hash per consecutive-frame pair (algorithm documented at
+    :func:`audio_fingerprint`).  Returns None when the signal is too
+    short for two frames."""
+    import numpy as np
+
+    hann = np.hanning(win)
+    lo, hi = max(1, win // 64), win // 2
+    edges = np.unique(np.round(np.geomspace(lo, hi, nb + 2)).astype(int))
+    weights = 1 << np.arange(len(edges) - 2, dtype=np.int64)
+
+    def core(x):
+        if len(x) < win + hp or len(edges) < 3:
+            return None
+        n_frames = (len(x) - win) // hp + 1
+        idx = np.arange(win)[None, :] + hp * np.arange(n_frames)[:, None]
+        spec = np.abs(np.fft.rfft(x[idx] * hann, axis=1)) ** 2
+        energy = np.stack(
+            [
+                spec[:, a:b].sum(axis=1)
+                for a, b in zip(edges[:-1], edges[1:])
+            ],
+            axis=1,
+        )
+        d = energy[:, :-1] - energy[:, 1:]
+        bitsm = (d[1:] - d[:-1]) > 0
+        return (bitsm.astype(np.int64) * weights[None, :]).sum(axis=1)
+
+    return core
+
+
+def _fingerprint_frame(
+    df: DataFrame, decode, window: int, hop: int, bands: int
+) -> DataFrame:
+    """Shared fingerprint plumbing: ``decode(bytes)`` → ``(sr, ch,
+    bits, tag, pcm)`` or None; the rest (float conversion, downmix,
+    core, row batching) is identical for WAV blobs and for audio
+    tracks extracted from video containers."""
     pcm_to_float = _make_pcm_to_float()
 
     def make_fn(win: int, hp: int, nb: int):
         def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            import numpy as np
-
-            hann = np.hanning(win)
-            lo, hi = max(1, win // 64), win // 2
-            edges = np.unique(
-                np.round(np.geomspace(lo, hi, nb + 2)).astype(int)
-            )
-            weights = 1 << np.arange(len(edges) - 2, dtype=np.int64)
+            core = _make_fingerprint_core(win, hp, nb)
             for pdf in batches:
                 rows = []
                 for mid, content in zip(pdf["media_id"], pdf["content"]):
-                    got = parse_wav(bytes(content))
+                    got = decode(bytes(content))
                     if got is None:
                         continue
                     _sr, ch, bits, tag, pcm = got
@@ -2905,26 +2944,9 @@ def audio_fingerprint(
                             .reshape(-1, ch)
                             .mean(axis=1)
                         )
-                    if len(x) < win + hp or len(edges) < 3:
-                        continue  # needs two frames for one hash
-                    n_frames = (len(x) - win) // hp + 1
-                    idx = (
-                        np.arange(win)[None, :]
-                        + hp * np.arange(n_frames)[:, None]
-                    )
-                    spec = np.abs(np.fft.rfft(x[idx] * hann, axis=1)) ** 2
-                    energy = np.stack(
-                        [
-                            spec[:, a:b].sum(axis=1)
-                            for a, b in zip(edges[:-1], edges[1:])
-                        ],
-                        axis=1,
-                    )
-                    d = energy[:, :-1] - energy[:, 1:]
-                    bitsm = (d[1:] - d[:-1]) > 0
-                    hashes = (bitsm.astype(np.int64) * weights[None, :]).sum(
-                        axis=1
-                    )
+                    hashes = core(x)
+                    if hashes is None:
+                        continue
                     rows.extend(
                         (mid, i, int(h)) for i, h in enumerate(hashes)
                     )
@@ -2937,6 +2959,92 @@ def audio_fingerprint(
     return df.select("media_id", "content").mapInPandas(
         make_fn(window, hop, bands), AUDIO_FPRINT_SCHEMA
     )
+
+
+def _make_avi_audio_parser():
+    """Audio-track extraction from RIFF/AVI as a closure: the ``strl``
+    headers in declaration order give each stream its index and type;
+    the first ``auds`` stream's ``strf`` is a WAVEFORMATEX (tag,
+    channels, rate, byterate, align, bits) and its movi chunks are
+    ``NNwb`` with NN = the stream index (also inside ``rec `` sub-
+    lists).  Returns ``(sr, ch, bits, tag, pcm)`` — parse_wav's tuple,
+    so the whole PCM pipeline (float conversion, DSP, fingerprint) is
+    shared — or None when there is no parseable PCM audio stream."""
+    import struct as _struct
+
+    def _chunks(b: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            cid = b[pos : pos + 4]
+            size = _struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+            if pos + 8 + size > end:
+                return
+            yield cid, pos + 8, pos + 8 + size
+            pos += 8 + size + (size & 1)
+
+    def parse(b: bytes):
+        try:
+            if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+                return None
+            aud_idx = None
+            fmt = None
+            stream_no = 0
+            pieces = []
+
+            def grab(start: int, end: int, want: bytes):
+                for cid2, s2, e2 in _chunks(b, start, end):
+                    if cid2 == want:
+                        pieces.append(b[s2:e2])
+                    elif cid2 == b"LIST" and b[s2 : s2 + 4] == b"rec ":
+                        grab(s2 + 4, e2, want)
+
+            for cid, s, e in _chunks(b, 12, len(b)):
+                if cid != b"LIST":
+                    continue
+                ltype = b[s : s + 4]
+                if ltype == b"hdrl":
+                    for cid2, s2, e2 in _chunks(b, s + 4, e):
+                        if not (
+                            cid2 == b"LIST" and b[s2 : s2 + 4] == b"strl"
+                        ):
+                            continue
+                        fcc = None
+                        strf = None
+                        for cid3, s3, e3 in _chunks(b, s2 + 4, e2):
+                            if cid3 == b"strh":
+                                fcc = b[s3 : s3 + 4]
+                            elif cid3 == b"strf":
+                                strf = b[s3:e3]
+                        if fcc == b"auds" and aud_idx is None and strf:
+                            aud_idx = stream_no
+                            fmt = _struct.unpack("<HHIIHH", strf[:16])
+                        stream_no += 1
+                elif ltype == b"movi" and aud_idx is not None:
+                    grab(s + 4, e, f"{aud_idx:02d}wb".encode())
+            if fmt is None or not pieces:
+                return None
+            tag, ch, sr, _br, _al, bits = fmt
+            if not sr or not ch or not bits or bits % 8:
+                return None
+            return sr, ch, bits, tag, b"".join(pieces)
+        except Exception:
+            return None
+
+    return parse
+
+
+def video_audio_fingerprint(
+    df: DataFrame, window: int = 1024, hop: int = 512, bands: int = 16
+) -> DataFrame:
+    """:func:`audio_fingerprint` over the AUDIO TRACK of video
+    containers (RIFF/AVI with a PCM ``auds`` stream): the extracted
+    track runs through the SAME float/downmix/core pipeline, so a
+    video and its soundtrack exported as WAV produce identical
+    ``fhash`` rows — soundtrack↔clip dedup across containers, exactly
+    as per-frame aHash gives video↔image dedup.  Containers without a
+    parseable PCM audio stream emit no rows."""
+    parse = _make_avi_audio_parser()
+    return _fingerprint_frame(df, parse, window, hop, bands)
 
 
 def near_duplicate_audio(

@@ -119,3 +119,93 @@ def test_undecodable_blobs_emit_nothing(spark):
         [(1, "audio", bytearray(b"not audio at all"), "{}")], MEDIA_SCHEMA
     )
     assert audio_fingerprint(df).collect() == []
+
+
+def _avi_with_audio(frames, w, h, samples, sr=_SR, fps=10):
+    """AVI with a video stream (00dc MJPEG) and a PCM auds stream
+    (01wb chunks), declared via proper strl headers."""
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    usec = 1_000_000 // fps
+    avih = struct.pack("<10I", usec, 0, 0, 0, len(frames), 0, 2, 0, w, h) + b"\x00" * 16
+    strh_v = b"vids" + b"MJPG" + b"\x00" * 48
+    strf_v = struct.pack("<IiiHH4sIIIII", 40, w, h, 1, 24, b"MJPG", 0, 0, 0, 0, 0)
+    strh_a = b"auds" + b"\x00" * 52
+    pcm = np.clip(samples * 32767.0, -32768, 32767).astype("<i2").tobytes()
+    strf_a = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh_v) + chunk(b"strf", strf_v))
+        + lst(b"strl", chunk(b"strh", strh_a) + chunk(b"strf", strf_a)),
+    )
+    # interleave: all frames, then the audio in two 01wb chunks (a
+    # chunk boundary inside the PCM must not perturb the fingerprint)
+    half = (len(pcm) // 4) * 2  # even: never split a 16-bit sample
+    movi = lst(
+        b"movi",
+        b"".join(chunk(b"00dc", f) for f in frames)
+        + chunk(b"01wb", pcm[:half])
+        + chunk(b"01wb", pcm[half:]),
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_video_soundtrack_matches_standalone_wav(spark):
+    """A video's PCM audio track fingerprints IDENTICALLY to the same
+    samples exported as WAV — soundtrack↔clip dedup across containers,
+    and the video's visual frames still decode (both streams
+    coexist)."""
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        video_audio_fingerprint,
+        video_frame_features,
+    )
+    from tests.test_jpeg_decode import encode_baseline_jpeg
+
+    rng = np.random.default_rng(7)
+    imgs = [
+        rng.integers(0, 256, (16, 16, 3), dtype=np.uint8) for _ in range(3)
+    ]
+    samples = _noise(42, _SR * 2)
+    avi = _avi_with_audio(
+        [encode_baseline_jpeg(im) for im in imgs], 16, 16, samples
+    )
+    vdf = spark.createDataFrame(
+        [(1, "video", bytearray(avi), "{}")], MEDIA_SCHEMA
+    )
+    adf = spark.createDataFrame(_media([(2, samples)]), MEDIA_SCHEMA)
+    from_video = {
+        r["frame_idx"]: r["fhash"]
+        for r in video_audio_fingerprint(vdf, window=_WIN, hop=_HOP).collect()
+    }
+    from_wav = {
+        r["frame_idx"]: r["fhash"]
+        for r in audio_fingerprint(adf, window=_WIN, hop=_HOP).collect()
+    }
+    assert from_video and from_video == from_wav
+    # the visual stream still decodes: 3 frames of real pixels
+    idxs = sorted(r["frame_idx"] for r in video_frame_features(vdf).collect())
+    assert idxs == [0, 1, 2]
+
+
+def test_video_without_audio_stream_emits_nothing(spark):
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        video_audio_fingerprint,
+    )
+    from tests.test_jpeg_decode import encode_baseline_jpeg
+    from tests.test_video_frames import make_mjpeg_avi
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    avi = make_mjpeg_avi([encode_baseline_jpeg(img)], 16, 16)
+    vdf = spark.createDataFrame(
+        [(1, "video", bytearray(avi), "{}")], MEDIA_SCHEMA
+    )
+    assert video_audio_fingerprint(vdf).collect() == []
