@@ -2720,6 +2720,14 @@ def _make_wav_parser():
                     tag, ch, sr, _, _, bits = _struct.unpack(
                         "<HHIIHH", body[:16]
                     )
+                    if tag == 0xFFFE and size >= 40:
+                        # WAVE_FORMAT_EXTENSIBLE: the REAL format is
+                        # the SubFormat GUID's leading 16 bits (1 =
+                        # PCM, 3 = IEEE float); the container width
+                        # stays wBitsPerSample (the extension's
+                        # valid-bits field only narrows the useful
+                        # range, samples stay container-aligned)
+                        tag = _struct.unpack("<H", body[24:26])[0]
                 elif cid == b"data":
                     pcm = body
                 pos += 8 + size + (size % 2)  # chunks are word-aligned

@@ -209,3 +209,32 @@ def test_video_without_audio_stream_emits_nothing(spark):
         [(1, "video", bytearray(avi), "{}")], MEDIA_SCHEMA
     )
     assert video_audio_fingerprint(vdf).collect() == []
+
+
+def test_wave_format_extensible_decodes(spark):
+    """WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE): the real format lives in
+    the SubFormat GUID's first 16 bits — an extensible PCM file must
+    fingerprint identically to its plain-PCM twin."""
+    x = _noise(13, _SR)
+    pcm = np.clip(x * 32767.0, -32768, 32767).astype("<i2").tobytes()
+    # KSDATAFORMAT_SUBTYPE_PCM = 00000001-0000-0010-8000-00AA00389B71
+    guid = struct.pack("<IHH", 1, 0, 0x10) + bytes.fromhex("800000AA00389B71")
+    fmt = (
+        struct.pack("<HHIIHH", 0xFFFE, 1, _SR, _SR * 2, 2, 16)
+        + struct.pack("<HHI", 22, 16, 0x4)  # cbSize, valid bits, chan mask
+        + guid
+    )
+    ext = (
+        b"RIFF" + struct.pack("<I", 12 + 8 + len(fmt) + 8 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(ext), "{}"),
+         (2, "audio", bytearray(_wav(x)), "{}")],
+        MEDIA_SCHEMA,
+    )
+    rows = audio_fingerprint(df, window=_WIN, hop=_HOP).collect()
+    a = sorted((r["frame_idx"], r["fhash"]) for r in rows if r["media_id"] == 1)
+    b = sorted((r["frame_idx"], r["fhash"]) for r in rows if r["media_id"] == 2)
+    assert a and a == b
