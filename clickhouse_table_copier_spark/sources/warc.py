@@ -231,6 +231,17 @@ def read_warc(
     (crawl files are routinely truncated mid-transfer — salvage the
     prefix rather than fail the task)."""
 
+    shards = spark.read.format("binaryFile").load(path)
+    return shards.select("path", "content").mapInPandas(
+        _make_shard_expander(batch_records), WARC_SCHEMA
+    )
+
+
+def _make_shard_expander(batch_records: int):
+    """(path, content) batches → WARC record rows; shared between the
+    batch reader and the Structured Streaming ingest
+    (streaming/incremental.py), so both paths parse identically."""
+
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for path_, content in zip(pdf["path"], pdf["content"]):
@@ -241,8 +252,7 @@ def read_warc(
                     records = _split_records(raw)
                 yield from _record_batches(path_, records, batch_records)
 
-    shards = spark.read.format("binaryFile").load(path)
-    return shards.select("path", "content").mapInPandas(expand, WARC_SCHEMA)
+    return expand
 
 
 def _record_batches(

@@ -195,3 +195,61 @@ def windowed_event_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_warc_documents(
+    spark: SparkSession,
+    warc_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    batch_records: int = 256,
+    sniff_charset: bool = True,
+    max_files_per_trigger: int = 16,
+):
+    """availableNow incremental crawl ingest: a ``binaryFile``
+    file-source stream over a WARC shard directory, expanded and
+    charset-decoded by EXACTLY the batch reader's code
+    (``sources.warc._make_shard_expander`` + ``responses_to_documents``
+    — shared functions, so streaming and batch parse identically), with
+    new documents appended to ``output_dir`` as parquet.
+
+    This is how a rolling crawl lands at 100 TB: drop shards into the
+    directory, re-run — the checkpoint's file ledger makes each run
+    touch ONLY shards added since the last one, and
+    ``maxFilesPerTrigger`` bounds a micro-batch to a digestible shard
+    count.  State is the file ledger (O(shards seen), never O(records)).
+    Returns the query handle; callers await termination."""
+    from clickhouse_table_copier_spark.sources.warc import (
+        WARC_SCHEMA,
+        _make_shard_expander,
+        responses_to_documents,
+    )
+
+    # streaming file sources require an explicit schema; binaryFile's
+    # is fixed by the format
+    binary_file_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    shards = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_file_schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(warc_dir)
+    )
+    records = shards.select("path", "content").mapInPandas(
+        _make_shard_expander(batch_records), WARC_SCHEMA
+    )
+    docs = responses_to_documents(records, sniff_charset=sniff_charset)
+    return (
+        docs.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

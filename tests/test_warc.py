@@ -324,3 +324,54 @@ def test_stream_reader_no_files_raises(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         read_warc_stream(spark, str(tmp_path / "nope-*.warc"))
+
+
+def test_incremental_warc_ingest_only_processes_new_shards(spark, tmp_path):
+    """Structured Streaming crawl ingest: run 1 lands shard A's
+    documents; shard B arrives; run 2 appends ONLY B's documents (the
+    checkpoint file ledger skips A) — with the same parsing and charset
+    decoding as the batch reader."""
+    from clickhouse_table_copier_spark.streaming.incremental import (
+        incremental_warc_documents,
+    )
+
+    warc_dir = tmp_path / "crawl"
+    out = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    warc_dir.mkdir()
+
+    def shard(name, urls):
+        recs = []
+        for u in urls:
+            body = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+                b"charset=ISO-8859-1\r\n\r\n<p>caf\xe9 " + u.encode() + b"</p>"
+            )
+            recs.append(
+                _record(
+                    {
+                        "WARC-Type": "response",
+                        "WARC-Target-URI": u,
+                        "WARC-Date": "2026-08-15T00:00:00Z",
+                    },
+                    body,
+                )
+            )
+        with open(warc_dir / name, "wb") as f:
+            for r in recs:
+                f.write(gzip.compress(r))
+
+    shard("a.warc.gz", ["https://x/1", "https://x/2"])
+    q = incremental_warc_documents(spark, str(warc_dir), out, ckpt)
+    q.awaitTermination()
+    first = spark.read.parquet(out).collect()
+    assert sorted(r["url"] for r in first) == ["https://x/1", "https://x/2"]
+    assert all("café" in r["raw_html"] for r in first)  # sniff applied
+
+    shard("b.warc.gz", ["https://x/3"])
+    q = incremental_warc_documents(spark, str(warc_dir), out, ckpt)
+    q.awaitTermination()
+    second = spark.read.parquet(out).collect()
+    assert sorted(r["url"] for r in second) == [
+        "https://x/1", "https://x/2", "https://x/3",
+    ]
