@@ -1,0 +1,259 @@
+"""PDF text extraction — the other container documents arrive in.
+
+Crawled corpora carry enormous PDF volume; the text pipeline needs
+``binary → text`` for them just as :mod:`operators.html_extract` covers
+HTML.  This module implements a zero-dependency extractor for the
+COMMON case — classic xref PDFs whose content streams are plain or
+FlateDecode (zlib ships with Python) and whose fonts are
+ASCII/WinAnsi-coded simple fonts:
+
+- object scan: ``N G obj … endobj`` pairs found directly (tolerant —
+  no xref walk, so mildly damaged files still extract; real crawls are
+  full of truncated PDFs);
+- stream decode: ``/FlateDecode`` inflated with zlib (raw streams pass
+  through; other filters — DCT, LZW, CCITT — are skipped, not fatal);
+- text operators: ``BT…ET`` blocks, ``Tj``/``'``/``"`` literal shows,
+  ``TJ`` arrays (kerning offsets beyond a threshold become spaces),
+  ``Td``/``TD``/``T*``/``Tm`` line moves become newlines, literal
+  ``(…)`` strings with the full escape set (``\\n \\t \\( \\) \\\\``,
+  octal, line continuations) and ``<…>`` hex strings (single-byte
+  Latin-1 interpretation).
+
+CID/Type0 composite fonts, encrypted documents and exotic filters are
+the documented seam (a real deployment hands those to pdfminer/poppler
+— this extractor is the reference semantics for the simple-font case
+and NEVER raises on arbitrary bytes: undecodable inputs yield NULL
+text, the decline contract every decoder here follows).
+
+Scale shape (100 TB): pure per-row map work in an Arrow-batched
+``mapInPandas`` stage at the pipeline edge — PDF bytes never shuffle;
+downstream sees only the extracted text column.
+
+Reference parity: none — north-star LLM-pipeline surface (SURVEY.md
+§2.8); the reference engine reads SQL tables only.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+PDF_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_pages", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+_STREAM_RE = re.compile(
+    rb"<<(?P<dict>.*?)>>\s*stream\r?\n", re.S
+)
+_PAGE_RE = re.compile(rb"/Type\s*/Page(?![a-zA-Z])")
+
+_ESCAPES = {
+    b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
+    b"(": "(", b")": ")", b"\\": "\\",
+}
+
+
+def _literal_string(data: bytes, start: int):
+    """Parse a ``(…)`` literal from ``start`` (at the open paren):
+    returns (text, position after the close paren).  Handles nesting,
+    the escape set, octal escapes, and backslash line continuations."""
+    out = []
+    depth = 1
+    i = start + 1
+    n = len(data)
+    while i < n and depth:
+        c = data[i : i + 1]
+        if c == b"\\":
+            nxt = data[i + 1 : i + 2]
+            if nxt in _ESCAPES:
+                out.append(_ESCAPES[nxt])
+                i += 2
+            elif nxt.isdigit():  # octal, 1-3 digits
+                j = i + 1
+                while j < min(i + 4, n) and data[j : j + 1].isdigit():
+                    j += 1
+                out.append(chr(int(data[i + 1 : j], 8) & 0xFF))
+                i = j
+            elif nxt in (b"\n", b"\r"):  # line continuation
+                i += 2
+                if nxt == b"\r" and data[i : i + 1] == b"\n":
+                    i += 1
+            else:
+                i += 1  # lone backslash: drop it
+        elif c == b"(":
+            depth += 1
+            out.append("(")
+            i += 1
+        elif c == b")":
+            depth -= 1
+            if depth:
+                out.append(")")
+            i += 1
+        else:
+            out.append(c.decode("latin-1"))
+            i += 1
+    return "".join(out), i
+
+
+_TOKEN_RE = re.compile(
+    rb"\("  # literal string start — _literal_string consumes the rest
+    rb"|<[0-9A-Fa-f\s]*>"  # hex string
+    rb"|\[|\]"
+    rb"|/[^\s/\[\]()<>]*"  # name
+    rb"|[-+]?[0-9]*\.?[0-9]+"  # number
+    rb"|[A-Za-z'\"*]+"  # operator
+)
+
+
+def _content_text(stream: bytes) -> str:
+    """Text shown by one content stream: walk tokens inside BT…ET,
+    track the pending operands, and emit on the show operators."""
+    parts: list[str] = []
+    in_text = False
+    operands: list = []
+
+    def flush_show(val):
+        if isinstance(val, str) and val:
+            parts.append(val)
+
+    pos = 0
+    n = len(stream)
+    while pos < n:
+        m = _TOKEN_RE.search(stream, pos)
+        if m is None:
+            break
+        tok = m.group(0)
+        if tok.startswith(b"("):
+            # re-parse from the true paren position to honor nesting
+            text, endpos = _literal_string(stream, m.start())
+            operands.append(text)
+            pos = endpos
+            continue
+        pos = m.end()
+        if tok.startswith(b"<"):
+            hexstr = re.sub(rb"\s", b"", tok[1:-1])
+            if len(hexstr) % 2:
+                hexstr += b"0"
+            try:
+                operands.append(bytes.fromhex(hexstr.decode()).decode("latin-1"))
+            except ValueError:
+                operands.append("")
+        elif tok in (b"[", b"]"):
+            operands.append(tok.decode())
+        elif tok.startswith(b"/"):
+            operands.append(None)  # names are never shown text
+        elif re.fullmatch(rb"[-+]?[0-9]*\.?[0-9]+", tok):
+            try:
+                operands.append(float(tok))
+            except ValueError:
+                operands.append(0.0)
+        else:  # operator
+            op = tok
+            if op == b"BT":
+                in_text = True
+                operands = []
+            elif op == b"ET":
+                in_text = False
+                parts.append("\n")
+                operands = []
+            elif not in_text:
+                operands = []
+            elif op == b"Tj":
+                if operands and isinstance(operands[-1], str):
+                    flush_show(operands[-1])
+                operands = []
+            elif op in (b"'", b'"'):
+                # ' and " move to the next line then show
+                parts.append("\n")
+                if operands and isinstance(operands[-1], str):
+                    flush_show(operands[-1])
+                operands = []
+            elif op == b"TJ":
+                # array of strings and kerning offsets; a large
+                # negative offset is an inter-word gap
+                for item in operands:
+                    if isinstance(item, str) and item not in ("[", "]"):
+                        flush_show(item)
+                    elif isinstance(item, float) and item < -150:
+                        parts.append(" ")
+                operands = []
+            elif op in (b"Td", b"TD", b"T*", b"Tm"):
+                parts.append("\n")
+                operands = []
+            else:
+                operands = []
+    text = "".join(parts)
+    text = re.sub(r"[ \t]*\n[ \t]*", "\n", text)
+    text = re.sub(r"\n{2,}", "\n", text)
+    return text.strip()
+
+
+def _extract_pdf(b: bytes):
+    """(n_pages, text) for one PDF, or None when the bytes aren't a
+    PDF.  Never raises — corrupt structures yield whatever extracted."""
+    try:
+        if b[:5] != b"%PDF-":
+            return None
+        n_pages = len(_PAGE_RE.findall(b))
+        texts = []
+        for m in _STREAM_RE.finditer(b):
+            d = m.group("dict")
+            start = m.end()
+            end = b.find(b"endstream", start)
+            if end == -1:
+                continue
+            raw = b[start:end]
+            # strip the EOL PDF writers put before 'endstream'
+            if raw.endswith(b"\n"):
+                raw = raw[:-1]
+            if raw.endswith(b"\r"):
+                raw = raw[:-1]
+            if b"/FlateDecode" in d:
+                try:
+                    raw = zlib.decompress(raw)
+                except zlib.error:
+                    continue  # damaged stream: skip, don't fail
+            elif re.search(rb"/Filter\s*(/|\[)", d):
+                continue  # other filters: the documented seam
+            if b"BT" not in raw:
+                continue  # no text operators (images, fonts, …)
+            t = _content_text(raw)
+            if t:
+                texts.append(t)
+        text = "\n".join(texts) if texts else None
+        return n_pages, text
+    except Exception:
+        return None
+
+
+def extract_pdf_text(
+    df: DataFrame, content_col: str, id_col: str
+) -> DataFrame:
+    """``(doc_id, n_pages, text)`` per input row — NULL text when the
+    bytes aren't a PDF or carry no extractable simple-font text (the
+    decline contract).  Arrow-batched ``mapInPandas``; PDF bytes never
+    leave their task."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, content in zip(pdf[id_col], pdf[content_col]):
+                got = _extract_pdf(bytes(content))
+                if got is None:
+                    out.append((did, None, None))
+                else:
+                    out.append((did, got[0], got[1]))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_pages", "text"]
+            )
+
+    return df.select(id_col, content_col).mapInPandas(fn, PDF_TEXT_SCHEMA)
