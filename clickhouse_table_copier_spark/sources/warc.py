@@ -451,3 +451,24 @@ def responses_to_documents(
             )
 
     return narrow.mapInPandas(decode, out_schema)
+
+
+def responses_to_pdfs(warc_df: DataFrame) -> DataFrame:
+    """response records → ``(doc_id, url, fetched_at, pdf_bytes)`` for
+    the PDF-extraction stage (:func:`operators.pdf_extract.
+    extract_pdf_text`): 200-status ``application/pdf`` bodies, doc_id =
+    deterministic xxhash64 of (warc_file, record_idx) — the exact
+    mirror of :func:`responses_to_documents` for the crawl's other big
+    document modality.  Bytes stay binary (no charset applies)."""
+    from pyspark.sql import functions as F
+
+    return warc_df.where(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.lower(F.col("content_type")).startswith("application/pdf")
+    ).select(
+        F.xxhash64("warc_file", "record_idx").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("warc_date").alias("fetched_at"),
+        F.col("payload").alias("pdf_bytes"),
+    )

@@ -155,3 +155,42 @@ def test_spark_surface(spark):
     assert got[1]["n_pages"] == 1
     assert got[2]["text"] is None and got[2]["n_pages"] is None
     assert "Doc three." in got[3]["text"]
+
+
+def test_warc_to_pdf_text_end_to_end(spark, tmp_path):
+    """The crawl's PDF path: WARC shard → application/pdf responses →
+    extract_pdf_text — the exact mirror of the HTML path."""
+    from clickhouse_table_copier_spark.sources.warc import (
+        read_warc,
+        responses_to_pdfs,
+    )
+    from tests.test_warc import _record
+
+    pdf_bytes = make_pdf([_SIMPLE])
+    recs = [
+        _record(
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "https://example.com/paper.pdf",
+                "WARC-Date": "2026-08-15T00:00:00Z",
+            },
+            b"HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n"
+            + pdf_bytes,
+        ),
+        _record(
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "https://example.com/page.html",
+                "WARC-Date": "2026-08-15T00:00:00Z",
+            },
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>html</p>",
+        ),
+    ]
+    p = tmp_path / "mix.warc"
+    with open(p, "wb") as f:
+        f.write(b"".join(recs))
+    pdfs = responses_to_pdfs(read_warc(spark, str(p)))
+    rows = pdfs.collect()
+    assert len(rows) == 1 and rows[0]["url"] == "https://example.com/paper.pdf"
+    text = extract_pdf_text(pdfs, "pdf_bytes", "doc_id").collect()[0]
+    assert "Hello crawl world." in text["text"]
