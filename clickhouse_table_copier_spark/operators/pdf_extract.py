@@ -10,8 +10,12 @@ ASCII/WinAnsi-coded simple fonts:
 - object scan: ``N G obj … endobj`` pairs found directly (tolerant —
   no xref walk, so mildly damaged files still extract; real crawls are
   full of truncated PDFs);
-- stream decode: ``/FlateDecode`` inflated with zlib (raw streams pass
-  through; other filters — DCT, LZW, CCITT — are skipped, not fatal);
+- stream decode: ``/FlateDecode`` (zlib), ``/LZWDecode`` (the PDF/TIFF
+  MSB-first variant with early code-width change), ``/ASCIIHexDecode``
+  and ``/ASCII85Decode`` — including filter CHAINS in array form
+  (``/Filter [/ASCII85Decode /FlateDecode]``); raw streams pass
+  through; remaining filters (DCT, CCITT, JBIG2, crypt) are skipped,
+  not fatal; predictors (rare on content streams) are the seam;
 - text operators: ``BT…ET`` blocks, ``Tj``/``'``/``"`` literal shows,
   ``TJ`` arrays (kerning offsets beyond a threshold become spaces),
   ``Td``/``TD``/``T*``/``Tm`` line moves become newlines, literal
@@ -55,6 +59,129 @@ _STREAM_RE = re.compile(
     rb"<<(?P<dict>.*?)>>\s*stream\r?\n", re.S
 )
 _PAGE_RE = re.compile(rb"/Type\s*/Page(?![a-zA-Z])")
+_FILTER_RE = re.compile(rb"/Filter\s*(?:\[(?P<arr>[^\]]*)\]|(?P<one>/[A-Za-z0-9]+))")
+_NAME_RE = re.compile(rb"/[A-Za-z0-9]+")
+
+
+def _lzw_decode(data: bytes):
+    """PDF/TIFF LZWDecode: MSB-first packed codes, 8-bit data, clear =
+    256, EOD = 257, code width grows 9→12 bits one code EARLY (the
+    PDF spec's EarlyChange=1 default).  Returns None on malformed
+    input (decline, don't fabricate)."""
+    try:
+        clear, eod = 256, 257
+        width = 9
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        out = bytearray()
+        prev = None
+        acc = bits = 0
+        for byte in data:
+            acc = (acc << 8) | byte
+            bits += 8
+            while bits >= width:
+                code = (acc >> (bits - width)) & ((1 << width) - 1)
+                bits -= width
+                if code == eod:
+                    return bytes(out)
+                if code == clear:
+                    table = table[:258]
+                    width = 9
+                    prev = None
+                    continue
+                if prev is None:
+                    entry = table[code]
+                elif code < len(table):
+                    entry = table[code]
+                    table.append(prev + entry[:1])
+                elif code == len(table):
+                    entry = prev + prev[:1]
+                    table.append(entry)
+                else:
+                    return None
+                out += entry
+                prev = entry
+                # EarlyChange: width bumps one code before the table
+                # index actually needs the extra bit
+                if len(table) + 1 >= (1 << width) and width < 12:
+                    width += 1
+        return bytes(out)
+    except Exception:
+        return None
+
+
+def _ascii85_decode(data: bytes):
+    """ASCII85Decode (Adobe variant: ``z`` shorthand, ``~>`` EOD)."""
+    try:
+        data = re.sub(rb"\s", b"", data)
+        if data.endswith(b"~>"):
+            data = data[:-2]
+        if data.startswith(b"<~"):
+            data = data[2:]
+        out = bytearray()
+        group = []
+        for c in data:
+            if c == 0x7A:  # 'z' = four zero bytes, only between groups
+                if group:
+                    return None
+                out += b"\x00\x00\x00\x00"
+                continue
+            if not (33 <= c <= 117):
+                return None
+            group.append(c - 33)
+            if len(group) == 5:
+                v = 0
+                for g in group:
+                    v = v * 85 + g
+                out += v.to_bytes(4, "big")
+                group = []
+        if group:  # partial final group: pad with 'u' (84)
+            k = len(group)
+            if k == 1:
+                return None
+            v = 0
+            for g in group + [84] * (5 - k):
+                v = v * 85 + g
+            out += v.to_bytes(4, "big")[: k - 1]
+        return bytes(out)
+    except Exception:
+        return None
+
+
+def _apply_filters(raw: bytes, d: bytes):
+    """Run the stream dict's filter (or filter chain) over ``raw``.
+    Returns the decoded bytes, or None when any stage is a filter this
+    extractor doesn't cover (skip the stream, not the document)."""
+    m = _FILTER_RE.search(d)
+    if m is None:
+        return raw
+    names = (
+        _NAME_RE.findall(m.group("arr"))
+        if m.group("arr") is not None
+        else [m.group("one")]
+    )
+    for name in names:
+        if name in (b"/FlateDecode", b"/Fl"):
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error:
+                return None
+        elif name in (b"/LZWDecode", b"/LZW"):
+            raw = _lzw_decode(raw)
+        elif name in (b"/ASCIIHexDecode", b"/AHx"):
+            try:
+                h = re.sub(rb"[\s>]", b"", raw)
+                if len(h) % 2:
+                    h += b"0"
+                raw = bytes.fromhex(h.decode("ascii"))
+            except ValueError:
+                return None
+        elif name in (b"/ASCII85Decode", b"/A85"):
+            raw = _ascii85_decode(raw)
+        else:
+            return None  # DCT/CCITT/JBIG2/crypt: the documented seam
+        if raw is None:
+            return None
+    return raw
 
 _ESCAPES = {
     b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
@@ -217,13 +344,15 @@ def _extract_pdf(b: bytes):
                 raw = raw[:-1]
             if raw.endswith(b"\r"):
                 raw = raw[:-1]
-            if b"/FlateDecode" in d:
-                try:
-                    raw = zlib.decompress(raw)
-                except zlib.error:
-                    continue  # damaged stream: skip, don't fail
-            elif re.search(rb"/Filter\s*(/|\[)", d):
-                continue  # other filters: the documented seam
+            raw = _apply_filters(raw, d)
+            if raw is None:
+                continue  # damaged stream / uncovered filter: skip
+            if b"/ObjStm" in d:
+                # PDF 1.5+ object streams carry page DICTS (not
+                # content); count their /Type /Page markers so modern
+                # files report real page counts
+                n_pages += len(_PAGE_RE.findall(raw))
+                continue
             if b"BT" not in raw:
                 continue  # no text operators (images, fonts, …)
             t = _content_text(raw)

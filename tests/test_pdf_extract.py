@@ -194,3 +194,97 @@ def test_warc_to_pdf_text_end_to_end(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["url"] == "https://example.com/paper.pdf"
     text = extract_pdf_text(pdfs, "pdf_bytes", "doc_id").collect()[0]
     assert "Hello crawl world." in text["text"]
+
+
+def _pdf_with_stream(dict_extra: bytes, data: bytes) -> bytes:
+    """One-object PDF wrapping a prepared stream body verbatim."""
+    body = (
+        b"<< " + dict_extra + f" /Length {len(data)} >>".encode()
+        + b"\nstream\n" + data + b"\nendstream"
+    )
+    return b"%PDF-1.5\n1 0 obj\n" + body + b"\nendobj\n%%EOF\n"
+
+
+def _lzw_encode_pdf(data: bytes) -> bytes:
+    """Reference PDF LZW encoder (MSB-first, early change) for the
+    roundtrip pin."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out_bits = []
+
+    def put(code):
+        out_bits.extend((code >> (width - 1 - k)) & 1 for k in range(width))
+
+    put(256)  # clear
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        put(table[w])
+        table[wc] = next_code
+        next_code += 1
+        if next_code + 1 > (1 << width) and width < 12:
+            width += 1
+        w = bytes([ch])
+    if w:
+        put(table[w])
+    put(257)  # EOD
+    while len(out_bits) % 8:
+        out_bits.append(0)
+    return bytes(
+        int("".join(map(str, out_bits[i : i + 8])), 2)
+        for i in range(0, len(out_bits), 8)
+    )
+
+
+def test_lzw_ascii85_asciihex_and_chains():
+    content = b"BT /F1 12 Tf 10 10 Td (Filtered text survives.) Tj ET"
+    # LZW
+    lzw = _pdf_with_stream(b"/Filter /LZWDecode", _lzw_encode_pdf(content))
+    got = _extract_pdf(lzw)
+    assert got is not None and "Filtered text survives." in (got[1] or "")
+    # ASCIIHex
+    ahx = _pdf_with_stream(
+        b"/Filter /ASCIIHexDecode", content.hex().encode() + b">"
+    )
+    got = _extract_pdf(ahx)
+    assert got is not None and "Filtered text survives." in (got[1] or "")
+    # ASCII85
+    import base64
+
+    a85 = _pdf_with_stream(
+        b"/Filter /ASCII85Decode", base64.a85encode(content) + b"~>"
+    )
+    got = _extract_pdf(a85)
+    assert got is not None and "Filtered text survives." in (got[1] or "")
+    # chain: A85 around Flate
+    chain = _pdf_with_stream(
+        b"/Filter [/ASCII85Decode /FlateDecode]",
+        base64.a85encode(zlib.compress(content)) + b"~>",
+    )
+    got = _extract_pdf(chain)
+    assert got is not None and "Filtered text survives." in (got[1] or "")
+    # uncovered filter: stream skipped, document survives
+    dct = _pdf_with_stream(b"/Filter /DCTDecode", b"\xff\xd8 pretend jpeg")
+    got = _extract_pdf(dct)
+    assert got is not None and got[1] is None
+
+
+def test_objstm_pages_counted():
+    """PDF 1.5 object streams hold the page dicts: the count must look
+    inside the inflated ObjStm, not just the raw bytes."""
+    objstm_payload = (
+        b"4 0 5 20\n<< /Type /Page >>\n<< /Type /Page >>"
+    )
+    blob = (
+        b"%PDF-1.5\n"
+        b"1 0 obj\n<< /Type /ObjStm /N 2 /First 10 "
+        + f"/Filter /FlateDecode /Length {len(zlib.compress(objstm_payload))} >>".encode()
+        + b"\nstream\n" + zlib.compress(objstm_payload) + b"\nendstream\nendobj\n"
+        b"%%EOF\n"
+    )
+    got = _extract_pdf(blob)
+    assert got is not None and got[0] == 2
