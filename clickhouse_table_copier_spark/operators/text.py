@@ -234,3 +234,80 @@ def gopher_signals(df, id_col: str, text_col: str):
         & (F.col("top_bigram_frac") <= 0.2)
     )
     return out.withColumn("passes", F.when(passes, F.lit(1)).otherwise(F.lit(0)))
+
+
+# Unicode script blocks for non-Latin language identification. Marker
+# words (LANG_MARKERS) only separate LATIN-script languages; for the
+# rest of the web the SCRIPT itself is the dominant signal — counting
+# codepoints per block is exact, cheap (JVM regex, codegen-eligible)
+# and robust to short texts where n-gram models fail.
+SCRIPT_BLOCKS: dict[str, str] = {
+    "han": "一-鿿㐀-䶿",
+    "hiragana": "぀-ゟ",
+    "katakana": "゠-ヿ",
+    "hangul": "가-힯ᄀ-ᇿ㄰-㆏",
+    "cyrillic": "Ѐ-ӿ",
+    "arabic": "؀-ۿݐ-ݿ",
+    "hebrew": "֐-׿",
+    "devanagari": "ऀ-ॿ",
+    "thai": "฀-๿",
+    "greek": "Ͱ-Ͽ",
+}
+
+# script → BCP-47-ish language when a script implies one strongly
+# enough for corpus bucketing (zh/ja disambiguation is special-cased:
+# kana present ⇒ Japanese even when Han dominates the count)
+_SCRIPT_LANG = {
+    "han": "zh", "hangul": "ko", "cyrillic": "ru", "arabic": "ar",
+    "hebrew": "he", "devanagari": "hi", "thai": "th", "greek": "el",
+}
+
+
+def script_counts(text: Column | str) -> dict[str, Column]:
+    """Codepoint count per script block (one regexp_replace pass each —
+    flat JVM expressions; bind these as columns before reusing, per the
+    lang_id_from_scores note)."""
+    t = F.col(text) if isinstance(text, str) else text
+    n = F.length(t)
+    return {
+        name: n - F.length(F.regexp_replace(t, f"[{block}]", ""))
+        for name, block in SCRIPT_BLOCKS.items()
+    }
+
+
+def lang_id_multiscript(text: Column | str) -> Column:
+    """Language over ALL scripts: when non-Latin codepoints dominate
+    (more than the Latin letter count), the script decides — with the
+    Han/kana disambiguation (any kana ⇒ ``ja``); otherwise fall back
+    to the Latin marker-word :func:`lang_id`.  ``und`` stays the
+    no-signal answer."""
+    t = F.col(text) if isinstance(text, str) else text
+    s = script_counts(t)
+    latin = F.length(t) - F.length(
+        F.regexp_replace(t, "[a-zA-ZÀ-ɏ]", "")
+    )
+    kana = s["hiragana"] + s["katakana"]
+    non_latin = [
+        ("ja", kana),
+        ("zh", s["han"]),
+        ("ko", s["hangul"]),
+        ("ru", s["cyrillic"]),
+        ("ar", s["arabic"]),
+        ("he", s["hebrew"]),
+        ("hi", s["devanagari"]),
+        ("th", s["thai"]),
+        ("el", s["greek"]),
+    ]
+    # ja beats zh whenever kana appear at all (Japanese text is mostly
+    # kanji by count yet always carries kana); otherwise largest block
+    best_count = F.greatest(*[c for _, c in non_latin])
+    result = lang_id(t)  # Latin fallback
+    for lang, cnt in reversed(non_latin):
+        result = F.when(
+            (cnt >= best_count) & (best_count > latin), F.lit(lang)
+        ).otherwise(result)
+    has_kana = kana > 0
+    result = F.when(
+        has_kana & (s["han"] + kana > latin), F.lit("ja")
+    ).otherwise(result)
+    return result

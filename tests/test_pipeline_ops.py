@@ -1600,3 +1600,31 @@ def test_audio_meta_declines_subbyte_and_zero_rate(spark):
     rows = {r["media_id"]: r for r in decode_audio_meta(df).collect()}
     assert rows[1]["sample_rate"] is None
     assert rows[2]["sample_rate"] is None
+
+
+def test_lang_id_multiscript(spark):
+    """Script-block identification for the non-Latin web: planted
+    sentences per script land on the right language; kana forces ja
+    over zh even when kanji dominate; Latin text still goes through
+    the marker-word path."""
+    from clickhouse_table_copier_spark.operators.text import (
+        lang_id_multiscript,
+    )
+
+    cases = [
+        ("the quick brown fox jumps over the lazy dog", "en"),
+        ("这是一个中文句子，用于测试语言识别", "zh"),
+        ("漢字が多いですが、仮名もある日本語の文です", "ja"),
+        ("한국어 문장입니다 언어 감지 테스트", "ko"),
+        ("это предложение на русском языке", "ru"),
+        ("هذه جملة باللغة العربية للاختبار", "ar"),
+        ("זהו משפט בעברית לבדיקה", "he"),
+        ("यह हिंदी में एक वाक्य है", "hi"),
+        ("นี่คือประโยคภาษาไทยสำหรับทดสอบ", "th"),
+        ("αυτή είναι μια ελληνική πρόταση", "el"),
+        ("", "und"),
+    ]
+    df = spark.createDataFrame([(t, want) for t, want in cases], "t string, want string")
+    got = df.select("want", lang_id_multiscript("t").alias("got")).collect()
+    for r in got:
+        assert r["got"] == r["want"], (r["want"], r["got"])
