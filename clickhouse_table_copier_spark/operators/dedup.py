@@ -747,3 +747,54 @@ def drop_duplicate_paragraphs(
     return df.select(id_col).join(rebuilt, id_col, "left").select(
         id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
     )
+
+
+def normalized_text_multilingual(text: Column | str) -> Column:
+    """Unicode-aware twin of :func:`normalized_text` for MULTILINGUAL
+    corpora: lowercase, strip everything that is not a letter/digit in
+    ANY script (Java regex ``\\p{L}\\p{N}`` — JVM-side, codegen), and
+    collapse whitespace.  The ASCII ``normalized_text`` is pinned by
+    the registered queries' oracles and is correct for the Latin
+    fixture — but on a real crawl it strips EVERY non-Latin codepoint,
+    so all Chinese (or Arabic, or Russian …) documents would normalize
+    to the empty string and mass-collide into ONE exact-dedup group.
+    Use this one (plus :func:`unicode_normalized` for NFC/NFD folding)
+    ahead of ``exact_dedup(..., normalize=False)`` on multilingual
+    data; SCALE.md carries the hazard note."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(t), r"[^\p{L}\p{N} ]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+
+
+def unicode_normalized(df: DataFrame, text_col: str, out_col: str,
+                       form: str = "NFKC") -> DataFrame:
+    """Append ``out_col`` = unicodedata-normalized ``text_col`` (NFKC
+    default: canonical composition + compatibility folding, so the
+    composed and decomposed spellings of ``café`` — visually identical,
+    byte-different — share one dedup key; fullwidth/halfwidth forms
+    fold too).  Spark SQL has no normalizer, so this is an
+    Arrow-batched pandas UDF — the pattern reserved for what Columns
+    can't express; keep it ahead of the key computation, not in a hot
+    per-comparison path."""
+    import pandas
+    from pyspark.sql.functions import pandas_udf
+
+    def _norm_fn(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize(form, x)
+            if isinstance(x, str)
+            else x
+        )
+
+    # this module uses PEP 563 (stringified) annotations, which the
+    # pandas_udf hint parser rejects — attach the real objects instead
+    _norm_fn.__annotations__ = {"s": pandas.Series, "return": pandas.Series}
+    _norm = pandas_udf(_norm_fn, "string")
+    return df.withColumn(out_col, _norm(F.col(text_col)))

@@ -1628,3 +1628,40 @@ def test_lang_id_multiscript(spark):
     got = df.select("want", lang_id_multiscript("t").alias("got")).collect()
     for r in got:
         assert r["got"] == r["want"], (r["want"], r["got"])
+
+
+def test_multilingual_dedup_keys(spark):
+    """The multilingual normalize path: NFC/NFD spellings of one text
+    collide; distinct Chinese texts do NOT (the ASCII normalizer would
+    strip them both to '' and mass-collide them — the documented
+    hazard this path exists to avoid)."""
+    from clickhouse_table_copier_spark.operators.dedup import (
+        exact_dedup,
+        normalized_text,
+        normalized_text_multilingual,
+        unicode_normalized,
+    )
+
+    nfc = "café résumé"          # composed
+    nfd = "café résumé"        # decomposed
+    zh1, zh2 = "这是第一篇文档", "这是完全不同的文档"
+    df = spark.createDataFrame(
+        [(1, nfc), (2, nfd), (3, zh1), (4, zh2)], "id long, t string"
+    )
+    normed = unicode_normalized(df, "t", "t_n").withColumn(
+        "key", normalized_text_multilingual("t_n")
+    )
+    groups = exact_dedup(
+        normed.select("id", "key"), "id", "key", normalize=False
+    ).collect()
+    # nfc+nfd collapse to one group of 2; the two zh docs stay distinct
+    sizes = sorted(r["dup_cnt"] for r in groups)
+    assert sizes == [1, 1, 2]
+    # the ASCII normalizer demonstrates the hazard: both zh docs → ''
+    ascii_keys = (
+        df.where("id >= 3")
+        .select(normalized_text("t").alias("k"))
+        .distinct()
+        .collect()
+    )
+    assert [r["k"] for r in ascii_keys] == [""]
