@@ -2108,9 +2108,12 @@ def image_ahash(df: DataFrame) -> DataFrame:
     THE SAME image hashes near-identically regardless of container —
     cross-format dedup; JPEG is lossy, so its hash matches the lossless
     containers' whenever the 8×8 luma cells survive quantization, which
-    the cross-format test pins); images no pure-Python decoder covers
-    yield NULL (arithmetic / 12-bit JPEG) and drop out of dedup rather
-    than fake a hash.
+    the cross-format test pins — and since round 10 every DCT JPEG
+    mode decodes, including arithmetic and 12-bit); images no
+    pure-Python decoder covers (hierarchical/lossless JPEG) yield NULL
+    and drop out of dedup rather than fake a hash.  EXIF orientation
+    is NOT applied here (the stored raster hashes as stored) — use
+    :func:`image_ahash_oriented` to bucket rotated re-exports.
     """
 
     def make_fn():
@@ -3125,3 +3128,246 @@ def near_duplicate_audio(
         )
     )
     return out.where(F.col("containment_ppm") >= min_shared_ppm)
+
+
+# ---------------------------------------------------------------------------
+# EXIF: provenance metadata + orientation, parsed from the JPEG APP1
+# segment's embedded TIFF structure (Exif 2.x is a public spec; the
+# TIFF IFD walk below covers the fields curation pipelines key on).
+# ---------------------------------------------------------------------------
+EXIF_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("make", T.StringType()),
+        T.StructField("model", T.StringType()),
+        T.StructField("orientation", T.IntegerType()),
+        T.StructField("datetime_original", T.StringType()),
+        T.StructField("gps_lat", T.DoubleType()),
+        T.StructField("gps_lon", T.DoubleType()),
+    ]
+)
+
+
+def _make_exif_parser():
+    """JPEG APP1/Exif parser as a closure: segment walk to APP1
+    ``Exif\\0\\0``, TIFF header (II/MM byte order), IFD0 entries with
+    inline-or-offset values, the Exif and GPS sub-IFDs.  Returns a
+    dict of the curation fields or None; never raises on junk."""
+    import struct as _struct
+
+    _TYPESIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+
+    def parse(b: bytes):
+        try:
+            if b[:2] != b"\xff\xd8":
+                return None
+            pos = 2
+            tiff = None
+            while pos + 4 <= len(b):
+                if b[pos] != 0xFF:
+                    return None
+                marker = b[pos + 1]
+                if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+                    pos += 2
+                    continue
+                size = _struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+                if marker == 0xE1 and b[pos + 4 : pos + 10] == b"Exif\x00\x00":
+                    tiff = b[pos + 10 : pos + 2 + size]
+                    break
+                if marker == 0xDA:
+                    break  # entropy data: EXIF always precedes it
+                pos += 2 + size
+            if tiff is None or len(tiff) < 8:
+                return None
+            bo = {b"II": "<", b"MM": ">"}.get(tiff[:2])
+            if bo is None or _struct.unpack(bo + "H", tiff[2:4])[0] != 42:
+                return None
+
+            def read_ifd(off):
+                entries = {}
+                if off + 2 > len(tiff):
+                    return entries
+                n = _struct.unpack(bo + "H", tiff[off : off + 2])[0]
+                for i in range(n):
+                    e = off + 2 + 12 * i
+                    if e + 12 > len(tiff):
+                        break
+                    tag, typ = _struct.unpack(bo + "HH", tiff[e : e + 4])
+                    cnt = _struct.unpack(bo + "I", tiff[e + 4 : e + 8])[0]
+                    size = _TYPESIZE.get(typ, 1) * cnt
+                    if size <= 4:
+                        raw = tiff[e + 8 : e + 8 + size]
+                    else:
+                        voff = _struct.unpack(bo + "I", tiff[e + 8 : e + 12])[0]
+                        raw = tiff[voff : voff + size]
+                    entries[tag] = (typ, cnt, raw)
+                return entries
+
+            def ascii_of(v):
+                if v is None:
+                    return None
+                return v[2].split(b"\x00")[0].decode("ascii", "replace").strip() or None
+
+            def short_of(v):
+                if v is None or len(v[2]) < 2:
+                    return None
+                return _struct.unpack(bo + "H", v[2][:2])[0]
+
+            def long_of(v):
+                if v is None or len(v[2]) < 4:
+                    return None
+                return _struct.unpack(bo + "I", v[2][:4])[0]
+
+            def rationals_of(v):
+                if v is None:
+                    return None
+                out = []
+                for i in range(v[1]):
+                    if 8 * i + 8 > len(v[2]):
+                        return None
+                    num, den = _struct.unpack(
+                        bo + "II", v[2][8 * i : 8 * i + 8]
+                    )
+                    out.append(num / den if den else 0.0)
+                return out
+
+            ifd0 = read_ifd(_struct.unpack(bo + "I", tiff[4:8])[0])
+            out = {
+                "make": ascii_of(ifd0.get(0x010F)),
+                "model": ascii_of(ifd0.get(0x0110)),
+                "orientation": short_of(ifd0.get(0x0112)),
+                "datetime_original": None,
+                "gps_lat": None,
+                "gps_lon": None,
+            }
+            exif_off = long_of(ifd0.get(0x8769))
+            if exif_off:
+                sub = read_ifd(exif_off)
+                out["datetime_original"] = ascii_of(
+                    sub.get(0x9003)
+                ) or ascii_of(ifd0.get(0x0132))
+            else:
+                out["datetime_original"] = ascii_of(ifd0.get(0x0132))
+            gps_off = long_of(ifd0.get(0x8825))
+            if gps_off:
+                g = read_ifd(gps_off)
+                lat = rationals_of(g.get(0x0002))
+                lon = rationals_of(g.get(0x0004))
+                if lat and len(lat) == 3:
+                    v = lat[0] + lat[1] / 60 + lat[2] / 3600
+                    if ascii_of(g.get(0x0001)) == "S":
+                        v = -v
+                    out["gps_lat"] = v
+                if lon and len(lon) == 3:
+                    v = lon[0] + lon[1] / 60 + lon[2] / 3600
+                    if ascii_of(g.get(0x0003)) == "W":
+                        v = -v
+                    out["gps_lon"] = v
+            return out
+        except Exception:
+            return None
+
+    return parse
+
+
+def decode_image_exif(df: DataFrame) -> DataFrame:
+    """Arrow-batched EXIF extraction: (media_id, make, model,
+    orientation, datetime_original, gps_lat, gps_lon); NULL row fields
+    for images without APP1/Exif (PNG/GIF/BMP or stripped JPEGs) —
+    decline, never fabricate."""
+    parse = _make_exif_parser()
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in EXIF_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                got = parse(bytes(content)) or {}
+                rows.append(
+                    (
+                        mid,
+                        got.get("make"),
+                        got.get("model"),
+                        got.get("orientation"),
+                        got.get("datetime_original"),
+                        got.get("gps_lat"),
+                        got.get("gps_lon"),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("media_id", "content").mapInPandas(fn, EXIF_SCHEMA)
+
+
+def _apply_exif_orientation(raster, orientation):
+    """Stored raster → upright-scene raster per the EXIF orientation
+    tag (values 2-8; 1/None = already upright).  numpy views only."""
+    import numpy as _np
+
+    if orientation == 2:
+        return raster[:, ::-1]
+    if orientation == 3:
+        return raster[::-1, ::-1]
+    if orientation == 4:
+        return raster[::-1, :]
+    if orientation == 5:
+        return _np.transpose(raster, (1, 0, 2))
+    if orientation == 6:
+        return _np.rot90(raster, k=-1)  # display = rotate 90° CW
+    if orientation == 7:
+        return _np.transpose(raster, (1, 0, 2))[::-1, ::-1]
+    if orientation == 8:
+        return _np.rot90(raster, k=1)
+    return raster
+
+
+def image_ahash_oriented(df: DataFrame) -> DataFrame:
+    """:func:`image_ahash` with EXIF-orientation normalization: the
+    stored raster is mapped to the upright scene BEFORE hashing, so a
+    camera image and its auto-rotated re-export (same pixels, different
+    storage orientation + tag) land in ONE dedup bucket — without the
+    tag they hash differently and a rotated duplicate survives dedup.
+    Images without an orientation tag hash exactly as image_ahash."""
+
+    def make_fn():
+        decode_png = _make_png_raster_decoder()
+        decode_bmp = _make_bmp_raster_decoder()
+        decode_jpg = _make_jpeg_raster_decoder()
+        decode_gif = _make_gif_raster_decoder()
+        raster_ahash = _make_raster_ahash()
+        parse_exif = _make_exif_parser()
+        import numpy as _np
+
+        def fn(batches):
+            for pdf in batches:
+                ids, hashes = [], []
+                for mid, content in zip(pdf["media_id"], pdf["content"]):
+                    b = bytes(content)
+                    got = decode_png(b)
+                    if got is None:
+                        got = decode_bmp(b)
+                    if got is None:
+                        got = decode_jpg(b)
+                    if got is None:
+                        got = decode_gif(b)
+                    if got is None:
+                        ids.append(mid)
+                        hashes.append(None)
+                        continue
+                    w, h, nch, raster = got
+                    exif = parse_exif(b) or {}
+                    ori = exif.get("orientation")
+                    if ori and ori != 1:
+                        raster = _np.ascontiguousarray(
+                            _apply_exif_orientation(raster, ori)
+                        )
+                        h, w = raster.shape[:2]
+                    ids.append(mid)
+                    hashes.append(raster_ahash(w, h, nch, raster)[0])
+                yield pd.DataFrame({"media_id": ids, "ahash": hashes})
+
+        return fn
+
+    return df.select("media_id", "content").mapInPandas(
+        make_fn(), AHASH_SCHEMA
+    )
