@@ -2148,8 +2148,98 @@ def image_ahash(df: DataFrame) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(make_fn(), AHASH_SCHEMA)
 
 
+def _make_raster_phash():
+    """pHash of a decoded raster as a closure: integer luma, 32×32
+    nearest-neighbor downsample, orthonormal 2-D DCT (the same matrix
+    family the JPEG decoder uses), 8×8 low-frequency block thresholded
+    at its median — the standard DCT perceptual hash.  Measured
+    contract on textured (photo-like) content: ±3 pixel noise flips ~2
+    bits, global brightness/contrast shifts flip 0 (the median
+    threshold cancels them), unrelated images sit ~half the bits away.
+    Its failure mode is the COMPLEMENT of aHash's: on smooth content a
+    linear ramp puts most low-frequency coefficients at ~0 = the
+    median, so tiny perturbations flip many bits (aHash's mean
+    threshold is the stable one there) — run both and union the pair
+    sets when the corpus mixes photos and flat graphics."""
+    import numpy as _np
+
+    n = 32
+    _D = _np.array(
+        [
+            [
+                (1 / _np.sqrt(n) if u == 0 else _np.sqrt(2.0 / n))
+                * _np.cos((2 * x + 1) * u * _np.pi / (2 * n))
+                for x in range(n)
+            ]
+            for u in range(n)
+        ]
+    )
+
+    def phash(w: int, h: int, nch: int, arr):
+        a = arr.astype(_np.int64)
+        if nch == 1:
+            luma = a[:, :, 0]
+        else:
+            luma = (
+                299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]
+            ) // 1000
+        xs = (_np.arange(n) * w) // n
+        ys = (_np.arange(n) * h) // n
+        cells = luma[ys][:, xs].astype(_np.float64)
+        coef = _D @ cells @ _D.T
+        block = coef[:8, :8].reshape(-1)
+        med = _np.median(block)
+        hval = 0
+        for bit in (block > med).astype(_np.int64):
+            hval = (hval << 1) | int(bit)
+        if hval >= 1 << 63:
+            hval -= 1 << 64
+        return hval
+
+    return phash
+
+
+def image_phash(df: DataFrame) -> DataFrame:
+    """DCT perceptual hash (pHash) per image — same decode closure set,
+    same ``(media_id, ahash)`` output shape as :func:`image_ahash` so
+    the banded near-dup join consumes either.  Use pHash when the
+    corpus carries gradient-heavy content (sunsets, vignettes, scanned
+    pages) where mean-threshold aHash degenerates."""
+
+    def make_fn():
+        decode_png = _make_png_raster_decoder()
+        decode_bmp = _make_bmp_raster_decoder()
+        decode_jpg = _make_jpeg_raster_decoder()
+        decode_gif = _make_gif_raster_decoder()
+        raster_phash = _make_raster_phash()
+
+        def fn(batches):
+            for pdf in batches:
+                ids, hashes = [], []
+                for mid, content in zip(pdf["media_id"], pdf["content"]):
+                    b = bytes(content)
+                    got = decode_png(b)
+                    if got is None:
+                        got = decode_bmp(b)
+                    if got is None:
+                        got = decode_jpg(b)
+                    if got is None:
+                        got = decode_gif(b)
+                    ids.append(mid)
+                    hashes.append(
+                        None if got is None else raster_phash(*got)
+                    )
+                yield pd.DataFrame({"media_id": ids, "ahash": hashes})
+
+        return fn
+
+    return df.select("media_id", "content").mapInPandas(
+        make_fn(), AHASH_SCHEMA
+    )
+
+
 def near_duplicate_images(
-    df: DataFrame, max_hamming: int = 3
+    df: DataFrame, max_hamming: int = 3, hash_op=None
 ) -> DataFrame:
     """Near-duplicate image pairs: aHash + banded LSH join + exact
     Hamming verify. The 64-bit hash splits into 4 × 16-bit bands;
@@ -2166,12 +2256,12 @@ def near_duplicate_images(
     bits can differ in every band and never collide), so the guard below
     REJECTS it rather than degrade: callers who want a looser radius must
     widen the banding (8 x 8-bit bands is exact to hamming<=7) and accept
-    the larger candidate fan-in explicitly."""
+    the larger candidate fan-in explicitly.\n\n    ``hash_op``: the hashing operator (default :func:`image_ahash`; pass :func:`image_phash` for gradient-heavy corpora or :func:`image_ahash_oriented` for EXIF-rotated ones — all share the output shape)."""
     if max_hamming >= _AHASH_BANDS:
         raise ValueError(
             f"banding is exact only for max_hamming < {_AHASH_BANDS}"
         )
-    hashes = image_ahash(df).where(F.col("ahash").isNotNull())
+    hashes = (hash_op or image_ahash)(df).where(F.col("ahash").isNotNull())
     bands = hashes.select(
         "media_id",
         "ahash",

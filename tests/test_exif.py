@@ -165,3 +165,59 @@ def test_exif_junk_never_raises(spark):
         rows.append((i, "image", bytearray(bytes(bad)), "{}"))
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     assert len(decode_image_exif(df).collect()) == 40  # no task failures
+
+
+def _textured(seed, h=64, w=64):
+    """Photo-like fixture: random texture softened by two box-blur
+    passes (pure numpy) — the content class pHash is built for."""
+    rng = np.random.default_rng(seed)
+    b = rng.integers(0, 256, (h, w, 3)).astype(float)
+    for _ in range(2):
+        b = (
+            b + np.roll(b, 1, 0) + np.roll(b, 1, 1)
+            + np.roll(b, -1, 0) + np.roll(b, -1, 1)
+        ) / 5
+    return np.clip(b, 0, 255).astype(np.uint8)
+
+
+def test_phash_brightness_contrast_noise_robustness(spark):
+    """Measured pHash contract on textured content: a brightness+20 /
+    contrast×1.2 / ±3-noise re-export stays inside the hamming-3
+    near-dup radius through the banded join (hash_op parameter); an
+    unrelated image never pairs."""
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        image_phash,
+        near_duplicate_images,
+    )
+    from tests.test_png_variants import encode_png
+
+    base = _textured(9)
+    rng = np.random.default_rng(10)
+    bright = np.clip(base.astype(int) + 20, 0, 255).astype(np.uint8)
+    contrast = np.clip(
+        (base.astype(float) - 128) * 1.2 + 128, 0, 255
+    ).astype(np.uint8)
+    noisy = np.clip(
+        base.astype(int) + rng.integers(-3, 4, base.shape), 0, 255
+    ).astype(np.uint8)
+    other = _textured(99)
+    imgs = {1: base, 2: bright, 3: contrast, 4: noisy, 5: other}
+    rows = [
+        (i, "image", bytearray(encode_png(im.tobytes(), 64, 64, 3)), "{}")
+        for i, im in imgs.items()
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in near_duplicate_images(df, hash_op=image_phash).collect()
+    }
+    assert {(1, 2), (1, 3), (1, 4)} <= pairs
+    assert not any(5 in p for p in pairs)
+    # determinism: duplicated input rows produce identical hashes
+    h1 = sorted(
+        (r["media_id"], r["ahash"]) for r in image_phash(df).collect()
+    )
+    h2 = sorted(
+        (r["media_id"], r["ahash"]) for r in image_phash(df).collect()
+    )
+    assert h1 == h2
