@@ -1704,6 +1704,46 @@ def _make_decode_one():
         if content[:2] == b"BM":
             w, h = _struct.unpack("<ii", content[18:26])
             return "bmp", int(w), abs(int(h))  # negative h = top-down rows
+        if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+            # the modern web's workhorse: three chunk layouts, all with
+            # public dimension encodings (VP8 spec / WebP container spec)
+            fourcc = content[12:16]
+            if fourcc == b"VP8X":  # extended: 24-bit minus-one dims
+                wm = int.from_bytes(content[24:27], "little")
+                hm = int.from_bytes(content[27:30], "little")
+                return "webp", wm + 1, hm + 1
+            if fourcc == b"VP8 ":  # lossy: dims after the 3-byte frame
+                # tag + the 3-byte start code 9D 01 2A, 14 bits each
+                if content[23:26] != b"\x9d\x01\x2a":
+                    return "webp", -1, -1
+                w = int.from_bytes(content[26:28], "little") & 0x3FFF
+                h = int.from_bytes(content[28:30], "little") & 0x3FFF
+                return "webp", w, h
+            if fourcc == b"VP8L":  # lossless: 14-bit minus-one dims
+                if content[20:21] != b"\x2f":
+                    return "webp", -1, -1
+                bits = int.from_bytes(content[21:25], "little")
+                return "webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+            return "webp", -1, -1
+        if content[:4] in (b"II*\x00", b"MM\x00*"):
+            # TIFF: IFD0 entries 0x0100 ImageWidth / 0x0101 ImageLength
+            bo = "<" if content[:2] == b"II" else ">"
+            off = _struct.unpack(bo + "I", content[4:8])[0]
+            n = _struct.unpack(bo + "H", content[off : off + 2])[0]
+            w = h = -1
+            for i in range(n):
+                e = off + 2 + 12 * i
+                tag, typ = _struct.unpack(bo + "HH", content[e : e + 4])
+                if tag in (0x0100, 0x0101):
+                    if typ == 3:
+                        v = _struct.unpack(bo + "H", content[e + 8 : e + 10])[0]
+                    else:
+                        v = _struct.unpack(bo + "I", content[e + 8 : e + 12])[0]
+                    if tag == 0x0100:
+                        w = int(v)
+                    else:
+                        h = int(v)
+            return "tiff", w, h
         raise NotImplementedError("unsupported media container")
 
     return decode_one

@@ -221,3 +221,60 @@ def test_phash_brightness_contrast_noise_robustness(spark):
         (r["media_id"], r["ahash"]) for r in image_phash(df).collect()
     )
     assert h1 == h2
+
+
+def test_webp_and_tiff_dims(spark):
+    """decode_image_meta covers the modern web's containers: all three
+    WebP layouts (VP8 lossy, VP8L lossless, VP8X extended) and both
+    TIFF byte orders — dims byte-exact from hand-built headers."""
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        decode_image_meta,
+    )
+
+    def webp(fourcc, payload):
+        chunk = fourcc + struct.pack("<I", len(payload)) + payload
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    vp8 = webp(
+        b"VP8 ",
+        b"\x00" * 3 + b"\x9d\x01\x2a"
+        + struct.pack("<HH", 320, 240) + b"\x00" * 8,
+    )
+    vp8l = webp(
+        b"VP8L",
+        b"\x2f" + struct.pack("<I", (199 | (99 << 14))) + b"\x00" * 4,
+    )  # (w-1)=199, (h-1)=99 → 200×100
+    vp8x = webp(
+        b"VP8X",
+        b"\x00" * 4
+        + (639).to_bytes(3, "little") + (479).to_bytes(3, "little"),
+    )  # 640×480
+    tiff_le = (
+        b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 2)
+        + struct.pack("<HHII", 0x0100, 3, 1, 123)
+        + struct.pack("<HHII", 0x0101, 4, 1, 45)
+        + struct.pack("<I", 0)
+    )
+    tiff_be = (
+        b"MM\x00*" + struct.pack(">I", 8) + struct.pack(">H", 2)
+        + struct.pack(">HHI", 0x0100, 4, 1) + struct.pack(">I", 77)
+        + struct.pack(">HHI", 0x0101, 3, 1) + struct.pack(">HH", 88, 0)
+        + struct.pack(">I", 0)
+    )
+    rows = [
+        (1, "image", bytearray(vp8), "{}"),
+        (2, "image", bytearray(vp8l), "{}"),
+        (3, "image", bytearray(vp8x), "{}"),
+        (4, "image", bytearray(tiff_le), "{}"),
+        (5, "image", bytearray(tiff_be), "{}"),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: (r["fmt"], r["width"], r["height"])
+        for r in decode_image_meta(df).collect()
+    }
+    assert got[1] == ("webp", 320, 240)
+    assert got[2] == ("webp", 200, 100)
+    assert got[3] == ("webp", 640, 480)
+    assert got[4] == ("tiff", 123, 45)
+    assert got[5] == ("tiff", 77, 88)
