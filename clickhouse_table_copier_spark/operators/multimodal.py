@@ -1725,6 +1725,46 @@ def _make_decode_one():
                 bits = int.from_bytes(content[21:25], "little")
                 return "webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
             return "webp", -1, -1
+        if (
+            len(content) >= 12
+            and content[4:8] == b"ftyp"
+            and content[8:12] in (b"avif", b"avis", b"heic", b"heix", b"mif1")
+        ):
+            # AVIF/HEIC (ISO-BMFF image): dims live in the ispe
+            # property — meta(FULL box) → iprp → ipco → ispe
+            def _boxes(start, end):
+                pos = start
+                while pos + 8 <= end:
+                    size = int.from_bytes(content[pos : pos + 4], "big")
+                    btype = content[pos + 4 : pos + 8]
+                    if size == 0:
+                        size = end - pos
+                    if size < 8 or pos + size > end:
+                        return
+                    yield btype, pos + 8, pos + size
+                    pos += size
+
+            fmt = "avif" if content[8:12] in (b"avif", b"avis") else "heic"
+
+            def _find_ispe(start, end, full_box):
+                s0 = start + 4 if full_box else start  # version/flags
+                for t, s, e in _boxes(s0, end):
+                    if t == b"ispe":
+                        w = int.from_bytes(content[s + 4 : s + 8], "big")
+                        h = int.from_bytes(content[s + 8 : s + 12], "big")
+                        return w, h
+                    if t in (b"iprp", b"ipco", b"meta"):
+                        got = _find_ispe(s, e, t == b"meta")
+                        if got:
+                            return got
+                return None
+
+            for t, s, e in _boxes(0, len(content)):
+                if t == b"meta":
+                    got = _find_ispe(s, e, True)
+                    if got:
+                        return fmt, got[0], got[1]
+            return fmt, -1, -1
         if content[:4] in (b"II*\x00", b"MM\x00*"):
             # TIFF: IFD0 entries 0x0100 ImageWidth / 0x0101 ImageLength
             bo = "<" if content[:2] == b"II" else ">"

@@ -278,3 +278,34 @@ def test_webp_and_tiff_dims(spark):
     assert got[3] == ("webp", 640, 480)
     assert got[4] == ("tiff", 123, 45)
     assert got[5] == ("tiff", 77, 88)
+
+
+def test_avif_heic_dims(spark):
+    """AVIF/HEIC dims from the ispe property inside
+    meta(full)→iprp→ipco — hand-built ISO-BMFF structure."""
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        decode_image_meta,
+    )
+
+    def box(btype, body):
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    def image(brand, w, h):
+        ispe = box(b"ispe", struct.pack(">III", 0, w, h))
+        ipco = box(b"ipco", ispe)
+        iprp = box(b"iprp", ipco)
+        meta = box(b"meta", b"\x00\x00\x00\x00" + iprp)  # full box
+        ftyp = box(b"ftyp", brand + b"\x00\x00\x00\x00" + brand)
+        return ftyp + meta
+
+    rows = [
+        (1, "image", bytearray(image(b"avif", 800, 600)), "{}"),
+        (2, "image", bytearray(image(b"heic", 4032, 3024)), "{}"),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: (r["fmt"], r["width"], r["height"])
+        for r in decode_image_meta(df).collect()
+    }
+    assert got[1] == ("avif", 800, 600)
+    assert got[2] == ("heic", 4032, 3024)
