@@ -2955,17 +2955,116 @@ def _make_pcm_to_float():
     return pcm_to_float
 
 
+def _make_audio_header_sniffer():
+    """Header-level metadata for the compressed audio containers a
+    crawl carries (codec DECODE stays behind the ffmpeg seam — headers
+    are public, fixed-layout, and all a curation pipeline needs):
+
+    - FLAC: STREAMINFO (sample rate 20 bits, channels-1 3, bits-1 5,
+      total samples 36);
+    - OGG: first page's packet — Vorbis identification header
+      (channels, rate) or OpusHead (channels, input rate; Opus has no
+      fixed sample width);
+    - MP3: skip ID3v2 (syncsafe size), first frame header's
+      version/samplerate/bitrate/mode fields; duration is the CBR
+      estimate from the bitrate (VBR files need the Xing walk a real
+      deployment gets from its codec library).
+
+    Returns ``(sample_rate, channels, bits, n_samples, duration_s)``
+    or None; never raises."""
+
+    _MP3_RATES = {0: 44100, 1: 48000, 2: 32000}
+    _MP3_BITRATES_V1L3 = [
+        0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+    ]
+    _MP3_BITRATES_V2L3 = [
+        0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160,
+    ]
+
+    def sniff(b: bytes):
+        try:
+            if b[:4] == b"fLaC" and len(b) >= 42 and (b[4] & 0x7F) == 0:
+                blk = b[8:42]  # STREAMINFO body (34 bytes)
+                sr = (blk[10] << 12) | (blk[11] << 4) | (blk[12] >> 4)
+                ch = ((blk[12] >> 1) & 0x7) + 1
+                bits = (((blk[12] & 1) << 4) | (blk[13] >> 4)) + 1
+                n = ((blk[13] & 0xF) << 32) | int.from_bytes(
+                    blk[14:18], "big"
+                )
+                if not sr:
+                    return None
+                return sr, ch, bits, n or None, (n / sr) if n else None
+            if b[:4] == b"OggS":
+                seg_n = b[26]
+                body = 27 + seg_n
+                pkt = b[body : body + 64]
+                if pkt[:7] == b"\x01vorbis":
+                    ch = pkt[11]
+                    sr = int.from_bytes(pkt[12:16], "little")
+                    return (sr or None, ch or None, None, None, None)
+                if pkt[:8] == b"OpusHead":
+                    ch = pkt[9]
+                    sr = int.from_bytes(pkt[12:16], "little")
+                    return (sr or 48000, ch or None, None, None, None)
+                return None
+            pos = 0
+            if b[:3] == b"ID3" and len(b) > 10:
+                size = (
+                    (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+                )
+                pos = 10 + size
+            if (
+                pos + 4 <= len(b)
+                and b[pos] == 0xFF
+                and (b[pos + 1] & 0xE0) == 0xE0
+            ):
+                h = b[pos : pos + 4]
+                ver = (h[1] >> 3) & 3  # 3 = MPEG1, 2 = MPEG2
+                layer = (h[1] >> 1) & 3  # 1 = Layer III
+                if ver not in (2, 3) or layer != 1:
+                    return None
+                sr_idx = (h[2] >> 2) & 3
+                if sr_idx == 3:
+                    return None
+                sr = _MP3_RATES[sr_idx] // (1 if ver == 3 else 2)
+                br_idx = h[2] >> 4
+                table = (
+                    _MP3_BITRATES_V1L3 if ver == 3 else _MP3_BITRATES_V2L3
+                )
+                kbps = table[br_idx] if br_idx < 15 else 0
+                ch = 1 if ((h[3] >> 6) & 3) == 3 else 2
+                dur = (
+                    (len(b) - pos) * 8 / (kbps * 1000) if kbps else None
+                )
+                return sr, ch, None, None, dur
+            return None
+        except Exception:
+            return None
+
+    return sniff
+
+
 def decode_audio_meta(df: DataFrame) -> DataFrame:
-    """Arrow-batched REAL decode: RIFF chunks → typed audio metadata."""
+    """Arrow-batched REAL decode: RIFF chunks → typed audio metadata
+    for WAV; header-level metadata for FLAC / OGG (Vorbis, Opus) / MP3
+    (see :func:`_make_audio_header_sniffer` — codec decode stays
+    behind the documented seam, a curation pipeline keys on these
+    fields without it)."""
     parse_wav = _make_wav_parser()
+    sniff = _make_audio_header_sniffer()
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                got = parse_wav(bytes(content))
-                if got is None:  # not RIFF/WAVE: NULL metadata row
-                    out.append((mid, None, None, None, None, None))
+                raw = bytes(content)
+                got = parse_wav(raw)
+                if got is None:
+                    meta = sniff(raw)
+                    if meta is None:  # unknown container: NULL row
+                        out.append((mid, None, None, None, None, None))
+                    else:
+                        out.append((mid, *meta))
                     continue
                 sr, ch, bits, _tag, pcm = got
                 n = len(pcm) // (ch * bits // 8)

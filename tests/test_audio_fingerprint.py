@@ -238,3 +238,60 @@ def test_wave_format_extensible_decodes(spark):
     a = sorted((r["frame_idx"], r["fhash"]) for r in rows if r["media_id"] == 1)
     b = sorted((r["frame_idx"], r["fhash"]) for r in rows if r["media_id"] == 2)
     assert a and a == b
+
+
+def test_compressed_audio_container_meta(spark):
+    """Header metadata for the compressed containers: FLAC STREAMINFO,
+    OGG Vorbis + Opus identification headers, MP3 frame header behind
+    an ID3v2 tag — hand-built bytes, exact fields."""
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        decode_audio_meta,
+    )
+
+    # FLAC: fLaC + STREAMINFO(type 0, len 34): sr=44100 ch=2 bits=16
+    # n_samples=441000 (10 s)
+    si = bytearray(34)
+    si[0:4] = (1024).to_bytes(2, "big") + (4096).to_bytes(2, "big")
+    sr, ch, bits, n = 44100, 2, 16, 441000
+    si[10] = (sr >> 12) & 0xFF
+    si[11] = (sr >> 4) & 0xFF
+    si[12] = ((sr & 0xF) << 4) | ((ch - 1) << 1) | ((bits - 1) >> 4)
+    si[13] = (((bits - 1) & 0xF) << 4) | ((n >> 32) & 0xF)
+    si[14:18] = (n & 0xFFFFFFFF).to_bytes(4, "big")
+    flac = b"fLaC" + b"\x80" + (34).to_bytes(3, "big") + bytes(si)
+
+    # OGG/Vorbis: one page, one segment, identification header
+    vorb = b"\x01vorbis" + b"\x00\x00\x00\x00" + bytes([2]) + (22050).to_bytes(4, "little") + b"\x00" * 16
+    ogg = (
+        b"OggS" + b"\x00" * 22 + bytes([1, len(vorb)]) + vorb
+    )
+    # OGG/Opus
+    opus = b"OpusHead" + bytes([1, 2, 0, 0]) + (48000).to_bytes(4, "little") + b"\x00" * 4
+    ogg_opus = b"OggS" + b"\x00" * 22 + bytes([1, len(opus)]) + opus
+
+    # MP3: ID3v2 (empty, syncsafe size 0) + MPEG1 Layer III 128kbps
+    # 44.1kHz stereo frame header + padding body
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x00"
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 413
+    mp3 = id3 + frame * 10
+
+    rows = [
+        (1, "audio", bytearray(flac), "{}"),
+        (2, "audio", bytearray(ogg), "{}"),
+        (3, "audio", bytearray(ogg_opus), "{}"),
+        (4, "audio", bytearray(mp3), "{}"),
+        (5, "audio", bytearray(b"not audio"), "{}"),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in decode_audio_meta(df).collect()}
+    r1 = got[1]
+    assert (r1["sample_rate"], r1["channels"], r1["bits"], r1["n_samples"]) == (
+        44100, 2, 16, 441000,
+    )
+    assert abs(r1["duration_s"] - 10.0) < 1e-9
+    assert (got[2]["sample_rate"], got[2]["channels"]) == (22050, 2)
+    assert (got[3]["sample_rate"], got[3]["channels"]) == (48000, 2)
+    r4 = got[4]
+    assert (r4["sample_rate"], r4["channels"]) == (44100, 2)
+    assert r4["duration_s"] is not None and r4["duration_s"] > 0
+    assert got[5]["sample_rate"] is None
