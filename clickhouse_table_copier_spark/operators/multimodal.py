@@ -1766,23 +1766,36 @@ def _make_decode_one():
                         return fmt, got[0], got[1]
             return fmt, -1, -1
         if content[:4] in (b"II*\x00", b"MM\x00*"):
-            # TIFF: IFD0 entries 0x0100 ImageWidth / 0x0101 ImageLength
+            # TIFF: IFD0 entries 0x0100 ImageWidth / 0x0101 ImageLength.
+            # Slice-safe throughout: a truncated TIFF degrades to -1
+            # dims, never a struct.error out of the task (the decline
+            # contract every branch here follows)
             bo = "<" if content[:2] == b"II" else ">"
-            off = _struct.unpack(bo + "I", content[4:8])[0]
-            n = _struct.unpack(bo + "H", content[off : off + 2])[0]
             w = h = -1
-            for i in range(n):
-                e = off + 2 + 12 * i
-                tag, typ = _struct.unpack(bo + "HH", content[e : e + 4])
-                if tag in (0x0100, 0x0101):
-                    if typ == 3:
-                        v = _struct.unpack(bo + "H", content[e + 8 : e + 10])[0]
-                    else:
-                        v = _struct.unpack(bo + "I", content[e + 8 : e + 12])[0]
-                    if tag == 0x0100:
-                        w = int(v)
-                    else:
-                        h = int(v)
+            if len(content) >= 8:
+                off = _struct.unpack(bo + "I", content[4:8])[0]
+                if off + 2 <= len(content):
+                    n = _struct.unpack(bo + "H", content[off : off + 2])[0]
+                    for i in range(n):
+                        e = off + 2 + 12 * i
+                        if e + 12 > len(content):
+                            break
+                        tag, typ = _struct.unpack(
+                            bo + "HH", content[e : e + 4]
+                        )
+                        if tag in (0x0100, 0x0101):
+                            if typ == 3:
+                                v = _struct.unpack(
+                                    bo + "H", content[e + 8 : e + 10]
+                                )[0]
+                            else:
+                                v = _struct.unpack(
+                                    bo + "I", content[e + 8 : e + 12]
+                                )[0]
+                            if tag == 0x0100:
+                                w = int(v)
+                            else:
+                                h = int(v)
             return "tiff", w, h
         raise NotImplementedError("unsupported media container")
 
@@ -2177,6 +2190,26 @@ def _make_raster_ahash():
     return hash_and_luma
 
 
+def _make_raster_decoder_chain():
+    """The four-decoder fallback cascade (PNG → BMP → JPEG → GIF) as
+    ONE closure shared by every raster consumer (aHash, pHash,
+    oriented hash) — a drifted copy would silently make the hash
+    operators disagree on which images they cover."""
+    decode_png = _make_png_raster_decoder()
+    decode_bmp = _make_bmp_raster_decoder()
+    decode_jpg = _make_jpeg_raster_decoder()
+    decode_gif = _make_gif_raster_decoder()
+
+    def decode(b: bytes):
+        for dec in (decode_png, decode_bmp, decode_jpg, decode_gif):
+            got = dec(b)
+            if got is not None:
+                return got
+        return None
+
+    return decode
+
+
 def image_ahash(df: DataFrame) -> DataFrame:
     """Average-hash (aHash) perceptual fingerprint per image: decode →
     integer luma → 8×8 nearest-neighbor downsample → threshold each cell
@@ -2197,30 +2230,18 @@ def image_ahash(df: DataFrame) -> DataFrame:
     """
 
     def make_fn():
-        decode_png = _make_png_raster_decoder()
-        decode_bmp = _make_bmp_raster_decoder()
-        decode_jpg = _make_jpeg_raster_decoder()
-        decode_gif = _make_gif_raster_decoder()
+        decode = _make_raster_decoder_chain()
         raster_ahash = _make_raster_ahash()
 
         def fn(batches):
             for pdf in batches:
                 ids, hashes = [], []
                 for mid, content in zip(pdf["media_id"], pdf["content"]):
-                    b = bytes(content)
-                    got = decode_png(b)
-                    if got is None:
-                        got = decode_bmp(b)
-                    if got is None:
-                        got = decode_jpg(b)
-                    if got is None:
-                        got = decode_gif(b)
-                    if got is None:
-                        ids.append(mid)
-                        hashes.append(None)
-                        continue
+                    got = decode(bytes(content))
                     ids.append(mid)
-                    hashes.append(raster_ahash(*got)[0])
+                    hashes.append(
+                        None if got is None else raster_ahash(*got)[0]
+                    )
                 yield pd.DataFrame({"media_id": ids, "ahash": hashes})
 
         return fn
@@ -2287,24 +2308,14 @@ def image_phash(df: DataFrame) -> DataFrame:
     pages) where mean-threshold aHash degenerates."""
 
     def make_fn():
-        decode_png = _make_png_raster_decoder()
-        decode_bmp = _make_bmp_raster_decoder()
-        decode_jpg = _make_jpeg_raster_decoder()
-        decode_gif = _make_gif_raster_decoder()
+        decode = _make_raster_decoder_chain()
         raster_phash = _make_raster_phash()
 
         def fn(batches):
             for pdf in batches:
                 ids, hashes = [], []
                 for mid, content in zip(pdf["media_id"], pdf["content"]):
-                    b = bytes(content)
-                    got = decode_png(b)
-                    if got is None:
-                        got = decode_bmp(b)
-                    if got is None:
-                        got = decode_jpg(b)
-                    if got is None:
-                        got = decode_gif(b)
+                    got = decode(bytes(content))
                     ids.append(mid)
                     hashes.append(
                         None if got is None else raster_phash(*got)
@@ -2723,6 +2734,62 @@ def video_frame_features(df: DataFrame, every_n: int = 1) -> DataFrame:
     )
 
 
+def _containment_pairs(
+    hs: DataFrame, hash_col: str, min_shared_ppm: int, max_df
+) -> DataFrame:
+    """Shared near-dup scaffolding for the frame/fingerprint paths
+    (video + audio use it identically): ``hs`` is the DISTINCT
+    (media_id, hash) frame, ALREADY persisted by the caller (it feeds
+    both self-join sides and the size frame).  Applies the ``max_df``
+    hot-hash anti-filter to BOTH join sides (sizes still count every
+    hash — containment stays a tight lower bound), inverted-index
+    equi-join, containment ppm gate."""
+    sizes = hs.groupBy("media_id").agg(F.count("*").alias("n"))
+    join_side = hs
+    if max_df is not None:
+        rare = (
+            hs.groupBy(hash_col)
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_df)
+            .select(hash_col)
+        )
+        join_side = hs.join(rare, hash_col)
+    a, b_ = join_side.alias("a"), join_side.alias("b")
+    shared = (
+        a.join(b_, on=hash_col)
+        .where(F.col("a.media_id") < F.col("b.media_id"))
+        .groupBy(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(
+        F.col("media_id").alias("media_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("media_id").alias("media_b"), F.col("n").alias("n_b")
+    )
+    out = (
+        shared.join(sa, "media_a")
+        .join(sb, "media_b")
+        .select(
+            "media_a",
+            "media_b",
+            "shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("shared") * 1_000_000
+                / F.least(F.col("n_a"), F.col("n_b"))
+            )
+            .cast("long")
+            .alias("containment_ppm"),
+        )
+    )
+    return out.where(F.col("containment_ppm") >= min_shared_ppm)
+
+
 def near_duplicate_videos(
     df: DataFrame,
     every_n: int = 1,
@@ -2767,50 +2834,7 @@ def near_duplicate_videos(
         .distinct()
         .persist()
     )
-    sizes = hs.groupBy("media_id").agg(F.count("*").alias("n"))
-    join_side = hs
-    if max_df is not None:
-        rare = (
-            hs.groupBy("ahash")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") <= max_df)
-            .select("ahash")
-        )
-        join_side = hs.join(rare, "ahash")
-    a, b_ = join_side.alias("a"), join_side.alias("b")
-    shared = (
-        a.join(b_, on="ahash")
-        .where(F.col("a.media_id") < F.col("b.media_id"))
-        .groupBy(
-            F.col("a.media_id").alias("media_a"),
-            F.col("b.media_id").alias("media_b"),
-        )
-        .agg(F.count("*").alias("shared"))
-    )
-    sa = sizes.select(
-        F.col("media_id").alias("media_a"), F.col("n").alias("n_a")
-    )
-    sb = sizes.select(
-        F.col("media_id").alias("media_b"), F.col("n").alias("n_b")
-    )
-    out = (
-        shared.join(sa, "media_a")
-        .join(sb, "media_b")
-        .select(
-            "media_a",
-            "media_b",
-            "shared",
-            "n_a",
-            "n_b",
-            (
-                F.col("shared") * 1_000_000
-                / F.least(F.col("n_a"), F.col("n_b"))
-            )
-            .cast("long")
-            .alias("containment_ppm"),
-        )
-    )
-    return out.where(F.col("containment_ppm") >= min_shared_ppm)
+    return _containment_pairs(hs, "ahash", min_shared_ppm, max_df)
 
 
 # ---------------------------------------------------------------------------
@@ -3353,50 +3377,7 @@ def near_duplicate_audio(
         .distinct()
         .persist()
     )
-    sizes = hs.groupBy("media_id").agg(F.count("*").alias("n"))
-    join_side = hs
-    if max_df is not None:
-        rare = (
-            hs.groupBy("fhash")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") <= max_df)
-            .select("fhash")
-        )
-        join_side = hs.join(rare, "fhash")
-    a, b_ = join_side.alias("a"), join_side.alias("b")
-    shared = (
-        a.join(b_, on="fhash")
-        .where(F.col("a.media_id") < F.col("b.media_id"))
-        .groupBy(
-            F.col("a.media_id").alias("media_a"),
-            F.col("b.media_id").alias("media_b"),
-        )
-        .agg(F.count("*").alias("shared"))
-    )
-    sa = sizes.select(
-        F.col("media_id").alias("media_a"), F.col("n").alias("n_a")
-    )
-    sb = sizes.select(
-        F.col("media_id").alias("media_b"), F.col("n").alias("n_b")
-    )
-    out = (
-        shared.join(sa, "media_a")
-        .join(sb, "media_b")
-        .select(
-            "media_a",
-            "media_b",
-            "shared",
-            "n_a",
-            "n_b",
-            (
-                F.col("shared") * 1_000_000
-                / F.least(F.col("n_a"), F.col("n_b"))
-            )
-            .cast("long")
-            .alias("containment_ppm"),
-        )
-    )
-    return out.where(F.col("containment_ppm") >= min_shared_ppm)
+    return _containment_pairs(hs, "fhash", min_shared_ppm, max_df)
 
 
 # ---------------------------------------------------------------------------
@@ -3599,10 +3580,7 @@ def image_ahash_oriented(df: DataFrame) -> DataFrame:
     Images without an orientation tag hash exactly as image_ahash."""
 
     def make_fn():
-        decode_png = _make_png_raster_decoder()
-        decode_bmp = _make_bmp_raster_decoder()
-        decode_jpg = _make_jpeg_raster_decoder()
-        decode_gif = _make_gif_raster_decoder()
+        decode = _make_raster_decoder_chain()
         raster_ahash = _make_raster_ahash()
         parse_exif = _make_exif_parser()
         import numpy as _np
@@ -3612,13 +3590,7 @@ def image_ahash_oriented(df: DataFrame) -> DataFrame:
                 ids, hashes = [], []
                 for mid, content in zip(pdf["media_id"], pdf["content"]):
                     b = bytes(content)
-                    got = decode_png(b)
-                    if got is None:
-                        got = decode_bmp(b)
-                    if got is None:
-                        got = decode_jpg(b)
-                    if got is None:
-                        got = decode_gif(b)
+                    got = decode(b)
                     if got is None:
                         ids.append(mid)
                         hashes.append(None)

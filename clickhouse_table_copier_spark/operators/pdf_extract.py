@@ -55,10 +55,35 @@ PDF_TEXT_SCHEMA = T.StructType(
     ]
 )
 
-_STREAM_RE = re.compile(
-    rb"<<(?P<dict>.*?)>>\s*stream\r?\n", re.S
-)
+_STREAM_END_RE = re.compile(rb">>\s*stream\r?\n")
 _PAGE_RE = re.compile(rb"/Type\s*/Page(?![a-zA-Z])")
+
+
+def _iter_streams(b: bytes):
+    """Yield ``(dict_bytes, data_start)`` per stream: anchor on
+    ``>> stream`` and walk BACKWARD to the balanced matching ``<<`` —
+    a lazy ``<<.*?>>`` regex would start at the first ``<<`` after the
+    previous stream and sweep unrelated dicts (an /Encrypt dict's
+    /Filter, a stray /ObjStm) into this stream's dict."""
+    for sm in _STREAM_END_RE.finditer(b):
+        j = sm.start()  # at the closing '>>'
+        depth = 0
+        k = j
+        while k >= 0:
+            two = b[k : k + 2]
+            if two == b">>":
+                depth += 1
+                k -= 2
+            elif two == b"<<":
+                depth -= 1
+                if depth == 0:
+                    break
+                k -= 2
+            else:
+                k -= 1
+        if depth != 0:
+            continue  # unbalanced: skip this pseudo-stream
+        yield b[k + 2 : j], sm.end()
 _FILTER_RE = re.compile(rb"/Filter\s*(?:\[(?P<arr>[^\]]*)\]|(?P<one>/[A-Za-z0-9]+))")
 _NAME_RE = re.compile(rb"/[A-Za-z0-9]+")
 
@@ -204,9 +229,12 @@ def _literal_string(data: bytes, start: int):
             if nxt in _ESCAPES:
                 out.append(_ESCAPES[nxt])
                 i += 2
-            elif nxt.isdigit():  # octal, 1-3 digits
+            elif nxt and nxt in b"01234567":  # octal, 1-3 OCTAL digits
+                # (\8 / \9 are not octal: the spec drops the backslash
+                # and keeps the digit — isdigit() here once nuked the
+                # whole document via int(..., 8) ValueError)
                 j = i + 1
-                while j < min(i + 4, n) and data[j : j + 1].isdigit():
+                while j < min(i + 4, n) and data[j : j + 1] in b"01234567":
                     j += 1
                 out.append(chr(int(data[i + 1 : j], 8) & 0xFF))
                 i = j
@@ -332,9 +360,7 @@ def _extract_pdf(b: bytes):
             return None
         n_pages = len(_PAGE_RE.findall(b))
         texts = []
-        for m in _STREAM_RE.finditer(b):
-            d = m.group("dict")
-            start = m.end()
+        for d, start in _iter_streams(b):
             end = b.find(b"endstream", start)
             if end == -1:
                 continue

@@ -155,8 +155,8 @@ def filter_blocklisted(
     so ``foo.blogspot.com``-style private suffixes and ``*.ck``-style
     wildcards block at the right granularity."""
     dom_col = "__dom"
-    while dom_col in df.columns:
-        dom_col += "_"
+    while dom_col in df.columns or (dom_col + "h") in df.columns:
+        dom_col += "_"  # protects BOTH working names (dom + dom+'h')
     if psl_rules is not None:
         from clickhouse_table_copier_spark.operators.psl import (
             psl_registrable_domain,

@@ -314,7 +314,11 @@ def read_warc_stream(
     if not files:
         raise ValueError(f"read_warc_stream: no files match {paths!r}")
     pdf = spark.createDataFrame([(p,) for p in files], "path string")
-    pdf = pdf.repartition(len(files), "path")
+    # round-robin (NOT hash-by-path): hashing N paths into N partitions
+    # collides ~1/e of them, stacking multi-GB shards in one task while
+    # others sit empty — plain repartition distributes exactly one per
+    # partition
+    pdf = pdf.repartition(len(files))
 
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -335,13 +339,16 @@ def read_warc_stream(
 
 
 # BOM sniff table, longest-prefix first (UTF-32 LE before UTF-16 LE —
-# they share \xff\xfe)
+# they share \xff\xfe).  The GENERIC utf-16/utf-32 codecs consume the
+# BOM (like utf-8-sig does), so every BOM'd encoding of the same page
+# decodes to the same string — an explicit-endian codec would leave
+# U+FEFF at the front and split dedup keys by source encoding.
 _BOMS = (
     (b"\xef\xbb\xbf", "utf-8-sig"),
-    (b"\xff\xfe\x00\x00", "utf-32-le"),
-    (b"\x00\x00\xfe\xff", "utf-32-be"),
-    (b"\xff\xfe", "utf-16-le"),
-    (b"\xfe\xff", "utf-16-be"),
+    (b"\xff\xfe\x00\x00", "utf-32"),
+    (b"\x00\x00\xfe\xff", "utf-32"),
+    (b"\xff\xfe", "utf-16"),
+    (b"\xfe\xff", "utf-16"),
 )
 # matches both the Content-Type parameter (charset=ISO-8859-1) and the
 # HTML meta forms (<meta charset="x">, http-equiv content="...charset=x")

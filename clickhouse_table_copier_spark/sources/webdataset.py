@@ -150,7 +150,11 @@ def read_webdataset_stream(
     if not files:
         raise ValueError(f"read_webdataset_stream: no files match {paths!r}")
     pdf = spark.createDataFrame([(p,) for p in files], "path string")
-    pdf = pdf.repartition(len(files), "path")
+    # round-robin (NOT hash-by-path): hashing N paths into N partitions
+    # collides ~1/e of them, stacking multi-GB shards in one task while
+    # others sit empty — plain repartition distributes exactly one per
+    # partition
+    pdf = pdf.repartition(len(files))
 
     cols = ["shard", "member_idx", "key", "field", "content"]
 

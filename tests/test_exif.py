@@ -309,3 +309,22 @@ def test_avif_heic_dims(spark):
     }
     assert got[1] == ("avif", 800, 600)
     assert got[2] == ("heic", 4032, 3024)
+
+
+def test_truncated_tiff_declines_not_raises(spark):
+    """Review finding (r10): a truncated/corrupt TIFF must degrade to
+    -1 dims, never raise struct.error out of the task."""
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        decode_image_meta,
+    )
+
+    rows = [
+        (1, "image", bytearray(b"II*\x00"), "{}"),  # header only
+        (2, "image", bytearray(b"II*\x00" + struct.pack("<I", 9999)), "{}"),
+        (3, "image", bytearray(b"MM\x00*" + struct.pack(">I", 8)
+                               + struct.pack(">H", 50)), "{}"),  # IFD cut
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: (r["fmt"], r["width"]) for r in
+           decode_image_meta(df).collect()}
+    assert all(v[0] == "tiff" and v[1] == -1 for v in got.values())

@@ -288,3 +288,30 @@ def test_objstm_pages_counted():
     )
     got = _extract_pdf(blob)
     assert got is not None and got[0] == 2
+
+
+def test_non_octal_escapes_do_not_nuke_document():
+    """Review finding (r10): \\8 and \\9 are NOT octal — they must not
+    raise into the blanket except and NULL the whole document."""
+    content = rb"BT /F1 12 Tf 10 10 Td (backslash-eight \8 nine \9 ok) Tj ET"
+    got = _extract_pdf(make_pdf([content]))
+    assert got is not None
+    assert "backslash-eight 8 nine 9 ok" in (got[1] or "")
+
+
+def test_earlier_dict_does_not_leak_into_stream_dict():
+    """Review finding (r10): a stream-less dict mentioning /Filter
+    before a Flate content stream must not be swept into the stream's
+    dict (the lazy-regex failure mode): the stream still inflates."""
+    content = b"BT /F1 12 Tf 10 10 Td (Bounded dict.) Tj ET"
+    data = zlib.compress(content)
+    blob = (
+        b"%PDF-1.4\n"
+        b"9 0 obj\n<< /Type /SomeDict /Filter /Standard >>\nendobj\n"
+        b"1 0 obj\n<< /Filter /FlateDecode /Length "
+        + str(len(data)).encode()
+        + b" >>\nstream\n" + data + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    got = _extract_pdf(blob)
+    assert got is not None
+    assert "Bounded dict." in (got[1] or "")

@@ -375,3 +375,30 @@ def test_incremental_warc_ingest_only_processes_new_shards(spark, tmp_path):
     assert sorted(r["url"] for r in second) == [
         "https://x/1", "https://x/2", "https://x/3",
     ]
+
+
+def test_bom_encodings_decode_to_identical_text(spark, tmp_path):
+    """Review finding (r10): the same page as UTF-8+BOM, UTF-16LE and
+    UTF-16BE (BOM'd) must decode to ONE string — BOM always stripped,
+    so dedup keys can't split by source encoding."""
+    text = "<p>same page content</p>"
+    variants = {
+        "u8.warc": b"\xef\xbb\xbf" + text.encode("utf-8"),
+        "u16le.warc": text.encode("utf-16"),        # BOM'd LE
+        "u16be.warc": b"\xfe\xff" + text.encode("utf-16-be"),
+    }
+    for name, body in variants.items():
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        rec = _record(
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": f"https://x/{name}",
+                "WARC-Date": "2026-08-15T00:00:00Z",
+            },
+            http,
+        )
+        with open(tmp_path / name, "wb") as f:
+            f.write(rec)
+    docs = responses_to_documents(read_warc(spark, str(tmp_path))).collect()
+    texts = {r["raw_html"] for r in docs}
+    assert texts == {text}
