@@ -315,3 +315,39 @@ def test_earlier_dict_does_not_leak_into_stream_dict():
     got = _extract_pdf(blob)
     assert got is not None
     assert "Bounded dict." in (got[1] or "")
+
+
+def test_literal_string_escape_roundtrip_property():
+    """Property: ANY Latin-1 text, escaped into a PDF literal string by
+    a reference escaper, parses back exactly — parens, backslashes,
+    control bytes, the lot."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st_
+
+    from clickhouse_table_copier_spark.operators.pdf_extract import (
+        _literal_string,
+    )
+
+    def escape(text: str) -> bytes:
+        out = bytearray(b"(")
+        for ch in text:
+            o = ord(ch)
+            if ch in "()\\":
+                out += b"\\" + ch.encode("latin-1")
+            elif o < 32 or o > 126:
+                out += f"\\{o:03o}".encode()
+            else:
+                out += ch.encode("latin-1")
+        out += b")"
+        return bytes(out)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st_.text(st_.characters(min_codepoint=0, max_codepoint=255),
+                    max_size=64))
+    def run(text):
+        data = escape(text)
+        got, end = _literal_string(data, 0)
+        assert got == text
+        assert end == len(data)
+
+    run()
