@@ -479,3 +479,31 @@ def responses_to_pdfs(warc_df: DataFrame) -> DataFrame:
         F.col("warc_date").alias("fetched_at"),
         F.col("payload").alias("pdf_bytes"),
     )
+
+
+def responses_to_media(warc_df: DataFrame, kind: str = "image") -> DataFrame:
+    """response records → the multimodal operators' ``(media_id, kind,
+    content, meta_json)`` contract: 200-status ``<kind>/*`` bodies
+    (``image/*`` by default — the crawl path into ``image_ahash`` /
+    ``decode_image_meta`` / EXIF), media_id = deterministic xxhash64 of
+    (warc_file, record_idx), provenance (url, fetched_at, content_type)
+    in meta_json.  The third projection alongside
+    :func:`responses_to_documents` (HTML) and :func:`responses_to_pdfs`."""
+    from pyspark.sql import functions as F
+
+    return warc_df.where(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.lower(F.col("content_type")).startswith(kind + "/")
+    ).select(
+        F.xxhash64("warc_file", "record_idx").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.col("payload").alias("content"),
+        F.to_json(
+            F.struct(
+                F.col("target_uri").alias("url"),
+                F.col("warc_date").alias("fetched_at"),
+                F.col("content_type").alias("content_type"),
+            )
+        ).alias("meta_json"),
+    )

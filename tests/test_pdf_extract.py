@@ -351,3 +351,24 @@ def test_literal_string_escape_roundtrip_property():
         assert end == len(data)
 
     run()
+
+
+def test_form_xobject_text_extracts():
+    """Text living in a /Subtype /Form XObject stream (referenced by a
+    Do operator from the page) extracts too: the tolerant scan decodes
+    EVERY stream carrying BT…ET, not just page /Contents."""
+    form = (
+        b"%PDF-1.4\n"
+        b"7 0 obj\n<< /Type /XObject /Subtype /Form /Filter /FlateDecode "
+        b"/Length 999 >>\nstream\n"
+    )
+    content = b"BT /F1 9 Tf 5 5 Td (Text inside a Form XObject.) Tj ET"
+    data = zlib.compress(content)
+    blob = (
+        b"%PDF-1.4\n7 0 obj\n<< /Type /XObject /Subtype /Form "
+        b"/Filter /FlateDecode /Length " + str(len(data)).encode()
+        + b" >>\nstream\n" + data + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    got = _extract_pdf(blob)
+    assert got is not None
+    assert "Text inside a Form XObject." in (got[1] or "")

@@ -402,3 +402,46 @@ def test_bom_encodings_decode_to_identical_text(spark, tmp_path):
     docs = responses_to_documents(read_warc(spark, str(tmp_path))).collect()
     texts = {r["raw_html"] for r in docs}
     assert texts == {text}
+
+
+def test_warc_to_images_end_to_end(spark, tmp_path):
+    """The crawl's image path: WARC → image/* responses →
+    decode_image_meta + aHash — the third modality projection."""
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        decode_image_meta,
+        image_ahash,
+    )
+    from clickhouse_table_copier_spark.sources.warc import responses_to_media
+    from tests.test_jpeg_decode import encode_baseline_jpeg
+    import numpy as np
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    jpg = encode_baseline_jpeg(img)
+    recs = [
+        _record(
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "https://x/cat.jpg",
+                "WARC-Date": "2026-08-15T00:00:00Z",
+            },
+            b"HTTP/1.1 200 OK\r\nContent-Type: image/jpeg\r\n\r\n" + jpg,
+        ),
+        _record(
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "https://x/page.html",
+                "WARC-Date": "2026-08-15T00:00:00Z",
+            },
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>x</p>",
+        ),
+    ]
+    p = tmp_path / "imgs.warc"
+    with open(p, "wb") as f:
+        f.write(b"".join(recs))
+    media = responses_to_media(read_warc(spark, str(p)))
+    rows = media.collect()
+    assert len(rows) == 1 and '"url":"https://x/cat.jpg"' in rows[0]["meta_json"]
+    meta = decode_image_meta(media).collect()[0]
+    assert (meta["fmt"], meta["width"], meta["height"]) == ("jpeg", 16, 16)
+    assert image_ahash(media).collect()[0]["ahash"] is not None
