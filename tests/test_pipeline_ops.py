@@ -1665,3 +1665,22 @@ def test_multilingual_dedup_keys(spark):
         .collect()
     )
     assert [r["k"] for r in ascii_keys] == [""]
+
+
+def test_lang_id_multiscript_mixed_text(spark):
+    """Dominance, not presence: an English page quoting a few CJK or
+    Cyrillic words stays en; a Japanese page with an English loanword
+    stays ja."""
+    from clickhouse_table_copier_spark.operators.text import (
+        lang_id_multiscript,
+    )
+
+    cases = [
+        ("the meeting notes mention 東京 once but the text is english "
+         "and the words keep flowing in english", "en"),
+        ("обсуждение шло по-русски, merci beforehand", "ru"),
+        ("日本語の文章の中に API という英単語が入っている", "ja"),
+    ]
+    df = spark.createDataFrame(cases, "t string, want string")
+    for r in df.select("want", lang_id_multiscript("t").alias("got")).collect():
+        assert r["got"] == r["want"], (r["want"], r["got"])
