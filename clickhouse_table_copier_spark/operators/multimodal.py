@@ -11,11 +11,13 @@ REAL pixel decode — pure-Python zlib chunk-walk + unfilter for PNG,
 raw-raster numpy for BMP, a full LZW decompressor for GIF, and a
 baseline-sequential Huffman + IDCT decoder for JPEG
 (``_make_jpeg_decoder``) — feeding ``image_pixel_stats`` (mean
-R/G/B/luma) and the first feature slots of ``extract_features``. Only
-progressive/arithmetic/12-bit JPEG keeps the md5-derived deterministic
-stand-in behind the REAL Spark-side contract — schema, Arrow batching,
-partition preservation — so plugging PIL/ffmpeg for those later changes
-one inner function, not the pipeline.
+R/G/B/luma) and the first feature slots of ``extract_features``.
+Progressive, arithmetic-coded (T.81 QM coder, this file) and 12-bit
+JPEG all decode for real since round 10; only hierarchical/lossless
+JPEG keeps the md5-derived deterministic stand-in behind the REAL
+Spark-side contract — schema, Arrow batching, partition preservation —
+so plugging PIL/ffmpeg for those later changes one inner function, not
+the pipeline.
 
 AUDIO is fully REAL: WAV (RIFF/PCM) needs no media libraries, so
 ``synthesize_audio_table`` writes genuine PCM WAV bytes,
@@ -329,8 +331,9 @@ def _make_gif_raster_decoder():
     interlaced (the four-pass row order scatters back). Returns
     ``(w, h, 3, uint8 RGB raster)`` or ``None`` — the PNG/BMP/JPEG
     raster contract, so aHash/resize consume GIF identically
-    (cross-format dedup). With all four rasters decoding, the PIL seam
-    is down to arithmetic-coded/12-bit JPEG."""
+    (cross-format dedup). With all four rasters decoding (and the round-10
+    arithmetic/12-bit JPEG closure), the PIL seam is down to
+    hierarchical/lossless JPEG only."""
     import struct as _struct
 
     def _lzw(min_code: int, data: bytes, n_pixels: int):
