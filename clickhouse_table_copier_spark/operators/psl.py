@@ -49,6 +49,12 @@ RULES_SCHEMA = T.StructType(
         # labels in the PUBLIC SUFFIX this rule implies when it prevails
         # (wildcard: key_labels + 1; exception: key_labels - 1)
         T.StructField("ps_labels", T.IntegerType()),
+        # the PLAIN rule's implied suffix size when the key carries BOTH
+        # a plain and a wildcard rule (real PSL: 'kawasaki.jp' AND
+        # '*.kawasaki.jp'); NULL when no plain rule exists at this key.
+        # Kept separately so the one-row-per-key broadcast invariant
+        # holds without losing the plain rule (ADVICE r10)
+        T.StructField("ps_plain", T.IntegerType()),
         T.StructField("is_exception", T.BooleanType()),
     ]
 )
@@ -97,16 +103,27 @@ def load_psl_rules(spark: SparkSession, path: str) -> DataFrame:
     # out the URL stream: a duplicated rule collapses; a key that is
     # both a plain rule and (pathologically) an exception keeps the
     # exception's semantics (spec: exception outranks everything); a
-    # plain/wildcard key collision keeps the larger implied suffix
-    # (spec: most labels prevails, and the guard in
-    # psl_registrable_domain handles short hosts)
+    # plain/wildcard key collision keeps the larger implied suffix in
+    # ps_labels (spec: most labels prevails) AND the plain rule's size
+    # in ps_plain — the real PSL carries pairs like 'kawasaki.jp' +
+    # '*.kawasaki.jp', and dropping the plain row made the host
+    # 'kawasaki.jp' registrable when the spec says it is itself a
+    # public suffix (ADVICE r10); psl_registrable_domain falls back to
+    # ps_plain when the wildcard's extra label isn't there
     return parsed.groupBy("key", "key_labels").agg(
         F.max("is_exception").alias("is_exception"),
         F.coalesce(
             F.max(F.when(F.col("is_exception"), F.col("ps_labels"))),
             F.max(F.when(~F.col("is_exception"), F.col("ps_labels"))),
         ).alias("ps_labels"),
-    ).select("key", "key_labels", "ps_labels", "is_exception")
+        F.max(
+            F.when(
+                ~F.col("is_exception")
+                & (F.col("ps_labels") == F.col("key_labels")),
+                F.col("ps_labels"),
+            )
+        ).cast("int").alias("ps_plain"),
+    ).select("key", "key_labels", "ps_labels", "ps_plain", "is_exception")
 
 
 def _last_k_labels(parts: Column, n: Column, k: int) -> Column:
@@ -156,6 +173,7 @@ def psl_registrable_domain(
             .select(
                 F.col("key").alias(f"{pfx}_cand{k}"),
                 F.col("ps_labels").alias(f"{pfx}_ps{k}"),
+                F.col("ps_plain").alias(f"{pfx}_psp{k}"),
                 F.col("is_exception").alias(f"{pfx}_exc{k}"),
             )
         )
@@ -177,6 +195,12 @@ def psl_registrable_domain(
         ],
         F.lit(None).cast("int"),
     )
+    # per depth, two candidates: the prevailing (possibly wildcard)
+    # suffix size when the host is deep enough to supply the wildcard's
+    # extra label, else the key's PLAIN rule size when one exists — a
+    # 'kawasaki.jp'/'*.kawasaki.jp' pair must answer ps=2 for the host
+    # 'kawasaki.jp' itself (a matched key always has key_labels <= n,
+    # so ps_plain needs no depth guard)
     plain_ps = F.greatest(
         *[
             F.coalesce(
@@ -185,6 +209,7 @@ def psl_registrable_domain(
                     & (F.col(f"{pfx}_ps{k}") <= nn),
                     F.col(f"{pfx}_ps{k}"),
                 ),
+                F.when(~F.col(f"{pfx}_exc{k}"), F.col(f"{pfx}_psp{k}")),
                 F.lit(0),
             )
             for k in match_cols
@@ -202,6 +227,11 @@ def psl_registrable_domain(
     drop = [f"{pfx}_parts", f"{pfx}_n"] + [
         c
         for k in match_cols
-        for c in (f"{pfx}_cand{k}", f"{pfx}_ps{k}", f"{pfx}_exc{k}")
+        for c in (
+            f"{pfx}_cand{k}",
+            f"{pfx}_ps{k}",
+            f"{pfx}_psp{k}",
+            f"{pfx}_exc{k}",
+        )
     ]
     return out.drop(*drop)

@@ -306,8 +306,16 @@ def lang_id_multiscript(text: Column | str) -> Column:
         result = F.when(
             (cnt >= best_count) & (best_count > latin), F.lit(lang)
         ).otherwise(result)
+    # kana flips the answer to ``ja`` only when the COMBINED CJK count
+    # (han + kana — Japanese splits between the two blocks, so neither
+    # alone may win the max) dominates every other script AND Latin.
+    # Gating on cjk >= best_count is the round-10 ADVICE fix: a single
+    # stray kana codepoint in hangul- or cyrillic-dominant text used to
+    # override the whole chain to ``ja``; now hangul/cyrillic keep the
+    # verdict unless the CJK mass actually competes.
     has_kana = kana > 0
+    cjk = s["han"] + kana
     result = F.when(
-        has_kana & (s["han"] + kana > latin), F.lit("ja")
+        has_kana & (cjk >= best_count) & (cjk > latin), F.lit("ja")
     ).otherwise(result)
     return result

@@ -1680,6 +1680,15 @@ def test_lang_id_multiscript_mixed_text(spark):
          "and the words keep flowing in english", "en"),
         ("обсуждение шло по-русски, merci beforehand", "ru"),
         ("日本語の文章の中に API という英単語が入っている", "ja"),
+        # ADVICE r10 regression: a single stray kana codepoint must NOT
+        # override a hangul- or cyrillic-dominant page to ja — the kana
+        # flip requires the combined han+kana mass to dominate every
+        # other script block.
+        ("한국어 문서에 가타카나 한 글자 ア 가 섞여 있어도 한국어입니다", "ko"),
+        ("русский текст с одним знаком ア остаётся русским текстом", "ru"),
+        # ...while kana-heavy text with kanji still wins over a Latin
+        # sprinkle via the combined-CJK gate
+        ("ひらがなだけの文でも日本語と判定される necessary words", "ja"),
     ]
     df = spark.createDataFrame(cases, "t string, want string")
     for r in df.select("want", lang_id_multiscript("t").alias("got")).collect():

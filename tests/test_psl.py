@@ -26,6 +26,12 @@ jp
 *.kobe.jp
 !city.kobe.jp
 
+// kawasaki : the real PSL carries BOTH a plain and a wildcard rule
+// at the same key (ADVICE r10 regression)
+kawasaki.jp
+*.kawasaki.jp
+!city.kawasaki.jp
+
 // ck : everything is second-level except www
 *.ck
 !www.ck
@@ -58,6 +64,7 @@ def test_rules_parse(rules):
     assert got["co.uk"] == (2, 2, False)
     assert got["kobe.jp"] == (2, 3, False)  # *.kobe.jp: wildcard adds one
     assert got["city.kobe.jp"] == (3, 2, True)  # exception drops one
+    assert got["kawasaki.jp"] == (2, 3, False)  # wildcard prevails in ps_labels
     assert got["ck"] == (1, 2, False)
     assert got["www.ck"] == (2, 1, True)
     assert got["blogspot.com"] == (2, 2, False)  # private section loads
@@ -89,6 +96,23 @@ def test_wildcard_rules(spark, rules):
     assert _reg(spark, rules, "bar.kobe.jp") is None
     assert _reg(spark, rules, "x.bar.kobe.jp") == "x.bar.kobe.jp"
     assert _reg(spark, rules, "example.jp") == "example.jp"
+
+
+def test_plain_plus_wildcard_same_key(spark, rules):
+    """ADVICE r10: 'kawasaki.jp' + '*.kawasaki.jp' share one key; the
+    one-row-per-key collapse must not lose the plain rule.  The host
+    'kawasaki.jp' IS a public suffix (plain rule) → NULL, while the
+    wildcard still governs one level down."""
+    assert _reg(spark, rules, "kawasaki.jp") is None
+    assert _reg(spark, rules, "a.kawasaki.jp") is None  # wildcard suffix
+    assert _reg(spark, rules, "b.a.kawasaki.jp") == "b.a.kawasaki.jp"
+    assert _reg(spark, rules, "city.kawasaki.jp") == "city.kawasaki.jp"
+    assert _reg(spark, rules, "x.city.kawasaki.jp") == "city.kawasaki.jp"
+    # ps_plain bookkeeping: set only where a plain rule exists
+    got = {r["key"]: r["ps_plain"] for r in rules.collect()}
+    assert got["kawasaki.jp"] == 2
+    assert got["kobe.jp"] is None  # wildcard-only key
+    assert got["com"] == 1
 
 
 def test_exception_rules(spark, rules):
