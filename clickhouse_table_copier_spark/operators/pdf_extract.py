@@ -13,9 +13,18 @@ ASCII/WinAnsi-coded simple fonts:
 - stream decode: ``/FlateDecode`` (zlib), ``/LZWDecode`` (the PDF/TIFF
   MSB-first variant with early code-width change), ``/ASCIIHexDecode``
   and ``/ASCII85Decode`` — including filter CHAINS in array form
-  (``/Filter [/ASCII85Decode /FlateDecode]``); raw streams pass
-  through; remaining filters (DCT, CCITT, JBIG2, crypt) are skipped,
-  not fatal; predictors (rare on content streams) are the seam;
+  (``/Filter [/ASCII85Decode /FlateDecode]``); stream data is bounded
+  by an inline integer ``/Length`` when the dict carries one (decoded
+  Flate output can legitimately contain the bytes ``endstream``, so a
+  byte scan alone truncates — ADVICE r10), with the byte scan kept as
+  the fallback for missing/indirect lengths; ``/Predictor`` 2 (TIFF
+  horizontal) and 10–15 (the PNG row filters — ubiquitous on xref and
+  object streams, Predictor 12 especially) undo after Flate/LZW; raw
+  streams pass through; remaining filters (CCITT, JBIG2, crypt) are
+  skipped, not fatal.  ``/DCTDecode`` image XObjects are not text but
+  ARE baseline JPEGs — :func:`extract_pdf_images` lifts them into the
+  multimodal media contract so PDF-embedded images join the same
+  near-dup table WARC images do;
 - text operators: ``BT…ET`` blocks, ``Tj``/``'``/``"`` literal shows,
   ``TJ`` arrays (kerning offsets beyond a threshold become spaces),
   ``Td``/``TD``/``T*``/``Tm`` line moves become newlines, literal
@@ -86,6 +95,106 @@ def _iter_streams(b: bytes):
         yield b[k + 2 : j], sm.end()
 _FILTER_RE = re.compile(rb"/Filter\s*(?:\[(?P<arr>[^\]]*)\]|(?P<one>/[A-Za-z0-9]+))")
 _NAME_RE = re.compile(rb"/[A-Za-z0-9]+")
+# inline integer /Length only: the negative lookahead rejects the
+# indirect-reference form '/Length 15 0 R' (next non-space is a digit)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s*\d)")
+_PRED_RE = re.compile(rb"/Predictor\s+(\d+)")
+_COLUMNS_RE = re.compile(rb"/Columns\s+(\d+)")
+_COLORS_RE = re.compile(rb"/Colors\s+(\d+)")
+_BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
+
+
+def _stream_raw(b: bytes, d: bytes, start: int):
+    """Raw (still-encoded) data of the stream starting at ``start``.
+
+    An inline integer ``/Length`` bounds the data exactly — required
+    for correctness, not just speed: FlateDecode OUTPUT bytes can
+    contain the literal ``endstream``, and compressed input can too,
+    so the first-match byte scan truncates real streams (ADVICE r10).
+    The scan stays as the fallback for missing or indirect
+    (``N 0 R``) lengths, and a lying ``/Length`` (damaged file) falls
+    back too — trust it only when ``endstream`` actually follows."""
+    lm = _LENGTH_RE.search(d)
+    if lm:
+        end = start + int(lm.group(1))
+        if end <= len(b) and re.match(rb"\s{0,4}endstream", b[end : end + 13]):
+            return b[start:end]
+    end = b.find(b"endstream", start)
+    if end == -1:
+        return None
+    raw = b[start:end]
+    # strip the EOL PDF writers put before 'endstream' (the /Length
+    # path needs no strip: the spec excludes that EOL from the count)
+    if raw.endswith(b"\n"):
+        raw = raw[:-1]
+    if raw.endswith(b"\r"):
+        raw = raw[:-1]
+    return raw
+
+
+def _undo_predictor(data: bytes, d: bytes):
+    """Undo the stream dict's ``/Predictor`` over Flate/LZW output:
+    2 = TIFF horizontal differencing, 10–15 = the PNG row filters
+    (every row prefixed by its filter-type byte; Predictor 12 = Up is
+    what xref/object streams in the wild use).  Parameters are read
+    from the dict text — the common case is one filter with one parms
+    dict; exotic per-filter parms ARRAYS with differing predictors are
+    out of scope and decline.  Returns None on malformed geometry."""
+    pm = _PRED_RE.search(d)
+    if pm is None:
+        return data
+    pred = int(pm.group(1))
+    if pred <= 1:
+        return data
+    m = _COLUMNS_RE.search(d)
+    columns = int(m.group(1)) if m else 1
+    m = _COLORS_RE.search(d)
+    colors = int(m.group(1)) if m else 1
+    m = _BPC_RE.search(d)
+    bpc = int(m.group(1)) if m else 8
+    if columns <= 0 or colors <= 0 or bpc <= 0:
+        return None
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    if pred == 2:  # TIFF: per-sample left-delta (8-bit samples only)
+        if bpc != 8:
+            return None
+        out = bytearray(data)
+        for r0 in range(0, len(out) - rowlen + 1, rowlen):
+            for i in range(r0 + bpp, r0 + rowlen):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+    stride = rowlen + 1  # PNG: filter-type byte leads each row
+    out = bytearray()
+    prev = bytearray(rowlen)
+    for r0 in range(0, len(data) - stride + 1, stride):
+        ft = data[r0]
+        row = bytearray(data[r0 + 1 : r0 + 1 + rowlen])
+        if ft == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                row[i] = (
+                    row[i] + (a if pa <= pb and pa <= pc else up if pb <= pc else c)
+                ) & 0xFF
+        elif ft != 0:
+            return None
+        out += row
+        prev = row
+    return bytes(out)
 
 
 def _lzw_decode(data: bytes):
@@ -190,8 +299,11 @@ def _apply_filters(raw: bytes, d: bytes):
                 raw = zlib.decompress(raw)
             except zlib.error:
                 return None
+            raw = _undo_predictor(raw, d)
         elif name in (b"/LZWDecode", b"/LZW"):
             raw = _lzw_decode(raw)
+            if raw is not None:
+                raw = _undo_predictor(raw, d)
         elif name in (b"/ASCIIHexDecode", b"/AHx"):
             try:
                 h = re.sub(rb"[\s>]", b"", raw)
@@ -361,15 +473,9 @@ def _extract_pdf(b: bytes):
         n_pages = len(_PAGE_RE.findall(b))
         texts = []
         for d, start in _iter_streams(b):
-            end = b.find(b"endstream", start)
-            if end == -1:
+            raw = _stream_raw(b, d, start)
+            if raw is None:
                 continue
-            raw = b[start:end]
-            # strip the EOL PDF writers put before 'endstream'
-            if raw.endswith(b"\n"):
-                raw = raw[:-1]
-            if raw.endswith(b"\r"):
-                raw = raw[:-1]
             raw = _apply_filters(raw, d)
             if raw is None:
                 continue  # damaged stream / uncovered filter: skip
@@ -412,3 +518,106 @@ def extract_pdf_text(
             )
 
     return df.select(id_col, content_col).mapInPandas(fn, PDF_TEXT_SCHEMA)
+
+
+_IMAGE_RE = re.compile(rb"/Subtype\s*/Image(?![A-Za-z])")
+
+
+def _extract_pdf_jpegs(b: bytes):
+    """JPEG byte payloads of the ``/Subtype /Image`` XObjects whose
+    FINAL filter is ``/DCTDecode`` — the stored stream data IS a
+    baseline JPEG (ASCII transport wrappers before it are unwound).
+    Returns a list (possibly empty); None when the bytes aren't a PDF.
+    Never raises."""
+    try:
+        if b[:5] != b"%PDF-":
+            return None
+        out = []
+        for d, start in _iter_streams(b):
+            if not _IMAGE_RE.search(d):
+                continue
+            m = _FILTER_RE.search(d)
+            if m is None:
+                continue
+            names = (
+                _NAME_RE.findall(m.group("arr"))
+                if m.group("arr") is not None
+                else [m.group("one")]
+            )
+            if not names or names[-1] not in (b"/DCTDecode", b"/DCT"):
+                continue
+            raw = _stream_raw(b, d, start)
+            for name in names[:-1]:  # ascii wrappers ahead of the DCT
+                if raw is None:
+                    break
+                if name in (b"/ASCIIHexDecode", b"/AHx"):
+                    try:
+                        h = re.sub(rb"[\s>]", b"", raw)
+                        if len(h) % 2:
+                            h += b"0"
+                        raw = bytes.fromhex(h.decode("ascii"))
+                    except ValueError:
+                        raw = None
+                elif name in (b"/ASCII85Decode", b"/A85"):
+                    raw = _ascii85_decode(raw)
+                else:
+                    raw = None  # Flate-of-DCT etc.: not JPEG transport
+            if raw is None or raw[:2] != b"\xff\xd8":
+                continue  # decline: not actually JPEG data
+            out.append(raw)
+        return out
+    except Exception:
+        return None
+
+
+PDF_IMAGE_STAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("img_idx", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def extract_pdf_images(
+    df: DataFrame, content_col: str, id_col: str
+) -> DataFrame:
+    """PDF-embedded JPEGs → the multimodal ``(media_id, kind, content,
+    meta_json)`` media contract (VERDICT r10 item 5): ``/DCTDecode``
+    image XObjects are baseline JPEGs the engine already decodes, so a
+    figure embedded in a PDF pairs with its standalone twin in
+    ``near_duplicate_images`` exactly like a WARC-crawled image does
+    (:func:`sources.warc.responses_to_media` is the sibling
+    projection).  media_id = deterministic xxhash64 of (source doc_id,
+    image index); provenance in meta_json.
+
+    Scale shape: per-row map work in the Arrow-batched edge — PDF
+    bytes never shuffle; only the (usually far smaller) extracted
+    JPEGs flow on."""
+    from pyspark.sql import functions as F
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, content in zip(pdf[id_col], pdf[content_col]):
+                jpegs = _extract_pdf_jpegs(bytes(content)) or []
+                for i, jb in enumerate(jpegs):
+                    rows.append((did, i, jb))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "img_idx", "content"]
+            )
+
+    staged = df.select(id_col, content_col).mapInPandas(
+        fn, PDF_IMAGE_STAGE_SCHEMA
+    )
+    return staged.select(
+        F.xxhash64("doc_id", "img_idx").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("content"),
+        F.to_json(
+            F.struct(
+                F.col("doc_id").alias("pdf_doc_id"),
+                F.col("img_idx").alias("img_idx"),
+            )
+        ).alias("meta_json"),
+    )

@@ -53,7 +53,11 @@ def _fixtures():
         + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
         + b"data" + struct.pack("<I", len(pcm)) + pcm
     )
+    from test_pdf_extract import _SIMPLE, make_pdf
+
     return {
+        "pdf_text": make_pdf([_SIMPLE]),
+        "pdf_jpegs": make_pdf([_SIMPLE]),
         "png": encode_png(img.tobytes(), 16, 16, 3),
         "jpeg": encode_baseline_jpeg(img),
         "jpeg_prog": encode_progressive_jpeg(img),
@@ -69,9 +73,16 @@ def _fixtures():
 
 
 def _decoders():
+    from clickhouse_table_copier_spark.operators.pdf_extract import (
+        _extract_pdf,
+        _extract_pdf_jpegs,
+    )
+
     wav_parse = _make_wav_parser()
     avi_parse = _make_avi_parser()
     return {
+        "pdf_text": _extract_pdf,
+        "pdf_jpegs": _extract_pdf_jpegs,
         "png": _make_png_raster_decoder(),
         "jpeg": _make_jpeg_raster_decoder(),
         "jpeg_prog": _make_jpeg_raster_decoder(),
@@ -110,6 +121,8 @@ def test_bitflips_never_raise(fmt):
 @pytest.mark.parametrize("fmt", list(_decoders().keys()))
 def test_noise_behind_valid_magic_never_raises(fmt):
     magic = {
+        "pdf_text": b"%PDF-1.5\n",
+        "pdf_jpegs": b"%PDF-1.5\n",
         "png": b"\x89PNG\r\n\x1a\n",
         "jpeg": b"\xff\xd8",
         "jpeg_prog": b"\xff\xd8",

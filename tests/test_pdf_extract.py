@@ -9,6 +9,7 @@ import numpy as np
 
 from clickhouse_table_copier_spark.operators.pdf_extract import (
     _extract_pdf,
+    _extract_pdf_jpegs,
     extract_pdf_text,
 )
 
@@ -372,3 +373,181 @@ def test_form_xobject_text_extracts():
     got = _extract_pdf(blob)
     assert got is not None
     assert "Text inside a Form XObject." in (got[1] or "")
+
+
+def test_length_bounds_data_containing_endstream():
+    """ADVICE r10: stream DATA can contain the literal bytes
+    'endstream' (compressed output frequently does); with an inline
+    /Length the scan must not truncate there."""
+    content = (
+        b"BT /F1 9 Tf 5 5 Td (before endstream marker) Tj "
+        b"0 -12 Td (after the marker too) Tj ET"
+    )
+    blob = _pdf_with_stream(b"", content)
+    got = _extract_pdf(blob)
+    assert got is not None
+    text = got[1] or ""
+    assert "before endstream marker" in text
+    assert "after the marker too" in text  # scan-only would drop this
+
+
+def test_indirect_or_lying_length_falls_back_to_scan():
+    """An indirect /Length (N 0 R) or a wrong inline /Length must fall
+    back to the byte scan, not break extraction."""
+    content = b"BT /F1 9 Tf 5 5 Td (fallback path text) Tj ET"
+    data = zlib.compress(content)
+    indirect = (
+        b"%PDF-1.5\n1 0 obj\n<< /Filter /FlateDecode /Length 9 0 R >>"
+        b"\nstream\n" + data + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    got = _extract_pdf(indirect)
+    assert got is not None and "fallback path text" in (got[1] or "")
+    lying = (
+        b"%PDF-1.5\n1 0 obj\n<< /Filter /FlateDecode /Length "
+        + str(len(data) + 7777).encode()
+        + b" >>\nstream\n" + data + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    got = _extract_pdf(lying)
+    assert got is not None and "fallback path text" in (got[1] or "")
+
+
+def _png_predict(data: bytes, columns: int, ftype: int) -> bytes:
+    """Test-side PNG row-filter ENCODER (colors=1, bpc=8): prefix each
+    row with its filter byte; Up subtracts the previous row, Sub the
+    previous byte."""
+    if len(data) % columns:
+        data += b" " * (columns - len(data) % columns)
+    prev = bytes(columns)
+    out = bytearray()
+    for r0 in range(0, len(data), columns):
+        row = data[r0 : r0 + columns]
+        out.append(ftype)
+        for i, v in enumerate(row):
+            if ftype == 0:
+                out.append(v)
+            elif ftype == 1:  # Sub
+                left = row[i - 1] if i else 0
+                out.append((v - left) & 0xFF)
+            elif ftype == 2:  # Up
+                out.append((v - prev[i]) & 0xFF)
+            elif ftype == 4:  # Paeth (predictor = Paeth(left, up, ul))
+                a = row[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                out.append((v - pr) & 0xFF)
+        prev = row
+    return bytes(out)
+
+
+def test_png_predictor_flate_streams_extract():
+    """PNG Predictor 12 (Up) is what real xref/object streams use;
+    Sub and Paeth rows must also undo (VERDICT r10 item 5)."""
+    content = (
+        b"BT /F1 9 Tf 5 5 Td (Predicted stream text survives.) Tj ET"
+    )
+    for ftype in (0, 1, 2, 4):
+        data = zlib.compress(_png_predict(content, 16, ftype))
+        blob = _pdf_with_stream(
+            b"/Filter /FlateDecode /DecodeParms << /Predictor 12 "
+            b"/Columns 16 >>",
+            data,
+        )
+        got = _extract_pdf(blob)
+        assert got is not None, ftype
+        assert "Predicted stream text survives." in (got[1] or ""), ftype
+
+
+def test_tiff_predictor_2_extracts():
+    content = b"BT /F1 9 Tf 5 5 Td (TIFF differenced text.) Tj ET"
+    cols = 8
+    data = bytearray(content)
+    if len(data) % cols:
+        data += b" " * (cols - len(data) % cols)
+    enc = bytearray()
+    for r0 in range(0, len(data), cols):
+        row = data[r0 : r0 + cols]
+        enc.append(row[0])
+        for i in range(1, cols):
+            enc.append((row[i] - row[i - 1]) & 0xFF)
+    blob = _pdf_with_stream(
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 2 /Columns 8 >>",
+        zlib.compress(bytes(enc)),
+    )
+    got = _extract_pdf(blob)
+    assert got is not None
+    assert "TIFF differenced text." in (got[1] or "")
+
+
+def test_objstm_with_png_predictor_counts_pages():
+    """The real-world motivation: modern PDFs keep page dicts in
+    Flate+Predictor-12 object streams; skipping them silently
+    under-counted pages."""
+    objstm = b"<< /Type /Page >> << /Type /Page >> << /Type /Page >>"
+    data = zlib.compress(_png_predict(objstm, 12, 2))
+    blob = _pdf_with_stream(
+        b"/Type /ObjStm /N 3 /First 0 /Filter /FlateDecode "
+        b"/DecodeParms << /Predictor 12 /Columns 12 >>",
+        data,
+    )
+    got = _extract_pdf(blob)
+    assert got is not None
+    assert got[0] == 3
+
+
+def _jpeg_image_xobject_pdf(jpeg: bytes) -> bytes:
+    return _pdf_with_stream(
+        b"/Type /XObject /Subtype /Image /Width 16 /Height 16 "
+        b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode",
+        jpeg,
+    )
+
+
+def test_dct_image_xobject_extracts_exact_jpeg_bytes():
+    from test_jpeg_decode import encode_baseline_jpeg
+
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[:8] = [200, 40, 40]
+    img[8:] = [40, 40, 200]
+    jpeg = encode_baseline_jpeg(img)
+    got = _extract_pdf_jpegs(_jpeg_image_xobject_pdf(jpeg))
+    assert got == [jpeg]
+    # non-PDF declines; PDF without images gives []
+    assert _extract_pdf_jpegs(b"GIF89a junk") is None
+    assert _extract_pdf_jpegs(make_pdf([_SIMPLE])) == []
+
+
+def test_pdf_embedded_jpeg_pairs_with_standalone_twin(spark):
+    """VERDICT r10 item 5 done-check: a PDF-embedded JPEG pairs with
+    its standalone twin in near_duplicate_images, exactly like a
+    WARC-crawled copy would."""
+    from test_jpeg_decode import encode_baseline_jpeg
+
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_ahash,
+        near_duplicate_images,
+    )
+    from clickhouse_table_copier_spark.operators.pdf_extract import (
+        extract_pdf_images,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    jpeg = encode_baseline_jpeg(img)
+    pdf_df = spark.createDataFrame(
+        [(100, bytearray(_jpeg_image_xobject_pdf(jpeg)))],
+        "doc_id long, content binary",
+    )
+    embedded = extract_pdf_images(pdf_df, "content", "doc_id")
+    assert embedded.columns == ["media_id", "kind", "content", "meta_json"]
+    standalone = spark.createDataFrame(
+        [(1, "image", bytearray(jpeg), "{}")], MEDIA_SCHEMA
+    )
+    media = standalone.unionByName(embedded)
+    hashes = [r["ahash"] for r in image_ahash(media).collect()]
+    assert len(hashes) == 2 and hashes[0] == hashes[1] is not None
+    pairs = near_duplicate_images(media, max_hamming=3).collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] == 0
