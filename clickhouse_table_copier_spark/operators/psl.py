@@ -76,6 +76,21 @@ def load_psl_rules(spark: SparkSession, path: str) -> DataFrame:
     lines = spark.read.text(path).select(
         F.lower(F.trim(F.col("value"))).alias("raw")
     )
+    return _parse_rule_lines(lines)
+
+
+def rules_from_lines(spark: SparkSession, rules: list[str]) -> DataFrame:
+    """Rules frame from an in-memory list (one PSL-format rule or
+    comment per element) — the fixture path for self-contained oracled
+    queries and tests; identical parse/collapse semantics to
+    :func:`load_psl_rules`."""
+    lines = spark.createDataFrame(
+        [(r,) for r in rules], "value string"
+    ).select(F.lower(F.trim(F.col("value"))).alias("raw"))
+    return _parse_rule_lines(lines)
+
+
+def _parse_rule_lines(lines: DataFrame) -> DataFrame:
     rules = lines.where(
         (F.col("raw") != "") & ~F.col("raw").startswith("//")
     ).select(
