@@ -32,9 +32,16 @@ ASCII/WinAnsi-coded simple fonts:
   octal, line continuations) and ``<…>`` hex strings (single-byte
   Latin-1 interpretation).
 
-CID/Type0 composite fonts, encrypted documents and exotic filters are
-the documented seam (a real deployment hands those to pdfminer/poppler
-— this extractor is the reference semantics for the simple-font case
+Composite (Type0/Identity-H) fonts — the CJK case, the most common
+real-crawl PDF text gap — decode through their embedded ``/ToUnicode``
+CMaps (round 11): the tolerant scan indexes objects, resolves each
+``/Font`` resource name to its font object, decodes the CMap stream
+(bfchar + bfrange, incl. array-form ranges), and show operators map
+2-byte CIDs through it; fonts without a ToUnicode keep the single-byte
+Latin-1 interpretation.  Encrypted documents, fonts whose ToUnicode is
+absent (Identity-H with CIDSystemInfo lookup needs external CID tables)
+and exotic filters remain the documented seam (a real deployment hands
+those to pdfminer/poppler — this extractor is the reference semantics
 and NEVER raises on arbitrary bytes: undecodable inputs yield NULL
 text, the decline contract every decoder here follows).
 
@@ -371,6 +378,180 @@ def _literal_string(data: bytes, start: int):
     return "".join(out), i
 
 
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEXTOK_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>|(\[)|(\])")
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_FONTRES_RE = re.compile(rb"/Font\s*<<")
+_FONTREF_RE = re.compile(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R")
+_MAX_CMAP_ENTRIES = 100_000  # fuzz guard: a lying bfrange can't balloon
+
+
+def _utf16be(hexs: bytes):
+    try:
+        return bytes.fromhex(hexs.decode("ascii")).decode(
+            "utf-16-be", "ignore"
+        )
+    except ValueError:
+        return None
+
+
+def _parse_tounicode(data: bytes):
+    """ToUnicode CMap → ({code: text}, src byte length).  Handles
+    ``bfchar`` pairs and ``bfrange`` triples including the array form;
+    range increments apply to the last UTF-16 code unit (the spec's
+    BMP-increment rule).  Returns None when nothing parses."""
+    cmap: dict[int, str] = {}
+    srclens: set[int] = set()
+
+    def add(src_hex: bytes, text):
+        if text is None or len(cmap) >= _MAX_CMAP_ENTRIES:
+            return
+        try:
+            cmap[int(src_hex, 16)] = text
+            srclens.add(len(src_hex) // 2)
+        except ValueError:
+            pass
+
+    for body in _BFCHAR_RE.findall(data):
+        toks = [
+            re.sub(rb"\s", b"", m.group(1))
+            for m in _HEXTOK_RE.finditer(body)
+            if m.group(1) is not None
+        ]
+        for i in range(0, len(toks) - 1, 2):
+            add(toks[i], _utf16be(toks[i + 1]))
+    for body in _BFRANGE_RE.findall(data):
+        toks = list(_HEXTOK_RE.finditer(body))
+        i = 0
+        while i + 2 < len(toks):
+            lo_m, hi_m, d_m = toks[i], toks[i + 1], toks[i + 2]
+            if lo_m.group(1) is None or hi_m.group(1) is None:
+                i += 1
+                continue
+            lo_h = re.sub(rb"\s", b"", lo_m.group(1))
+            hi_h = re.sub(rb"\s", b"", hi_m.group(1))
+            try:
+                lo, hi = int(lo_h, 16), int(hi_h, 16)
+            except ValueError:
+                i += 3
+                continue
+            if hi < lo or hi - lo > 0xFFFF:
+                i += 3
+                continue
+            if d_m.group(2) is not None:  # '[' — array form
+                j = i + 3
+                code = lo
+                while j < len(toks) and toks[j].group(3) is None:
+                    if toks[j].group(1) is not None and code <= hi:
+                        add(
+                            b"%0*X" % (len(lo_h), code),
+                            _utf16be(re.sub(rb"\s", b"", toks[j].group(1))),
+                        )
+                        code += 1
+                    j += 1
+                i = j + 1
+            else:
+                d_h = re.sub(rb"\s", b"", d_m.group(1))
+                try:
+                    base = int(d_h, 16) if d_h else None
+                except ValueError:
+                    base = None
+                if base is not None:
+                    width = max(len(d_h), 4)
+                    for off in range(hi - lo + 1):
+                        add(
+                            b"%0*X" % (len(lo_h), lo + off),
+                            _utf16be(b"%0*X" % (width, base + off)),
+                        )
+                i += 3
+    if not cmap:
+        return None
+    srclen = 2 if 2 in srclens else (min(srclens) if srclens else 2)
+    return cmap, srclen
+
+
+def _document_fonts(b: bytes):
+    """Resource-name → (cmap, srclen) for every font object carrying a
+    ``/ToUnicode`` CMap stream (Type0/Identity-H composite fonts, and
+    any simple font that ships one).  Tolerant-scan style: objects are
+    indexed by number, ``/Font << /F1 12 0 R >>`` resource dicts are
+    unioned across the whole document (a cross-page resource-name
+    collision onto DIFFERENT fonts is the accepted seam)."""
+    if b"/ToUnicode" not in b:
+        return {}
+    spans: dict[int, tuple[int, int]] = {}
+    for m in _OBJ_RE.finditer(b):
+        e = b.find(b"endobj", m.end())
+        spans[int(m.group(1))] = (m.end(), e if e != -1 else len(b))
+    tounicode: dict[int, tuple[dict, int]] = {}
+    for num, (s0, e0) in spans.items():
+        tm = _TOUNICODE_RE.search(b, s0, e0)
+        if tm is None:
+            continue
+        cm_num = int(tm.group(1))
+        if cm_num not in spans:
+            continue
+        cs, ce = spans[cm_num]
+        seg = b[cs:ce]
+        for d, start in _iter_streams(seg):
+            raw = _stream_raw(seg, d, start)
+            if raw is None:
+                continue
+            data = _apply_filters(raw, d)
+            if data is None:
+                continue
+            parsed = _parse_tounicode(data)
+            if parsed:
+                tounicode[num] = parsed
+            break
+    if not tounicode:
+        return {}
+    fonts: dict[bytes, tuple[dict, int]] = {}
+    for m in _FONTRES_RE.finditer(b):
+        # balanced forward scan over the /Font resource dict
+        depth, k = 1, m.end()
+        while k < len(b) and depth:
+            two = b[k : k + 2]
+            if two == b"<<":
+                depth += 1
+                k += 2
+            elif two == b">>":
+                depth -= 1
+                k += 2
+            else:
+                k += 1
+        for fm in _FONTREF_RE.finditer(b, m.end(), k):
+            onum = int(fm.group(2))
+            if onum in tounicode:
+                fonts[b"/" + fm.group(1)] = tounicode[onum]
+    return fonts
+
+
+class _Name:
+    """A /Name operand on the content-stream stack — distinct from
+    shown-text strings so a malformed stream can never emit it."""
+
+    __slots__ = ("val",)
+
+    def __init__(self, val: bytes):
+        self.val = val
+
+
+class _Shown(str):
+    """A string operand that remembers its RAW bytes, so a composite
+    font's show operator can re-decode it through the CMap."""
+
+    __slots__ = ("raw",)
+
+
+def _shown(text: str) -> "_Shown":
+    s = _Shown(text)
+    s.raw = text.encode("latin-1", "ignore")
+    return s
+
+
 _TOKEN_RE = re.compile(
     rb"\("  # literal string start — _literal_string consumes the rest
     rb"|<[0-9A-Fa-f\s]*>"  # hex string
@@ -381,16 +562,32 @@ _TOKEN_RE = re.compile(
 )
 
 
-def _content_text(stream: bytes) -> str:
+def _content_text(stream: bytes, fonts=None) -> str:
     """Text shown by one content stream: walk tokens inside BT…ET,
-    track the pending operands, and emit on the show operators."""
+    track the pending operands, and emit on the show operators.
+    ``fonts`` maps resource names (``b"/F1"``) to (ToUnicode cmap,
+    src byte length); while such a font is selected via ``Tf``, shown
+    strings decode CID-by-CID through the cmap instead of Latin-1."""
     parts: list[str] = []
     in_text = False
     operands: list = []
+    cur = None  # selected font's (cmap, srclen), None = Latin-1
 
     def flush_show(val):
-        if isinstance(val, str) and val:
-            parts.append(val)
+        if not isinstance(val, str) or not val:
+            return
+        if cur is not None and isinstance(val, _Shown):
+            cmap, srclen = cur
+            raw = val.raw
+            shown = "".join(
+                ch
+                for i in range(0, len(raw) - srclen + 1, srclen)
+                if (ch := cmap.get(int.from_bytes(raw[i : i + srclen], "big")))
+            )
+            if shown:
+                parts.append(shown)
+            return
+        parts.append(val)
 
     pos = 0
     n = len(stream)
@@ -402,7 +599,7 @@ def _content_text(stream: bytes) -> str:
         if tok.startswith(b"("):
             # re-parse from the true paren position to honor nesting
             text, endpos = _literal_string(stream, m.start())
-            operands.append(text)
+            operands.append(_shown(text))
             pos = endpos
             continue
         pos = m.end()
@@ -411,13 +608,15 @@ def _content_text(stream: bytes) -> str:
             if len(hexstr) % 2:
                 hexstr += b"0"
             try:
-                operands.append(bytes.fromhex(hexstr.decode()).decode("latin-1"))
+                operands.append(
+                    _shown(bytes.fromhex(hexstr.decode()).decode("latin-1"))
+                )
             except ValueError:
                 operands.append("")
         elif tok in (b"[", b"]"):
             operands.append(tok.decode())
         elif tok.startswith(b"/"):
-            operands.append(None)  # names are never shown text
+            operands.append(_Name(tok))  # names are never shown text
         elif re.fullmatch(rb"[-+]?[0-9]*\.?[0-9]+", tok):
             try:
                 operands.append(float(tok))
@@ -431,6 +630,16 @@ def _content_text(stream: bytes) -> str:
             elif op == b"ET":
                 in_text = False
                 parts.append("\n")
+                operands = []
+            elif op == b"Tf":
+                # font selection persists across text blocks (graphics
+                # state); only consulted when the document HAS
+                # ToUnicode fonts
+                if fonts:
+                    for o in reversed(operands):
+                        if isinstance(o, _Name):
+                            cur = fonts.get(o.val)
+                            break
                 operands = []
             elif not in_text:
                 operands = []
@@ -471,6 +680,10 @@ def _extract_pdf(b: bytes):
         if b[:5] != b"%PDF-":
             return None
         n_pages = len(_PAGE_RE.findall(b))
+        try:
+            fonts = _document_fonts(b)
+        except Exception:
+            fonts = {}
         texts = []
         for d, start in _iter_streams(b):
             raw = _stream_raw(b, d, start)
@@ -487,7 +700,7 @@ def _extract_pdf(b: bytes):
                 continue
             if b"BT" not in raw:
                 continue  # no text operators (images, fonts, …)
-            t = _content_text(raw)
+            t = _content_text(raw, fonts)
             if t:
                 texts.append(t)
         text = "\n".join(texts) if texts else None

@@ -53,10 +53,13 @@ def _fixtures():
         + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
         + b"data" + struct.pack("<I", len(pcm)) + pcm
     )
-    from test_pdf_extract import _SIMPLE, make_pdf
+    from test_pdf_extract import _CJK_CMAP, _SIMPLE, _cid_pdf, make_pdf
 
     return {
         "pdf_text": make_pdf([_SIMPLE]),
+        "pdf_cid": _cid_pdf(
+            b"BT /F1 12 Tf <00010002> Tj ET", _CJK_CMAP
+        ),
         "pdf_jpegs": make_pdf([_SIMPLE]),
         "png": encode_png(img.tobytes(), 16, 16, 3),
         "jpeg": encode_baseline_jpeg(img),
@@ -82,6 +85,7 @@ def _decoders():
     avi_parse = _make_avi_parser()
     return {
         "pdf_text": _extract_pdf,
+        "pdf_cid": _extract_pdf,
         "pdf_jpegs": _extract_pdf_jpegs,
         "png": _make_png_raster_decoder(),
         "jpeg": _make_jpeg_raster_decoder(),
@@ -122,6 +126,7 @@ def test_bitflips_never_raise(fmt):
 def test_noise_behind_valid_magic_never_raises(fmt):
     magic = {
         "pdf_text": b"%PDF-1.5\n",
+        "pdf_cid": b"%PDF-1.5\n",
         "pdf_jpegs": b"%PDF-1.5\n",
         "png": b"\x89PNG\r\n\x1a\n",
         "jpeg": b"\xff\xd8",

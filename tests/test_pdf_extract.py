@@ -551,3 +551,101 @@ def test_pdf_embedded_jpeg_pairs_with_standalone_twin(spark):
     assert len(hashes) == 2 and hashes[0] == hashes[1] is not None
     pairs = near_duplicate_images(media, max_hamming=3).collect()
     assert len(pairs) == 1 and pairs[0]["hamming"] == 0
+
+
+def _cid_pdf(
+    content: bytes, cmap_body: bytes, compress_cmap: bool = True
+) -> bytes:
+    """PDF with a Type0/Identity-H font whose /ToUnicode CMap drives
+    text decode (the CJK shape), plus a plain Type1 font."""
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        + cmap_body
+        + b"\nendcmap\nCMapName currentdict /CMap defineresource pop\n"
+        b"end\nend\n"
+    )
+    cdata = zlib.compress(cmap) if compress_cmap else cmap
+    cfilt = b"/Filter /FlateDecode " if compress_cmap else b""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R /F2 7 0 R >> >> /Contents 6 0 R >>",
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /TestCJK "
+        b"/Encoding /Identity-H /DescendantFonts [8 0 R] /ToUnicode 5 0 R >>",
+        b"<< " + cfilt + f"/Length {len(cdata)} >>".encode()
+        + b"\nstream\n" + cdata + b"\nendstream",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /TestCJK >>",
+    ]
+    out = bytearray(b"%PDF-1.5\n")
+    for i, body in enumerate(objs):
+        out += f"{i + 1} 0 obj\n".encode() + body + b"\nendobj\n"
+    out += b"trailer\n<< /Size 9 /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
+_CJK_CMAP = (
+    b"2 beginbfchar\n<0001> <65E5>\n<0002> <672C>\nendbfchar\n"
+    b"1 beginbfrange\n<0010> <0012> <8A9E>\nendbfrange\n"
+    b"1 beginbfrange\n<0020> <0021> [<3042> <3044>]\nendbfrange"
+)
+
+
+def test_cid_font_text_via_tounicode():
+    """VERDICT r10 item 7: a Type0/Identity-H font's 2-byte codes
+    decode through its ToUnicode CMap — bfchar pairs, an incrementing
+    bfrange, and the array-form bfrange."""
+    content = b"BT /F1 12 Tf <00010002> Tj 0 -14 Td <001000110012> Tj ET"
+    got = _extract_pdf(_cid_pdf(content, _CJK_CMAP))
+    assert got is not None
+    text = got[1] or ""
+    assert "日本" in text          # bfchar: 日本
+    assert "語誟誠" in text    # bfrange increment: 語 +1 +2
+
+
+def test_cid_array_bfrange_and_literal_strings():
+    # array-form bfrange; CID codes may also arrive as LITERAL strings
+    content = b"BT /F1 12 Tf <00200021> Tj ( \x00\x01) Tj ET"
+    # note: literal string carries bytes 0x20 0x00 0x01 -> with srclen 2:
+    # 0x2000 unmapped (skipped), trailing lone byte ignored — wait, the
+    # literal is ' ' 0x00 0x01 = 0x2000, 0x01xx? pairs: (0x20,0x00)
+    # (0x01,…) — only full 2-byte pairs decode; planted to exercise the
+    # skip path without asserting garbage
+    got = _extract_pdf(_cid_pdf(content, _CJK_CMAP))
+    assert got is not None
+    text = got[1] or ""
+    assert "あい" in text          # array bfrange: あい
+
+
+def test_simple_font_in_same_doc_stays_latin1():
+    """Selecting the Type1 font (no ToUnicode) must restore the
+    Latin-1 path — per-font state, not per-document."""
+    content = (
+        b"BT /F1 12 Tf <00010002> Tj ET "
+        b"BT /F2 12 Tf (Latin text after CJK.) Tj ET"
+    )
+    got = _extract_pdf(_cid_pdf(content, _CJK_CMAP))
+    assert got is not None
+    text = got[1] or ""
+    assert "日本" in text
+    assert "Latin text after CJK." in text
+
+
+def test_uncompressed_cmap_and_unmapped_codes():
+    content = b"BT /F1 12 Tf <0001FFFF0002> Tj ET"
+    got = _extract_pdf(_cid_pdf(content, _CJK_CMAP, compress_cmap=False))
+    assert got is not None
+    # FFFF is unmapped: skipped, never fabricated
+    assert "日本" in (got[1] or "")
+
+
+def test_tounicode_on_simple_fonts_untouched_docs():
+    """Documents with no /ToUnicode take the zero-cost path: behavior
+    byte-identical to before (regression pin on the classic corpus)."""
+    got = _extract_pdf(make_pdf([_SIMPLE]))
+    assert got is not None
+    assert "Hello crawl world." in (got[1] or "")
