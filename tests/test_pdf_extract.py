@@ -608,13 +608,11 @@ def test_cid_font_text_via_tounicode():
 
 
 def test_cid_array_bfrange_and_literal_strings():
-    # array-form bfrange; CID codes may also arrive as LITERAL strings
+    """Array-form bfrange decodes; CID codes arriving as a LITERAL
+    string (bytes 0x20 0x00 0x01 → pairs 0x2000 unmapped-skipped,
+    trailing lone byte ignored) exercise the skip path without ever
+    fabricating text."""
     content = b"BT /F1 12 Tf <00200021> Tj ( \x00\x01) Tj ET"
-    # note: literal string carries bytes 0x20 0x00 0x01 -> with srclen 2:
-    # 0x2000 unmapped (skipped), trailing lone byte ignored — wait, the
-    # literal is ' ' 0x00 0x01 = 0x2000, 0x01xx? pairs: (0x20,0x00)
-    # (0x01,…) — only full 2-byte pairs decode; planted to exercise the
-    # skip path without asserting garbage
     got = _extract_pdf(_cid_pdf(content, _CJK_CMAP))
     assert got is not None
     text = got[1] or ""
@@ -649,3 +647,64 @@ def test_tounicode_on_simple_fonts_untouched_docs():
     got = _extract_pdf(make_pdf([_SIMPLE]))
     assert got is not None
     assert "Hello crawl world." in (got[1] or "")
+
+
+def test_warc_pdf_figure_pairs_with_crawled_image(spark, tmp_path):
+    """The full crawl integration: one WARC shard carries a PDF whose
+    embedded figure is ALSO served directly as image/jpeg.  The two
+    projections (responses_to_media and responses_to_pdfs →
+    extract_pdf_images) land in ONE media table and the figure pairs
+    with its crawled twin in near_duplicate_images — the r10 WARC image
+    path and the r11 PDF image path meet in the same dedup join."""
+    from test_jpeg_decode import encode_baseline_jpeg
+
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        near_duplicate_images,
+    )
+    from clickhouse_table_copier_spark.operators.pdf_extract import (
+        extract_pdf_images,
+    )
+    from clickhouse_table_copier_spark.sources.warc import (
+        read_warc,
+        responses_to_media,
+        responses_to_pdfs,
+    )
+    from tests.test_warc import _record
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    jpeg = encode_baseline_jpeg(img)
+    pdf_bytes = _pdf_with_stream(
+        b"/Type /XObject /Subtype /Image /Width 16 /Height 16 "
+        b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode",
+        jpeg,
+    )
+    recs = [
+        _record(
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "https://example.com/figure.jpg",
+                "WARC-Date": "2026-08-15T00:00:00Z",
+            },
+            b"HTTP/1.1 200 OK\r\nContent-Type: image/jpeg\r\n\r\n" + jpeg,
+        ),
+        _record(
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "https://example.com/paper.pdf",
+                "WARC-Date": "2026-08-15T00:00:00Z",
+            },
+            b"HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n"
+            + pdf_bytes,
+        ),
+    ]
+    p = tmp_path / "crawl.warc"
+    with open(p, "wb") as f:
+        f.write(b"".join(recs))
+    warc = read_warc(spark, str(p))
+    media = responses_to_media(warc).unionByName(
+        extract_pdf_images(responses_to_pdfs(warc), "pdf_bytes", "doc_id")
+    )
+    assert media.count() == 2
+    pairs = near_duplicate_images(media, max_hamming=3).collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] == 0
