@@ -552,6 +552,70 @@ def _shown(text: str) -> "_Shown":
     return s
 
 
+_INLINE_BI_RE = re.compile(rb"\bBI\b")
+_INLINE_ID_RE = re.compile(rb"ID[\x00\t\n\f\r ]")
+_INLINE_EI_RE = re.compile(rb"[\x00\t\n\f\r ]EI(?![0-9A-Za-z])")
+_INLINE_LEN_RE = re.compile(rb"/L\s+(\d+)(?!\s*\d)")
+
+
+def _skip_inline_image(stream: bytes, pos: int):
+    """Position just past the ``EI`` of an inline image whose ``BI``
+    operator was consumed at ``pos``, or None when malformed.  The
+    binary payload is raw bytes — left in the token walk it can
+    contain ``BT``/``(…)``-shaped byte runs that flip text state and
+    fabricate garbage text, so the walker must jump it.  An inline
+    ``/L`` length bounds the data exactly; otherwise the delimiter
+    scan applies (a payload containing ``<ws>EI`` truncates — the
+    downstream JPEG decoder declines truncated payloads, never
+    fabricates)."""
+    m_id = _INLINE_ID_RE.search(stream, pos, pos + 4096)
+    if m_id is None:
+        return None
+    lm = _INLINE_LEN_RE.search(stream, pos, m_id.start())
+    if lm:
+        end = m_id.end() + int(lm.group(1))
+        m_ei = _INLINE_EI_RE.search(stream, end, end + 16)
+        if m_ei:
+            return m_ei.end()
+    m_ei = _INLINE_EI_RE.search(stream, m_id.end())
+    return m_ei.end() if m_ei else None
+
+
+def _inline_jpegs(data: bytes):
+    """DCT-filtered inline images (``BI … /F /DCT … ID <jpeg> EI``) in
+    one decoded content stream — scanned PDFs carry page images this
+    way.  Returns raw JPEG payloads."""
+    out = []
+    pos = 0
+    while True:
+        m = _INLINE_BI_RE.search(data, pos)
+        if m is None:
+            return out
+        m_id = _INLINE_ID_RE.search(data, m.end(), m.end() + 4096)
+        if m_id is None:
+            pos = m.end()
+            continue
+        params = data[m.end() : m_id.start()]
+        payload_start = m_id.end()
+        lm = _INLINE_LEN_RE.search(params)
+        if lm:
+            payload_end = payload_start + int(lm.group(1))
+            m_ei = _INLINE_EI_RE.search(data, payload_end, payload_end + 16)
+            pos = m_ei.end() if m_ei else payload_end
+        else:
+            m_ei = _INLINE_EI_RE.search(data, payload_start)
+            if m_ei is None:
+                return out
+            payload_end = m_ei.start()
+            pos = m_ei.end()
+        payload = data[payload_start:payload_end]
+        if (
+            re.search(rb"/F(?:ilter)?\s*\[?\s*/DCT", params)
+            and payload[:2] == b"\xff\xd8"
+        ):
+            out.append(payload)
+
+
 _TOKEN_RE = re.compile(
     rb"\("  # literal string start — _literal_string consumes the rest
     rb"|<[0-9A-Fa-f\s]*>"  # hex string
@@ -640,6 +704,14 @@ def _content_text(stream: bytes, fonts=None) -> str:
                         if isinstance(o, _Name):
                             cur = fonts.get(o.val)
                             break
+                operands = []
+            elif op == b"BI":
+                # inline image: jump the binary payload — its bytes
+                # must never re-enter the token walk as pseudo-text
+                nxt = _skip_inline_image(stream, pos)
+                if nxt is None:
+                    break
+                pos = nxt
                 operands = []
             elif not in_text:
                 operands = []
@@ -748,6 +820,14 @@ def _extract_pdf_jpegs(b: bytes):
         out = []
         for d, start in _iter_streams(b):
             if not _IMAGE_RE.search(d):
+                # content-like stream: scanned PDFs carry page images
+                # INLINE (BI … /F /DCT … ID <jpeg> EI)
+                raw = _stream_raw(b, d, start)
+                if raw is None:
+                    continue
+                data = _apply_filters(raw, d)
+                if data is not None and b"BI" in data:
+                    out.extend(_inline_jpegs(data))
                 continue
             m = _FILTER_RE.search(d)
             if m is None:

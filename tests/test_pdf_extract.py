@@ -708,3 +708,55 @@ def test_warc_pdf_figure_pairs_with_crawled_image(spark, tmp_path):
     assert media.count() == 2
     pairs = near_duplicate_images(media, max_hamming=3).collect()
     assert len(pairs) == 1 and pairs[0]["hamming"] == 0
+
+
+def test_inline_image_data_never_fabricates_text():
+    """Inline image payloads are raw binary that can contain
+    BT/(…)-shaped byte runs; the token walker must jump BI…ID…EI so a
+    scanned page can't inject garbage into the corpus."""
+    evil = b"\x01\x02 BT (INJECTED GARBAGE) Tj ET \x03\x04"
+    content = (
+        b"BT /F1 12 Tf (real text before) Tj ET "
+        b"BI /W 2 /H 2 /CS /RGB /BPC 8 /L " + str(len(evil)).encode()
+        + b" ID " + evil + b" EI "
+        b"BT /F1 12 Tf (real text after) Tj ET"
+    )
+    got = _extract_pdf(make_pdf([content]))
+    assert got is not None
+    text = got[1] or ""
+    assert "real text before" in text
+    assert "real text after" in text
+    assert "INJECTED" not in text
+    # the no-/L delimiter-scan path must skip too
+    content2 = (
+        b"BT /F1 12 Tf (keep me) Tj ET "
+        b"BI /W 2 /H 2 ID \x00\x01(BAD) Tj\x02 EI "
+        b"BT /F1 12 Tf (and me) Tj ET"
+    )
+    got = _extract_pdf(make_pdf([content2]))
+    text = got[1] or ""
+    assert "keep me" in text and "and me" in text and "BAD" not in text
+
+
+def test_inline_dct_image_extracts_jpeg():
+    from test_jpeg_decode import encode_baseline_jpeg
+
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[:, :8] = [250, 10, 10]
+    jpeg = encode_baseline_jpeg(img)
+    content = (
+        b"q BI /W 16 /H 16 /BPC 8 /CS /RGB /F /DCT /L "
+        + str(len(jpeg)).encode() + b" ID " + jpeg + b" EI Q "
+        b"BT /F1 12 Tf (caption text) Tj ET"
+    )
+    blob = make_pdf([content])
+    got = _extract_pdf_jpegs(blob)
+    assert got == [jpeg]
+    # and the text around it still extracts
+    assert "caption text" in (_extract_pdf(blob)[1] or "")
+    # array-form filter + full name spelling
+    content2 = (
+        b"BI /Filter [/DCTDecode] /L " + str(len(jpeg)).encode()
+        + b" ID " + jpeg + b" EI"
+    )
+    assert _extract_pdf_jpegs(make_pdf([content2])) == [jpeg]
