@@ -12,11 +12,13 @@ raw-raster numpy for BMP, a full LZW decompressor for GIF, and a
 baseline-sequential Huffman + IDCT decoder for JPEG
 (``_make_jpeg_decoder``) — feeding ``image_pixel_stats`` (mean
 R/G/B/luma) and the first feature slots of ``extract_features``.
-Progressive, arithmetic-coded (T.81 QM coder, this file) and 12-bit
-JPEG all decode for real since round 10; only hierarchical/lossless
-JPEG keeps the md5-derived deterministic stand-in behind the REAL
-Spark-side contract — schema, Arrow batching, partition preservation —
-so plugging PIL/ffmpeg for those later changes one inner function, not
+Progressive, arithmetic-coded (T.81 QM coder, this file), 12-bit
+(round 10) and lossless SOF3 (round 11) JPEG all decode for real;
+only hierarchical JPEG (plus the documented lossless edge shapes:
+DRI, subsampled or per-component lossless scans) keeps the
+md5-derived deterministic stand-in behind the REAL Spark-side
+contract — schema, Arrow batching, partition preservation — so
+plugging PIL/ffmpeg for those later changes one inner function, not
 the pipeline.
 
 AUDIO is fully REAL: WAV (RIFF/PCM) needs no media libraries, so
@@ -331,9 +333,9 @@ def _make_gif_raster_decoder():
     interlaced (the four-pass row order scatters back). Returns
     ``(w, h, 3, uint8 RGB raster)`` or ``None`` — the PNG/BMP/JPEG
     raster contract, so aHash/resize consume GIF identically
-    (cross-format dedup). With all four rasters decoding (and the round-10
-    arithmetic/12-bit JPEG closure), the PIL seam is down to
-    hierarchical/lossless JPEG only."""
+    (cross-format dedup). With all four rasters decoding (and the
+    round-10/11 arithmetic/12-bit/lossless JPEG closures), the PIL
+    seam is down to hierarchical JPEG only."""
     import struct as _struct
 
     def _lzw(min_code: int, data: bytes, n_pixels: int):
@@ -556,8 +558,13 @@ def _make_jpeg_raster_decoder():
     entropy mode, which the cross-mode tests pin.  Sample precision 8
     or 12 (12-bit frames use 16-bit DQT entries and a 2048 level shift;
     the uint8 raster contract maps 12-bit via v·255/4095).  1 or 3
-    components, sampling factors ≤ 2; hierarchical and lossless frames
-    return ``None`` and stay behind the PIL seam.
+    components, sampling factors ≤ 2.  LOSSLESS SOF3 (T.81 process 14)
+    decodes too since round 11: all 7 predictors, point transform,
+    precision 2–16, SSSS=16 diffs — scoped to 1×1 sampling and one
+    interleaved DRI-free scan (the common grayscale/RGB shapes); no
+    color transform is applied (T.81 defines none for lossless).
+    Hierarchical frames (and the lossless edge shapes) return ``None``
+    and stay behind the PIL seam.
     Returns ``(w, h, nch, uint8 raster (h, w, nch), top-down RGB)`` or
     ``None`` — the same contract as the PNG/BMP raster decoders, so
     aHash/resize consume JPEG identically (cross-format dedup).
@@ -1296,6 +1303,7 @@ def _make_jpeg_raster_decoder():
             restart = 0
             progressive = False
             arith = False
+            lossless = False
             prec = 8
             dc_cond: dict[int, tuple] = {}  # DAC: DC table -> (L, U)
             ac_kx: dict[int, int] = {}  # DAC: AC table -> Kx
@@ -1367,13 +1375,21 @@ def _make_jpeg_raster_decoder():
                             bits16, vals
                         )
                         s += 17 + n
-                elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+                elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
                     # SOF0 baseline / SOF1 extended sequential / SOF2
-                    # progressive (Huffman); SOF9 sequential / SOF10
-                    # progressive (arithmetic).  Precision 8 everywhere,
-                    # 12 in the non-baseline frames (T.81 Table B.2).
+                    # progressive (Huffman) / SOF3 LOSSLESS (Huffman,
+                    # predictive — T.81 process 14); SOF9 sequential /
+                    # SOF10 progressive (arithmetic).  Precision 8
+                    # everywhere, 12 in the non-baseline DCT frames,
+                    # 2–16 in lossless (T.81 Table B.2).
                     prec = seg[0]
-                    if prec not in (8, 12) or (marker == 0xC0 and prec != 8):
+                    lossless = marker == 0xC3
+                    if lossless:
+                        if not (2 <= prec <= 16):
+                            return None
+                    elif prec not in (8, 12) or (
+                        marker == 0xC0 and prec != 8
+                    ):
                         return None
                     progressive = marker in (0xC2, 0xCA)
                     arith = marker in (0xC9, 0xCA)
@@ -1394,6 +1410,10 @@ def _make_jpeg_raster_decoder():
                                 "tq": tq,
                             }
                         )
+                    if lossless and any(
+                        c["hs"] != 1 or c["vs"] != 1 for c in comps
+                    ):
+                        return None  # subsampled lossless: seam
                     if any(
                         c["hs"] not in (1, 2) or c["vs"] not in (1, 2)
                         for c in comps
@@ -1409,7 +1429,7 @@ def _make_jpeg_raster_decoder():
                             ac_kx[tid] = seg[s + 1]
                         s += 2
                 elif 0xC1 <= marker <= 0xCF and marker != 0xC8:
-                    return None  # hierarchical/lossless frames: PIL seam
+                    return None  # hierarchical frames: the PIL seam
                 elif marker == 0xDD:  # DRI
                     restart = _struct.unpack(">H", seg[:2])[0]
                 elif marker == 0xDA:  # SOS: entropy data follows
@@ -1420,6 +1440,86 @@ def _make_jpeg_raster_decoder():
                     for c in range(ns):
                         cid, tt = seg[1 + 2 * c : 3 + 2 * c]
                         sel[cid] = (tt >> 4, tt & 15)
+                    if lossless:
+                        # T.81 process 14 (Huffman).  Scope: 1×1
+                        # sampling, one interleaved scan covering every
+                        # component, no DRI — the common
+                        # grayscale/RGB-strip shapes; restarts and
+                        # per-component lossless scans stay the seam.
+                        if restart or ns != len(comps):
+                            return None
+                        predsel = seg[1 + 2 * ns]  # Ss = predictor
+                        pt = seg[3 + 2 * ns] & 15  # Al = point transform
+                        if not (1 <= predsel <= 7) or pt >= prec:
+                            return None
+                        bits = _Bits(b, pos + 2 + size)
+                        default = 1 << (prec - 1 - pt)
+                        planes = [
+                            [[0] * w for _ in range(h)] for _ in comps
+                        ]
+                        tds = [sel[c["id"]][0] for c in comps]
+                        for y in range(h):
+                            for x in range(w):
+                                for ci in range(len(comps)):
+                                    t = _decode_huff(bits, hdc[tds[ci]])
+                                    if t == 16:  # lossless-only code
+                                        diff = 32768
+                                    elif t:
+                                        diff = _extend(bits.receive(t), t)
+                                    else:
+                                        diff = 0
+                                    row = planes[ci][y]
+                                    if y == 0:
+                                        px = default if x == 0 else row[x - 1]
+                                    elif x == 0:
+                                        px = planes[ci][y - 1][0]
+                                    else:
+                                        up = planes[ci][y - 1]
+                                        if predsel == 1:
+                                            px = row[x - 1]
+                                        elif predsel == 2:
+                                            px = up[x]
+                                        elif predsel == 3:
+                                            px = up[x - 1]
+                                        elif predsel == 4:
+                                            px = row[x - 1] + up[x] - up[x - 1]
+                                        elif predsel == 5:
+                                            px = row[x - 1] + (
+                                                (up[x] - up[x - 1]) >> 1
+                                            )
+                                        elif predsel == 6:
+                                            px = up[x] + (
+                                                (row[x - 1] - up[x - 1]) >> 1
+                                            )
+                                        else:
+                                            px = (row[x - 1] + up[x]) >> 1
+                                    row[x] = (px + diff) & 0xFFFF
+                        maxval = (1 << prec) - 1
+                        arrs = [
+                            _np.minimum(
+                                _np.array(p, dtype=_np.int64) << pt, maxval
+                            )
+                            for p in planes
+                        ]
+                        # scale to the 8-bit raster contract; no color
+                        # transform — T.81 defines none for lossless
+                        # and real encoders write RGB/gray direct
+                        out8 = [
+                            _np.round(a * (255.0 / maxval)).astype(_np.uint8)
+                            for a in arrs
+                        ]
+                        if len(out8) == 1:
+                            raster = out8[0][..., None]
+                        else:
+                            raster = _np.stack(out8, axis=-1)
+                        # the shared raster contract: (w, h, nch,
+                        # contiguous uint8 (h, w, nch) array)
+                        return (
+                            w,
+                            h,
+                            raster.shape[2],
+                            _np.ascontiguousarray(raster),
+                        )
                     if not progressive and ns < len(comps):
                         # non-interleaved sequential: one component per
                         # scan, grids accumulate, EOI reconstructs
@@ -2224,10 +2324,11 @@ def image_ahash(df: DataFrame) -> DataFrame:
     THE SAME image hashes near-identically regardless of container —
     cross-format dedup; JPEG is lossy, so its hash matches the lossless
     containers' whenever the 8×8 luma cells survive quantization, which
-    the cross-format test pins — and since round 10 every DCT JPEG
-    mode decodes, including arithmetic and 12-bit); images no
-    pure-Python decoder covers (hierarchical/lossless JPEG) yield NULL
-    and drop out of dedup rather than fake a hash.  EXIF orientation
+    the cross-format test pins — and since rounds 10/11 every DCT JPEG
+    mode decodes, including arithmetic and 12-bit, plus lossless
+    SOF3); images no pure-Python decoder covers (hierarchical JPEG and
+    the lossless edge shapes) yield NULL and drop out of dedup rather
+    than fake a hash.  EXIF orientation
     is NOT applied here (the stored raster hashes as stored) — use
     :func:`image_ahash_oriented` to bucket rotated re-exports.
     """

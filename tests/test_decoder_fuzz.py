@@ -53,9 +53,13 @@ def _fixtures():
         + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
         + b"data" + struct.pack("<I", len(pcm)) + pcm
     )
+    from test_jpeg_lossless import encode_lossless_jpeg
     from test_pdf_extract import _CJK_CMAP, _SIMPLE, _cid_pdf, make_pdf
 
     return {
+        "jpeg_lossless": encode_lossless_jpeg(
+            rng.integers(0, 256, (16, 16), dtype=np.uint8), predictor=4
+        ),
         "pdf_text": make_pdf([_SIMPLE]),
         "pdf_cid": _cid_pdf(
             b"BT /F1 12 Tf <00010002> Tj ET", _CJK_CMAP
@@ -92,6 +96,7 @@ def _decoders():
         "jpeg_prog": _make_jpeg_raster_decoder(),
         "jpeg_arith": _make_jpeg_raster_decoder(),
         "jpeg_arith_prog": _make_jpeg_raster_decoder(),
+        "jpeg_lossless": _make_jpeg_raster_decoder(),
         "gif": _make_gif_raster_decoder(),
         "bmp": _make_bmp_raster_decoder(),
         "avi": avi_parse,
@@ -133,6 +138,7 @@ def test_noise_behind_valid_magic_never_raises(fmt):
         "jpeg_prog": b"\xff\xd8",
         "jpeg_arith": b"\xff\xd8",
         "jpeg_arith_prog": b"\xff\xd8",
+        "jpeg_lossless": b"\xff\xd8",
         "gif": b"GIF89a",
         "bmp": b"BM",
         "avi": b"RIFF\x00\x01\x00\x00AVI ",
