@@ -1723,11 +1723,12 @@ PIXEL_STATS_SCHEMA = T.StructType(
 
 def image_pixel_stats(df: DataFrame) -> DataFrame:
     """REAL per-channel pixel statistics (mean R/G/B + Rec.601 luma) for
-    PNG, uncompressed-BMP, GIF, and JPEG (baseline + progressive)
+    PNG, uncompressed-BMP, GIF, and JPEG (every DCT mode incl.
+    arithmetic and 12-bit since round 10, lossless SOF3 since round 11)
     streams, decoded with the pure-Python zlib/numpy/LZW/Huffman+IDCT
     decoders — no image libraries. Remaining formats yield NULL stats
-    (arithmetic / 12-bit JPEG stay behind the PIL seam). Same
-    Arrow-batched mapInPandas shape as every decode stage here."""
+    (hierarchical JPEG stays behind the PIL seam). Same Arrow-batched
+    mapInPandas shape as every decode stage here."""
     decode_png = _make_png_decoder()
     decode_bmp = _make_bmp_decoder()
     decode_gif = _make_gif_decoder()
