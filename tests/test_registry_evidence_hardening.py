@@ -99,7 +99,12 @@ def test_every_module_level_mutable_is_excluded():
             # import-time-populated registries: filled once while the
             # module imports, immutable afterwards — a stable (and for
             # PREP_ORACLES, fingerprint-bearing) input, not run-state
-            import_time_populated = {"PREP_QUERIES", "PREP_ORACLES"}
+            import_time_populated = {
+                "PREP_QUERIES",
+                "PREP_ORACLES",
+                "PREP12_QUERIES",
+                "PREP12_ORACLES",
+            }
             for t in targets:
                 if t in deleted or t in import_time_populated:
                     continue
