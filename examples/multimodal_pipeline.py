@@ -122,6 +122,38 @@ def main() -> None:
         f"audio near-dup pairs: {len(pairs)} "
         f"(containment {[r['containment_ppm'] for r in pairs]})"
     )
+
+    # round-11 path: a PDF embedding the hero image as a /DCTDecode
+    # XObject — extract_pdf_images lifts it into the SAME media table,
+    # where it buckets with the crawled copies
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        image_ahash,
+        near_duplicate_images,
+    )
+    from clickhouse_table_copier_spark.operators.pdf_extract import (
+        extract_pdf_images,
+    )
+    from test_pdf_extract import _pdf_with_stream
+
+    hero_jpeg = encode_baseline_jpeg(hero)
+    pdf = _pdf_with_stream(
+        b"/Type /XObject /Subtype /Image /Width 32 /Height 16 "
+        b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode",
+        hero_jpeg,
+    )
+    pdfs = spark.createDataFrame(
+        [(900, bytearray(pdf))], "doc_id long, content binary"
+    )
+    media_all = images.unionByName(
+        extract_pdf_images(pdfs, "content", "doc_id")
+    )
+    pdf_pairs = near_duplicate_images(
+        media_all, hash_op=image_ahash, max_hamming=3
+    ).count()
+    print(
+        f"near-dup pairs after adding the PDF-embedded figure: {pdf_pairs} "
+        "<- the PDF figure pairs with every crawled copy of the hero image"
+    )
     spark.stop()
 
 
