@@ -183,10 +183,67 @@ def _split_records(raw: bytes) -> Iterator[bytes]:
             pos += 2
 
 
+def _dechunk(body: bytes):
+    """Undo HTTP/1.1 ``Transfer-Encoding: chunked`` framing: raw
+    captures (wget/heritrix-style WARCs) store the wire bytes, so
+    chunk-size hex lines sit INTERLEAVED with the content — left in
+    place they corrupt extracted text, charset sniffing and every
+    downstream hash.  Chunk extensions (``;…``) and trailers are
+    ignored per RFC 9112; a mid-chunk truncation salvages the bytes
+    that arrived; a malformed size line returns None (caller keeps the
+    raw payload — never worse than before)."""
+    out = bytearray()
+    pos = 0
+    n = len(body)
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol == -1:
+            return None
+        tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(tok, 16)
+        except ValueError:
+            return None
+        pos = eol + 2
+        if size == 0:
+            return bytes(out)
+        if pos + size > n:  # truncated capture: salvage the prefix
+            out += body[pos:]
+            return bytes(out)
+        out += body[pos : pos + size]
+        pos += size
+        if body[pos : pos + 2] == b"\r\n":
+            pos += 2
+
+
+def _content_decode(payload: bytes, enc: bytes):
+    """Undo ``Content-Encoding`` on a response body (gzip/x-gzip/
+    deflate — including the common raw-deflate misuse).  Unknown
+    codings (br, zstd: no codecs in this container) and corrupt
+    streams keep the raw bytes: downstream decoders decline garbage,
+    which is exactly today's behavior — decoding can only improve."""
+    try:
+        if enc in (b"gzip", b"x-gzip"):
+            d = zlib.decompressobj(wbits=47)
+            out = d.decompress(payload)
+            out += d.flush()
+            return out or payload
+        if enc == b"deflate":
+            try:
+                return zlib.decompress(payload) or payload
+            except zlib.error:
+                return zlib.decompress(payload, -15) or payload
+    except zlib.error:
+        pass
+    return payload
+
+
 def _parse_record(rec: bytes):
     """One raw record → (warc_type, target_uri, warc_date, http_status,
     content_type, payload).  For response records the HTTP envelope is
-    split off; other record types carry their block verbatim."""
+    split off and the body is unframed/decoded (chunked transfer
+    coding, then gzip/deflate content coding — wire order); other
+    record types carry their block verbatim."""
     hdr_end = rec.find(b"\r\n\r\n")
     if hdr_end == -1:
         return None  # header never terminated: a truncated stub
@@ -214,11 +271,23 @@ def _parse_record(rec: bytes):
             parts = lines[0].split(b" ", 2)
             if len(parts) >= 2 and parts[1].isdigit():
                 status = int(parts[1])
+            te = enc = b""
             for line in lines[1:]:
                 k, _, v = line.partition(b":")
-                if k.strip().lower() == b"content-type":
+                kl = k.strip().lower()
+                if kl == b"content-type":
                     ctype = v.strip().decode("utf-8", "replace")
+                elif kl == b"transfer-encoding":
+                    te = v.strip().lower()
+                elif kl == b"content-encoding":
+                    enc = v.strip().lower()
             payload = block[http_end + 4 :]
+            if b"chunked" in te:
+                got = _dechunk(payload)
+                if got is not None:
+                    payload = got
+            if enc:
+                payload = _content_decode(payload, enc)
     return wtype, uri, date, status, ctype, payload
 
 

@@ -445,3 +445,116 @@ def test_warc_to_images_end_to_end(spark, tmp_path):
     meta = decode_image_meta(media).collect()[0]
     assert (meta["fmt"], meta["width"], meta["height"]) == ("jpeg", 16, 16)
     assert image_ahash(media).collect()[0]["ahash"] is not None
+
+
+def _chunked(body: bytes, sizes: list) -> bytes:
+    out = bytearray()
+    pos = 0
+    for s in sizes:
+        piece = body[pos : pos + s]
+        out += f"{len(piece):x}".encode() + b"\r\n" + piece + b"\r\n"
+        pos += s
+    out += b"0\r\n\r\n"
+    return bytes(out)
+
+
+def test_chunked_and_content_encoded_bodies(spark, tmp_path):
+    """Raw-captured HTTP (wget/heritrix WARCs) stores the WIRE bytes:
+    chunked framing interleaves hex size lines with the content, and
+    Content-Encoding leaves the body gzipped — both must undo before
+    text extraction, or every scanned page leaks framing garbage into
+    the corpus."""
+    import gzip as _gzip
+    import zlib as _zlib
+
+    html = ("<html><body><p>" + "clean prose words " * 20
+            + "</p></body></html>").encode()
+    chunked = _chunked(html, [7, 64, 11, len(html)])
+    gz = _gzip.compress(html)
+    both = _chunked(gz, [13, 50, 10**6])  # chunked OVER gzip, wire order
+    cases = [
+        ("https://a.example/chunked",
+         b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+         b"Transfer-Encoding: chunked\r\n\r\n" + chunked),
+        ("https://a.example/gzip",
+         b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+         b"Content-Encoding: gzip\r\n\r\n" + gz),
+        ("https://a.example/both",
+         b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+         b"Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n\r\n"
+         + both),
+        ("https://a.example/deflate-raw",
+         b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+         b"Content-Encoding: deflate\r\n\r\n"
+         + _zlib.compress(html)[2:-4]),  # the common raw-deflate misuse
+        ("https://a.example/plain",
+         b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html),
+    ]
+    recs = [
+        _record(
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": url,
+                "WARC-Date": "2026-08-15T00:00:00Z",
+            },
+            block,
+        )
+        for url, block in cases
+    ]
+    p = tmp_path / "wire.warc"
+    p.write_bytes(b"".join(recs))
+    from clickhouse_table_copier_spark.sources.warc import (
+        read_warc,
+        responses_to_documents,
+    )
+
+    docs = {
+        r["url"]: r["raw_html"]
+        for r in responses_to_documents(read_warc(spark, str(p))).collect()
+    }
+    assert len(docs) == 5
+    for url, text in docs.items():
+        assert "clean prose words" in text, url
+        assert "Transfer" not in text and "\r" not in text, url
+    # framing garbage (hex size lines) must be gone from the chunked one
+    assert docs["https://a.example/chunked"] == docs["https://a.example/plain"]
+    assert docs["https://a.example/both"] == docs["https://a.example/plain"]
+
+
+def test_chunked_salvage_and_fallback(spark, tmp_path):
+    """Mid-chunk truncation salvages the arrived bytes; a malformed
+    size line keeps the raw payload (never worse than before)."""
+    html = b"<p>salvaged prefix content that still extracts fine</p>"
+    full = _chunked(html, [len(html)])
+    truncated = full[: len(full) - 12]  # cut inside the final framing
+    malformed = b"ZZZ\r\nnot chunked at all"
+    recs = [
+        _record(
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "https://a.example/trunc",
+                "WARC-Date": "2026-08-15T00:00:00Z",
+            },
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n" + truncated,
+        ),
+        _record(
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "https://a.example/malformed",
+                "WARC-Date": "2026-08-15T00:00:00Z",
+            },
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n" + malformed,
+        ),
+    ]
+    p = tmp_path / "tail.warc"
+    p.write_bytes(b"".join(recs))
+    from clickhouse_table_copier_spark.sources.warc import read_warc
+
+    rows = {
+        r["target_uri"]: bytes(r["payload"])
+        for r in read_warc(spark, str(p)).collect()
+    }
+    assert rows["https://a.example/trunc"].startswith(b"<p>salvaged")
+    assert rows["https://a.example/malformed"] == malformed
