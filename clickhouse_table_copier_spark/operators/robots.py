@@ -1,0 +1,282 @@
+"""robots.txt parsing + URL filtering (RFC 9309, the Robots Exclusion
+Protocol) — the crawl-curation gate that sits beside the WARC ingest
+and URL operators: a corpus pipeline that republishes or re-crawls
+needs "was this URL disallowed?" as a first-class column.
+
+Two stages, mirroring the PSL design:
+
+- :func:`parse_robots` — robots.txt BODIES → a rules frame
+  ``(host, agent, is_allow, pattern, pattern_octets, regex,
+  has_wildcard)``.  Line grouping is stateful (consecutive
+  ``User-agent`` lines share the following rules), so parsing runs in
+  the Arrow-batched ``mapInPandas`` edge like every bytes→rows stage
+  here; robots bodies are KB-sized, one pass each.  ``Crawl-delay``
+  and ``Sitemap`` lines surface via :func:`robots_directives`.
+- :func:`filter_robots_allowed` — URL stream × rules: RFC 9309 group
+  selection (a group for the product token beats the ``*`` group;
+  no group ⇒ allowed), longest-match precedence in PATTERN OCTETS,
+  allow wins ties, no matching rule ⇒ allowed.  ``*`` wildcards and
+  the ``$`` end anchor translate to anchored Java regexes ONCE in the
+  (small) rules frame; literal prefix rules — the overwhelming
+  majority — take a ``startswith`` fast path so the per-URL work
+  stays codegen-friendly.
+
+Scale shape (100 TB of URLs): the rules frame is per-HOST metadata —
+a few dozen rows per host — joined on the host key.  The URL stream
+fans out only to that host's candidate rules and aggregates straight
+back to one row per URL (max over a (octets, is_allow) struct — the
+RFC's precedence as one lexicographic max, no window).  Broadcast the
+rules when they fit; a million-host rules frame shuffle-joins on host
+with the same bounded fan-out.  Percent-encoding normalization is the
+documented seam (RFC 9309 §2.2.2): patterns and paths compare as
+stored.
+
+Reference parity: none — north-star LLM-pipeline surface (SURVEY.md
+§2.8); the reference engine reads SQL tables only.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+RULES_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("agent", T.StringType()),
+        T.StructField("is_allow", T.BooleanType()),
+        T.StructField("pattern", T.StringType()),
+        T.StructField("pattern_octets", T.IntegerType()),
+        T.StructField("regex", T.StringType()),
+        T.StructField("has_wildcard", T.BooleanType()),
+    ]
+)
+
+DIRECTIVES_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("agent", T.StringType()),  # NULL for sitemap rows
+        T.StructField("directive", T.StringType()),  # crawl_delay | sitemap
+        T.StructField("value", T.StringType()),
+    ]
+)
+
+_LINE_RE = re.compile(r"^\s*([A-Za-z-]+)\s*:\s*(.*?)\s*$")
+
+
+def _pattern_regex(pattern: str) -> str:
+    """robots pattern → anchored Java regex: ``*`` matches any run,
+    ``$`` at the end anchors, everything else is literal."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    out = []
+    for piece in body.split("*"):
+        out.append(re.escape(piece))
+    rx = "^" + ".*".join(out)
+    return rx + "$" if anchored else rx
+
+
+def _parse_one(host: str, body: str):
+    """One robots.txt → (rules, directives) row lists — the RFC 9309
+    group model: consecutive User-agent lines open a group, rules bind
+    to every agent of the current group, a User-agent line AFTER rules
+    starts a new group."""
+    rules, directives, sitemaps = [], [], []
+    agents: list[str] = []
+    group_open = False  # collecting consecutive UA lines
+    for raw_line in body.splitlines():
+        line = raw_line.split("#", 1)[0]
+        m = _LINE_RE.match(line)
+        if m is None:
+            continue
+        key = m.group(1).lower()
+        val = m.group(2)
+        if key == "user-agent":
+            if not group_open:
+                agents = []
+                group_open = True
+            agents.append(val.strip().lower())
+            continue
+        if key == "sitemap":  # group-independent per the RFC
+            if val:
+                sitemaps.append(val)
+            continue
+        group_open = False
+        if not agents:
+            continue  # rules before any User-agent line: undefined, skip
+        if key in ("allow", "disallow"):
+            if not val:
+                continue  # empty pattern matches nothing (allow-all)
+            for a in agents:
+                rules.append(
+                    (
+                        host,
+                        a,
+                        key == "allow",
+                        val,
+                        len(val.encode("utf-8")),
+                        _pattern_regex(val),
+                        "*" in val or val.endswith("$"),
+                    )
+                )
+        elif key == "crawl-delay":
+            for a in agents:
+                directives.append((host, a, "crawl_delay", val))
+    for s in sitemaps:
+        directives.append((host, None, "sitemap", s))
+    return rules, directives
+
+
+def parse_robots(
+    df: DataFrame, host_col: str, body_col: str
+) -> DataFrame:
+    """``(host, robots body)`` rows → the rules frame (see module
+    docstring).  Undecodable bodies are treated as empty (decline —
+    an unreadable robots.txt must not disallow the whole host, nor
+    fail the task)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in RULES_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for host, body in zip(pdf[host_col], pdf[body_col]):
+                if body is None or host is None:
+                    continue
+                if isinstance(body, (bytes, bytearray)):
+                    body = bytes(body).decode("utf-8", "replace")
+                try:
+                    rules, _ = _parse_one(str(host), body)
+                except Exception:
+                    rules = []
+                rows.extend(rules)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(host_col, body_col).mapInPandas(fn, RULES_SCHEMA)
+
+
+def robots_directives(
+    df: DataFrame, host_col: str, body_col: str
+) -> DataFrame:
+    """``Crawl-delay`` (per agent group) and ``Sitemap`` (host-wide)
+    lines — the non-rule directives a crawl scheduler consumes."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in DIRECTIVES_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for host, body in zip(pdf[host_col], pdf[body_col]):
+                if body is None or host is None:
+                    continue
+                if isinstance(body, (bytes, bytearray)):
+                    body = bytes(body).decode("utf-8", "replace")
+                try:
+                    _, directives = _parse_one(str(host), body)
+                except Exception:
+                    directives = []
+                rows.extend(directives)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(host_col, body_col).mapInPandas(fn, DIRECTIVES_SCHEMA)
+
+
+def filter_robots_allowed(
+    df: DataFrame,
+    url_col: str,
+    rules: DataFrame,
+    agent: str = "*",
+    out_col: str = "robots_allowed",
+    broadcast_rules: bool = True,
+) -> DataFrame:
+    """Append ``out_col``: may ``agent`` fetch each URL per the host's
+    rules?  RFC 9309 precedence exactly: the group for the product
+    token (substring match per §2.2.1, lowercased) beats the ``*``
+    group; among the selected group's matching rules the one with the
+    most pattern octets prevails, allow winning ties; no matching rule
+    or no group at all ⇒ allowed.  Matching is against path + optional
+    ``?query`` (fragment never reaches the server).
+
+    One join URL→host-rules (broadcast by default — rules are per-host
+    metadata), one grouped max — no window, no explode of the URL
+    stream beyond the bounded per-host rule fan-out."""
+    a = agent.lower()
+
+    pfx = "__rob"
+    while any(c.startswith(pfx) for c in df.columns):
+        pfx += "_"
+
+    u = F.col(url_col)
+    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit("/"))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.try_parse_url(u, F.lit("QUERY"))
+    target = F.when(
+        query.isNull() | (query == ""), path
+    ).otherwise(F.concat(path, F.lit("?"), query))
+    keyed = df.withColumn(f"{pfx}_host", host).withColumn(
+        f"{pfx}_target", target
+    )
+
+    # RFC §2.2.1: a group matches the crawler when its agent token is a
+    # case-insensitive SUBSTRING of the product token; '*' is the
+    # fallback group.  Precompute per (host): specific-group rules and
+    # whether any exist — all on the rules frame (metadata-sized).
+    r = rules.withColumn("agent", F.lower(F.col("agent")))
+    specific = (
+        r.where(
+            (F.col("agent") != "*")
+            & F.lit(a).contains(F.col("agent"))
+        )
+        if a != "*"
+        else r.where(F.lit(False))
+    )
+    hosts_with_specific = specific.select("host").distinct().withColumn(
+        "has_specific", F.lit(True)
+    )
+    fallback = r.where(F.col("agent") == "*").join(
+        hosts_with_specific, "host", "left_anti"
+    )
+    selected = specific.unionByName(fallback).select(
+        F.col("host").alias(f"{pfx}_host"),
+        F.col("is_allow").alias(f"{pfx}_allow"),
+        F.col("pattern").alias(f"{pfx}_pat"),
+        F.col("pattern_octets").alias(f"{pfx}_oct"),
+        F.col("regex").alias(f"{pfx}_rx"),
+        F.col("has_wildcard").alias(f"{pfx}_wild"),
+    )
+    if broadcast_rules:
+        selected = F.broadcast(selected)
+
+    rid = F.monotonically_increasing_id().alias(f"{pfx}_id")
+    keyed = keyed.withColumn(f"{pfx}_id", rid)
+    joined = keyed.join(selected, f"{pfx}_host", "left")
+    tgt = F.col(f"{pfx}_target")
+    matched = F.when(
+        F.col(f"{pfx}_pat").isNull(), F.lit(False)
+    ).when(
+        ~F.col(f"{pfx}_wild"), tgt.startswith(F.col(f"{pfx}_pat"))
+    ).otherwise(F.regexp_like(tgt, F.col(f"{pfx}_rx")))
+    # the RFC's precedence as ONE lexicographic max: longest pattern
+    # first, allow beating disallow on equal length
+    verdict_struct = F.when(
+        matched,
+        F.struct(
+            F.col(f"{pfx}_oct").alias("o"),
+            F.col(f"{pfx}_allow").alias("a"),
+        ),
+    )
+    per_url = joined.groupBy(f"{pfx}_id").agg(
+        F.max(verdict_struct).alias(f"{pfx}_best"),
+        *[
+            F.first(c, ignorenulls=False).alias(c)
+            for c in df.columns
+        ],
+    )
+    allowed = F.coalesce(
+        F.col(f"{pfx}_best")["a"], F.lit(True)  # no matching rule
+    )
+    return per_url.select(*df.columns, allowed.alias(out_col))

@@ -550,6 +550,33 @@ def responses_to_pdfs(warc_df: DataFrame) -> DataFrame:
     )
 
 
+def responses_to_robots(warc_df: DataFrame) -> DataFrame:
+    """response records → ``(host, body)`` for the robots stage
+    (:func:`operators.robots.parse_robots`): 200-status fetches of
+    ``/robots.txt`` (path match — servers label robots.txt text/plain,
+    text/html, even application/octet-stream), host lowercased from
+    the target URI, body via the deferring CAST (not ``decode()`` —
+    ANSI-mode decode raises on the first malformed byte and kills the
+    job, while the cast degrades to replacement characters; RFC 9309
+    mandates UTF-8 and an unreadable body must degrade, not disallow
+    the host).  The fourth projection beside documents/PDFs/media."""
+    from pyspark.sql import functions as F
+
+    path = F.coalesce(
+        F.try_parse_url(F.col("target_uri"), F.lit("PATH")), F.lit("")
+    )
+    return warc_df.where(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & (path == "/robots.txt")
+    ).select(
+        F.lower(
+            F.try_parse_url(F.col("target_uri"), F.lit("HOST"))
+        ).alias("host"),
+        F.col("payload").cast("string").alias("body"),
+    )
+
+
 def responses_to_media(warc_df: DataFrame, kind: str = "image") -> DataFrame:
     """response records → the multimodal operators' ``(media_id, kind,
     content, meta_json)`` contract: 200-status ``<kind>/*`` bodies

@@ -1,0 +1,207 @@
+"""robots.txt (RFC 9309): parsing, group selection, longest-match
+precedence, wildcards/anchors, and the URL-stream filter's plan
+shape."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from clickhouse_table_copier_spark.operators.robots import (
+    filter_robots_allowed,
+    parse_robots,
+    robots_directives,
+)
+
+_ROBOTS_A = """\
+# example.com policy
+User-agent: *
+Disallow: /private/
+Allow: /private/press/
+Disallow: /*.pdf$
+Crawl-delay: 2
+
+User-agent: researchbot
+User-agent: otherbot
+Disallow: /no-research/
+Allow: /
+
+Sitemap: https://a.example/sitemap.xml
+"""
+
+_ROBOTS_B = """\
+User-agent: *
+Disallow: /
+Allow: /pub
+"""
+
+
+@pytest.fixture(scope="module")
+def rules(spark):
+    df = spark.createDataFrame(
+        [("a.example", _ROBOTS_A), ("b.example", _ROBOTS_B)],
+        "host string, body string",
+    )
+    return parse_robots(df, "host", "body").cache()
+
+
+def _allowed(spark, rules, url, agent="*"):
+    df = spark.createDataFrame([(url,)], "url string")
+    out = filter_robots_allowed(df, "url", rules, agent=agent)
+    return out.collect()[0]["robots_allowed"]
+
+
+def test_parse_rules(rules):
+    got = {
+        (r["host"], r["agent"], r["pattern"]): (
+            r["is_allow"],
+            r["has_wildcard"],
+        )
+        for r in rules.collect()
+    }
+    assert got[("a.example", "*", "/private/")] == (False, False)
+    assert got[("a.example", "*", "/private/press/")] == (True, False)
+    assert got[("a.example", "*", "/*.pdf$")] == (False, True)
+    # consecutive User-agent lines share the group's rules
+    assert ("a.example", "researchbot", "/no-research/") in got
+    assert ("a.example", "otherbot", "/no-research/") in got
+
+
+def test_longest_match_and_allow_tie(spark, rules):
+    # /private/press/ (15 octets, allow) beats /private/ (9, disallow)
+    assert _allowed(spark, rules, "https://a.example/private/press/x") is True
+    assert _allowed(spark, rules, "https://a.example/private/other") is False
+    assert _allowed(spark, rules, "https://a.example/public/page") is True
+
+
+def test_wildcard_and_anchor(spark, rules):
+    assert _allowed(spark, rules, "https://a.example/docs/file.pdf") is False
+    # $ anchors: .pdf mid-path does not match
+    assert _allowed(spark, rules, "https://a.example/x.pdf/view") is True
+
+
+def test_group_selection(spark, rules):
+    # researchbot's own group: / allow (1 octet) vs /no-research/
+    assert (
+        _allowed(spark, rules, "https://a.example/no-research/x",
+                 agent="researchbot") is False
+    )
+    # its Allow: / group overrides the *-group's /private/ disallow
+    assert (
+        _allowed(spark, rules, "https://a.example/private/x",
+                 agent="researchbot") is True
+    )
+    # product-token substring match: researchbot/1.2 picks the group
+    assert (
+        _allowed(spark, rules, "https://a.example/no-research/x",
+                 agent="researchbot/1.2") is False
+    )
+    # unknown agent falls back to *
+    assert (
+        _allowed(spark, rules, "https://a.example/private/x",
+                 agent="unknownbot") is False
+    )
+
+
+def test_disallow_all_with_carveout(spark, rules):
+    assert _allowed(spark, rules, "https://b.example/") is False
+    assert _allowed(spark, rules, "https://b.example/pub/page") is True
+    # query string is part of the match target
+    assert _allowed(spark, rules, "https://b.example/pub?x=1") is True
+
+
+def test_unknown_host_and_unparseable_urls_are_allowed(spark, rules):
+    assert _allowed(spark, rules, "https://nothing.example/x") is True
+    assert _allowed(spark, rules, "not a url at all") is True
+
+
+def test_directives(spark):
+    df = spark.createDataFrame(
+        [("a.example", _ROBOTS_A)], "host string, body string"
+    )
+    got = {
+        (r["directive"], r["agent"]): r["value"]
+        for r in robots_directives(df, "host", "body").collect()
+    }
+    assert got[("crawl_delay", "*")] == "2"
+    assert got[("sitemap", None)] == "https://a.example/sitemap.xml"
+
+
+def test_original_columns_and_rowcount_preserved(spark, rules):
+    df = spark.createDataFrame(
+        [(i, f"https://b.example/{'pub/' if i % 2 else 'x/'}{i}")
+         for i in range(50)],
+        "id long, url string",
+    )
+    out = filter_robots_allowed(df, "url", rules)
+    assert out.columns == ["id", "url", "robots_allowed"]
+    rows = out.collect()
+    assert len(rows) == 50  # one row per URL, no fan-out residue
+    for r in rows:
+        assert r["robots_allowed"] is (r["id"] % 2 == 1)
+
+
+def test_rules_join_is_broadcast(spark, rules):
+    df = spark.range(0, 100).select(
+        F.concat(F.lit("https://a.example/p"), F.col("id")).alias("url")
+    )
+    plan = (
+        filter_robots_allowed(df, "url", rules)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_warc_robots_end_to_end(spark, tmp_path):
+    """The crawl integration: robots.txt fetched IN the crawl gates the
+    crawl's own URLs — WARC shard → responses_to_robots →
+    parse_robots → filter_robots_allowed."""
+    from clickhouse_table_copier_spark.sources.warc import (
+        read_warc,
+        responses_to_robots,
+    )
+    from tests.test_warc import _record
+
+    robots = b"User-agent: *\nDisallow: /secret/\n"
+    recs = [
+        _record(
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "https://c.example/robots.txt",
+                "WARC-Date": "2026-08-15T00:00:00Z",
+            },
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + robots,
+        ),
+        _record(
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "https://c.example/secret/page",
+                "WARC-Date": "2026-08-15T00:00:01Z",
+            },
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>x</p>",
+        ),
+        _record(
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "https://c.example/open/page",
+                "WARC-Date": "2026-08-15T00:00:02Z",
+            },
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>y</p>",
+        ),
+    ]
+    p = tmp_path / "crawl.warc"
+    p.write_bytes(b"".join(recs))
+    warc = read_warc(spark, str(p))
+    rules = parse_robots(responses_to_robots(warc), "host", "body")
+    pages = warc.where(
+        (F.col("warc_type") == "response")
+        & F.lower(F.col("content_type")).startswith("text/html")
+    ).select(F.col("target_uri").alias("url"))
+    got = {
+        r["url"]: r["robots_allowed"]
+        for r in filter_robots_allowed(pages, "url", rules).collect()
+    }
+    assert got == {
+        "https://c.example/secret/page": False,
+        "https://c.example/open/page": True,
+    }
