@@ -65,6 +65,23 @@ def _make_warc_shards(d: str, n_pages: int = 12) -> None:
                 http,
             )
         )
+    # each host's robots.txt travels IN the crawl; site2.org keeps its
+    # pages out of corpora (the increasingly common AI-crawl opt-out)
+    for host, body in (
+        ("site0.org", b"User-agent: *\nAllow: /\n"),
+        ("site2.org", b"User-agent: *\nDisallow: /page/\n"),
+    ):
+        recs.append(
+            record(
+                {
+                    "WARC-Type": "response",
+                    "WARC-Target-URI": f"https://{host}/robots.txt",
+                    "WARC-Date": "2026-08-15T00:00:00Z",
+                },
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+                + body,
+            )
+        )
     half = len(recs) // 2
     for name, part in (("shard-0.warc.gz", recs[:half]),
                        ("shard-1.warc.gz", recs[half:])):
@@ -116,6 +133,22 @@ def main() -> None:
     blocklist = spark.createDataFrame([("example.com",)], "domain string")
     allowed = filter_blocklisted(docs, "url", blocklist)
     funnel.append(("after domain blocklist", allowed.count()))
+
+    # robots gate: the crawl's own robots.txt fetches decide which of
+    # its pages a corpus may keep (RFC 9309 — round 11)
+    from clickhouse_table_copier_spark.operators.robots import (
+        filter_robots_allowed,
+        parse_robots,
+    )
+    from clickhouse_table_copier_spark.sources.warc import (
+        responses_to_robots,
+    )
+
+    rules = parse_robots(responses_to_robots(records), "host", "body")
+    allowed = filter_robots_allowed(allowed, "url", rules).where(
+        "robots_allowed"
+    ).drop("robots_allowed")
+    funnel.append(("after robots.txt gate", allowed.count()))
 
     # canonical-URL dedup: one row per page identity
     allowed = allowed.withColumn("curl", canonical_url("url"))
