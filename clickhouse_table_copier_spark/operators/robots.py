@@ -280,3 +280,103 @@ def filter_robots_allowed(
         F.col(f"{pfx}_best")["a"], F.lit(True)  # no matching rule
     )
     return per_url.select(*df.columns, allowed.alias(out_col))
+
+
+SITEMAP_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("kind", T.StringType()),  # urlset | sitemapindex
+        T.StructField("loc", T.StringType()),
+        T.StructField("lastmod", T.StringType()),
+        T.StructField("changefreq", T.StringType()),
+        T.StructField("priority", T.DoubleType()),
+    ]
+)
+
+_LOC_RE = re.compile(r"<loc>\s*([^<]+?)\s*</loc>", re.I)
+
+
+def _parse_sitemap_one(host: str, body):
+    """One sitemap body → rows.  Accepts gzipped bodies (the .xml.gz
+    convention — sniffed, since servers mislabel), parses with the
+    stdlib ElementTree namespace-agnostically, and falls back to a
+    bare <loc> regex scan on malformed XML (real sitemaps frequently
+    are) — salvage the URLs, never fail the task."""
+    import gzip as _gzip
+    import io as _io
+    import xml.etree.ElementTree as _ET
+
+    if isinstance(body, (bytes, bytearray)):
+        data = bytes(body)
+    else:
+        data = str(body).encode("utf-8", "replace")
+    if data[:2] == b"\x1f\x8b":
+        try:
+            data = _gzip.GzipFile(fileobj=_io.BytesIO(data)).read()
+        except OSError:
+            return []
+    rows = []
+    try:
+        root = _ET.fromstring(data)
+        tag = root.tag.rsplit("}", 1)[-1].lower()
+        kind = "sitemapindex" if tag == "sitemapindex" else "urlset"
+        for entry in root:
+            fields = {
+                child.tag.rsplit("}", 1)[-1].lower(): (child.text or "").strip()
+                for child in entry
+            }
+            loc = fields.get("loc")
+            if not loc:
+                continue
+            prio = None
+            if fields.get("priority"):
+                try:
+                    prio = float(fields["priority"])
+                except ValueError:
+                    prio = None
+            rows.append(
+                (
+                    host,
+                    kind,
+                    loc,
+                    fields.get("lastmod") or None,
+                    fields.get("changefreq") or None,
+                    prio,
+                )
+            )
+        return rows
+    except _ET.ParseError:
+        text = data.decode("utf-8", "replace")
+        kind = "sitemapindex" if "<sitemapindex" in text[:2048] else "urlset"
+        return [
+            (host, kind, loc, None, None, None)
+            for loc in _LOC_RE.findall(text)
+        ]
+
+
+def parse_sitemaps(
+    df: DataFrame, host_col: str, body_col: str
+) -> DataFrame:
+    """Sitemap bodies → ``(host, kind, loc, lastmod, changefreq,
+    priority)`` rows: ``urlset`` entries are crawl-frontier URLs,
+    ``sitemapindex`` entries are MORE sitemaps to fetch (the caller
+    drives that loop — fetching is not this engine's job).  Completes
+    the frontier trio with :func:`parse_robots` (whose ``Sitemap``
+    directives name these files) and the URL operators.  Same Arrow-
+    batched bytes→rows shape and decline contract as every ingest
+    edge."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in SITEMAP_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for host, body in zip(pdf[host_col], pdf[body_col]):
+                if body is None or host is None:
+                    continue
+                try:
+                    rows.extend(_parse_sitemap_one(str(host), body))
+                except Exception:
+                    continue
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(host_col, body_col).mapInPandas(fn, SITEMAP_SCHEMA)

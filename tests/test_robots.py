@@ -205,3 +205,50 @@ def test_warc_robots_end_to_end(spark, tmp_path):
         "https://c.example/secret/page": False,
         "https://c.example/open/page": True,
     }
+
+
+_SITEMAP = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>https://a.example/one</loc><lastmod>2026-01-01</lastmod>
+       <changefreq>daily</changefreq><priority>0.8</priority></url>
+  <url><loc> https://a.example/two </loc></url>
+  <url><priority>broken</priority><loc>https://a.example/three</loc></url>
+</urlset>
+"""
+
+_SITEMAP_INDEX = """<?xml version="1.0"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>https://a.example/sitemap-1.xml.gz</loc></sitemap>
+  <sitemap><loc>https://a.example/sitemap-2.xml.gz</loc></sitemap>
+</sitemapindex>
+"""
+
+
+def test_parse_sitemaps(spark):
+    import gzip
+
+    from clickhouse_table_copier_spark.operators.robots import (
+        parse_sitemaps,
+    )
+
+    malformed = b"<urlset><url><loc>https://m.example/x</loc></url>"  # no close
+    df = spark.createDataFrame(
+        [
+            ("a.example", bytearray(_SITEMAP.encode())),
+            ("a.example", bytearray(gzip.compress(_SITEMAP_INDEX.encode()))),
+            ("m.example", bytearray(malformed)),
+        ],
+        "host string, body binary",
+    )
+    rows = parse_sitemaps(df, "host", "body").collect()
+    by_loc = {r["loc"]: r for r in rows}
+    assert by_loc["https://a.example/one"]["kind"] == "urlset"
+    assert by_loc["https://a.example/one"]["lastmod"] == "2026-01-01"
+    assert by_loc["https://a.example/one"]["priority"] == 0.8
+    assert by_loc["https://a.example/two"]["lastmod"] is None  # trimmed loc
+    assert by_loc["https://a.example/three"]["priority"] is None  # bad float
+    # gzipped sitemapindex member
+    assert by_loc["https://a.example/sitemap-1.xml.gz"]["kind"] == "sitemapindex"
+    # malformed XML: regex salvage still yields the URL
+    assert by_loc["https://m.example/x"]["kind"] == "urlset"
+    assert len(rows) == 6
