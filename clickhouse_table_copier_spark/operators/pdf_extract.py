@@ -38,12 +38,17 @@ CMaps (round 11): the tolerant scan indexes objects, resolves each
 ``/Font`` resource name to its font object, decodes the CMap stream
 (bfchar + bfrange, incl. array-form ranges), and show operators map
 2-byte CIDs through it; fonts without a ToUnicode keep the single-byte
-Latin-1 interpretation.  Encrypted documents, fonts whose ToUnicode is
-absent (Identity-H with CIDSystemInfo lookup needs external CID tables)
-and exotic filters remain the documented seam (a real deployment hands
-those to pdfminer/poppler — this extractor is the reference semantics
-and NEVER raises on arbitrary bytes: undecodable inputs yield NULL
-text, the decline contract every decoder here follows).
+Latin-1 interpretation.  ENCRYPTED documents whose user or owner
+password is empty — the DRM-only restriction case that dominates real
+crawls — decrypt through :mod:`operators.pdf_crypt` (Standard security
+handler R2–R6: RC4, AESV2, AESV3; streams unwrap before filters, CMap
+and image streams included).  Genuinely passworded documents, fonts
+whose ToUnicode is absent (Identity-H with CIDSystemInfo lookup needs
+external CID tables) and exotic filters remain the documented seam (a
+real deployment hands those to pdfminer/poppler — this extractor is
+the reference semantics and NEVER raises on arbitrary bytes:
+undecodable inputs yield NULL text, the decline contract every decoder
+here follows).
 
 Scale shape (100 TB): pure per-row map work in an Arrow-batched
 ``mapInPandas`` stage at the pipeline edge — PDF bytes never shuffle;
@@ -62,6 +67,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
+
+from clickhouse_table_copier_spark.operators import pdf_crypt
 
 PDF_TEXT_SCHEMA = T.StructType(
     [
@@ -327,6 +334,41 @@ def _apply_filters(raw: bytes, d: bytes):
             return None
     return raw
 
+_XREF_TYPE_RE = re.compile(rb"/Type\s*/XRef(?![A-Za-z])")
+
+
+def _decryptor_for(b: bytes):
+    """Per-stream decrypt callable for an encrypted document whose user
+    or owner password is EMPTY (the DRM-only case that dominates real
+    crawls — :mod:`operators.pdf_crypt`), or None for unencrypted /
+    out-of-scope documents.  The callable takes (dict_bytes,
+    absolute_data_start, raw) and returns plaintext bytes or None
+    (malformed ciphertext: skip the stream, keep the document)."""
+    if b[:5] != b"%PDF-" or b"/Encrypt" not in b:
+        return None
+    try:
+        found = pdf_crypt.find_decryptor(b)
+    except Exception:
+        found = None
+    if not found:
+        return None
+    dec, enc_num = found
+    spans = pdf_crypt.object_spans(b)
+
+    def decrypt(d: bytes, start: int, raw: bytes):
+        if _XREF_TYPE_RE.search(d):
+            return raw  # cross-reference streams are never encrypted
+        ng = pdf_crypt.span_for(spans, start)
+        if ng is None:
+            return None
+        num, gen = ng
+        if enc_num is not None and num == enc_num:
+            return raw  # the /Encrypt dict itself is plaintext
+        return dec.decrypt(num, gen, raw)
+
+    return decrypt
+
+
 _ESCAPES = {
     b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
     b"(": "(", b")": ")", b"\\": "\\",
@@ -472,13 +514,15 @@ def _parse_tounicode(data: bytes):
     return cmap, srclen
 
 
-def _document_fonts(b: bytes):
+def _document_fonts(b: bytes, decrypt=None):
     """Resource-name → (cmap, srclen) for every font object carrying a
     ``/ToUnicode`` CMap stream (Type0/Identity-H composite fonts, and
     any simple font that ships one).  Tolerant-scan style: objects are
     indexed by number, ``/Font << /F1 12 0 R >>`` resource dicts are
     unioned across the whole document (a cross-page resource-name
-    collision onto DIFFERENT fonts is the accepted seam)."""
+    collision onto DIFFERENT fonts is the accepted seam).  ``decrypt``
+    (from :func:`_decryptor_for`) unwraps CMap streams in encrypted
+    documents."""
     if b"/ToUnicode" not in b:
         return {}
     spans: dict[int, tuple[int, int]] = {}
@@ -499,6 +543,12 @@ def _document_fonts(b: bytes):
             raw = _stream_raw(seg, d, start)
             if raw is None:
                 continue
+            if decrypt is not None:
+                # stream offsets here are segment-relative; the crypt
+                # key needs the ABSOLUTE object position
+                raw = decrypt(d, cs + start, raw)
+                if raw is None:
+                    continue
             data = _apply_filters(raw, d)
             if data is None:
                 continue
@@ -752,8 +802,9 @@ def _extract_pdf(b: bytes):
         if b[:5] != b"%PDF-":
             return None
         n_pages = len(_PAGE_RE.findall(b))
+        decrypt = _decryptor_for(b)
         try:
-            fonts = _document_fonts(b)
+            fonts = _document_fonts(b, decrypt)
         except Exception:
             fonts = {}
         texts = []
@@ -761,6 +812,10 @@ def _extract_pdf(b: bytes):
             raw = _stream_raw(b, d, start)
             if raw is None:
                 continue
+            if decrypt is not None:
+                raw = decrypt(d, start, raw)
+                if raw is None:
+                    continue
             raw = _apply_filters(raw, d)
             if raw is None:
                 continue  # damaged stream / uncovered filter: skip
@@ -817,6 +872,7 @@ def _extract_pdf_jpegs(b: bytes):
     try:
         if b[:5] != b"%PDF-":
             return None
+        decrypt = _decryptor_for(b)
         out = []
         for d, start in _iter_streams(b):
             if not _IMAGE_RE.search(d):
@@ -825,6 +881,10 @@ def _extract_pdf_jpegs(b: bytes):
                 raw = _stream_raw(b, d, start)
                 if raw is None:
                     continue
+                if decrypt is not None:
+                    raw = decrypt(d, start, raw)
+                    if raw is None:
+                        continue
                 data = _apply_filters(raw, d)
                 if data is not None and b"BI" in data:
                     out.extend(_inline_jpegs(data))
@@ -840,6 +900,8 @@ def _extract_pdf_jpegs(b: bytes):
             if not names or names[-1] not in (b"/DCTDecode", b"/DCT"):
                 continue
             raw = _stream_raw(b, d, start)
+            if decrypt is not None and raw is not None:
+                raw = decrypt(d, start, raw)
             for name in names[:-1]:  # ascii wrappers ahead of the DCT
                 if raw is None:
                     break
