@@ -1723,9 +1723,10 @@ PIXEL_STATS_SCHEMA = T.StructType(
 
 def image_pixel_stats(df: DataFrame) -> DataFrame:
     """REAL per-channel pixel statistics (mean R/G/B + Rec.601 luma) for
-    PNG, uncompressed-BMP, GIF, and JPEG (every DCT mode incl.
+    PNG, uncompressed-BMP, GIF, JPEG (every DCT mode incl.
     arithmetic and 12-bit since round 10, lossless SOF3 since round 11)
-    streams, decoded with the pure-Python zlib/numpy/LZW/Huffman+IDCT
+    and strip-based TIFF (incl. CCITT G3/G4 fax — round 11) streams,
+    decoded with the pure-Python zlib/numpy/LZW/Huffman+IDCT/T.4
     decoders — no image libraries. Remaining formats yield NULL stats
     (hierarchical JPEG stays behind the PIL seam). Same Arrow-batched
     mapInPandas shape as every decode stage here."""
@@ -1733,6 +1734,14 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
     decode_bmp = _make_bmp_decoder()
     decode_gif = _make_gif_decoder()
     decode_jpeg = _make_jpeg_decoder()
+    decode_tiff_raster = _make_tiff_raster_decoder()
+
+    def decode_tiff(b: bytes):
+        got = decode_tiff_raster(b)
+        if got is None:
+            return None
+        w, h, nch, arr = got
+        return w, h, nch, [float(m) for m in arr.mean(axis=(0, 1))]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1742,6 +1751,7 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
                 got = (
                     decode_png(b) or decode_bmp(b)
                     or decode_gif(b) or decode_jpeg(b)
+                    or decode_tiff(b)
                 )
                 if got is None:
                     out.append((mid, None, None, None, None, None, None, None))
@@ -2294,18 +2304,266 @@ def _make_raster_ahash():
     return hash_and_luma
 
 
+def _make_tiff_raster_decoder():
+    """TIFF raster decode (closure): strip-organized baseline TIFF in
+    both byte orders — bilevel (1-bit) via CCITT Group 4 / Group 3
+    1-D+2-D / Modified Huffman (:mod:`operators.ccitt` — the scanned-
+    document population) or raw bits, 8-bit grayscale, 8-bit RGB(A) and
+    8-bit palette-color, with Compression 1 (none), 2/3/4 (CCITT),
+    5 (LZW + horizontal Predictor 2) and 32773 (PackBits), FillOrder 2
+    bit reversal, PhotometricInterpretation 0/1/2/3.  Tiled TIFFs,
+    planar configuration 2 and 16-bit samples decline (None) — the
+    strip-based shapes above are what fax archives and scanners emit.
+    Returns ``(w, h, nch, uint8 (h, w, nch), RGB top-down)`` like every
+    raster decoder here, so a scanned page TIFF hashes identically to
+    the SAME raster stored as PNG (cross-format dedup)."""
+    import struct as _struct
+
+    import numpy as _np
+
+    # CCITT closures built HERE (driver side) so they pickle by value
+    # with the rest of this factory — executors never import the
+    # package (the decoder-closure discipline of this module)
+    from clickhouse_table_copier_spark.operators.ccitt import (
+        make_ccitt_decoders,
+    )
+
+    _cc_g4, _cc_g3, _ = make_ccitt_decoders()
+
+    # bit-reversal table for FillOrder 2
+    _REV = _np.array(
+        [int(f"{i:08b}"[::-1], 2) for i in range(256)], dtype=_np.uint8
+    )
+
+    def _unpackbits_rows(data: bytes, w: int, rows: int):
+        stride = (w + 7) // 8
+        if len(data) < stride * rows:
+            return None
+        a = _np.frombuffer(data[: stride * rows], dtype=_np.uint8)
+        bits = _np.unpackbits(a.reshape(rows, stride), axis=1)[:, :w]
+        return bits
+
+    def _packbits_decode(data: bytes):
+        out = bytearray()
+        i, n = 0, len(data)
+        while i < n:
+            c = data[i]
+            i += 1
+            if c < 128:
+                out += data[i : i + c + 1]
+                i += c + 1
+            elif c > 128:
+                if i >= n:
+                    return None
+                out += bytes([data[i]]) * (257 - c)
+                i += 1
+        return bytes(out)
+
+    def _lzw_decode(data: bytes):
+        # TIFF-variant LZW: MSB-first codes, clear=256, EOD=257,
+        # width grows 9→12 one code EARLY (same as the PDF filter)
+        clear, eod = 256, 257
+        width = 9
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        out = bytearray()
+        prev = None
+        acc = bits = 0
+        for byte in data:
+            acc = (acc << 8) | byte
+            bits += 8
+            while bits >= width:
+                code = (acc >> (bits - width)) & ((1 << width) - 1)
+                bits -= width
+                if code == eod:
+                    return bytes(out)
+                if code == clear:
+                    table = table[:258]
+                    width = 9
+                    prev = None
+                    continue
+                if prev is None:
+                    entry = table[code]
+                elif code < len(table):
+                    entry = table[code]
+                    table.append(prev + entry[:1])
+                elif code == len(table):
+                    entry = prev + prev[:1]
+                    table.append(entry)
+                else:
+                    return None
+                out += entry
+                prev = entry
+                if len(table) + 1 >= (1 << width) and width < 12:
+                    width += 1
+        return bytes(out)
+
+    def decode(b: bytes):
+        try:
+            if b[:4] not in (b"II*\x00", b"MM\x00*"):
+                return None
+            bo = "<" if b[:2] == b"II" else ">"
+            ioff = _struct.unpack(bo + "I", b[4:8])[0]
+            if ioff + 2 > len(b):
+                return None
+            nent = _struct.unpack(bo + "H", b[ioff : ioff + 2])[0]
+            tags = {}
+            for i in range(nent):
+                e = ioff + 2 + 12 * i
+                if e + 12 > len(b):
+                    return None
+                tag, typ = _struct.unpack(bo + "HH", b[e : e + 4])
+                cnt = _struct.unpack(bo + "I", b[e + 4 : e + 8])[0]
+                sz = {1: 1, 3: 2, 4: 4}.get(typ)
+                if sz is None or cnt > 1 << 22:
+                    continue
+                nb = sz * cnt
+                if nb <= 4:
+                    raw = b[e + 8 : e + 8 + nb]
+                else:
+                    voff = _struct.unpack(bo + "I", b[e + 8 : e + 12])[0]
+                    raw = b[voff : voff + nb]
+                if len(raw) < nb:
+                    continue
+                if typ == 3:
+                    tags[tag] = _struct.unpack(bo + "%dH" % cnt, raw)
+                elif typ == 4:
+                    tags[tag] = _struct.unpack(bo + "%dI" % cnt, raw)
+                else:
+                    tags[tag] = tuple(raw)
+            w = int(tags.get(256, (0,))[0])
+            h = int(tags.get(257, (0,))[0])
+            if not (0 < w <= 1 << 15 and 0 < h <= 1 << 15):
+                return None
+            if 322 in tags or 323 in tags:  # tiled: decline
+                return None
+            if int(tags.get(284, (1,))[0]) != 1:  # planar: decline
+                return None
+            comp = int(tags.get(259, (1,))[0])
+            photo = int(tags.get(262, (1,))[0])
+            spp = int(tags.get(277, (1,))[0])
+            bps = tags.get(258, (1,) * spp)
+            offs = tags.get(273)
+            if not offs:
+                return None
+            cnts = tags.get(279)
+            if cnts is None:
+                if len(offs) == 1:
+                    cnts = (len(b) - offs[0],)
+                else:
+                    return None
+            if len(cnts) != len(offs):
+                return None
+            rps = int(tags.get(278, (h,))[0]) or h
+            fill2 = int(tags.get(266, (1,))[0]) == 2
+            t4opts = int(tags.get(292, (0,))[0])
+            bilevel = spp == 1 and bps[0] == 1
+            if not bilevel and any(x != 8 for x in bps[:spp]):
+                return None  # 16-bit and packed sub-byte gray: decline
+            rows_out = []
+            for si, (so, sc) in enumerate(zip(offs, cnts)):
+                data = b[so : so + sc]
+                if len(data) < sc:
+                    return None
+                srows = min(rps, h - si * rps)
+                if srows <= 0:
+                    break
+                if fill2:
+                    data = _REV[
+                        _np.frombuffer(data, dtype=_np.uint8)
+                    ].tobytes()
+                if comp in (2, 3, 4):
+                    if not bilevel:
+                        return None
+                    if comp == 4:
+                        gray = _cc_g4(data, w, srows)
+                    elif comp == 3:
+                        gray = _cc_g3(
+                            data, w, srows, two_d=bool(t4opts & 1)
+                        )
+                    else:
+                        gray = _cc_g3(
+                            data, w, srows, two_d=False, has_eol=False
+                        )
+                    if gray is None:
+                        return None
+                    if photo == 1:  # MinIsBlack bilevel: invert
+                        gray = 255 - gray
+                    rows_out.append(gray)
+                    continue
+                if comp == 5:
+                    data = _lzw_decode(data)
+                elif comp == 32773:
+                    data = _packbits_decode(data)
+                elif comp != 1:
+                    return None  # JPEG-in-TIFF, deflate, …: decline
+                if data is None:
+                    return None
+                if bilevel:
+                    bits = _unpackbits_rows(data, w, srows)
+                    if bits is None:
+                        return None
+                    if photo == 0:  # MinIsWhite: 0-bit = white
+                        gray = _np.where(bits == 0, 255, 0)
+                    else:
+                        gray = _np.where(bits == 0, 0, 255)
+                    rows_out.append(gray.astype(_np.uint8))
+                    continue
+                stride = w * spp
+                if len(data) < stride * srows:
+                    return None
+                arr = _np.frombuffer(
+                    data[: stride * srows], dtype=_np.uint8
+                ).reshape(srows, w, spp)
+                if comp == 5 and int(tags.get(317, (1,))[0]) == 2:
+                    arr = _np.add.accumulate(
+                        arr, axis=1, dtype=_np.uint8
+                    )
+                rows_out.append(arr)
+            if not rows_out:
+                return None
+            full = _np.vstack(
+                [r if r.ndim == 3 else r[:, :, None] for r in rows_out]
+            )
+            if full.shape[0] != h:
+                return None
+            if photo == 3:  # palette: ColorMap is 3×2^bps 16-bit ramps
+                cmap = tags.get(320)
+                if not cmap or len(cmap) < 3 * 256 or spp != 1:
+                    return None
+                lut = (
+                    _np.array(cmap[: 3 * 256], dtype=_np.uint16)
+                    .reshape(3, 256)
+                    .T
+                    >> 8
+                ).astype(_np.uint8)
+                idx = full[:, :, 0]
+                return w, h, 3, lut[idx]
+            nch = full.shape[2]
+            if nch > 4:
+                full = full[:, :, :4]
+                nch = 4
+            return w, h, nch, full
+        except Exception:
+            return None
+
+    return decode
+
+
 def _make_raster_decoder_chain():
-    """The four-decoder fallback cascade (PNG → BMP → JPEG → GIF) as
-    ONE closure shared by every raster consumer (aHash, pHash,
-    oriented hash) — a drifted copy would silently make the hash
-    operators disagree on which images they cover."""
+    """The five-decoder fallback cascade (PNG → BMP → JPEG → GIF →
+    TIFF) as ONE closure shared by every raster consumer (aHash,
+    pHash, oriented hash) — a drifted copy would silently make the
+    hash operators disagree on which images they cover."""
     decode_png = _make_png_raster_decoder()
     decode_bmp = _make_bmp_raster_decoder()
     decode_jpg = _make_jpeg_raster_decoder()
     decode_gif = _make_gif_raster_decoder()
+    decode_tif = _make_tiff_raster_decoder()
 
     def decode(b: bytes):
-        for dec in (decode_png, decode_bmp, decode_jpg, decode_gif):
+        for dec in (
+            decode_png, decode_bmp, decode_jpg, decode_gif, decode_tif
+        ):
             got = dec(b)
             if got is not None:
                 return got

@@ -20,11 +20,13 @@ ASCII/WinAnsi-coded simple fonts:
   the fallback for missing/indirect lengths; ``/Predictor`` 2 (TIFF
   horizontal) and 10–15 (the PNG row filters — ubiquitous on xref and
   object streams, Predictor 12 especially) undo after Flate/LZW; raw
-  streams pass through; remaining filters (CCITT, JBIG2, crypt) are
+  streams pass through; remaining text-stream filters (JBIG2, JPX) are
   skipped, not fatal.  ``/DCTDecode`` image XObjects are not text but
   ARE baseline JPEGs — :func:`extract_pdf_images` lifts them into the
   multimodal media contract so PDF-embedded images join the same
-  near-dup table WARC images do;
+  near-dup table WARC images do — and ``/CCITTFaxDecode`` images (the
+  scanned-fax population) decode through :mod:`operators.ccitt` and
+  lift as grayscale PNG;
 - text operators: ``BT…ET`` blocks, ``Tj``/``'``/``"`` literal shows,
   ``TJ`` arrays (kerning offsets beyond a threshold become spaces),
   ``Td``/``TD``/``T*``/``Tm`` line moves become newlines, literal
@@ -861,14 +863,45 @@ def extract_pdf_text(
 
 
 _IMAGE_RE = re.compile(rb"/Subtype\s*/Image(?![A-Za-z])")
+_K_RE = re.compile(rb"/K\s+(-?\d+)")
+_ROWS_RE = re.compile(rb"/Rows\s+(\d+)")
+_HEIGHT_RE = re.compile(rb"/Height\s+(\d+)")
+_BALIGN_RE = re.compile(rb"/EncodedByteAlign\s+true")
+
+
+def _ccitt_to_png(raw: bytes, d: bytes):
+    """Decode a ``/CCITTFaxDecode`` image stream (scanned-PDF pages)
+    to a grayscale PNG via :mod:`operators.ccitt` — /K selects G4/G3,
+    /Columns defaults to 1728, /Rows falls back to the XObject's
+    /Height.  None on malformed data (decline)."""
+    from clickhouse_table_copier_spark.operators import ccitt as _cc
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        encode_png,
+    )
+
+    m = _K_RE.search(d)
+    k = int(m.group(1)) if m else 0
+    m = _COLUMNS_RE.search(d)
+    cols = int(m.group(1)) if m else 1728
+    m = _ROWS_RE.search(d) or _HEIGHT_RE.search(d)
+    rows = int(m.group(1)) if m else None
+    gray = _cc.decode_ccitt_pdf(
+        raw, k, cols, rows, byte_align=_BALIGN_RE.search(d) is not None
+    )
+    if gray is None:
+        return None
+    h, w = gray.shape
+    return encode_png(gray.tobytes(), w, h, channels=1)
 
 
 def _extract_pdf_jpegs(b: bytes):
-    """JPEG byte payloads of the ``/Subtype /Image`` XObjects whose
-    FINAL filter is ``/DCTDecode`` — the stored stream data IS a
-    baseline JPEG (ASCII transport wrappers before it are unwound).
-    Returns a list (possibly empty); None when the bytes aren't a PDF.
-    Never raises."""
+    """Image payloads of the ``/Subtype /Image`` XObjects: streams
+    whose FINAL filter is ``/DCTDecode`` yield their raw bytes (the
+    stored data IS a baseline JPEG; ASCII transport wrappers before it
+    are unwound), and ``/CCITTFaxDecode`` streams — scanned fax pages —
+    decode through :mod:`operators.ccitt` and re-emit as grayscale PNG
+    so they enter the same media contract.  Returns a list (possibly
+    empty); None when the bytes aren't a PDF.  Never raises."""
     try:
         if b[:5] != b"%PDF-":
             return None
@@ -897,12 +930,16 @@ def _extract_pdf_jpegs(b: bytes):
                 if m.group("arr") is not None
                 else [m.group("one")]
             )
-            if not names or names[-1] not in (b"/DCTDecode", b"/DCT"):
+            is_dct = names and names[-1] in (b"/DCTDecode", b"/DCT")
+            is_ccitt = names and names[-1] in (
+                b"/CCITTFaxDecode", b"/CCF"
+            )
+            if not (is_dct or is_ccitt):
                 continue
             raw = _stream_raw(b, d, start)
             if decrypt is not None and raw is not None:
                 raw = decrypt(d, start, raw)
-            for name in names[:-1]:  # ascii wrappers ahead of the DCT
+            for name in names[:-1]:  # transport wrappers ahead
                 if raw is None:
                     break
                 if name in (b"/ASCIIHexDecode", b"/AHx"):
@@ -915,11 +952,23 @@ def _extract_pdf_jpegs(b: bytes):
                         raw = None
                 elif name in (b"/ASCII85Decode", b"/A85"):
                     raw = _ascii85_decode(raw)
+                elif name in (b"/FlateDecode", b"/Fl") and is_ccitt:
+                    try:
+                        raw = zlib.decompress(raw)
+                    except zlib.error:
+                        raw = None
                 else:
                     raw = None  # Flate-of-DCT etc.: not JPEG transport
-            if raw is None or raw[:2] != b"\xff\xd8":
-                continue  # decline: not actually JPEG data
-            out.append(raw)
+            if raw is None:
+                continue
+            if is_dct:
+                if raw[:2] != b"\xff\xd8":
+                    continue  # decline: not actually JPEG data
+                out.append(raw)
+            else:
+                png = _ccitt_to_png(raw, d)
+                if png is not None:
+                    out.append(png)
         return out
     except Exception:
         return None
