@@ -2494,8 +2494,15 @@ def _make_tiff_raster_decoder():
                     data = _lzw_decode(data)
                 elif comp == 32773:
                     data = _packbits_decode(data)
+                elif comp in (8, 32946):  # Deflate (official + legacy)
+                    import zlib as _zlib
+
+                    try:
+                        data = _zlib.decompress(data)
+                    except _zlib.error:
+                        return None
                 elif comp != 1:
-                    return None  # JPEG-in-TIFF, deflate, …: decline
+                    return None  # JPEG-in-TIFF, JBIG, …: decline
                 if data is None:
                     return None
                 if bilevel:

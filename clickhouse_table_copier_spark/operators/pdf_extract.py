@@ -330,11 +330,37 @@ def _apply_filters(raw: bytes, d: bytes):
                 return None
         elif name in (b"/ASCII85Decode", b"/A85"):
             raw = _ascii85_decode(raw)
+        elif name in (b"/RunLengthDecode", b"/RL"):
+            raw = _runlength_decode(raw)
         else:
-            return None  # DCT/CCITT/JBIG2/crypt: the documented seam
+            return None  # DCT/JBIG2/JPX text streams: documented seam
         if raw is None:
             return None
     return raw
+
+
+def _runlength_decode(data: bytes):
+    """RunLengthDecode (the PackBits byte coding): length byte 0-127 =
+    literal run of length+1, 129-255 = repeat next byte 257-length
+    times, 128 = EOD.  Returns None on malformed input."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c == 128:
+            return bytes(out)
+        if c < 128:
+            if i + c + 1 > n:
+                return None
+            out += data[i : i + c + 1]
+            i += c + 1
+        else:
+            if i >= n:
+                return None
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+    return bytes(out)
 
 _XREF_TYPE_RE = re.compile(rb"/Type\s*/XRef(?![A-Za-z])")
 

@@ -603,3 +603,54 @@ def responses_to_media(warc_df: DataFrame, kind: str = "image") -> DataFrame:
             )
         ).alias("meta_json"),
     )
+
+
+def conversions_to_documents(warc_df: DataFrame) -> DataFrame:
+    """conversion records → ``(doc_id, url, fetched_at, text)`` — the
+    Common Crawl **WET** shape, the single most common off-the-shelf
+    LLM-corpus input: WET shards are ordinary WARC files whose
+    ``WARC-Type: conversion`` records carry the crawl's PRE-EXTRACTED
+    plain text, so :func:`read_warc` / :func:`read_warc_stream` already
+    read them and this projection is the only missing piece.
+
+    Pure-Column (zero Python): WET text is UTF-8 by spec, and the CAST
+    (not ``decode()``) defers validation so a rogue non-UTF-8 byte
+    degrades to replacement characters instead of killing the job under
+    ANSI mode — the same ingest discipline as
+    :func:`responses_to_documents`'s fast path.  A UTF-8 BOM, present
+    on a small fraction of real WET records, is stripped.
+
+    doc_id = deterministic xxhash64 of (warc_file, record_idx), the
+    same provenance rule every other WARC projection uses, so a page's
+    WET text and its raw ``response`` twin (when both shards are read)
+    get DIFFERENT ids — they are different artifacts of the same fetch,
+    joinable on ``url`` + ``fetched_at``."""
+    from pyspark.sql import functions as F
+
+    text = F.col("payload").cast("string")
+    return warc_df.where(F.col("warc_type") == "conversion").select(
+        F.xxhash64("warc_file", "record_idx").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("warc_date").alias("fetched_at"),
+        F.when(
+            text.startswith("\ufeff"), F.substring(text, 2, 2147483647)
+        ).otherwise(text).alias("text"),
+    )
+
+
+def metadata_to_records(warc_df: DataFrame) -> DataFrame:
+    """metadata records → ``(doc_id, url, fetched_at, meta_json)`` —
+    the Common Crawl **WAT** shape: ``WARC-Type: metadata`` records
+    whose payload is one JSON envelope per fetched page (headers, link
+    graph, title).  The JSON stays a STRING column here — callers pick
+    fields with ``get_json_object``/``from_json`` and Spark prunes the
+    parse to just those paths; eagerly parsing the whole envelope would
+    materialize the biggest JSON blob in the crawl for every row."""
+    from pyspark.sql import functions as F
+
+    return warc_df.where(F.col("warc_type") == "metadata").select(
+        F.xxhash64("warc_file", "record_idx").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("warc_date").alias("fetched_at"),
+        F.col("payload").cast("string").alias("meta_json"),
+    )

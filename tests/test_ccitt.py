@@ -224,3 +224,35 @@ def test_encrypted_pdf_ccitt_image_unwraps():
 def test_pdf_ccitt_malformed_declines():
     got = _extract_pdf_jpegs(_ccitt_xobject_pdf(b"\xff\xff\xff", 64, 32))
     assert got == []
+
+
+def test_tiff_deflate_compression():
+    """Compression 8 (official Deflate) and 32946 (legacy code):
+    zlib-compressed strips of a gray-8 image decode exactly."""
+    import zlib
+
+    gray = (np.arange(16 * 20, dtype=np.uint8)).reshape(16, 20)
+    for comp in (8, 32946):
+        payload = zlib.compress(gray.tobytes())
+        entries = [
+            (256, 4, 1, 20), (257, 4, 1, 16), (258, 3, 1, 8),
+            (259, 3, 1, comp), (262, 3, 1, 1), (273, 4, 1, 0),
+            (277, 3, 1, 1), (278, 4, 1, 16), (279, 4, 1, len(payload)),
+        ]
+        data_off = 8 + 2 + 12 * len(entries) + 4
+        out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+        out += struct.pack("<H", len(entries))
+        for tag, typ, cnt, val in entries:
+            if tag == 273:
+                val = data_off
+            out += struct.pack("<HHI", tag, typ, cnt)
+            out += (
+                struct.pack("<I", val)
+                if typ == 4
+                else struct.pack("<HH", val, 0)
+            )
+        out += struct.pack("<I", 0)
+        out += payload
+        got = _make_tiff_raster_decoder()(bytes(out))
+        assert got is not None
+        assert np.array_equal(got[3][:, :, 0], gray)

@@ -760,3 +760,31 @@ def test_inline_dct_image_extracts_jpeg():
         + b" ID " + jpeg + b" EI"
     )
     assert _extract_pdf_jpegs(make_pdf([content2])) == [jpeg]
+
+
+def test_runlength_filter_decodes():
+    """/RunLengthDecode (PackBits byte coding) content streams extract
+    their text, alone and chained behind ASCIIHex."""
+    from clickhouse_table_copier_spark.operators.pdf_extract import (
+        _runlength_decode,
+    )
+
+    content = b"BT /F1 12 Tf (Run length prose.) Tj ET"
+    # encode: literal runs only (length-1 prefix)
+    rl = b""
+    for i in range(0, len(content), 100):
+        chunk = content[i : i + 100]
+        rl += bytes([len(chunk) - 1]) + chunk
+    rl += b"\x80"  # EOD
+    assert _runlength_decode(rl) == content
+    # repeat-run form
+    assert _runlength_decode(bytes([257 - 5, ord("x"), 0x80])) == b"xxxxx"
+    pdf = _pdf_with_stream(b"/Filter /RunLengthDecode", rl)
+    got = _extract_pdf(pdf)
+    assert got is not None and "Run length prose." in (got[1] or "")
+    hexed = rl.hex().encode()
+    pdf2 = _pdf_with_stream(
+        b"/Filter [/ASCIIHexDecode /RunLengthDecode]", hexed + b">"
+    )
+    got2 = _extract_pdf(pdf2)
+    assert got2 is not None and "Run length prose." in (got2[1] or "")

@@ -558,3 +558,94 @@ def test_chunked_salvage_and_fallback(spark, tmp_path):
     }
     assert rows["https://a.example/trunc"].startswith(b"<p>salvaged")
     assert rows["https://a.example/malformed"] == malformed
+
+
+def test_wet_conversion_records_project_to_documents(spark, tmp_path):
+    """Common Crawl WET shards are WARC files of 'conversion' records
+    carrying pre-extracted plain text — the projection must yield the
+    text verbatim (UTF-8, BOM stripped) and skip every other type."""
+    from clickhouse_table_copier_spark.sources.warc import (
+        conversions_to_documents,
+    )
+
+    wet = [
+        _record(
+            {"WARC-Type": "warcinfo", "WARC-Date": "2026-08-15T00:00:00Z"},
+            b"software: wet-writer",
+        ),
+        _record(
+            {
+                "WARC-Type": "conversion",
+                "WARC-Target-URI": "https://example.com/page",
+                "WARC-Date": "2026-08-15T00:00:02Z",
+                "Content-Type": "text/plain",
+            },
+            "Extracted prose, already text.\nSecond line — naïve café.".encode(),
+        ),
+        _record(
+            {
+                "WARC-Type": "conversion",
+                "WARC-Target-URI": "https://example.com/bom",
+                "WARC-Date": "2026-08-15T00:00:03Z",
+                "Content-Type": "text/plain",
+            },
+            "﻿BOM-prefixed text survives without the BOM.".encode(),
+        ),
+    ]
+    with open(os.path.join(str(tmp_path), "c.warc"), "wb") as f:
+        f.write(b"".join(wet))
+    docs = {
+        r["url"]: r
+        for r in conversions_to_documents(
+            read_warc(spark, str(tmp_path))
+        ).collect()
+    }
+    assert set(docs) == {"https://example.com/page", "https://example.com/bom"}
+    assert (
+        docs["https://example.com/page"]["text"]
+        == "Extracted prose, already text.\nSecond line — naïve café."
+    )
+    assert (
+        docs["https://example.com/bom"]["text"]
+        == "BOM-prefixed text survives without the BOM."
+    )
+    assert docs["https://example.com/page"]["doc_id"] is not None
+
+
+def test_wat_metadata_records_project_to_json(spark, tmp_path):
+    """WAT shards: 'metadata' records carry one JSON envelope per
+    page; the projection keeps it a string for get_json_object
+    pruning."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_table_copier_spark.sources.warc import (
+        metadata_to_records,
+    )
+
+    wat = [
+        _record(
+            {
+                "WARC-Type": "metadata",
+                "WARC-Target-URI": "https://example.com/page",
+                "WARC-Date": "2026-08-15T00:00:02Z",
+                "Content-Type": "application/json",
+            },
+            b'{"Envelope": {"WARC-Header-Length": "238", '
+            b'"Payload-Metadata": {"Title": "A Page"}}}',
+        ),
+    ]
+    with open(os.path.join(str(tmp_path), "d.warc"), "wb") as f:
+        f.write(b"".join(wat))
+    got = (
+        metadata_to_records(read_warc(spark, str(tmp_path)))
+        .select(
+            "url",
+            F.get_json_object(
+                "meta_json", "$.Envelope.Payload-Metadata.Title"
+            ).alias("title"),
+        )
+        .collect()
+    )
+    assert len(got) == 1
+    assert got[0]["url"] == "https://example.com/page"
+    assert got[0]["title"] == "A Page"
