@@ -1,0 +1,146 @@
+"""JSON-Lines corpus source — the format public LLM corpora ship in.
+
+Dolma, RedPajama, SlimPajama, The Pile and most HuggingFace text
+datasets distribute as ``*.jsonl`` shards compressed with zstd (and
+sometimes gzip/xz/bz2).  :func:`read_jsonl` reads a directory of such
+shards into one row per line:
+
+    (source_file, line_idx, value)
+
+``value`` stays a STRING column — callers pick fields with
+``get_json_object``/``from_json`` so Spark prunes the JSON parse to
+the requested paths (the same discipline as the WAT reader); a typical
+corpus line carries a dozen metadata fields next to ``text``, and
+eagerly parsing all of them for every row is the classic ingest
+mistake.  :func:`jsonl_to_documents` is the one-liner projection onto
+the engine's ``documents`` shape.
+
+Compression is detected by MAGIC, not filename: zstd (pure-Python RFC
+8878 decoder, :mod:`sources.zstd` — nothing else in this container
+reads zstd), gzip / xz / bz2 (stdlib), plain text otherwise.  A shard
+that fails to decompress yields zero rows (decline per shard, never
+fail the task — mirrors the WARC readers' salvage contract).
+
+Scale shape (100 TB): one shard per task via ``binaryFile``,
+decompress + line-split inside the Arrow-batched ``mapInPandas`` edge;
+compressed bytes never shuffle, and downstream sees only the projected
+columns.  Whole-shard residency is the documented floor (corpus shards
+are sized ~100-500 MB compressed for exactly this access pattern).
+
+Reference parity: none — north-star LLM-pipeline surface (SURVEY.md
+§2.8); the reference engine reads SQL tables only.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+JSONL_SCHEMA = T.StructType(
+    [
+        T.StructField("source_file", T.StringType()),
+        T.StructField("line_idx", T.LongType()),
+        T.StructField("value", T.StringType()),
+    ]
+)
+
+
+def _decompress_shard(raw: bytes):
+    """Shard bytes → text bytes by magic; None = undecodable shard."""
+    try:
+        if raw[:4] == b"\x28\xb5\x2f\xfd" or (
+            len(raw) >= 4
+            and 0x50 <= raw[0] <= 0x5F
+            and raw[1:4] == b"\x2a\x4d\x18"
+        ):
+            from clickhouse_table_copier_spark.sources.zstd import (
+                decompress,
+            )
+
+            return decompress(raw)
+        if raw[:2] == b"\x1f\x8b":
+            import gzip
+
+            return gzip.decompress(raw)
+        if raw[:6] == b"\xfd7zXZ\x00":
+            import lzma
+
+            return lzma.decompress(raw)
+        if raw[:3] == b"BZh":
+            import bz2
+
+            return bz2.decompress(raw)
+        return raw
+    except Exception:
+        return None
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, batch_lines: int = 4096
+) -> DataFrame:
+    """JSONL shards under ``path`` (plain / .gz / .zst / .xz / .bz2,
+    detected by magic) → one row per non-empty line."""
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                raw = _decompress_shard(bytes(content))
+                if raw is None:
+                    continue  # undecodable shard: zero rows, not a fail
+                text = raw.decode("utf-8", "replace")
+                if text[:1] == "\ufeff":
+                    text = text[1:]
+                buf_f, buf_i, buf_v = [], [], []
+                for i, line in enumerate(text.split("\n")):
+                    if not line or line.isspace():
+                        continue
+                    buf_f.append(path_)
+                    buf_i.append(i)
+                    buf_v.append(line)
+                    if len(buf_v) >= batch_lines:
+                        yield pd.DataFrame(
+                            {
+                                "source_file": buf_f,
+                                "line_idx": buf_i,
+                                "value": buf_v,
+                            }
+                        )
+                        buf_f, buf_i, buf_v = [], [], []
+                if buf_v:
+                    yield pd.DataFrame(
+                        {
+                            "source_file": buf_f,
+                            "line_idx": buf_i,
+                            "value": buf_v,
+                        }
+                    )
+
+    shards = spark.read.format("binaryFile").load(path)
+    return shards.select("path", "content").mapInPandas(
+        expand, JSONL_SCHEMA
+    )
+
+
+def jsonl_to_documents(
+    df: DataFrame, text_field: str = "text", id_field: str | None = None
+) -> DataFrame:
+    """JSONL rows → the engine's ``documents`` shape: ``(doc_id, text,
+    source)``.  doc_id comes from ``id_field`` when the corpus carries
+    one (hashed to int64), else deterministically from (source_file,
+    line_idx).  Pure-Column: the JSON parse is pruned to the requested
+    paths by ``get_json_object``."""
+    if id_field is not None:
+        doc_id = F.xxhash64(
+            F.get_json_object("value", f"$.{id_field}")
+        )
+    else:
+        doc_id = F.xxhash64("source_file", "line_idx")
+    return df.select(
+        doc_id.alias("doc_id"),
+        F.get_json_object("value", f"$.{text_field}").alias("text"),
+        F.col("source_file").alias("source"),
+    )

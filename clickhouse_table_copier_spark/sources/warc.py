@@ -317,6 +317,24 @@ def _make_shard_expander(batch_records: int):
                 raw = bytes(content)
                 if raw[:2] == b"\x1f\x8b":
                     records = _gzip_members(raw)
+                elif raw[:4] == b"\x28\xb5\x2f\xfd" or (
+                    len(raw) >= 4
+                    and 0x50 <= raw[0] <= 0x5F
+                    and raw[1:4] == b"\x2a\x4d\x18"
+                ):
+                    # .warc.zst (zstd magic, or a leading skippable
+                    # frame): pure-Python RFC 8878 decode, then the
+                    # plain Content-Length walk; dictionary-bearing
+                    # shards decline this shard, not the task
+                    from clickhouse_table_copier_spark.sources.zstd import (
+                        ZstdError,
+                        decompress,
+                    )
+
+                    try:
+                        records = _split_records(decompress(raw))
+                    except ZstdError:
+                        records = iter(())
                 else:
                     records = _split_records(raw)
                 yield from _record_batches(path_, records, batch_records)

@@ -1,0 +1,665 @@
+"""Zstandard (RFC 8878) decompression — pure Python, zero dependencies.
+
+``.jsonl.zst`` is the de-facto distribution format of public LLM
+corpora (Dolma, RedPajama, SlimPajama, The Pile mirrors all ship it),
+and ``.warc.zst`` shards exist in the wild — but this container has no
+zstd module, so until this round every such corpus was unreadable.
+This module implements the zstd FRAME format from the public RFC:
+
+- frame header (window descriptor, single-segment, dictionary id,
+  frame content size), skippable frames, multi-frame concatenation;
+- raw / RLE / compressed blocks;
+- literals: raw, RLE, Huffman-compressed (single- and four-stream,
+  FSE-compressed or direct weights) and treeless (table reuse);
+- sequences: predefined / RLE / FSE-compressed / repeat table modes
+  for literal-length, offset and match-length codes, the backward
+  bitstream, interleaved two-state FSE for Huffman weights,
+  three-state sequence decoding, and the full repeat-offset logic
+  (including the literals-length-0 shift and the ``rep1 - 1`` case);
+- offsets resolve against the in-frame history window (sequences can
+  reference bytes from earlier blocks).
+
+Out of scope (decline, never fabricate): external dictionaries
+(``Dictionary_ID`` ≠ 0 raises ``ZstdError``) and content-checksum
+verification (xxhash64 trailer is skipped, not checked).
+
+Correctness pins (tests/test_zstd_golden.py): fixtures minted OFFLINE
+by the system ``zstd`` CLI v1.5.7 (an INDEPENDENT implementation, the
+reference encoder itself) across compression levels 1/3/19/22 and
+shapes chosen to force every section type — RLE blocks, four-stream
+Huffman, treeless reuse, repeat-mode FSE, long-offset matches.  Any
+table-construction or bitstream misreading disagrees with the
+reference encoder immediately.
+
+Scale shape (100 TB): decompression runs inside Arrow-batched
+``mapInPandas`` ingest edges (:func:`sources.jsonl.read_jsonl`
+and the WARC readers) — compressed bytes never shuffle; each task
+holds one member/frame at a time.  Pure-Python throughput is the
+documented trade (a real deployment swaps in the zstd C binding
+through the SAME one-function seam: ``decompress(data) -> bytes``).
+
+Reference parity: none — north-star LLM-pipeline surface (SURVEY.md
+§2.8); the reference engine reads SQL tables only.
+"""
+
+from __future__ import annotations
+
+_MAGIC = 0xFD2FB528
+_SKIP_MAGIC_LO = 0x184D2A50  # .. 0x184D2A5F
+
+
+class ZstdError(ValueError):
+    """Malformed or unsupported zstd data."""
+
+
+class _BackBits:
+    """The zstd BACKWARD bitstream: bits were written LSB-first and
+    the stream is read from the END, after stripping the final-byte
+    padding (everything above the highest set bit, which is itself a
+    sentinel).  ``read(n)`` returns the next n bits (the value the
+    encoder wrote); reading past the start zero-pads low bits, as the
+    reference bit reader does — callers check ``overflowed``."""
+
+    __slots__ = ("b", "bitpos", "overflowed")
+
+    def __init__(self, b: bytes):
+        if not b:
+            raise ZstdError("empty bitstream")
+        last = b[-1]
+        if last == 0:
+            raise ZstdError("bitstream padding byte is zero")
+        self.b = b
+        # position of the sentinel bit = total usable bits
+        self.bitpos = (len(b) - 1) * 8 + last.bit_length() - 1
+        self.overflowed = False
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        pos = self.bitpos - n
+        if pos < 0:
+            # zero-pad below the start (reference-reader semantics)
+            self.overflowed = True
+            got = self._bits(0, self.bitpos) if self.bitpos > 0 else 0
+            self.bitpos = pos
+            return (got << (-pos)) & ((1 << n) - 1)
+        self.bitpos = pos
+        return self._bits(pos, n)
+
+    def _bits(self, pos: int, n: int) -> int:
+        byte = pos >> 3
+        end = (pos + n + 7) >> 3
+        window = int.from_bytes(self.b[byte:end], "little")
+        return (window >> (pos & 7)) & ((1 << n) - 1)
+
+    def exhausted(self) -> bool:
+        return self.bitpos <= 0
+
+
+# ----------------------------------------------------------------- FSE
+
+
+def _fse_build(norm: list, accuracy_log: int):
+    """FSE decoding table from normalized counts (may include -1
+    less-than-one probabilities).  Returns list of (symbol, nbits,
+    baseline) indexed by state."""
+    size = 1 << accuracy_log
+    symbols = [0] * size
+    high = size - 1
+    counts = list(norm)
+    for s, c in enumerate(counts):
+        if c == -1:
+            symbols[high] = s
+            high -= 1
+            counts[s] = 1
+    pos = 0
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    for s, c in enumerate(norm):
+        if c <= 0:
+            continue
+        for _ in range(c):
+            symbols[pos] = s
+            pos = (pos + step) & mask
+            while pos > high:
+                pos = (pos + step) & mask
+    if pos != 0:
+        raise ZstdError("FSE table spread did not close")
+    nxt = list(counts)
+    table = [None] * size
+    for i in range(size):
+        s = symbols[i]
+        x = nxt[s]
+        nxt[s] = x + 1
+        nbits = accuracy_log - (x.bit_length() - 1)
+        table[i] = (s, nbits, (x << nbits) - size)
+    return table
+
+
+def _fse_read_table(data: bytes, pos: int, max_log: int, max_sym: int):
+    """Parse an FSE table description (forward bitstream, §4.1.1) →
+    (norm counts, accuracy_log, bytes consumed).  Mirrors the
+    reference ``FSE_readNCount`` exactly: per-symbol probabilities use
+    the shrinking-threshold small/large encoding, value 0 maps to the
+    −1 less-than-one probability, and a zero probability arms the
+    2-bit zero-repeat mode."""
+    bitpos = 0
+
+    def take(n):
+        nonlocal bitpos
+        if n == 0:
+            return 0
+        byte = (pos * 8 + bitpos) >> 3
+        end = (pos * 8 + bitpos + n + 7) >> 3
+        if end > len(data):
+            raise ZstdError("FSE table description overruns input")
+        window = int.from_bytes(data[byte:end], "little")
+        v = (window >> ((pos * 8 + bitpos) & 7)) & ((1 << n) - 1)
+        bitpos += n
+        return v
+
+    al = take(4) + 5
+    if al > max_log:
+        raise ZstdError("FSE accuracy log too large")
+    remaining = (1 << al) + 1
+    threshold = 1 << al
+    nb = al + 1
+    norm: list = []
+    prev0 = False
+    while remaining > 1:
+        if len(norm) > max_sym:
+            raise ZstdError("too many FSE symbols")
+        if prev0:
+            while True:
+                rep = take(2)
+                norm.extend([0] * rep)
+                if len(norm) > max_sym + 1:
+                    raise ZstdError("zero-repeat overruns symbols")
+                if rep != 3:
+                    break
+            prev0 = False
+            continue
+        mx = (2 * threshold - 1) - remaining
+        low = take(nb - 1)
+        if low < mx:
+            count = low
+        else:
+            hi = take(1)
+            full = low | (hi << (nb - 1))
+            count = full - mx if full >= threshold else full
+        count -= 1  # 0 encodes the -1 less-than-one probability
+        remaining -= 1 if count < 0 else count
+        norm.append(count)
+        if count == 0:
+            prev0 = True
+        while remaining > 1 and remaining < threshold:
+            threshold >>= 1
+            nb -= 1
+    if remaining != 1 or len(norm) > max_sym + 1:
+        raise ZstdError("corrupt FSE normalized counts")
+    return norm, al, (bitpos + 7) // 8
+
+
+# ------------------------------------------------------------- Huffman
+
+
+def _huffman_weights(data: bytes, pos: int):
+    """Huffman tree description → (weights list incl. the implied last
+    symbol, bytes consumed)."""
+    hb = data[pos]
+    pos0 = pos
+    pos += 1
+    if hb >= 128:  # direct representation: hb-127 weights, 4 bits each
+        n = hb - 127
+        nbytes = (n + 1) // 2
+        if pos + nbytes > len(data):
+            raise ZstdError("huffman weights overrun")
+        weights = []
+        for i in range(n):
+            b = data[pos + i // 2]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 15))
+        pos += nbytes
+    else:  # FSE-compressed weights, hb = compressed size
+        if pos + hb > len(data):
+            raise ZstdError("huffman weight stream overrun")
+        payload = data[pos : pos + hb]
+        norm, al, consumed = _fse_read_table(payload, 0, 6, 255)
+        table = _fse_build(norm, al)
+        rdr = _BackBits(payload[consumed:])
+        s1 = rdr.read(al)
+        s2 = rdr.read(al)
+        weights = []
+        # interleaved two-state decode until the stream exhausts
+        while len(weights) < 256:
+            sym, nbits, base = table[s1]
+            weights.append(sym)
+            if rdr.bitpos < nbits:
+                weights.append(table[s2][0])
+                break
+            s1 = base + rdr.read(nbits)
+            s1, s2 = s2, s1
+        pos += hb
+    # implied final weight: totals must close to a power of two
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    if total == 0:
+        raise ZstdError("huffman weights sum to zero")
+    # smallest power of two STRICTLY above the partial total — the
+    # implied last weight fills the gap
+    table_log = total.bit_length()
+    rest = (1 << table_log) - total
+    if rest & (rest - 1):
+        raise ZstdError("huffman weights remainder not a power of two")
+    weights.append(rest.bit_length())
+    if table_log > 11:
+        raise ZstdError("huffman table log too large")
+    return weights, table_log, pos - pos0
+
+
+def _huffman_table(weights: list, table_log: int):
+    """Decode table: 1 << table_log entries of (symbol, nbits).  Filled
+    in ascending weight order (longest codes at the low indices),
+    symbols in natural order within a weight class — the reference
+    canonical layout."""
+    size = 1 << table_log
+    table = [None] * size
+    rank_count = [0] * (table_log + 2)
+    for w in weights:
+        rank_count[w] += 1
+    rank_start = [0] * (table_log + 2)
+    acc = 0
+    for w in range(1, table_log + 2):
+        rank_start[w] = acc
+        acc += rank_count[w] << (w - 1)
+    if acc != size:
+        raise ZstdError("huffman table does not fill")
+    for sym, w in enumerate(weights):
+        if w == 0:
+            continue
+        span = 1 << (w - 1)
+        start = rank_start[w]
+        nbits = table_log + 1 - w
+        for i in range(start, start + span):
+            table[i] = (sym, nbits)
+        rank_start[w] += span
+    return table
+
+
+def _huffman_stream(data: bytes, table, table_log: int, out_len: int):
+    """One Huffman-coded literal stream (backward bits) → bytes."""
+    rdr = _BackBits(data)
+    out = bytearray()
+    mask = (1 << table_log) - 1
+    while len(out) < out_len:
+        if rdr.bitpos <= 0:
+            raise ZstdError("huffman stream exhausted early")
+        # peek table_log bits (zero-padded past the start)
+        pos = rdr.bitpos - table_log
+        if pos >= 0:
+            v = rdr._bits(pos, table_log)
+        else:
+            v = (rdr._bits(0, rdr.bitpos) << (-pos)) & mask
+        sym, nbits = table[v]
+        out.append(sym)
+        rdr.bitpos -= nbits
+    return bytes(out)
+
+
+# ------------------------------------------ predefined sequence tables
+
+_LL_DEFAULT = [
+    4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2, 2, 2, 2, 2, 2,
+    2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1,
+]
+_ML_DEFAULT = [
+    1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, -1, -1, -1, -1, -1, -1, -1,
+]
+_OF_DEFAULT = [
+    1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, -1, -1, -1, -1, -1,
+]
+
+_LL_BASE = (
+    [(i, 0) for i in range(16)]
+    + [
+        (16, 1), (18, 1), (20, 1), (22, 1), (24, 2), (28, 2), (32, 3),
+        (40, 3), (48, 4), (64, 6), (128, 7), (256, 8), (512, 9),
+        (1024, 10), (2048, 11), (4096, 12), (8192, 13), (16384, 14),
+        (32768, 15), (65536, 16),
+    ]
+)
+_ML_BASE = (
+    [(i + 3, 0) for i in range(32)]
+    + [
+        (35, 1), (37, 1), (39, 1), (41, 1), (43, 2), (47, 2), (51, 3),
+        (59, 3), (67, 4), (83, 4), (99, 5), (131, 7), (259, 8),
+        (515, 9), (1027, 10), (2051, 11), (4099, 12), (8195, 13),
+        (16387, 14), (32771, 15), (65539, 16),
+    ]
+)
+
+_MODE_PREDEFINED, _MODE_RLE, _MODE_FSE, _MODE_REPEAT = 0, 1, 2, 3
+_MAX_LOG = {"ll": 9, "of": 8, "ml": 9}
+_MAX_SYM = {"ll": 35, "of": 31, "ml": 52}
+_DEFAULTS = {
+    "ll": (_LL_DEFAULT, 6),
+    "of": (_OF_DEFAULT, 5),
+    "ml": (_ML_DEFAULT, 6),
+}
+
+
+class _FrameState:
+    """Cross-block state within one frame: repeat offsets, the last
+    Huffman table (treeless literals) and the last FSE tables
+    (repeat sequence mode)."""
+
+    def __init__(self):
+        self.reps = [1, 4, 8]
+        self.huff = None  # (table, table_log)
+        self.fse = {"ll": None, "of": None, "ml": None}
+
+
+def _decode_literals(block: bytes, pos: int, st: _FrameState):
+    """Literals section → (literals bytes, new position)."""
+    b0 = block[pos]
+    ltype = b0 & 3
+    sf = (b0 >> 2) & 3
+    if ltype in (0, 1):  # Raw / RLE
+        if sf in (0, 2):
+            size = b0 >> 3
+            pos += 1
+        elif sf == 1:
+            size = (b0 >> 4) | (block[pos + 1] << 4)
+            pos += 2
+        else:
+            size = (
+                (b0 >> 4)
+                | (block[pos + 1] << 4)
+                | (block[pos + 2] << 12)
+            )
+            pos += 3
+        if ltype == 0:
+            lit = block[pos : pos + size]
+            if len(lit) < size:
+                raise ZstdError("raw literals overrun")
+            return bytes(lit), pos + size
+        return bytes([block[pos]]) * size, pos + 1
+    # Compressed (2) / Treeless (3)
+    if sf == 0:
+        h = int.from_bytes(block[pos : pos + 3], "little")
+        regen = (h >> 4) & 0x3FF
+        comp = (h >> 14) & 0x3FF
+        pos += 3
+        streams = 1
+    elif sf == 1:
+        h = int.from_bytes(block[pos : pos + 3], "little")
+        regen = (h >> 4) & 0x3FF
+        comp = (h >> 14) & 0x3FF
+        pos += 3
+        streams = 4
+    elif sf == 2:
+        h = int.from_bytes(block[pos : pos + 4], "little")
+        regen = (h >> 4) & 0x3FFF
+        comp = (h >> 18) & 0x3FFF
+        pos += 4
+        streams = 4
+    else:
+        h = int.from_bytes(block[pos : pos + 5], "little")
+        regen = (h >> 4) & 0x3FFFF
+        comp = (h >> 22) & 0x3FFFF
+        pos += 5
+        streams = 4
+    payload = block[pos : pos + comp]
+    if len(payload) < comp:
+        raise ZstdError("literal payload overrun")
+    ppos = 0
+    if ltype == 2:
+        weights, table_log, consumed = _huffman_weights(payload, 0)
+        st.huff = (_huffman_table(weights, table_log), table_log)
+        ppos = consumed
+    if st.huff is None:
+        raise ZstdError("treeless literals with no previous table")
+    table, table_log = st.huff
+    if streams == 1:
+        lit = _huffman_stream(payload[ppos:], table, table_log, regen)
+    else:
+        if comp - ppos < 6:
+            raise ZstdError("four-stream jump table overrun")
+        s1 = int.from_bytes(payload[ppos : ppos + 2], "little")
+        s2 = int.from_bytes(payload[ppos + 2 : ppos + 4], "little")
+        s3 = int.from_bytes(payload[ppos + 4 : ppos + 6], "little")
+        ppos += 6
+        part = (regen + 3) // 4
+        sizes = [part, part, part, regen - 3 * part]
+        if sizes[3] < 0:
+            raise ZstdError("negative fourth-stream size")
+        bounds = [ppos, ppos + s1, ppos + s1 + s2, ppos + s1 + s2 + s3,
+                  comp]
+        chunks = []
+        for i in range(4):
+            seg = payload[bounds[i] : bounds[i + 1]]
+            chunks.append(
+                _huffman_stream(seg, table, table_log, sizes[i])
+            )
+        lit = b"".join(chunks)
+    if len(lit) != regen:
+        raise ZstdError("literal regeneration size mismatch")
+    return lit, pos + comp
+
+
+def _seq_table(kind: str, mode: int, block: bytes, pos: int,
+               st: _FrameState):
+    """One sequence-code table per the compression-modes byte →
+    ((table, accuracy_log), new position)."""
+    if mode == _MODE_PREDEFINED:
+        norm, al = _DEFAULTS[kind]
+        got = (_fse_build(norm, al), al)
+    elif mode == _MODE_RLE:
+        sym = block[pos]
+        pos += 1
+        got = ([(sym, 0, 0)], 0)
+    elif mode == _MODE_FSE:
+        norm, al, consumed = _fse_read_table(
+            block, pos, _MAX_LOG[kind], _MAX_SYM[kind]
+        )
+        pos += consumed
+        got = (_fse_build(norm, al), al)
+    else:
+        if st.fse[kind] is None:
+            raise ZstdError("repeat mode with no previous table")
+        got = st.fse[kind]
+    st.fse[kind] = got
+    return got, pos
+
+
+def _decode_block(block: bytes, st: _FrameState, history: bytearray):
+    """One compressed block → decompressed bytes (appended context in
+    ``history`` is readable for offsets)."""
+    lit, pos = _decode_literals(block, 0, st)
+    # sequences header
+    if pos >= len(block):
+        raise ZstdError("missing sequences section")
+    b0 = block[pos]
+    if b0 < 128:
+        nseq = b0
+        pos += 1
+    elif b0 < 255:
+        nseq = ((b0 - 128) << 8) | block[pos + 1]
+        pos += 2
+    else:
+        nseq = (
+            block[pos + 1] | (block[pos + 2] << 8)
+        ) + 0x7F00
+        pos += 3
+    if nseq == 0:
+        return bytes(lit)
+    modes = block[pos]
+    pos += 1
+    if modes & 3:
+        raise ZstdError("reserved sequence-mode bits set")
+    (ll_t, ll_al), pos = _seq_table("ll", (modes >> 6) & 3, block, pos, st)
+    (of_t, of_al), pos = _seq_table("of", (modes >> 4) & 3, block, pos, st)
+    (ml_t, ml_al), pos = _seq_table("ml", (modes >> 2) & 3, block, pos, st)
+    rdr = _BackBits(block[pos:])
+    ll_state = rdr.read(ll_al)
+    of_state = rdr.read(of_al)
+    ml_state = rdr.read(ml_al)
+    out = bytearray()
+    lit_pos = 0
+    reps = st.reps
+    for i in range(nseq):
+        of_code = of_t[of_state][0]
+        if of_code > 31:
+            raise ZstdError("offset code too large")
+        of_value = (1 << of_code) + rdr.read(of_code)
+        ml_code = ml_t[ml_state][0]
+        ml_base, ml_bits = _ML_BASE[ml_code]
+        ml = ml_base + rdr.read(ml_bits)
+        ll_code = ll_t[ll_state][0]
+        ll_base, ll_bits = _LL_BASE[ll_code]
+        ll = ll_base + rdr.read(ll_bits)
+        if i + 1 < nseq:  # the last sequence skips state updates
+            s, nbits, base = ll_t[ll_state]
+            ll_state = base + rdr.read(nbits)
+            s, nbits, base = ml_t[ml_state]
+            ml_state = base + rdr.read(nbits)
+            s, nbits, base = of_t[of_state]
+            of_state = base + rdr.read(nbits)
+        # resolve the offset against the repeat codes
+        if of_value > 3:
+            offset = of_value - 3
+            reps[2] = reps[1]
+            reps[1] = reps[0]
+            reps[0] = offset
+        else:
+            idx = of_value - 1 + (1 if ll == 0 else 0)
+            if idx == 0:
+                offset = reps[0]
+            else:
+                offset = reps[1] if idx == 1 else (
+                    reps[2] if idx == 2 else reps[0] - 1
+                )
+                if offset == 0:
+                    raise ZstdError("zero repeat offset")
+                if idx >= 2:
+                    reps[2] = reps[1]
+                reps[1] = reps[0]
+                reps[0] = offset
+        if lit_pos + ll > len(lit):
+            raise ZstdError("literal run overruns literals")
+        out += lit[lit_pos : lit_pos + ll]
+        lit_pos += ll
+        # match copy from (history + out); overlapping matches copy in
+        # doubling chunks (each pass may source what the previous one
+        # just wrote — the RLE-extension semantics)
+        hl = len(history)
+        p0 = hl + len(out) - offset
+        if p0 < 0:
+            raise ZstdError("match offset before window start")
+        copied = 0
+        while copied < ml:
+            src = p0 + copied
+            avail = min(ml - copied, hl + len(out) - src)
+            if src >= hl:
+                out += out[src - hl : src - hl + avail]
+            elif src + avail <= hl:
+                out += history[src : src + avail]
+            else:
+                head = hl - src
+                out += history[src:]
+                out += out[: avail - head]
+            copied += avail
+    if rdr.overflowed:
+        raise ZstdError("sequence bitstream overread")
+    out += lit[lit_pos:]
+    return bytes(out)
+
+
+def decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
+    """Decompress a complete zstd input (one or more frames,
+    skippable frames allowed).  Raises :class:`ZstdError` on malformed
+    or out-of-scope input (external dictionaries)."""
+    pos = 0
+    outs = []
+    total = 0
+    try:
+        return _decompress_frames(data, max_output, outs, total)
+    except IndexError:
+        raise ZstdError("truncated zstd input") from None
+
+
+def _decompress_frames(data, max_output, outs, total):
+    pos = 0
+    while pos < len(data):
+        if len(data) - pos < 4:
+            raise ZstdError("truncated frame magic")
+        magic = int.from_bytes(data[pos : pos + 4], "little")
+        if (magic & 0xFFFFFFF0) == _SKIP_MAGIC_LO:
+            if len(data) - pos < 8:
+                raise ZstdError("truncated skippable frame")
+            size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+            pos += 8 + size
+            continue
+        if magic != _MAGIC:
+            raise ZstdError("bad zstd magic")
+        pos += 4
+        if pos >= len(data):
+            raise ZstdError("truncated frame header")
+        fhd = data[pos]
+        pos += 1
+        fcs_flag = fhd >> 6
+        single = (fhd >> 5) & 1
+        checksum = (fhd >> 2) & 1
+        did_flag = fhd & 3
+        if (fhd >> 3) & 1:
+            raise ZstdError("reserved frame-header bit set")
+        if not single:
+            pos += 1  # window descriptor (bound checked via blocks)
+        did_size = (0, 1, 2, 4)[did_flag]
+        if did_size:
+            did = int.from_bytes(data[pos : pos + did_size], "little")
+            if did != 0:
+                raise ZstdError("external dictionaries not supported")
+            pos += did_size
+        fcs_size = (1 if single else 0, 2, 4, 8)[fcs_flag]
+        if fcs_size:
+            pos += fcs_size
+        st = _FrameState()
+        history = bytearray()
+        while True:
+            if pos + 3 > len(data):
+                raise ZstdError("truncated block header")
+            bh = int.from_bytes(data[pos : pos + 3], "little")
+            pos += 3
+            last = bh & 1
+            btype = (bh >> 1) & 3
+            bsize = bh >> 3
+            if btype == 0:  # raw
+                chunk = data[pos : pos + bsize]
+                if len(chunk) < bsize:
+                    raise ZstdError("raw block overrun")
+                pos += bsize
+            elif btype == 1:  # RLE
+                chunk = bytes([data[pos]]) * bsize
+                pos += 1
+            elif btype == 2:
+                block = data[pos : pos + bsize]
+                if len(block) < bsize:
+                    raise ZstdError("compressed block overrun")
+                chunk = _decode_block(block, st, history)
+                pos += bsize
+            else:
+                raise ZstdError("reserved block type")
+            history += chunk
+            total += len(chunk)
+            if total > max_output:
+                raise ZstdError("output exceeds max_output bound")
+            if last:
+                break
+        outs.append(bytes(history))
+        if checksum:
+            if pos + 4 > len(data):
+                raise ZstdError("truncated content checksum")
+            pos += 4  # xxhash64 low 32 bits — skipped, not verified
+    return b"".join(outs)

@@ -1,0 +1,170 @@
+"""zstd behavior: the error contract (ZstdError, never another
+exception, never a hang, never fabricated output), the JSONL corpus
+source end-to-end through Spark, and the .warc.zst reader path.
+Exact-payload correctness against the reference encoder lives in
+tests/test_zstd_golden.py."""
+
+import bz2
+import gzip
+import lzma
+import os
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from clickhouse_table_copier_spark.sources.jsonl import (
+    jsonl_to_documents,
+    read_jsonl,
+)
+from clickhouse_table_copier_spark.sources.zstd import (
+    ZstdError,
+    decompress,
+)
+
+from tests.test_zstd_golden import JSONL_L22, TEXT_L3, WARC_ZST
+
+# ------------------------------------------------------------ contract
+
+
+def test_empty_input_is_empty_output():
+    assert decompress(b"") == b""
+
+
+def test_malformed_inputs_raise_zstderror_only():
+    for bad in (
+        b"\x00" * 8,
+        b"\x28\xb5\x2f\xfd",  # magic then nothing
+        b"\x28\xb5\x2f\xfd" + b"\xff" * 16,
+        TEXT_L3[: len(TEXT_L3) // 2],  # truncated mid-frame
+        TEXT_L3[:-3],  # truncated checksum
+    ):
+        with pytest.raises(ZstdError):
+            decompress(bad)
+
+
+def test_corrupt_payload_never_wrong_silently():
+    """Flipping bytes in the compressed body either still raises or,
+    when the damage lands in skipped trailer bytes, cannot change the
+    output (we only assert no NON-ZstdError escapes — decline, never
+    crash)."""
+    for i in range(8, len(JSONL_L22), 97):
+        mangled = bytearray(JSONL_L22)
+        mangled[i] ^= 0xFF
+        try:
+            decompress(bytes(mangled), max_output=1 << 24)
+        except ZstdError:
+            pass  # the expected outcome for most flips
+
+
+def test_max_output_bound():
+    with pytest.raises(ZstdError):
+        decompress(TEXT_L3, max_output=10)
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=80, deadline=None)
+def test_fuzz_only_zstderror(raw):
+    for prefix in (b"", b"\x28\xb5\x2f\xfd"):
+        try:
+            decompress(prefix + raw, max_output=1 << 22)
+        except ZstdError:
+            pass
+
+
+def test_dictionary_frames_decline():
+    # frame header declaring a 1-byte dictionary id of 7
+    hdr = (0xFD2FB528).to_bytes(4, "little") + bytes([0x01, 0x00, 0x07])
+    with pytest.raises(ZstdError):
+        decompress(hdr + b"\x01\x00\x00")
+
+
+# -------------------------------------------------- JSONL corpus source
+
+
+def _write_corpus(d: str):
+    lines1 = b'{"id": "a", "text": "alpha doc"}\n{"id": "b", "text": "beta doc"}\n'
+    lines2 = b'{"id": "c", "text": "gamma doc"}\n\n{"id": "d", "text": "delta doc"}\n'
+    lines3 = b'{"id": "e", "text": "epsilon doc"}\n'
+    with open(os.path.join(d, "s1.jsonl"), "wb") as f:
+        f.write(lines1)
+    with open(os.path.join(d, "s2.jsonl.gz"), "wb") as f:
+        f.write(gzip.compress(lines2))
+    with open(os.path.join(d, "s3.jsonl.xz"), "wb") as f:
+        f.write(lzma.compress(lines3))
+    with open(os.path.join(d, "s4.jsonl.bz2"), "wb") as f:
+        f.write(bz2.compress(b'{"id": "f", "text": "zeta doc"}\n'))
+    # an undecodable shard: must yield zero rows, not fail the job
+    with open(os.path.join(d, "bad.jsonl.gz"), "wb") as f:
+        f.write(b"\x1f\x8b garbage that is not a gzip stream")
+
+
+def test_read_jsonl_mixed_compressions(spark, tmp_path):
+    _write_corpus(str(tmp_path))
+    rows = read_jsonl(spark, str(tmp_path)).collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(os.path.basename(r["source_file"]), []).append(r)
+    assert sorted(by_file) == [
+        "s1.jsonl", "s2.jsonl.gz", "s3.jsonl.xz", "s4.jsonl.bz2"
+    ]
+    assert len(by_file["s1.jsonl"]) == 2
+    # blank line skipped, line_idx preserves the ORIGINAL numbering
+    assert [r["line_idx"] for r in sorted(
+        by_file["s2.jsonl.gz"], key=lambda r: r["line_idx"]
+    )] == [0, 2]
+    assert all(r["value"].startswith("{") for r in rows)
+
+
+def test_read_jsonl_zst_shard(spark, tmp_path):
+    """A real .jsonl.zst shard (reference-encoder golden) reads
+    through the pure-Python decoder."""
+    from scripts.make_zstd_golden import jsonl_payload
+
+    with open(os.path.join(str(tmp_path), "c.jsonl.zst"), "wb") as f:
+        f.write(JSONL_L22)
+    df = read_jsonl(spark, str(tmp_path))
+    rows = df.collect()
+    expected_lines = [
+        ln for ln in jsonl_payload().decode().split("\n") if ln
+    ]
+    assert len(rows) == len(expected_lines) == 200
+    got = [r["value"] for r in sorted(rows, key=lambda r: r["line_idx"])]
+    assert got == expected_lines
+
+
+def test_jsonl_to_documents_projection(spark, tmp_path):
+    _write_corpus(str(tmp_path))
+    docs = jsonl_to_documents(
+        read_jsonl(spark, str(tmp_path)), text_field="text",
+        id_field="id",
+    ).collect()
+    texts = {r["text"] for r in docs}
+    assert "alpha doc" in texts and "zeta doc" in texts
+    assert len({r["doc_id"] for r in docs}) == len(docs)  # ids distinct
+
+
+def test_warc_zst_shard_reads(spark, tmp_path):
+    """A .warc.zst shard parses into the same records as its plain
+    twin — conversion text included."""
+    from scripts.make_zstd_golden import warc_payload
+
+    from clickhouse_table_copier_spark.sources.warc import (
+        conversions_to_documents,
+        read_warc,
+    )
+
+    zdir = os.path.join(str(tmp_path), "z")
+    pdir = os.path.join(str(tmp_path), "p")
+    os.makedirs(zdir)
+    os.makedirs(pdir)
+    with open(os.path.join(zdir, "a.warc.zst"), "wb") as f:
+        f.write(WARC_ZST)
+    with open(os.path.join(pdir, "a.warc"), "wb") as f:
+        f.write(warc_payload())
+    zrows = read_warc(spark, zdir).drop("warc_file").collect()
+    prows = read_warc(spark, pdir).drop("warc_file").collect()
+    assert sorted(map(str, zrows)) == sorted(map(str, prows))
+    wet = conversions_to_documents(read_warc(spark, zdir)).collect()
+    assert len(wet) == 1
+    assert wet[0]["text"] == "Pre-extracted text inside a zstd WARC."
