@@ -218,10 +218,11 @@ def _dechunk(body: bytes):
 
 def _content_decode(payload: bytes, enc: bytes):
     """Undo ``Content-Encoding`` on a response body (gzip/x-gzip/
-    deflate — including the common raw-deflate misuse).  Unknown
-    codings (br, zstd: no codecs in this container) and corrupt
-    streams keep the raw bytes: downstream decoders decline garbage,
-    which is exactly today's behavior — decoding can only improve."""
+    deflate — including the common raw-deflate misuse — and zstd via
+    the in-repo RFC 8878 decoder).  Unknown codings (br: no brotli
+    codec in this container) and corrupt streams keep the raw bytes:
+    downstream decoders decline garbage, which is exactly yesterday's
+    behavior — decoding can only improve."""
     try:
         if enc in (b"gzip", b"x-gzip"):
             d = zlib.decompressobj(wbits=47)
@@ -233,6 +234,16 @@ def _content_decode(payload: bytes, enc: bytes):
                 return zlib.decompress(payload) or payload
             except zlib.error:
                 return zlib.decompress(payload, -15) or payload
+        if enc == b"zstd":
+            from clickhouse_table_copier_spark.sources.zstd import (
+                ZstdError,
+                decompress,
+            )
+
+            try:
+                return decompress(payload) or payload
+            except ZstdError:
+                return payload
     except zlib.error:
         pass
     return payload

@@ -649,3 +649,33 @@ def test_wat_metadata_records_project_to_json(spark, tmp_path):
     assert len(got) == 1
     assert got[0]["url"] == "https://example.com/page"
     assert got[0]["title"] == "A Page"
+
+
+def test_zstd_content_encoding_undone():
+    """Content-Encoding: zstd bodies decode through the in-repo RFC
+    8878 decoder; corrupt zstd keeps raw bytes (decline contract)."""
+    from clickhouse_table_copier_spark.sources.warc import _parse_record
+    from tests.test_zstd_golden import TEXT_L3
+    from scripts.make_zstd_golden import text_payload
+
+    rec = _record(
+        {
+            "WARC-Type": "response",
+            "WARC-Target-URI": "https://example.com/z",
+            "WARC-Date": "2026-08-16T00:00:00Z",
+        },
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        b"Content-Encoding: zstd\r\n\r\n" + TEXT_L3,
+    )
+    got = _parse_record(rec)
+    assert got is not None and got[5] == text_payload()
+    bad = _record(
+        {
+            "WARC-Type": "response",
+            "WARC-Target-URI": "https://example.com/bad",
+            "WARC-Date": "2026-08-16T00:00:01Z",
+        },
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: zstd\r\n\r\nnot zstd",
+    )
+    got = _parse_record(bad)
+    assert got is not None and got[5] == b"not zstd"
