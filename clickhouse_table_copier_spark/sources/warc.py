@@ -217,12 +217,13 @@ def _dechunk(body: bytes):
 
 
 def _content_decode(payload: bytes, enc: bytes):
-    """Undo ``Content-Encoding`` on a response body (gzip/x-gzip/
-    deflate — including the common raw-deflate misuse — and zstd via
-    the in-repo RFC 8878 decoder).  Unknown codings (br: no brotli
-    codec in this container) and corrupt streams keep the raw bytes:
-    downstream decoders decline garbage, which is exactly yesterday's
-    behavior — decoding can only improve."""
+    """Undo ``Content-Encoding`` on a response body: gzip/x-gzip/
+    deflate (including the common raw-deflate misuse), zstd via the
+    in-repo RFC 8878 decoder, and br via the in-repo RFC 7932 decoder
+    — brotli is the modern web's default text coding, so raw-capture
+    crawls are full of it.  Unknown codings and corrupt streams keep
+    the raw bytes: downstream decoders decline garbage, which is
+    exactly yesterday's behavior — decoding can only improve."""
     try:
         if enc in (b"gzip", b"x-gzip"):
             d = zlib.decompressobj(wbits=47)
@@ -243,6 +244,16 @@ def _content_decode(payload: bytes, enc: bytes):
             try:
                 return decompress(payload) or payload
             except ZstdError:
+                return payload
+        if enc == b"br":
+            from clickhouse_table_copier_spark.sources.brotli import (
+                BrotliError,
+                decompress,
+            )
+
+            try:
+                return decompress(payload) or payload
+            except BrotliError:
                 return payload
     except zlib.error:
         pass
