@@ -345,16 +345,20 @@ def _make_shard_expander(batch_records: int):
                     and raw[1:4] == b"\x2a\x4d\x18"
                 ):
                     # .warc.zst (zstd magic, or a leading skippable
-                    # frame): pure-Python RFC 8878 decode, then the
-                    # plain Content-Length walk; dictionary-bearing
-                    # shards decline this shard, not the task
+                    # frame): pure-Python RFC 8878 decode honoring the
+                    # IIPC embedded-dictionary convention (skippable
+                    # 0x184D2A5D carries the shared dict), then the
+                    # plain Content-Length walk; undecodable shards
+                    # decline this shard, not the task
                     from clickhouse_table_copier_spark.sources.zstd import (
                         ZstdError,
-                        decompress,
+                        decompress_auto_dict,
                     )
 
                     try:
-                        records = _split_records(decompress(raw))
+                        records = _split_records(
+                            decompress_auto_dict(raw)
+                        )
                     except ZstdError:
                         records = iter(())
                 else:

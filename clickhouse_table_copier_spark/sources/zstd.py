@@ -352,12 +352,63 @@ _DEFAULTS = {
 class _FrameState:
     """Cross-block state within one frame: repeat offsets, the last
     Huffman table (treeless literals) and the last FSE tables
-    (repeat sequence mode)."""
+    (repeat sequence mode).  A dictionary pre-seeds all three."""
 
     def __init__(self):
         self.reps = [1, 4, 8]
         self.huff = None  # (table, table_log)
         self.fse = {"ll": None, "of": None, "ml": None}
+
+
+_DICT_MAGIC = 0xEC30A437
+
+
+class ZstdDict:
+    """A parsed zstd dictionary (RFC 8878 §5): entropy tables that
+    pre-seed the frame state, initial repeat offsets, and the raw
+    content that pre-seeds the history window.  Raw (magic-less)
+    content is also accepted — it seeds only the window."""
+
+    def __init__(self, data: bytes):
+        if len(data) >= 8 and int.from_bytes(
+            data[:4], "little"
+        ) == _DICT_MAGIC:
+            self.dict_id = int.from_bytes(data[4:8], "little")
+            pos = 8
+            # Huffman literals table: same serialization as the
+            # in-stream tree description
+            weights, table_log, consumed = _huffman_weights(data, pos)
+            self.huff = (_huffman_table(weights, table_log), table_log)
+            pos += consumed
+            self.fse = {}
+            for kind in ("of", "ml", "ll"):  # spec order
+                norm, al, consumed = _fse_read_table(
+                    data, pos, _MAX_LOG[kind], _MAX_SYM[kind]
+                )
+                self.fse[kind] = (_fse_build(norm, al), al)
+                pos += consumed
+            self.reps = [
+                int.from_bytes(data[pos + 4 * i : pos + 4 * i + 4],
+                               "little")
+                for i in range(3)
+            ]
+            if any(r == 0 for r in self.reps):
+                raise ZstdError("zero repeat offset in dictionary")
+            pos += 12
+            self.content = data[pos:]
+        else:  # raw content dictionary
+            self.dict_id = 0
+            self.huff = None
+            self.fse = {"ll": None, "of": None, "ml": None}
+            self.reps = [1, 4, 8]
+            self.content = data
+
+    def seed_state(self) -> "_FrameState":
+        st = _FrameState()
+        st.reps = list(self.reps)
+        st.huff = self.huff
+        st.fse = dict(self.fse)
+        return st
 
 
 def _decode_literals(block: bytes, pos: int, st: _FrameState):
@@ -576,20 +627,45 @@ def _decode_block(block: bytes, st: _FrameState, history: bytearray):
     return bytes(out)
 
 
-def decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
+def decompress(
+    data: bytes, max_output: int = 1 << 31, zdict: "ZstdDict" = None
+) -> bytes:
     """Decompress a complete zstd input (one or more frames,
-    skippable frames allowed).  Raises :class:`ZstdError` on malformed
-    or out-of-scope input (external dictionaries)."""
-    pos = 0
-    outs = []
-    total = 0
+    skippable frames allowed).  ``zdict`` supplies an external
+    dictionary (:class:`ZstdDict`) for frames that declare a
+    Dictionary_ID — without one such frames raise.  Raises
+    :class:`ZstdError` on malformed input."""
     try:
-        return _decompress_frames(data, max_output, outs, total)
+        return _decompress_frames(data, max_output, [], 0, zdict)
     except IndexError:
         raise ZstdError("truncated zstd input") from None
 
 
-def _decompress_frames(data, max_output, outs, total):
+_WARC_DICT_MAGIC = 0x184D2A5D
+
+
+def decompress_auto_dict(data: bytes, max_output: int = 1 << 31) -> bytes:
+    """Decompress honoring the IIPC ``.warc.zst`` convention: a
+    LEADING skippable frame with magic ``0x184D2A5D`` carries the
+    shared dictionary (itself possibly a plain zstd frame), and every
+    following frame uses it.  Inputs without that frame decode as
+    plain zstd."""
+    if len(data) >= 8 and int.from_bytes(
+        data[:4], "little"
+    ) == _WARC_DICT_MAGIC:
+        size = int.from_bytes(data[4:8], "little")
+        payload = data[8 : 8 + size]
+        if len(payload) < size:
+            raise ZstdError("truncated embedded dictionary frame")
+        if payload[:4] == _MAGIC.to_bytes(4, "little"):
+            payload = decompress(payload, max_output)
+        return decompress(
+            data[8 + size :], max_output, ZstdDict(payload)
+        )
+    return decompress(data, max_output)
+
+
+def _decompress_frames(data, max_output, outs, total, zdict=None):
     pos = 0
     while pos < len(data):
         if len(data) - pos < 4:
@@ -617,16 +693,30 @@ def _decompress_frames(data, max_output, outs, total):
         if not single:
             pos += 1  # window descriptor (bound checked via blocks)
         did_size = (0, 1, 2, 4)[did_flag]
+        # a provided dictionary applies to every frame (libzstd DCtx
+        # semantics) — raw-content dictionaries produce frames with
+        # Dictionary_ID 0, so the id alone cannot signal dict use
+        use_dict = zdict is not None
         if did_size:
             did = int.from_bytes(data[pos : pos + did_size], "little")
             if did != 0:
-                raise ZstdError("external dictionaries not supported")
+                if zdict is None:
+                    raise ZstdError(
+                        "frame requires an external dictionary"
+                    )
+                if zdict.dict_id not in (0, did):
+                    raise ZstdError("dictionary id mismatch")
             pos += did_size
         fcs_size = (1 if single else 0, 2, 4, 8)[fcs_flag]
         if fcs_size:
             pos += fcs_size
-        st = _FrameState()
-        history = bytearray()
+        if use_dict:
+            st = zdict.seed_state()
+            history = bytearray(zdict.content)
+        else:
+            st = _FrameState()
+            history = bytearray()
+        out_start = len(history)
         while True:
             if pos + 3 > len(data):
                 raise ZstdError("truncated block header")
@@ -657,7 +747,7 @@ def _decompress_frames(data, max_output, outs, total):
                 raise ZstdError("output exceeds max_output bound")
             if last:
                 break
-        outs.append(bytes(history))
+        outs.append(bytes(history[out_start:]))
         if checksum:
             if pos + 4 > len(data):
                 raise ZstdError("truncated content checksum")

@@ -100,6 +100,44 @@ def _zc(data: bytes, *args: str) -> bytes:
     ).stdout
 
 
+def dict_samples() -> list:
+    """Deterministic training samples shaped like the payloads."""
+    out = []
+    for i in range(80):
+        out.append(
+            (
+                f"GET /page/{i} HTTP/1.1 Host example.com shared "
+                f"boilerplate header text sequence {i} " * 25
+            ).encode()
+        )
+    return out
+
+
+def dict_payload() -> bytes:
+    return (
+        b"GET /page/7 HTTP/1.1 Host example.com shared boilerplate "
+        b"header text sequence 7 " * 30 + b"novel tail content 987"
+    )
+
+
+def _train_dict(tmpdir: str) -> bytes:
+    import os
+
+    paths = []
+    for i, s in enumerate(dict_samples()):
+        p = os.path.join(tmpdir, f"s{i}")
+        with open(p, "wb") as f:
+            f.write(s)
+        paths.append(p)
+    dict_p = os.path.join(tmpdir, "dict")
+    subprocess.run(
+        ["zstd", "--train", *paths, "-o", dict_p, "--maxdict=4096"],
+        capture_output=True, check=True,
+    )
+    with open(dict_p, "rb") as f:
+        return f.read(), dict_p
+
+
 def _emit(name: str, b: bytes):
     print(f"{name} = bytes.fromhex(")
     h = b.hex()
@@ -124,6 +162,29 @@ def main():
         _zc(b"first frame ", "-3") + skip + _zc(b"second frame", "-19"),
     )
     _emit("WARC_ZST", _zc(warc_payload(), "-9"))
+    # trained-dictionary fixtures (RFC 8878 §5 + the IIPC .warc.zst
+    # embedded-dictionary convention)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        dict_bytes, dict_p = _train_dict(d)
+        _emit("DICT_BYTES", dict_bytes)
+        _emit(
+            "DICT_FRAME_L19",
+            _zc(dict_payload(), "-19", "-D", dict_p),
+        )
+        # IIPC layout: skippable 0x184D2A5D carrying the dict, then
+        # one frame per record compressed WITH the dict
+        skip_dict = (
+            (0x184D2A5D).to_bytes(4, "little")
+            + len(dict_bytes).to_bytes(4, "little")
+            + dict_bytes
+        )
+        recs = warc_payload()
+        _emit(
+            "WARC_ZST_DICT",
+            skip_dict + _zc(recs, "-9", "-D", dict_p),
+        )
 
 
 if __name__ == "__main__":

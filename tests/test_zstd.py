@@ -168,3 +168,25 @@ def test_warc_zst_shard_reads(spark, tmp_path):
     wet = conversions_to_documents(read_warc(spark, zdir)).collect()
     assert len(wet) == 1
     assert wet[0]["text"] == "Pre-extracted text inside a zstd WARC."
+
+
+def test_warc_zst_with_embedded_dict_reads(spark, tmp_path):
+    """A dictionary-bearing .warc.zst shard (the IIPC layout) parses
+    into the same records as its plain twin."""
+    from scripts.make_zstd_golden import warc_payload
+    from tests.test_zstd_golden import WARC_ZST_DICT
+
+    from clickhouse_table_copier_spark.sources.warc import read_warc
+
+    zdir = os.path.join(str(tmp_path), "zd")
+    pdir = os.path.join(str(tmp_path), "pd")
+    os.makedirs(zdir)
+    os.makedirs(pdir)
+    with open(os.path.join(zdir, "a.warc.zst"), "wb") as f:
+        f.write(WARC_ZST_DICT)
+    with open(os.path.join(pdir, "a.warc"), "wb") as f:
+        f.write(warc_payload())
+    zrows = read_warc(spark, zdir).drop("warc_file").collect()
+    prows = read_warc(spark, pdir).drop("warc_file").collect()
+    assert len(zrows) == 2
+    assert sorted(map(str, zrows)) == sorted(map(str, prows))
