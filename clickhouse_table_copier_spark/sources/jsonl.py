@@ -62,6 +62,12 @@ def _decompress_shard(raw: bytes):
             )
 
             return decompress(raw)
+        if raw[:4] == b"\x04\x22\x4d\x18":
+            from clickhouse_table_copier_spark.sources.lz4 import (
+                decompress as lz4_decompress,
+            )
+
+            return lz4_decompress(raw)
         if raw[:2] == b"\x1f\x8b":
             import gzip
 

@@ -1,0 +1,151 @@
+"""LZ4 frame decompression — pure Python, zero dependencies.
+
+``.jsonl.lz4`` corpus shards and lz4-framed intermediate artifacts
+show up in LLM-data tooling next to zstd; this container has no lz4
+module.  Implements the LZ4 FRAME format (the public spec at
+lz4.github.io): magic 0x184D2204, FLG/BD descriptor (version,
+block-independence, checksum flags, content size), data blocks
+(compressed or stored, 4-byte size with the high-bit stored flag),
+linked-block history, skippable frames, and the LZ4 BLOCK format
+(token nibbles, 255-extension lengths, 2-byte little-endian offsets,
+minimum match 4, overlap-extending copies).  Checksums (xxhash32) are
+skipped, not verified — same trade as the zstd decoder.
+
+Pinned against the reference CLI (lz4 v1.9.4) in
+tests/test_lz4_golden.py across shapes that force stored blocks,
+linked history and long matches.
+
+Scale shape: runs inside the Arrow-batched corpus-shard edges
+(:func:`sources.jsonl.read_jsonl`); compressed bytes never shuffle.
+
+Reference parity: none — north-star LLM-pipeline surface (SURVEY.md
+§2.8); the reference engine reads SQL tables only.
+"""
+
+from __future__ import annotations
+
+_MAGIC = 0x184D2204
+_SKIP_LO = 0x184D2A50
+
+
+class Lz4Error(ValueError):
+    """Malformed lz4 data."""
+
+
+def _decode_block(src: bytes, history: bytearray, max_output: int):
+    """One LZ4 block into ``history`` (appended in place)."""
+    i = 0
+    n = len(src)
+    base = len(history)
+    while i < n:
+        token = src[i]
+        i += 1
+        lit_len = token >> 4
+        if lit_len == 15:
+            while True:
+                if i >= n:
+                    raise Lz4Error("truncated literal length")
+                b = src[i]
+                i += 1
+                lit_len += b
+                if b != 255:
+                    break
+        if i + lit_len > n:
+            raise Lz4Error("literal run overruns block")
+        history += src[i : i + lit_len]
+        i += lit_len
+        if len(history) - base > max_output:
+            raise Lz4Error("output exceeds bound")
+        if i >= n:
+            break  # last sequence has no match part
+        if i + 2 > n:
+            raise Lz4Error("truncated match offset")
+        offset = src[i] | (src[i + 1] << 8)
+        i += 2
+        if offset == 0:
+            raise Lz4Error("zero match offset")
+        match_len = (token & 15) + 4
+        if (token & 15) == 15:
+            while True:
+                if i >= n:
+                    raise Lz4Error("truncated match length")
+                b = src[i]
+                i += 1
+                match_len += b
+                if b != 255:
+                    break
+        p0 = len(history) - offset
+        if p0 < 0:
+            raise Lz4Error("match offset before history start")
+        copied = 0
+        while copied < match_len:
+            avail = min(match_len - copied, len(history) - (p0 + copied))
+            history += history[p0 + copied : p0 + copied + avail]
+            copied += avail
+        if len(history) - base > max_output:
+            raise Lz4Error("output exceeds bound")
+
+
+def decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
+    """Decompress a complete lz4-frame input (frames may be
+    concatenated; skippable frames allowed)."""
+    pos = 0
+    out = bytearray()
+    try:
+        while pos < len(data):
+            magic = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4
+            if (magic & 0xFFFFFFF0) == _SKIP_LO:
+                size = int.from_bytes(data[pos : pos + 4], "little")
+                pos += 4 + size
+                continue
+            if magic != _MAGIC:
+                raise Lz4Error("bad lz4 frame magic")
+            flg = data[pos]
+            bd = data[pos + 1]
+            pos += 2
+            if (flg >> 6) != 1:
+                raise Lz4Error("unsupported lz4 frame version")
+            block_indep = (flg >> 5) & 1
+            block_checksum = (flg >> 4) & 1
+            content_size = (flg >> 3) & 1
+            content_checksum = (flg >> 2) & 1
+            dict_id = flg & 1
+            if bd & 0x8F:
+                raise Lz4Error("reserved BD bits set")
+            if content_size:
+                pos += 8
+            if dict_id:
+                raise Lz4Error("lz4 dictionaries not supported")
+            pos += 1  # header checksum (xxh32 byte) — not verified
+            frame_out_start = len(out)
+            while True:
+                bsize = int.from_bytes(data[pos : pos + 4], "little")
+                pos += 4
+                if bsize == 0:  # EndMark
+                    break
+                stored = bsize >> 31
+                bsize &= 0x7FFFFFFF
+                block = data[pos : pos + bsize]
+                if len(block) < bsize:
+                    raise Lz4Error("block overruns input")
+                pos += bsize
+                if stored:
+                    out += block
+                else:
+                    if block_indep:
+                        tmp = bytearray()
+                        _decode_block(block, tmp, max_output)
+                        out += tmp
+                    else:
+                        _decode_block(block, out, max_output)
+                if len(out) > max_output:
+                    raise Lz4Error("output exceeds bound")
+                if block_checksum:
+                    pos += 4
+            if content_checksum:
+                pos += 4
+            del frame_out_start
+        return bytes(out)
+    except IndexError:
+        raise Lz4Error("truncated lz4 input") from None
