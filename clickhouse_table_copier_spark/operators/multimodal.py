@@ -2521,10 +2521,16 @@ def _make_tiff_raster_decoder():
                 arr = _np.frombuffer(
                     data[: stride * srows], dtype=_np.uint8
                 ).reshape(srows, w, spp)
-                if comp == 5 and int(tags.get(317, (1,))[0]) == 2:
+                if comp in (5, 8, 32946) and int(
+                    tags.get(317, (1,))[0]
+                ) == 2:
+                    # Predictor 2 applies after LZW AND Deflate
                     arr = _np.add.accumulate(
                         arr, axis=1, dtype=_np.uint8
                     )
+                if spp == 1 and photo == 0:
+                    # MinIsWhite grayscale: 0 = white per spec
+                    arr = 255 - arr
                 rows_out.append(arr)
             if not rows_out:
                 return None

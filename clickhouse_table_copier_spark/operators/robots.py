@@ -89,6 +89,11 @@ def _parse_one(host: str, body: str):
     rules, directives, sitemaps = [], [], []
     agents: list[str] = []
     group_open = False  # collecting consecutive UA lines
+    if body[:1] == "\ufeff":
+        # a BOM'd robots.txt (common in the wild; Google's reference
+        # parser strips it) would otherwise reject the FIRST
+        # User-agent line and silently drop that whole group's rules
+        body = body[1:]
     for raw_line in body.splitlines():
         line = raw_line.split("#", 1)[0]
         m = _LINE_RE.match(line)

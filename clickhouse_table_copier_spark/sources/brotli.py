@@ -186,7 +186,7 @@ def _read_prefix_code(bits: _Bits, alphabet_size: int) -> _Tree:
         ):
             raise BrotliError("bad simple-code symbols")
         if nsym == 1:
-            return _Tree({syms[0]: 1, -1: 0} | {syms[0]: 1})  # single
+            return _Tree({syms[0]: 1})  # degenerate: zero-bit symbol
         if nsym == 2:
             syms.sort()
             return _Tree({syms[0]: 1, syms[1]: 1})
@@ -452,7 +452,11 @@ def _decompress(bits: _Bits, max_output: int) -> bytes:
                 ):
                     raise BrotliError("non-minimal metadata length")
             bits.byte_align()
-            bits.read(8 * skip_len)  # discard
+            # advance, don't materialize: MSKIPBYTES=3 allows 16 MiB
+            # of metadata — read() would build it as one giant bignum
+            if bits.pos + 8 * skip_len > bits.n:
+                raise BrotliError("metadata skip overruns input")
+            bits.pos += 8 * skip_len
             if islast:
                 raise BrotliError("metadata block cannot be last")
             continue

@@ -52,16 +52,13 @@ JSONL_SCHEMA = T.StructType(
 def _decompress_shard(raw: bytes):
     """Shard bytes → text bytes by magic; None = undecodable shard."""
     try:
-        if raw[:4] == b"\x28\xb5\x2f\xfd" or (
-            len(raw) >= 4
-            and 0x50 <= raw[0] <= 0x5F
-            and raw[1:4] == b"\x2a\x4d\x18"
-        ):
-            from clickhouse_table_copier_spark.sources.zstd import (
-                decompress,
-            )
+        from clickhouse_table_copier_spark.sources.zstd import (
+            decompress_auto_dict,
+            looks_like_zstd,
+        )
 
-            return decompress(raw)
+        if looks_like_zstd(raw):
+            return decompress_auto_dict(raw)
         if raw[:4] == b"\x04\x22\x4d\x18":
             from clickhouse_table_copier_spark.sources.lz4 import (
                 decompress as lz4_decompress,

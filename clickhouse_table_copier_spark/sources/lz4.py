@@ -32,8 +32,13 @@ class Lz4Error(ValueError):
     """Malformed lz4 data."""
 
 
-def _decode_block(src: bytes, history: bytearray, max_output: int):
-    """One LZ4 block into ``history`` (appended in place)."""
+def _decode_block(
+    src: bytes, history: bytearray, max_output: int, floor: int = 0
+):
+    """One LZ4 block into ``history`` (appended in place).  ``floor``
+    bounds how far back matches may reach — the current FRAME's start,
+    so a corrupt offset cannot source bytes from a previous frame's
+    output (decline, never fabricate)."""
     i = 0
     n = len(src)
     base = len(history)
@@ -75,8 +80,8 @@ def _decode_block(src: bytes, history: bytearray, max_output: int):
                 if b != 255:
                     break
         p0 = len(history) - offset
-        if p0 < 0:
-            raise Lz4Error("match offset before history start")
+        if p0 < floor:
+            raise Lz4Error("match offset before frame start")
         copied = 0
         while copied < match_len:
             avail = min(match_len - copied, len(history) - (p0 + copied))
@@ -138,14 +143,17 @@ def decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
                         _decode_block(block, tmp, max_output)
                         out += tmp
                     else:
-                        _decode_block(block, out, max_output)
+                        # linked blocks reference earlier output of
+                        # THIS frame only
+                        _decode_block(
+                            block, out, max_output, frame_out_start
+                        )
                 if len(out) > max_output:
                     raise Lz4Error("output exceeds bound")
                 if block_checksum:
                     pos += 4
             if content_checksum:
                 pos += 4
-            del frame_out_start
         return bytes(out)
     except IndexError:
         raise Lz4Error("truncated lz4 input") from None

@@ -229,12 +229,12 @@ def _content_decode(payload: bytes, enc: bytes):
             d = zlib.decompressobj(wbits=47)
             out = d.decompress(payload)
             out += d.flush()
-            return out or payload
+            return out  # an empty decoded body is a real empty body
         if enc == b"deflate":
             try:
-                return zlib.decompress(payload) or payload
+                return zlib.decompress(payload)
             except zlib.error:
-                return zlib.decompress(payload, -15) or payload
+                return zlib.decompress(payload, -15)
         if enc == b"zstd":
             from clickhouse_table_copier_spark.sources.zstd import (
                 ZstdError,
@@ -242,7 +242,7 @@ def _content_decode(payload: bytes, enc: bytes):
             )
 
             try:
-                return decompress(payload) or payload
+                return decompress(payload)
             except ZstdError:
                 return payload
         if enc == b"br":
@@ -252,9 +252,14 @@ def _content_decode(payload: bytes, enc: bytes):
             )
 
             try:
-                return decompress(payload) or payload
+                out = decompress(payload)
             except BrotliError:
                 return payload
+            # brotli has no magic/checksum: garbage can decode as a
+            # VALID empty stream.  A genuinely empty body compresses
+            # to a couple of bytes, so an empty result from a longer
+            # payload is junk — keep the raw bytes (salvage contract).
+            return out if out or len(payload) <= 4 else payload
     except zlib.error:
         pass
     return payload
@@ -328,6 +333,12 @@ def read_warc(
     )
 
 
+def _looks_like_zstd(raw: bytes) -> bool:
+    from clickhouse_table_copier_spark.sources.zstd import looks_like_zstd
+
+    return looks_like_zstd(raw)
+
+
 def _make_shard_expander(batch_records: int):
     """(path, content) batches → WARC record rows; shared between the
     batch reader and the Structured Streaming ingest
@@ -339,11 +350,7 @@ def _make_shard_expander(batch_records: int):
                 raw = bytes(content)
                 if raw[:2] == b"\x1f\x8b":
                     records = _gzip_members(raw)
-                elif raw[:4] == b"\x28\xb5\x2f\xfd" or (
-                    len(raw) >= 4
-                    and 0x50 <= raw[0] <= 0x5F
-                    and raw[1:4] == b"\x2a\x4d\x18"
-                ):
+                elif _looks_like_zstd(raw):
                     # .warc.zst (zstd magic, or a leading skippable
                     # frame): pure-Python RFC 8878 decode honoring the
                     # IIPC embedded-dictionary convention (skippable

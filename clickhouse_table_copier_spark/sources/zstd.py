@@ -641,6 +641,16 @@ def decompress(
         raise ZstdError("truncated zstd input") from None
 
 
+def looks_like_zstd(raw: bytes) -> bool:
+    """Magic sniff shared by every shard reader: a zstd frame, or a
+    LEADING skippable frame (e.g. the IIPC dictionary frame)."""
+    return raw[:4] == b"\x28\xb5\x2f\xfd" or (
+        len(raw) >= 4
+        and 0x50 <= raw[0] <= 0x5F
+        and raw[1:4] == b"\x2a\x4d\x18"
+    )
+
+
 _WARC_DICT_MAGIC = 0x184D2A5D
 
 

@@ -256,3 +256,63 @@ def test_tiff_deflate_compression():
         got = _make_tiff_raster_decoder()(bytes(out))
         assert got is not None
         assert np.array_equal(got[3][:, :, 0], gray)
+
+
+def test_tiff_deflate_with_predictor2():
+    """Predictor 2 applies after Deflate too (review finding): the
+    horizontal deltas must be undone, not returned as pixels."""
+    import zlib
+
+    gray = np.arange(8 * 8, dtype=np.uint8).reshape(8, 8) * 3
+    deltas = gray.astype(np.int16)
+    deltas[:, 1:] = (gray[:, 1:].astype(np.int16) - gray[:, :-1]) % 256
+    payload = zlib.compress(deltas.astype(np.uint8).tobytes())
+    entries = [
+        (256, 4, 1, 8), (257, 4, 1, 8), (258, 3, 1, 8),
+        (259, 3, 1, 8), (262, 3, 1, 1), (273, 4, 1, 0),
+        (277, 3, 1, 1), (278, 4, 1, 8), (279, 4, 1, len(payload)),
+        (317, 3, 1, 2),
+    ]
+    data_off = 8 + 2 + 12 * len(entries) + 4
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if tag == 273:
+            val = data_off
+        out += struct.pack("<HHI", tag, typ, cnt)
+        out += (
+            struct.pack("<I", val) if typ == 4
+            else struct.pack("<HH", val, 0)
+        )
+    out += struct.pack("<I", 0)
+    out += payload
+    got = _make_tiff_raster_decoder()(bytes(out))
+    assert got is not None
+    assert np.array_equal(got[3][:, :, 0], gray)
+
+
+def test_tiff_gray8_min_is_white_inverts():
+    """PhotometricInterpretation 0 on 8-bit gray: 0 = white per spec
+    — the raster must invert (review finding)."""
+    gray = np.arange(8 * 8, dtype=np.uint8).reshape(8, 8)
+    entries = [
+        (256, 4, 1, 8), (257, 4, 1, 8), (258, 3, 1, 8),
+        (259, 3, 1, 1), (262, 3, 1, 0), (273, 4, 1, 0),
+        (277, 3, 1, 1), (278, 4, 1, 8), (279, 4, 1, 64),
+    ]
+    data_off = 8 + 2 + 12 * len(entries) + 4
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if tag == 273:
+            val = data_off
+        out += struct.pack("<HHI", tag, typ, cnt)
+        out += (
+            struct.pack("<I", val) if typ == 4
+            else struct.pack("<HH", val, 0)
+        )
+    out += struct.pack("<I", 0)
+    out += gray.tobytes()
+    got = _make_tiff_raster_decoder()(bytes(out))
+    assert got is not None
+    assert np.array_equal(got[3][:, :, 0], 255 - gray)

@@ -252,3 +252,15 @@ def test_parse_sitemaps(spark):
     # malformed XML: regex salvage still yields the URL
     assert by_loc["https://m.example/x"]["kind"] == "urlset"
     assert len(rows) == 6
+
+
+def test_bom_prefixed_robots_first_group_parses():
+    """A UTF-8 BOM before the first User-agent line must not drop the
+    group (review finding): a BOM'd full-site Disallow previously
+    parsed to ZERO rules, classifying every URL allowed."""
+    from clickhouse_table_copier_spark.operators.robots import _parse_one
+
+    rules, _ = _parse_one("h", "﻿User-agent: *\nDisallow: /\n")
+    assert len(rules) == 1
+    host, agent, is_allow, pattern = rules[0][:4]
+    assert (agent, is_allow, pattern) == ("*", False, "/")

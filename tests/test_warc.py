@@ -679,3 +679,24 @@ def test_zstd_content_encoding_undone():
     )
     got = _parse_record(bad)
     assert got is not None and got[5] == b"not zstd"
+
+
+def test_empty_compressed_body_decodes_to_empty():
+    """A 200 response with Content-Encoding and a legitimately EMPTY
+    body must yield b'', not the compressed wrapper bytes (review
+    finding)."""
+    import gzip as _gzip
+
+    from clickhouse_table_copier_spark.sources.warc import _parse_record
+
+    rec = _record(
+        {
+            "WARC-Type": "response",
+            "WARC-Target-URI": "https://example.com/empty",
+            "WARC-Date": "2026-08-16T00:00:00Z",
+        },
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+        + _gzip.compress(b""),
+    )
+    got = _parse_record(rec)
+    assert got is not None and got[5] == b""
