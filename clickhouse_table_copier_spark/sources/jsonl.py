@@ -147,3 +147,46 @@ def jsonl_to_documents(
         F.get_json_object("value", f"$.{text_field}").alias("text"),
         F.col("source_file").alias("source"),
     )
+
+
+def read_cdxj(spark: SparkSession, path: str) -> DataFrame:
+    """Common Crawl INDEX shards (CDXJ: ``SURT timestamp {json}`` per
+    line, usually ``.gz``) → ``(source_file, line_idx, surt,
+    timestamp, meta_json)``.  The index is how a real CC workflow
+    SELECTS records (by domain, mime, status) before fetching WARC
+    byte ranges — reading it distributed makes that selection a plain
+    DataFrame filter.  Malformed lines (fewer than three fields)
+    decline row-wise.  Pure-Column split; the JSON stays a string for
+    path-pruned access (:func:`cdxj_records` projects the usual
+    fields)."""
+    lines = read_jsonl(spark, path)
+    parts = F.split("value", " ", 3)
+    return lines.where(F.size(parts) >= 3).select(
+        "source_file",
+        "line_idx",
+        parts.getItem(0).alias("surt"),
+        parts.getItem(1).alias("timestamp"),
+        parts.getItem(2).alias("meta_json"),
+    )
+
+
+def cdxj_records(df: DataFrame) -> DataFrame:
+    """The standard CDXJ envelope fields as typed columns: url, mime,
+    status, digest, and the WARC fetch coordinates (filename, offset,
+    length) a range-fetch stage consumes."""
+    j = "meta_json"
+    return df.select(
+        "surt",
+        "timestamp",
+        F.get_json_object(j, "$.url").alias("url"),
+        F.get_json_object(j, "$.mime").alias("mime"),
+        F.get_json_object(j, "$.status").cast("int").alias("status"),
+        F.get_json_object(j, "$.digest").alias("digest"),
+        F.get_json_object(j, "$.filename").alias("warc_filename"),
+        F.get_json_object(j, "$.offset").cast("long").alias(
+            "warc_offset"
+        ),
+        F.get_json_object(j, "$.length").cast("long").alias(
+            "warc_length"
+        ),
+    )

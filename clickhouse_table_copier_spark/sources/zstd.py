@@ -19,9 +19,13 @@ This module implements the zstd FRAME format from the public RFC:
 - offsets resolve against the in-frame history window (sequences can
   reference bytes from earlier blocks).
 
-Out of scope (decline, never fabricate): external dictionaries
-(``Dictionary_ID`` ≠ 0 raises ``ZstdError``) and content-checksum
-verification (xxhash64 trailer is skipped, not checked).
+Dictionaries are supported (:class:`ZstdDict` — RFC 8878 §5 structured
+and raw-content forms, plus the IIPC ``.warc.zst`` embedded-dictionary
+convention via :func:`decompress_auto_dict`); frames that declare a
+Dictionary_ID without one provided decline.  Content checksums (low 32
+bits of XXH64, implemented here and pinned to the xxHash spec vectors)
+are VERIFIED by default — a corrupted frame raises instead of
+yielding wrong bytes.
 
 Correctness pins (tests/test_zstd_golden.py): fixtures minted OFFLINE
 by the system ``zstd`` CLI v1.5.7 (an INDEPENDENT implementation, the
@@ -628,17 +632,90 @@ def _decode_block(block: bytes, st: _FrameState, history: bytearray):
 
 
 def decompress(
-    data: bytes, max_output: int = 1 << 31, zdict: "ZstdDict" = None
+    data: bytes, max_output: int = 1 << 31, zdict: "ZstdDict" = None,
+    verify_checksums: bool = True,
 ) -> bytes:
     """Decompress a complete zstd input (one or more frames,
     skippable frames allowed).  ``zdict`` supplies an external
     dictionary (:class:`ZstdDict`) for frames that declare a
-    Dictionary_ID — without one such frames raise.  Raises
+    Dictionary_ID — without one such frames raise.  Content checksums
+    (low 32 bits of XXH64) are VERIFIED by default — a corrupted frame
+    raises instead of silently yielding wrong bytes; pass
+    ``verify_checksums=False`` to trade that safety for speed.  Raises
     :class:`ZstdError` on malformed input."""
     try:
-        return _decompress_frames(data, max_output, [], 0, zdict)
+        return _decompress_frames(
+            data, max_output, [], 0, zdict, verify_checksums
+        )
     except IndexError:
         raise ZstdError("truncated zstd input") from None
+
+
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """XXH64 (the public xxHash spec) — zstd's content checksum is its
+    low 32 bits.  Pure Python; pinned to the spec's test vectors."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _M64
+        v2 = (seed + _XXP2) & _M64
+        v3 = seed
+        v4 = (seed - _XXP1) & _M64
+        while i + 32 <= n:
+            for off, v in ((0, 1), (8, 2), (16, 3), (24, 4)):
+                lane = int.from_bytes(data[i + off : i + off + 8],
+                                      "little")
+                acc = (v1, v2, v3, v4)[v - 1]
+                acc = _rotl((acc + lane * _XXP2) & _M64, 31) * _XXP1 & _M64
+                if v == 1:
+                    v1 = acc
+                elif v == 2:
+                    v2 = acc
+                elif v == 3:
+                    v3 = acc
+                else:
+                    v4 = acc
+            i += 32
+        h = (
+            _rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)
+        ) & _M64
+        for v in (v1, v2, v3, v4):
+            h = (h ^ (_rotl((v * _XXP2) & _M64, 31) * _XXP1 & _M64))
+            h = ((h * _XXP1) + _XXP4) & _M64
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        lane = int.from_bytes(data[i : i + 8], "little")
+        h ^= _rotl((lane * _XXP2) & _M64, 31) * _XXP1 & _M64
+        h = (_rotl(h, 27) * _XXP1 + _XXP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _XXP1) & _M64
+        h = (_rotl(h, 23) * _XXP2 + _XXP3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XXP5) & _M64
+        h = (_rotl(h, 11) * _XXP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h
 
 
 def looks_like_zstd(raw: bytes) -> bool:
@@ -675,7 +752,9 @@ def decompress_auto_dict(data: bytes, max_output: int = 1 << 31) -> bytes:
     return decompress(data, max_output)
 
 
-def _decompress_frames(data, max_output, outs, total, zdict=None):
+def _decompress_frames(
+    data, max_output, outs, total, zdict=None, verify=True
+):
     pos = 0
     while pos < len(data):
         if len(data) - pos < 4:
@@ -761,5 +840,10 @@ def _decompress_frames(data, max_output, outs, total, zdict=None):
         if checksum:
             if pos + 4 > len(data):
                 raise ZstdError("truncated content checksum")
-            pos += 4  # xxhash64 low 32 bits — skipped, not verified
+            if verify:
+                want = int.from_bytes(data[pos : pos + 4], "little")
+                got = xxh64(outs[-1]) & 0xFFFFFFFF
+                if got != want:
+                    raise ZstdError("content checksum mismatch")
+            pos += 4
     return b"".join(outs)

@@ -190,3 +190,59 @@ def test_warc_zst_with_embedded_dict_reads(spark, tmp_path):
     prows = read_warc(spark, pdir).drop("warc_file").collect()
     assert len(zrows) == 2
     assert sorted(map(str, zrows)) == sorted(map(str, prows))
+
+
+def test_xxh64_spec_vectors():
+    """The XXH64 implementation behind checksum verification, against
+    the xxHash reference test vectors."""
+    from clickhouse_table_copier_spark.sources.zstd import xxh64
+
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    assert xxh64(b"abc") == 0x44BC2CF5AD770999
+
+
+def test_content_checksum_verified():
+    """A flipped byte in the decompressed-content region must raise a
+    checksum mismatch (the goldens all carry checksums, so their
+    passing already proves xxh64 agrees with the reference encoder);
+    verification can be disabled explicitly."""
+    from tests.test_zstd_golden import RLE_L9
+
+    # flip the checksum itself (last 4 bytes of the frame)
+    mangled = bytearray(RLE_L9)
+    mangled[-1] ^= 0xFF
+    with pytest.raises(ZstdError):
+        decompress(bytes(mangled))
+    assert decompress(bytes(mangled), verify_checksums=False) == b"A" * 10000
+
+
+def test_cdxj_index_reads(spark, tmp_path):
+    """Common Crawl CDXJ index lines parse to SURT/timestamp/typed
+    fields; malformed lines decline row-wise."""
+    import gzip as _gzip
+
+    from clickhouse_table_copier_spark.sources.jsonl import (
+        cdxj_records,
+        read_cdxj,
+    )
+
+    lines = (
+        b'com,example)/page 20260815123456 {"url": "https://example.com/page", '
+        b'"mime": "text/html", "status": "200", "digest": "AAAA", '
+        b'"filename": "crawl/a.warc.gz", "offset": "5678", "length": "1234"}\n'
+        b"malformed-line\n"
+        b'org,site)/ 20260815123500 {"url": "https://site.org/", '
+        b'"mime": "application/pdf", "status": "404"}\n'
+    )
+    with open(os.path.join(str(tmp_path), "cdx-00000.gz"), "wb") as f:
+        f.write(_gzip.compress(lines))
+    recs = cdxj_records(read_cdxj(spark, str(tmp_path))).collect()
+    assert len(recs) == 2
+    by_surt = {r["surt"]: r for r in recs}
+    r = by_surt["com,example)/page"]
+    assert r["url"] == "https://example.com/page"
+    assert r["status"] == 200
+    assert (r["warc_filename"], r["warc_offset"], r["warc_length"]) == (
+        "crawl/a.warc.gz", 5678, 1234,
+    )
+    assert by_surt["org,site)/"]["mime"] == "application/pdf"
