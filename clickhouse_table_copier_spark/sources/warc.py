@@ -705,3 +705,96 @@ def metadata_to_records(warc_df: DataFrame) -> DataFrame:
         F.col("warc_date").alias("fetched_at"),
         F.col("payload").cast("string").alias("meta_json"),
     )
+
+
+def read_warc_ranges(
+    records_df: DataFrame, base_dir: str, batch_records: int = 256
+) -> DataFrame:
+    """Range-fetch the EXACT records a CDX index selection points at —
+    the second half of the real Common Crawl workflow: filter
+    :func:`sources.jsonl.cdxj_records` down to the pages you want,
+    then fetch ONLY those ``(warc_filename, warc_offset,
+    warc_length)`` byte ranges instead of scanning whole shards.
+    Each selected range of a ``.warc.gz`` shard is one complete gzip
+    member (that is WHY the member-per-record layout exists), so a
+    task seeks, reads ``length`` bytes, inflates one member and parses
+    one record.
+
+    ``records_df`` needs columns ``warc_filename, warc_offset,
+    warc_length``; ``base_dir`` prefixes the filenames
+    (executor-visible mount).  Ranges are repartitioned BY FILE first
+    so a task opens each shard once and reads its offsets in order —
+    random-access, but sequential per file.  Unreadable ranges decline
+    row-wise (missing shard, bad offset, corrupt member), never fail
+    the task.  Output schema = :data:`WARC_SCHEMA`; ``record_idx`` is
+    the range's offset (a stable provenance key here)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        handles: dict = {}
+        try:
+            for pdf in batches:
+                rows = []
+                for fn, off, ln in zip(
+                    pdf["warc_filename"], pdf["warc_offset"],
+                    pdf["warc_length"],
+                ):
+                    if fn is None or off is None or ln is None:
+                        continue
+                    path = _os.path.join(base_dir, str(fn))
+                    fobj = handles.get(path)
+                    if fobj is None:
+                        try:
+                            fobj = open(path, "rb")
+                        except OSError:
+                            continue  # missing shard: decline the row
+                        if len(handles) > 64:
+                            for h in handles.values():
+                                h.close()
+                            handles.clear()
+                        handles[path] = fobj
+                    try:
+                        fobj.seek(int(off))
+                        raw = fobj.read(int(ln))
+                    except (OSError, ValueError):
+                        continue
+                    if raw[:2] == b"\x1f\x8b":
+                        try:
+                            raw = zlib.decompress(raw, wbits=47)
+                        except zlib.error:
+                            continue  # corrupt member: decline
+                    got = _parse_record(raw.rstrip(b"\r\n"))
+                    if got is None:
+                        continue
+                    wtype, uri, date, status, ctype, payload = got
+                    rows.append(
+                        (
+                            path, int(off), wtype, uri, date, status,
+                            ctype, payload,
+                        )
+                    )
+                    if len(rows) >= batch_records:
+                        yield pd.DataFrame(
+                            rows,
+                            columns=[f.name for f in WARC_SCHEMA.fields],
+                        )
+                        rows = []
+                if rows:
+                    yield pd.DataFrame(
+                        rows,
+                        columns=[f.name for f in WARC_SCHEMA.fields],
+                    )
+        finally:
+            for h in handles.values():
+                h.close()
+
+    narrowed = (
+        records_df.select(
+            "warc_filename", "warc_offset", "warc_length"
+        )
+        .repartition("warc_filename")
+        .sortWithinPartitions("warc_filename", "warc_offset")
+    )
+    return narrowed.mapInPandas(fetch, WARC_SCHEMA)

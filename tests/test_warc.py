@@ -700,3 +700,61 @@ def test_empty_compressed_body_decodes_to_empty():
     )
     got = _parse_record(rec)
     assert got is not None and got[5] == b""
+
+
+def test_cdx_range_fetch_roundtrip(spark, tmp_path):
+    """The full CC selection workflow: write a member-per-record
+    .warc.gz, build its CDX index (filename/offset/length), SELECT a
+    subset in the index frame, range-fetch exactly those records."""
+    import json
+
+    from clickhouse_table_copier_spark.sources.warc import (
+        read_warc_ranges,
+    )
+
+    recs = _records()
+    shard = os.path.join(str(tmp_path), "r.warc.gz")
+    index_lines = []
+    with open(shard, "wb") as f:
+        for i, r in enumerate(recs):
+            off = f.tell()
+            member = gzip.compress(r)
+            f.write(member)
+            # index only the response records, like a real CDX
+            if b"WARC-Type: response" in r:
+                uri = r.split(b"WARC-Target-URI: ", 1)[1].split(b"\r\n")[0]
+                index_lines.append(
+                    f"x)/p{i} 20260815{i:06d} "
+                    + json.dumps(
+                        {
+                            "url": uri.decode(),
+                            "filename": "r.warc.gz",
+                            "offset": str(off),
+                            "length": str(len(member)),
+                            "status": "200" if b"200 OK" in r else "404",
+                        }
+                    )
+                )
+    with open(os.path.join(str(tmp_path), "cdx-0.gz"), "wb") as f:
+        f.write(gzip.compress(("\n".join(index_lines) + "\n").encode()))
+
+    from clickhouse_table_copier_spark.sources.jsonl import (
+        cdxj_records,
+        read_cdxj,
+    )
+
+    idx = cdxj_records(read_cdxj(spark, os.path.join(str(tmp_path), "cdx-0.gz")))
+    picked = idx.where("status = 200")  # the selection step
+    got = read_warc_ranges(picked, str(tmp_path)).collect()
+    assert len(got) == 1
+    assert got[0]["warc_type"] == "response"
+    assert got[0]["target_uri"] == "https://example.com/page"
+    assert b"Genuine prose" in bytes(got[0]["payload"])
+    # a bogus range declines row-wise, the good row still arrives
+    from pyspark.sql import functions as F
+
+    bad = idx.withColumn(
+        "warc_offset", F.col("warc_offset") + 7
+    ).unionByName(picked)
+    got2 = read_warc_ranges(bad, str(tmp_path)).collect()
+    assert sum(1 for r in got2 if r["target_uri"] == "https://example.com/page") >= 1
