@@ -58,7 +58,12 @@ def _decompress_shard(raw: bytes):
         )
 
         if looks_like_zstd(raw):
-            return decompress_auto_dict(raw)
+            try:
+                return decompress_auto_dict(raw)
+            except Exception:
+                # checksum-only defects salvage unverified; anything
+                # else raises again -> the shard declines below
+                return decompress_auto_dict(raw, verify_checksums=False)
         if raw[:4] == b"\x04\x22\x4d\x18":
             from clickhouse_table_copier_spark.sources.lz4 import (
                 decompress as lz4_decompress,

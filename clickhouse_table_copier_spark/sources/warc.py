@@ -50,6 +50,18 @@ WARC_SCHEMA = T.StructType(
 )
 
 
+# read_warc_ranges' output: identical to WARC_SCHEMA except
+# record_idx is int64 — it carries the shard byte OFFSET, which
+# exceeds 2^31 on shards larger than 2 GiB
+WARC_RANGE_SCHEMA = T.StructType(
+    [
+        f if f.name != "record_idx"
+        else T.StructField("record_idx", T.LongType())
+        for f in WARC_SCHEMA.fields
+    ]
+)
+
+
 def _gzip_members(data: bytes) -> Iterator[bytes]:
     """Inflate a multi-member gzip stream one member at a time (the
     .warc.gz layout: one record per member).  Feeds fixed-size chunks
@@ -367,7 +379,18 @@ def _make_shard_expander(batch_records: int):
                             decompress_auto_dict(raw)
                         )
                     except ZstdError:
-                        records = iter(())
+                        # a checksum-only defect (content decodes,
+                        # trailer bit-flipped) should salvage the
+                        # shard, not lose it — retry unverified; any
+                        # other defect raises again and declines
+                        try:
+                            records = _split_records(
+                                decompress_auto_dict(
+                                    raw, verify_checksums=False
+                                )
+                            )
+                        except ZstdError:
+                            records = iter(())
                 else:
                     records = _split_records(raw)
                 yield from _record_batches(path_, records, batch_records)
@@ -727,10 +750,11 @@ def read_warc_ranges(
     random-access, but sequential per file.  Unreadable ranges decline
     row-wise (missing shard, bad offset, corrupt member), never fail
     the task.  Output schema = :data:`WARC_SCHEMA`; ``record_idx`` is
-    the range's offset (a stable provenance key here)."""
+    the range's offset (a stable provenance key here — int64, since
+    shard offsets exceed 2^31 on >2 GiB shards)."""
     import os as _os
 
-    from pyspark.sql import functions as F
+    base_abs = _os.path.abspath(base_dir)
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         handles: dict = {}
@@ -743,7 +767,13 @@ def read_warc_ranges(
                 ):
                     if fn is None or off is None or ln is None:
                         continue
-                    path = _os.path.join(base_dir, str(fn))
+                    path = _os.path.normpath(
+                        _os.path.join(base_abs, str(fn))
+                    )
+                    if not path.startswith(base_abs + _os.sep):
+                        # absolute or parent-escaping CDX filename: a
+                        # crafted index must not read outside the mount
+                        continue
                     fobj = handles.get(path)
                     if fobj is None:
                         try:
@@ -765,6 +795,9 @@ def read_warc_ranges(
                             raw = zlib.decompress(raw, wbits=47)
                         except zlib.error:
                             continue  # corrupt member: decline
+                    if raw[:5] != b"WARC/":
+                        continue  # mid-record offset: decline, never
+                        # fabricate a row from lookalike bytes
                     got = _parse_record(raw.rstrip(b"\r\n"))
                     if got is None:
                         continue
@@ -778,13 +811,17 @@ def read_warc_ranges(
                     if len(rows) >= batch_records:
                         yield pd.DataFrame(
                             rows,
-                            columns=[f.name for f in WARC_SCHEMA.fields],
+                            columns=[
+                                f.name for f in WARC_RANGE_SCHEMA.fields
+                            ],
                         )
                         rows = []
                 if rows:
                     yield pd.DataFrame(
                         rows,
-                        columns=[f.name for f in WARC_SCHEMA.fields],
+                        columns=[
+                            f.name for f in WARC_RANGE_SCHEMA.fields
+                        ],
                     )
         finally:
             for h in handles.values():
@@ -797,4 +834,4 @@ def read_warc_ranges(
         .repartition("warc_filename")
         .sortWithinPartitions("warc_filename", "warc_offset")
     )
-    return narrowed.mapInPandas(fetch, WARC_SCHEMA)
+    return narrowed.mapInPandas(fetch, WARC_RANGE_SCHEMA)

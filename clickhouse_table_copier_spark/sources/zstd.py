@@ -731,7 +731,10 @@ def looks_like_zstd(raw: bytes) -> bool:
 _WARC_DICT_MAGIC = 0x184D2A5D
 
 
-def decompress_auto_dict(data: bytes, max_output: int = 1 << 31) -> bytes:
+def decompress_auto_dict(
+    data: bytes, max_output: int = 1 << 31,
+    verify_checksums: bool = True,
+) -> bytes:
     """Decompress honoring the IIPC ``.warc.zst`` convention: a
     LEADING skippable frame with magic ``0x184D2A5D`` carries the
     shared dictionary (itself possibly a plain zstd frame), and every
@@ -747,9 +750,10 @@ def decompress_auto_dict(data: bytes, max_output: int = 1 << 31) -> bytes:
         if payload[:4] == _MAGIC.to_bytes(4, "little"):
             payload = decompress(payload, max_output)
         return decompress(
-            data[8 + size :], max_output, ZstdDict(payload)
+            data[8 + size :], max_output, ZstdDict(payload),
+            verify_checksums,
         )
-    return decompress(data, max_output)
+    return decompress(data, max_output, None, verify_checksums)
 
 
 def _decompress_frames(
