@@ -87,11 +87,11 @@ def _decompress_shard(raw: bytes):
         return None
 
 
-def read_jsonl(
-    spark: SparkSession, path: str, batch_lines: int = 4096
-) -> DataFrame:
-    """JSONL shards under ``path`` (plain / .gz / .zst / .xz / .bz2,
-    detected by magic) → one row per non-empty line."""
+def _make_line_expander(batch_lines: int = 4096):
+    """The (path, content) → line-row expander shared by the batch
+    reader and the streaming ingest
+    (:func:`streaming.incremental.incremental_jsonl_documents`), so
+    both paths decompress and split identically."""
 
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -127,9 +127,17 @@ def read_jsonl(
                         }
                     )
 
+    return expand
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, batch_lines: int = 4096
+) -> DataFrame:
+    """JSONL shards under ``path`` (plain / .gz / .zst / .xz / .bz2 /
+    .lz4, detected by magic) → one row per non-empty line."""
     shards = spark.read.format("binaryFile").load(path)
     return shards.select("path", "content").mapInPandas(
-        expand, JSONL_SCHEMA
+        _make_line_expander(batch_lines), JSONL_SCHEMA
     )
 
 

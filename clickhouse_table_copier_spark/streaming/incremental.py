@@ -253,3 +253,64 @@ def incremental_warc_documents(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_jsonl_documents(
+    spark: SparkSession,
+    corpus_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    text_field: str = "text",
+    id_field=None,
+    max_files_per_trigger: int = 16,
+):
+    """availableNow incremental CORPUS ingest — the jsonl twin of
+    :func:`incremental_warc_documents` for how public LLM corpora
+    actually arrive: new ``.jsonl{.zst,.gz,.xz,.bz2,.lz4}`` shards
+    dropped into a directory.  A ``binaryFile`` file-source stream
+    decompresses and line-splits each shard with EXACTLY the batch
+    reader's code (the ``sources.jsonl`` expander — shared function,
+    so streaming and batch parse identically) and appends the
+    projected documents to ``output_dir`` as parquet.
+
+    Re-running touches ONLY shards added since the last run (the
+    checkpoint's file ledger); ``maxFilesPerTrigger`` bounds a
+    micro-batch.  State is the ledger — O(shards), never O(lines).
+    Returns the query handle; callers await termination."""
+    from clickhouse_table_copier_spark.sources.jsonl import (
+        JSONL_SCHEMA,
+        jsonl_to_documents,
+    )
+
+    binary_file_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    shards = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_file_schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(corpus_dir)
+    )
+    from clickhouse_table_copier_spark.sources.jsonl import (
+        _make_line_expander,
+    )
+
+    lines = shards.select("path", "content").mapInPandas(
+        _make_line_expander(), JSONL_SCHEMA
+    )
+    docs = jsonl_to_documents(
+        lines, text_field=text_field, id_field=id_field
+    )
+    return (
+        docs.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -246,3 +246,34 @@ def test_cdxj_index_reads(spark, tmp_path):
         "crawl/a.warc.gz", 5678, 1234,
     )
     assert by_surt["org,site)/"]["mime"] == "application/pdf"
+
+
+def test_incremental_jsonl_ingest_two_runs(spark, tmp_path):
+    """Streaming corpus ingest: run 1 lands shard A's documents, a
+    shard added between runs is the ONLY thing run 2 appends (the
+    checkpoint file ledger), parsed identically to the batch reader."""
+    from clickhouse_table_copier_spark.streaming.incremental import (
+        incremental_jsonl_documents,
+    )
+
+    corpus = os.path.join(str(tmp_path), "corpus")
+    out = os.path.join(str(tmp_path), "out")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    os.makedirs(corpus)
+    with open(os.path.join(corpus, "a.jsonl.gz"), "wb") as f:
+        f.write(gzip.compress(
+            b'{"id": "a1", "text": "first shard doc one"}\n'
+            b'{"id": "a2", "text": "first shard doc two"}\n'
+        ))
+    q = incremental_jsonl_documents(spark, corpus, out, ckpt, id_field="id")
+    q.awaitTermination()
+    got1 = {r["text"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {"first shard doc one", "first shard doc two"}
+    from tests.test_zstd_golden import JSONL_L22
+
+    with open(os.path.join(corpus, "b.jsonl.zst"), "wb") as f:
+        f.write(JSONL_L22)
+    q = incremental_jsonl_documents(spark, corpus, out, ckpt, id_field="id")
+    q.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 2 + 200  # run 2 appended ONLY the new shard
