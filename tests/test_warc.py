@@ -758,3 +758,38 @@ def test_cdx_range_fetch_roundtrip(spark, tmp_path):
     ).unionByName(picked)
     got2 = read_warc_ranges(bad, str(tmp_path)).collect()
     assert sum(1 for r in got2 if r["target_uri"] == "https://example.com/page") >= 1
+
+
+def test_write_warc_roundtrip(spark, tmp_path):
+    """The egress half: filtered records written as member-per-record
+    .warc.gz read back with the same semantic fields."""
+    from clickhouse_table_copier_spark.sources.warc import (
+        read_warc,
+        write_warc,
+    )
+
+    src_dir = os.path.join(str(tmp_path), "in")
+    os.makedirs(src_dir)
+    with open(os.path.join(src_dir, "a.warc"), "wb") as f:
+        f.write(b"".join(_records()))
+    rows = read_warc(spark, src_dir)
+    out_dir = os.path.join(str(tmp_path), "out")
+    shards = write_warc(rows, out_dir, n_shards=2)
+    assert shards and all(s.endswith(".warc.gz") for s in shards)
+    back = read_warc(spark, out_dir)
+    keyfn = lambda r: (r["warc_type"], r["target_uri"] or "")
+    orig = sorted(
+        (
+            (r["warc_type"], r["target_uri"], r["warc_date"],
+             r["http_status"], bytes(r["payload"] or b""))
+            for r in rows.collect()
+        )
+    )
+    got = sorted(
+        (
+            (r["warc_type"], r["target_uri"], r["warc_date"],
+             r["http_status"], bytes(r["payload"] or b""))
+            for r in back.collect()
+        )
+    )
+    assert got == orig
