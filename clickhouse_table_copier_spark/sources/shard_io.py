@@ -1,0 +1,77 @@
+"""Shared atomic shard-writer scaffold for the egress sinks
+(:func:`sources.webdataset.write_webdataset`,
+:func:`sources.warc.write_warc`).
+
+The atomicity-critical choreography lives ONCE here: per-task
+directory creation, partition-id shard naming, an attempt-UNIQUE
+temp name (a retried or speculative attempt never interleaves with a
+sibling), BaseException temp cleanup, empty-partition removal, and the
+``os.replace`` publish — readers observe either the previous complete
+shard or the new complete shard, never a partial one.  Each sink
+supplies only its serializer: ``write_fn(batches, tmp_path) -> n``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+SHARD_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.StringType()),
+        T.StructField("n_members", T.LongType()),
+    ]
+)
+
+
+def write_shards(
+    parted: DataFrame,
+    path: str,
+    ext: str,
+    write_fn: Callable,
+) -> list:
+    """Run ``write_fn(batches, tmp_path) -> member count`` once per
+    partition of ``parted`` with the atomic-publish choreography;
+    returns the sorted shard file names written."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+
+    def write_partition(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        os.makedirs(path, exist_ok=True)
+        fname = os.path.join(path, f"shard-{pid:05d}{ext}")
+        tmp = os.path.join(
+            path,
+            f".shard-{pid:05d}{ext}.inprogress-{ctx.taskAttemptId()}",
+        )
+        try:
+            n = write_fn(batches, tmp)
+        except BaseException:
+            # failed attempt: leave no temp litter; the retry gets its
+            # own attempt-unique name either way
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            raise
+        if n == 0:
+            try:
+                os.remove(tmp)  # empty partition: no empty-shard litter
+            except OSError:
+                pass
+            yield pd.DataFrame({"shard": [], "n_members": []})
+        else:
+            os.replace(tmp, fname)  # atomic publish on POSIX
+            yield pd.DataFrame({"shard": [fname], "n_members": [n]})
+
+    out = parted.mapInPandas(write_partition, SHARD_RESULT_SCHEMA)
+    return sorted(r["shard"] for r in out.collect())

@@ -848,95 +848,87 @@ def write_warc(
     quality-gated) in the layout every WARC consumer — including this
     repo's readers and the CDX range fetch — can stream.
 
-    Each record becomes one ``WARC/1.0`` record (response payloads are
-    re-wrapped in a minimal HTTP envelope carrying the status and
-    content type; other types write their payload verbatim) compressed
-    as its OWN gzip member, the Common Crawl layout that makes
-    member-at-a-time streaming and byte-range fetches possible.
+    Each record becomes one ``WARC/1.0`` record compressed as its OWN
+    gzip member (the Common Crawl layout that makes member-at-a-time
+    streaming and byte-range fetches possible), carrying the MANDATORY
+    ``WARC-Record-ID`` (a deterministic UUIDv5 of the provenance key,
+    so re-writes are reproducible) and ``WARC-Date`` (epoch stand-in
+    when the source row has none — a visible sentinel beats a
+    fabricated now()).  Response payloads whose row has a status are
+    re-wrapped in a minimal HTTP envelope; a STATUS-LESS response row
+    (the raw-capture case where the original block was not parseable
+    HTTP) writes its payload verbatim, so it reads back with
+    ``http_status`` NULL — round-trip-faithful, never fabricated.
 
     Rows hash-partition by (warc_file, record_idx) into ``n_shards``
-    tasks; same attempt-unique-temp + ``os.replace`` atomic publish as
-    :func:`sources.webdataset.write_webdataset`.  Returns the shard
-    file names.  Round-trip pinned: read_warc(write_warc(rows)) yields
-    the same (type, uri, date, status, ctype, payload) rows."""
+    tasks; the attempt-unique-temp + ``os.replace`` atomic publish
+    lives in :mod:`sources.shard_io`, shared with the WebDataset
+    writer.  Round-trip pinned: read_warc(write_warc(rows)) yields the
+    same (type, uri, date, status, ctype, payload) rows."""
     import gzip as _gzip
-    import os as _os
+    import uuid as _uuid
 
-    _os.makedirs(path, exist_ok=True)
+    from clickhouse_table_copier_spark.sources.shard_io import (
+        write_shards,
+    )
+
     parted = records_df.repartition(n_shards, "warc_file", "record_idx")
 
-    def write_partition(
-        batches: Iterator[pd.DataFrame],
-    ) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        ctx = TaskContext.get()
-        pid = ctx.partitionId()
-        _os.makedirs(path, exist_ok=True)
-        fname = _os.path.join(path, f"shard-{pid:05d}.warc.gz")
-        tmp = _os.path.join(
-            path,
-            f".shard-{pid:05d}.warc.gz.inprogress-{ctx.taskAttemptId()}",
-        )
+    def write_fn(batches: Iterator[pd.DataFrame], tmp: str) -> int:
         n = 0
-        try:
-            with open(tmp, "wb") as f:
-                for pdf in batches:
-                    for _, row in pdf.iterrows():
-                        payload = bytes(row["payload"] or b"")
-                        wtype = row["warc_type"] or "resource"
-                        if wtype == "response":
-                            status = int(row["http_status"] or 200)
-                            ctype = row["content_type"] or "application/octet-stream"
-                            block = (
-                                f"HTTP/1.1 {status} \r\n"
-                                f"Content-Type: {ctype}\r\n"
-                                f"Content-Length: {len(payload)}\r\n\r\n"
-                            ).encode() + payload
-                            block_type = "application/http; msgtype=response"
-                        else:
-                            block = payload
-                            block_type = row["content_type"] or "application/octet-stream"
-                        head = (
-                            "WARC/1.0\r\n"
-                            f"WARC-Type: {wtype}\r\n"
-                            + (
-                                f"WARC-Target-URI: {row['target_uri']}\r\n"
-                                if row["target_uri"]
-                                else ""
-                            )
-                            + (
-                                f"WARC-Date: {row['warc_date']}\r\n"
-                                if row["warc_date"]
-                                else ""
-                            )
-                            + f"Content-Type: {block_type}\r\n"
-                            + f"Content-Length: {len(block)}\r\n\r\n"
-                        ).encode()
-                        f.write(
-                            _gzip.compress(head + block + b"\r\n\r\n")
+        with open(tmp, "wb") as f:
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    payload = bytes(row["payload"] or b"")
+                    wtype = row["warc_type"] or "resource"
+                    status = row["http_status"]
+                    # Arrow->pandas renders nullable ints as NaN
+                    has_status = status is not None and status == status
+                    if wtype == "response" and has_status:
+                        ctype = (
+                            row["content_type"]
+                            or "application/octet-stream"
                         )
-                        n += 1
-        except BaseException:
-            try:
-                _os.remove(tmp)
-            except OSError:
-                pass
-            raise
-        if n == 0:
-            _os.remove(tmp)
-            yield pd.DataFrame({"shard": [], "n_records": []})
-        else:
-            _os.replace(tmp, fname)
-            yield pd.DataFrame({"shard": [fname], "n_records": [n]})
+                        block = (
+                            f"HTTP/1.1 {int(status)} \r\n"
+                            f"Content-Type: {ctype}\r\n"
+                            f"Content-Length: {len(payload)}\r\n\r\n"
+                        ).encode() + payload
+                        block_type = (
+                            "application/http; msgtype=response"
+                        )
+                    else:
+                        block = payload
+                        block_type = (
+                            row["content_type"]
+                            or "application/octet-stream"
+                        )
+                    rid = _uuid.uuid5(
+                        _uuid.NAMESPACE_URL,
+                        f"{row['warc_file']}#{row['record_idx']}",
+                    )
+                    head = (
+                        "WARC/1.0\r\n"
+                        f"WARC-Type: {wtype}\r\n"
+                        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+                        + (
+                            f"WARC-Target-URI: {row['target_uri']}\r\n"
+                            if row["target_uri"]
+                            else ""
+                        )
+                        + "WARC-Date: "
+                        + (
+                            row["warc_date"]
+                            or "1970-01-01T00:00:00Z"
+                        )
+                        + "\r\n"
+                        + f"Content-Type: {block_type}\r\n"
+                        + f"Content-Length: {len(block)}\r\n\r\n"
+                    ).encode()
+                    f.write(
+                        _gzip.compress(head + block + b"\r\n\r\n")
+                    )
+                    n += 1
+        return n
 
-    out = parted.mapInPandas(
-        write_partition,
-        T.StructType(
-            [
-                T.StructField("shard", T.StringType()),
-                T.StructField("n_records", T.LongType()),
-            ]
-        ),
-    )
-    return sorted(r["shard"] for r in out.collect())
+    return write_shards(parted, path, ".warc.gz", write_fn)

@@ -225,7 +225,7 @@ def write_webdataset(
     local/NFS/fuse; on object storage a real deployment writes to the
     mount or uploads the closed shard.
 
-    Write atomicity: each task streams to a task-ATTEMPT-unique temp
+    Write atomicity (shared scaffold, :mod:`sources.shard_io`): each\n    task streams to a task-ATTEMPT-unique temp
     name and ``os.replace``\\ s it over the final ``shard-NNNNN.tar``
     only after the tar closes cleanly, so a retried or speculative
     attempt never interleaves with (or truncates under) a sibling —
@@ -234,60 +234,29 @@ def write_webdataset(
     inside the task (executors need not share the driver's filesystem
     view of a fresh run directory).
     """
-    import os
-
-    os.makedirs(path, exist_ok=True)
-    parted = samples.repartition(n_shards, "key")
-
-    def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        ctx = TaskContext.get()
-        pid = ctx.partitionId()
-        os.makedirs(path, exist_ok=True)
-        fname = os.path.join(path, f"shard-{pid:05d}.tar")
-        tmp = os.path.join(
-            path, f".shard-{pid:05d}.tar.inprogress-{ctx.taskAttemptId()}"
-        )
-        n = 0
-        try:
-            with tarfile.open(tmp, "w|") as tf:
-                for pdf in batches:
-                    order = pdf["key"].argsort(kind="stable")
-                    for i in order:
-                        key, parts = pdf["key"].iloc[i], pdf["parts"].iloc[i]
-                        for field in sorted(parts):
-                            blob = bytes(parts[field])
-                            name = f"{key}.{field}" if field else key
-                            info = tarfile.TarInfo(name)
-                            info.size = len(blob)
-                            tf.addfile(info, io.BytesIO(blob))
-                            n += 1
-        except BaseException:
-            # failed attempt: leave no temp litter; the retry gets its
-            # own attempt-unique name either way
-            try:
-                os.remove(tmp)
-            except OSError:
-                pass
-            raise
-        if n == 0:
-            os.remove(tmp)  # empty partition: no empty shard litter
-            yield pd.DataFrame({"shard": [], "n_members": []})
-        else:
-            os.replace(tmp, fname)  # atomic publish on POSIX
-            yield pd.DataFrame({"shard": [fname], "n_members": [n]})
-
-    out = parted.select("key", "parts").mapInPandas(
-        write_partition,
-        T.StructType(
-            [
-                T.StructField("shard", T.StringType()),
-                T.StructField("n_members", T.LongType()),
-            ]
-        ),
+    from clickhouse_table_copier_spark.sources.shard_io import (
+        write_shards,
     )
-    return sorted(r["shard"] for r in out.collect())
+
+    parted = samples.repartition(n_shards, "key").select("key", "parts")
+
+    def write_fn(batches: Iterator[pd.DataFrame], tmp: str) -> int:
+        n = 0
+        with tarfile.open(tmp, "w|") as tf:
+            for pdf in batches:
+                order = pdf["key"].argsort(kind="stable")
+                for i in order:
+                    key, parts = pdf["key"].iloc[i], pdf["parts"].iloc[i]
+                    for field in sorted(parts):
+                        blob = bytes(parts[field])
+                        name = f"{key}.{field}" if field else key
+                        info = tarfile.TarInfo(name)
+                        info.size = len(blob)
+                        tf.addfile(info, io.BytesIO(blob))
+                        n += 1
+        return n
+
+    return write_shards(parted, path, ".tar", write_fn)
 
 
 def to_media_table(

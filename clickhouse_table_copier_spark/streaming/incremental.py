@@ -279,6 +279,7 @@ def incremental_jsonl_documents(
     Returns the query handle; callers await termination."""
     from clickhouse_table_copier_spark.sources.jsonl import (
         JSONL_SCHEMA,
+        _make_line_expander,
         jsonl_to_documents,
     )
 
@@ -296,10 +297,6 @@ def incremental_jsonl_documents(
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .load(corpus_dir)
     )
-    from clickhouse_table_copier_spark.sources.jsonl import (
-        _make_line_expander,
-    )
-
     lines = shards.select("path", "content").mapInPandas(
         _make_line_expander(), JSONL_SCHEMA
     )

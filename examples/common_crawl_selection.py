@@ -32,7 +32,14 @@ def _brotli_compress(data: bytes, quality: int = 9) -> bytes:
     """Fixture-side only: the system encoder codes the bodies the
     DECODER under demonstration has to undo (same one used for the
     committed goldens)."""
-    enc = ctypes.CDLL("/lib/x86_64-linux-gnu/libbrotlienc.so.1")
+    import ctypes.util
+
+    lib = ctypes.util.find_library("brotlienc")
+    if lib is None:
+        print("SKIP: no libbrotlienc on this system — fixture encoder "
+              "unavailable (the repo DECODER needs no system libs)")
+        sys.exit(0)
+    enc = ctypes.CDLL(lib)
     fn = enc.BrotliEncoderCompress
     fn.restype = ctypes.c_int
     out_len = ctypes.c_size_t(len(data) * 2 + 1024)
@@ -165,6 +172,7 @@ def main() -> None:
             F.col("target_uri").alias("url"),
             F.col("payload").cast("string").alias("raw_html"),
         )
+        docs = docs.cache()  # one fetch pass feeds both branches
         texts = extract_html_text(docs, "raw_html", "doc_id")
         joined = texts.join(docs.select("doc_id", "url"), "doc_id")
         rows = joined.select("url", "text").collect()

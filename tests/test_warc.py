@@ -777,7 +777,6 @@ def test_write_warc_roundtrip(spark, tmp_path):
     shards = write_warc(rows, out_dir, n_shards=2)
     assert shards and all(s.endswith(".warc.gz") for s in shards)
     back = read_warc(spark, out_dir)
-    keyfn = lambda r: (r["warc_type"], r["target_uri"] or "")
     orig = sorted(
         (
             (r["warc_type"], r["target_uri"], r["warc_date"],
@@ -793,3 +792,30 @@ def test_write_warc_roundtrip(spark, tmp_path):
         )
     )
     assert got == orig
+
+
+def test_write_warc_statusless_response_roundtrips(spark, tmp_path):
+    """A response row with NULL http_status (raw capture whose block
+    was not parseable HTTP) must write verbatim and read back with a
+    NULL status — not crash the task, not fabricate a 200 (review
+    finding)."""
+    from clickhouse_table_copier_spark.sources.warc import (
+        WARC_SCHEMA,
+        read_warc,
+        write_warc,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            ("f", 0, "response", "https://x/raw", "2026-08-16T00:00:00Z",
+             None, None, bytearray(b"not-http raw block")),
+        ],
+        WARC_SCHEMA,
+    )
+    out = os.path.join(str(tmp_path), "o")
+    shards = write_warc(rows, out, n_shards=1)
+    assert len(shards) == 1
+    back = read_warc(spark, out).collect()
+    assert len(back) == 1
+    assert back[0]["http_status"] is None
+    assert bytes(back[0]["payload"]) == b"not-http raw block"
