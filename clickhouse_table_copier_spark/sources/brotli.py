@@ -494,19 +494,26 @@ def _decompress(bits: _Bits, max_output: int) -> bytes:
             _read_prefix_code(bits, dist_alpha)
             for _ in range(ntrees_d)
         ]
-        # --- data
+        # --- data (globals bound to locals: this loop runs once per
+        # command, and attribute/global lookups dominate pure-Python
+        # decode time)
+        read = bits.read
+        ins_base, ins_extra = _INS_BASE, _INS_EXTRA
+        cpy_base, cpy_extra = _CPY_BASE, _CPY_EXTRA
+        ins_range, cpy_range = _INS_RANGE, _CPY_RANGE
+        single_lit = ntrees_l == 1 and bl_l.n == 1
         while mlen > 0:
             bl_i.tick(bits)
             cmd = cmd_trees[bl_i.btype].decode(bits)
             cell = cmd >> 6
             dist0 = cell < 2
             lut = cell if cell < 2 else cell - 2
-            ic = _INS_RANGE[lut] + ((cmd >> 3) & 7)
-            cc = _CPY_RANGE[lut] + (cmd & 7)
-            ins_len = _INS_BASE[ic] + bits.read(_INS_EXTRA[ic])
-            cpy_len = _CPY_BASE[cc] + bits.read(_CPY_EXTRA[cc])
+            ic = ins_range[lut] + ((cmd >> 3) & 7)
+            cc = cpy_range[lut] + (cmd & 7)
+            ins_len = ins_base[ic] + read(ins_extra[ic])
+            cpy_len = cpy_base[cc] + read(cpy_extra[cc])
             if ins_len:
-                if ntrees_l == 1 and bl_l.n == 1:
+                if single_lit:
                     # single literal tree: the context map is all-zero,
                     # so skip context computation — inlined fast loop
                     tree = lit_trees[0]
