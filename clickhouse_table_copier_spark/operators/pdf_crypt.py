@@ -464,11 +464,14 @@ def _compute_file_key(enc: dict):
         if u[: len(exp)] == exp:
             return key
         # empty OWNER password (Algorithm 3 reversed: unwrap /O to the
-        # user password, then Algorithm 2 with it)
+        # user password, then Algorithm 2 with it).  NOTE: unlike
+        # Algorithm 2's 50-round loop, Algorithm 3 hashes the FULL
+        # 16-byte digest each round; truncation to the key length
+        # happens only at the end (matters for /Length < 128)
         okey = hashlib.md5(_PAD).digest()
         if r >= 3:
             for _ in range(50):
-                okey = hashlib.md5(okey[:nbytes]).digest()
+                okey = hashlib.md5(okey).digest()
         okey = okey[:nbytes]
         userpwd = o
         if r == 2:

@@ -105,7 +105,12 @@ def _parse_one(host: str, body: str):
             if not group_open:
                 agents = []
                 group_open = True
-            agents.append(val.strip().lower())
+            agent = val.strip().lower()
+            if agent:
+                # an EMPTY product token is invalid per RFC 9309 —
+                # registering "" would match every crawler via
+                # contains("") and suppress the host's '*' group
+                agents.append(agent)
             continue
         if key == "sitemap":  # group-independent per the RFC
             if val:

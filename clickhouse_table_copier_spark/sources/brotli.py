@@ -264,8 +264,16 @@ def _read_prefix_code(bits: _Bits, alphabet_size: int) -> _Tree:
             rep_count = new
             last_rep_sym = 17
             sym += delta
+            if sym > alphabet_size:
+                raise BrotliError("zero-repeat overruns alphabet")
         if space < 0:
             raise BrotliError("symbol lengths overfill")
+    if space != 0:
+        # the code space must fill EXACTLY; exiting with space left
+        # (e.g. a repeat run jumping past the alphabet) would build an
+        # under-subscribed tree that decodes wrong-but-plausible
+        # symbols instead of declining
+        raise BrotliError("prefix code does not fill")
     if len([1 for l in lengths.values() if l]) == 0:
         raise BrotliError("empty prefix code")
     return _Tree(lengths)

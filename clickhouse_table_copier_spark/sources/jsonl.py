@@ -150,9 +150,12 @@ def jsonl_to_documents(
     line_idx).  Pure-Column: the JSON parse is pruned to the requested
     paths by ``get_json_object``."""
     if id_field is not None:
-        doc_id = F.xxhash64(
-            F.get_json_object("value", f"$.{id_field}")
-        )
+        # lines MISSING the id field fall back to positional identity —
+        # hashing the NULL would collapse all of them onto one doc_id
+        corpus_id = F.get_json_object("value", f"$.{id_field}")
+        doc_id = F.when(
+            corpus_id.isNotNull(), F.xxhash64(corpus_id)
+        ).otherwise(F.xxhash64("source_file", "line_idx"))
     else:
         doc_id = F.xxhash64("source_file", "line_idx")
     return df.select(

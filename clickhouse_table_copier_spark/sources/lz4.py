@@ -125,6 +125,10 @@ def decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
             pos += 1  # header checksum (xxh32 byte) — not verified
             frame_out_start = len(out)
             while True:
+                if pos + 4 > len(data):
+                    # int.from_bytes(b"") == 0 would masquerade as a
+                    # clean EndMark on a boundary-truncated shard
+                    raise Lz4Error("truncated block size")
                 bsize = int.from_bytes(data[pos : pos + 4], "little")
                 pos += 4
                 if bsize == 0:  # EndMark

@@ -878,21 +878,29 @@ def write_warc(
         n = 0
         with open(tmp, "wb") as f:
             for pdf in batches:
-                for _, row in pdf.iterrows():
-                    payload = bytes(row["payload"] or b"")
-                    wtype = row["warc_type"] or "resource"
-                    status = row["http_status"]
+                for wfile, ridx, wtype, uri, date, status, ctype, pl in zip(
+                    pdf["warc_file"], pdf["record_idx"],
+                    pdf["warc_type"], pdf["target_uri"],
+                    pdf["warc_date"], pdf["http_status"],
+                    pdf["content_type"], pdf["payload"],
+                ):
+                    payload = bytes(pl or b"")
+                    wtype = wtype or "resource"
                     # Arrow->pandas renders nullable ints as NaN
                     has_status = status is not None and status == status
                     if wtype == "response" and has_status:
-                        ctype = (
-                            row["content_type"]
-                            or "application/octet-stream"
-                        )
+                        # a NULL content type stays ABSENT from the
+                        # rebuilt envelope — substituting a made-up
+                        # octet-stream would fabricate a value the
+                        # capture never carried
                         block = (
                             f"HTTP/1.1 {int(status)} \r\n"
-                            f"Content-Type: {ctype}\r\n"
-                            f"Content-Length: {len(payload)}\r\n\r\n"
+                            + (
+                                f"Content-Type: {ctype}\r\n"
+                                if ctype
+                                else ""
+                            )
+                            + f"Content-Length: {len(payload)}\r\n\r\n"
                         ).encode() + payload
                         block_type = (
                             "application/http; msgtype=response"
@@ -900,27 +908,22 @@ def write_warc(
                     else:
                         block = payload
                         block_type = (
-                            row["content_type"]
-                            or "application/octet-stream"
+                            ctype or "application/octet-stream"
                         )
                     rid = _uuid.uuid5(
-                        _uuid.NAMESPACE_URL,
-                        f"{row['warc_file']}#{row['record_idx']}",
+                        _uuid.NAMESPACE_URL, f"{wfile}#{ridx}"
                     )
                     head = (
                         "WARC/1.0\r\n"
                         f"WARC-Type: {wtype}\r\n"
                         f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
                         + (
-                            f"WARC-Target-URI: {row['target_uri']}\r\n"
-                            if row["target_uri"]
+                            f"WARC-Target-URI: {uri}\r\n"
+                            if uri
                             else ""
                         )
                         + "WARC-Date: "
-                        + (
-                            row["warc_date"]
-                            or "1970-01-01T00:00:00Z"
-                        )
+                        + (date or "1970-01-01T00:00:00Z")
                         + "\r\n"
                         + f"Content-Type: {block_type}\r\n"
                         + f"Content-Length: {len(block)}\r\n\r\n"

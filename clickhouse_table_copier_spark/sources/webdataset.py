@@ -225,7 +225,8 @@ def write_webdataset(
     local/NFS/fuse; on object storage a real deployment writes to the
     mount or uploads the closed shard.
 
-    Write atomicity (shared scaffold, :mod:`sources.shard_io`): each\n    task streams to a task-ATTEMPT-unique temp
+    Write atomicity (shared scaffold, :mod:`sources.shard_io`):
+    each task streams to a task-ATTEMPT-unique temp
     name and ``os.replace``\\ s it over the final ``shard-NNNNN.tar``
     only after the tar closes cleanly, so a retried or speculative
     attempt never interleaves with (or truncates under) a sibling —

@@ -748,7 +748,10 @@ def decompress_auto_dict(
         if len(payload) < size:
             raise ZstdError("truncated embedded dictionary frame")
         if payload[:4] == _MAGIC.to_bytes(4, "little"):
-            payload = decompress(payload, max_output)
+            payload = decompress(
+                payload, max_output,
+                verify_checksums=verify_checksums,
+            )
         return decompress(
             data[8 + size :], max_output, ZstdDict(payload),
             verify_checksums,

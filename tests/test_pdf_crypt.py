@@ -127,8 +127,10 @@ def _alg3_o_entry(owner_pwd: bytes, user_pwd: bytes, r: int, n: int):
     under the owner-password key)."""
     okey = hashlib.md5((owner_pwd + pc._PAD)[:32]).digest()
     if r >= 3:
+        # Algorithm 3's 50-round loop hashes the FULL digest (only
+        # Algorithm 2 truncates inside its loop)
         for _ in range(50):
-            okey = hashlib.md5(okey[:n]).digest()
+            okey = hashlib.md5(okey).digest()
     okey = okey[:n]
     o = pc.rc4(okey, (user_pwd + pc._PAD)[:32])
     if r >= 3:
@@ -440,3 +442,45 @@ def test_spark_mixed_encrypted_and_plain(spark):
     assert got[3][1] == plain
     assert got[4] == (None, None)
     assert got[5][1] is None  # genuinely passworded: declines
+
+
+def test_r3_40bit_owner_path():
+    """Algorithm 3's 50-round loop hashes the FULL digest; with
+    /Length 40 (5-byte keys) a truncating loop diverges — the review
+    finding the 128-bit fixtures could not catch."""
+    plain = _plain_text()
+    # R3 with 40-bit key: build the dict by hand via the encryptor
+    # pieces (the standard helper pins Length=128 for R3)
+    n = 5
+    o = _alg3_o_entry(b"", b"secret", 3, n)
+    key = pc._legacy_user_key(o, _P, _ID0, 3, n, True, b"secret")
+    u = pc._legacy_expected_u(key, _ID0, 3) + b"\x00" * 16
+    encdict = (
+        b"<< /Filter /Standard /V 2 /R 3 /Length 40 /P -44 "
+        b"/O <" + o.hex().encode() + b"> /U <" + u.hex().encode() + b"> >>"
+    )
+    b = make_pdf([_SIMPLE])
+    spans = pc.object_spans(b)
+    out = bytearray(b"%PDF-1.4\n")
+    for s0, e0, num, gen in spans:
+        body = b[s0:e0]
+        m = _STREAM_IN_BODY_RE.search(body)
+        if m is not None:
+            d = body[: m.start() + 2]
+            raw = _stream_raw(body, d, m.end())
+            enc = _encrypt_object(key, "rc4", num, gen, raw)
+            d2 = re.sub(
+                rb"/Length\s+\d+", b"/Length %d" % len(enc), d, count=1
+            )
+            body = d2 + b"stream\n" + enc + b"\nendstream"
+        out += b"%d %d obj\n" % (num, gen) + body.strip() + b"\nendobj\n"
+    enc_num = max(s[2] for s in spans) + 1
+    out += b"%d 0 obj\n" % enc_num + encdict + b"\nendobj\n"
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R /Encrypt %d 0 R "
+        b"/ID [<%s> <%s>] >>\n%%%%EOF\n"
+        % (enc_num + 1, enc_num, _ID0.hex().encode(), _ID0.hex().encode())
+    )
+    got = _extract_pdf(bytes(out))
+    # user pwd is non-empty -> the EMPTY-OWNER path must recover it
+    assert got is not None and got[1] == plain

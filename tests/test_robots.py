@@ -264,3 +264,17 @@ def test_bom_prefixed_robots_first_group_parses():
     assert len(rules) == 1
     host, agent, is_allow, pattern = rules[0][:4]
     assert (agent, is_allow, pattern) == ("*", False, "/")
+
+
+def test_empty_user_agent_value_ignored():
+    """'User-agent:' with an empty product token is invalid per RFC
+    9309 — registering '' would match EVERY crawler and suppress the
+    legitimate '*' group (review finding)."""
+    from clickhouse_table_copier_spark.operators.robots import _parse_one
+
+    rules, _ = _parse_one(
+        "h", "User-agent:\nDisallow: /\nUser-agent: *\nAllow: /\n"
+    )
+    agents = {r[1] for r in rules}
+    assert agents == {"*"}
+    assert all(r[2] for r in rules)  # only the Allow survived

@@ -277,3 +277,18 @@ def test_incremental_jsonl_ingest_two_runs(spark, tmp_path):
     q.awaitTermination()
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 2 + 200  # run 2 appended ONLY the new shard
+
+
+def test_jsonl_missing_id_field_keeps_distinct_doc_ids(spark, tmp_path):
+    """Lines missing the id field must NOT collapse onto one doc_id
+    (xxhash64 of NULL is a constant — review finding)."""
+    with open(os.path.join(str(tmp_path), "m.jsonl"), "wb") as f:
+        f.write(
+            b'{"id": "a", "text": "has id"}\n'
+            b'{"text": "no id one"}\n'
+            b'{"text": "no id two"}\n'
+        )
+    docs = jsonl_to_documents(
+        read_jsonl(spark, str(tmp_path)), id_field="id"
+    ).collect()
+    assert len({r["doc_id"] for r in docs}) == 3
