@@ -43,8 +43,6 @@ Reference parity: none — north-star LLM-pipeline surface (SURVEY.md
 
 from __future__ import annotations
 
-from bisect import bisect_right
-
 import numpy as np
 
 # T.4 code tables as (run_length, code_string) — transcribed from the
@@ -261,7 +259,10 @@ def make_ccitt_decoders():
         tag = None
         while not bits.exhausted():
             z = 0
-            limit = min(bits.n - bits.pos - 1, 4096)
+            # the EOL's terminating 1 may be the stream's LAST bit —
+            # an off-by-one here once refused to consume a final EOL
+            # and the caller spun forever on the unconsumed bits
+            limit = min(bits.n - bits.pos, 4096)
             while z < limit and bits.peek1_at(z) == 0:
                 z += 1
             if z < 11 or z >= limit or bits.peek1_at(z) != 1:
@@ -409,9 +410,11 @@ def make_ccitt_decoders():
                         next_is_1d = tag
                     if bits.exhausted():
                         break
-                    # consecutive EOLs (RTC) drain via the loop
                     if bits.peek(12) == eol:
-                        continue
+                        # skip_eols declined to consume an EOL it can
+                        # see (e.g. truncated tag bit) — no forward
+                        # progress is possible; end the image
+                        break
                 try:
                     if two_d and not next_is_1d:
                         changes = decode_2d_row(bits, ref, columns)
@@ -438,9 +441,11 @@ def make_ccitt_decoders():
             data, columns, rows, two_d=k > 0, has_eol=True,
             byte_align=byte_align,
         )
-        if got is None:
+        if got is None and k == 0:
             # writers that omit EOLs despite K=0 exist; retry as
-            # byte-aligned MH
+            # byte-aligned MH — K>0 (MR) streams must NOT be
+            # reinterpreted under a different coding scheme (a wrong
+            # raster would enter the dedup tables)
             got = decode_g3(
                 data, columns, rows, two_d=False, has_eol=False
             )

@@ -496,16 +496,48 @@ def _compute_file_key(enc: dict):
             return _hash_2b(pwd, salt, udata)
 
         ue, oe = enc["ue"], enc["oe"]
+        key = None
         # empty USER password: validation salt U[32:40], key salt U[40:48]
         if ue is not None and hsh(b"", u[32:40], b"") == u[:32]:
             ik = hsh(b"", u[40:48], b"")
-            return aes_cbc_decrypt(ik, b"\x00" * 16, ue[:32])
+            key = aes_cbc_decrypt(ik, b"\x00" * 16, ue[:32])
         # empty OWNER password: salts in O, U[0:48] as udata
-        if oe is not None and hsh(b"", o[32:40], u[:48]) == o[:32]:
+        elif oe is not None and hsh(b"", o[32:40], u[:48]) == o[:32]:
             ik = hsh(b"", o[40:48], u[:48])
-            return aes_cbc_decrypt(ik, b"\x00" * 16, oe[:32])
-        return None
+            key = aes_cbc_decrypt(ik, b"\x00" * 16, oe[:32])
+        # a truncated /UE//OE yields a short key: AES-256 needs
+        # exactly 32 bytes — anything else would either raise in the
+        # key schedule or silently decrypt under the wrong cipher
+        if key is None or len(key) != 32:
+            return None
+        return key
     return None
+
+
+def _strip_subdicts(d: bytes) -> bytes:
+    """Remove nested ``<< … >>`` sub-dictionaries (depth ≥ 2) so
+    integer-entry regexes match TOP-LEVEL keys only."""
+    out = bytearray()
+    depth = 0
+    i = 0
+    n = len(d)
+    while i < n:
+        two = d[i : i + 2]
+        if two == b"<<":
+            depth += 1
+            if depth <= 1:
+                out += two
+            i += 2
+        elif two == b">>":
+            if depth <= 1:
+                out += two
+            depth -= 1
+            i += 2
+        else:
+            if depth <= 1:
+                out.append(d[i])
+            i += 1
+    return bytes(out)
 
 
 def find_decryptor(b: bytes):
@@ -548,9 +580,14 @@ def find_decryptor(b: bytes):
             return None
     if b"/Standard" not in d:
         return None  # non-standard handlers: out of scope
+    # top-level integer entries only: a crypt-filter SUB-dictionary
+    # carries its own /Length (16, in bytes) that alphabetical-order
+    # writers emit BEFORE the top-level /Length (bits) — matching it
+    # would derive a wrong-size key and falsely decline the document
+    top = _strip_subdicts(d)
     ints = {}
     for k, rx in _INT_RE.items():
-        mm = rx.search(d)
+        mm = rx.search(top)
         ints[k] = int(mm.group(1)) if mm else None
     v = ints[b"V"] or 0
     r = ints[b"R"] or (2 if v < 2 else 3)
@@ -559,11 +596,12 @@ def find_decryptor(b: bytes):
     idm = _ID_HEX_RE.search(b)
     if idm is not None:
         h = re.sub(rb"\s", b"", idm.group(1))
-        if len(h) % 2 == 0:
-            try:
-                id0 = bytes.fromhex(h.decode("ascii"))
-            except ValueError:
-                id0 = b""
+        if len(h) % 2:
+            h += b"0"  # odd hex digit count: implied trailing 0
+        try:
+            id0 = bytes.fromhex(h.decode("ascii"))
+        except ValueError:
+            id0 = b""
     else:
         lm = _ID_LIT_RE.search(b)
         if lm is not None:
@@ -578,13 +616,17 @@ def find_decryptor(b: bytes):
         "oe": _string_entry(d, b"OE"),
         "ue": _string_entry(d, b"UE"),
         "id0": id0,
-        "encrypt_metadata": b"/EncryptMetadata false" not in d
-        and b"/EncryptMetadata  false" not in d,
+        "encrypt_metadata": re.search(
+            rb"/EncryptMetadata\s+false", d
+        ) is None,
     }
     key = _compute_file_key(enc)
     if key is None:
         return None
-    if v == 5:
+    if v == 5 or r in (5, 6):
+        # the key derivation is revision-driven: an R6 dict missing
+        # /V still yielded a 32-byte AES-256 key above — pairing it
+        # with RC4 would fabricate garbage plaintext
         cfm = "aes256"
     elif v == 4:
         # stream crypt filter: /StmF names a CF entry; resolve its /CFM.

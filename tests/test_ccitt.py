@@ -316,3 +316,27 @@ def test_tiff_gray8_min_is_white_inverts():
     got = _make_tiff_raster_decoder()(bytes(out))
     assert got is not None
     assert np.array_equal(got[3][:, :, 0], 255 - gray)
+
+
+def test_final_eol_at_exact_stream_end_terminates():
+    """A G3 stream whose final EOL's terminating 1 is the LAST bit
+    must return, not spin (review finding: off-by-one in the EOL
+    consumer left the bits unconsumed and the row loop made no
+    progress — an executor hang no except can catch)."""
+    # EOL + one all-white 8px row (white run 8 = '10011') + EOL ending
+    # exactly at a bit boundary
+    bits = "000000000001" + "10011" + "000000000001"
+    pad = (8 - len(bits) % 8) % 8
+    data = int(bits + "0" * pad, 2).to_bytes((len(bits) + pad) // 8, "big")
+    got = ccitt.decode_g3(data, 8, rows=None)
+    assert got is not None and got.shape == (1, 8)
+    # and with an over-declared row count: decline, not hang
+    assert ccitt.decode_g3(data, 8, rows=5) is None
+
+
+def test_k_positive_stream_never_retried_as_mh():
+    """A corrupt K>0 (MR) stream must decline — reinterpreting the
+    same bits as byte-aligned MH could fabricate a raster (review
+    finding)."""
+    data, w, h, _, _ = _strip(G4_DIAG)  # G4 bits are not valid MR
+    assert ccitt.decode_ccitt_pdf(data[: len(data) // 2], 2, w, h) is None

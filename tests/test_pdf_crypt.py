@@ -484,3 +484,70 @@ def test_r3_40bit_owner_path():
     got = _extract_pdf(bytes(out))
     # user pwd is non-empty -> the EMPTY-OWNER path must recover it
     assert got is not None and got[1] == plain
+
+
+def test_cf_subdict_length_does_not_shadow_top_level():
+    """Alphabetical-order writers emit /CF (with its byte-unit
+    /Length 16) BEFORE the top-level bit-unit /Length 128 — the key
+    size must come from the top level (review finding)."""
+    plain = _plain_text()
+    enc = encrypt_pdf(make_pdf([_SIMPLE]), 4, owner_pwd=b"own")
+    # reorder: put the CF dict (with an inner /Length 16) first
+    old = (
+        b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen >> >> "
+        b"/StmF /StdCF /StrF /StdCF "
+    )
+    assert old in enc
+    body_at = enc.index(b"<< /Filter /Standard")
+    head = b"<< /Filter /Standard "
+    reordered = enc.replace(old, b"", 1).replace(
+        head,
+        head
+        + b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+        + b"/StmF /StdCF /StrF /StdCF ",
+        1,
+    )
+    got = _extract_pdf(reordered)
+    assert got is not None and got[1] == plain
+
+
+def test_r6_without_v_declines_not_garbage():
+    """An R6 dict missing /V must not pair the AES-256 key with RC4
+    (review finding): either decrypt correctly or decline — never
+    fabricate."""
+    plain = _plain_text()
+    enc = encrypt_pdf(make_pdf([_SIMPLE]), 6, owner_pwd=b"o")
+    assert b"/V 5 " in enc
+    stripped = enc.replace(b"/V 5 ", b"", 1)
+    got = _extract_pdf(stripped)
+    # with cfm now keyed off R, the document still decrypts correctly
+    assert got is not None and got[1] == plain
+
+
+def test_truncated_ue_declines():
+    """A truncated /UE cannot yield a 32-byte file key — the document
+    must decline, not raise or decrypt under a wrong-size key (review
+    finding)."""
+    enc = encrypt_pdf(make_pdf([_SIMPLE]), 6, owner_pwd=b"o")
+    import re as _re
+
+    m = _re.search(rb"/UE <([0-9a-f]+)>", enc)
+    assert m is not None
+    short = enc.replace(m.group(0), b"/UE <" + m.group(1)[:32] + b">", 1)
+    got = _extract_pdf(short)
+    assert got is not None and got[1] is None  # declines cleanly
+
+
+def test_encrypt_metadata_whitespace_variants():
+    """'/EncryptMetadata\\nfalse' (newline/tab separators) must parse
+    as false (review finding)."""
+    plain = _plain_text()
+    enc = encrypt_pdf(
+        make_pdf([_SIMPLE]), 4, owner_pwd=b"o", encrypt_metadata=False
+    )
+    assert b"/EncryptMetadata false" in enc
+    wrapped = enc.replace(
+        b"/EncryptMetadata false", b"/EncryptMetadata\nfalse", 1
+    )
+    got = _extract_pdf(wrapped)
+    assert got is not None and got[1] == plain

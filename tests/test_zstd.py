@@ -292,3 +292,16 @@ def test_jsonl_missing_id_field_keeps_distinct_doc_ids(spark, tmp_path):
         read_jsonl(spark, str(tmp_path)), id_field="id"
     ).collect()
     assert len({r["doc_id"] for r in docs}) == 3
+
+
+def test_multi_member_gzip_shard_reads(spark, tmp_path):
+    """Concatenated gzip members (how some corpus tooling appends to
+    shards) read as one logical file — stdlib gzip handles the
+    multi-member stream; pinned so a future custom path keeps it."""
+    two = gzip.compress(b'{"text": "member one"}\n') + gzip.compress(
+        b'{"text": "member two"}\n'
+    )
+    with open(os.path.join(str(tmp_path), "mm.jsonl.gz"), "wb") as f:
+        f.write(two)
+    rows = read_jsonl(spark, str(tmp_path)).collect()
+    assert len(rows) == 2
