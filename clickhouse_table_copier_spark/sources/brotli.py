@@ -40,7 +40,8 @@ pure-dictionary tiny input.
 Scale shape (100 TB): runs inside the existing Arrow-batched WARC
 decode edge (`Content-Encoding: br` bodies); compressed bytes never
 shuffle.  Pure-Python throughput is the documented trade, same seam
-as :mod:`sources.zstd` (`decompress(bytes) -> bytes`).
+as :mod:`sources.zstd` (`brotli_decompress(bytes) -> bytes`), with the
+same ctypes fast path through the system library when it loads.
 
 Reference parity: none — north-star LLM-pipeline surface (SURVEY.md
 §2.8); the reference engine reads SQL tables only.
@@ -412,9 +413,34 @@ def _transform_word(word: bytes, tid: int) -> bytes:
     return prefix + body + suffix
 
 
-def decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
+def brotli_decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
     """Decompress one brotli stream.  Raises :class:`BrotliError` on
-    malformed input."""
+    malformed input.
+
+    Fast path: routes through the system ``libbrotlidec`` ctypes
+    bindings (:mod:`._native_codecs`) when the library loads.  Pure
+    Python is the fallback and the cross-check oracle (both paths
+    pinned to the same encoder goldens in
+    tests/test_native_codecs.py)."""
+    try:
+        from clickhouse_table_copier_spark.sources import _native_codecs
+    except Exception:
+        _native_codecs = None
+    if _native_codecs is not None and _native_codecs.brotli_available():
+        try:
+            return _native_codecs.brotli_decompress_native(
+                data, max_output
+            )
+        except _native_codecs.NativeDecodeError as e:
+            raise BrotliError(str(e)) from None
+    return brotli_decompress_pure(data, max_output)
+
+
+def brotli_decompress_pure(
+    data: bytes, max_output: int = 1 << 31
+) -> bytes:
+    """The pure-Python RFC 7932 decoder — portable fallback and the
+    cross-check oracle for the native fast path."""
     bits = _Bits(data)
     try:
         return _decompress(bits, max_output)
@@ -520,6 +546,13 @@ def _decompress(bits: _Bits, max_output: int) -> bytes:
             cc = cpy_range[lut] + (cmd & 7)
             ins_len = ins_base[ic] + read(ins_extra[ic])
             cpy_len = cpy_base[cc] + read(cpy_extra[cc])
+            if ins_len > mlen:
+                # the reference decoder rejects commands whose insert
+                # part alone exceeds the declared MLEN — emitting the
+                # overflow would fabricate bytes past the metablock
+                raise BrotliError(
+                    "insert length exceeds metablock length"
+                )
             if ins_len:
                 if single_lit:
                     # single literal tree: the context map is all-zero,
@@ -594,6 +627,10 @@ def _decompress(bits: _Bits, max_output: int) -> bytes:
                         + lcode + ndirect + 1
                     )
             if distance <= max_dist:
+                if cpy_len > mlen:
+                    raise BrotliError(
+                        "copy length exceeds metablock length"
+                    )
                 if dcode != 0:
                     ring[3] = ring[2]
                     ring[2] = ring[1]
@@ -621,6 +658,10 @@ def _decompress(bits: _Bits, max_output: int) -> bytes:
                 off = DICT_OFFSETS_BY_LENGTH[cpy_len] + word_idx * cpy_len
                 word = DICTIONARY[off : off + cpy_len]
                 piece = _transform_word(word, tid)
+                if len(piece) > mlen:
+                    raise BrotliError(
+                        "dictionary word exceeds metablock length"
+                    )
                 out += piece
                 mlen -= len(piece)
             if len(out) > max_output:

@@ -66,7 +66,7 @@ def _decompress_shard(raw: bytes):
                 return decompress_auto_dict(raw, verify_checksums=False)
         if raw[:4] == b"\x04\x22\x4d\x18":
             from clickhouse_table_copier_spark.sources.lz4 import (
-                decompress as lz4_decompress,
+                lz4_decompress,
             )
 
             return lz4_decompress(raw)

@@ -32,7 +32,7 @@ class Lz4Error(ValueError):
     """Malformed lz4 data."""
 
 
-def _decode_block(
+def _lz4_decode_block(
     src: bytes, history: bytearray, max_output: int, floor: int = 0
 ):
     """One LZ4 block into ``history`` (appended in place).  ``floor``
@@ -91,9 +91,33 @@ def _decode_block(
             raise Lz4Error("output exceeds bound")
 
 
-def decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
+def lz4_decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
     """Decompress a complete lz4-frame input (frames may be
-    concatenated; skippable frames allowed)."""
+    concatenated; skippable frames allowed).
+
+    Fast path: routes through the system ``liblz4`` ctypes bindings
+    (:mod:`._native_codecs`) when the library loads — the native path
+    additionally verifies block/content checksums (strictly safer
+    than the pure decoder, which skips them).  Pure Python is the
+    fallback and the cross-check oracle (both paths pinned to the
+    same CLI goldens in tests/test_native_codecs.py)."""
+    try:
+        from clickhouse_table_copier_spark.sources import _native_codecs
+    except Exception:
+        _native_codecs = None
+    if _native_codecs is not None and _native_codecs.lz4_available():
+        try:
+            return _native_codecs.lz4_decompress_native(
+                data, max_output
+            )
+        except _native_codecs.NativeDecodeError as e:
+            raise Lz4Error(str(e)) from None
+    return lz4_decompress_pure(data, max_output)
+
+
+def lz4_decompress_pure(data: bytes, max_output: int = 1 << 31) -> bytes:
+    """The pure-Python LZ4 frame decoder — portable fallback and the
+    cross-check oracle for the native fast path."""
     pos = 0
     out = bytearray()
     try:
@@ -144,12 +168,12 @@ def decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
                 else:
                     if block_indep:
                         tmp = bytearray()
-                        _decode_block(block, tmp, max_output)
+                        _lz4_decode_block(block, tmp, max_output)
                         out += tmp
                     else:
                         # linked blocks reference earlier output of
                         # THIS frame only
-                        _decode_block(
+                        _lz4_decode_block(
                             block, out, max_output, frame_out_start
                         )
                 if len(out) > max_output:

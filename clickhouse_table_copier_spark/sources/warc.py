@@ -250,21 +250,21 @@ def _content_decode(payload: bytes, enc: bytes):
         if enc == b"zstd":
             from clickhouse_table_copier_spark.sources.zstd import (
                 ZstdError,
-                decompress,
+                zstd_decompress,
             )
 
             try:
-                return decompress(payload)
+                return zstd_decompress(payload)
             except ZstdError:
                 return payload
         if enc == b"br":
             from clickhouse_table_copier_spark.sources.brotli import (
                 BrotliError,
-                decompress,
+                brotli_decompress,
             )
 
             try:
-                out = decompress(payload)
+                out = brotli_decompress(payload)
             except BrotliError:
                 return payload
             # brotli has no magic/checksum: garbage can decode as a

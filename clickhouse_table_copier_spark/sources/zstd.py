@@ -38,9 +38,12 @@ reference encoder immediately.
 Scale shape (100 TB): decompression runs inside Arrow-batched
 ``mapInPandas`` ingest edges (:func:`sources.jsonl.read_jsonl`
 and the WARC readers) — compressed bytes never shuffle; each task
-holds one member/frame at a time.  Pure-Python throughput is the
-documented trade (a real deployment swaps in the zstd C binding
-through the SAME one-function seam: ``decompress(data) -> bytes``).
+holds one member/frame at a time.  Hot-path CPU: when the system
+``libzstd`` loads, :func:`zstd_decompress` routes through the ctypes
+bindings in :mod:`._native_codecs` (~20-40x pure-Python throughput);
+the pure decoder here is the no-dependency fallback and the
+cross-check oracle — both paths are pinned to the same CLI goldens
+and asserted byte-identical in tests/test_native_codecs.py.
 
 Reference parity: none — north-star LLM-pipeline surface (SURVEY.md
 §2.8); the reference engine reads SQL tables only.
@@ -233,15 +236,24 @@ def _huffman_weights(data: bytes, pos: int):
         s1 = rdr.read(al)
         s2 = rdr.read(al)
         weights = []
-        # interleaved two-state decode until the stream exhausts
-        while len(weights) < 256:
+        # interleaved two-state decode until the stream exhausts.
+        # Explicit weights are bounded at 255: one more slot is taken
+        # by the implied last weight below, and a 256th explicit entry
+        # would create a table row for symbol 256 — which the literal
+        # decoder would feed to bytearray.append(256), a plain
+        # ValueError escaping the ZstdError decline contract.
+        while True:
             sym, nbits, base = table[s1]
             weights.append(sym)
             if rdr.bitpos < nbits:
                 weights.append(table[s2][0])
                 break
+            if len(weights) >= 255:
+                raise ZstdError("too many huffman weights")
             s1 = base + rdr.read(nbits)
             s1, s2 = s2, s1
+        if len(weights) > 255:
+            raise ZstdError("too many huffman weights")
         pos += hb
     # implied final weight: totals must close to a power of two
     total = sum((1 << (w - 1)) for w in weights if w > 0)
@@ -374,6 +386,9 @@ class ZstdDict:
     content is also accepted — it seeds only the window."""
 
     def __init__(self, data: bytes):
+        # the unparsed bytes, handed verbatim to the native fast path
+        # (libzstd does its own §5 parse)
+        self.raw = bytes(data)
         if len(data) >= 8 and int.from_bytes(
             data[:4], "little"
         ) == _DICT_MAGIC:
@@ -528,7 +543,7 @@ def _seq_table(kind: str, mode: int, block: bytes, pos: int,
     return got, pos
 
 
-def _decode_block(block: bytes, st: _FrameState, history: bytearray):
+def _zstd_decode_block(block: bytes, st: _FrameState, history: bytearray):
     """One compressed block → decompressed bytes (appended context in
     ``history`` is readable for offsets)."""
     lit, pos = _decode_literals(block, 0, st)
@@ -631,7 +646,7 @@ def _decode_block(block: bytes, st: _FrameState, history: bytearray):
     return bytes(out)
 
 
-def decompress(
+def zstd_decompress(
     data: bytes, max_output: int = 1 << 31, zdict: "ZstdDict" = None,
     verify_checksums: bool = True,
 ) -> bytes:
@@ -642,13 +657,64 @@ def decompress(
     (low 32 bits of XXH64) are VERIFIED by default — a corrupted frame
     raises instead of silently yielding wrong bytes; pass
     ``verify_checksums=False`` to trade that safety for speed.  Raises
-    :class:`ZstdError` on malformed input."""
+    :class:`ZstdError` on malformed input.
+
+    Fast path: when the system ``libzstd`` is loadable (it ships in
+    this container) the frame decode goes through ctypes bindings in
+    :mod:`._native_codecs` — ~20-40x the pure-Python throughput, the
+    single biggest CPU line-item at 100 TB of ``.warc.zst`` bodies.
+    The pure-Python decoder remains the fallback when the library is
+    absent AND the cross-check oracle (goldens + parity tests decode
+    both ways, asserted byte-identical).  ``verify_checksums=False``
+    routes to the pure path too: the library always verifies, and the
+    flag exists precisely to salvage checksum-damaged shards."""
+    native = _native_codecs_or_none()
+    if (
+        native is not None
+        and verify_checksums
+        and native.zstd_available()
+    ):
+        try:
+            return native.zstd_decompress_native(
+                data, max_output,
+                None if zdict is None else zdict.raw,
+            )
+        except native.NativeDecodeError as e:
+            raise ZstdError(str(e)) from None
+    return zstd_decompress_pure(data, max_output, zdict,
+                                verify_checksums)
+
+
+def zstd_decompress_pure(
+    data: bytes, max_output: int = 1 << 31, zdict: "ZstdDict" = None,
+    verify_checksums: bool = True,
+) -> bytes:
+    """The pure-Python RFC 8878 decoder — the portable fallback and
+    the cross-check oracle for the native fast path (see
+    tests/test_native_codecs.py)."""
     try:
         return _decompress_frames(
             data, max_output, [], 0, zdict, verify_checksums
         )
-    except IndexError:
-        raise ZstdError("truncated zstd input") from None
+    except ZstdError:
+        raise
+    except (IndexError, ValueError) as e:
+        # plain ValueError (e.g. bytearray.append range) must not
+        # escape the decline contract: WARC/jsonl edges catch only
+        # ZstdError.  ZstdError subclasses ValueError — re-raised
+        # above before this arm can swallow it.
+        raise ZstdError(f"corrupt zstd input: {e}") from None
+
+
+def _native_codecs_or_none():
+    """Import the ctypes fast-path module, or None when unavailable.
+    Kept lazy so a broken native environment can never break import
+    of the pure-Python decoder."""
+    try:
+        from clickhouse_table_copier_spark.sources import _native_codecs
+        return _native_codecs
+    except Exception:
+        return None
 
 
 _XXP1 = 0x9E3779B185EBCA87
@@ -748,15 +814,15 @@ def decompress_auto_dict(
         if len(payload) < size:
             raise ZstdError("truncated embedded dictionary frame")
         if payload[:4] == _MAGIC.to_bytes(4, "little"):
-            payload = decompress(
+            payload = zstd_decompress(
                 payload, max_output,
                 verify_checksums=verify_checksums,
             )
-        return decompress(
+        return zstd_decompress(
             data[8 + size :], max_output, ZstdDict(payload),
             verify_checksums,
         )
-    return decompress(data, max_output, None, verify_checksums)
+    return zstd_decompress(data, max_output, None, verify_checksums)
 
 
 def _decompress_frames(
@@ -833,7 +899,7 @@ def _decompress_frames(
                 block = data[pos : pos + bsize]
                 if len(block) < bsize:
                     raise ZstdError("compressed block overrun")
-                chunk = _decode_block(block, st, history)
+                chunk = _zstd_decode_block(block, st, history)
                 pos += bsize
             else:
                 raise ZstdError("reserved block type")

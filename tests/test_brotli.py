@@ -10,7 +10,7 @@ from hypothesis import strategies as st
 from clickhouse_table_copier_spark.sources.brotli import (
     BrotliError,
     _transform_word,
-    decompress,
+    brotli_decompress,
 )
 from clickhouse_table_copier_spark.sources._brotli_data import (
     DICTIONARY,
@@ -28,7 +28,7 @@ def test_malformed_inputs_raise_brotlierror_only():
         b"\xff" * 20,
     ):
         try:
-            decompress(bad, max_output=1 << 22)
+            brotli_decompress(bad, max_output=1 << 22)
         except BrotliError:
             pass  # every failure must be this type
         # (some byte soup decodes as a valid tiny stream — brotli has
@@ -40,21 +40,21 @@ def test_corrupt_byte_sweep_never_wrong_exception():
         mangled = bytearray(HTML_Q9)
         mangled[i] ^= 0xFF
         try:
-            decompress(bytes(mangled), max_output=1 << 24)
+            brotli_decompress(bytes(mangled), max_output=1 << 24)
         except BrotliError:
             pass
 
 
 def test_max_output_bound():
     with pytest.raises(BrotliError):
-        decompress(TEXT_Q5, max_output=16)
+        brotli_decompress(TEXT_Q5, max_output=16)
 
 
 @given(st.binary(max_size=200))
 @settings(max_examples=80, deadline=None)
 def test_fuzz_only_brotlierror(raw):
     try:
-        decompress(raw, max_output=1 << 22)
+        brotli_decompress(raw, max_output=1 << 22)
     except BrotliError:
         pass
 

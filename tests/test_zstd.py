@@ -19,7 +19,7 @@ from clickhouse_table_copier_spark.sources.jsonl import (
 )
 from clickhouse_table_copier_spark.sources.zstd import (
     ZstdError,
-    decompress,
+    zstd_decompress,
 )
 
 from tests.test_zstd_golden import JSONL_L22, TEXT_L3, WARC_ZST
@@ -28,7 +28,7 @@ from tests.test_zstd_golden import JSONL_L22, TEXT_L3, WARC_ZST
 
 
 def test_empty_input_is_empty_output():
-    assert decompress(b"") == b""
+    assert zstd_decompress(b"") == b""
 
 
 def test_malformed_inputs_raise_zstderror_only():
@@ -40,7 +40,7 @@ def test_malformed_inputs_raise_zstderror_only():
         TEXT_L3[:-3],  # truncated checksum
     ):
         with pytest.raises(ZstdError):
-            decompress(bad)
+            zstd_decompress(bad)
 
 
 def test_corrupt_payload_never_wrong_silently():
@@ -52,14 +52,14 @@ def test_corrupt_payload_never_wrong_silently():
         mangled = bytearray(JSONL_L22)
         mangled[i] ^= 0xFF
         try:
-            decompress(bytes(mangled), max_output=1 << 24)
+            zstd_decompress(bytes(mangled), max_output=1 << 24)
         except ZstdError:
             pass  # the expected outcome for most flips
 
 
 def test_max_output_bound():
     with pytest.raises(ZstdError):
-        decompress(TEXT_L3, max_output=10)
+        zstd_decompress(TEXT_L3, max_output=10)
 
 
 @given(st.binary(max_size=300))
@@ -67,7 +67,7 @@ def test_max_output_bound():
 def test_fuzz_only_zstderror(raw):
     for prefix in (b"", b"\x28\xb5\x2f\xfd"):
         try:
-            decompress(prefix + raw, max_output=1 << 22)
+            zstd_decompress(prefix + raw, max_output=1 << 22)
         except ZstdError:
             pass
 
@@ -76,7 +76,7 @@ def test_dictionary_frames_decline():
     # frame header declaring a 1-byte dictionary id of 7
     hdr = (0xFD2FB528).to_bytes(4, "little") + bytes([0x01, 0x00, 0x07])
     with pytest.raises(ZstdError):
-        decompress(hdr + b"\x01\x00\x00")
+        zstd_decompress(hdr + b"\x01\x00\x00")
 
 
 # -------------------------------------------------- JSONL corpus source
@@ -212,8 +212,8 @@ def test_content_checksum_verified():
     mangled = bytearray(RLE_L9)
     mangled[-1] ^= 0xFF
     with pytest.raises(ZstdError):
-        decompress(bytes(mangled))
-    assert decompress(bytes(mangled), verify_checksums=False) == b"A" * 10000
+        zstd_decompress(bytes(mangled))
+    assert zstd_decompress(bytes(mangled), verify_checksums=False) == b"A" * 10000
 
 
 def test_cdxj_index_reads(spark, tmp_path):
