@@ -1,19 +1,14 @@
 """Round-12 registration batch, pre-written at round 11 (VERDICT r10
 item 4): the SQL-expressible slice of the round-9c/10 ingest surface —
 paragraph dedup, PSL registrable domains, canonical-URL dedup, and the
-HTML-extraction quality funnel — implemented + DuckDB-hash-verified NOW
-(tests/test_round12_prep.py runs the exact compare() harness every CI
-run) but NOT registered: the r11–r13 driver windows are fully priced by
+HTML-extraction quality funnel — implemented + DuckDB-hash-verified
+since round 11 (tests/test_round12_prep.py runs the exact compare()
+harness every CI run) and REGISTERED since round 12, exactly as the
+module priced at creation: the r11 driver window was fully booked by
 the DUE cohorts + the FIFO backlog (COVERAGE.md "Round-11 window"), so
-these four names register at round 12 and their first driver rows land
-r14 (bound math in COVERAGE.md; the pattern is queries_round7_prep,
-which waited one round for the same reason).
-
-To register at r12: wrap each ``_prep12`` with
-``register(name, oracle)`` exactly as queries_round7_prep did, import
-the module from ``__spark_entry__``, and flip
-tests/test_round12_prep.py::test_not_yet_registered to the positive
-registration assertion.
+these four names waited one round — the queries_round7_prep pattern —
+and joined the registry (250 → 254) + the FRESH FIFO backlog at the
+r12 flip.
 
 Oracle strategy — every query PLANTS its own structured input from the
 ``documents`` fixture columns inside the query (both engines build the
@@ -35,10 +30,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from clickhouse_table_copier_spark.queries import _t
+from clickhouse_table_copier_spark.queries import _t, register
 
 # name -> spark fn / oracle sql; consumed by tests/test_round12_prep.py
-# and mirrored into the main registry AT ROUND 12, not before.
+# and — SINCE ROUND 12 — mirrored into the main registry (the flip the
+# module docstring priced; same pattern as queries_round7_prep).
 PREP12_QUERIES: dict = {}
 PREP12_ORACLES: dict[str, str] = {}
 
@@ -47,7 +43,7 @@ def _prep12(name: str, oracle: str):
     def deco(fn):
         PREP12_QUERIES[name] = fn
         PREP12_ORACLES[name] = oracle
-        return fn
+        return register(name, oracle)(fn)
 
     return deco
 

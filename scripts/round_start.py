@@ -63,6 +63,22 @@ def _commit_if_dirty(message: str, *patterns: str) -> bool:
 def main() -> int:
     os.chdir(_REPO)
 
+    # 0. fingerprint-integrity guards (VERDICT r11 item 1): a module
+    # added mid-round must not introduce a bare-name collision or an
+    # unexcluded module-level mutable — the exact hazards that make a
+    # fingerprint silently stale.  Running the guard FILE here means a
+    # red guard is caught at the round boundary, not by the judge.
+    guard = subprocess.run(
+        [
+            sys.executable, "-m", "pytest", "-q",
+            "tests/test_registry_evidence_hardening.py",
+        ],
+        cwd=_REPO,
+    )
+    if guard.returncode != 0:
+        print("!! fingerprint-integrity guard red — fix before anything else")
+        return guard.returncode
+
     # 1. driver evidence first — green_history() must read committed rows
     _commit_if_dirty(
         "round start: commit driver evidence artifacts", *_EVIDENCE_PATTERNS

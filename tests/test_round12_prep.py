@@ -26,16 +26,20 @@ def test_prep12_query_matches_oracle(spark, name):
     compare(df, oracle, name)
 
 
-def test_not_yet_registered():
-    """Deliberately NOT in the registry until round 12 (flip this to
-    the positive assertion when registering — see module docstring):
-    registering now would add FRESH entries behind the backlog and
-    change the priced window math in COVERAGE.md."""
+def test_registered_since_round12():
+    """Round 12 flipped the registration flag (the move priced in
+    COVERAGE.md "Round-11 window" and VERDICT r11 item 4): all four
+    prep queries are live registry entries with oracles, joining the
+    FIFO FRESH backlog behind the r11 leftovers."""
     import __spark_entry__ as entry
 
-    qs = entry.queries()
-    assert set(PREP12_QUERIES).isdisjoint(qs)
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    assert set(PREP12_QUERIES) <= set(qs)
+    assert set(PREP12_QUERIES) <= set(oracles)
     assert set(PREP12_QUERIES) == set(PREP12_ORACLES)
+    for name in PREP12_QUERIES:
+        assert qs[name] is PREP12_QUERIES[name]
+        assert oracles[name] == PREP12_ORACLES[name]
 
 
 def test_prep12_plans_obey_repo_guards(spark):
