@@ -18,6 +18,7 @@ under "iterations_sec" so the variance is visible, not hidden.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -381,6 +382,36 @@ def main() -> None:
             f,
             indent=1,
         )
+    # Record-integrity stamps (VERDICT r11 "What's wrong #3"): the
+    # official record regressed two rounds running purely on host
+    # noise (probes 12-17 of 32 cores, zero plan changes).  A headline
+    # measured on an unhealthy host is explicitly ADVISORY, and the
+    # best committed record rides along so upward drift can never
+    # compound silently into a new "baseline".
+    healthy = bool(
+        probe_before.get("healthy") and probe_after.get("healthy")
+    )
+    best_committed = None
+    for p in sorted(
+        glob.glob(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_r*.json",
+            )
+        )
+    ):
+        try:
+            with open(p) as f:
+                rec = json.load(f).get("parsed") or {}
+            v = rec.get("value")
+            if (
+                isinstance(v, (int, float))
+                and rec.get("sf") == sf_val
+                and (best_committed is None or v < best_committed)
+            ):
+                best_committed = v
+        except (OSError, ValueError):
+            continue
     line = json.dumps(
         {
             "metric": "headline_queries_total_runtime",
@@ -395,6 +426,9 @@ def main() -> None:
                 probe_before["effective_cores"],
                 probe_after["effective_cores"],
             ),
+            "host_healthy": healthy,
+            "headline_status": "official" if healthy else "advisory",
+            "best_committed_sec": best_committed,
             "sf": sf_val,
         }
     )
