@@ -27,9 +27,11 @@ fans out only to that host's candidate rules and aggregates straight
 back to one row per URL (max over a (octets, is_allow) struct — the
 RFC's precedence as one lexicographic max, no window).  Broadcast the
 rules when they fit; a million-host rules frame shuffle-joins on host
-with the same bounded fan-out.  Percent-encoding normalization is the
-documented seam (RFC 9309 §2.2.2): patterns and paths compare as
-stored.
+with the same bounded fan-out.  Percent-encoding normalization
+(RFC 9309 §2.2.2, the round-11 documented seam) is closed in r12:
+patterns canonicalize at parse time, targets through a vectorized
+Arrow stage whose slow path touches only URLs that actually contain
+``%``/``*``/``$``/non-ASCII octets.
 
 Reference parity: none — north-star LLM-pipeline surface (SURVEY.md
 §2.8); the reference engine reads SQL tables only.
@@ -68,17 +70,77 @@ DIRECTIVES_SCHEMA = T.StructType(
 
 _LINE_RE = re.compile(r"^\s*([A-Za-z-]+)\s*:\s*(.*?)\s*$")
 
+# RFC 9309 §2.2.2 octet normalization (rule and path sides must agree
+# before comparison — the round-11 documented seam, closed in r12).
+# Canonical form, chosen so the RFC's own example table holds and so
+# typical ASCII patterns/paths normalize to THEMSELVES (tests and the
+# startswith fast path see unchanged strings):
+#   - %-escapes of RESERVED characters (RFC 3986 gen-/sub-delims,
+#     except the two robots metacharacters) decode to the literal:
+#     ``%3A%2F%2F`` ≡ ``://`` — the RFC's second example row.
+#   - ``*`` and ``$`` canonicalize ENCODED (%2A/%24): a literal target
+#     octet must match a pattern's %2A escape, but a raw ``*``/final
+#     ``$`` in a PATTERN is a metacharacter, handled before
+#     normalization — keeping these encoded makes the stored pattern
+#     unambiguous (a ``*`` in a normalized pattern is always a
+#     wildcard).
+#   - %-escapes of UNRESERVED characters stay ENCODED, hex uppercased:
+#     ``%62%61%7A`` matches only ``%62%61%7A``, never ``baz`` — the
+#     RFC's fifth example row.
+#   - every other escape (%20, %25, …) stays encoded, hex uppercased.
+#   - non-ASCII codepoints percent-encode per UTF-8 octet, uppercase:
+#     ``ツ`` ≡ ``%E3%83%84`` — the RFC's third/fourth example rows.
+_DECODE_RESERVED = frozenset(":/?#[]@!&'()+,;=")  # reserved minus * $
+_ENCODE_LITERAL = {"*": "%2A", "$": "%24"}
+_HEXDIGITS = frozenset("0123456789abcdefABCDEF")
 
-def _pattern_regex(pattern: str) -> str:
-    """robots pattern → anchored Java regex: ``*`` matches any run,
-    ``$`` at the end anchors, everything else is literal."""
+
+def _normalize_octets(s: str) -> str:
+    """One pattern piece or match target → RFC 9309 canonical octets.
+    Identity for strings with no ``%``/``*``/``$`` and no non-ASCII —
+    the overwhelming majority of both rules and URLs."""
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if (
+            c == "%"
+            and i + 2 < n
+            and s[i + 1] in _HEXDIGITS
+            and s[i + 2] in _HEXDIGITS
+        ):
+            ch = chr(int(s[i + 1 : i + 3], 16))
+            if ch in _DECODE_RESERVED:
+                out.append(ch)
+            else:
+                out.append("%" + s[i + 1 : i + 3].upper())
+            i += 3
+        elif c in _ENCODE_LITERAL:
+            out.append(_ENCODE_LITERAL[c])
+            i += 1
+        elif c < "\x80":
+            out.append(c)
+            i += 1
+        else:
+            out.append(
+                "".join(f"%{b:02X}" for b in c.encode("utf-8"))
+            )
+            i += 1
+    return "".join(out)
+
+
+def _normalize_pattern(pattern: str):
+    """robots pattern → (normalized pattern, anchored Java regex).
+    ``*`` matches any run, ``$`` at the end anchors — both consumed
+    HERE, on the raw pattern, so normalization never manufactures a
+    metacharacter (a decoded or literal ``*``/``$`` inside a piece
+    comes out percent-encoded)."""
     anchored = pattern.endswith("$")
     body = pattern[:-1] if anchored else pattern
-    out = []
-    for piece in body.split("*"):
-        out.append(re.escape(piece))
-    rx = "^" + ".*".join(out)
-    return rx + "$" if anchored else rx
+    pieces = [_normalize_octets(p) for p in body.split("*")]
+    norm = "*".join(pieces) + ("$" if anchored else "")
+    rx = "^" + ".*".join(re.escape(p) for p in pieces)
+    return norm, (rx + "$" if anchored else rx)
 
 
 def _parse_one(host: str, body: str):
@@ -122,15 +184,19 @@ def _parse_one(host: str, body: str):
         if key in ("allow", "disallow"):
             if not val:
                 continue  # empty pattern matches nothing (allow-all)
+            norm, rx = _normalize_pattern(val)
             for a in agents:
                 rules.append(
                     (
                         host,
                         a,
                         key == "allow",
-                        val,
-                        len(val.encode("utf-8")),
-                        _pattern_regex(val),
+                        norm,
+                        # precedence counts octets of the CANONICAL
+                        # form (all-ASCII), so the equivalent
+                        # spellings ツ and %E3%83%84 tie exactly
+                        len(norm),
+                        rx,
                         "*" in val or val.endswith("$"),
                     )
                 )
@@ -212,8 +278,40 @@ def filter_robots_allowed(
 
     One join URL→host-rules (broadcast by default — rules are per-host
     metadata), one grouped max — no window, no explode of the URL
-    stream beyond the bounded per-host rule fan-out."""
+    stream beyond the bounded per-host rule fan-out.
+
+    Both sides compare in RFC 9309 §2.2.2 canonical octets: rule
+    patterns normalize at parse time (rules are metadata-sized); the
+    match target normalizes in ONE vectorized Arrow stage whose slow
+    path runs only on the minority of URLs containing ``%``, ``*``,
+    ``$`` or non-ASCII — everything else passes through a vectorized
+    regex gate untouched, so the URL stream stays a single map stage
+    with no shuffle added."""
+    import pandas
+
+    from pyspark.sql.functions import pandas_udf
+
     a = agent.lower()
+
+    def _norm_fn(s):
+        needs = s.str.contains(
+            r"[%*$]|[^\x00-\x7f]", regex=True, na=False
+        )
+        if needs.any():
+            s = s.copy()
+            s[needs] = s[needs].map(
+                lambda x: _normalize_octets(x)
+                if isinstance(x, str)
+                else x
+            )
+        return s
+
+    # PEP 563 module: attach real annotation objects (see
+    # dedup.unicode_normalized for the precedent)
+    _norm_fn.__annotations__ = {
+        "s": pandas.Series, "return": pandas.Series,
+    }
+    _norm_target = pandas_udf(_norm_fn, "string")
 
     pfx = "__rob"
     while any(c.startswith(pfx) for c in df.columns):
@@ -228,7 +326,7 @@ def filter_robots_allowed(
         query.isNull() | (query == ""), path
     ).otherwise(F.concat(path, F.lit("?"), query))
     keyed = df.withColumn(f"{pfx}_host", host).withColumn(
-        f"{pfx}_target", target
+        f"{pfx}_target", _norm_target(target)
     )
 
     # RFC §2.2.1: a group matches the crawler when its agent token is a

@@ -278,3 +278,108 @@ def test_empty_user_agent_value_ignored():
     agents = {r[1] for r in rules}
     assert agents == {"*"}
     assert all(r[2] for r in rules)  # only the Allow survived
+
+
+# ---------------------------------------------- RFC 9309 §2.2.2 octets
+
+
+_ROBOTS_ENC = (
+    "User-agent: *\n"
+    "Disallow: /foo/bar?baz=https://foo.bar\n"   # literal reserved
+    "Disallow: /tsu/ツ\n"                      # raw non-ASCII
+    "Disallow: /enc/%E3%83%84\n"                  # encoded non-ASCII
+    "Disallow: /low/%e3%83%84\n"                  # lowercase hex
+    "Disallow: /unres/%62%61%7A\n"                # encoded unreserved
+    "Disallow: /meta/%2A/\n"                      # encoded asterisk
+)
+
+
+@pytest.fixture(scope="module")
+def enc_rules(spark):
+    df = spark.createDataFrame(
+        [("e.example", _ROBOTS_ENC)], "host string, body string"
+    )
+    return parse_robots(df, "host", "body").cache()
+
+
+def test_rfc_9309_example_table(spark, enc_rules):
+    """The normalization rows from RFC 9309 §2.2.2's own example
+    table, both directions."""
+    # literal reserved chars in the rule match the %-encoded URI
+    assert _allowed(
+        spark, enc_rules,
+        "https://e.example/foo/bar?baz=https%3A%2F%2Ffoo.bar",
+    ) is False
+    # ... and the literal URI
+    assert _allowed(
+        spark, enc_rules,
+        "https://e.example/foo/bar?baz=https://foo.bar",
+    ) is False
+    # raw ツ in the rule matches the %E3%83%84 URI and vice versa
+    assert _allowed(
+        spark, enc_rules, "https://e.example/tsu/%E3%83%84x"
+    ) is False
+    assert _allowed(
+        spark, enc_rules, "https://e.example/enc/ツx"
+    ) is False
+    # lowercase hex canonicalizes
+    assert _allowed(
+        spark, enc_rules, "https://e.example/low/%E3%83%84"
+    ) is False
+    assert _allowed(
+        spark, enc_rules, "https://e.example/enc/%e3%83%84"
+    ) is False
+    # %-encoded UNRESERVED octets do NOT decode: %62%61%7A is not baz
+    assert _allowed(
+        spark, enc_rules, "https://e.example/unres/baz"
+    ) is True
+    assert _allowed(
+        spark, enc_rules, "https://e.example/unres/%62%61%7A"
+    ) is False
+
+
+def test_encoded_asterisk_is_not_a_wildcard(spark, enc_rules):
+    """%2A in a rule is a literal asterisk octet — it must match a
+    literal * in the target and must NOT wildcard-match arbitrary
+    runs."""
+    assert _allowed(
+        spark, enc_rules, "https://e.example/meta/*/page"
+    ) is False
+    assert _allowed(
+        spark, enc_rules, "https://e.example/meta/%2A/page"
+    ) is False
+    assert _allowed(
+        spark, enc_rules, "https://e.example/meta/anything/page"
+    ) is True
+
+
+def test_equivalent_spellings_tie_in_precedence(enc_rules):
+    """ツ and %E3%83%84 spell the same octets, so their canonical
+    pattern_octets must be EQUAL (longest-match precedence cannot
+    depend on the spelling the webmaster chose)."""
+    rows = {r["pattern"]: r["pattern_octets"] for r in enc_rules.collect()}
+    tsu = [v for k, v in rows.items() if k.startswith("/tsu/")]
+    enc = [v for k, v in rows.items() if k.startswith("/enc/")]
+    low = [v for k, v in rows.items() if k.startswith("/low/")]
+    assert tsu and enc and low
+    # identical suffix octets → per-pattern totals differ only by the
+    # fixed prefix length difference (/tsu/ vs /enc/ vs /low/ are all
+    # 5 chars) — so all three totals are equal
+    assert tsu[0] == enc[0] == low[0]
+
+
+def test_normalization_stage_adds_no_shuffle(spark, enc_rules):
+    """The target-normalization Arrow stage must not introduce an
+    Exchange on the URL stream — still one broadcast join + one
+    grouped aggregate on the synthetic row id."""
+    df = spark.range(0, 64).select(
+        F.concat(F.lit("https://e.example/p%20"), F.col("id")).alias("url")
+    )
+    plan = (
+        filter_robots_allowed(df, "url", enc_rules)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" in plan  # the vectorized normalize stage
