@@ -2305,18 +2305,24 @@ def _make_raster_ahash():
 
 
 def _make_tiff_raster_decoder():
-    """TIFF raster decode (closure): strip-organized baseline TIFF in
+    """TIFF raster decode (closure): strip- AND tile-organized TIFF in
     both byte orders — bilevel (1-bit) via CCITT Group 4 / Group 3
     1-D+2-D / Modified Huffman (:mod:`operators.ccitt` — the scanned-
-    document population) or raw bits, 8-bit grayscale, 8-bit RGB(A) and
-    8-bit palette-color, with Compression 1 (none), 2/3/4 (CCITT),
-    5 (LZW + horizontal Predictor 2) and 32773 (PackBits), FillOrder 2
-    bit reversal, PhotometricInterpretation 0/1/2/3.  Tiled TIFFs,
-    planar configuration 2 and 16-bit samples decline (None) — the
-    strip-based shapes above are what fax archives and scanners emit.
-    Returns ``(w, h, nch, uint8 (h, w, nch), RGB top-down)`` like every
-    raster decoder here, so a scanned page TIFF hashes identically to
-    the SAME raster stored as PNG (cross-format dedup)."""
+    document population) or raw bits, 8-bit and 16-bit grayscale /
+    RGB(A) (16-bit folds to the high byte for the uint8 hash
+    contract), 8-bit palette-color, with Compression 1 (none), 2/3/4
+    (CCITT), 5 (LZW + horizontal Predictor 2, 8- and 16-bit) and
+    32773 (PackBits), FillOrder 2 bit reversal,
+    PhotometricInterpretation 0/1/2/3.  Tiles (tags 322-325, the
+    scanned-document-corpus layout libtiff writes for large pages)
+    decode per-tile through the SAME segment decoder as strips and
+    assemble with edge-tile cropping (tiles are always padded to full
+    TileWidth×TileLength per TIFF 6).  Planar configuration 2 declines
+    (None).  Returns ``(w, h, nch, uint8 (h, w, nch), RGB top-down)``
+    like every raster decoder here, so a scanned page TIFF hashes
+    identically to the SAME raster stored as PNG (cross-format dedup),
+    and a tiled TIFF hashes identically to its strip-organized twin
+    (pinned against libtiff-minted fixtures)."""
     import struct as _struct
 
     import numpy as _np
@@ -2434,39 +2440,30 @@ def _make_tiff_raster_decoder():
             h = int(tags.get(257, (0,))[0])
             if not (0 < w <= 1 << 15 and 0 < h <= 1 << 15):
                 return None
-            if 322 in tags or 323 in tags:  # tiled: decline
-                return None
             if int(tags.get(284, (1,))[0]) != 1:  # planar: decline
                 return None
             comp = int(tags.get(259, (1,))[0])
             photo = int(tags.get(262, (1,))[0])
             spp = int(tags.get(277, (1,))[0])
             bps = tags.get(258, (1,) * spp)
-            offs = tags.get(273)
-            if not offs:
-                return None
-            cnts = tags.get(279)
-            if cnts is None:
-                if len(offs) == 1:
-                    cnts = (len(b) - offs[0],)
-                else:
-                    return None
-            if len(cnts) != len(offs):
-                return None
-            rps = int(tags.get(278, (h,))[0]) or h
             fill2 = int(tags.get(266, (1,))[0]) == 2
             t4opts = int(tags.get(292, (0,))[0])
+            pred2 = int(tags.get(317, (1,))[0]) == 2
             bilevel = spp == 1 and bps[0] == 1
-            if not bilevel and any(x != 8 for x in bps[:spp]):
-                return None  # 16-bit and packed sub-byte gray: decline
-            rows_out = []
-            for si, (so, sc) in enumerate(zip(offs, cnts)):
-                data = b[so : so + sc]
-                if len(data) < sc:
-                    return None
-                srows = min(rps, h - si * rps)
-                if srows <= 0:
-                    break
+            depth = 1
+            if not bilevel:
+                if all(x == 8 for x in bps[:spp]):
+                    depth = 1
+                elif all(x == 16 for x in bps[:spp]):
+                    depth = 2  # folds to the high byte below
+                else:
+                    return None  # packed sub-byte / mixed: decline
+
+            def _segment(data, sw, srows):
+                """One strip or tile → uint8 raster: (srows, sw) gray
+                for bilevel, (srows, sw, spp) otherwise; None declines.
+                Shared by the strip loop and the tile grid so the two
+                layouts can never drift apart."""
                 if fill2:
                     data = _REV[
                         _np.frombuffer(data, dtype=_np.uint8)
@@ -2475,21 +2472,20 @@ def _make_tiff_raster_decoder():
                     if not bilevel:
                         return None
                     if comp == 4:
-                        gray = _cc_g4(data, w, srows)
+                        gray = _cc_g4(data, sw, srows)
                     elif comp == 3:
                         gray = _cc_g3(
-                            data, w, srows, two_d=bool(t4opts & 1)
+                            data, sw, srows, two_d=bool(t4opts & 1)
                         )
                     else:
                         gray = _cc_g3(
-                            data, w, srows, two_d=False, has_eol=False
+                            data, sw, srows, two_d=False, has_eol=False
                         )
                     if gray is None:
                         return None
                     if photo == 1:  # MinIsBlack bilevel: invert
                         gray = 255 - gray
-                    rows_out.append(gray)
-                    continue
+                    return gray
                 if comp == 5:
                     data = _lzw_decode(data)
                 elif comp == 32773:
@@ -2506,42 +2502,126 @@ def _make_tiff_raster_decoder():
                 if data is None:
                     return None
                 if bilevel:
-                    bits = _unpackbits_rows(data, w, srows)
+                    bits = _unpackbits_rows(data, sw, srows)
                     if bits is None:
                         return None
                     if photo == 0:  # MinIsWhite: 0-bit = white
                         gray = _np.where(bits == 0, 255, 0)
                     else:
                         gray = _np.where(bits == 0, 0, 255)
-                    rows_out.append(gray.astype(_np.uint8))
-                    continue
-                stride = w * spp
+                    return gray.astype(_np.uint8)
+                stride = sw * spp * depth
                 if len(data) < stride * srows:
                     return None
-                arr = _np.frombuffer(
-                    data[: stride * srows], dtype=_np.uint8
-                ).reshape(srows, w, spp)
-                if comp in (5, 8, 32946) and int(
-                    tags.get(317, (1,))[0]
-                ) == 2:
-                    # Predictor 2 applies after LZW AND Deflate
-                    arr = _np.add.accumulate(
-                        arr, axis=1, dtype=_np.uint8
-                    )
+                if depth == 1:
+                    arr = _np.frombuffer(
+                        data[: stride * srows], dtype=_np.uint8
+                    ).reshape(srows, sw, spp)
+                    if comp in (5, 8, 32946) and pred2:
+                        # Predictor 2 applies after LZW AND Deflate
+                        arr = _np.add.accumulate(
+                            arr, axis=1, dtype=_np.uint8
+                        )
+                else:
+                    arr16 = _np.frombuffer(
+                        data[: stride * srows],
+                        dtype=_np.dtype(bo + "u2"),
+                    ).reshape(srows, sw, spp)
+                    if comp in (5, 8, 32946) and pred2:
+                        arr16 = _np.add.accumulate(
+                            arr16.astype(_np.uint16),
+                            axis=1,
+                            dtype=_np.uint16,
+                        )
+                    # 16→8 fold: high byte.  (65535-v)>>8 == 255-(v>>8)
+                    # exactly, so MinIsWhite inversion can run on the
+                    # folded bytes below.
+                    arr = (arr16 >> 8).astype(_np.uint8)
                 if spp == 1 and photo == 0:
                     # MinIsWhite grayscale: 0 = white per spec
                     arr = 255 - arr
-                rows_out.append(arr)
-            if not rows_out:
-                return None
-            full = _np.vstack(
-                [r if r.ndim == 3 else r[:, :, None] for r in rows_out]
-            )
-            if full.shape[0] != h:
-                return None
+                return arr
+
+            if 322 in tags and 323 in tags:  # tile-organized
+                tw = int(tags[322][0])
+                tl = int(tags[323][0])
+                if not (0 < tw <= 1 << 15 and 0 < tl <= 1 << 15):
+                    return None
+                offs = tags.get(324)
+                cnts = tags.get(325)
+                if not offs or not cnts or len(cnts) != len(offs):
+                    return None
+                ta = (w + tw - 1) // tw
+                td = (h + tl - 1) // tl
+                if len(offs) < ta * td or ta * td > 1 << 20:
+                    return None
+                nch0 = 1 if bilevel else spp
+                full = _np.zeros((h, w, nch0), dtype=_np.uint8)
+                for ti in range(td):
+                    for tj in range(ta):
+                        so = offs[ti * ta + tj]
+                        sc = cnts[ti * ta + tj]
+                        data = b[so : so + sc]
+                        if len(data) < sc:
+                            return None
+                        # tiles are ALWAYS full tw×tl (padded at the
+                        # right/bottom edges per TIFF 6) — decode full,
+                        # crop on placement
+                        seg = _segment(data, tw, tl)
+                        if seg is None:
+                            return None
+                        if seg.ndim == 2:
+                            seg = seg[:, :, None]
+                        y0, x0 = ti * tl, tj * tw
+                        ch = min(tl, h - y0)
+                        cw = min(tw, w - x0)
+                        full[y0 : y0 + ch, x0 : x0 + cw] = seg[
+                            :ch, :cw
+                        ]
+            else:  # strip-organized
+                offs = tags.get(273)
+                if not offs:
+                    return None
+                cnts = tags.get(279)
+                if cnts is None:
+                    if len(offs) == 1:
+                        cnts = (len(b) - offs[0],)
+                    else:
+                        return None
+                if len(cnts) != len(offs):
+                    return None
+                rps = int(tags.get(278, (h,))[0]) or h
+                rows_out = []
+                for si, (so, sc) in enumerate(zip(offs, cnts)):
+                    data = b[so : so + sc]
+                    if len(data) < sc:
+                        return None
+                    srows = min(rps, h - si * rps)
+                    if srows <= 0:
+                        break
+                    seg = _segment(data, w, srows)
+                    if seg is None:
+                        return None
+                    rows_out.append(seg)
+                if not rows_out:
+                    return None
+                full = _np.vstack(
+                    [
+                        r if r.ndim == 3 else r[:, :, None]
+                        for r in rows_out
+                    ]
+                )
+                if full.shape[0] != h:
+                    return None
             if photo == 3:  # palette: ColorMap is 3×2^bps 16-bit ramps
                 cmap = tags.get(320)
-                if not cmap or len(cmap) < 3 * 256 or spp != 1:
+                if (
+                    not cmap
+                    or len(cmap) < 3 * 256
+                    or spp != 1
+                    or depth != 1  # 16-bit indices: decline, the
+                    # folded byte is not a palette index
+                ):
                     return None
                 lut = (
                     _np.array(cmap[: 3 * 256], dtype=_np.uint16)
