@@ -310,6 +310,12 @@ def _parse_record(rec: bytes):
             parts = lines[0].split(b" ", 2)
             if len(parts) >= 2 and parts[1].isdigit():
                 status = int(parts[1])
+            # for parsed responses the column means the HTTP body's
+            # type: an envelope WITHOUT Content-Type yields NULL —
+            # letting the WARC block type ("application/http;
+            # msgtype=response") leak through would break the
+            # write_warc round trip and pollute type filters
+            ctype = None
             te = enc = b""
             for line in lines[1:]:
                 k, _, v = line.partition(b":")
@@ -864,7 +870,11 @@ def write_warc(
     tasks; the attempt-unique-temp + ``os.replace`` atomic publish
     lives in :mod:`sources.shard_io`, shared with the WebDataset
     writer.  Round-trip pinned: read_warc(write_warc(rows)) yields the
-    same (type, uri, date, status, ctype, payload) rows."""
+    same (type, uri, date, status, ctype, payload) rows — including
+    NULL content_type in both shapes (a response envelope without
+    Content-Type, a non-response record without a block type), which
+    write NO Content-Type header rather than a fabricated default
+    (ADVICE r11)."""
     import gzip as _gzip
     import uuid as _uuid
 
@@ -907,9 +917,12 @@ def write_warc(
                         )
                     else:
                         block = payload
-                        block_type = (
-                            ctype or "application/octet-stream"
-                        )
+                        # a NULL content type writes NO Content-Type
+                        # header (legal per WARC 1.0 — the field is
+                        # recommended, not mandatory): defaulting to
+                        # octet-stream would fabricate a value the
+                        # row never carried and break the round trip
+                        block_type = ctype
                     rid = _uuid.uuid5(
                         _uuid.NAMESPACE_URL, f"{wfile}#{ridx}"
                     )
@@ -925,7 +938,11 @@ def write_warc(
                         + "WARC-Date: "
                         + (date or "1970-01-01T00:00:00Z")
                         + "\r\n"
-                        + f"Content-Type: {block_type}\r\n"
+                        + (
+                            f"Content-Type: {block_type}\r\n"
+                            if block_type
+                            else ""
+                        )
                         + f"Content-Length: {len(block)}\r\n\r\n"
                     ).encode()
                     f.write(

@@ -819,3 +819,38 @@ def test_write_warc_statusless_response_roundtrips(spark, tmp_path):
     assert len(back) == 1
     assert back[0]["http_status"] is None
     assert bytes(back[0]["payload"]) == b"not-http raw block"
+
+
+def test_write_warc_null_content_type_roundtrips(spark, tmp_path):
+    """ADVICE r11: NULL content_type must survive the round trip in
+    BOTH shapes — a response row with status but no Content-Type in
+    its envelope, and a non-response row with no block type.  Neither
+    may read back as the WARC block type or a fabricated
+    octet-stream."""
+    from clickhouse_table_copier_spark.sources.warc import (
+        WARC_SCHEMA,
+        read_warc,
+        write_warc,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            ("f", 0, "response", "https://x/a", "2026-08-16T00:00:00Z",
+             200, None, bytearray(b"status yes, ctype no")),
+            ("f", 1, "resource", "https://x/b", "2026-08-16T00:00:00Z",
+             None, None, bytearray(b"typeless resource")),
+            ("f", 2, "response", "https://x/c", "2026-08-16T00:00:00Z",
+             200, "text/html", bytearray(b"<p>typed</p>")),
+        ],
+        WARC_SCHEMA,
+    )
+    out = os.path.join(str(tmp_path), "o")
+    write_warc(rows, out, n_shards=1)
+    back = {
+        r["target_uri"]: (r["http_status"], r["content_type"],
+                          bytes(r["payload"]))
+        for r in read_warc(spark, out).collect()
+    }
+    assert back["https://x/a"] == (200, None, b"status yes, ctype no")
+    assert back["https://x/b"] == (None, None, b"typeless resource")
+    assert back["https://x/c"] == (200, "text/html", b"<p>typed</p>")
