@@ -78,9 +78,27 @@ class _ZBuf(ctypes.Structure):
 _ZSTD_D_WINDOWLOGMAX = 100  # ZSTD_d_windowLogMax (stable API enum)
 
 
+_ZSTD_C_LEVEL = 100  # ZSTD_c_compressionLevel
+_ZSTD_C_CHECKSUM = 201  # ZSTD_c_checksumFlag
+
+
 def _cfg_zstd(z):
     z.ZSTD_createDCtx.restype = ctypes.c_void_p
     z.ZSTD_freeDCtx.argtypes = [ctypes.c_void_p]
+    z.ZSTD_createCCtx.restype = ctypes.c_void_p
+    z.ZSTD_freeCCtx.argtypes = [ctypes.c_void_p]
+    z.ZSTD_CCtx_setParameter.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int
+    ]
+    z.ZSTD_CCtx_setParameter.restype = ctypes.c_size_t
+    z.ZSTD_compress2.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t,
+    ]
+    z.ZSTD_compress2.restype = ctypes.c_size_t
+    z.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+    z.ZSTD_compressBound.restype = ctypes.c_size_t
     z.ZSTD_DCtx_setParameter.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int
     ]
@@ -177,6 +195,32 @@ def zstd_decompress_native(
         return b"".join(chunks)
     finally:
         z.ZSTD_freeDCtx(dctx)
+
+
+def zstd_compress_native(data: bytes, level: int = 3) -> bytes:
+    """One complete zstd frame via libzstd (content checksum ON, so
+    the read side's verification has something to verify).  Used by
+    the ``.warc.zst`` egress — decode-side parity tests pin that the
+    pure decoder reads these frames back byte-identically."""
+    z = _zstd_lib()
+    if z is None:
+        raise NativeDecodeError("libzstd not available")
+    cctx = z.ZSTD_createCCtx()
+    if not cctx:
+        raise NativeDecodeError("ZSTD_createCCtx failed")
+    try:
+        z.ZSTD_CCtx_setParameter(cctx, _ZSTD_C_LEVEL, int(level))
+        z.ZSTD_CCtx_setParameter(cctx, _ZSTD_C_CHECKSUM, 1)
+        bound = z.ZSTD_compressBound(len(data))
+        dst = ctypes.create_string_buffer(bound)
+        ret = z.ZSTD_compress2(cctx, dst, bound, data, len(data))
+        if z.ZSTD_isError(ret):
+            raise NativeDecodeError(
+                z.ZSTD_getErrorName(ret).decode()
+            )
+        return dst.raw[:ret]
+    finally:
+        z.ZSTD_freeCCtx(cctx)
 
 
 # ------------------------------------------------------------------- lz4

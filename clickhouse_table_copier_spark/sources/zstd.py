@@ -706,6 +706,55 @@ def zstd_decompress_pure(
         raise ZstdError(f"corrupt zstd input: {e}") from None
 
 
+def zstd_compress(data: bytes, level: int = 3) -> bytes:
+    """One complete zstd frame.  Native libzstd (checksummed, real
+    compression at ``level``) when the library loads; otherwise a
+    spec-correct STORED frame from :func:`zstd_store_frame` — bigger
+    bytes, but a valid frame every zstd decoder (including this
+    module's own) reads back identically.  The ``.warc.zst`` egress
+    seam: one record per frame, frames concatenate."""
+    native = _native_codecs_or_none()
+    if native is not None and native.zstd_available():
+        try:
+            return native.zstd_compress_native(data, level)
+        except native.NativeDecodeError:
+            pass  # fall through to the stored-frame writer
+    return zstd_store_frame(data)
+
+
+_STORE_BLOCK = 1 << 16  # raw-block chunk, safely under the 128 KiB cap
+
+
+def zstd_store_frame(data: bytes) -> bytes:
+    """A zstd frame of RAW (stored) blocks per RFC 8878 §3.1.1 —
+    single-segment header with exact Frame_Content_Size, XXH64
+    content checksum.  Pure Python, no compression: the portable
+    fallback for :func:`zstd_compress` when libzstd is absent."""
+    n = len(data)
+    # single-segment (bit 5) + checksum (bit 2) + fcs size flag
+    if n <= 255:
+        fhd, fcs = 0x24, n.to_bytes(1, "little")
+    elif n - 256 <= 0xFFFF:
+        fhd, fcs = 0x64, (n - 256).to_bytes(2, "little")
+    elif n <= 0xFFFFFFFF:
+        fhd, fcs = 0xA4, n.to_bytes(4, "little")
+    else:
+        fhd, fcs = 0xE4, n.to_bytes(8, "little")
+    out = bytearray(_MAGIC.to_bytes(4, "little"))
+    out.append(fhd)
+    out += fcs
+    if n == 0:
+        out += (1).to_bytes(3, "little")  # last=1, raw, size 0
+    else:
+        for i in range(0, n, _STORE_BLOCK):
+            chunk = data[i : i + _STORE_BLOCK]
+            last = 1 if i + _STORE_BLOCK >= n else 0
+            out += (last | (len(chunk) << 3)).to_bytes(3, "little")
+            out += chunk
+    out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)
+
+
 def _native_codecs_or_none():
     """Import the ctypes fast-path module, or None when unavailable.
     Kept lazy so a broken native environment can never break import

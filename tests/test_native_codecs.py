@@ -218,3 +218,74 @@ def test_verify_false_routes_pure():
     assert zstd_decompress(
         bytes(blob), verify_checksums=False
     ) == b"A" * 10000
+
+
+# --------------------------------------------------- compress egress
+
+
+import shutil
+import subprocess
+
+
+def test_store_frame_roundtrips_pure():
+    """The stored-block fallback writer must produce frames the
+    spec-pinned pure decoder reads back exactly — every FCS size
+    shape plus the multi-block path."""
+    from clickhouse_table_copier_spark.sources.zstd import (
+        zstd_store_frame,
+    )
+
+    for n in (0, 1, 255, 256, 65791, 65792, 200_000):
+        payload = bytes(i * 31 % 256 for i in range(n))
+        frame = zstd_store_frame(payload)
+        assert zstd_decompress_pure(frame) == payload
+
+
+@native_zstd
+def test_native_compress_pure_decode_parity():
+    """Frames from libzstd must decode identically through BOTH
+    paths (incl. checksum verification), at several levels."""
+    payload = (b"warc record payload " * 400) + bytes(range(256))
+    for level in (1, 3, 19):
+        frame = nc.zstd_compress_native(payload, level)
+        assert zstd_decompress_pure(frame) == payload
+        assert nc.zstd_decompress_native(frame, 1 << 31) == payload
+
+
+@native_zstd
+def test_compressed_frames_concatenate():
+    """The .warc.zst layout: one frame per record, frames
+    concatenated — both decoders must walk the whole stream."""
+    from clickhouse_table_copier_spark.sources.zstd import (
+        zstd_compress,
+        zstd_store_frame,
+    )
+
+    a, b, c = b"alpha" * 100, b"", b"gamma" * 3
+    stream = zstd_compress(a) + zstd_store_frame(b) + zstd_compress(c)
+    assert zstd_decompress_pure(stream) == a + b + c
+    assert zstd_decompress(stream) == a + b + c
+
+
+@pytest.mark.skipif(
+    shutil.which("zstd") is None, reason="no zstd CLI in PATH"
+)
+def test_written_frames_decode_with_reference_cli(tmp_path):
+    """Independent cross-check: the reference zstd CLI must accept
+    both the stored-frame fallback and (when available) the native
+    frames."""
+    from clickhouse_table_copier_spark.sources.zstd import (
+        zstd_compress,
+        zstd_store_frame,
+    )
+
+    payload = b"reference-cli cross check " * 123
+    blobs = [zstd_store_frame(payload)]
+    if nc.zstd_available():
+        blobs.append(zstd_compress(payload))
+    for blob in blobs:
+        got = subprocess.run(
+            ["zstd", "-d", "-c"], input=blob, capture_output=True
+        )
+        assert got.returncode == 0
+        assert got.stdout == payload

@@ -854,3 +854,44 @@ def test_write_warc_null_content_type_roundtrips(spark, tmp_path):
     assert back["https://x/a"] == (200, None, b"status yes, ctype no")
     assert back["https://x/b"] == (None, None, b"typeless resource")
     assert back["https://x/c"] == (200, "text/html", b"<p>typed</p>")
+
+
+def test_write_warc_zstd_roundtrip(spark, tmp_path):
+    """compression='zstd': frame-per-record .warc.zst shards read
+    back with the same semantic rows as the gzip layout — the egress
+    twin of the .warc.zst ingest path."""
+    from clickhouse_table_copier_spark.sources.warc import (
+        read_warc,
+        write_warc,
+    )
+
+    src_dir = os.path.join(str(tmp_path), "in")
+    os.makedirs(src_dir)
+    with open(os.path.join(src_dir, "a.warc"), "wb") as f:
+        f.write(b"".join(_records()))
+    rows = read_warc(spark, src_dir)
+    out_dir = os.path.join(str(tmp_path), "outz")
+    shards = write_warc(rows, out_dir, n_shards=2, compression="zstd")
+    assert shards and all(s.endswith(".warc.zst") for s in shards)
+    back = read_warc(spark, out_dir)
+    key = lambda r: (  # noqa: E731
+        r["warc_type"], r["target_uri"], r["warc_date"],
+        r["http_status"], r["content_type"],
+        bytes(r["payload"] or b""),
+    )
+    assert sorted(map(key, back.collect())) == sorted(
+        map(key, rows.collect())
+    )
+
+
+def test_write_warc_rejects_unknown_compression(spark, tmp_path):
+    from clickhouse_table_copier_spark.sources.warc import (
+        WARC_SCHEMA,
+        write_warc,
+    )
+
+    rows = spark.createDataFrame([], WARC_SCHEMA)
+    import pytest
+
+    with pytest.raises(ValueError):
+        write_warc(rows, str(tmp_path), compression="xz")
