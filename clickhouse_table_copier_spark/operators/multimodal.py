@@ -2317,8 +2317,11 @@ def _make_tiff_raster_decoder():
     scanned-document-corpus layout libtiff writes for large pages)
     decode per-tile through the SAME segment decoder as strips and
     assemble with edge-tile cropping (tiles are always padded to full
-    TileWidth×TileLength per TIFF 6).  Planar configuration 2 declines
-    (None).  Returns ``(w, h, nch, uint8 (h, w, nch), RGB top-down)``
+    TileWidth×TileLength per TIFF 6).  Planar configuration 2 decodes
+    too: plane-major segments (all of plane 0's strips/tiles, then
+    plane 1's …), each plane through the same segment decoder at one
+    channel, stacked at the end.
+    Returns ``(w, h, nch, uint8 (h, w, nch), RGB top-down)``
     like every raster decoder here, so a scanned page TIFF hashes
     identically to the SAME raster stored as PNG (cross-format dedup),
     and a tiled TIFF hashes identically to its strip-organized twin
@@ -2440,7 +2443,8 @@ def _make_tiff_raster_decoder():
             h = int(tags.get(257, (0,))[0])
             if not (0 < w <= 1 << 15 and 0 < h <= 1 << 15):
                 return None
-            if int(tags.get(284, (1,))[0]) != 1:  # planar: decline
+            planar = int(tags.get(284, (1,))[0])
+            if planar not in (1, 2):
                 return None
             comp = int(tags.get(259, (1,))[0])
             photo = int(tags.get(262, (1,))[0])
@@ -2459,11 +2463,15 @@ def _make_tiff_raster_decoder():
                 else:
                     return None  # packed sub-byte / mixed: decline
 
-            def _segment(data, sw, srows):
+            def _segment(data, sw, srows, nch=None):
                 """One strip or tile → uint8 raster: (srows, sw) gray
-                for bilevel, (srows, sw, spp) otherwise; None declines.
-                Shared by the strip loop and the tile grid so the two
-                layouts can never drift apart."""
+                for bilevel, (srows, sw, nch) otherwise; None declines.
+                ``nch`` is the channel count IN THIS SEGMENT — the
+                image's spp for chunky layout, 1 for a planar-config-2
+                plane.  Shared by the strip loop and the tile grid so
+                the layouts can never drift apart."""
+                if nch is None:
+                    nch = spp
                 if fill2:
                     data = _REV[
                         _np.frombuffer(data, dtype=_np.uint8)
@@ -2510,13 +2518,13 @@ def _make_tiff_raster_decoder():
                     else:
                         gray = _np.where(bits == 0, 0, 255)
                     return gray.astype(_np.uint8)
-                stride = sw * spp * depth
+                stride = sw * nch * depth
                 if len(data) < stride * srows:
                     return None
                 if depth == 1:
                     arr = _np.frombuffer(
                         data[: stride * srows], dtype=_np.uint8
-                    ).reshape(srows, sw, spp)
+                    ).reshape(srows, sw, nch)
                     if comp in (5, 8, 32946) and pred2:
                         # Predictor 2 applies after LZW AND Deflate
                         arr = _np.add.accumulate(
@@ -2526,7 +2534,7 @@ def _make_tiff_raster_decoder():
                     arr16 = _np.frombuffer(
                         data[: stride * srows],
                         dtype=_np.dtype(bo + "u2"),
-                    ).reshape(srows, sw, spp)
+                    ).reshape(srows, sw, nch)
                     if comp in (5, 8, 32946) and pred2:
                         arr16 = _np.add.accumulate(
                             arr16.astype(_np.uint16),
@@ -2553,31 +2561,44 @@ def _make_tiff_raster_decoder():
                     return None
                 ta = (w + tw - 1) // tw
                 td = (h + tl - 1) // tl
-                if len(offs) < ta * td or ta * td > 1 << 20:
+                nplanes = spp if planar == 2 else 1
+                if (
+                    len(offs) < nplanes * ta * td
+                    or ta * td > 1 << 20
+                ):
                     return None
                 nch0 = 1 if bilevel else spp
                 full = _np.zeros((h, w, nch0), dtype=_np.uint8)
-                for ti in range(td):
-                    for tj in range(ta):
-                        so = offs[ti * ta + tj]
-                        sc = cnts[ti * ta + tj]
-                        data = b[so : so + sc]
-                        if len(data) < sc:
-                            return None
-                        # tiles are ALWAYS full tw×tl (padded at the
-                        # right/bottom edges per TIFF 6) — decode full,
-                        # crop on placement
-                        seg = _segment(data, tw, tl)
-                        if seg is None:
-                            return None
-                        if seg.ndim == 2:
-                            seg = seg[:, :, None]
-                        y0, x0 = ti * tl, tj * tw
-                        ch = min(tl, h - y0)
-                        cw = min(tw, w - x0)
-                        full[y0 : y0 + ch, x0 : x0 + cw] = seg[
-                            :ch, :cw
-                        ]
+                seg_nch = 1 if planar == 2 else None
+                for p in range(nplanes):
+                    for ti in range(td):
+                        for tj in range(ta):
+                            # planar tiles come plane-major (TIFF 6:
+                            # all of plane 0's tiles, then plane 1's…)
+                            k = p * ta * td + ti * ta + tj
+                            so, sc = offs[k], cnts[k]
+                            data = b[so : so + sc]
+                            if len(data) < sc:
+                                return None
+                            # tiles are ALWAYS full tw×tl (padded at
+                            # the right/bottom edges per TIFF 6) —
+                            # decode full, crop on placement
+                            seg = _segment(data, tw, tl, seg_nch)
+                            if seg is None:
+                                return None
+                            if seg.ndim == 2:
+                                seg = seg[:, :, None]
+                            y0, x0 = ti * tl, tj * tw
+                            ch = min(tl, h - y0)
+                            cw = min(tw, w - x0)
+                            if planar == 2:
+                                full[
+                                    y0 : y0 + ch, x0 : x0 + cw, p
+                                ] = seg[:ch, :cw, 0]
+                            else:
+                                full[
+                                    y0 : y0 + ch, x0 : x0 + cw
+                                ] = seg[:ch, :cw]
             else:  # strip-organized
                 offs = tags.get(273)
                 if not offs:
@@ -2591,28 +2612,45 @@ def _make_tiff_raster_decoder():
                 if len(cnts) != len(offs):
                     return None
                 rps = int(tags.get(278, (h,))[0]) or h
-                rows_out = []
-                for si, (so, sc) in enumerate(zip(offs, cnts)):
-                    data = b[so : so + sc]
-                    if len(data) < sc:
-                        return None
-                    srows = min(rps, h - si * rps)
-                    if srows <= 0:
-                        break
-                    seg = _segment(data, w, srows)
-                    if seg is None:
-                        return None
-                    rows_out.append(seg)
-                if not rows_out:
+                nplanes = spp if planar == 2 else 1
+                nstrips = (h + rps - 1) // rps
+                if nplanes > 1 and len(offs) < nplanes * nstrips:
                     return None
-                full = _np.vstack(
-                    [
-                        r if r.ndim == 3 else r[:, :, None]
-                        for r in rows_out
-                    ]
+                seg_nch = 1 if planar == 2 else None
+                plane_rasters = []
+                for p in range(nplanes):
+                    rows_out = []
+                    for si in range(
+                        nstrips if nplanes > 1 else len(offs)
+                    ):
+                        k = p * nstrips + si
+                        so, sc = offs[k], cnts[k]
+                        data = b[so : so + sc]
+                        if len(data) < sc:
+                            return None
+                        srows = min(rps, h - si * rps)
+                        if srows <= 0:
+                            break
+                        seg = _segment(data, w, srows, seg_nch)
+                        if seg is None:
+                            return None
+                        rows_out.append(seg)
+                    if not rows_out:
+                        return None
+                    plane = _np.vstack(
+                        [
+                            r if r.ndim == 3 else r[:, :, None]
+                            for r in rows_out
+                        ]
+                    )
+                    if plane.shape[0] != h:
+                        return None
+                    plane_rasters.append(plane)
+                full = (
+                    plane_rasters[0]
+                    if nplanes == 1
+                    else _np.concatenate(plane_rasters, axis=2)
                 )
-                if full.shape[0] != h:
-                    return None
             if photo == 3:  # palette: ColorMap is 3×2^bps 16-bit ramps
                 cmap = tags.get(320)
                 if (

@@ -64,44 +64,64 @@ def _open(path, big_endian):
     return tif
 
 
-def _common(tif, w, h, bps, spp, comp, photo, predictor=None):
+def _common(tif, w, h, bps, spp, comp, photo, predictor=None,
+            planar=1):
     _set32(tif, 256, w)
     _set32(tif, 257, h)
     _set16(tif, 258, bps)
     _set16(tif, 259, comp)
     _set16(tif, 262, photo)
     _set16(tif, 277, spp)
-    _set16(tif, 284, 1)  # PlanarConfig chunky
+    _set16(tif, 284, planar)
     if predictor is not None:
         _set16(tif, 317, predictor)
 
 
 def write_strips(path, img, bps, comp, photo, rps, predictor=None,
-                 big_endian=False):
+                 big_endian=False, planar=1):
     """img: (h, w) or (h, w, spp); bilevel input is 0/1 uint8."""
     h, w = img.shape[:2]
     spp = 1 if img.ndim == 2 else img.shape[2]
     tif = _open(path, big_endian)
-    _common(tif, w, h, bps, spp, comp, photo, predictor)
+    _common(tif, w, h, bps, spp, comp, photo, predictor, planar)
     _set32(tif, 278, rps)
-    for y in range(h):
-        if bps == 1:
-            row = np.packbits(img[y]).tobytes()
-        else:
-            row = np.ascontiguousarray(img[y]).tobytes()
-        assert _T.TIFFWriteScanline(tif, row, y, 0) == 1, (path, y)
+    if planar == 2:
+        for s in range(spp):
+            for y in range(h):
+                row = np.ascontiguousarray(img[y, :, s]).tobytes()
+                assert _T.TIFFWriteScanline(tif, row, y, s) == 1
+    else:
+        for y in range(h):
+            if bps == 1:
+                row = np.packbits(img[y]).tobytes()
+            else:
+                row = np.ascontiguousarray(img[y]).tobytes()
+            assert _T.TIFFWriteScanline(tif, row, y, 0) == 1, (path, y)
     _T.TIFFClose(tif)
     return open(path, "rb").read()
 
 
 def write_tiles(path, img, bps, comp, photo, tw, tl, predictor=None,
-                big_endian=False):
+                big_endian=False, planar=1):
     h, w = img.shape[:2]
     spp = 1 if img.ndim == 2 else img.shape[2]
     tif = _open(path, big_endian)
-    _common(tif, w, h, bps, spp, comp, photo, predictor)
+    _common(tif, w, h, bps, spp, comp, photo, predictor, planar)
     _set32(tif, 322, tw)
     _set32(tif, 323, tl)
+    if planar == 2:
+        for s in range(spp):
+            for y0 in range(0, h, tl):
+                for x0 in range(0, w, tw):
+                    tile = np.zeros((tl, tw), dtype=img.dtype)
+                    sub = img[y0 : y0 + tl, x0 : x0 + tw, s]
+                    tile[: sub.shape[0], : sub.shape[1]] = sub
+                    buf = np.ascontiguousarray(tile).tobytes()
+                    assert (
+                        _T.TIFFWriteTile(tif, buf, x0, y0, 0, s) > 0
+                    ), (path, x0, y0, s)
+        _T.TIFFClose(tif)
+        return open(path, "rb").read()
     for y0 in range(0, h, tl):
         for x0 in range(0, w, tw):
             # full padded tile buffer (TIFF 6: tiles are always tw×tl)
@@ -196,6 +216,30 @@ def main():
     _emit(
         "RGB16_LZW_STRIP",
         write_strips(p("h.tif"), rgb16, 16, 5, 2, 20, predictor=2),
+    )
+    rgb8 = (rgb16_page() >> 8).astype(np.uint8)
+    _emit(
+        "RGB8_CHUNKY_STRIP",
+        write_strips(p("i.tif"), rgb8, 8, 5, 2, 8, predictor=2),
+    )
+    _emit(
+        "RGB8_PLANAR_STRIP",
+        write_strips(
+            p("j.tif"), rgb8, 8, 5, 2, 8, predictor=2, planar=2
+        ),
+    )
+    _emit(
+        "RGB8_PLANAR_TILED",
+        write_tiles(
+            p("k.tif"), rgb8, 8, 5, 2, 16, 16, predictor=2, planar=2
+        ),
+    )
+    _emit(
+        "RGB16_PLANAR_STRIP_BE",
+        write_strips(
+            p("l.tif"), rgb16_page(), 16, 5, 2, 8, predictor=2,
+            planar=2, big_endian=True,
+        ),
     )
 
 
