@@ -104,6 +104,8 @@ def test_every_module_level_mutable_is_excluded():
                 "PREP_ORACLES",
                 "PREP12_QUERIES",
                 "PREP12_ORACLES",
+                "PREP13_QUERIES",
+                "PREP13_ORACLES",
             }
             for t in targets:
                 if t in deleted or t in import_time_populated:
