@@ -246,6 +246,13 @@ EXTENDED = [
     "quality_filter_funnel",
     "doc_perplexity_buckets",
     "oov_rate_by_lang",
+    # round-12 crawl-ingest SQL slice (registered at the r12 flip;
+    # ~13 s cold total at sf0.1 self-measured — the HTML-extract and
+    # paragraph-hash Arrow edges are the operators under time)
+    "paragraph_dedup_stats",
+    "psl_domain_histogram",
+    "canonical_url_dedup_stats",
+    "extracted_text_funnel",
 ]
 
 HEADLINE = [
