@@ -99,6 +99,10 @@ def _cfg_zstd(z):
     z.ZSTD_compress2.restype = ctypes.c_size_t
     z.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
     z.ZSTD_compressBound.restype = ctypes.c_size_t
+    z.ZSTD_CCtx_loadDictionary.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t
+    ]
+    z.ZSTD_CCtx_loadDictionary.restype = ctypes.c_size_t
     z.ZSTD_DCtx_setParameter.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int
     ]
@@ -197,11 +201,16 @@ def zstd_decompress_native(
         z.ZSTD_freeDCtx(dctx)
 
 
-def zstd_compress_native(data: bytes, level: int = 3) -> bytes:
+def zstd_compress_native(
+    data: bytes, level: int = 3, dict_raw: "bytes | None" = None,
+) -> bytes:
     """One complete zstd frame via libzstd (content checksum ON, so
     the read side's verification has something to verify).  Used by
     the ``.warc.zst`` egress — decode-side parity tests pin that the
-    pure decoder reads these frames back byte-identically."""
+    pure decoder reads these frames back byte-identically.
+    ``dict_raw`` compresses against a §5 dictionary (structured or
+    raw-content, auto-detected) — the IIPC shared-dictionary shard
+    layout."""
     z = _zstd_lib()
     if z is None:
         raise NativeDecodeError("libzstd not available")
@@ -211,6 +220,15 @@ def zstd_compress_native(data: bytes, level: int = 3) -> bytes:
     try:
         z.ZSTD_CCtx_setParameter(cctx, _ZSTD_C_LEVEL, int(level))
         z.ZSTD_CCtx_setParameter(cctx, _ZSTD_C_CHECKSUM, 1)
+        if dict_raw is not None:
+            rc = z.ZSTD_CCtx_loadDictionary(
+                cctx, dict_raw, len(dict_raw)
+            )
+            if z.ZSTD_isError(rc):
+                raise NativeDecodeError(
+                    "bad dictionary: "
+                    + z.ZSTD_getErrorName(rc).decode()
+                )
         bound = z.ZSTD_compressBound(len(data))
         dst = ctypes.create_string_buffer(bound)
         ret = z.ZSTD_compress2(cctx, dst, bound, data, len(data))

@@ -747,7 +747,10 @@ def read_warc_ranges(
     Each selected range of a ``.warc.gz`` shard is one complete gzip
     member (that is WHY the member-per-record layout exists), so a
     task seeks, reads ``length`` bytes, inflates one member and parses
-    one record.
+    one record.  ``.warc.zst`` ranges decode the same way — one zstd
+    frame per record (the IIPC layout and this repo's own zstd
+    egress), honoring the shard's embedded shared dictionary (leading
+    skippable frame 0x184D2A5D, read once and cached per shard).
 
     ``records_df`` needs columns ``warc_filename, warc_offset,
     warc_length``; ``base_dir`` prefixes the filenames
@@ -764,6 +767,42 @@ def read_warc_ranges(
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         handles: dict = {}
+        zdicts: dict = {}  # path -> ZstdDict | None (IIPC embedded)
+
+        def _shard_zdict(path, fobj):
+            """The IIPC ``.warc.zst`` convention: a LEADING skippable
+            frame (magic 0x184D2A5D) carries the shard's shared
+            dictionary — read it once per shard, cache per path."""
+            if path in zdicts:
+                return zdicts[path]
+            zd = None
+            try:
+                from clickhouse_table_copier_spark.sources.zstd import (
+                    ZstdDict,
+                    zstd_decompress,
+                )
+
+                pos = fobj.tell()
+                fobj.seek(0)
+                head = fobj.read(8)
+                if (
+                    len(head) == 8
+                    and int.from_bytes(head[:4], "little")
+                    == 0x184D2A5D
+                ):
+                    size = int.from_bytes(head[4:8], "little")
+                    if size <= 1 << 27:
+                        payload = fobj.read(size)
+                        if len(payload) == size:
+                            if payload[:4] == b"\x28\xb5\x2f\xfd":
+                                payload = zstd_decompress(payload)
+                            zd = ZstdDict(payload)
+                fobj.seek(pos)
+            except Exception:
+                zd = None
+            zdicts[path] = zd
+            return zd
+
         try:
             for pdf in batches:
                 rows = []
@@ -801,6 +840,21 @@ def read_warc_ranges(
                             raw = zlib.decompress(raw, wbits=47)
                         except zlib.error:
                             continue  # corrupt member: decline
+                    elif raw[:4] == b"\x28\xb5\x2f\xfd":
+                        # .warc.zst range: one frame per record (the
+                        # IIPC layout and this repo's own egress);
+                        # frames may need the shard's embedded dict
+                        from clickhouse_table_copier_spark.sources.zstd import (  # noqa: E501
+                            ZstdError,
+                            zstd_decompress,
+                        )
+
+                        try:
+                            raw = zstd_decompress(
+                                raw, zdict=_shard_zdict(path, fobj)
+                            )
+                        except ZstdError:
+                            continue  # corrupt frame: decline
                     if raw[:5] != b"WARC/":
                         continue  # mid-record offset: decline, never
                         # fabricate a row from lookalike bytes

@@ -895,3 +895,79 @@ def test_write_warc_rejects_unknown_compression(spark, tmp_path):
 
     with pytest.raises(ValueError):
         write_warc(rows, str(tmp_path), compression="xz")
+
+
+def test_zst_range_fetch(spark, tmp_path):
+    """CDX range fetch over a .warc.zst shard (frame-per-record, no
+    dictionary — this repo's own egress layout): each indexed range
+    is one zstd frame and parses to one record."""
+    from clickhouse_table_copier_spark.sources.warc import (
+        read_warc_ranges,
+    )
+    from clickhouse_table_copier_spark.sources.zstd import (
+        zstd_compress,
+    )
+
+    recs = _records()
+    shard = os.path.join(str(tmp_path), "r.warc.zst")
+    ranges = []
+    with open(shard, "wb") as f:
+        for r in recs:
+            off = f.tell()
+            member = zstd_compress(r)
+            f.write(member)
+            ranges.append(("r.warc.zst", off, len(member)))
+    df = spark.createDataFrame(
+        ranges, "warc_filename string, warc_offset long, warc_length long"
+    )
+    got = read_warc_ranges(df, str(tmp_path)).collect()
+    assert len(got) == len(recs)
+    types = sorted(r["warc_type"] for r in got)
+    assert "response" in types and "warcinfo" in types
+    resp = sorted(r["http_status"] for r in got
+                  if r["warc_type"] == "response")
+    assert resp == [200, 404]
+
+
+def test_zst_range_fetch_with_embedded_dictionary(spark, tmp_path):
+    """The IIPC shared-dictionary layout: a leading skippable frame
+    (0x184D2A5D) carries a raw-content dictionary, every following
+    frame was compressed against it — the range fetch must read the
+    dict once per shard and decode every indexed frame."""
+    import pytest as _pytest
+
+    from clickhouse_table_copier_spark.sources import (
+        _native_codecs as nc,
+    )
+
+    if not nc.zstd_available():
+        _pytest.skip("dictionary compression needs libzstd")
+    from clickhouse_table_copier_spark.sources.warc import (
+        read_warc_ranges,
+    )
+
+    recs = _records()
+    # raw-content dictionary: the shared WARC header boilerplate
+    zdict = b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " \
+        b"https://example.com/page\r\nContent-Type: application/http"
+    shard = os.path.join(str(tmp_path), "d.warc.zst")
+    ranges = []
+    with open(shard, "wb") as f:
+        f.write(
+            (0x184D2A5D).to_bytes(4, "little")
+            + len(zdict).to_bytes(4, "little")
+            + zdict
+        )
+        for r in recs:
+            off = f.tell()
+            member = nc.zstd_compress_native(r, 19, zdict)
+            f.write(member)
+            ranges.append(("d.warc.zst", off, len(member)))
+    df = spark.createDataFrame(
+        ranges, "warc_filename string, warc_offset long, warc_length long"
+    )
+    got = read_warc_ranges(df, str(tmp_path)).collect()
+    assert len(got) == len(recs)
+    resp = sorted(r["http_status"] for r in got
+                  if r["warc_type"] == "response")
+    assert resp == [200, 404]
