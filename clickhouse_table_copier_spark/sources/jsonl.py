@@ -206,3 +206,83 @@ def cdxj_records(df: DataFrame) -> DataFrame:
             "warc_length"
         ),
     )
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    compression: str = "zstd",
+    zstd_level: int = 3,
+) -> list:
+    """Re-publish a (filtered, deduped, quality-gated) corpus as
+    ``.jsonl.zst`` shards — the write half of the corpus round trip,
+    in the exact format public LLM corpora ship (Dolma/RedPajama
+    style): one JSON object per line, zstd-compressed shards.
+
+    Serialization stays JVM-side: every row becomes ONE JSON line via
+    ``to_json(struct(*))`` inside whole-stage codegen — the Arrow
+    edge only joins lines and compresses, no Python JSON in the hot
+    path.  Shards compress as CONCATENATED zstd frames (one frame per
+    Arrow batch, so writer memory stays bounded by the batch, not the
+    shard) — every zstd decoder, including :func:`read_jsonl`'s
+    decline-per-shard expander, reads multi-frame streams.  Native
+    libzstd (checksummed) when the library loads, the stored-frame
+    fallback otherwise.  ``compression='gzip'`` writes multi-member
+    ``.jsonl.gz``; ``'none'`` writes plain ``.jsonl``.
+
+    Atomic publish per shard via :func:`sources.shard_io.write_shards`
+    (attempt-unique temp + ``os.replace``), same as every writer here.
+    Returns the sorted shard paths."""
+    from pyspark.sql import functions as _F
+
+    from clickhouse_table_copier_spark.sources.shard_io import (
+        write_shards,
+    )
+
+    if compression == "zstd":
+        ext = ".jsonl.zst"
+
+        from clickhouse_table_copier_spark.sources.zstd import (
+            zstd_compress,
+        )
+
+        def _pack(chunk: bytes) -> bytes:
+            return zstd_compress(chunk, zstd_level)
+
+    elif compression == "gzip":
+        import gzip as _gzip
+
+        ext = ".jsonl.gz"
+
+        def _pack(chunk: bytes) -> bytes:
+            return _gzip.compress(chunk)
+
+    elif compression == "none":
+        ext = ".jsonl"
+
+        def _pack(chunk: bytes) -> bytes:
+            return chunk
+
+    else:
+        raise ValueError(
+            f"unsupported compression {compression!r} "
+            "(zstd, gzip or none)"
+        )
+
+    lines = df.select(
+        _F.to_json(_F.struct(*df.columns)).alias("line")
+    ).repartition(n_shards)
+
+    def write_fn(batches: Iterator[pd.DataFrame], tmp: str) -> int:
+        n = 0
+        with open(tmp, "wb") as f:
+            for pdf in batches:
+                vals = [v for v in pdf["line"] if v is not None]
+                if not vals:
+                    continue
+                chunk = ("\n".join(vals) + "\n").encode("utf-8")
+                f.write(_pack(chunk))
+                n += len(vals)
+        return n
+
+    return write_shards(lines, path, ext, write_fn)

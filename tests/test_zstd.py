@@ -305,3 +305,46 @@ def test_multi_member_gzip_shard_reads(spark, tmp_path):
         f.write(two)
     rows = read_jsonl(spark, str(tmp_path)).collect()
     assert len(rows) == 2
+
+
+# --------------------------------------------- write_jsonl egress
+
+
+@pytest.mark.parametrize("compression", ["zstd", "gzip", "none"])
+def test_write_jsonl_roundtrip(spark, tmp_path, compression):
+    """Corpus re-publish round trip: documents → .jsonl.{zst,gz,}
+    shards → read_jsonl → jsonl_to_documents recovers every (text,
+    original id) pair.  JSON serialization is JVM-side
+    (to_json(struct)), the Arrow edge only packs frames."""
+    import os
+
+    from clickhouse_table_copier_spark.sources.jsonl import write_jsonl
+
+    src = spark.createDataFrame(
+        [(i, f"text body {i} é中", f"s{i % 3}")
+         for i in range(257)],
+        "id long, text string, source string",
+    )
+    out = os.path.join(str(tmp_path), compression)
+    shards = write_jsonl(
+        src, out, n_shards=3, compression=compression
+    )
+    assert 1 <= len(shards) <= 3
+    ext = {"zstd": ".jsonl.zst", "gzip": ".jsonl.gz",
+           "none": ".jsonl"}[compression]
+    assert all(s.endswith(ext) for s in shards)
+    lines = read_jsonl(spark, out)
+    docs = jsonl_to_documents(lines, text_field="text", id_field="id")
+    got = {r["text"] for r in docs.collect()}
+    want = {f"text body {i} é中" for i in range(257)}
+    assert got == want
+    # ids survive as the corpus id field (hashed consistently)
+    assert docs.select("doc_id").distinct().count() == 257
+
+
+def test_write_jsonl_rejects_unknown_compression(spark, tmp_path):
+    from clickhouse_table_copier_spark.sources.jsonl import write_jsonl
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError):
+        write_jsonl(df, str(tmp_path), compression="xz")
