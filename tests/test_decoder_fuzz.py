@@ -19,6 +19,7 @@ from clickhouse_table_copier_spark.operators.multimodal import (
     _make_gif_raster_decoder,
     _make_jpeg_raster_decoder,
     _make_png_raster_decoder,
+    _make_tiff_raster_decoder,
     _make_wav_parser,
     encode_png,
 )
@@ -76,7 +77,16 @@ def _fixtures():
         "bmp": _bmp_paletted(16, 16, idx, pal, 8),
         "avi": make_mjpeg_avi([encode_baseline_jpeg(img)] * 3, 16, 16),
         "wav": wav,
+        "tiff_strip": _tiff_fixtures().GRAY8_LZW_PRED_STRIP,
+        "tiff_tiled": _tiff_fixtures().BILEVEL_G4_TILED,
+        "tiff_tiled16": _tiff_fixtures().GRAY16_LZW_PRED_TILED_BE,
     }
+
+
+def _tiff_fixtures():
+    from tests import test_tiff_tiled
+
+    return test_tiff_tiled
 
 
 def _decoders():
@@ -101,6 +111,9 @@ def _decoders():
         "bmp": _make_bmp_raster_decoder(),
         "avi": avi_parse,
         "wav": wav_parse,
+        "tiff_strip": _make_tiff_raster_decoder(),
+        "tiff_tiled": _make_tiff_raster_decoder(),
+        "tiff_tiled16": _make_tiff_raster_decoder(),
     }
 
 
@@ -143,6 +156,9 @@ def test_noise_behind_valid_magic_never_raises(fmt):
         "bmp": b"BM",
         "avi": b"RIFF\x00\x01\x00\x00AVI ",
         "wav": b"RIFF\x00\x01\x00\x00WAVE",
+        "tiff_strip": b"II*\x00",
+        "tiff_tiled": b"II*\x00",
+        "tiff_tiled16": b"MM\x00*",
     }[fmt]
     dec = _decoders()[fmt]
     rng = np.random.default_rng(13)

@@ -289,3 +289,48 @@ def test_written_frames_decode_with_reference_cli(tmp_path):
         )
         assert got.returncode == 0
         assert got.stdout == payload
+
+
+@native_lz4
+def test_lz4_native_mutation_sweep_declines_or_agrees():
+    """Byte flips through the native lz4 path: decline or agree with
+    the pure decoder — never a foreign exception.  (Native verifies
+    checksums the pure decoder skips, so native may decline strictly
+    more mutants; it must never ACCEPT one the pure decoder maps to
+    different bytes.)"""
+    blob = lg.JSONL_L9
+    for i in range(4, len(blob), 41):
+        mangled = bytes(
+            blob[:i] + bytes([blob[i] ^ 0xFF]) + blob[i + 1 :]
+        )
+        try:
+            got = nc.lz4_decompress_native(mangled, 1 << 24)
+        except nc.NativeDecodeError:
+            continue
+        try:
+            pure = lz4_decompress_pure(mangled, 1 << 24)
+        except Lz4Error:
+            pure = lz4_decompress_pure(blob, 1 << 24)
+        assert got == pure
+
+
+@native_brotli
+def test_brotli_native_mutation_sweep_declines_or_agrees():
+    """Byte flips through the native brotli path: decline, or agree
+    with the pure decoder on the same mutant (brotli has no checksum,
+    so some flips decode validly on both paths — they must then
+    decode IDENTICALLY)."""
+    blob = bg.JSONL_Q5
+    for i in range(2, len(blob), 29):
+        mangled = bytes(
+            blob[:i] + bytes([blob[i] ^ 0xFF]) + blob[i + 1 :]
+        )
+        try:
+            got = nc.brotli_decompress_native(mangled, 1 << 24)
+        except nc.NativeDecodeError:
+            continue
+        try:
+            pure = brotli_decompress_pure(mangled, 1 << 24)
+        except BrotliError:
+            continue  # pure is stricter on this mutant: acceptable
+        assert got == pure
