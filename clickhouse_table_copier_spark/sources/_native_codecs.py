@@ -155,8 +155,15 @@ def zstd_decompress_native(
         raise NativeDecodeError("ZSTD_createDCtx failed")
     try:
         # lift the 27-bit default window cap to the format maximum so
-        # long-range frames decode like the (uncapped) pure decoder
-        z.ZSTD_DCtx_setParameter(dctx, _ZSTD_D_WINDOWLOGMAX, 31)
+        # long-range frames decode like the (uncapped) pure decoder.
+        # rc CHECKED: a 32-bit libzstd caps windowLogMax at 30 — fall
+        # back a step rather than silently keeping the 27-bit default
+        for wlog in (31, 30):
+            rc = z.ZSTD_DCtx_setParameter(
+                dctx, _ZSTD_D_WINDOWLOGMAX, wlog
+            )
+            if not z.ZSTD_isError(rc):
+                break
         if dict_raw is not None:
             rc = z.ZSTD_DCtx_loadDictionary(
                 dctx, dict_raw, len(dict_raw)
@@ -172,7 +179,6 @@ def zstd_decompress_native(
         outb = _ZBuf(ctypes.cast(outbuf, ctypes.c_void_p), _CHUNK, 0)
         chunks = []
         total = 0
-        ret = 0
         while True:
             outb.pos = 0
             ret = z.ZSTD_decompressStream(
@@ -189,14 +195,22 @@ def zstd_decompress_native(
                     raise NativeDecodeError(
                         "output exceeds max_output bound"
                     )
-            if inb.pos >= inb.size and outb.pos < outb.size:
-                break
-        if ret != 0:
-            # input consumed mid-frame: the library still expects
-            # ~ret more bytes — same decline as the pure decoder's
-            # "truncated zstd input"
-            raise NativeDecodeError("truncated zstd input")
-        return b"".join(chunks)
+            # done ONLY on the library's own frame-complete signal
+            # (ret == 0) with all input consumed — inferring
+            # completion from a non-full output buffer falsely
+            # truncated outputs that are exact _CHUNK multiples
+            # (round-12 review finding, reproduced at 1 MiB)
+            if ret == 0 and inb.pos >= inb.size:
+                return b"".join(chunks)
+            if (
+                ret != 0
+                and inb.pos >= inb.size
+                and outb.pos < outb.size
+            ):
+                # input drained mid-frame and nothing left to flush:
+                # the library still expects ~ret more bytes — same
+                # decline as the pure decoder's "truncated zstd input"
+                raise NativeDecodeError("truncated zstd input")
     finally:
         z.ZSTD_freeDCtx(dctx)
 
@@ -218,8 +232,18 @@ def zstd_compress_native(
     if not cctx:
         raise NativeDecodeError("ZSTD_createCCtx failed")
     try:
-        z.ZSTD_CCtx_setParameter(cctx, _ZSTD_C_LEVEL, int(level))
-        z.ZSTD_CCtx_setParameter(cctx, _ZSTD_C_CHECKSUM, 1)
+        rc = z.ZSTD_CCtx_setParameter(cctx, _ZSTD_C_LEVEL, int(level))
+        if z.ZSTD_isError(rc):
+            raise NativeDecodeError(
+                "bad compression level: "
+                + z.ZSTD_getErrorName(rc).decode()
+            )
+        rc = z.ZSTD_CCtx_setParameter(cctx, _ZSTD_C_CHECKSUM, 1)
+        if z.ZSTD_isError(rc):
+            # the docstring PROMISES checksummed frames — fail loudly
+            # (callers fall back to the stored-frame writer) rather
+            # than silently emitting unverifiable output
+            raise NativeDecodeError("checksum flag rejected")
         if dict_raw is not None:
             rc = z.ZSTD_CCtx_loadDictionary(
                 cctx, dict_raw, len(dict_raw)

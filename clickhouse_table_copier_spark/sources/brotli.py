@@ -422,16 +422,15 @@ def brotli_decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
     Python is the fallback and the cross-check oracle (both paths
     pinned to the same encoder goldens in
     tests/test_native_codecs.py)."""
-    try:
-        from clickhouse_table_copier_spark.sources import _native_codecs
-    except Exception:
-        _native_codecs = None
-    if _native_codecs is not None and _native_codecs.brotli_available():
+    from clickhouse_table_copier_spark.sources.zstd import (
+        _native_codecs_or_none,
+    )
+
+    native = _native_codecs_or_none()
+    if native is not None and native.brotli_available():
         try:
-            return _native_codecs.brotli_decompress_native(
-                data, max_output
-            )
-        except _native_codecs.NativeDecodeError as e:
+            return native.brotli_decompress_native(data, max_output)
+        except native.NativeDecodeError as e:
             raise BrotliError(str(e)) from None
     return brotli_decompress_pure(data, max_output)
 

@@ -236,38 +236,12 @@ def write_jsonl(
     from pyspark.sql import functions as _F
 
     from clickhouse_table_copier_spark.sources.shard_io import (
+        egress_codec,
         write_shards,
     )
 
-    if compression == "zstd":
-        ext = ".jsonl.zst"
-
-        from clickhouse_table_copier_spark.sources.zstd import (
-            zstd_compress,
-        )
-
-        def _pack(chunk: bytes) -> bytes:
-            return zstd_compress(chunk, zstd_level)
-
-    elif compression == "gzip":
-        import gzip as _gzip
-
-        ext = ".jsonl.gz"
-
-        def _pack(chunk: bytes) -> bytes:
-            return _gzip.compress(chunk)
-
-    elif compression == "none":
-        ext = ".jsonl"
-
-        def _pack(chunk: bytes) -> bytes:
-            return chunk
-
-    else:
-        raise ValueError(
-            f"unsupported compression {compression!r} "
-            "(zstd, gzip or none)"
-        )
+    suffix, _pack = egress_codec(compression, zstd_level)
+    ext = ".jsonl" + suffix
 
     lines = df.select(
         _F.to_json(_F.struct(*df.columns)).alias("line")

@@ -101,16 +101,15 @@ def lz4_decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
     than the pure decoder, which skips them).  Pure Python is the
     fallback and the cross-check oracle (both paths pinned to the
     same CLI goldens in tests/test_native_codecs.py)."""
-    try:
-        from clickhouse_table_copier_spark.sources import _native_codecs
-    except Exception:
-        _native_codecs = None
-    if _native_codecs is not None and _native_codecs.lz4_available():
+    from clickhouse_table_copier_spark.sources.zstd import (
+        _native_codecs_or_none,
+    )
+
+    native = _native_codecs_or_none()
+    if native is not None and native.lz4_available():
         try:
-            return _native_codecs.lz4_decompress_native(
-                data, max_output
-            )
-        except _native_codecs.NativeDecodeError as e:
+            return native.lz4_decompress_native(data, max_output)
+        except native.NativeDecodeError as e:
             raise Lz4Error(str(e)) from None
     return lz4_decompress_pure(data, max_output)
 

@@ -27,6 +27,36 @@ SHARD_RESULT_SCHEMA = T.StructType(
 )
 
 
+def egress_codec(compression: str, zstd_level: int = 3):
+    """Shared member/chunk compression dispatch for the egress
+    writers (``write_warc``, ``write_jsonl``): ``(extension suffix,
+    pack(bytes) -> bytes)``.  One place to add a codec or change
+    frame policy, so the writers cannot silently diverge (round-12
+    review finding).
+
+    - ``zstd``: one checksummed frame per call — native libzstd when
+      it loads, the spec-correct stored-frame writer otherwise.
+    - ``gzip``: one member per call, ``mtime=0`` so identical inputs
+      produce identical shard BYTES across runs (reproducible
+      re-publish; the wall-clock default broke bytewise dedup).
+    - ``none``: pass-through (plain concatenated members)."""
+    if compression == "zstd":
+        from clickhouse_table_copier_spark.sources.zstd import (
+            zstd_compress,
+        )
+
+        return ".zst", lambda b: zstd_compress(b, zstd_level)
+    if compression == "gzip":
+        import gzip as _gzip
+
+        return ".gz", lambda b: _gzip.compress(b, mtime=0)
+    if compression == "none":
+        return "", lambda b: b
+    raise ValueError(
+        f"unsupported compression {compression!r} (zstd, gzip or none)"
+    )
+
+
 def write_shards(
     parted: DataFrame,
     path: str,

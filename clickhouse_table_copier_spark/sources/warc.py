@@ -938,37 +938,20 @@ def write_warc(
     shards instead (one zstd frame per record — concatenated frames,
     the streamable twin of member-per-record gzip): native libzstd at
     ``zstd_level`` with content checksums when the library loads, a
-    spec-correct stored-block frame otherwise
-    (:func:`sources.zstd.zstd_compress`).  ``read_warc`` reads both
-    layouts back identically."""
-    import gzip as _gzip
+    spec-correct stored-block frame otherwise; ``'none'`` writes
+    plain concatenated ``.warc``.  Dispatch is the shared
+    :func:`sources.shard_io.egress_codec` (gzip members carry
+    ``mtime=0`` so identical inputs give identical shard bytes).
+    ``read_warc`` reads all three layouts back identically."""
     import uuid as _uuid
 
     from clickhouse_table_copier_spark.sources.shard_io import (
+        egress_codec,
         write_shards,
     )
 
-    if compression == "gzip":
-        ext = ".warc.gz"
-
-        def _member(raw: bytes) -> bytes:
-            return _gzip.compress(raw)
-
-    elif compression == "zstd":
-        from clickhouse_table_copier_spark.sources.zstd import (
-            zstd_compress,
-        )
-
-        ext = ".warc.zst"
-
-        def _member(raw: bytes) -> bytes:
-            return zstd_compress(raw, zstd_level)
-
-    else:
-        raise ValueError(
-            f"unsupported compression {compression!r} "
-            "(gzip or zstd)"
-        )
+    suffix, _member = egress_codec(compression, zstd_level)
+    ext = ".warc" + suffix
 
     parted = records_df.repartition(n_shards, "warc_file", "record_idx")
 

@@ -334,3 +334,49 @@ def test_brotli_native_mutation_sweep_declines_or_agrees():
         except BrotliError:
             continue  # pure is stricter on this mutant: acceptable
         assert got == pure
+
+
+@native_zstd
+def test_exact_chunk_multiple_outputs_roundtrip():
+    """Round-12 review regression (reproduced): outputs that are
+    exact multiples of the native decoder's 1 MiB chunk used to raise
+    a false 'truncated zstd input' — completion must come from the
+    library's own ret==0 signal, not a non-full output buffer."""
+    for n in (1 << 20, 2 << 20):
+        payload = bytes(i & 0xFF for i in range(n))
+        frame = nc.zstd_compress_native(payload)
+        assert nc.zstd_decompress_native(frame, 1 << 31) == payload
+        # and through the public seam (no silent pure fallback)
+        assert zstd_decompress(frame) == payload
+        # the stored-frame writer at the same sizes
+        from clickhouse_table_copier_spark.sources.zstd import (
+            zstd_store_frame,
+        )
+
+        assert zstd_decompress(zstd_store_frame(payload)) == payload
+
+
+def test_egress_gzip_members_are_deterministic():
+    """Round-12 review: gzip members embed mtime — the shared egress
+    codec pins mtime=0 so identical inputs give identical shard
+    bytes (reproducible re-publish)."""
+    from clickhouse_table_copier_spark.sources.shard_io import (
+        egress_codec,
+    )
+
+    _, pack = egress_codec("gzip")
+    blob = pack(b"reproducible")
+    # gzip header: magic(2) method(1) flags(1) mtime(4 LE) == 0
+    assert blob[4:8] == b"\x00\x00\x00\x00"
+    import gzip as _gzip
+
+    assert _gzip.decompress(blob) == b"reproducible"
+
+
+def test_egress_codec_rejects_unknown():
+    from clickhouse_table_copier_spark.sources.shard_io import (
+        egress_codec,
+    )
+
+    with pytest.raises(ValueError):
+        egress_codec("xz")
