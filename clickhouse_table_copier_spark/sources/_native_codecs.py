@@ -173,8 +173,12 @@ def zstd_decompress_native(
                     "bad dictionary: "
                     + z.ZSTD_getErrorName(rc).decode()
                 )
-        src = ctypes.create_string_buffer(data, len(data))
-        inb = _ZBuf(ctypes.cast(src, ctypes.c_void_p), len(data), 0)
+        # pointer INTO the immutable bytes (library only reads) —
+        # create_string_buffer would copy the whole input first
+        inb = _ZBuf(
+            ctypes.cast(ctypes.c_char_p(data), ctypes.c_void_p),
+            len(data), 0,
+        )
         outbuf = ctypes.create_string_buffer(_CHUNK)
         outb = _ZBuf(ctypes.cast(outbuf, ctypes.c_void_p), _CHUNK, 0)
         chunks = []
@@ -189,7 +193,9 @@ def zstd_decompress_native(
                     z.ZSTD_getErrorName(ret).decode()
                 )
             if outb.pos:
-                chunks.append(outbuf.raw[: outb.pos])
+                # string_at copies exactly pos bytes; .raw would
+                # materialize the whole 1 MiB buffer first
+                chunks.append(ctypes.string_at(outbuf, outb.pos))
                 total += outb.pos
                 if total > max_output:
                     raise NativeDecodeError(
@@ -260,7 +266,7 @@ def zstd_compress_native(
             raise NativeDecodeError(
                 z.ZSTD_getErrorName(ret).decode()
             )
-        return dst.raw[:ret]
+        return ctypes.string_at(dst, ret)
     finally:
         z.ZSTD_freeCCtx(cctx)
 
@@ -320,8 +326,9 @@ def lz4_decompress_native(data: bytes, max_output: int) -> bytes:
     if rc != 0:
         raise NativeDecodeError("LZ4F context creation failed")
     try:
-        src = ctypes.create_string_buffer(data, len(data))
-        src_addr = ctypes.addressof(src)
+        src_addr = ctypes.cast(
+            ctypes.c_char_p(data), ctypes.c_void_p
+        ).value
         outbuf = ctypes.create_string_buffer(_CHUNK)
         chunks = []
         total = 0
@@ -342,7 +349,9 @@ def lz4_decompress_native(data: bytes, max_output: int) -> bytes:
                     l.LZ4F_getErrorName(ret).decode()
                 )
             if dst_size.value:
-                chunks.append(outbuf.raw[: dst_size.value])
+                chunks.append(
+                    ctypes.string_at(outbuf, dst_size.value)
+                )
                 total += dst_size.value
                 if total > max_output:
                     raise NativeDecodeError("output exceeds bound")
@@ -410,8 +419,7 @@ def brotli_decompress_native(data: bytes, max_output: int) -> bytes:
         raise NativeDecodeError("brotli decoder creation failed")
     try:
         u8p = ctypes.POINTER(ctypes.c_uint8)
-        src = ctypes.create_string_buffer(data, len(data))
-        next_in = ctypes.cast(src, u8p)
+        next_in = ctypes.cast(ctypes.c_char_p(data), u8p)
         avail_in = ctypes.c_size_t(len(data))
         outbuf = ctypes.create_string_buffer(_CHUNK)
         chunks = []
@@ -427,7 +435,7 @@ def brotli_decompress_native(data: bytes, max_output: int) -> bytes:
             )
             produced = _CHUNK - avail_out.value
             if produced:
-                chunks.append(outbuf.raw[:produced])
+                chunks.append(ctypes.string_at(outbuf, produced))
                 total += produced
                 if total > max_output:
                     raise NativeDecodeError("output exceeds bound")

@@ -422,11 +422,11 @@ def brotli_decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
     Python is the fallback and the cross-check oracle (both paths
     pinned to the same encoder goldens in
     tests/test_native_codecs.py)."""
-    from clickhouse_table_copier_spark.sources.zstd import (
-        _native_codecs_or_none,
+    from clickhouse_table_copier_spark.sources._codec_gate import (
+        native_codecs_or_none,
     )
 
-    native = _native_codecs_or_none()
+    native = native_codecs_or_none()
     if native is not None and native.brotli_available():
         try:
             return native.brotli_decompress_native(data, max_output)

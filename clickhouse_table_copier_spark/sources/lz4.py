@@ -101,16 +101,26 @@ def lz4_decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
     than the pure decoder, which skips them).  Pure Python is the
     fallback and the cross-check oracle (both paths pinned to the
     same CLI goldens in tests/test_native_codecs.py)."""
-    from clickhouse_table_copier_spark.sources.zstd import (
-        _native_codecs_or_none,
+    from clickhouse_table_copier_spark.sources._codec_gate import (
+        native_codecs_or_none,
     )
 
-    native = _native_codecs_or_none()
+    native = native_codecs_or_none()
     if native is not None and native.lz4_available():
         try:
             return native.lz4_decompress_native(data, max_output)
         except native.NativeDecodeError as e:
-            raise Lz4Error(str(e)) from None
+            msg = str(e)
+            if "hecksum" in msg:
+                # checksum-only defect (content/block checksum
+                # mismatch, payload possibly intact): the pure
+                # decoder SKIPS checksums by design, so it is the
+                # salvage path — same contract as the zstd shard
+                # salvage retry (round-12 review: enforcing the
+                # library's checksum here silently lost shards the
+                # pure decoder used to recover)
+                return lz4_decompress_pure(data, max_output)
+            raise Lz4Error(msg) from None
     return lz4_decompress_pure(data, max_output)
 
 

@@ -772,14 +772,21 @@ def read_warc_ranges(
         def _shard_zdict(path, fobj):
             """The IIPC ``.warc.zst`` convention: a LEADING skippable
             frame (magic 0x184D2A5D) carries the shard's shared
-            dictionary — read it once per shard, cache per path."""
+            dictionary — read it once per shard, cache per path.  The
+            actual parse is the SAME :func:`zstd.split_embedded_dict`
+            the whole-shard reader uses (review finding: a private
+            re-implementation here could disagree with read_warc on
+            the same shard).  This wrapper adds only the file-layer
+            concerns: a bounded header read (a crafted size field
+            must not make a range task slurp gigabytes) and the
+            decline-to-None contract (an unreadable dictionary
+            declines this shard's rows, never the task)."""
             if path in zdicts:
                 return zdicts[path]
             zd = None
             try:
                 from clickhouse_table_copier_spark.sources.zstd import (
-                    ZstdDict,
-                    zstd_decompress,
+                    split_embedded_dict,
                 )
 
                 pos = fobj.tell()
@@ -791,12 +798,10 @@ def read_warc_ranges(
                     == 0x184D2A5D
                 ):
                     size = int.from_bytes(head[4:8], "little")
-                    if size <= 1 << 27:
-                        payload = fobj.read(size)
-                        if len(payload) == size:
-                            if payload[:4] == b"\x28\xb5\x2f\xfd":
-                                payload = zstd_decompress(payload)
-                            zd = ZstdDict(payload)
+                    if size <= 1 << 27:  # file-read bound only
+                        zd, _ = split_embedded_dict(
+                            head + fobj.read(size)
+                        )
                 fobj.seek(pos)
             except Exception:
                 zd = None

@@ -668,7 +668,11 @@ def zstd_decompress(
     both ways, asserted byte-identical).  ``verify_checksums=False``
     routes to the pure path too: the library always verifies, and the
     flag exists precisely to salvage checksum-damaged shards."""
-    native = _native_codecs_or_none()
+    from clickhouse_table_copier_spark.sources._codec_gate import (
+        native_codecs_or_none,
+    )
+
+    native = native_codecs_or_none()
     if (
         native is not None
         and verify_checksums
@@ -712,13 +716,25 @@ def zstd_compress(data: bytes, level: int = 3) -> bytes:
     spec-correct STORED frame from :func:`zstd_store_frame` — bigger
     bytes, but a valid frame every zstd decoder (including this
     module's own) reads back identically.  The ``.warc.zst`` egress
-    seam: one record per frame, frames concatenate."""
-    native = _native_codecs_or_none()
+    seam: one record per frame, frames concatenate.
+
+    Failure policy (round-12 review): the stored-frame writer is the
+    LIBRARY-ABSENT fallback only.  If libzstd loaded but compression
+    fails (bad level, rejected parameter), that raises ZstdError —
+    silently shipping ~250x-larger stored frames would be a far worse
+    outcome for an egress job than failing its first record."""
+    from clickhouse_table_copier_spark.sources._codec_gate import (
+        native_codecs_or_none,
+    )
+
+    native = native_codecs_or_none()
     if native is not None and native.zstd_available():
         try:
             return native.zstd_compress_native(data, level)
-        except native.NativeDecodeError:
-            pass  # fall through to the stored-frame writer
+        except native.NativeDecodeError as e:
+            raise ZstdError(
+                f"native compression failed: {e}"
+            ) from None
     return zstd_store_frame(data)
 
 
@@ -753,17 +769,6 @@ def zstd_store_frame(data: bytes) -> bytes:
             out += chunk
     out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
     return bytes(out)
-
-
-def _native_codecs_or_none():
-    """Import the ctypes fast-path module, or None when unavailable.
-    Kept lazy so a broken native environment can never break import
-    of the pure-Python decoder."""
-    try:
-        from clickhouse_table_copier_spark.sources import _native_codecs
-        return _native_codecs
-    except Exception:
-        return None
 
 
 _XXP1 = 0x9E3779B185EBCA87
@@ -846,15 +851,19 @@ def looks_like_zstd(raw: bytes) -> bool:
 _WARC_DICT_MAGIC = 0x184D2A5D
 
 
-def decompress_auto_dict(
-    data: bytes, max_output: int = 1 << 31,
-    verify_checksums: bool = True,
-) -> bytes:
-    """Decompress honoring the IIPC ``.warc.zst`` convention: a
-    LEADING skippable frame with magic ``0x184D2A5D`` carries the
-    shared dictionary (itself possibly a plain zstd frame), and every
-    following frame uses it.  Inputs without that frame decode as
-    plain zstd."""
+def split_embedded_dict(data: bytes, verify_checksums: bool = True):
+    """Parse the IIPC ``.warc.zst`` embedded-dictionary convention —
+    ONE implementation shared by the whole-shard reader
+    (:func:`decompress_auto_dict`) and the range fetcher
+    (``sources.warc.read_warc_ranges``), so the two access paths can
+    never disagree about the same shard (round-12 review).
+
+    Returns ``(ZstdDict | None, offset)``: the dictionary from a
+    LEADING skippable frame with magic ``0x184D2A5D`` (its payload
+    possibly itself a plain zstd frame) and the offset of the first
+    content frame; ``(None, 0)`` when no dictionary frame leads.
+    Raises :class:`ZstdError` on a truncated or malformed dictionary
+    frame."""
     if len(data) >= 8 and int.from_bytes(
         data[:4], "little"
     ) == _WARC_DICT_MAGIC:
@@ -864,14 +873,25 @@ def decompress_auto_dict(
             raise ZstdError("truncated embedded dictionary frame")
         if payload[:4] == _MAGIC.to_bytes(4, "little"):
             payload = zstd_decompress(
-                payload, max_output,
-                verify_checksums=verify_checksums,
+                payload, verify_checksums=verify_checksums
             )
-        return zstd_decompress(
-            data[8 + size :], max_output, ZstdDict(payload),
-            verify_checksums,
-        )
-    return zstd_decompress(data, max_output, None, verify_checksums)
+        return ZstdDict(payload), 8 + size
+    return None, 0
+
+
+def decompress_auto_dict(
+    data: bytes, max_output: int = 1 << 31,
+    verify_checksums: bool = True,
+) -> bytes:
+    """Decompress honoring the IIPC ``.warc.zst`` convention: a
+    LEADING skippable frame with magic ``0x184D2A5D`` carries the
+    shared dictionary (itself possibly a plain zstd frame), and every
+    following frame uses it.  Inputs without that frame decode as
+    plain zstd."""
+    zd, off = split_embedded_dict(data, verify_checksums)
+    return zstd_decompress(
+        data[off:], max_output, zd, verify_checksums
+    )
 
 
 def _decompress_frames(

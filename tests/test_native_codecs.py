@@ -380,3 +380,22 @@ def test_egress_codec_rejects_unknown():
 
     with pytest.raises(ValueError):
         egress_codec("xz")
+
+
+@native_lz4
+def test_lz4_checksum_damage_salvages_through_pure():
+    """Round-12 review regression (reproduced): the native path
+    enforces content checksums the pure decoder deliberately skips —
+    a checksum-damaged but payload-intact shard must salvage through
+    the pure decoder (zero rows lost), not decline wholesale."""
+    blob = lg.TEXT_L1
+    flg = blob[4]
+    if not (flg >> 2) & 1:
+        pytest.skip("golden has no content checksum to damage")
+    want = lz4_decompress_pure(blob)
+    mangled = blob[:-1] + bytes([blob[-1] ^ 0xFF])  # checksum tail
+    # native alone declines it ...
+    with pytest.raises(nc.NativeDecodeError):
+        nc.lz4_decompress_native(mangled, 1 << 31)
+    # ... but the public seam salvages byte-identical content
+    assert lz4_decompress(mangled) == want
