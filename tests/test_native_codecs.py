@@ -399,3 +399,37 @@ def test_lz4_checksum_damage_salvages_through_pure():
         nc.lz4_decompress_native(mangled, 1 << 31)
     # ... but the public seam salvages byte-identical content
     assert lz4_decompress(mangled) == want
+
+
+# ------------------------------------------------- property tests
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.binary(max_size=300_000))
+@settings(max_examples=40, deadline=None)
+def test_store_frame_property_roundtrip(payload):
+    """Any byte string survives zstd_store_frame through BOTH
+    decoders byte-identically (the stored-frame writer is the
+    zero-dependency egress fallback — it must never corrupt)."""
+    from clickhouse_table_copier_spark.sources.zstd import (
+        zstd_store_frame,
+    )
+
+    frame = zstd_store_frame(payload)
+    assert zstd_decompress_pure(frame) == payload
+    if nc.zstd_available():
+        assert nc.zstd_decompress_native(frame, 1 << 31) == payload
+
+
+@given(st.binary(max_size=100_000))
+@settings(max_examples=30, deadline=None)
+def test_native_compress_property_roundtrip(payload):
+    """compress → decompress is identity through every path pair."""
+    if not nc.zstd_available():
+        return
+    frame = nc.zstd_compress_native(payload, 3)
+    assert nc.zstd_decompress_native(frame, 1 << 31) == payload
+    assert zstd_decompress_pure(frame) == payload

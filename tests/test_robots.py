@@ -383,3 +383,50 @@ def test_normalization_stage_adds_no_shuffle(spark, enc_rules):
     )
     assert "BroadcastHashJoin" in plan
     assert "ArrowEvalPython" in plan  # the vectorized normalize stage
+
+
+def test_normalize_octets_properties():
+    """RFC 9309 canonicalization invariants: idempotent, identity on
+    plain ASCII paths, and spelling-independent (a string and its
+    fully-%-encoded spelling normalize identically for reserved and
+    non-ASCII octets)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clickhouse_table_copier_spark.operators.robots import (
+        _normalize_octets,
+    )
+
+    @given(st.text(max_size=60))
+    @settings(max_examples=200, deadline=None)
+    def idempotent(s):
+        once = _normalize_octets(s)
+        assert _normalize_octets(once) == once
+
+    idempotent()
+
+    @given(
+        st.text(
+            alphabet=(
+                "abcdefghijklmnopqrstuvwxyz"
+                "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-._~"
+            ),
+            max_size=60,
+        )
+    )
+    @settings(max_examples=100, deadline=None)
+    def ascii_unreserved_identity(s):
+        assert _normalize_octets(s) == s
+
+    ascii_unreserved_identity()
+
+    # reserved + non-ASCII: literal vs encoded spellings converge
+    @given(st.text(alphabet=":/?#[]@!&'()+,;=ツé中", max_size=30))
+    @settings(max_examples=100, deadline=None)
+    def spelling_independent(s):
+        encoded = "".join(
+            f"%{b:02x}" for b in s.encode("utf-8")
+        )  # lowercase hex on purpose
+        assert _normalize_octets(s) == _normalize_octets(encoded)
+
+    spelling_independent()
