@@ -971,3 +971,85 @@ def test_zst_range_fetch_with_embedded_dictionary(spark, tmp_path):
     resp = sorted(r["http_status"] for r in got
                   if r["warc_type"] == "response")
     assert resp == [200, 404]
+
+
+def test_incremental_ingest_over_zstd_egress(spark, tmp_path):
+    """The full r12 loop: write_warc(compression='zstd') shards feed
+    the Structured Streaming ingest through the SAME shard expander
+    as the batch reader — run 1 lands shard set A, a zstd shard B
+    arrives, run 2 appends only B (checkpoint ledger)."""
+    from clickhouse_table_copier_spark.sources.warc import (
+        WARC_SCHEMA,
+        write_warc,
+    )
+    from clickhouse_table_copier_spark.streaming.incremental import (
+        incremental_warc_documents,
+    )
+
+    crawl = tmp_path / "zcrawl"
+    crawl.mkdir()
+    out = str(tmp_path / "zdocs")
+    ckpt = str(tmp_path / "zckpt")
+
+    def rows(urls):
+        return spark.createDataFrame(
+            [
+                ("f", i, "response", u, "2026-08-16T00:00:00Z", 200,
+                 "text/html",
+                 bytearray(b"<p>hello " + u.encode() + b"</p>"))
+                for i, u in enumerate(urls)
+            ],
+            WARC_SCHEMA,
+        )
+
+    write_warc(rows(["https://z/1", "https://z/2"]), str(crawl),
+               n_shards=1, compression="zstd")
+    q = incremental_warc_documents(spark, str(crawl), out, ckpt)
+    q.awaitTermination()
+    first = spark.read.parquet(out).collect()
+    assert sorted(r["url"] for r in first) == [
+        "https://z/1", "https://z/2",
+    ]
+
+    # a second zstd shard arrives under a different name
+    more = tmp_path / "more"
+    write_warc(rows(["https://z/3"]), str(more),
+               n_shards=1, compression="zstd")
+    import shutil
+
+    shutil.move(
+        os.path.join(str(more), "shard-00000.warc.zst"),
+        os.path.join(str(crawl), "late-00000.warc.zst"),
+    )
+    q = incremental_warc_documents(spark, str(crawl), out, ckpt)
+    q.awaitTermination()
+    second = spark.read.parquet(out).collect()
+    assert sorted(r["url"] for r in second) == [
+        "https://z/1", "https://z/2", "https://z/3",
+    ]
+
+
+def test_write_warc_plain_roundtrip(spark, tmp_path):
+    """compression='none' (via the shared egress codec): plain
+    concatenated .warc shards read back row-identically."""
+    from clickhouse_table_copier_spark.sources.warc import (
+        read_warc,
+        write_warc,
+    )
+
+    src_dir = os.path.join(str(tmp_path), "in")
+    os.makedirs(src_dir)
+    with open(os.path.join(src_dir, "a.warc"), "wb") as f:
+        f.write(b"".join(_records()))
+    rows = read_warc(spark, src_dir)
+    out_dir = os.path.join(str(tmp_path), "outp")
+    shards = write_warc(rows, out_dir, n_shards=1, compression="none")
+    assert shards and all(s.endswith(".warc") for s in shards)
+    back = read_warc(spark, out_dir)
+    key = lambda r: (  # noqa: E731
+        r["warc_type"], r["target_uri"], r["http_status"],
+        bytes(r["payload"] or b""),
+    )
+    assert sorted(map(key, back.collect())) == sorted(
+        map(key, rows.collect())
+    )
