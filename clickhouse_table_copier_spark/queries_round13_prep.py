@@ -1,7 +1,8 @@
 """Round-13 registration batch, pre-written at round 12 — the next
 SQL-expressible slice of the crawl-ingest surface: RFC 9309 robots
-filtering (including the round-12 percent-encoding normalization) and
-sitemap-frontier parsing, implemented + DuckDB-hash-verified NOW
+filtering (including the round-12 percent-encoding normalization),
+sitemap-frontier parsing, and the WAT metadata projection with
+string-JSON path pruning — implemented + DuckDB-hash-verified NOW
 (tests/test_round13_prep.py runs the exact compare() harness every CI
 run) but NOT registered: the r12 window is fully booked (32 DUE + 18
 FRESH drained the whole backlog — COVERAGE.md "Round-12 window"), so
@@ -199,4 +200,90 @@ def q_sitemap_frontier_stats(
         F.count(F.lit(1)).cast("bigint").alias("n_entries"),
         F.countDistinct("host").cast("bigint").alias("n_hosts"),
         F.count("priority").cast("bigint").alias("n_with_priority"),
+    )
+
+
+_WAT_ORACLE = """
+SELECT (doc_id % 4)::BIGINT AS n_links,
+       count(*)::BIGINT AS n_docs
+FROM documents WHERE doc_id % 3 = 0 GROUP BY 1
+"""
+
+
+@_prep13("wat_link_histogram", _WAT_ORACLE)
+def q_wat_link_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink-count histogram through the REAL WAT path
+    (sources/warc.py::metadata_to_records → string-JSON path pruning):
+    every 3rd document plants a ``WARC-Type: metadata`` record whose
+    payload is a Common-Crawl-shaped WAT envelope with ``doc_id % 4``
+    links (the rest plant ``conversion`` records the projection must
+    FILTER OUT); the link count comes from ``get_json_object`` with
+    the hyphenated-key bracket path + ``json_array_length`` — the
+    JSON stays a string, Spark prunes the parse to one path.  The
+    oracle derives the histogram from the planting arithmetic and
+    never touches JSON."""
+    from clickhouse_table_copier_spark.sources.warc import (
+        metadata_to_records,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    m3 = F.col("doc_id") % 3
+    m4 = F.col("doc_id") % 4
+
+    def _link(i: int):
+        return F.concat(
+            F.lit('{"url":"https://l'), did, F.lit(f"-{i}.example\"}}"),
+        )
+
+    def _arr(n: int):
+        if n == 0:
+            return F.lit("[]")
+        parts = [F.lit("[")]
+        for i in range(1, n + 1):
+            if i > 1:
+                parts.append(F.lit(","))
+            parts.append(_link(i))
+        parts.append(F.lit("]"))
+        return F.concat(*parts)
+
+    links = (
+        F.when(m4 == 0, _arr(0))
+        .when(m4 == 1, _arr(1))
+        .when(m4 == 2, _arr(2))
+        .otherwise(_arr(3))
+    )
+    wat_json = F.concat(
+        F.lit('{"Envelope":{"Payload-Metadata":'
+              '{"HTTP-Response-Metadata":{"HTML-Metadata":{"Links":'),
+        links,
+        F.lit("}}}}}"),
+    )
+    payload = F.when(m3 == 0, wat_json).otherwise(
+        F.concat(F.lit("plain wet text "), did)
+    )
+    warc_rows = docs.select(
+        F.lit("wat").alias("warc_file"),
+        (F.col("doc_id") % 1000000).cast("int").alias("record_idx"),
+        F.when(m3 == 0, F.lit("metadata"))
+        .otherwise(F.lit("conversion"))
+        .alias("warc_type"),
+        F.concat(F.lit("https://u"), did).alias("target_uri"),
+        F.lit("2026-08-16T00:00:00Z").alias("warc_date"),
+        F.lit(None).cast("int").alias("http_status"),
+        F.lit("application/json").alias("content_type"),
+        F.encode(payload, "utf-8").alias("payload"),
+    )
+    recs = metadata_to_records(warc_rows)
+    n_links = F.json_array_length(
+        F.get_json_object(
+            "meta_json",
+            "$.Envelope['Payload-Metadata']['HTTP-Response-Metadata']"
+            "['HTML-Metadata'].Links",
+        )
+    )
+    return recs.select(
+        n_links.cast("bigint").alias("n_links")
+    ).groupBy("n_links").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
