@@ -1,0 +1,273 @@
+"""JBIG2 (ITU-T T.88) decoder tests.
+
+Golden discipline (VERDICT r12 item 3, same as pdf_crypt): the
+embedded streams below were minted OFFLINE by
+``scripts/make_jbig2_golden.py`` — an INDEPENDENT transcription of
+the T.88 *encoder*-side flowcharts (INITENC/ENCODE/BYTEOUT/FLUSH,
+disjoint from the decoder's INITDEC/DECODE/BYTEIN) — and, for the
+MMR flavor, by **libtiff's Group 4 encoder** (a fully independent
+implementation).  The MQ decoder itself is additionally pinned by
+the spec's own published coder test sequence (T.88 §H.2, identical
+to the JPEG2000/T.800 conformance data), so a symmetric misreading
+of the coder cannot survive.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from clickhouse_table_copier_spark.operators.jbig2 import (
+    Jbig2Error,
+    MQDecoder,
+    decode_embedded,
+    decode_jbig2_pdf,
+    decode_symbol_dict_segment,
+    new_states,
+    parse_segments,
+)
+
+# ---------------------------------------------------------------------
+# T.88 §H.2 published test sequence for the arithmetic coder (shared
+# with JPEG2000 T.800): 256 bits in, 30 bytes of MQ codestream out.
+SPEC_TEST_IN = bytes.fromhex(
+    "00020051000000c00352872aaaaaaaaa82c02000fcd79ef6bf7fed904f46a3bf"
+)
+SPEC_TEST_OUT = bytes.fromhex(
+    "84c73bfce1a1430402200000410dbb86f4317fff88ff37471adb6adfffac"
+)
+
+
+def test_mq_decoder_spec_sequence():
+    """Decoding the published codestream with one context must
+    reproduce the published input bits exactly."""
+    mq = MQDecoder(SPEC_TEST_OUT)
+    states = new_states(1)
+    got = bytearray()
+    for _ in range(32):
+        b = 0
+        for _ in range(8):
+            b = (b << 1) | mq.decode(states, 0)
+        got.append(b)
+    assert bytes(got) == SPEC_TEST_IN
+
+
+# --------------------------------------------------------------------
+# goldens from scripts/make_jbig2_golden.py (regenerate with:
+#   python scripts/make_jbig2_golden.py)
+
+GENERIC_T0 = bytes.fromhex(
+    "0000000130000100000013000000260000001d0000000000000000000000000000022600"
+    "0100000038000000260000001d0000000000000000000003fffdff02fefefe42867a6997"
+    "a12edc5560c8950dc8ed42b7b139d49ba46e6c4da0acffffac"
+)
+GENERIC_TPGDON_T0 = bytes.fromhex(
+    "000000013000010000001300000028000000210000000000000000000000000000022600"
+    "010000004000000028000000210000000000000000000803fffdff02fefefea401f8def3"
+    "fe5822ba2b556be3de4f7f5733bf4e2c6a815b7c89c804ebbc644ec6581fffffac"
+)
+GENERIC_TPGDON_T1 = bytes.fromhex(
+    "000000013000010000001300000028000000210000000000000000000000000000022600"
+    "010000003900000028000000210000000000000000000a03ffa402738aa83c001f74ce93"
+    "4a2edbc40d2678ef7de3f5b234463c4e748fa59f0469e5dfffac"
+)
+GENERIC_TPGDON_T2 = bytes.fromhex(
+    "000000013000010000001300000028000000210000000000000000000000000000022600"
+    "010000003600000028000000210000000000000000000c02ffa4023df30d448d15c43dc7"
+    "8600150c28b5c03ea1f714bd40fc86efcfa69bff7fffac"
+)
+GENERIC_TPGDON_T3 = bytes.fromhex(
+    "000000013000010000001300000028000000210000000000000000000000000000022600"
+    "010000003800000028000000210000000000000000000e02ffa401f8d9779cafd07d977d"
+    "60252dd5c4fd6fff07eff38f92871bddcbae4c74db1fffffac"
+)
+GENERIC_MMR = bytes.fromhex(
+    "00000001300001000000130000002e000000190000000000000000000000000000022600"
+    "01000000460000002e0000001900000000000000000001cc036671c8a39147228e111d62"
+    "22238f9806cce39147228e451c223ac444471f300d99c7228e451c8a38447588888e3f80"
+    "080080"
+)
+SYMBOL_TEXT = bytes.fromhex(
+    "00000001300001000000130000003c000000180000000000000000000000000000020000"
+    "0100000024000003fffdff02fefefe00000003000000037cfe0dfd5c9058cbfabd13d3e9"
+    "a302ffffac0000000306200201000000260000003c000000180000000000000000000010"
+    "00000007a16229b41e80e99e1edd90a3ffffac"
+)
+SYMBOL_TEXT_GLOBALS_G = bytes.fromhex(
+    "0000000100000000000024000003fffdff02fefefe00000003000000037cfe0dfd5c9058"
+    "cbfabd13d3e9a302ffffac"
+)
+SYMBOL_TEXT_GLOBALS_B = bytes.fromhex(
+    "00000002300001000000130000003c000000180000000000000000000000000000030620"
+    "0101000000260000003c00000018000000000000000000001000000007a16229b41e80e9"
+    "9e1edd90a3ffffac"
+)
+
+
+# fixture patterns — the same deterministic generators the minting
+# script uses (fixtures, not an encoder: no coding logic here)
+
+def checker(h, w, cell):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return (((yy // cell) + (xx // cell)) % 2).astype(np.uint8)
+
+
+def text_lines(h, w):
+    img = np.zeros((h, w), np.uint8)
+    for y0 in range(2, h - 3, 7):
+        img[y0 : y0 + 3, 3 : w - 3] = 1
+        img[y0 + 1, 5 : w : 9] = 0
+    return img
+
+
+def glyphs():
+    t = np.zeros((8, 6), np.uint8)
+    t[0:2, :] = 1
+    t[2:, 2:4] = 1
+    o = np.zeros((6, 6), np.uint8)
+    o[0, 1:5] = 1
+    o[5, 1:5] = 1
+    o[1:5, 0] = 1
+    o[1:5, 5] = 1
+    dot = np.ones((2, 2), np.uint8)
+    return [t, o, dot]
+
+
+SYMBOL_PAGE_PLACEMENTS = [
+    (2, 3, 0), (9, 5, 1), (17, 9, 2), (22, 5, 1), (31, 3, 0),
+    (40, 12, 2), (45, 3, 0),
+]
+
+
+def symbol_page():
+    want = np.zeros((24, 60), np.uint8)
+    syms = glyphs()
+    for x, y, sid in SYMBOL_PAGE_PLACEMENTS:
+        g = syms[sid]
+        h, w = g.shape
+        want[y : y + h, x : x + w] |= g
+    return want
+
+
+def test_generic_region_template0():
+    got = decode_embedded(GENERIC_T0)
+    assert got.shape == (29, 38)
+    assert (got == checker(29, 38, 3)).all()
+
+
+@pytest.mark.parametrize(
+    "blob,template",
+    [
+        (GENERIC_TPGDON_T0, 0),
+        (GENERIC_TPGDON_T1, 1),
+        (GENERIC_TPGDON_T2, 2),
+        (GENERIC_TPGDON_T3, 3),
+    ],
+)
+def test_generic_region_tpgdon_all_templates(blob, template):
+    got = decode_embedded(blob)
+    assert got.shape == (33, 40)
+    assert (got == text_lines(33, 40)).all()
+
+
+def test_generic_region_mmr_libtiff_golden():
+    """MMR=1 region whose data is a libtiff-G4 strip — a fully
+    independent encoder pins segment parse + raster orientation."""
+    got = decode_embedded(GENERIC_MMR)
+    assert got.shape == (25, 46)
+    assert (got == text_lines(25, 46)).all()
+
+
+def test_symbol_dict_and_text_region():
+    got = decode_embedded(SYMBOL_TEXT)
+    assert got.shape == (24, 60)
+    assert (got == symbol_page()).all()
+
+
+def test_symbol_dict_via_globals_stream():
+    """The PDF /JBIG2Globals split: symbol dictionary in the globals
+    stream, text region referring to it from the image stream."""
+    got = decode_embedded(
+        SYMBOL_TEXT_GLOBALS_B, globals_data=SYMBOL_TEXT_GLOBALS_G
+    )
+    assert (got == symbol_page()).all()
+    # the body alone must decline (no symbols for the text region)
+    assert decode_jbig2_pdf(SYMBOL_TEXT_GLOBALS_B) is None
+
+
+def test_decode_jbig2_pdf_gray_contract():
+    gray = decode_jbig2_pdf(GENERIC_T0)
+    img = checker(29, 38, 3)
+    assert gray.dtype == np.uint8
+    assert (gray == (1 - img) * 255).all()  # 1=black -> gray 0
+
+
+def test_segment_parser_fields():
+    segs = parse_segments(GENERIC_T0)
+    assert [s["type"] for s in segs] == [48, 38]
+    assert segs[0]["page"] == 1 and segs[1]["page"] == 1
+    segs = parse_segments(SYMBOL_TEXT)
+    assert [s["type"] for s in segs] == [48, 0, 6]
+    assert segs[2]["refs"] == [2]
+
+
+def test_declines_never_raise():
+    # truncation at every prefix length of a valid stream
+    for cut in (0, 5, 11, 20, len(GENERIC_T0) - 3):
+        assert decode_jbig2_pdf(GENERIC_T0[:cut]) is None
+    # unknown-length segment (0xFFFFFFFF) declines
+    blob = bytearray(GENERIC_T0)
+    # second segment's length field: find via parser offsets — patch
+    # the 4 bytes before the region data of segment 2
+    segs = parse_segments(GENERIC_T0)
+    idx = GENERIC_T0.index(segs[1]["data"])
+    blob[idx - 4 : idx] = b"\xff\xff\xff\xff"
+    assert decode_jbig2_pdf(bytes(blob)) is None
+    # flipped bytes in the MQ data must not raise (may decode to a
+    # different raster or decline — never throw into the batch)
+    blob = bytearray(GENERIC_T0)
+    blob[-10] ^= 0xFF
+    decode_jbig2_pdf(bytes(blob))
+    # random garbage
+    rng = np.random.default_rng(7)
+    for n in (1, 11, 64, 300):
+        assert decode_jbig2_pdf(rng.bytes(n)) is None
+
+
+def test_out_of_scope_flavors_decline():
+    # symbol dict with SDHUFF=1 declines
+    with pytest.raises(Jbig2Error):
+        decode_symbol_dict_segment(b"\x00\x01" + b"\x00" * 20, [])
+    # symbol dict with SDREFAGG=1 declines
+    with pytest.raises(Jbig2Error):
+        decode_symbol_dict_segment(b"\x00\x02" + b"\x00" * 20, [])
+    # text region with SBHUFF=1 declines: build region info + flags
+    import struct
+
+    d = struct.pack(">IIIIB", 10, 10, 0, 0, 0) + struct.pack(">H", 1)
+    d += b"\x00" * 8
+    from clickhouse_table_copier_spark.operators.jbig2 import (
+        decode_text_region_segment,
+    )
+
+    with pytest.raises(Jbig2Error):
+        decode_text_region_segment(d, [np.ones((2, 2), np.uint8)])
+
+
+def test_page_default_pixel_and_composition_ops():
+    """A page-info default pixel of 1 with an XNOR-composited region
+    exercises §8.2 composition."""
+    import struct
+
+    # page 8x8 default 1; generic region 8x8 of checker XOR'd on
+    from clickhouse_table_copier_spark.operators.jbig2 import (
+        _composite,
+    )
+
+    page = np.ones((8, 8), np.uint8)
+    bmp = checker(8, 8, 2)
+    _composite(page, bmp, 0, 0, 2)  # XOR
+    assert (page == 1 - bmp).all()
+    page = np.zeros((4, 4), np.uint8)
+    _composite(page, np.ones((2, 2), np.uint8), 3, 3, 0)  # clip OR
+    assert page.sum() == 1 and page[3, 3] == 1
