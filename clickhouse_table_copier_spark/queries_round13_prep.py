@@ -28,10 +28,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from clickhouse_table_copier_spark.queries import _t
+from clickhouse_table_copier_spark.queries import _t, register
 
 # name -> spark fn / oracle sql; consumed by tests/test_round13_prep.py
-# and mirrored into the main registry AT ROUND 13, not before.
+# and — SINCE ROUND 13 — mirrored into the main registry (the flip the
+# module docstring priced; same pattern as queries_round12_prep).
 PREP13_QUERIES: dict = {}
 PREP13_ORACLES: dict[str, str] = {}
 
@@ -40,7 +41,7 @@ def _prep13(name: str, oracle: str):
     def deco(fn):
         PREP13_QUERIES[name] = fn
         PREP13_ORACLES[name] = oracle
-        return fn
+        return register(name, oracle)(fn)
 
     return deco
 

@@ -26,17 +26,18 @@ def test_prep13_query_matches_oracle(spark, name):
     compare(df, oracle, name)
 
 
-def test_not_yet_registered():
-    """Deliberately NOT in the registry until round 13 (flip this to
-    the positive assertion when registering — see module docstring):
-    registering now would append FRESH obligations to a window whose
-    r12 shape (32 DUE + 18 FRESH, backlog 0) is already committed in
-    COVERAGE.md."""
+def test_registered_at_round13():
+    """Flipped at round 13 (was test_not_yet_registered): the batch is
+    now IN the main registry with identical oracles — the same
+    positive assertion the r7/r12 prep flips pinned."""
     import __spark_entry__ as entry
 
     qs = entry.queries()
-    assert set(PREP13_QUERIES).isdisjoint(qs)
+    oracles = entry.oracle_sql()
+    assert set(PREP13_QUERIES) <= set(qs)
     assert set(PREP13_QUERIES) == set(PREP13_ORACLES)
+    for name in PREP13_QUERIES:
+        assert oracles[name] == PREP13_ORACLES[name]
 
 
 def test_prep13_plans_obey_repo_guards(spark):
