@@ -291,7 +291,15 @@ def decode_generic_region(
 ) -> np.ndarray:
     """§6.2.5 arithmetic generic-region decoding → (h, w) uint8
     bitmap, 1 = black.  ``at`` is the AT-pixel list ((dx, dy), …) —
-    4 entries for template 0, 1 for templates 1–3."""
+    4 entries for template 0, 1 for templates 1–3.
+
+    Hot-loop shape: rows are stored PADDED by ``pad`` zero cells on
+    each side so the per-pixel context build needs no bounds checks,
+    and the context expression is compiled ONCE per region from the
+    template's (dx, dy, bit) triples (constant offsets folded in) —
+    the MQ coder is inherently serial, so this per-pixel Python loop
+    is the floor; throughput at scale comes from document
+    parallelism in the Arrow batch edge, not from this loop."""
     if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16):
         raise Jbig2Error("generic region dimensions out of range")
     fixed, at_bits, sltp_cx = _TEMPLATES[template]
@@ -300,33 +308,52 @@ def decode_generic_region(
     pixels = list(fixed) + [
         (dx, dy, bit) for (dx, dy), bit in zip(at, at_bits)
     ]
-    rows = [None] * h  # each: bytearray of 0/1, length w
-    zero = bytearray(w)
+    for dx, dy, _ in pixels:
+        if dy > 0 or (dy == 0 and dx >= 0):
+            # non-causal AT pixel: invalid per §6.2.5.3
+            raise Jbig2Error("non-causal AT pixel")
+    pad = max(4, max(abs(p[0]) for p in pixels))
+    # context expression compiled per region: e.g.
+    #   (r1[x+11]<<4)|(r1[x+10]<<5)|...|(r0[x+7]<<0)
+    # rN = padded row at dy=-N; deeper rows (AT dy < -2) index the
+    # rows list directly (rare — nominal ATs never do)
+    deep = sorted({dy for _, dy, _ in pixels if dy < -2})
+    names = {0: "r0", -1: "r1", -2: "r2"}
+    names.update({dy: f"rd{-dy}" for dy in deep})
+    terms = []
+    for dx, dy, bit in pixels:
+        idx = f"x+{pad + dx}" if pad + dx else "x"
+        term = f"{names[dy]}[{idx}]"
+        terms.append(f"({term}<<{bit})" if bit else term)
+    ctx_fn = eval(  # noqa: S307 - template-derived constants only
+        "lambda x," + ",".join(sorted(set(names.values()))) + ": "
+        + "|".join(terms)
+    )
+    rows = [None] * h  # each: padded bytearray of 0/1, length w+2*pad
+    zero = bytes(w + 2 * pad)
     ltp = 0
+    decode = mq.decode
     for y in range(h):
         if tpgdon:
-            ltp ^= mq.decode(states, sltp_cx)
+            ltp ^= decode(states, sltp_cx)
             if ltp:
-                rows[y] = bytearray(rows[y - 1]) if y else bytearray(w)
+                rows[y] = (
+                    bytearray(rows[y - 1]) if y
+                    else bytearray(w + 2 * pad)
+                )
                 continue
-        row = bytearray(w)
-        # per-row views of the (up to) two reference rows — OOB = 0
+        row = bytearray(w + 2 * pad)
         r1 = rows[y - 1] if y >= 1 else zero
         r2 = rows[y - 2] if y >= 2 else zero
-        ref = {0: row, -1: r1, -2: r2}
-        decode = mq.decode
+        refs = {"r0": row, "r1": r1, "r2": r2}
+        for dy in deep:
+            refs[f"rd{-dy}"] = rows[y + dy] if y + dy >= 0 else zero
+        args = [refs[nm] for nm in sorted(set(names.values()))]
         for x in range(w):
-            cx = 0
-            for dx, dy, bit in pixels:
-                xx = x + dx
-                if 0 <= xx < w:
-                    yy = y + dy
-                    if yy >= 0:
-                        cx |= ref[dy][xx] << bit
-            row[x] = decode(states, cx)
+            row[x + pad] = decode(states, ctx_fn(x, *args))
         rows[y] = row
     return np.frombuffer(
-        b"".join(bytes(r) for r in rows), dtype=np.uint8
+        b"".join(bytes(r[pad : pad + w]) for r in rows), dtype=np.uint8
     ).reshape(h, w)
 
 

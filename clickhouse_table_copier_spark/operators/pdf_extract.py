@@ -20,13 +20,16 @@ ASCII/WinAnsi-coded simple fonts:
   the fallback for missing/indirect lengths; ``/Predictor`` 2 (TIFF
   horizontal) and 10–15 (the PNG row filters — ubiquitous on xref and
   object streams, Predictor 12 especially) undo after Flate/LZW; raw
-  streams pass through; remaining text-stream filters (JBIG2, JPX) are
+  streams pass through; the remaining text-stream filter (JPX) is
   skipped, not fatal.  ``/DCTDecode`` image XObjects are not text but
   ARE baseline JPEGs — :func:`extract_pdf_images` lifts them into the
   multimodal media contract so PDF-embedded images join the same
-  near-dup table WARC images do — and ``/CCITTFaxDecode`` images (the
+  near-dup table WARC images do — ``/CCITTFaxDecode`` images (the
   scanned-fax population) decode through :mod:`operators.ccitt` and
-  lift as grayscale PNG;
+  lift as grayscale PNG, and ``/JBIG2Decode`` images (the other
+  scanned-page codec, r13) decode through :mod:`operators.jbig2` —
+  generic + symbol/text regions, ``/JBIG2Globals`` resolved by the
+  same tolerant object scan;
 - text operators: ``BT…ET`` blocks, ``Tj``/``'``/``"`` literal shows,
   ``TJ`` arrays (kerning offsets beyond a threshold become spaces),
   ``Td``/``TD``/``T*``/``Tm`` line moves become newlines, literal
@@ -333,7 +336,9 @@ def _apply_filters(raw: bytes, d: bytes):
         elif name in (b"/RunLengthDecode", b"/RL"):
             raw = _runlength_decode(raw)
         else:
-            return None  # DCT/JBIG2/JPX text streams: documented seam
+            return None  # DCT/JPX text streams: documented seam
+            # (JBIG2/CCITT are image codecs — they lift via
+            # _extract_pdf_jpegs, not the text path)
         if raw is None:
             return None
     return raw
@@ -892,7 +897,9 @@ _IMAGE_RE = re.compile(rb"/Subtype\s*/Image(?![A-Za-z])")
 _K_RE = re.compile(rb"/K\s+(-?\d+)")
 _ROWS_RE = re.compile(rb"/Rows\s+(\d+)")
 _HEIGHT_RE = re.compile(rb"/Height\s+(\d+)")
+_WIDTH_RE = re.compile(rb"/Width\s+(\d+)")
 _BALIGN_RE = re.compile(rb"/EncodedByteAlign\s+true")
+_JBIG2_GLOBALS_RE = re.compile(rb"/JBIG2Globals\s+(\d+)\s+\d+\s+R")
 
 
 def _ccitt_to_png(raw: bytes, d: bytes):
@@ -913,6 +920,60 @@ def _ccitt_to_png(raw: bytes, d: bytes):
     rows = int(m.group(1)) if m else None
     gray = _cc.decode_ccitt_pdf(
         raw, k, cols, rows, byte_align=_BALIGN_RE.search(d) is not None
+    )
+    if gray is None:
+        return None
+    h, w = gray.shape
+    return encode_png(gray.tobytes(), w, h, channels=1)
+
+
+def _jbig2_globals(b: bytes, d: bytes, decrypt):
+    """Resolve the stream referenced by ``/JBIG2Globals N G R`` in the
+    image dict ``d`` (the shared-symbol-dictionary stream) and return
+    its decoded bytes, or None.  Same tolerant object-scan idiom as
+    :func:`_document_fonts` — no xref walk."""
+    gm = _JBIG2_GLOBALS_RE.search(d)
+    if gm is None:
+        return None
+    num = int(gm.group(1))
+    for m in _OBJ_RE.finditer(b):
+        if int(m.group(1)) != num:
+            continue
+        e = b.find(b"endobj", m.end())
+        seg = b[m.end() : e if e != -1 else len(b)]
+        for gd, gstart in _iter_streams(seg):
+            raw = _stream_raw(seg, gd, gstart)
+            if raw is None:
+                continue
+            if decrypt is not None:
+                raw = decrypt(gd, m.end() + gstart, raw)
+                if raw is None:
+                    continue
+            if _FILTER_RE.search(gd) is not None:
+                return _apply_filters(raw, gd)
+            return raw
+    return None
+
+
+def _jbig2_to_png(raw: bytes, d: bytes, b: bytes, decrypt):
+    """Decode a ``/JBIG2Decode`` image stream (the OTHER scanned-PDF
+    codec besides CCITT) to a grayscale PNG via
+    :mod:`operators.jbig2`; resolves ``/JBIG2Globals``.  None on
+    malformed or out-of-scope data (decline)."""
+    from clickhouse_table_copier_spark.operators.jbig2 import (
+        decode_jbig2_pdf,
+    )
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        encode_png,
+    )
+
+    wm = _WIDTH_RE.search(d)
+    hm = _HEIGHT_RE.search(d)
+    gray = decode_jbig2_pdf(
+        raw,
+        globals_data=_jbig2_globals(b, d, decrypt),
+        width=int(wm.group(1)) if wm else None,
+        height=int(hm.group(1)) if hm else None,
     )
     if gray is None:
         return None
@@ -960,7 +1021,8 @@ def _extract_pdf_jpegs(b: bytes):
             is_ccitt = names and names[-1] in (
                 b"/CCITTFaxDecode", b"/CCF"
             )
-            if not (is_dct or is_ccitt):
+            is_jbig2 = names and names[-1] == b"/JBIG2Decode"
+            if not (is_dct or is_ccitt or is_jbig2):
                 continue
             raw = _stream_raw(b, d, start)
             if decrypt is not None and raw is not None:
@@ -978,7 +1040,9 @@ def _extract_pdf_jpegs(b: bytes):
                         raw = None
                 elif name in (b"/ASCII85Decode", b"/A85"):
                     raw = _ascii85_decode(raw)
-                elif name in (b"/FlateDecode", b"/Fl") and is_ccitt:
+                elif name in (b"/FlateDecode", b"/Fl") and (
+                    is_ccitt or is_jbig2
+                ):
                     try:
                         raw = zlib.decompress(raw)
                     except zlib.error:
@@ -991,6 +1055,10 @@ def _extract_pdf_jpegs(b: bytes):
                 if raw[:2] != b"\xff\xd8":
                     continue  # decline: not actually JPEG data
                 out.append(raw)
+            elif is_jbig2:
+                png = _jbig2_to_png(raw, d, b, decrypt)
+                if png is not None:
+                    out.append(png)
             else:
                 png = _ccitt_to_png(raw, d)
                 if png is not None:

@@ -271,3 +271,115 @@ def test_page_default_pixel_and_composition_ops():
     page = np.zeros((4, 4), np.uint8)
     _composite(page, np.ones((2, 2), np.uint8), 3, 3, 0)  # clip OR
     assert page.sum() == 1 and page[3, 3] == 1
+
+
+# --------------------------------------------------------- PDF lift
+
+def _pdf_with_stream(dict_extra: bytes, data: bytes) -> bytes:
+    body = (
+        b"<< " + dict_extra + f" /Length {len(data)} >>".encode()
+        + b"\nstream\n" + data + b"\nendstream"
+    )
+    return b"%PDF-1.5\n1 0 obj\n" + body + b"\nendobj\n%%EOF\n"
+
+
+def _jbig2_xobject_pdf(
+    blob: bytes, w: int, h: int, globals_blob: bytes | None = None
+) -> bytes:
+    extra = b""
+    img_dict = (
+        b"/Type /XObject /Subtype /Image /Width %d /Height %d "
+        b"/BitsPerComponent 1 /ColorSpace /DeviceGray "
+        b"/Filter /JBIG2Decode" % (w, h)
+    )
+    if globals_blob is not None:
+        img_dict += b" /DecodeParms << /JBIG2Globals 7 0 R >>"
+        extra = (
+            b"7 0 obj\n<< /Length %d >>\nstream\n" % len(globals_blob)
+            + globals_blob
+            + b"\nendstream\nendobj\n"
+        )
+    body = (
+        b"<< " + img_dict + f" /Length {len(blob)} >>".encode()
+        + b"\nstream\n" + blob + b"\nendstream"
+    )
+    return (
+        b"%PDF-1.5\n1 0 obj\n" + body + b"\nendobj\n" + extra + b"%%EOF\n"
+    )
+
+
+def _png_gray_raster(png: bytes) -> np.ndarray:
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        _make_png_raster_decoder,
+    )
+
+    got = _make_png_raster_decoder()(png)
+    assert got is not None
+    w, h, nch, arr = got
+    assert nch == 1
+    return arr[:, :, 0]
+
+
+def test_pdf_jbig2_image_lifts_as_png():
+    from clickhouse_table_copier_spark.operators.pdf_extract import (
+        _extract_pdf_jpegs,
+    )
+
+    pdf = _jbig2_xobject_pdf(GENERIC_T0, 38, 29)
+    got = _extract_pdf_jpegs(pdf)
+    assert got is not None and len(got) == 1
+    raster = _png_gray_raster(got[0])
+    img = checker(29, 38, 3)
+    assert (raster == (1 - img) * 255).all()
+
+
+def test_pdf_jbig2_globals_stream_resolved():
+    from clickhouse_table_copier_spark.operators.pdf_extract import (
+        _extract_pdf_jpegs,
+    )
+
+    pdf = _jbig2_xobject_pdf(
+        SYMBOL_TEXT_GLOBALS_B, 60, 24,
+        globals_blob=SYMBOL_TEXT_GLOBALS_G,
+    )
+    got = _extract_pdf_jpegs(pdf)
+    assert got is not None and len(got) == 1
+    raster = _png_gray_raster(got[0])
+    assert (raster == (1 - symbol_page()) * 255).all()
+    # without the globals object the image declines (no symbols),
+    # the PDF itself still parses to zero images
+    pdf_no_glob = _jbig2_xobject_pdf(SYMBOL_TEXT_GLOBALS_B, 60, 24)
+    assert _extract_pdf_jpegs(pdf_no_glob) == []
+
+
+def test_pdf_jbig2_ahash_matches_uncompressed_twin(spark):
+    """VERDICT r12 item 3 done-check: a JBIG2-compressed page image
+    lands in the media table and aHash-matches its uncompressed
+    twin."""
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+        image_ahash,
+        near_duplicate_images,
+    )
+    from clickhouse_table_copier_spark.operators.pdf_extract import (
+        extract_pdf_images,
+    )
+
+    img = text_lines(33, 40)
+    pdf = _jbig2_xobject_pdf(GENERIC_TPGDON_T0, 40, 33)
+    pdf_df = spark.createDataFrame(
+        [(200, bytearray(pdf))], "doc_id long, content binary"
+    )
+    embedded = extract_pdf_images(pdf_df, "content", "doc_id")
+    twin_png = encode_png(
+        ((1 - img) * np.uint8(255)).tobytes(), 40, 33, channels=1
+    )
+    standalone = spark.createDataFrame(
+        [(1, "image", bytearray(twin_png), "{}")], MEDIA_SCHEMA
+    )
+    media = standalone.unionByName(embedded)
+    hashes = [r["ahash"] for r in image_ahash(media).collect()]
+    assert len(hashes) == 2 and hashes[0] == hashes[1] is not None
+    pairs = near_duplicate_images(media, max_hamming=3).collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] == 0
