@@ -411,13 +411,16 @@ def main() -> None:
             with open(p) as f:
                 rec = json.load(f).get("parsed") or {}
             v = rec.get("value")
+            # float-normalize BOTH sides (ADVICE r12): a committed
+            # record that stored sf as a string ('0.1' vs 0.1) must
+            # not be silently skipped, or best_committed under-reports
             if (
                 isinstance(v, (int, float))
-                and rec.get("sf") == sf_val
+                and float(rec.get("sf", "nan")) == float(sf_val)
                 and (best_committed is None or v < best_committed)
             ):
                 best_committed = v
-        except (OSError, ValueError):
+        except (OSError, ValueError, TypeError):
             continue
     line = json.dumps(
         {

@@ -21,6 +21,23 @@ contract — schema, Arrow batching, partition preservation — so
 plugging PIL/ffmpeg for those later changes one inner function, not
 the pipeline.
 
+Hierarchical JPEG is a PERMANENT seam, retired on evidence rather
+than implemented (r13, VERDICT r12 item 5): (a) libjpeg — the
+decoder under every major browser, PIL and ImageMagick — has never
+supported hierarchical mode (its own documentation lists
+"hierarchical storage" as not implemented), so a hierarchical file
+is undisplayable across the entire web stack and cannot circulate
+in web crawls as a working image; (b) no common encoder emits it —
+libjpeg-turbo (2.1.5, the one in this container) cannot PRODUCE a
+hierarchical stream, which also means no independent golden can be
+minted here (the pdf_crypt probe-then-transcribe gate has nothing
+to transcribe against), and a decoder pinned only by its own
+mirror encoder is exactly the symmetric-misreading hazard the
+golden discipline exists to prevent; (c) T.81 hierarchical mode
+targeted telecom/medical progressive-resolution delivery and was
+superseded by JPEG2000 before the web era.  Frames SOF5-7/13-15
+therefore decline deterministically (never fabricate).
+
 AUDIO is fully REAL: WAV (RIFF/PCM) needs no media libraries, so
 ``synthesize_audio_table`` writes genuine PCM WAV bytes,
 ``decode_audio_meta`` parses the actual chunks, and ``audio_features``
@@ -1429,7 +1446,10 @@ def _make_jpeg_raster_decoder():
                             ac_kx[tid] = seg[s + 1]
                         s += 2
                 elif 0xC1 <= marker <= 0xCF and marker != 0xC8:
-                    return None  # hierarchical frames: the PIL seam
+                    # hierarchical frames: PERMANENT documented seam
+                    # (module header, r13) — undecodable by libjpeg
+                    # itself, absent from web crawls, ungoldenable
+                    return None
                 elif marker == 0xDD:  # DRI
                     restart = _struct.unpack(">H", seg[:2])[0]
                 elif marker == 0xDA:  # SOS: entropy data follows

@@ -15,7 +15,20 @@ Two stages, mirroring the PSL design:
 - :func:`filter_robots_allowed` — URL stream × rules: RFC 9309 group
   selection (a group for the product token beats the ``*`` group;
   no group ⇒ allowed), longest-match precedence in PATTERN OCTETS,
-  allow wins ties, no matching rule ⇒ allowed.  ``*`` wildcards and
+  allow wins ties, no matching rule ⇒ allowed.
+
+  Precedence-length divergence from google/robotstxt (DELIBERATE,
+  ADVICE r12): this module counts octets of the §2.2.2 CANONICAL
+  form (``pattern_octets = len(norm)``, where non-ASCII octets are
+  %XX triples), so equivalent spellings always score identically —
+  ``ツ`` and ``%E3%83%84`` tie EXACTLY (a property the registered
+  ``robots_allowed_rate`` oracle pins).  Google's robots.cc counts
+  the pattern bytes AS GIVEN, so there ``ツ`` scores 3 and
+  ``%E3%83%84`` scores 9: mixed ASCII/non-ASCII rule sets can rank
+  differently here than under the de-facto reference matcher.
+  Canonical-space counting is kept because spelling-invariance is
+  the stronger RFC-faithful property (the RFC compares both sides
+  in the same normalized octet space).  ``*`` wildcards and
   the ``$`` end anchor translate to anchored Java regexes ONCE in the
   (small) rules frame; literal prefix rules — the overwhelming
   majority — take a ``startswith`` fast path so the per-URL work

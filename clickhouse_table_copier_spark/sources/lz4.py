@@ -111,14 +111,22 @@ def lz4_decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
             return native.lz4_decompress_native(data, max_output)
         except native.NativeDecodeError as e:
             msg = str(e)
-            if "hecksum" in msg:
-                # checksum-only defect (content/block checksum
-                # mismatch, payload possibly intact): the pure
-                # decoder SKIPS checksums by design, so it is the
-                # salvage path — same contract as the zstd shard
-                # salvage retry (round-12 review: enforcing the
-                # library's checksum here silently lost shards the
-                # pure decoder used to recover)
+            # Salvageable = CHECKSUM-mismatch defects only, matched by
+            # EXACT LZ4F_getErrorName suffix (ADVICE r12; the old
+            # substring 'hecksum' also caught contentChecksumFlag_
+            # invalid — a header FLAG-structure defect, not a checksum
+            # mismatch).  content/block checksums the pure decoder
+            # SKIPS by design; the header-checksum BYTE it likewise
+            # ignores ("HC not verified"), so an HC-corrupted but
+            # otherwise-intact frame still recovers — same contract as
+            # the zstd shard salvage retry (round-12 review: enforcing
+            # the library's checksum here silently lost shards the
+            # pure decoder used to recover).
+            if (
+                msg.endswith("contentChecksum_invalid")
+                or msg.endswith("blockChecksum_invalid")
+                or msg.endswith("headerChecksum_invalid")
+            ):
                 return lz4_decompress_pure(data, max_output)
             raise Lz4Error(msg) from None
     return lz4_decompress_pure(data, max_output)

@@ -736,6 +736,41 @@ def metadata_to_records(warc_df: DataFrame) -> DataFrame:
     )
 
 
+def _read_embedded_zdict(fobj):
+    """Bounded read of a shard's LEADING IIPC skippable-frame
+    dictionary (magic 0x184D2A5D) → ZstdDict | None.
+
+    Error contract (ADVICE r12): STRUCTURAL outcomes return None —
+    no magic, oversize size field, or a malformed embedded dictionary
+    (``split_embedded_dict`` failure).  Transient I/O failures
+    (OSError from seek/read) PROPAGATE so the caller can decline the
+    current row without poisoning its per-shard cache; the file
+    position is restored on every path."""
+    from clickhouse_table_copier_spark.sources.zstd import (
+        split_embedded_dict,
+    )
+
+    zd = None
+    pos = fobj.tell()
+    try:
+        fobj.seek(0)
+        head = fobj.read(8)
+        if (
+            len(head) == 8
+            and int.from_bytes(head[:4], "little") == 0x184D2A5D
+        ):
+            size = int.from_bytes(head[4:8], "little")
+            if size <= 1 << 27:  # file-read bound only
+                body = fobj.read(size)
+                try:
+                    zd, _ = split_embedded_dict(head + body)
+                except Exception:
+                    zd = None  # malformed dict: structural
+    finally:
+        fobj.seek(pos)
+    return zd
+
+
 def read_warc_ranges(
     records_df: DataFrame, base_dir: str, batch_records: int = 256
 ) -> DataFrame:
@@ -783,28 +818,15 @@ def read_warc_ranges(
             declines this shard's rows, never the task)."""
             if path in zdicts:
                 return zdicts[path]
-            zd = None
-            try:
-                from clickhouse_table_copier_spark.sources.zstd import (
-                    split_embedded_dict,
-                )
-
-                pos = fobj.tell()
-                fobj.seek(0)
-                head = fobj.read(8)
-                if (
-                    len(head) == 8
-                    and int.from_bytes(head[:4], "little")
-                    == 0x184D2A5D
-                ):
-                    size = int.from_bytes(head[4:8], "little")
-                    if size <= 1 << 27:  # file-read bound only
-                        zd, _ = split_embedded_dict(
-                            head + fobj.read(size)
-                        )
-                fobj.seek(pos)
-            except Exception:
-                zd = None
+            # Transient I/O errors (OSError from seek/read) PROPAGATE
+            # to the caller's per-row decline WITHOUT caching (ADVICE
+            # r12): caching None on a transient read error would
+            # permanently decline the shard's dictionary — and thus
+            # every in-range frame of that shard — when a retry might
+            # succeed.  Only STRUCTURAL outcomes are cached: no magic
+            # / oversize header (None) or a malformed embedded
+            # dictionary (None from _read_embedded_zdict).
+            zd = _read_embedded_zdict(fobj)
             zdicts[path] = zd
             return zd
 
@@ -860,6 +882,11 @@ def read_warc_ranges(
                             )
                         except ZstdError:
                             continue  # corrupt frame: decline
+                        except OSError:
+                            # transient dict-read failure: decline
+                            # THIS row only — _shard_zdict left the
+                            # cache unpoisoned so a later row retries
+                            continue
                     if raw[:5] != b"WARC/":
                         continue  # mid-record offset: decline, never
                         # fabricate a row from lookalike bytes

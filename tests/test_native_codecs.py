@@ -433,3 +433,32 @@ def test_native_compress_property_roundtrip(payload):
     frame = nc.zstd_compress_native(payload, 3)
     assert nc.zstd_decompress_native(frame, 1 << 31) == payload
     assert zstd_decompress_pure(frame) == payload
+
+
+@native_lz4
+def test_lz4_header_checksum_damage_still_salvages():
+    """ADVICE r12 follow-up: the salvage gate matches EXACT
+    LZ4F_getErrorName suffixes now — and headerChecksum_invalid stays
+    IN the salvageable set, because the pure decoder deliberately
+    ignores the HC byte ('header checksum ... not verified'), so an
+    HC-corrupted but otherwise-intact frame recovers byte-identical
+    content instead of hard-failing."""
+    blob = bytearray(lg.TEXT_L1)
+    flg = blob[4]
+    hc_idx = 6 + (8 if (flg >> 3) & 1 else 0) + (4 if flg & 1 else 0)
+    blob[hc_idx] ^= 0xFF
+    with pytest.raises(nc.NativeDecodeError, match="headerChecksum"):
+        nc.lz4_decompress_native(bytes(blob), 1 << 31)
+    assert lz4_decompress(bytes(blob)) == lz4_decompress_pure(
+        lg.TEXT_L1
+    )
+
+
+@native_lz4
+def test_lz4_non_checksum_errors_raise_without_salvage():
+    """A structural defect (bad magic past a valid first frame) must
+    raise Lz4Error from the native path without a pure re-decode
+    succeeding behind it."""
+    blob = lg.TEXT_L1 + b"\x00\x11\x22\x33garbage-frame"
+    with pytest.raises(Lz4Error):
+        lz4_decompress(blob)

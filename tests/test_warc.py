@@ -1053,3 +1053,47 @@ def test_write_warc_plain_roundtrip(spark, tmp_path):
     assert sorted(map(key, back.collect())) == sorted(
         map(key, rows.collect())
     )
+
+
+def test_read_embedded_zdict_error_contract(tmp_path):
+    """ADVICE r12: transient I/O errors PROPAGATE from the embedded-
+    dictionary read (so the range fetcher declines one row and can
+    retry on a later row) while structural outcomes — no magic,
+    malformed dict frame — return None."""
+    import io
+
+    from clickhouse_table_copier_spark.sources.warc import (
+        _read_embedded_zdict,
+    )
+
+    # structural: not a skippable frame -> None
+    assert _read_embedded_zdict(io.BytesIO(b"WARC/1.0\r\n etc")) is None
+    # a raw-content dictionary (any bytes) is accepted
+    blob = (0x184D2A5D).to_bytes(4, "little") + (8).to_bytes(
+        4, "little"
+    ) + b"\x00" * 8
+    assert _read_embedded_zdict(io.BytesIO(blob)) is not None
+    # structural: size field past EOF (truncated dict frame) -> None
+    trunc = (0x184D2A5D).to_bytes(4, "little") + (64).to_bytes(
+        4, "little"
+    ) + b"\x00" * 8
+    assert _read_embedded_zdict(io.BytesIO(trunc)) is None
+
+    class Flaky(io.BytesIO):
+        def __init__(self, data):
+            super().__init__(data)
+            self.fail_next = True
+
+        def read(self, n=-1):
+            if self.fail_next:
+                self.fail_next = False
+                raise OSError("transient")
+            return super().read(n)
+
+    f = Flaky(trunc)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError):
+        _read_embedded_zdict(f)
+    # retry after the transient error reaches the structural outcome
+    assert _read_embedded_zdict(f) is None
