@@ -293,6 +293,16 @@ def _cfg_lz4(l):
     l.LZ4F_isError.restype = ctypes.c_uint
     l.LZ4F_getErrorName.argtypes = [ctypes.c_size_t]
     l.LZ4F_getErrorName.restype = ctypes.c_char_p
+    l.LZ4F_compressFrameBound.argtypes = [
+        ctypes.c_size_t, ctypes.c_void_p
+    ]
+    l.LZ4F_compressFrameBound.restype = ctypes.c_size_t
+    l.LZ4F_compressFrame.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.c_void_p,
+    ]
+    l.LZ4F_compressFrame.restype = ctypes.c_size_t
     ctx = ctypes.c_void_p()
     rc = l.LZ4F_createDecompressionContext(
         ctypes.byref(ctx), _LZ4F_VERSION
@@ -363,6 +373,54 @@ def lz4_decompress_native(data: bytes, max_output: int) -> bytes:
         return b"".join(chunks)
     finally:
         l.LZ4F_freeDecompressionContext(ctx)
+
+
+class _LZ4FFrameInfo(ctypes.Structure):
+    # lz4frame.h LZ4F_frameInfo_t (public ABI, stable since v1.8)
+    _fields_ = [
+        ("blockSizeID", ctypes.c_uint),
+        ("blockMode", ctypes.c_uint),
+        ("contentChecksumFlag", ctypes.c_uint),
+        ("frameType", ctypes.c_uint),
+        ("contentSize", ctypes.c_ulonglong),
+        ("dictID", ctypes.c_uint),
+        ("blockChecksumFlag", ctypes.c_uint),
+    ]
+
+
+class _LZ4FPreferences(ctypes.Structure):
+    _fields_ = [
+        ("frameInfo", _LZ4FFrameInfo),
+        ("compressionLevel", ctypes.c_int),
+        ("autoFlush", ctypes.c_uint),
+        ("favorDecSpeed", ctypes.c_uint),
+        ("reserved", ctypes.c_uint * 3),
+    ]
+
+
+def lz4_compress_native(data: bytes, level: int = 0) -> bytes:
+    """One complete LZ4 frame via liblz4's LZ4F_compressFrame —
+    content checksum ON (the read side's verification has something
+    to verify), content size recorded.  The ``.jsonl.lz4`` egress
+    seam; decode-side parity tests pin that the pure decoder reads
+    these frames back byte-identically."""
+    l = _lz4_lib()
+    if l is None:
+        raise NativeDecodeError("liblz4 not available")
+    prefs = _LZ4FPreferences()
+    prefs.frameInfo.contentChecksumFlag = 1
+    prefs.frameInfo.contentSize = len(data)
+    prefs.compressionLevel = int(level)
+    bound = l.LZ4F_compressFrameBound(
+        len(data), ctypes.byref(prefs)
+    )
+    dst = ctypes.create_string_buffer(bound)
+    n = l.LZ4F_compressFrame(
+        dst, bound, data, len(data), ctypes.byref(prefs)
+    )
+    if l.LZ4F_isError(n):
+        raise NativeDecodeError(l.LZ4F_getErrorName(n).decode())
+    return ctypes.string_at(dst, n)
 
 
 # ---------------------------------------------------------------- brotli

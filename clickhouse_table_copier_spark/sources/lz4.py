@@ -1,4 +1,4 @@
-"""LZ4 frame decompression — pure Python, zero dependencies.
+"""LZ4 frame decompression (and frame egress) — zero dependencies.
 
 ``.jsonl.lz4`` corpus shards and lz4-framed intermediate artifacts
 show up in LLM-data tooling next to zstd; this container has no lz4
@@ -14,6 +14,13 @@ skipped, not verified — same trade as the zstd decoder.
 Pinned against the reference CLI (lz4 v1.9.4) in
 tests/test_lz4_golden.py across shapes that force stored blocks,
 linked history and long matches.
+
+The COMPRESS side (r13, VERDICT r12 item 7): :func:`lz4_compress`
+routes through liblz4's ``LZ4F_compressFrame`` (checksummed, real
+compression) with :func:`lz4_store_frame` — spec-correct
+uncompressed-block frames with real XXH32 header/content checksums —
+as the library-absent fallback; both pinned against the reference
+CLI and the pure decoder in tests/test_native_codecs.py.
 
 Scale shape: runs inside the Arrow-batched corpus-shard edges
 (:func:`sources.jsonl.read_jsonl`); compressed bytes never shuffle.
@@ -202,3 +209,100 @@ def lz4_decompress_pure(data: bytes, max_output: int = 1 << 31) -> bytes:
         return bytes(out)
     except IndexError:
         raise Lz4Error("truncated lz4 input") from None
+
+
+def _xxh32(data: bytes, seed: int = 0) -> int:
+    """XXH32 (public algorithm; the LZ4 frame header/content checksum
+    primitive).  Pure Python — used only by the stored-frame WRITER,
+    which emits a handful of frames per egress shard."""
+    p1, p2, p3, p4, p5 = (
+        2654435761, 2246822519, 3266489917, 668265263, 374761393,
+    )
+    mask = 0xFFFFFFFF
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (32 - r))) & mask
+
+    n = len(data)
+    i = 0
+    if n >= 16:
+        v1 = (seed + p1 + p2) & mask
+        v2 = (seed + p2) & mask
+        v3 = seed & mask
+        v4 = (seed - p1) & mask
+        while i + 16 <= n:
+            for j, v in enumerate((v1, v2, v3, v4)):
+                lane = int.from_bytes(data[i + 4 * j : i + 4 * j + 4], "little")
+                v = (v + lane * p2) & mask
+                v = (rotl(v, 13) * p1) & mask
+                if j == 0:
+                    v1 = v
+                elif j == 1:
+                    v2 = v
+                elif j == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            i += 16
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & mask
+    else:
+        h = (seed + p5) & mask
+    h = (h + n) & mask
+    while i + 4 <= n:
+        h = (h + int.from_bytes(data[i : i + 4], "little") * p3) & mask
+        h = (rotl(h, 17) * p4) & mask
+        i += 4
+    while i < n:
+        h = (h + data[i] * p5) & mask
+        h = (rotl(h, 11) * p1) & mask
+        i += 1
+    h ^= h >> 15
+    h = (h * p2) & mask
+    h ^= h >> 13
+    h = (h * p3) & mask
+    h ^= h >> 16
+    return h
+
+
+def lz4_store_frame(data: bytes) -> bytes:
+    """An LZ4 frame of UNCOMPRESSED blocks per the frame-format spec —
+    block-independent, content size recorded, XXH32 header and
+    content checksums.  Pure Python, no compression: the portable
+    fallback for :func:`lz4_compress` when liblz4 is absent (same
+    policy as :func:`zstd.zstd_store_frame`)."""
+    flg = 0x6C  # version 01, block-indep, content size, content cksum
+    bd = 0x70  # 4 MiB block max
+    desc = bytes([flg, bd]) + len(data).to_bytes(8, "little")
+    out = bytearray(_MAGIC.to_bytes(4, "little"))
+    out += desc
+    out.append((_xxh32(desc) >> 8) & 0xFF)
+    for i in range(0, len(data), 1 << 22):
+        chunk = data[i : i + (1 << 22)]
+        out += (0x80000000 | len(chunk)).to_bytes(4, "little")
+        out += chunk
+    out += (0).to_bytes(4, "little")  # EndMark
+    out += _xxh32(data).to_bytes(4, "little")
+    return bytes(out)
+
+
+def lz4_compress(data: bytes, level: int = 0) -> bytes:
+    """One complete LZ4 frame.  Native liblz4 (checksummed, real
+    compression at ``level``) when the library loads; otherwise the
+    spec-correct STORED frame from :func:`lz4_store_frame`.  The
+    ``.jsonl.lz4`` egress seam; frames concatenate.
+
+    Failure policy (matches :func:`zstd.zstd_compress`, round-12
+    review): the stored-frame writer is the LIBRARY-ABSENT fallback
+    only — if liblz4 loaded but compression fails, that raises
+    Lz4Error rather than silently shipping uncompressed frames."""
+    from clickhouse_table_copier_spark.sources._codec_gate import (
+        native_codecs_or_none,
+    )
+
+    native = native_codecs_or_none()
+    if native is not None and native.lz4_available():
+        try:
+            return native.lz4_compress_native(data, level)
+        except native.NativeDecodeError as e:
+            raise Lz4Error(str(e)) from None
+    return lz4_store_frame(data)

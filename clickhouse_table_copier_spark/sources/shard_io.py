@@ -50,10 +50,23 @@ def egress_codec(compression: str, zstd_level: int = 3):
         import gzip as _gzip
 
         return ".gz", lambda b: _gzip.compress(b, mtime=0)
+    if compression == "lz4":
+        # native liblz4 frame when it loads, stored-block frame
+        # otherwise — read side sniffs the frame magic
+        # (sources/jsonl._decompress_shard), so .jsonl.lz4 shards
+        # ingest back symmetrically.  Brotli egress stays OUT of
+        # scope: RFC 7932 streams carry no magic number, so a
+        # .jsonl.br shard could not be sniffed back by the reader.
+        from clickhouse_table_copier_spark.sources.lz4 import (
+            lz4_compress,
+        )
+
+        return ".lz4", lambda b: lz4_compress(b)
     if compression == "none":
         return "", lambda b: b
     raise ValueError(
-        f"unsupported compression {compression!r} (zstd, gzip or none)"
+        f"unsupported compression {compression!r} "
+        "(zstd, gzip, lz4 or none)"
     )
 
 

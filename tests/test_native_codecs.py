@@ -462,3 +462,81 @@ def test_lz4_non_checksum_errors_raise_without_salvage():
     blob = lg.TEXT_L1 + b"\x00\x11\x22\x33garbage-frame"
     with pytest.raises(Lz4Error):
         lz4_decompress(blob)
+
+
+def test_xxh32_published_vectors():
+    """The stored-frame writer's checksum primitive against published
+    XXH32 vectors."""
+    from clickhouse_table_copier_spark.sources.lz4 import _xxh32
+
+    assert _xxh32(b"") == 0x02CC5D05
+    assert _xxh32(b"a") == 0x550D7456
+    assert _xxh32(b"abc") == 0x32D153FF
+
+
+def test_lz4_store_frame_roundtrips_both_decoders():
+    from clickhouse_table_copier_spark.sources.lz4 import (
+        lz4_store_frame,
+    )
+
+    for n in (0, 1, 100, (1 << 22) + 17):
+        payload = bytes(i * 37 % 256 for i in range(n))
+        frame = lz4_store_frame(payload)
+        assert lz4_decompress_pure(frame) == payload
+        # native verifies the REAL xxh32 header/content checksums the
+        # writer computed — a checksum bug would decline here
+        if nc.lz4_available():
+            assert nc.lz4_decompress_native(frame, 1 << 31) == payload
+
+
+@native_lz4
+def test_lz4_native_compress_pure_decode_parity():
+    from clickhouse_table_copier_spark.sources.lz4 import lz4_compress
+
+    payload = (b"jsonl corpus line " * 400) + bytes(range(256))
+    for level in (0, 1, 9):
+        frame = nc.lz4_compress_native(payload, level)
+        assert lz4_decompress_pure(frame) == payload
+        assert nc.lz4_decompress_native(frame, 1 << 31) == payload
+    # frames concatenate (the shard layout)
+    s = lz4_compress(b"alpha" * 50) + lz4_compress(b"") + lz4_compress(b"g")
+    assert lz4_decompress(s) == b"alpha" * 50 + b"g"
+
+
+@pytest.mark.skipif(
+    shutil.which("lz4") is None, reason="no lz4 CLI in PATH"
+)
+def test_lz4_written_frames_decode_with_reference_cli():
+    """Independent cross-check: the reference lz4 CLI must accept both
+    the stored-frame fallback and (when available) the native
+    frames."""
+    from clickhouse_table_copier_spark.sources.lz4 import (
+        lz4_compress,
+        lz4_store_frame,
+    )
+
+    payload = b"reference-cli cross check " * 123
+    blobs = [lz4_store_frame(payload)]
+    if nc.lz4_available():
+        blobs.append(lz4_compress(payload))
+    for blob in blobs:
+        got = subprocess.run(
+            ["lz4", "-d", "-c"], input=blob, capture_output=True
+        )
+        assert got.returncode == 0, got.stderr
+        assert got.stdout == payload
+
+
+def test_egress_codec_lz4_symmetry(tmp_path):
+    """write_jsonl(compression='lz4') shards must ingest back through
+    read_jsonl's magic sniff byte-identically."""
+    from clickhouse_table_copier_spark.sources.shard_io import (
+        egress_codec,
+    )
+
+    ext, pack = egress_codec("lz4")
+    assert ext == ".lz4"
+    member = pack(b'{"doc_id": 1}\n') + pack(b'{"doc_id": 2}\n')
+    assert (
+        lz4_decompress(member) == b'{"doc_id": 1}\n{"doc_id": 2}\n'
+    )

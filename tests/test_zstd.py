@@ -310,7 +310,7 @@ def test_multi_member_gzip_shard_reads(spark, tmp_path):
 # --------------------------------------------- write_jsonl egress
 
 
-@pytest.mark.parametrize("compression", ["zstd", "gzip", "none"])
+@pytest.mark.parametrize("compression", ["zstd", "gzip", "lz4", "none"])
 def test_write_jsonl_roundtrip(spark, tmp_path, compression):
     """Corpus re-publish round trip: documents → .jsonl.{zst,gz,}
     shards → read_jsonl → jsonl_to_documents recovers every (text,
@@ -331,7 +331,7 @@ def test_write_jsonl_roundtrip(spark, tmp_path, compression):
     )
     assert 1 <= len(shards) <= 3
     ext = {"zstd": ".jsonl.zst", "gzip": ".jsonl.gz",
-           "none": ".jsonl"}[compression]
+           "lz4": ".jsonl.lz4", "none": ".jsonl"}[compression]
     assert all(s.endswith(ext) for s in shards)
     lines = read_jsonl(spark, out)
     docs = jsonl_to_documents(lines, text_field="text", id_field="id")
