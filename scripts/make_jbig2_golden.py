@@ -327,17 +327,24 @@ def symbol_dict_data(symbols, template=0):
     return out + enc.flush(), order
 
 
-def text_region_data(w, h, placements, exported_syms):
-    """Immediate text region (SBHUFF=0, REFINE=0, TRANSPOSED=0,
-    REFCORNER=TOPLEFT, STRIPS=1, dsoffset=0).  placements: list of
-    (x, y, sym_id) with sym_id indexing ``exported_syms`` — the
-    dictionary's EXPORT order (CURS advances by the placed symbol's
-    width, so the widths must be looked up in the same order the
-    decoder sees)."""
+def text_region_data(
+    w, h, placements, exported_syms,
+    log_strips=0, ref_corner=1, ds_offset=0,
+):
+    """Immediate text region (SBHUFF=0, REFINE=0, TRANSPOSED=0).
+    placements: list of (x, y, sym_id) with y the TOP row of the
+    symbol and sym_id indexing ``exported_syms`` — the dictionary's
+    EXPORT order (CURS advances by the placed symbol's width, so the
+    widths must be looked up in the same order the decoder sees).
+    ``log_strips`` > 0 exercises the IAIT per-symbol T path;
+    ``ref_corner`` 0/2 (bottom corners) encodes T at the symbol's
+    BOTTOM row; ``ds_offset`` shifts every IDS delta."""
     n_syms = len(exported_syms)
+    strips = 1 << log_strips
     out = region_info(w, h)
-    ref_corner = 1  # TOPLEFT
-    flags = ref_corner << 4
+    flags = (log_strips << 2) | (ref_corner << 4) | (
+        (ds_offset & 0x1F) << 10
+    )
     out += struct.pack(">H", flags)
     out += struct.pack(">I", len(placements))
     code_len = max(1, (n_syms - 1).bit_length())
@@ -345,26 +352,34 @@ def text_region_data(w, h, placements, exported_syms):
     iadt = new_states(9)
     iafs = new_states(9)
     iads = new_states(9)
+    iait = new_states(9)
     iaid = new_states(code_len + 1)
-    # group placements into strips by y
-    strips: dict[int, list] = {}
+    # encoded T per placement: top row for TL/TR, bottom row for BL/BR
+    items = []
     for x, y, sid in placements:
-        strips.setdefault(y, []).append((x, sid))
+        t = y if ref_corner in (1, 3) else y + exported_syms[sid].shape[0] - 1
+        items.append((t // strips * strips, t - t // strips * strips, x, sid))
+    strip_map: dict[int, list] = {}
+    for base, curt, x, sid in items:
+        strip_map.setdefault(base, []).append((x, curt, sid))
     encode_int(enc, iadt, 0)  # STRIPT = 0
     stript = 0
     firsts = 0
-    for y in sorted(strips):
-        encode_int(enc, iadt, y - stript)  # DT
-        stript = y
-        row = sorted(strips[y])
+    for base in sorted(strip_map):
+        assert (base - stript) % strips == 0
+        encode_int(enc, iadt, (base - stript) // strips)  # DT
+        stript = base
+        row = sorted(strip_map[base])
         first_x = row[0][0]
         encode_int(enc, iafs, first_x - firsts)  # DFS
         firsts = first_x
         curs = first_x
-        for j, (x, sid) in enumerate(row):
+        for j, (x, curt, sid) in enumerate(row):
             if j:
-                encode_int(enc, iads, x - curs)  # IDS (dsoffset=0)
+                encode_int(enc, iads, (x - curs) - ds_offset)  # IDS
                 curs = x
+            if strips > 1:
+                encode_int(enc, iait, curt)
             encode_iaid(enc, iaid, code_len, sid)
             curs += exported_syms[sid].shape[1] - 1
         encode_int(enc, iads, "OOB")
@@ -532,6 +547,28 @@ def main():
         + segment(3, 6, [2], 1, tr)
     )
     _emit("SYMBOL_TEXT", stream4)
+
+    # 4b. strips=4 + dsoffset=2 (IAIT path) and BOTTOMLEFT corner
+    tr_strips = text_region_data(
+        60, 24, [(x, y, exp_id[s]) for x, y, s in placements],
+        exported, log_strips=2, ds_offset=2,
+    )
+    _emit(
+        "SYMBOL_TEXT_STRIPS",
+        segment(1, 48, [], 1, page_info(60, 24))
+        + segment(2, 0, [], 1, sd)
+        + segment(3, 6, [2], 1, tr_strips),
+    )
+    tr_bottom = text_region_data(
+        60, 24, [(x, y, exp_id[s]) for x, y, s in placements],
+        exported, log_strips=3, ref_corner=0,
+    )
+    _emit(
+        "SYMBOL_TEXT_BOTTOM",
+        segment(1, 48, [], 1, page_info(60, 24))
+        + segment(2, 0, [], 1, sd)
+        + segment(3, 6, [2], 1, tr_bottom),
+    )
 
     # 5. same, with the symbol dict in a separate globals stream
     glob = segment(1, 0, [], 0, sd)

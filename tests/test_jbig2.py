@@ -93,6 +93,18 @@ SYMBOL_TEXT = bytes.fromhex(
     "a302ffffac0000000306200201000000260000003c000000180000000000000000000010"
     "00000007a16229b41e80e99e1edd90a3ffffac"
 )
+SYMBOL_TEXT_STRIPS = bytes.fromhex(
+    "00000001300001000000130000003c000000180000000000000000000000000000020000"
+    "0100000024000003fffdff02fefefe00000003000000037cfe0dfd5c9058cbfabd13d3e9"
+    "a302ffffac0000000306200201000000280000003c000000180000000000000000000818"
+    "00000007a8b2c415b87e68292a7001aa59417fffac"
+)
+SYMBOL_TEXT_BOTTOM = bytes.fromhex(
+    "00000001300001000000130000003c000000180000000000000000000000000000020000"
+    "0100000024000003fffdff02fefefe00000003000000037cfe0dfd5c9058cbfabd13d3e9"
+    "a302ffffac0000000306200201000000230000003c00000018000000000000000000000c"
+    "00000007a67a6916b50bc2ff4dffffac"
+)
 SYMBOL_TEXT_GLOBALS_G = bytes.fromhex(
     "0000000100000000000024000003fffdff02fefefe00000003000000037cfe0dfd5c9058"
     "cbfabd13d3e9a302ffffac"
@@ -193,6 +205,21 @@ def test_symbol_dict_via_globals_stream():
     assert (got == symbol_page()).all()
     # the body alone must decline (no symbols for the text region)
     assert decode_jbig2_pdf(SYMBOL_TEXT_GLOBALS_B) is None
+
+
+@pytest.mark.parametrize(
+    "blob",
+    [SYMBOL_TEXT_STRIPS, SYMBOL_TEXT_BOTTOM],
+    ids=["strips4_dsoffset2", "strips8_bottomleft"],
+)
+def test_text_region_strip_and_corner_variants(blob):
+    """SBSTRIPS>1 (the IAIT per-symbol T path), a nonzero SBDSOFFSET,
+    and the BOTTOMLEFT reference corner — the text-region parameter
+    shapes jbig2enc-style writers emit — must produce the identical
+    page the STRIPS=1/TOPLEFT golden renders."""
+    got = decode_embedded(blob)
+    assert got.shape == (24, 60)
+    assert (got == symbol_page()).all()
 
 
 def test_decode_jbig2_pdf_gray_contract():
