@@ -253,6 +253,12 @@ EXTENDED = [
     "psl_domain_histogram",
     "canonical_url_dedup_stats",
     "extracted_text_funnel",
+    # round-13 crawl-frontier slice (registered at the r13 flip):
+    # robots parse + broadcast longest-match, sitemap XML Arrow edge,
+    # WAT string-JSON path pruning
+    "robots_allowed_rate",
+    "sitemap_frontier_stats",
+    "wat_link_histogram",
 ]
 
 HEADLINE = [

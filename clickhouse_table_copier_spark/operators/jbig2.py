@@ -719,6 +719,9 @@ def decode_embedded(
                 ph = height or 0
             if width and (pw == 0 or pw > 1 << 16):
                 pw = width
+            if pw > 1 << 16 or ph > 1 << 16 or pw * ph > 1 << 28:
+                # crafted page-info dims: decline BEFORE allocating
+                raise Jbig2Error("page dimensions out of range")
             if pw and ph:
                 page = np.full((ph, pw), page_default, dtype=np.uint8)
         elif st == _SEG_SYMBOL_DICT:

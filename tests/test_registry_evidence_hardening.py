@@ -23,6 +23,7 @@ import ast
 import glob
 import inspect
 import os
+import re
 
 import __spark_entry__ as entry
 from clickhouse_table_copier_spark import registry_evidence
@@ -99,16 +100,17 @@ def test_every_module_level_mutable_is_excluded():
             # import-time-populated registries: filled once while the
             # module imports, immutable afterwards — a stable (and for
             # PREP_ORACLES, fingerprint-bearing) input, not run-state
-            import_time_populated = {
-                "PREP_QUERIES",
-                "PREP_ORACLES",
-                "PREP12_QUERIES",
-                "PREP12_ORACLES",
-                "PREP13_QUERIES",
-                "PREP13_ORACLES",
-            }
             for t in targets:
-                if t in deleted or t in import_time_populated:
+                # import-time-populated prep registries (PREP_*,
+                # PREP12_*, PREP13_*, PREP14_*, …): filled once while
+                # the module imports, immutable afterwards — a stable
+                # (and for the ORACLES side, fingerprint-bearing)
+                # input, not run-state.  Pattern, not enumeration: the
+                # r13 gate tripped on PREP14_* purely because the list
+                # here lagged the prep-module convention.
+                if t in deleted or re.fullmatch(
+                    r"PREP\d*_(QUERIES|ORACLES)", t
+                ):
                     continue
                 if not registry_evidence._excluded_name(t):
                     offenders.append(f"{os.path.basename(path)}:{t}")
