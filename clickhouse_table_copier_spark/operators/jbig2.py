@@ -19,7 +19,7 @@ Scope (the subset PDF generators actually emit, T.88 §7.4 / PDF
   with the fax decoder on the same bytes).
 - **Symbol dictionary (§6.5) + text region (§6.4)** — the
   symbol-coded subset emitted for text pages: arithmetic integer
-  decoding (Annex A) IADH/IADW/IAEX/IAAI/IADT/IAFS/IADS/IAIT/IAID,
+  decoding (Annex A) IADH/IADW/IAEX/IADT/IAFS/IADS/IAIT/IAID,
   arithmetic and MMR-free symbol bitmaps via the generic decoder,
   no refinement (SDREFAGG=0, SBREFINE=0 — refinement-coded streams
   decline).
@@ -94,11 +94,21 @@ class MQDecoder:
     ``index << 1 | mps`` ints) because JBIG2 shares one coder across
     several context arrays (GB, IADH, IAID, …)."""
 
-    __slots__ = ("data", "bp", "c", "a", "ct")
+    __slots__ = ("data", "bp", "c", "a", "ct", "fed")
+
+    # A VALID stream needs only a couple of synthesized bytes past
+    # its flush (SETBITS guarantees the final interval resolves
+    # within CT more bits); a decode still hungry hundreds of bytes
+    # past end-of-data is reading pixels the encoder never coded —
+    # decline instead of fabricating a raster or looping for hours
+    # (r13 review: crafted huge-dims segment with empty coder data =
+    # CPU DoS / fabrication through the 1-bits-forever rule).
+    _MAX_SYNTHETIC_FEEDS = 256
 
     def __init__(self, data: bytes):
         self.data = data
         self.bp = 0
+        self.fed = 0
         b0 = data[0] if data else 0xFF
         self.c = b0 << 16
         self._bytein()
@@ -114,7 +124,10 @@ class MQDecoder:
         if cur == 0xFF:
             nxt = d[bp + 1] if bp + 1 < n else 0xFF
             if nxt > 0x8F:
-                # marker / end of data: feed 1-bits forever (E.3.4)
+                # marker / end of data: feed 1-bits (E.3.4) — bounded
+                self.fed += 1
+                if self.fed > self._MAX_SYNTHETIC_FEEDS:
+                    raise Jbig2Error("coder starved past end of data")
                 self.c += 0xFF00
                 self.ct = 8
             else:
@@ -300,7 +313,7 @@ def decode_generic_region(
     the MQ coder is inherently serial, so this per-pixel Python loop
     is the floor; throughput at scale comes from document
     parallelism in the Arrow batch edge, not from this loop."""
-    if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16):
+    if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16) or w * h > 1 << 28:
         raise Jbig2Error("generic region dimensions out of range")
     fixed, at_bits, sltp_cx = _TEMPLATES[template]
     if len(at) != len(at_bits):
@@ -451,12 +464,16 @@ def _region_info(d: bytes):
     """§7.4.1 region segment information field (17 bytes)."""
     if len(d) < 17:
         raise Jbig2Error("truncated region info")
+    op = d[16] & 0x07
+    if op > 4:
+        # 5-7 are reserved — decline rather than guess a combinator
+        raise Jbig2Error("reserved region combination operator")
     return {
         "w": _be32(d, 0),
         "h": _be32(d, 4),
         "x": _be32(d, 8),
         "y": _be32(d, 12),
-        "op": d[16] & 0x07,
+        "op": op,
     }
 
 
@@ -528,8 +545,8 @@ def decode_symbol_dict_segment(d: bytes, input_symbols: list):
     iadh = new_states(9)
     iadw = new_states(9)
     iaex = new_states(9)
-    iaai = new_states(9)
     new_syms: list = []
+    total_area = 0
     hc_height = 0
     # §6.5.5 height-class loop
     while len(new_syms) < n_new:
@@ -549,6 +566,9 @@ def decode_symbol_dict_segment(d: bytes, input_symbols: list):
                 raise Jbig2Error("bad symbol width")
             if len(new_syms) >= n_new:
                 raise Jbig2Error("symbol count overrun")
+            total_area += sym_w * hc_height
+            if total_area > 1 << 28:
+                raise Jbig2Error("symbol dictionary area bound")
             bmp = decode_generic_region(
                 mq, gb, sym_w, hc_height, template, at, False
             )
@@ -610,7 +630,7 @@ def decode_text_region_segment(d: bytes, symbols: list):
     iait = new_states(9)
     iaid = new_states(code_len + 1)
     w, h = info["w"], info["h"]
-    if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16):
+    if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16) or w * h > 1 << 28:
         raise Jbig2Error("text region dimensions out of range")
     page = np.full((h, w), def_pixel, dtype=np.uint8)
     # §6.4.5 decoding procedure
@@ -753,7 +773,10 @@ def decode_embedded(
         # page = bounding box of the regions, or the PDF-declared size
         pw = width or max(i["x"] + i["w"] for i, _ in regions)
         ph = height or max(i["y"] + i["h"] for i, _ in regions)
-        if not (0 < pw <= 1 << 16 and 0 < ph <= 1 << 16):
+        if (
+            not (0 < pw <= 1 << 16 and 0 < ph <= 1 << 16)
+            or pw * ph > 1 << 28
+        ):
             raise Jbig2Error("page dimensions out of range")
         page = np.zeros((ph, pw), dtype=np.uint8)
     for info, bmp in regions:
@@ -775,6 +798,7 @@ def decode_jbig2_pdf(
         bmp = decode_embedded(data, globals_data, width, height)
         if bmp is None or bmp.size == 0:
             return None
-        return ((1 - bmp) * np.uint8(255)).astype(np.uint8)
+        # one output allocation (review r13): 1=black -> gray 0
+        return np.where(bmp != 0, np.uint8(0), np.uint8(255))
     except Exception:
         return None

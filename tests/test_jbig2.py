@@ -410,3 +410,64 @@ def test_pdf_jbig2_ahash_matches_uncompressed_twin(spark):
     assert len(hashes) == 2 and hashes[0] == hashes[1] is not None
     pairs = near_duplicate_images(media, max_hamming=3).collect()
     assert len(pairs) == 1 and pairs[0]["hamming"] == 0
+
+
+def test_crafted_huge_dimensions_decline_fast():
+    """r13 review regression: tiny crafted segments declaring huge
+    regions/pages must decline in milliseconds — no multi-GiB
+    allocation (OOM-kills the Arrow worker, uncatchable) and no
+    hours-long pixel loop fed by the coder's 1-bits-forever rule."""
+    import struct
+    import time
+
+    def seg(number, stype, refs, page, data):
+        h = (
+            struct.pack(">IB", number, stype & 0x3F)
+            + bytes([len(refs) << 5])
+            + bytes(refs)
+            + bytes([page])
+            + struct.pack(">I", len(data))
+        )
+        return h + data
+
+    t0 = time.perf_counter()
+    # generic region 65535x65535 with EMPTY coder data
+    gr = struct.pack(">IIIIB", 65535, 65535, 0, 0, 0) + b"\x00" + (
+        b"\x03\xff\xfd\xff\x02\xfe\xfe\xfe"
+    )
+    assert decode_jbig2_pdf(seg(1, 38, [], 1, gr)) is None
+    # text region 60000x60000, zero symbols path replaced by 1 symbol
+    tr = struct.pack(">IIIIB", 60000, 60000, 0, 0, 0) + struct.pack(
+        ">H", 0
+    ) + struct.pack(">I", 1)
+    from clickhouse_table_copier_spark.operators.jbig2 import (
+        decode_text_region_segment,
+    )
+
+    with pytest.raises(Jbig2Error):
+        decode_text_region_segment(tr, [np.ones((2, 2), np.uint8)])
+    # page info with absurd dims
+    pi = struct.pack(">IIIIBH", 0xFFFFFFF0, 50000, 0, 0, 0, 0)
+    assert decode_jbig2_pdf(seg(1, 48, [], 1, pi)) is None
+    assert time.perf_counter() - t0 < 2.0
+
+
+def test_coder_starvation_bounded():
+    """A mid-size region whose coder data ends immediately must
+    decline via the synthetic-feed bound, not loop through millions
+    of fabricated pixels."""
+    import struct
+    import time
+
+    from clickhouse_table_copier_spark.operators.jbig2 import (
+        decode_generic_segment,
+    )
+
+    # 4096x4096 passes the area cap (16M < 2^28) but has no data
+    gr = struct.pack(">IIIIB", 4096, 4096, 0, 0, 0) + b"\x00" + (
+        b"\x03\xff\xfd\xff\x02\xfe\xfe\xfe"
+    )
+    t0 = time.perf_counter()
+    with pytest.raises(Jbig2Error):
+        decode_generic_segment(gr)
+    assert time.perf_counter() - t0 < 60.0
