@@ -65,6 +65,15 @@ class Jbig2Error(Exception):
     """Malformed/out-of-scope JBIG2 — converted to None at API edges."""
 
 
+# Region/page pixel-area bound (second r13 review pass): large enough
+# for the biggest real bilevel scans — a tabloid/A3 page at 1200 dpi
+# is ~0.27 Gpx, an A0 poster at 600 dpi ~0.9 Gpx, both under this
+# 2^30 bound — while capping the worst crafted-dims allocation at a
+# ~1 GiB raster (the 60000x60000 = 3.6 Gpx attack from the first
+# review pass stays declined).
+_MAX_AREA = 1 << 30
+
+
 # T.88 Table E.1 — (Qe, NMPS, NLPS, SWITCH).  Published data shared
 # with JPEG2000 (T.800 Table C.2).
 _QE = (
@@ -94,7 +103,7 @@ class MQDecoder:
     ``index << 1 | mps`` ints) because JBIG2 shares one coder across
     several context arrays (GB, IADH, IAID, …)."""
 
-    __slots__ = ("data", "bp", "c", "a", "ct", "fed")
+    __slots__ = ("data", "bp", "c", "a", "ct", "fed", "starved_decodes")
 
     # A VALID stream needs only a couple of synthesized bytes past
     # its flush (SETBITS guarantees the final interval resolves
@@ -109,6 +118,7 @@ class MQDecoder:
         self.data = data
         self.bp = 0
         self.fed = 0
+        self.starved_decodes = 0
         b0 = data[0] if data else 0xFF
         self.c = b0 << 16
         self._bytein()
@@ -141,6 +151,17 @@ class MQDecoder:
             self.ct = 8
 
     def decode(self, states: list, cx: int) -> int:
+        if self.fed:
+            # Post-starvation decode budget (second r13 review pass):
+            # the feed bound alone lets a context pre-adapted to the
+            # qe=0x0001 state decode ~32k pixels per synthetic bit
+            # (renorm-free decodes consume no input), i.e. ~67M
+            # decodes inside 256 feeds.  Valid flushed tails resolve
+            # in far fewer; 4M decodes past the first synthetic feed
+            # caps the adversarial loop at seconds.
+            self.starved_decodes += 1
+            if self.starved_decodes > 1 << 22:
+                raise Jbig2Error("coder starved past end of data")
         st = states[cx]
         i = st >> 1
         mps = st & 1
@@ -313,7 +334,7 @@ def decode_generic_region(
     the MQ coder is inherently serial, so this per-pixel Python loop
     is the floor; throughput at scale comes from document
     parallelism in the Arrow batch edge, not from this loop."""
-    if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16) or w * h > 1 << 28:
+    if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16) or w * h > _MAX_AREA:
         raise Jbig2Error("generic region dimensions out of range")
     fixed, at_bits, sltp_cx = _TEMPLATES[template]
     if len(at) != len(at_bits):
@@ -567,7 +588,7 @@ def decode_symbol_dict_segment(d: bytes, input_symbols: list):
             if len(new_syms) >= n_new:
                 raise Jbig2Error("symbol count overrun")
             total_area += sym_w * hc_height
-            if total_area > 1 << 28:
+            if total_area > _MAX_AREA:
                 raise Jbig2Error("symbol dictionary area bound")
             bmp = decode_generic_region(
                 mq, gb, sym_w, hc_height, template, at, False
@@ -630,7 +651,7 @@ def decode_text_region_segment(d: bytes, symbols: list):
     iait = new_states(9)
     iaid = new_states(code_len + 1)
     w, h = info["w"], info["h"]
-    if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16) or w * h > 1 << 28:
+    if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16) or w * h > _MAX_AREA:
         raise Jbig2Error("text region dimensions out of range")
     page = np.full((h, w), def_pixel, dtype=np.uint8)
     # §6.4.5 decoding procedure
@@ -739,7 +760,7 @@ def decode_embedded(
                 ph = height or 0
             if width and (pw == 0 or pw > 1 << 16):
                 pw = width
-            if pw > 1 << 16 or ph > 1 << 16 or pw * ph > 1 << 28:
+            if pw > 1 << 16 or ph > 1 << 16 or pw * ph > _MAX_AREA:
                 # crafted page-info dims: decline BEFORE allocating
                 raise Jbig2Error("page dimensions out of range")
             if pw and ph:
@@ -775,7 +796,7 @@ def decode_embedded(
         ph = height or max(i["y"] + i["h"] for i, _ in regions)
         if (
             not (0 < pw <= 1 << 16 and 0 < ph <= 1 << 16)
-            or pw * ph > 1 << 28
+            or pw * ph > _MAX_AREA
         ):
             raise Jbig2Error("page dimensions out of range")
         page = np.zeros((ph, pw), dtype=np.uint8)

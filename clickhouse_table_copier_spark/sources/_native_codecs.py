@@ -293,16 +293,24 @@ def _cfg_lz4(l):
     l.LZ4F_isError.restype = ctypes.c_uint
     l.LZ4F_getErrorName.argtypes = [ctypes.c_size_t]
     l.LZ4F_getErrorName.restype = ctypes.c_char_p
-    l.LZ4F_compressFrameBound.argtypes = [
-        ctypes.c_size_t, ctypes.c_void_p
-    ]
-    l.LZ4F_compressFrameBound.restype = ctypes.c_size_t
-    l.LZ4F_compressFrame.argtypes = [
-        ctypes.c_void_p, ctypes.c_size_t,
-        ctypes.c_void_p, ctypes.c_size_t,
-        ctypes.c_void_p,
-    ]
-    l.LZ4F_compressFrame.restype = ctypes.c_size_t
+    try:
+        # OPTIONAL (second r13 review pass): a liblz4 predating the
+        # stable frame-compression API must not lose the decompress
+        # fast path — compress-side absence degrades lz4_compress to
+        # the stored-frame fallback instead.
+        l.LZ4F_compressFrameBound.argtypes = [
+            ctypes.c_size_t, ctypes.c_void_p
+        ]
+        l.LZ4F_compressFrameBound.restype = ctypes.c_size_t
+        l.LZ4F_compressFrame.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_void_p,
+        ]
+        l.LZ4F_compressFrame.restype = ctypes.c_size_t
+        l._lz4_compress_ok = True
+    except AttributeError:
+        l._lz4_compress_ok = False
     ctx = ctypes.c_void_p()
     rc = l.LZ4F_createDecompressionContext(
         ctypes.byref(ctx), _LZ4F_VERSION
@@ -405,8 +413,8 @@ def lz4_compress_native(data: bytes, level: int = 0) -> bytes:
     seam; decode-side parity tests pin that the pure decoder reads
     these frames back byte-identically."""
     l = _lz4_lib()
-    if l is None:
-        raise NativeDecodeError("liblz4 not available")
+    if l is None or not getattr(l, "_lz4_compress_ok", False):
+        raise NativeDecodeError("liblz4 frame-compress API not available")
     prefs = _LZ4FPreferences()
     prefs.frameInfo.contentChecksumFlag = 1
     prefs.frameInfo.contentSize = len(data)

@@ -217,7 +217,10 @@ def write_jsonl(
     """Re-publish a (filtered, deduped, quality-gated) corpus as
     ``.jsonl.zst`` shards — the write half of the corpus round trip,
     in the exact format public LLM corpora ship (Dolma/RedPajama
-    style): one JSON object per line, zstd-compressed shards.
+    style): one JSON object per line, zstd-compressed shards
+    (``compression='gzip'``/``'lz4'``/``'none'`` write ``.jsonl.gz`` /
+    ``.jsonl.lz4`` / plain ``.jsonl`` through the same
+    :func:`shard_io.egress_codec` dispatch).
 
     Serialization stays JVM-side: every row becomes ONE JSON line via
     ``to_json(struct(*))`` inside whole-stage codegen — the Arrow

@@ -304,5 +304,9 @@ def lz4_compress(data: bytes, level: int = 0) -> bytes:
         try:
             return native.lz4_compress_native(data, level)
         except native.NativeDecodeError as e:
+            if "not available" in str(e):
+                # decompress-only liblz4 (pre-frame-compress API):
+                # stored frames, same as the library-absent path
+                return lz4_store_frame(data)
             raise Lz4Error(str(e)) from None
     return lz4_store_frame(data)

@@ -540,3 +540,25 @@ def test_egress_codec_lz4_symmetry(tmp_path):
     assert (
         lz4_decompress(member) == b'{"doc_id": 1}\n{"doc_id": 2}\n'
     )
+
+
+@native_lz4
+def test_lz4_compress_degrades_to_stored_frame_without_compress_api():
+    """Second r13 review pass: a decompress-only liblz4 (pre frame-
+    compress API) must keep the decompress fast path AND degrade
+    lz4_compress to the stored-frame writer, not raise."""
+    from clickhouse_table_copier_spark.sources.lz4 import lz4_compress
+
+    lib = nc._lz4_lib()
+    assert getattr(lib, "_lz4_compress_ok", False)
+    payload = b"decompress-only library " * 40
+    try:
+        lib._lz4_compress_ok = False
+        with pytest.raises(nc.NativeDecodeError):
+            nc.lz4_compress_native(payload, 0)
+        frame = lz4_compress(payload)  # stored-frame degradation
+        assert lz4_decompress_pure(frame) == payload
+        assert nc.lz4_decompress_native(frame, 1 << 31) == payload
+    finally:
+        lib._lz4_compress_ok = True
+    assert lz4_decompress(lz4_compress(payload)) == payload
