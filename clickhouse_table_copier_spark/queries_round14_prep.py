@@ -1,7 +1,9 @@
 """Round-14 registration batch, pre-written at round 13 — the next
 SQL-expressible crawl-ingest slices: the CDXJ index envelope
 projection (range-fetch selectivity planning), the multi-script
-language identifier, and the WARC charset-sniff decode path —
+language identifier, the WARC charset-sniff decode path, and the
+robots scheduler directives (Crawl-delay group selection, Sitemap
+counts) —
 implemented + DuckDB-hash-verified NOW (tests/test_round14_prep.py
 runs the exact compare() harness every CI run) but NOT registered:
 the r13 window is booked by the r08-green DUE cohort + the 3-query
@@ -279,5 +281,126 @@ def q_wet_charset_coverage(
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("ok").cast("bigint").alias("n_exact"),
+        )
+    )
+
+
+# ------------------------------------------------ scheduler directives
+# Eight planted hosts in three robots shapes: (a) '*' group with a
+# host-dependent Crawl-delay + one Sitemap, (b) no delay + two
+# Sitemaps, (c) a ccbot-specific delay that must BEAT the '*' group's.
+# The per-host URL mass comes from documents doc_id arithmetic.
+
+_DIR_ORACLE = """
+WITH u AS (
+  SELECT doc_id % 8 AS hnum FROM documents
+),
+agg AS (
+  SELECT hnum, count(*) AS n_urls FROM u GROUP BY hnum
+)
+SELECT 'h' || hnum || '.example' AS host,
+       n_urls::BIGINT AS n_urls,
+       (CASE hnum % 3 WHEN 0 THEN 1 + hnum
+                      WHEN 1 THEN 0 ELSE 7 END)::BIGINT
+         AS crawl_delay_s,
+       (CASE hnum % 3 WHEN 0 THEN 1
+                      WHEN 1 THEN 2 ELSE 0 END)::BIGINT AS n_sitemaps
+FROM agg
+"""
+
+
+@_prep14("crawl_scheduler_directives", _DIR_ORACLE)
+def q_crawl_scheduler_directives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Crawl-scheduler inputs through the REAL directive parser
+    (operators/robots.py::robots_directives — the stateful group
+    model in the Arrow edge): per host, the URL mass, the EFFECTIVE
+    Crawl-delay for agent ``ccbot`` (its own group beats ``*``; no
+    directive ⇒ 0) and the Sitemap count.  The oracle states each
+    planted shape's outcome from host-number arithmetic — it never
+    parses robots.txt."""
+    from clickhouse_table_copier_spark.operators.robots import (
+        robots_directives,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hnum = F.col("id")
+    body = (
+        F.when(
+            hnum % 3 == 0,
+            F.concat(
+                F.lit("User-agent: *\nCrawl-delay: "),
+                (hnum + 1).cast("string"),
+                F.lit("\nDisallow: /x\nSitemap: https://h"),
+                hnum.cast("string"),
+                F.lit(".example/sm.xml\n"),
+            ),
+        )
+        .when(
+            hnum % 3 == 1,
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /y\nSitemap: https://h"),
+                hnum.cast("string"),
+                F.lit(".example/a.xml\nSitemap: https://h"),
+                hnum.cast("string"),
+                F.lit(".example/b.xml\n"),
+            ),
+        )
+        .otherwise(
+            F.lit(
+                "User-agent: ccbot\nCrawl-delay: 7\nDisallow: /z\n"
+                "User-agent: *\nCrawl-delay: 2\nDisallow: /w\n"
+            )
+        )
+    )
+    hosts = spark.range(8).select(
+        F.concat(
+            F.lit("h"), hnum.cast("string"), F.lit(".example")
+        ).alias("host"),
+        body.alias("body"),
+    )
+    dirs = robots_directives(hosts, "host", "body")
+    delay_val = F.col("value").cast("bigint")
+    delays = (
+        dirs.where(F.col("directive") == "crawl_delay")
+        .groupBy("host")
+        .agg(
+            F.max(
+                F.when(F.col("agent") == "ccbot", delay_val)
+            ).alias("spec_delay"),
+            F.max(
+                F.when(F.col("agent") == "*", delay_val)
+            ).alias("star_delay"),
+        )
+    )
+    sitemaps = (
+        dirs.where(F.col("directive") == "sitemap")
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("sm"))
+    )
+    urls = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.concat(
+                F.lit("h"), (F.col("doc_id") % 8).cast("string"),
+                F.lit(".example"),
+            ).alias("host")
+        )
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_urls"))
+    )
+    return (
+        urls.join(F.broadcast(delays), "host", "left")
+        .join(F.broadcast(sitemaps), "host", "left")
+        .select(
+            "host",
+            "n_urls",
+            F.coalesce("spec_delay", "star_delay", F.lit(0))
+            .cast("bigint")
+            .alias("crawl_delay_s"),
+            F.coalesce("sm", F.lit(0)).cast("bigint").alias(
+                "n_sitemaps"
+            ),
         )
     )
