@@ -363,6 +363,7 @@ def decode_generic_region(
         "lambda x," + ",".join(sorted(set(names.values()))) + ": "
         + "|".join(terms)
     )
+    nominal0 = template == 0 and tuple(at) == _NOMINAL_AT[0]
     rows = [None] * h  # each: padded bytearray of 0/1, length w+2*pad
     zero = bytes(w + 2 * pad)
     ltp = 0
@@ -379,6 +380,35 @@ def decode_generic_region(
         row = bytearray(w + 2 * pad)
         r1 = rows[y - 1] if y >= 1 else zero
         r2 = rows[y - 2] if y >= 2 else zero
+        if nominal0:
+            # Incremental fast path for the shape real scanners emit
+            # (template 0, nominal ATs): the three context slices are
+            # ROLLING WINDOWS — row y bits 0-3 (x-1..x-4), row y-1
+            # bits 4-10 (x+3..x-3, AT1/AT2 at the ends), row y-2 bits
+            # 11-13 (x+1..x-1) — each shifts left by one per pixel;
+            # only AT3 (x+2,y-2) at bit 14 and AT4 (x-2,y-2) at bit
+            # 15 are indexed directly.  ~2x over the compiled
+            # expression (measured; same context VALUES, so the
+            # adaptive states are bit-identical).
+            w0 = 0
+            w1 = (
+                (r1[pad] << 7) | (r1[pad + 1] << 6)
+                | (r1[pad + 2] << 5) | (r1[pad + 3] << 4)
+            )
+            w2 = (r2[pad] << 12) | (r2[pad + 1] << 11)
+            for x in range(w):
+                cx = (
+                    w0 | w1 | w2
+                    | (r2[x + pad + 2] << 14)
+                    | (r2[x + pad - 2] << 15)
+                )
+                p = decode(states, cx)
+                row[x + pad] = p
+                w0 = ((w0 << 1) | p) & 0xF
+                w1 = ((w1 << 1) & 0x7F0) | (r1[x + pad + 4] << 4)
+                w2 = ((w2 << 1) & 0x3800) | (r2[x + pad + 2] << 11)
+            rows[y] = row
+            continue
         refs = {"r0": row, "r1": r1, "r2": r2}
         for dy in deep:
             refs[f"rd{-dy}"] = rows[y + dy] if y + dy >= 0 else zero
