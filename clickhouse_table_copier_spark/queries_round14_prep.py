@@ -30,10 +30,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from clickhouse_table_copier_spark.queries import _t
+from clickhouse_table_copier_spark.queries import _t, register
 
 # name -> spark fn / oracle sql; consumed by tests/test_round14_prep.py
-# and mirrored into the main registry AT ROUND 14, not before.
+# and mirrored into the main registry AT ROUND 14 (flipped: round 14).
 PREP14_QUERIES: dict = {}
 PREP14_ORACLES: dict[str, str] = {}
 
@@ -42,7 +42,7 @@ def _prep14(name: str, oracle: str):
     def deco(fn):
         PREP14_QUERIES[name] = fn
         PREP14_ORACLES[name] = oracle
-        return fn
+        return register(name, oracle)(fn)
 
     return deco
 
