@@ -364,7 +364,14 @@ def decode_generic_region(
         + "|".join(terms)
     )
     nominal0 = template == 0 and tuple(at) == _NOMINAL_AT[0]
-    rows = [None] * h  # each: padded bytearray of 0/1, length w+2*pad
+    # Peak-memory discipline (advisor r13): decoded rows land
+    # directly in the preallocated output array; only the last
+    # `depth` PADDED rows (context reach) stay live as bytearrays —
+    # peak is ~area bytes, not the ~2x a full padded-row list plus
+    # b''.join would hold.
+    depth = max(2, -min(dy for _, dy, _ in pixels))
+    out = np.empty((h, w), dtype=np.uint8)
+    hist: dict[int, bytearray] = {}  # y -> padded row, last `depth`
     zero = bytes(w + 2 * pad)
     ltp = 0
     decode = mq.decode
@@ -372,14 +379,18 @@ def decode_generic_region(
         if tpgdon:
             ltp ^= decode(states, sltp_cx)
             if ltp:
-                rows[y] = (
-                    bytearray(rows[y - 1]) if y
+                row = (
+                    bytearray(hist[y - 1]) if y
                     else bytearray(w + 2 * pad)
                 )
+                hist[y] = row
+                out[y] = np.frombuffer(row, np.uint8)[pad : pad + w]
+                if y >= depth:
+                    del hist[y - depth]
                 continue
         row = bytearray(w + 2 * pad)
-        r1 = rows[y - 1] if y >= 1 else zero
-        r2 = rows[y - 2] if y >= 2 else zero
+        r1 = hist[y - 1] if y >= 1 else zero
+        r2 = hist[y - 2] if y >= 2 else zero
         if nominal0:
             # Incremental fast path for the shape real scanners emit
             # (template 0, nominal ATs): the three context slices are
@@ -407,18 +418,18 @@ def decode_generic_region(
                 w0 = ((w0 << 1) | p) & 0xF
                 w1 = ((w1 << 1) & 0x7F0) | (r1[x + pad + 4] << 4)
                 w2 = ((w2 << 1) & 0x3800) | (r2[x + pad + 2] << 11)
-            rows[y] = row
-            continue
-        refs = {"r0": row, "r1": r1, "r2": r2}
-        for dy in deep:
-            refs[f"rd{-dy}"] = rows[y + dy] if y + dy >= 0 else zero
-        args = [refs[nm] for nm in sorted(set(names.values()))]
-        for x in range(w):
-            row[x + pad] = decode(states, ctx_fn(x, *args))
-        rows[y] = row
-    return np.frombuffer(
-        b"".join(bytes(r[pad : pad + w]) for r in rows), dtype=np.uint8
-    ).reshape(h, w)
+        else:
+            refs = {"r0": row, "r1": r1, "r2": r2}
+            for dy in deep:
+                refs[f"rd{-dy}"] = hist[y + dy] if y + dy >= 0 else zero
+            args = [refs[nm] for nm in sorted(set(names.values()))]
+            for x in range(w):
+                row[x + pad] = decode(states, ctx_fn(x, *args))
+        hist[y] = row
+        out[y] = np.frombuffer(row, np.uint8)[pad : pad + w]
+        if y >= depth:
+            del hist[y - depth]
+    return out
 
 
 def decode_generic_mmr(data: bytes, w: int, h: int) -> np.ndarray:
@@ -446,6 +457,13 @@ _SEG_TEXT_IMM = (6, 7)
 _SEG_TEXT_INTERMEDIATE = 4
 _SEG_GENERIC_IMM = (38, 39)
 _SEG_GENERIC_INTERMEDIATE = 36
+# Known-but-out-of-scope segment types (T.88 §7.3): pattern
+# dictionary (16), halftone regions (20/22/23), refinement regions
+# (40/42/43).  These carry page CONTENT, so silently skipping them
+# (the forward-compat path for genuinely unknown/extension types)
+# would hand an incomplete raster to the near-dup tables — decline
+# instead (advisor r13, medium).
+_SEG_KNOWN_OUT_OF_SCOPE = (16, 20, 22, 23, 40, 42, 43)
 
 
 def _be32(b: bytes, p: int) -> int:
@@ -472,6 +490,11 @@ def parse_segments(data: bytes):
         if count == 7:
             count = _be32(data, pos) & 0x1FFFFFFF
             pos += 4 + (count + 8) // 8
+        elif count in (5, 6):
+            # §7.2.4: short form allows counts 0-4 only; 5/6 are
+            # reserved — decline deliberately rather than consume
+            # 5-6 phantom refs and desynchronize the header parse
+            raise Jbig2Error("reserved referred-to count")
         else:
             pos += 1
         if count > 1 << 20:
@@ -809,6 +832,10 @@ def decode_embedded(
             regions.append(decode_text_region_segment(d, syms))
         elif st in (_SEG_GENERIC_INTERMEDIATE, _SEG_TEXT_INTERMEDIATE):
             raise Jbig2Error("intermediate regions out of scope")
+        elif st in _SEG_KNOWN_OUT_OF_SCOPE:
+            # pattern dict / halftone / refinement: content-bearing,
+            # so skipping would drop page content — decline
+            raise Jbig2Error(f"segment type {st} out of scope")
         elif st in (
             _SEG_END_OF_PAGE, _SEG_END_OF_STRIPE, _SEG_END_OF_FILE,
             _SEG_PROFILES, _SEG_EXTENSION,
@@ -849,7 +876,13 @@ def decode_jbig2_pdf(
         bmp = decode_embedded(data, globals_data, width, height)
         if bmp is None or bmp.size == 0:
             return None
-        # one output allocation (review r13): 1=black -> gray 0
-        return np.where(bmp != 0, np.uint8(0), np.uint8(255))
+        # in-place gray flip (advisor r13: np.where added a second
+        # area-sized allocation): 1=black -> gray 0, 0 -> 255; with
+        # the streaming row writer the decode path now peaks at ~1x
+        # region area instead of ~3x
+        np.minimum(bmp, 1, out=bmp)
+        bmp ^= 1
+        bmp *= 255
+        return bmp
     except Exception:
         return None

@@ -264,13 +264,26 @@ def _xxh32(data: bytes, seed: int = 0) -> int:
     return h
 
 
+# Above this payload size the stored-frame writer OMITS the optional
+# content checksum (clears FLG bit 2): _xxh32 is pure Python (~MB/s),
+# so hashing a multi-hundred-MB shard would dominate the write on the
+# library-absent egress path (advisor r13).  8 MiB keeps the checksum
+# on every test/metadata-sized frame at a bounded ~2 s worst case;
+# the pure decoder skips content-checksum VERIFICATION by design, and
+# liblz4 accepts either FLG form, so readers are unaffected.
+_CONTENT_CKSUM_MAX = 8 << 20
+
+
 def lz4_store_frame(data: bytes) -> bytes:
     """An LZ4 frame of UNCOMPRESSED blocks per the frame-format spec —
-    block-independent, content size recorded, XXH32 header and
-    content checksums.  Pure Python, no compression: the portable
+    block-independent, content size recorded, XXH32 header checksum,
+    and (for payloads <= ``_CONTENT_CKSUM_MAX``) the optional XXH32
+    content checksum.  Pure Python, no compression: the portable
     fallback for :func:`lz4_compress` when liblz4 is absent (same
     policy as :func:`zstd.zstd_store_frame`)."""
-    flg = 0x6C  # version 01, block-indep, content size, content cksum
+    with_cksum = len(data) <= _CONTENT_CKSUM_MAX
+    # version 01, block-indep, content size (+ content cksum if small)
+    flg = 0x6C if with_cksum else 0x68
     bd = 0x70  # 4 MiB block max
     desc = bytes([flg, bd]) + len(data).to_bytes(8, "little")
     out = bytearray(_MAGIC.to_bytes(4, "little"))
@@ -281,7 +294,8 @@ def lz4_store_frame(data: bytes) -> bytes:
         out += (0x80000000 | len(chunk)).to_bytes(4, "little")
         out += chunk
     out += (0).to_bytes(4, "little")  # EndMark
-    out += _xxh32(data).to_bytes(4, "little")
+    if with_cksum:
+        out += _xxh32(data).to_bytes(4, "little")
     return bytes(out)
 
 

@@ -281,6 +281,47 @@ def test_out_of_scope_flavors_decline():
         decode_text_region_segment(d, [np.ones((2, 2), np.uint8)])
 
 
+def _header(number: int, stype: int, length: int) -> bytes:
+    """Minimal §7.2 segment header: no refs, 1-byte page assoc 1."""
+    return (
+        number.to_bytes(4, "big")
+        + bytes([stype & 0x3F, 0x00, 0x01])
+        + length.to_bytes(4, "big")
+    )
+
+
+def test_known_out_of_scope_segment_types_decline():
+    """Advisor r13 (medium): pattern dict (16), halftone (20/22/23)
+    and refinement (40/42/43) regions carry page content — a stream
+    mixing them with a decodable region must DECLINE, not silently
+    return the raster with that content dropped."""
+    for stype in (16, 20, 22, 23, 40, 42, 43):
+        blob = GENERIC_T0 + _header(3, stype, 4) + b"\x00" * 4
+        with pytest.raises(Jbig2Error):
+            decode_embedded(blob)
+        assert decode_jbig2_pdf(blob) is None  # API edge: None
+
+
+def test_unknown_segment_types_still_skip():
+    """Forward-compat per §7.3 retain bits: a genuinely unassigned
+    type (60) is skipped and the rest of the page decodes."""
+    blob = GENERIC_T0 + _header(3, 60, 4) + b"\x00" * 4
+    got = decode_embedded(blob)
+    assert (got == decode_embedded(GENERIC_T0)).all()
+
+
+def test_reserved_referred_to_count_declines():
+    """Advisor r13: short-form referred-to counts 5 and 6 are
+    reserved (§7.2.4 allows 0-4) — decline deliberately instead of
+    consuming phantom refs and desynchronizing the parse."""
+    for count in (5, 6):
+        blob = bytearray(GENERIC_T0)
+        blob[5] = count << 5  # first segment's referred-to byte
+        with pytest.raises(Jbig2Error, match="reserved referred-to"):
+            parse_segments(bytes(blob))
+        assert decode_jbig2_pdf(bytes(blob)) is None
+
+
 def test_page_default_pixel_and_composition_ops():
     """A page-info default pixel of 1 with an XNOR-composited region
     exercises §8.2 composition."""

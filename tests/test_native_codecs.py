@@ -489,6 +489,27 @@ def test_lz4_store_frame_roundtrips_both_decoders():
             assert nc.lz4_decompress_native(frame, 1 << 31) == payload
 
 
+def test_lz4_store_frame_large_payload_omits_content_checksum():
+    """Advisor r13: above _CONTENT_CKSUM_MAX the stored-frame writer
+    clears the content-checksum FLG bit (pure-Python XXH32 over a
+    multi-hundred-MB shard would dominate the library-absent egress
+    write).  Both decoders must still accept the frame."""
+    from clickhouse_table_copier_spark.sources import lz4 as lz4mod
+
+    payload = bytes(1024) * ((lz4mod._CONTENT_CKSUM_MAX >> 10) + 1)
+    assert len(payload) > lz4mod._CONTENT_CKSUM_MAX
+    frame = lz4mod.lz4_store_frame(payload)
+    assert frame[4] == 0x68  # FLG: content-size set, content-cksum clear
+    # no 4-byte checksum after EndMark
+    assert frame[-4:] == (0).to_bytes(4, "little")
+    assert lz4_decompress_pure(frame) == payload
+    if nc.lz4_available():
+        assert nc.lz4_decompress_native(frame, 1 << 31) == payload
+    # at/below the bound the checksum stays on
+    small = lz4mod.lz4_store_frame(b"x" * 100)
+    assert small[4] == 0x6C
+
+
 @native_lz4
 def test_lz4_native_compress_pure_decode_parity():
     from clickhouse_table_copier_spark.sources.lz4 import lz4_compress
