@@ -1,0 +1,899 @@
+"""JPEG 2000 (ITU-T T.800 / ISO 15444-1) baseline decoder for the
+``/JPXDecode`` PDF image path — the LAST common scanned-PDF codec seam
+after CCITT (r9) and JBIG2 (r13).
+
+Scope — the shape PDF generators actually emit (VERDICT r13 item 3):
+single tile, reversible 5/3 wavelet (no quantization), grayscale or
+RGB (reversible color transform optional), 1-16 bit unsigned/signed
+samples, no subsampling, default precincts, any progression order,
+any layer count, code-block styles: default, RESET, TERMALL,
+vertically-causal, segmentation symbols.  Everything else DECLINES
+deliberately (raise :class:`Jp2Error`; the API edge returns None,
+never raises, never fabricates — the CCITT/JBIG2 contract):
+irreversible 9/7 + scalar quantization, multiple tiles, non-zero
+image/tile offsets, COC/QCC/POC/RGN/PPM/PPT overrides, explicit
+precincts, selective arithmetic bypass, component counts other than
+1/3.
+
+Spark-side role: per-document map work inside the Arrow batch edge of
+:func:`operators.pdf_extract.extract_pdf_images` — PDF bytes never
+shuffle; the MQ coder is inherently serial per code-block but
+code-blocks, components and documents all fan out (SCALE.md r14).
+
+The MQ arithmetic coder is SHARED with JBIG2: T.800 Annex C and T.88
+Annex E specify the identical coder (same Qe table, same
+INITDEC/DECODE/BYTEIN procedures), so :class:`operators.jbig2
+.MQDecoder` — pinned to the spec's published H.2 test sequence — is
+reused here verbatim, starvation bounds included.
+
+Goldens: scripts/make_jpeg2000_golden.py (encoder-side transcription,
+Annex C ENCODER procedures + forward 5/3 + tier-1/tier-2 encoders —
+deliberately disjoint from this module, imports nothing from it).
+
+Reference parity note: the reference engine
+(noperformance/clickhouse-table-copier) has no media surface at all;
+this is north-star LLM-pipeline scope (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from clickhouse_table_copier_spark.operators.jbig2 import (
+    MQDecoder,
+    new_states,
+)
+
+
+class Jp2Error(Exception):
+    """Deliberate decline (out of scope / malformed / crafted)."""
+
+
+# hard caps (crafted-stream DoS discipline, same as jbig2._MAX_AREA):
+# total SAMPLES across components; int32 coefficient planes mean
+# 4 bytes/sample, so 1<<27 samples tops out near 512 MiB live
+_MAX_SAMPLES = 1 << 27
+_MAX_DIM = 1 << 16
+_MAX_LAYERS = 1024
+_MAX_PASSES = 109  # 3*37-2: 37 planes is already beyond int32 range
+
+
+# ------------------------------------------------------------------
+# bit readers
+
+
+class _HeaderBits:
+    """Packet-header bit reader with the §B.10.1 stuffing rule: a byte
+    following 0xFF carries only 7 payload bits (its MSB is a stuffed
+    0)."""
+
+    __slots__ = ("data", "pos", "bitpos", "cur")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitpos = 8
+        self.cur = 0  # last consumed byte; 0 = none yet (no stuffing)
+
+    def bit(self) -> int:
+        if self.bitpos == 8:
+            if self.pos >= len(self.data):
+                raise Jp2Error("packet header past end of data")
+            prev = self.cur
+            self.cur = self.data[self.pos]
+            self.pos += 1
+            if prev == 0xFF:
+                # byte after 0xFF: MSB is a stuffed 0, 7 payload bits
+                if self.cur & 0x80:
+                    raise Jp2Error("invalid stuffing byte")
+                self.bitpos = 1
+            else:
+                self.bitpos = 0
+        b = (self.cur >> (7 - self.bitpos)) & 1
+        self.bitpos += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> int:
+        """End of packet header: byte-align; if the final header byte
+        was 0xFF, the encoder appended a stuff byte that belongs to
+        the header — skip it.  Returns the body start offset."""
+        return self.pos + (1 if self.cur == 0xFF else 0)
+
+
+# ------------------------------------------------------------------
+# tag trees (§B.10.2)
+
+
+class _TagTree:
+    """Quad-tree of lower bounds; one per (band, tree-kind), state
+    persists across layers."""
+
+    __slots__ = ("paths",)
+
+    def __init__(self, w: int, h: int):
+        # levels from leaves up to the 1x1 root
+        dims = [(w, h)]
+        while dims[-1] != (1, 1):
+            pw, ph = dims[-1]
+            dims.append(((pw + 1) // 2, (ph + 1) // 2))
+        # node = [low, known]; per-level flat arrays
+        levels = [
+            [[0, False] for _ in range(lw * lh)] for lw, lh in dims
+        ]
+        # precompute root→leaf node paths per leaf
+        self.paths = []
+        for y in range(h):
+            for x in range(w):
+                path = []
+                cx, cy = x, y
+                for lvl, (lw, lh) in enumerate(dims):
+                    path.append(levels[lvl][cy * lw + cx])
+                    cx >>= 1
+                    cy >>= 1
+                path.reverse()
+                self.paths.append(path)
+
+    def query(self, rd: _HeaderBits, leaf: int, threshold: int) -> bool:
+        """Consume bits until it is known whether value(leaf) <
+        ``threshold``; True iff it is (leaf value then exact)."""
+        low = 0
+        node = None
+        for node in self.paths[leaf]:
+            if node[0] < low:
+                node[0] = low
+            while not node[1] and node[0] < threshold:
+                if rd.bit():
+                    node[1] = True
+                else:
+                    node[0] += 1
+            low = node[0]
+            if not node[1] and node[0] >= threshold:
+                return False
+        return node[1] and node[0] < threshold
+
+    def value(self, rd: _HeaderBits, leaf: int) -> int:
+        """Fully decode value(leaf) (zero-bitplanes tree)."""
+        t = 1
+        while not self.query(rd, leaf, t):
+            t += 1
+            if t > 64:
+                raise Jp2Error("tag tree value out of range")
+        return self.paths[leaf][-1][0]
+
+
+# ------------------------------------------------------------------
+# tier-1: EBCOT context tables (§D, Tables D.1-D.4)
+#
+# context numbering (the conventional 0-18 layout): 0-8 zero coding,
+# 9-13 sign coding, 14-16 magnitude refinement, 17 run-length,
+# 18 uniform.
+
+_CTX_RL = 17
+_CTX_UNI = 18
+_N_CTX = 19
+
+
+def _zc_lut():
+    """ZC context from (orientation, H, V, D) — Table D.1.
+    orientation: 0=LL, 1=HL, 2=LH, 3=HH."""
+    lut = np.zeros((4, 3, 3, 5), dtype=np.uint8)
+    for hh in range(3):
+        for vv in range(3):
+            for dd in range(5):
+                # LL and LH column of Table D.1
+                if hh == 2:
+                    c = 8
+                elif hh == 1:
+                    c = 7 if vv >= 1 else (6 if dd >= 1 else 5)
+                else:
+                    if vv == 2:
+                        c = 4
+                    elif vv == 1:
+                        c = 3
+                    else:
+                        c = 2 if dd >= 2 else (1 if dd == 1 else 0)
+                lut[0, hh, vv, dd] = c
+                lut[2, hh, vv, dd] = c
+                lut[1, vv, hh, dd] = c  # HL: H and V swapped
+                # HH column: driven by D with H+V secondary
+                s = hh + vv
+                if dd >= 3:
+                    c = 8
+                elif dd == 2:
+                    c = 7 if s >= 1 else 6
+                elif dd == 1:
+                    c = 5 if s >= 2 else (4 if s == 1 else 3)
+                else:
+                    c = 2 if s >= 2 else (1 if s == 1 else 0)
+                lut[3, hh, vv, dd] = c
+    return lut
+
+
+_ZC = _zc_lut()
+
+# sign coding (Tables D.3/D.4): index [Hc+1][Vc+1] -> (ctx, xorbit)
+_SC = {
+    (1, 1): (13, 0), (1, 0): (12, 0), (1, -1): (11, 0),
+    (0, 1): (10, 0), (0, 0): (9, 0), (0, -1): (10, 1),
+    (-1, 1): (11, 1), (-1, 0): (12, 1), (-1, -1): (13, 1),
+}
+
+
+def _fresh_states() -> list:
+    """Initial context states, Table D.7: all at index 0 except UNI
+    (46), RL (3) and ZC context 0 (4)."""
+    st = new_states(5)[:_N_CTX]
+    st[0] = 4 << 1
+    st[_CTX_RL] = 3 << 1
+    st[_CTX_UNI] = 46 << 1
+    return st
+
+
+# code-block style flags (Table A.19)
+_CB_BYPASS = 0x01
+_CB_RESET = 0x02
+_CB_TERMALL = 0x04
+_CB_VCAUSAL = 0x08
+_CB_PREDTERM = 0x10
+_CB_SEGSYM = 0x20
+
+
+def decode_codeblock(
+    segments: list,
+    w: int,
+    h: int,
+    orient: int,
+    missing: int,
+    numpasses: int,
+    mb: int,
+    cbstyle: int,
+) -> np.ndarray:
+    """Tier-1 decode of one code-block → (h, w) int32 signed
+    coefficients.  ``segments`` is the list of byte strings in coding
+    order (one per packet contribution in default mode; one per PASS
+    under TERMALL)."""
+    if cbstyle & _CB_BYPASS:
+        raise Jp2Error("selective arithmetic bypass out of scope")
+    nplanes = mb - missing
+    if nplanes <= 0:
+        return np.zeros((h, w), dtype=np.int32)
+    if nplanes > 31 or numpasses > min(_MAX_PASSES, 3 * nplanes - 2):
+        raise Jp2Error("implausible plane/pass count")
+    termall = bool(cbstyle & _CB_TERMALL)
+    vcausal = bool(cbstyle & _CB_VCAUSAL)
+    # padded state planes: 1-cell border so neighbor reads are
+    # branch-free; sig/sgn in {0,1}
+    W = w + 2
+    sig = bytearray(W * (h + 2))
+    sgn = bytearray(W * (h + 2))
+    visited = bytearray(W * (h + 2))
+    mag = [0] * (w * h)
+    refined = bytearray(w * h)
+    zc = _ZC[orient]
+    sc = _SC
+    states = _fresh_states()
+    seg_iter = iter(segments) if termall else None
+    mq = None if termall else MQDecoder(b"".join(segments))
+
+    def sign_decode(px: int, x: int, y: int):
+        # px = padded index of (x, y); each horizontal/vertical
+        # neighbour contributes +1 (significant positive), -1
+        # (significant negative) or 0, sums clamped to [-1, 1]
+        # (Tables D.3/D.4); vcausal clips the row BELOW the stripe
+        hc = (sig[px - 1] * (1 - 2 * sgn[px - 1])
+              + sig[px + 1] * (1 - 2 * sgn[px + 1]))
+        vc = sig[px - W] * (1 - 2 * sgn[px - W])
+        if not vcausal or (y & 3) != 3:
+            vc += sig[px + W] * (1 - 2 * sgn[px + W])
+        hc = max(-1, min(1, hc))
+        vc = max(-1, min(1, vc))
+        ctx, xb = sc[(hc, vc)]
+        return mq.decode(states, ctx) ^ xb
+
+    def nbr_counts(px: int, y: int):
+        """(H, V, D) significant-neighbor counts; vertically-causal
+        mode treats the row below the current 4-row stripe as
+        insignificant."""
+        hh = sig[px - 1] + sig[px + 1]
+        if vcausal and (y & 3) == 3:
+            vv = sig[px - W]
+            dd = sig[px - W - 1] + sig[px - W + 1]
+        else:
+            vv = sig[px - W] + sig[px + W]
+            dd = (sig[px - W - 1] + sig[px - W + 1]
+                  + sig[px + W - 1] + sig[px + W + 1])
+        return hh, vv, dd
+
+    passes_done = 0
+    plane = nplanes - 1
+    # pass type cycle: first plane has only a cleanup pass
+    ptype = 2
+    while passes_done < numpasses:
+        if termall:
+            try:
+                mq = MQDecoder(next(seg_iter))
+            except StopIteration:
+                raise Jp2Error("missing terminated segment") from None
+        if cbstyle & _CB_RESET:
+            states = _fresh_states()
+        bit = 1 << plane
+        if ptype == 0:
+            # significance propagation
+            for y0 in range(0, h, 4):
+                y1 = min(y0 + 4, h)
+                for x in range(w):
+                    for y in range(y0, y1):
+                        px = (y + 1) * W + x + 1
+                        if sig[px]:
+                            continue
+                        hh, vv, dd = nbr_counts(px, y)
+                        if not (hh | vv | dd):
+                            continue
+                        visited[px] = 1
+                        if mq.decode(
+                            states, int(zc[hh, vv, min(dd, 4)])
+                        ):
+                            sgn[px] = sign_decode(px, x, y)
+                            sig[px] = 1
+                            mag[y * w + x] |= bit
+        elif ptype == 1:
+            # magnitude refinement
+            for y0 in range(0, h, 4):
+                y1 = min(y0 + 4, h)
+                for x in range(w):
+                    for y in range(y0, y1):
+                        px = (y + 1) * W + x + 1
+                        if not sig[px] or visited[px]:
+                            continue
+                        i = y * w + x
+                        if refined[i]:
+                            ctx = 16
+                        else:
+                            hh, vv, dd = nbr_counts(px, y)
+                            ctx = 15 if (hh | vv | dd) else 14
+                        if mq.decode(states, ctx):
+                            mag[i] |= bit
+                        refined[i] = 1
+        else:
+            # cleanup
+            for y0 in range(0, h, 4):
+                y1 = min(y0 + 4, h)
+                full = (y1 - y0) == 4
+                for x in range(w):
+                    y = y0
+                    if full:
+                        # run-length mode eligibility: whole column
+                        # unvisited, insignificant, all-zero contexts
+                        ok = True
+                        for yy in range(y0, y1):
+                            px = (yy + 1) * W + x + 1
+                            if sig[px] or visited[px]:
+                                ok = False
+                                break
+                            hh, vv, dd = nbr_counts(px, yy)
+                            if hh | vv | dd:
+                                ok = False
+                                break
+                        if ok:
+                            if not mq.decode(states, _CTX_RL):
+                                continue  # all four stay zero
+                            r = (mq.decode(states, _CTX_UNI) << 1)
+                            r |= mq.decode(states, _CTX_UNI)
+                            y = y0 + r
+                            px = (y + 1) * W + x + 1
+                            sgn[px] = sign_decode(px, x, y)
+                            sig[px] = 1
+                            mag[y * w + x] |= bit
+                            y += 1
+                    while y < y1:
+                        px = (y + 1) * W + x + 1
+                        if not sig[px] and not visited[px]:
+                            hh, vv, dd = nbr_counts(px, y)
+                            if mq.decode(
+                                states, int(zc[hh, vv, min(dd, 4)])
+                            ):
+                                sgn[px] = sign_decode(px, x, y)
+                                sig[px] = 1
+                                mag[y * w + x] |= bit
+                        y += 1
+            if cbstyle & _CB_SEGSYM:
+                s = 0
+                for _ in range(4):
+                    s = (s << 1) | mq.decode(states, _CTX_UNI)
+                if s != 0xA:
+                    raise Jp2Error("segmentation symbol mismatch")
+            # π resets after each cleanup
+            visited = bytearray(W * (h + 2))
+        passes_done += 1
+        if ptype == 2:
+            plane -= 1
+            ptype = 0
+            if plane < 0 and passes_done < numpasses:
+                raise Jp2Error("more passes than bit-planes")
+        else:
+            ptype += 1
+    out = np.array(mag, dtype=np.int32).reshape(h, w)
+    sg = np.frombuffer(bytes(sgn), dtype=np.uint8).reshape(
+        h + 2, W
+    )[1 : h + 1, 1 : w + 1]
+    return np.where(sg != 0, -out, out)
+
+
+# ------------------------------------------------------------------
+# inverse 5/3 DWT (§F.3, reversible)
+
+
+def _isr_rows(a: np.ndarray) -> np.ndarray:
+    """1D_SR along axis 1 (each row is an interleaved L/H signal,
+    even index = lowpass).  Integer lifting, symmetric extension."""
+    n = a.shape[1]
+    if n == 1:
+        return a  # single even sample: X = Y (i0 even — zero offsets)
+    ext = np.empty((a.shape[0], n + 2), dtype=a.dtype)
+    ext[:, 1:-1] = a
+    ext[:, 0] = a[:, 1]
+    ext[:, -1] = a[:, -2]
+    out = np.empty_like(a)
+    # X[2i] = Y[2i] - floor((Y[2i-1] + Y[2i+1] + 2) / 4)
+    out[:, 0::2] = a[:, 0::2] - (
+        (ext[:, 0:-1:2][:, : (n + 1) // 2]
+         + ext[:, 2::2][:, : (n + 1) // 2] + 2) >> 2
+    )
+    # X[2i+1] = Y[2i+1] + floor((X[2i] + X[2i+2]) / 2)
+    ne = (n + 1) // 2  # number of even samples
+    ev = out[:, 0::2]
+    eext = np.empty((a.shape[0], ne + 1), dtype=a.dtype)
+    eext[:, :ne] = ev
+    # X[n] (needed when n is even) reflects to X[n-2] = ev[ne-1];
+    # unused when n is odd
+    eext[:, ne] = ev[:, ne - 1]
+    out[:, 1::2] = a[:, 1::2] + (
+        (eext[:, : n // 2] + eext[:, 1 : n // 2 + 1]) >> 1
+    )
+    return out
+
+
+def inverse_dwt53(ll: np.ndarray, bands: list) -> np.ndarray:
+    """Multi-level 2D synthesis: ``bands`` is [(HL, LH, HH), …] from
+    the COARSEST level to the finest.  2D_SR order: interleave, then
+    horizontal 1D_SR on rows, then vertical on columns (the inverse
+    of analysis' vertical-then-horizontal)."""
+    cur = ll
+    for hl, lh, hh in bands:
+        h = cur.shape[0] + lh.shape[0]
+        w = cur.shape[1] + hl.shape[1]
+        a = np.zeros((h, w), dtype=np.int32)
+        a[0::2, 0::2] = cur
+        a[0::2, 1::2] = hl
+        a[1::2, 0::2] = lh
+        a[1::2, 1::2] = hh
+        a = _isr_rows(a)
+        a = _isr_rows(a.T).T
+        cur = a
+    return cur
+
+
+# ------------------------------------------------------------------
+# codestream structures
+
+
+class _Siz:
+    __slots__ = ("w", "h", "ncomp", "depths", "signed")
+
+
+class _Cod:
+    __slots__ = (
+        "prog", "layers", "mct", "levels", "xcb", "ycb",
+        "cbstyle", "transform", "sop", "eph",
+    )
+
+
+class _Band:
+    """One subband of one component at one resolution."""
+
+    __slots__ = (
+        "orient", "w", "h", "mb", "ncx", "ncy", "cblks",
+        "incl_tree", "zbp_tree",
+    )
+
+    def __init__(self, orient, w, h, mb, xcb, ycb):
+        self.orient = orient
+        self.w = w
+        self.h = h
+        self.mb = mb
+        self.ncx = max(0, -(-w // (1 << xcb)))
+        self.ncy = max(0, -(-h // (1 << ycb)))
+        n = self.ncx * self.ncy
+        # per cblk: [included, missing, numpasses, lblock, segments]
+        self.cblks = [[False, 0, 0, 3, []] for _ in range(n)]
+        if n:
+            self.incl_tree = _TagTree(self.ncx, self.ncy)
+            self.zbp_tree = _TagTree(self.ncx, self.ncy)
+
+
+def _u8(d, p):
+    return d[p]
+
+
+def _u16(d, p):
+    return (d[p] << 8) | d[p + 1]
+
+
+def _u32(d, p):
+    return struct.unpack_from(">I", d, p)[0]
+
+
+def parse_codestream(cs: bytes):
+    """Main header + single-tile data → (siz, cod, exps, guard,
+    tile_bytes)."""
+    if len(cs) < 4 or cs[:2] != b"\xff\x4f":
+        raise Jp2Error("not a JPEG 2000 codestream")
+    pos = 2
+    siz = cod = None
+    exps = None
+    guard = 0
+    tile_parts = []
+    n = len(cs)
+    while pos + 2 <= n:
+        marker = _u16(cs, pos)
+        pos += 2
+        if marker == 0xFFD9:  # EOC
+            break
+        if marker == 0xFF93:
+            raise Jp2Error("SOD before SOT")
+        if pos + 2 > n:
+            raise Jp2Error("truncated marker segment")
+        ln = _u16(cs, pos)
+        if ln < 2 or pos + ln > n:
+            raise Jp2Error("marker length out of range")
+        body = cs[pos + 2 : pos + ln]
+        if marker == 0xFF51:  # SIZ
+            if len(body) < 36:
+                raise Jp2Error("truncated SIZ")
+            siz = _Siz()
+            rsiz = _u16(body, 0)
+            siz.w = _u32(body, 2)
+            siz.h = _u32(body, 6)
+            xo, yo = _u32(body, 10), _u32(body, 14)
+            xt, yt = _u32(body, 18), _u32(body, 22)
+            xto, yto = _u32(body, 26), _u32(body, 30)
+            siz.ncomp = _u16(body, 34)
+            if xo or yo or xto or yto:
+                raise Jp2Error("image/tile offsets out of scope")
+            if xt < siz.w or yt < siz.h:
+                raise Jp2Error("multiple tiles out of scope")
+            if siz.ncomp not in (1, 3):
+                raise Jp2Error("component count out of scope")
+            if not (0 < siz.w <= _MAX_DIM and 0 < siz.h <= _MAX_DIM):
+                raise Jp2Error("dimensions out of range")
+            if siz.w * siz.h * siz.ncomp > _MAX_SAMPLES:
+                raise Jp2Error("image too large")
+            siz.depths, siz.signed = [], []
+            for c in range(siz.ncomp):
+                if len(body) < 36 + 3 * (c + 1):
+                    raise Jp2Error("truncated SIZ components")
+                ssiz = body[36 + 3 * c]
+                xr, yr = body[37 + 3 * c], body[38 + 3 * c]
+                if xr != 1 or yr != 1:
+                    raise Jp2Error("subsampling out of scope")
+                siz.depths.append((ssiz & 0x7F) + 1)
+                siz.signed.append(bool(ssiz & 0x80))
+                if siz.depths[-1] > 16:
+                    raise Jp2Error("sample depth out of scope")
+        elif marker == 0xFF52:  # COD
+            if len(body) < 10:
+                raise Jp2Error("truncated COD")
+            cod = _Cod()
+            scod = body[0]
+            if scod & 0x01:
+                raise Jp2Error("explicit precincts out of scope")
+            cod.sop = bool(scod & 0x02)
+            cod.eph = bool(scod & 0x04)
+            cod.prog = body[1]
+            cod.layers = _u16(body, 2)
+            cod.mct = body[4]
+            cod.levels = body[5]
+            cod.xcb = (body[6] & 0x0F) + 2
+            cod.ycb = (body[7] & 0x0F) + 2
+            cod.cbstyle = body[8]
+            cod.transform = body[9]
+            if cod.prog > 4:
+                raise Jp2Error("unknown progression order")
+            if not (1 <= cod.layers <= _MAX_LAYERS):
+                raise Jp2Error("layer count out of range")
+            if cod.levels > 32:
+                raise Jp2Error("decomposition levels out of range")
+            if cod.xcb > 10 or cod.ycb > 10 or cod.xcb + cod.ycb > 12:
+                raise Jp2Error("code-block size out of range")
+            if cod.transform != 1:
+                raise Jp2Error("irreversible 9/7 out of scope")
+            if cod.cbstyle & _CB_BYPASS:
+                raise Jp2Error("arithmetic bypass out of scope")
+        elif marker == 0xFF5C:  # QCD
+            if not body:
+                raise Jp2Error("truncated QCD")
+            sq = body[0]
+            guard = sq >> 5
+            if sq & 0x1F:
+                raise Jp2Error("scalar quantization out of scope")
+            exps = [b >> 3 for b in body[1:]]
+        elif marker in (0xFF53, 0xFF5D, 0xFF5E, 0xFF5F, 0xFF60, 0xFF61):
+            # COC / QCC / RGN / POC / PPM / PPT
+            raise Jp2Error("per-component/ROI/POC overrides out of scope")
+        elif marker == 0xFF90:  # SOT
+            if siz is None or cod is None or exps is None:
+                raise Jp2Error("SOT before SIZ/COD/QCD")
+            if len(body) < 8:
+                raise Jp2Error("truncated SOT")
+            isot = _u16(body, 0)
+            psot = _u32(body, 2)
+            if isot != 0:
+                raise Jp2Error("multiple tiles out of scope")
+            sot_start = pos - 2
+            # tile-part header: markers until SOD
+            tp = pos + ln
+            while True:
+                if tp + 2 > n:
+                    raise Jp2Error("truncated tile-part header")
+                m2 = _u16(cs, tp)
+                if m2 == 0xFF93:  # SOD
+                    tp += 2
+                    break
+                if m2 in (0xFF52, 0xFF53, 0xFF5C, 0xFF5D, 0xFF5E,
+                          0xFF5F, 0xFF61):
+                    raise Jp2Error("tile-part overrides out of scope")
+                if tp + 4 > n:
+                    raise Jp2Error("truncated tile-part header")
+                tp += 2 + _u16(cs, tp + 2)
+            end = sot_start + psot if psot else n
+            # Psot == 0: data runs to EOC (last 2 bytes) if present
+            if psot == 0 and cs[-2:] == b"\xff\xd9":
+                end = n - 2
+            if end > n or end < tp:
+                raise Jp2Error("tile-part length out of range")
+            tile_parts.append(cs[tp:end])
+            pos = end
+            continue
+        # COM/TLM/PLM/PLT/CRG and unknown segments: skip
+        pos += ln
+    if siz is None or cod is None or exps is None:
+        raise Jp2Error("missing SIZ/COD/QCD")
+    if not tile_parts:
+        raise Jp2Error("no tile data")
+    if len(exps) < 3 * cod.levels + 1:
+        raise Jp2Error("QCD exponent count mismatch")
+    return siz, cod, exps, guard, b"".join(tile_parts)
+
+
+def _band_dims(w: int, h: int, levels: int):
+    """Per-resolution subband dims with zero offsets.  Returns
+    (ll_dims, [(hl, lh, hh) dims coarsest→finest])."""
+    dims = [(w, h)]
+    for _ in range(levels):
+        pw, ph = dims[-1]
+        dims.append(((pw + 1) // 2, (ph + 1) // 2))
+    # dims[k] = LL_k size; level n bands split LL_{n-1}
+    out = []
+    for n in range(levels, 0, -1):
+        pw, ph = dims[n - 1]
+        lw, lh_ = dims[n]
+        out.append(((pw - lw, lh_), (lw, ph - lh_), (pw - lw, ph - lh_)))
+    return dims[levels], out
+
+
+def decode_tile(siz: _Siz, cod: _Cod, exps, guard: int, data: bytes):
+    """Packet walk (tier-2) + tier-1 per code-block → list of
+    per-component int32 sample arrays (after IDWT, before MCT/shift)."""
+    nl = cod.levels
+    ll_dims, band_dims = _band_dims(siz.w, siz.h, nl)
+    # resolution r=0: LL; r=1..nl: (HL,LH,HH) of level nl-r+1
+    comps = []
+    for c in range(siz.ncomp):
+        res = []
+        mb0 = guard + exps[0] - 1
+        res.append([_Band(0, ll_dims[0], ll_dims[1], mb0,
+                          cod.xcb, cod.ycb)])
+        for r in range(1, nl + 1):
+            (hlw, hlh), (lhw, lhh), (hhw, hhh) = band_dims[r - 1]
+            bands = []
+            for oi, (bw, bh) in (
+                (1, (hlw, hlh)), (2, (lhw, lhh)), (3, (hhw, hhh))
+            ):
+                mb = guard + exps[1 + 3 * (r - 1) + (oi - 1)] - 1
+                bands.append(_Band(oi, bw, bh, mb, cod.xcb, cod.ycb))
+            res.append(bands)
+        comps.append(res)
+
+    # packet iteration (single precinct per resolution)
+    order = []
+    nres = nl + 1
+    L, C = cod.layers, siz.ncomp
+    if cod.prog == 0:  # LRCP
+        order = [(l_, r, c) for l_ in range(L) for r in range(nres)
+                 for c in range(C)]
+    elif cod.prog == 1:  # RLCP
+        order = [(l_, r, c) for r in range(nres) for l_ in range(L)
+                 for c in range(C)]
+    elif cod.prog == 2:  # RPCL
+        order = [(l_, r, c) for r in range(nres) for c in range(C)
+                 for l_ in range(L)]
+    elif cod.prog == 3:  # PCRL
+        order = [(l_, r, c) for c in range(C) for r in range(nres)
+                 for l_ in range(L)]
+    else:  # CPRL
+        order = [(l_, r, c) for c in range(C) for r in range(nres)
+                 for l_ in range(L)]
+
+    pos = 0
+    n = len(data)
+    for layer, r, c in order:
+        if cod.sop:
+            if pos + 6 <= n and data[pos : pos + 2] == b"\xff\x91":
+                pos += 6
+        if pos >= n:
+            raise Jp2Error("truncated packet stream")
+        rd = _HeaderBits(data, pos)
+        contribs = []  # (band, cblk, passes_added, [seg lengths])
+        if rd.bit():  # non-empty packet
+            for band in comps[c][r]:
+                for ci in range(band.ncx * band.ncy):
+                    cb = band.cblks[ci]
+                    if not cb[0]:
+                        inc = band.incl_tree.query(rd, ci, layer + 1)
+                    else:
+                        inc = bool(rd.bit())
+                    if not inc:
+                        continue
+                    if not cb[0]:
+                        cb[1] = band.zbp_tree.value(rd, ci)
+                        cb[0] = True
+                    # number of new passes (§B.10.6)
+                    if not rd.bit():
+                        np_ = 1
+                    elif not rd.bit():
+                        np_ = 2
+                    else:
+                        x = rd.bits(2)
+                        if x < 3:
+                            np_ = 3 + x
+                        else:
+                            x = rd.bits(5)
+                            if x < 31:
+                                np_ = 6 + x
+                            else:
+                                np_ = 37 + rd.bits(7)
+                    while rd.bit():
+                        cb[3] += 1
+                        if cb[3] > 32:
+                            raise Jp2Error("Lblock out of range")
+                    if cod.cbstyle & _CB_TERMALL:
+                        lens = [rd.bits(cb[3]) for _ in range(np_)]
+                    else:
+                        lens = [rd.bits(cb[3] + np_.bit_length() - 1)]
+                    cb[2] += np_
+                    if cb[2] > _MAX_PASSES:
+                        raise Jp2Error("pass count out of range")
+                    contribs.append((band, ci, lens))
+        pos = rd.align()
+        if cod.eph:
+            if data[pos : pos + 2] != b"\xff\x92":
+                raise Jp2Error("missing EPH")
+            pos += 2
+        for band, ci, lens in contribs:
+            for ln in lens:
+                if pos + ln > n:
+                    raise Jp2Error("packet body past end of data")
+                band.cblks[ci][4].append(data[pos : pos + ln])
+                pos += ln
+
+    # tier-1 + IDWT per component
+    out = []
+    for c in range(siz.ncomp):
+        res = comps[c]
+
+        def band_array(band: _Band) -> np.ndarray:
+            arr = np.zeros((band.h, band.w), dtype=np.int32)
+            for cy in range(band.ncy):
+                for cx in range(band.ncx):
+                    cb = band.cblks[cy * band.ncx + cx]
+                    if not cb[0] or cb[2] == 0:
+                        continue
+                    x0, y0 = cx << cod.xcb, cy << cod.ycb
+                    cw = min(1 << cod.xcb, band.w - x0)
+                    ch = min(1 << cod.ycb, band.h - y0)
+                    arr[y0 : y0 + ch, x0 : x0 + cw] = decode_codeblock(
+                        cb[4], cw, ch, band.orient, cb[1], cb[2],
+                        band.mb, cod.cbstyle,
+                    )
+            return arr
+
+        ll = band_array(res[0][0])
+        bands = []
+        for r in range(1, nl + 1):
+            hl, lh, hh = (band_array(b) for b in res[r])
+            bands.append((hl, lh, hh))
+        out.append(inverse_dwt53(ll, bands))
+    return out
+
+
+# ------------------------------------------------------------------
+# JP2 container + API edge
+
+
+def _jp2_codestream(data: bytes) -> bytes:
+    """Unwrap a JP2 box container to its contiguous codestream; a bare
+    codestream passes through."""
+    if data[:2] == b"\xff\x4f":
+        return data
+    if data[:12] != b"\x00\x00\x00\x0cjP  \r\n\x87\n":
+        raise Jp2Error("neither JP2 container nor codestream")
+    pos, n = 12, len(data)
+    while pos + 8 <= n:
+        ln = _u32(data, pos)
+        btype = data[pos + 4 : pos + 8]
+        body_at = pos + 8
+        if ln == 1:
+            if pos + 16 > n:
+                raise Jp2Error("truncated XLBox")
+            ln = struct.unpack_from(">Q", data, pos + 8)[0]
+            body_at = pos + 16
+        elif ln == 0:
+            ln = n - pos
+        if ln < 8 or pos + ln > n:
+            raise Jp2Error("box length out of range")
+        if btype == b"jp2c":
+            return data[body_at : pos + ln]
+        pos += ln
+    raise Jp2Error("no jp2c box")
+
+
+def decode_jp2(data: bytes) -> np.ndarray:
+    """JP2 container or raw codestream → (h, w) or (h, w, 3) uint8.
+    Raises :class:`Jp2Error` on malformed/out-of-scope input."""
+    cs = _jp2_codestream(data)
+    siz, cod, exps, guard, tile = parse_codestream(cs)
+    planes = decode_tile(siz, cod, exps, guard, tile)
+    if cod.mct == 1:
+        if siz.ncomp != 3:
+            raise Jp2Error("MCT with non-3 components")
+        y0, y1, y2 = planes
+        g = y0 - ((y1 + y2) >> 2)  # inverse RCT (§G.3, reversible)
+        r = y2 + g
+        b = y1 + g
+        planes = [r, g, b]
+    chans = []
+    for c, p in enumerate(planes):
+        depth = siz.depths[c]
+        if not siz.signed[c]:
+            p = p + (1 << (depth - 1))
+        np.clip(p, 0, (1 << depth) - 1, out=p)
+        if depth == 8:
+            q = p.astype(np.uint8)
+        elif depth < 8:
+            # expand to full 8-bit range (bit replication)
+            q = (p * 255 // ((1 << depth) - 1)).astype(np.uint8)
+        else:
+            q = (p >> (depth - 8)).astype(np.uint8)
+        chans.append(q)
+    if len(chans) == 1:
+        return chans[0]
+    return np.stack(chans, axis=-1)
+
+
+def decode_jp2_pdf(data: bytes):
+    """API edge for the PDF ``/JPXDecode`` image lift: bytes →
+    grayscale (h, w) or RGB (h, w, 3) uint8 raster, or ``None``
+    (decline, never raise, never fabricate — the
+    :func:`operators.jbig2.decode_jbig2_pdf` contract)."""
+    try:
+        return decode_jp2(data)
+    except Exception:
+        return None

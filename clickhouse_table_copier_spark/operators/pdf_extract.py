@@ -29,7 +29,9 @@ ASCII/WinAnsi-coded simple fonts:
   lift as grayscale PNG, and ``/JBIG2Decode`` images (the other
   scanned-page codec, r13) decode through :mod:`operators.jbig2` —
   generic + symbol/text regions, ``/JBIG2Globals`` resolved by the
-  same tolerant object scan;
+  same tolerant object scan — and ``/JPXDecode`` images (JPEG 2000,
+  the last scanned-PDF codec, r14) decode through
+  :mod:`operators.jpeg2000` as grayscale or RGB PNG;
 - text operators: ``BT…ET`` blocks, ``Tj``/``'``/``"`` literal shows,
   ``TJ`` arrays (kerning offsets beyond a threshold become spaces),
   ``Td``/``TD``/``T*``/``Tm`` line moves become newlines, literal
@@ -336,8 +338,8 @@ def _apply_filters(raw: bytes, d: bytes):
         elif name in (b"/RunLengthDecode", b"/RL"):
             raw = _runlength_decode(raw)
         else:
-            return None  # DCT/JPX text streams: documented seam
-            # (JBIG2/CCITT are image codecs — they lift via
+            return None  # DCT/JPX-filtered TEXT streams: decline
+            # (DCT/JPX/JBIG2/CCITT are image codecs — they lift via
             # _extract_pdf_jpegs, not the text path)
         if raw is None:
             return None
@@ -981,6 +983,28 @@ def _jbig2_to_png(raw: bytes, d: bytes, b: bytes, decrypt):
     return encode_png(gray.tobytes(), w, h, channels=1)
 
 
+def _jpx_to_png(raw: bytes):
+    """Decode a ``/JPXDecode`` image stream (JP2 container or raw
+    codestream — the THIRD scanned-PDF codec besides CCITT/JBIG2,
+    closed r14) to PNG via :mod:`operators.jpeg2000`.  None on
+    malformed or out-of-scope data (decline)."""
+    from clickhouse_table_copier_spark.operators.jpeg2000 import (
+        decode_jp2_pdf,
+    )
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        encode_png,
+    )
+
+    px = decode_jp2_pdf(raw)
+    if px is None:
+        return None
+    if px.ndim == 2:
+        h, w = px.shape
+        return encode_png(px.tobytes(), w, h, channels=1)
+    h, w, _ = px.shape
+    return encode_png(px.tobytes(), w, h, channels=3)
+
+
 def _extract_pdf_jpegs(b: bytes):
     """Image payloads of the ``/Subtype /Image`` XObjects: streams
     whose FINAL filter is ``/DCTDecode`` yield their raw bytes (the
@@ -1022,7 +1046,8 @@ def _extract_pdf_jpegs(b: bytes):
                 b"/CCITTFaxDecode", b"/CCF"
             )
             is_jbig2 = names and names[-1] == b"/JBIG2Decode"
-            if not (is_dct or is_ccitt or is_jbig2):
+            is_jpx = names and names[-1] == b"/JPXDecode"
+            if not (is_dct or is_ccitt or is_jbig2 or is_jpx):
                 continue
             raw = _stream_raw(b, d, start)
             if decrypt is not None and raw is not None:
@@ -1041,7 +1066,7 @@ def _extract_pdf_jpegs(b: bytes):
                 elif name in (b"/ASCII85Decode", b"/A85"):
                     raw = _ascii85_decode(raw)
                 elif name in (b"/FlateDecode", b"/Fl") and (
-                    is_ccitt or is_jbig2
+                    is_ccitt or is_jbig2 or is_jpx
                 ):
                     try:
                         raw = zlib.decompress(raw)
@@ -1057,6 +1082,10 @@ def _extract_pdf_jpegs(b: bytes):
                 out.append(raw)
             elif is_jbig2:
                 png = _jbig2_to_png(raw, d, b, decrypt)
+                if png is not None:
+                    out.append(png)
+            elif is_jpx:
+                png = _jpx_to_png(raw)
                 if png is not None:
                     out.append(png)
             else:

@@ -1,0 +1,789 @@
+#!/usr/bin/env python
+"""Mint GOLDEN JPEG 2000 codestreams for tests/test_jpeg2000.py.
+
+No JPEG 2000 implementation exists in this container (no OpenJPEG,
+JasPer, PIL, ffmpeg or ImageMagick — verified r14), so this follows
+the jbig2-golden discipline: an INDEPENDENT transcription of the
+ITU-T T.800 *encoder* side — forward 5/3 lifting (F.4), tier-1
+coding-pass ENCODING, tag-tree and packet-header emission (B.10),
+marker assembly (A) — whose MQ arithmetic coder is the Annex E/C
+ENCODER (INITENC / BYTEOUT / FLUSH) already transcribed for the
+JBIG2 goldens (T.88 Annex E and T.800 Annex C specify the identical
+coder; the shared encoder is imported from
+scripts/make_jbig2_golden.py, NOT from the package).
+
+This script must NOT import clickhouse_table_copier_spark.operators
+.jpeg2000 — the bytes are minted by separately written code, so a
+symmetric misreading of the stuffing/flush/length rules cannot
+round-trip.  (The EBCOT context tables are published spec data
+shared by nature; the MQ coder itself is pinned by the published
+T.88 H.2 vector embedded in tests/test_jbig2.py.)
+
+Usage: python scripts/make_jpeg2000_golden.py  →  python source to
+paste into tests/test_jpeg2000.py.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from make_jbig2_golden import QE, MQEncoder, new_states  # noqa: E402
+
+
+class MQEncoderJ2K(MQEncoder):
+    """Same coder, J2K termination: no JBIG2 FF AC terminator, and a
+    trailing 0xFF is dropped (T.800 forbids a codeword segment ending
+    in 0xFF; the decoder's BYTEIN resynthesizes the 1-bits)."""
+
+    def flush(self) -> bytes:
+        tempc = self.c + self.a
+        self.c |= 0xFFFF
+        if self.c >= tempc:
+            self.c -= 0x8000
+        self.c = (self.c << self.ct) & 0xFFFFFFFF
+        self._byteout()
+        self.c = (self.c << self.ct) & 0xFFFFFFFF
+        self._byteout()
+        data = self.out
+        data = bytes(data[1:] if data[0] == 0 else data)
+        while data and data[-1] == 0xFF:
+            data = data[:-1]
+        return data
+
+
+# ------------------------------------------------------------- DWT
+# Analysis is the exact inverse of the decoder's synthesis order:
+# synthesis interleaves then filters rows (HOR_SR) then columns
+# (VER_SR), so analysis filters columns (VER_SD) first, then rows.
+
+
+def _fsd_rows(a: np.ndarray) -> np.ndarray:
+    """1D_SD along axis 1 → interleaved L/H (even = lowpass)."""
+    n = a.shape[1]
+    if n == 1:
+        return a.copy()
+    out = np.empty_like(a)
+    xext = np.empty((a.shape[0], n + 2), dtype=a.dtype)
+    xext[:, 1:-1] = a
+    xext[:, 0] = a[:, 1]
+    xext[:, -1] = a[:, -2]
+    # Y[2i+1] = X[2i+1] - floor((X[2i] + X[2i+2]) / 2)
+    no = n // 2
+    out[:, 1::2] = a[:, 1::2] - (
+        (xext[:, 1:-1:2][:, :no] + xext[:, 3::2][:, :no]) >> 1
+    )
+    # Y[2i] = X[2i] + floor((Y[2i-1] + Y[2i+1] + 2) / 4)
+    ne = (n + 1) // 2
+    od = out[:, 1::2]
+    oext = np.empty((a.shape[0], no + 2), dtype=a.dtype)
+    oext[:, 1 : no + 1] = od
+    oext[:, 0] = od[:, 0] if no else 0  # Y[-1] = Y[1]
+    # Y[n] (needed when n odd) reflects to Y[n-2] = od[no-1]
+    oext[:, no + 1] = od[:, no - 1] if no else 0
+    out[:, 0::2] = a[:, 0::2] + (
+        (oext[:, :ne] + oext[:, 1 : ne + 1] + 2) >> 2
+    )
+    return out
+
+
+def forward_dwt53(img: np.ndarray, levels: int):
+    """→ (LL, [(HL, LH, HH) coarsest→finest])."""
+    cur = img.astype(np.int32)
+    bands = []
+    for _ in range(levels):
+        a = _fsd_rows(cur.T).T  # vertical first
+        a = _fsd_rows(a)  # then horizontal
+        bands.append((a[0::2, 1::2], a[1::2, 0::2], a[1::2, 1::2]))
+        cur = a[0::2, 0::2]
+    bands.reverse()
+    return cur, bands
+
+
+# ------------------------------------------------- EBCOT tables (§D)
+
+_CTX_RL = 17
+_CTX_UNI = 18
+
+
+def _zc_lut():
+    lut = np.zeros((4, 3, 3, 5), dtype=np.uint8)
+    for hh in range(3):
+        for vv in range(3):
+            for dd in range(5):
+                if hh == 2:
+                    c = 8
+                elif hh == 1:
+                    c = 7 if vv >= 1 else (6 if dd >= 1 else 5)
+                else:
+                    if vv == 2:
+                        c = 4
+                    elif vv == 1:
+                        c = 3
+                    else:
+                        c = 2 if dd >= 2 else (1 if dd == 1 else 0)
+                lut[0, hh, vv, dd] = c
+                lut[2, hh, vv, dd] = c
+                lut[1, vv, hh, dd] = c
+                s = hh + vv
+                if dd >= 3:
+                    c = 8
+                elif dd == 2:
+                    c = 7 if s >= 1 else 6
+                elif dd == 1:
+                    c = 5 if s >= 2 else (4 if s == 1 else 3)
+                else:
+                    c = 2 if s >= 2 else (1 if s == 1 else 0)
+                lut[3, hh, vv, dd] = c
+    return lut
+
+
+_ZC = _zc_lut()
+_SC = {
+    (1, 1): (13, 0), (1, 0): (12, 0), (1, -1): (11, 0),
+    (0, 1): (10, 0), (0, 0): (9, 0), (0, -1): (10, 1),
+    (-1, 1): (11, 1), (-1, 0): (12, 1), (-1, -1): (13, 1),
+}
+
+
+def _fresh_states():
+    st = new_states(5)[:19]
+    st[0] = 4 << 1
+    st[_CTX_RL] = 3 << 1
+    st[_CTX_UNI] = 46 << 1
+    return st
+
+
+CB_RESET, CB_TERMALL, CB_VCAUSAL, CB_SEGSYM = 0x02, 0x04, 0x08, 0x20
+
+
+def encode_codeblock(coeffs: np.ndarray, orient: int, mb: int,
+                     cbstyle: int = 0):
+    """Tier-1 encode → (missing_planes, numpasses, segments) where
+    segments has one entry in default mode, one per pass under
+    TERMALL."""
+    h, w = coeffs.shape
+    mag = np.abs(coeffs).astype(np.int64)
+    neg = (coeffs < 0).astype(np.uint8)
+    maxmag = int(mag.max()) if mag.size else 0
+    if maxmag == 0:
+        return None  # never included
+    nplanes = maxmag.bit_length()
+    assert nplanes <= mb, "coefficient exceeds Mb dynamic range"
+    missing = mb - nplanes
+    numpasses = 3 * nplanes - 2
+    termall = bool(cbstyle & CB_TERMALL)
+    vcausal = bool(cbstyle & CB_VCAUSAL)
+    W = w + 2
+    sig = bytearray(W * (h + 2))
+    sgn = bytearray(W * (h + 2))
+    visited = bytearray(W * (h + 2))
+    refined = bytearray(w * h)
+    magf = mag.reshape(-1)
+    negf = neg.reshape(-1)
+    states = _fresh_states()
+    enc = MQEncoderJ2K()
+    segments = []
+
+    def nbr_counts(px, y):
+        hh = sig[px - 1] + sig[px + 1]
+        if vcausal and (y & 3) == 3:
+            vv = sig[px - W]
+            dd = sig[px - W - 1] + sig[px - W + 1]
+        else:
+            vv = sig[px - W] + sig[px + W]
+            dd = (sig[px - W - 1] + sig[px - W + 1]
+                  + sig[px + W - 1] + sig[px + W + 1])
+        return hh, vv, dd
+
+    def sign_encode(px, x, y):
+        hc = (sig[px - 1] * (1 - 2 * sgn[px - 1])
+              + sig[px + 1] * (1 - 2 * sgn[px + 1]))
+        vc = sig[px - W] * (1 - 2 * sgn[px - W])
+        if not vcausal or (y & 3) != 3:
+            vc += sig[px + W] * (1 - 2 * sgn[px + W])
+        hc = max(-1, min(1, hc))
+        vc = max(-1, min(1, vc))
+        ctx, xb = _SC[(hc, vc)]
+        enc.encode(states, ctx, int(negf[y * w + x]) ^ xb)
+
+    zc = _ZC[orient]
+    passes_done = 0
+    plane = nplanes - 1
+    ptype = 2
+    while passes_done < numpasses:
+        if termall and passes_done:
+            segments.append(enc.flush())
+            enc = MQEncoderJ2K()
+        if cbstyle & CB_RESET and passes_done:
+            states = _fresh_states()
+        if ptype == 0:
+            for y0 in range(0, h, 4):
+                y1 = min(y0 + 4, h)
+                for x in range(w):
+                    for y in range(y0, y1):
+                        px = (y + 1) * W + x + 1
+                        if sig[px]:
+                            continue
+                        hh, vv, dd = nbr_counts(px, y)
+                        if not (hh | vv | dd):
+                            continue
+                        visited[px] = 1
+                        b = int(magf[y * w + x] >> plane) & 1
+                        enc.encode(
+                            states, int(zc[hh, vv, min(dd, 4)]), b
+                        )
+                        if b:
+                            sign_encode(px, x, y)
+                            sgn[px] = negf[y * w + x]
+                            sig[px] = 1
+        elif ptype == 1:
+            for y0 in range(0, h, 4):
+                y1 = min(y0 + 4, h)
+                for x in range(w):
+                    for y in range(y0, y1):
+                        px = (y + 1) * W + x + 1
+                        if not sig[px] or visited[px]:
+                            continue
+                        i = y * w + x
+                        if refined[i]:
+                            ctx = 16
+                        else:
+                            hh, vv, dd = nbr_counts(px, y)
+                            ctx = 15 if (hh | vv | dd) else 14
+                        enc.encode(
+                            states, ctx, int(magf[i] >> plane) & 1
+                        )
+                        refined[i] = 1
+        else:
+            for y0 in range(0, h, 4):
+                y1 = min(y0 + 4, h)
+                full = (y1 - y0) == 4
+                for x in range(w):
+                    y = y0
+                    if full:
+                        ok = True
+                        for yy in range(y0, y1):
+                            px = (yy + 1) * W + x + 1
+                            if sig[px] or visited[px]:
+                                ok = False
+                                break
+                            hh, vv, dd = nbr_counts(px, yy)
+                            if hh | vv | dd:
+                                ok = False
+                                break
+                        if ok:
+                            bits = [
+                                int(magf[(y0 + k) * w + x] >> plane)
+                                & 1
+                                for k in range(4)
+                            ]
+                            if not any(bits):
+                                enc.encode(states, _CTX_RL, 0)
+                                continue
+                            r = bits.index(1)
+                            enc.encode(states, _CTX_RL, 1)
+                            enc.encode(states, _CTX_UNI, (r >> 1) & 1)
+                            enc.encode(states, _CTX_UNI, r & 1)
+                            y = y0 + r
+                            px = (y + 1) * W + x + 1
+                            sign_encode(px, x, y)
+                            sgn[px] = negf[y * w + x]
+                            sig[px] = 1
+                            y += 1
+                    while y < y1:
+                        px = (y + 1) * W + x + 1
+                        if not sig[px] and not visited[px]:
+                            hh, vv, dd = nbr_counts(px, y)
+                            b = int(magf[y * w + x] >> plane) & 1
+                            enc.encode(
+                                states, int(zc[hh, vv, min(dd, 4)]), b
+                            )
+                            if b:
+                                sign_encode(px, x, y)
+                                sgn[px] = negf[y * w + x]
+                                sig[px] = 1
+                        y += 1
+            if cbstyle & CB_SEGSYM:
+                for b in (1, 0, 1, 0):
+                    enc.encode(states, _CTX_UNI, b)
+            visited = bytearray(W * (h + 2))
+        passes_done += 1
+        if ptype == 2:
+            plane -= 1
+            ptype = 0
+        else:
+            ptype += 1
+    segments.append(enc.flush())
+    return missing, numpasses, segments
+
+
+# --------------------------------------------------------- tier-2
+
+
+class BitWriter:
+    """Packet-header bit emitter with §B.10.1 stuffing (a byte after
+    0xFF carries 7 bits); flush stuffs a trailing 0x00 after a final
+    0xFF."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.n = 0
+        self.prev = 0
+
+    def put(self, b):
+        limit = 7 if self.prev == 0xFF else 8
+        self.cur = (self.cur << 1) | b
+        self.n += 1
+        if self.n == limit:
+            self.out.append(self.cur)
+            self.prev = self.cur
+            self.cur = 0
+            self.n = 0
+
+    def bits(self, v, n):
+        for i in range(n - 1, -1, -1):
+            self.put((v >> i) & 1)
+
+    def flush(self) -> bytes:
+        if self.n:
+            limit = 7 if self.prev == 0xFF else 8
+            self.out.append(self.cur << (limit - self.n))
+            self.prev = self.out[-1]
+            self.cur = 0
+            self.n = 0
+        if self.prev == 0xFF:
+            self.out.append(0x00)
+        return bytes(self.out)
+
+
+class TagTreeEnc:
+    def __init__(self, w, h, values):
+        dims = [(w, h)]
+        while dims[-1] != (1, 1):
+            pw, ph = dims[-1]
+            dims.append(((pw + 1) // 2, (ph + 1) // 2))
+        vals = [list(values)]
+        for lvl in range(1, len(dims)):
+            pw, ph = dims[lvl - 1]
+            lw, lh = dims[lvl]
+            up = []
+            for y in range(lh):
+                for x in range(lw):
+                    m = None
+                    for dy in (0, 1):
+                        for dx in (0, 1):
+                            cy, cx = 2 * y + dy, 2 * x + dx
+                            if cy < ph and cx < pw:
+                                v = vals[lvl - 1][cy * pw + cx]
+                                m = v if m is None else min(m, v)
+                    up.append(m)
+            vals.append(up)
+        # node = [low, emitted_known, value]
+        levels = [
+            [[0, False, vals[lvl][i]] for i in range(lw * lh)]
+            for lvl, (lw, lh) in enumerate(dims)
+        ]
+        self.paths = []
+        for y in range(h):
+            for x in range(w):
+                path = []
+                cx, cy = x, y
+                for lvl, (lw, lh) in enumerate(dims):
+                    path.append(levels[lvl][cy * lw + cx])
+                    cx >>= 1
+                    cy >>= 1
+                path.reverse()
+                self.paths.append(path)
+
+    def encode(self, bw: BitWriter, leaf: int, threshold: int):
+        low = 0
+        for node in self.paths[leaf]:
+            if node[0] < low:
+                node[0] = low
+            while not node[1] and node[0] < threshold:
+                if node[0] < node[2]:
+                    bw.put(0)
+                    node[0] += 1
+                else:
+                    bw.put(1)
+                    node[1] = True
+            low = node[0]
+            if not node[1]:
+                return
+
+
+def _numpasses_code(bw, n):
+    if n == 1:
+        bw.put(0)
+    elif n == 2:
+        bw.put(1)
+        bw.put(0)
+    elif n <= 5:
+        bw.bits(3, 2)
+        bw.bits(n - 3, 2)
+    elif n <= 36:
+        bw.bits(3, 2)
+        bw.bits(3, 2)
+        bw.bits(n - 6, 5)
+    else:
+        bw.bits(3, 2)
+        bw.bits(3, 2)
+        bw.bits(31, 5)
+        bw.bits(n - 37, 7)
+
+
+def _band_dims(w, h, levels):
+    dims = [(w, h)]
+    for _ in range(levels):
+        pw, ph = dims[-1]
+        dims.append(((pw + 1) // 2, (ph + 1) // 2))
+    out = []
+    for n in range(levels, 0, -1):
+        pw, ph = dims[n - 1]
+        lw, lh = dims[n]
+        out.append(((pw - lw, lh), (lw, ph - lh), (pw - lw, ph - lh)))
+    return dims[levels], out
+
+
+def encode_j2k(
+    img: np.ndarray,
+    levels: int = 1,
+    xcb: int = 4,
+    ycb: int = 4,
+    layers: int = 1,
+    prog: int = 0,
+    mct: int = 0,
+    cbstyle: int = 0,
+    sop: bool = False,
+    eph: bool = False,
+    guard: int = 2,
+) -> bytes:
+    """8-bit unsigned image (h, w) or (h, w, 3) → full codestream."""
+    depth = 8
+    if img.ndim == 2:
+        comps = [img.astype(np.int32) - 128]  # DC level shift
+    else:
+        # DC level shift FIRST, then forward RCT (G.2) — the decoder
+        # inverts in the opposite order (inverse RCT, then unshift)
+        r = img[..., 0].astype(np.int32) - 128
+        g = img[..., 1].astype(np.int32) - 128
+        b = img[..., 2].astype(np.int32) - 128
+        if mct:
+            comps = [(r + 2 * g + b) >> 2, b - g, r - g]  # Y, Cb, Cr
+        else:
+            comps = [r, g, b]
+    ncomp = len(comps)
+    h, w = comps[0].shape
+
+    # per-subband exponents: eps = depth + gain (LL 0, HL/LH 1, HH 2)
+    exps = [depth] + [depth + g_ for _ in range(levels)
+                      for g_ in (1, 1, 2)]
+
+    # wavelet + tier-1 per component
+    all_bands = []  # [comp][res] -> list of band dicts
+    for c in comps:
+        ll, bands = forward_dwt53(c, levels)
+        res_list = []
+        mb = guard + exps[0] - 1
+        res_list.append([_make_band(ll, 0, mb, xcb, ycb, cbstyle)])
+        for r, (hl, lh, hh) in enumerate(bands):
+            trio = []
+            for oi, arr in ((1, hl), (2, lh), (3, hh)):
+                mb = guard + exps[1 + 3 * r + (oi - 1)] - 1
+                trio.append(_make_band(arr, oi, mb, xcb, ycb, cbstyle))
+            res_list.append(trio)
+        all_bands.append(res_list)
+
+    _split_layers(all_bands, layers, cbstyle)
+
+    # packet emission order (single precinct per resolution)
+    nres = levels + 1
+    if prog == 0:
+        order = [(l_, r, c) for l_ in range(layers)
+                 for r in range(nres) for c in range(ncomp)]
+    elif prog == 1:
+        order = [(l_, r, c) for r in range(nres)
+                 for l_ in range(layers) for c in range(ncomp)]
+    elif prog == 2:
+        order = [(l_, r, c) for r in range(nres) for c in range(ncomp)
+                 for l_ in range(layers)]
+    else:
+        order = [(l_, r, c) for c in range(ncomp) for r in range(nres)
+                 for l_ in range(layers)]
+
+    body = bytearray()
+    nsop = 0
+    for layer, r, c in order:
+        contribs = []
+        for band in all_bands[c][r]:
+            for ci, cb in enumerate(band["cblks"]):
+                if cb is None:
+                    continue
+                ln = cb["layer_passes"][layer]
+                if ln:
+                    contribs.append((band, ci, cb, ln))
+        if sop:
+            body += b"\xff\x91\x00\x04" + struct.pack(
+                ">H", nsop & 0xFFFF
+            )
+        nsop += 1
+        if not contribs:
+            bw = BitWriter()
+            bw.put(0)  # empty packet
+            body += bw.flush()
+            if eph:
+                body += b"\xff\x92"
+            continue
+        bw = BitWriter()
+        bw.put(1)
+        data = bytearray()
+        for band in all_bands[c][r]:
+            for ci, cb in enumerate(band["cblks"]):
+                incl = (cb is not None
+                        and cb["layer_passes"][layer] > 0)
+                if cb is None or not cb["included"]:
+                    # first-inclusion signalling via tag tree
+                    band["incl_enc"].encode(bw, ci, layer + 1)
+                    if not incl:
+                        continue
+                    band["zbp_enc"].encode(
+                        bw, ci, cb["missing"] + 1
+                    )
+                    cb["included"] = True
+                else:
+                    bw.put(1 if incl else 0)
+                    if not incl:
+                        continue
+                np_ = cb["layer_passes"][layer]
+                _numpasses_code(bw, np_)
+                segs = cb["layer_segs"][layer]
+                if cbstyle & CB_TERMALL:
+                    need = max(
+                        (len(s).bit_length() for s in segs),
+                        default=1,
+                    )
+                    while cb["lblock"] < max(need, 1):
+                        bw.put(1)
+                        cb["lblock"] += 1
+                    bw.put(0)
+                    for s in segs:
+                        bw.bits(len(s), cb["lblock"])
+                else:
+                    (seg,) = segs
+                    nbits = np_.bit_length() - 1
+                    while len(seg).bit_length() > cb["lblock"] + nbits:
+                        bw.put(1)
+                        cb["lblock"] += 1
+                    bw.put(0)
+                    bw.bits(len(seg), cb["lblock"] + nbits)
+                for s in segs:
+                    data += s
+        body += bw.flush()
+        if eph:
+            body += b"\xff\x92"
+        body += data
+
+    # markers
+    out = bytearray(b"\xff\x4f")  # SOC
+    siz = struct.pack(
+        ">HHIIIIIIIIH", 38 + 3 * ncomp, 0, w, h, 0, 0, w, h, 0, 0,
+        ncomp,
+    )
+    for _ in range(ncomp):
+        siz += bytes([depth - 1, 1, 1])
+    out += b"\xff\x51" + siz
+    scod = (2 if sop else 0) | (4 if eph else 0)
+    out += b"\xff\x52" + struct.pack(
+        ">HBBHBBBBBB", 12, scod, prog, layers, mct, levels,
+        xcb - 2, ycb - 2, cbstyle, 1,
+    )
+    qcd = bytes([guard << 5]) + bytes(e << 3 for e in exps)
+    out += b"\xff\x5c" + struct.pack(">H", 2 + len(qcd)) + qcd
+    psot = 12 + 2 + len(body)
+    out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
+    out += b"\xff\x93" + body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _make_band(arr, orient, mb, xcb, ycb, cbstyle):
+    bh, bw_ = arr.shape
+    ncx = max(0, -(-bw_ // (1 << xcb)))
+    ncy = max(0, -(-bh // (1 << ycb)))
+    cblks = []
+    incl_vals = []
+    zbp_vals = []
+    for cy in range(ncy):
+        for cx in range(ncx):
+            x0, y0 = cx << xcb, cy << ycb
+            sub = arr[y0 : y0 + (1 << ycb), x0 : x0 + (1 << xcb)]
+            r = encode_codeblock(sub, orient, mb, cbstyle)
+            if r is None:
+                cblks.append(None)
+                incl_vals.append(1 << 16)  # never included
+                zbp_vals.append(0)
+            else:
+                missing, numpasses, segments = r
+                cblks.append({
+                    "missing": missing,
+                    "numpasses": numpasses,
+                    "segments": segments,
+                    "included": False,
+                    "lblock": 3,
+                    "layer_passes": None,
+                    "layer_segs": None,
+                })
+                incl_vals.append(0)  # split assigns real values below
+                zbp_vals.append(missing)
+    band = {
+        "orient": orient,
+        "cblks": cblks,
+        "incl_vals": incl_vals,
+        "zbp_vals": zbp_vals,
+        "ncx": ncx,
+        "ncy": ncy,
+    }
+    return band
+
+
+def _split_layers(all_bands, layers, cbstyle):
+    """Assign passes/bytes to layers (front-loaded: layer 0 gets
+    ceil(n/layers) passes, remaining layers split the rest; byte
+    split is proportional for the default single-codeword mode, per
+    terminated segment under TERMALL)."""
+    for res_list in all_bands:
+        for bands in res_list:
+            for band in bands:
+                incl_vals = []
+                for cb in band["cblks"]:
+                    if cb is None:
+                        incl_vals.append(1 << 16)
+                        continue
+                    n = cb["numpasses"]
+                    base = [0] * layers
+                    # front-load: all passes in layer 0 except one
+                    # trailing pass per extra layer (when available)
+                    extra = min(layers - 1, n - 1)
+                    base[0] = n - extra
+                    for i in range(extra):
+                        base[1 + i] = 1
+                    cb["layer_passes"] = base
+                    segs = cb["segments"]
+                    if cbstyle & CB_TERMALL:
+                        # one segment per pass: slice by pass counts
+                        ls, k = [], 0
+                        for np_ in base:
+                            ls.append(segs[k : k + np_])
+                            k += np_
+                        cb["layer_segs"] = ls
+                    else:
+                        (blob,) = segs
+                        cuts = []
+                        done = 0
+                        acc = 0
+                        ls = []
+                        for i, np_ in enumerate(base):
+                            if i == layers - 1:
+                                ls.append([blob[done:]])
+                                break
+                            acc += np_
+                            cut = len(blob) * acc // n
+                            cut = max(cut, done)
+                            ls.append([blob[done:cut]])
+                            done = cut
+                        while len(ls) < layers:
+                            ls.append([b""])
+                        cb["layer_segs"] = ls
+                    incl_vals.append(0)
+                band["incl_vals"] = incl_vals
+                band["incl_enc"] = TagTreeEnc(
+                    band["ncx"], band["ncy"], incl_vals
+                ) if band["ncx"] * band["ncy"] else None
+                band["zbp_enc"] = TagTreeEnc(
+                    band["ncx"], band["ncy"], band["zbp_vals"]
+                ) if band["ncx"] * band["ncy"] else None
+
+
+def make_jp2(codestream: bytes, w: int, h: int, ncomp: int) -> bytes:
+    """Wrap a codestream in the minimal JP2 box set (I.5)."""
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    sig = box(b"jP  ", b"\x0d\x0a\x87\x0a")
+    ftyp = box(b"ftyp", b"jp2 " + struct.pack(">I", 0) + b"jp2 ")
+    ihdr = box(
+        b"ihdr",
+        struct.pack(">IIHBBBB", h, w, ncomp, 7, 7, 0, 0),
+    )
+    colr = box(
+        b"colr",
+        b"\x01\x00\x00" + struct.pack(">I", 17 if ncomp == 1 else 16),
+    )
+    jp2h = box(b"jp2h", ihdr + colr)
+    return sig + ftyp + jp2h + box(b"jp2c", codestream)
+
+
+# ------------------------------------------------------------ images
+
+
+def gray8():
+    return np.fromfunction(
+        lambda y, x: (x * 31 + y * 17) % 256, (8, 8), dtype=np.int64
+    ).astype(np.uint8)
+
+
+def gray37x29():
+    # deterministic LCG texture (same formula in the test)
+    v = np.empty(37 * 29, dtype=np.int64)
+    s = 12345
+    for i in range(v.size):
+        s = (s * 1103515245 + 12345) & 0x7FFFFFFF
+        v[i] = (s >> 16) & 0xFF
+    return v.reshape(29, 37).astype(np.uint8)
+
+
+def rgb24x16():
+    y, x = np.mgrid[0:16, 0:24]
+    r = ((x * 11 + y * 3) % 256).astype(np.uint8)
+    g = ((x * 5 + y * 13) % 256).astype(np.uint8)
+    b = ((x * 7 + y * 29 + 128) % 256).astype(np.uint8)
+    return np.stack([r, g, b], axis=-1)
+
+
+def gray16modes():
+    y, x = np.mgrid[0:16, 0:16]
+    return (((x ^ y) * 37 + x * 5) % 256).astype(np.uint8)
+
+
+def _emit(name, blob):
+    print(f"{name} = bytes.fromhex(")
+    hx = blob.hex()
+    for i in range(0, len(hx), 72):
+        print(f'    "{hx[i : i + 72]}"')
+    print(")")
+
+
+if __name__ == "__main__":
+    cases = [
+        ("J2K_GRAY8_L1", gray8(),
+         dict(levels=1, xcb=2, ycb=2, layers=1, prog=0)),
+        ("J2K_GRAY37X29_L2", gray37x29(),
+         dict(levels=2, xcb=4, ycb=4, layers=2, prog=1)),
+        ("J2K_RGB24X16_MCT", rgb24x16(),
+         dict(levels=1, xcb=3, ycb=3, layers=1, prog=2, mct=1,
+              sop=True, eph=True)),
+        ("J2K_GRAY16_MODES", gray16modes(),
+         dict(levels=1, xcb=2, ycb=2, layers=1, prog=0,
+              cbstyle=CB_RESET | CB_TERMALL | CB_VCAUSAL
+              | CB_SEGSYM)),
+    ]
+    for name, img, kw in cases:
+        _emit(name, encode_j2k(img, **kw))
+    cs = encode_j2k(gray8(), levels=1, xcb=2, ycb=2)
+    _emit("JP2_GRAY8_BOXED", make_jp2(cs, 8, 8, 1))
