@@ -246,6 +246,14 @@ _CB_PREDTERM = 0x10
 _CB_SEGSYM = 0x20
 
 
+_ZC_FLAT = [
+    [int(_ZC[o, hh, vv, dd]) for hh in range(3) for vv in range(3)
+     for dd in range(5)]
+    for o in range(4)
+]
+_SC_FLAT = [_SC[(hc, vc)] for hc in (-1, 0, 1) for vc in (-1, 0, 1)]
+
+
 def decode_codeblock(
     segments: list,
     w: int,
@@ -259,7 +267,17 @@ def decode_codeblock(
     """Tier-1 decode of one code-block → (h, w) int32 signed
     coefficients.  ``segments`` is the list of byte strings in coding
     order (one per packet contribution in default mode; one per PASS
-    under TERMALL)."""
+    under TERMALL).
+
+    Hot-loop shape (the jbig2 discipline): the MQ coder is inherently
+    serial, so throughput comes from NOT sweeping — per-4-row-stripe
+    significance counters let the significance-propagation and
+    refinement passes skip stripes that provably contain no work (a
+    skipped stripe can never flip a coefficient, so the skip is
+    self-consistent), and the cleanup pass takes a one-decode-per-
+    column run-length fast path through quiet stripes.  The decode
+    CALL SEQUENCE is bit-identical to the naive triple sweep — pinned
+    by the golden streams and the encoder round-trip properties."""
     if cbstyle & _CB_BYPASS:
         raise Jp2Error("selective arithmetic bypass out of scope")
     nplanes = mb - missing
@@ -272,49 +290,48 @@ def decode_codeblock(
     # padded state planes: 1-cell border so neighbor reads are
     # branch-free; sig/sgn in {0,1}
     W = w + 2
-    sig = bytearray(W * (h + 2))
-    sgn = bytearray(W * (h + 2))
-    visited = bytearray(W * (h + 2))
+    npix = W * (h + 2)
+    sig = bytearray(npix)
+    sgn = bytearray(npix)
+    visited = bytearray(npix)
     mag = [0] * (w * h)
     refined = bytearray(w * h)
-    zc = _ZC[orient]
-    sc = _SC
+    zc = _ZC_FLAT[orient]
+    sc = _SC_FLAT
     states = _fresh_states()
     seg_iter = iter(segments) if termall else None
     mq = None if termall else MQDecoder(b"".join(segments))
+    nstripes = (h + 3) >> 2
+    # ssig[s + 1] = number of significant coefficients in stripe s
+    # (padded by one sentinel zero on each side)
+    ssig = [0] * (nstripes + 2)
+    stripe_spans = [
+        (y0, min(y0 + 4, h)) for y0 in range(0, h, 4)
+    ]
 
-    def sign_decode(px: int, x: int, y: int):
-        # px = padded index of (x, y); each horizontal/vertical
-        # neighbour contributes +1 (significant positive), -1
-        # (significant negative) or 0, sums clamped to [-1, 1]
-        # (Tables D.3/D.4); vcausal clips the row BELOW the stripe
+    def sign_decode(px: int, y: int):
+        # Tables D.3/D.4: each horizontal/vertical neighbour
+        # contributes +1 / -1 / 0, sums clamped to [-1, 1];
+        # vcausal clips the row BELOW the stripe
         hc = (sig[px - 1] * (1 - 2 * sgn[px - 1])
               + sig[px + 1] * (1 - 2 * sgn[px + 1]))
         vc = sig[px - W] * (1 - 2 * sgn[px - W])
         if not vcausal or (y & 3) != 3:
             vc += sig[px + W] * (1 - 2 * sgn[px + W])
-        hc = max(-1, min(1, hc))
-        vc = max(-1, min(1, vc))
-        ctx, xb = sc[(hc, vc)]
+        if hc > 1:
+            hc = 1
+        elif hc < -1:
+            hc = -1
+        if vc > 1:
+            vc = 1
+        elif vc < -1:
+            vc = -1
+        ctx, xb = sc[(hc + 1) * 3 + vc + 1]
         return mq.decode(states, ctx) ^ xb
-
-    def nbr_counts(px: int, y: int):
-        """(H, V, D) significant-neighbor counts; vertically-causal
-        mode treats the row below the current 4-row stripe as
-        insignificant."""
-        hh = sig[px - 1] + sig[px + 1]
-        if vcausal and (y & 3) == 3:
-            vv = sig[px - W]
-            dd = sig[px - W - 1] + sig[px - W + 1]
-        else:
-            vv = sig[px - W] + sig[px + W]
-            dd = (sig[px - W - 1] + sig[px - W + 1]
-                  + sig[px + W - 1] + sig[px + W + 1])
-        return hh, vv, dd
 
     passes_done = 0
     plane = nplanes - 1
-    # pass type cycle: first plane has only a cleanup pass
+    # pass-type cycle: the first plane has only a cleanup pass
     ptype = 2
     while passes_done < numpasses:
         if termall:
@@ -324,94 +341,199 @@ def decode_codeblock(
                 raise Jp2Error("missing terminated segment") from None
         if cbstyle & _CB_RESET:
             states = _fresh_states()
+        decode = mq.decode
         bit = 1 << plane
         if ptype == 0:
-            # significance propagation
-            for y0 in range(0, h, 4):
-                y1 = min(y0 + 4, h)
+            # significance propagation: only stripes with significance
+            # in reach can hold a candidate
+            for si, (y0, y1) in enumerate(stripe_spans):
+                if not (ssig[si] or ssig[si + 1] or ssig[si + 2]):
+                    continue
                 for x in range(w):
+                    base = x + 1 + W * (y0 + 1)
                     for y in range(y0, y1):
-                        px = (y + 1) * W + x + 1
+                        px = base
+                        base += W
                         if sig[px]:
                             continue
-                        hh, vv, dd = nbr_counts(px, y)
+                        hh = sig[px - 1] + sig[px + 1]
+                        if vcausal and (y & 3) == 3:
+                            vv = sig[px - W]
+                            dd = sig[px - W - 1] + sig[px - W + 1]
+                        else:
+                            vv = sig[px - W] + sig[px + W]
+                            dd = (sig[px - W - 1] + sig[px - W + 1]
+                                  + sig[px + W - 1] + sig[px + W + 1])
                         if not (hh | vv | dd):
                             continue
                         visited[px] = 1
-                        if mq.decode(
-                            states, int(zc[hh, vv, min(dd, 4)])
+                        if decode(
+                            states,
+                            zc[hh * 15 + vv * 5
+                               + (dd if dd < 4 else 4)],
                         ):
-                            sgn[px] = sign_decode(px, x, y)
+                            sgn[px] = sign_decode(px, y)
                             sig[px] = 1
+                            ssig[si + 1] += 1
                             mag[y * w + x] |= bit
         elif ptype == 1:
-            # magnitude refinement
-            for y0 in range(0, h, 4):
-                y1 = min(y0 + 4, h)
+            # magnitude refinement: only significant coefficients
+            for si, (y0, y1) in enumerate(stripe_spans):
+                if not ssig[si + 1]:
+                    continue
                 for x in range(w):
+                    base = x + 1 + W * (y0 + 1)
                     for y in range(y0, y1):
-                        px = (y + 1) * W + x + 1
+                        px = base
+                        base += W
                         if not sig[px] or visited[px]:
                             continue
                         i = y * w + x
                         if refined[i]:
                             ctx = 16
                         else:
-                            hh, vv, dd = nbr_counts(px, y)
-                            ctx = 15 if (hh | vv | dd) else 14
-                        if mq.decode(states, ctx):
+                            if vcausal and (y & 3) == 3:
+                                any_n = (
+                                    sig[px - 1] or sig[px + 1]
+                                    or sig[px - W] or sig[px - W - 1]
+                                    or sig[px - W + 1]
+                                )
+                            else:
+                                any_n = (
+                                    sig[px - 1] or sig[px + 1]
+                                    or sig[px - W] or sig[px + W]
+                                    or sig[px - W - 1]
+                                    or sig[px - W + 1]
+                                    or sig[px + W - 1]
+                                    or sig[px + W + 1]
+                                )
+                            ctx = 15 if any_n else 14
+                        if decode(states, ctx):
                             mag[i] |= bit
                         refined[i] = 1
         else:
             # cleanup
-            for y0 in range(0, h, 4):
-                y1 = min(y0 + 4, h)
+            for si, (y0, y1) in enumerate(stripe_spans):
                 full = (y1 - y0) == 4
-                for x in range(w):
+                x = 0
+                if full and not (
+                    ssig[si] or ssig[si + 1] or ssig[si + 2]
+                ):
+                    # quiet stripe: every column is run-length
+                    # eligible (nothing significant in reach, nothing
+                    # visited) until the first flip
+                    while x < w:
+                        if not decode(states, _CTX_RL):
+                            x += 1
+                            continue
+                        r = (decode(states, _CTX_UNI) << 1) | decode(
+                            states, _CTX_UNI
+                        )
+                        y = y0 + r
+                        px = (y + 1) * W + x + 1
+                        sgn[px] = sign_decode(px, y)
+                        sig[px] = 1
+                        ssig[si + 1] += 1
+                        mag[y * w + x] |= bit
+                        for y in range(y0 + r + 1, y1):
+                            px = (y + 1) * W + x + 1
+                            if sig[px] or visited[px]:
+                                continue
+                            hh = sig[px - 1] + sig[px + 1]
+                            if vcausal and (y & 3) == 3:
+                                vv = sig[px - W]
+                                dd = (sig[px - W - 1]
+                                      + sig[px - W + 1])
+                            else:
+                                vv = sig[px - W] + sig[px + W]
+                                dd = (sig[px - W - 1]
+                                      + sig[px - W + 1]
+                                      + sig[px + W - 1]
+                                      + sig[px + W + 1])
+                            if decode(
+                                states,
+                                zc[hh * 15 + vv * 5
+                                   + (dd if dd < 4 else 4)],
+                            ):
+                                sgn[px] = sign_decode(px, y)
+                                sig[px] = 1
+                                ssig[si + 1] += 1
+                                mag[y * w + x] |= bit
+                        x += 1
+                        break  # significance appeared: careful mode
+                # careful mode (from column x)
+                while x < w:
                     y = y0
                     if full:
-                        # run-length mode eligibility: whole column
-                        # unvisited, insignificant, all-zero contexts
                         ok = True
+                        base = x + 1 + W * (y0 + 1)
                         for yy in range(y0, y1):
-                            px = (yy + 1) * W + x + 1
+                            px = base
+                            base += W
                             if sig[px] or visited[px]:
                                 ok = False
                                 break
-                            hh, vv, dd = nbr_counts(px, yy)
-                            if hh | vv | dd:
+                            if vcausal and (yy & 3) == 3:
+                                if (sig[px - 1] or sig[px + 1]
+                                        or sig[px - W]
+                                        or sig[px - W - 1]
+                                        or sig[px - W + 1]):
+                                    ok = False
+                                    break
+                            elif (sig[px - 1] or sig[px + 1]
+                                    or sig[px - W] or sig[px + W]
+                                    or sig[px - W - 1]
+                                    or sig[px - W + 1]
+                                    or sig[px + W - 1]
+                                    or sig[px + W + 1]):
                                 ok = False
                                 break
                         if ok:
-                            if not mq.decode(states, _CTX_RL):
-                                continue  # all four stay zero
-                            r = (mq.decode(states, _CTX_UNI) << 1)
-                            r |= mq.decode(states, _CTX_UNI)
+                            if not decode(states, _CTX_RL):
+                                x += 1
+                                continue
+                            r = (decode(states, _CTX_UNI) << 1
+                                 ) | decode(states, _CTX_UNI)
                             y = y0 + r
                             px = (y + 1) * W + x + 1
-                            sgn[px] = sign_decode(px, x, y)
+                            sgn[px] = sign_decode(px, y)
                             sig[px] = 1
+                            ssig[si + 1] += 1
                             mag[y * w + x] |= bit
                             y += 1
                     while y < y1:
                         px = (y + 1) * W + x + 1
                         if not sig[px] and not visited[px]:
-                            hh, vv, dd = nbr_counts(px, y)
-                            if mq.decode(
-                                states, int(zc[hh, vv, min(dd, 4)])
+                            hh = sig[px - 1] + sig[px + 1]
+                            if vcausal and (y & 3) == 3:
+                                vv = sig[px - W]
+                                dd = (sig[px - W - 1]
+                                      + sig[px - W + 1])
+                            else:
+                                vv = sig[px - W] + sig[px + W]
+                                dd = (sig[px - W - 1]
+                                      + sig[px - W + 1]
+                                      + sig[px + W - 1]
+                                      + sig[px + W + 1])
+                            if decode(
+                                states,
+                                zc[hh * 15 + vv * 5
+                                   + (dd if dd < 4 else 4)],
                             ):
-                                sgn[px] = sign_decode(px, x, y)
+                                sgn[px] = sign_decode(px, y)
                                 sig[px] = 1
+                                ssig[si + 1] += 1
                                 mag[y * w + x] |= bit
                         y += 1
+                    x += 1
             if cbstyle & _CB_SEGSYM:
                 s = 0
                 for _ in range(4):
-                    s = (s << 1) | mq.decode(states, _CTX_UNI)
+                    s = (s << 1) | decode(states, _CTX_UNI)
                 if s != 0xA:
                     raise Jp2Error("segmentation symbol mismatch")
             # π resets after each cleanup
-            visited = bytearray(W * (h + 2))
+            visited = bytearray(npix)
         passes_done += 1
         if ptype == 2:
             plane -= 1
