@@ -2700,20 +2700,48 @@ def _make_tiff_raster_decoder():
     return decode
 
 
+def _make_jp2_raster_decoder():
+    """JPEG 2000 (.jp2 box container or raw codestream) → the chain's
+    (w, h, nch, arr) contract via :mod:`operators.jpeg2000` (r14 —
+    the same decoder the PDF ``/JPXDecode`` lift uses).  Magic-gated
+    so non-JP2 bytes cost one prefix compare."""
+    import numpy as _np
+
+    from clickhouse_table_copier_spark.operators.jpeg2000 import (
+        decode_jp2_pdf,
+    )
+
+    def decode(b: bytes):
+        if b[:4] != b"\x00\x00\x00\x0c" and b[:2] != b"\xff\x4f":
+            return None
+        px = decode_jp2_pdf(b)
+        if px is None:
+            return None
+        if px.ndim == 2:
+            h, w = px.shape
+            return w, h, 1, px[:, :, _np.newaxis]
+        h, w, nch = px.shape
+        return w, h, nch, px
+
+    return decode
+
+
 def _make_raster_decoder_chain():
-    """The five-decoder fallback cascade (PNG → BMP → JPEG → GIF →
-    TIFF) as ONE closure shared by every raster consumer (aHash,
-    pHash, oriented hash) — a drifted copy would silently make the
-    hash operators disagree on which images they cover."""
+    """The six-decoder fallback cascade (PNG → BMP → JPEG → GIF →
+    TIFF → JP2) as ONE closure shared by every raster consumer
+    (aHash, pHash, oriented hash) — a drifted copy would silently
+    make the hash operators disagree on which images they cover."""
     decode_png = _make_png_raster_decoder()
     decode_bmp = _make_bmp_raster_decoder()
     decode_jpg = _make_jpeg_raster_decoder()
     decode_gif = _make_gif_raster_decoder()
     decode_tif = _make_tiff_raster_decoder()
+    decode_jp2 = _make_jp2_raster_decoder()
 
     def decode(b: bytes):
         for dec in (
-            decode_png, decode_bmp, decode_jpg, decode_gif, decode_tif
+            decode_png, decode_bmp, decode_jpg, decode_gif,
+            decode_tif, decode_jp2,
         ):
             got = dec(b)
             if got is not None:
@@ -2736,7 +2764,9 @@ def image_ahash(df: DataFrame) -> DataFrame:
     containers' whenever the 8×8 luma cells survive quantization, which
     the cross-format test pins — and since rounds 10/11 every DCT JPEG
     mode decodes, including arithmetic and 12-bit, plus lossless
-    SOF3); images no pure-Python decoder covers (hierarchical JPEG and
+    SOF3, and since round 14 JPEG 2000 — .jp2 boxes or raw
+    codestreams — through operators/jpeg2000); images no pure-Python
+    decoder covers (hierarchical JPEG and
     the lossless edge shapes) yield NULL and drop out of dedup rather
     than fake a hash.  EXIF orientation
     is NOT applied here (the stored raster hashes as stored) — use

@@ -413,3 +413,36 @@ def test_pdf_jpx_ahash_matches_uncompressed_twin(spark):
     assert len(hashes) == 2 and hashes[0] == hashes[1] is not None
     pairs = near_duplicate_images(media, max_hamming=3).collect()
     assert len(pairs) == 1 and pairs[0]["hamming"] == 0
+
+
+def test_jp2_in_raster_chain_cross_format_identity(spark):
+    """A standalone .jp2 (or raw codestream) in the media table hashes
+    IDENTICALLY to its PNG twin through the shared raster chain (r14:
+    JP2 joined PNG/BMP/JPEG/GIF/TIFF), so WARC-crawled JPEG 2000
+    images dedup against their other-container twins."""
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+        image_ahash,
+        near_duplicate_images,
+    )
+
+    img = _gray37x29()
+    jp2 = MKG.make_jp2(
+        MKG.encode_j2k(MKG.gray37x29(), levels=2, xcb=4, ycb=4),
+        37, 29, 1,
+    )
+    png = encode_png(img.tobytes(), 37, 29, channels=1)
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(jp2), "{}"),
+            (2, "image", bytearray(png), "{}"),
+            (3, "image", bytearray(J2K_RGB24X16_MCT), "{}"),  # raw cs
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r["ahash"] for r in image_ahash(media).collect()}
+    assert rows[1] is not None and rows[1] == rows[2]
+    assert rows[3] is not None  # raw codestream decodes too
+    pairs = near_duplicate_images(media, max_hamming=0).collect()
+    assert len(pairs) == 1 and {pairs[0]["id_a"], pairs[0]["id_b"]} == {1, 2}
