@@ -1745,8 +1745,9 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
     """REAL per-channel pixel statistics (mean R/G/B + Rec.601 luma) for
     PNG, uncompressed-BMP, GIF, JPEG (every DCT mode incl.
     arithmetic and 12-bit since round 10, lossless SOF3 since round 11)
-    and strip-based TIFF (incl. CCITT G3/G4 fax — round 11) streams,
-    decoded with the pure-Python zlib/numpy/LZW/Huffman+IDCT/T.4
+    strip-based TIFF (incl. CCITT G3/G4 fax — round 11) and JPEG 2000
+    (.jp2 / raw codestream — round 14) streams,
+    decoded with the pure-Python zlib/numpy/LZW/Huffman+IDCT/T.4/T.800
     decoders — no image libraries. Remaining formats yield NULL stats
     (hierarchical JPEG stays behind the PIL seam). Same Arrow-batched
     mapInPandas shape as every decode stage here."""
@@ -1755,13 +1756,19 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
     decode_gif = _make_gif_decoder()
     decode_jpeg = _make_jpeg_decoder()
     decode_tiff_raster = _make_tiff_raster_decoder()
+    decode_jp2_raster = _make_jp2_raster_decoder()
 
-    def decode_tiff(b: bytes):
-        got = decode_tiff_raster(b)
+    def _mean_reduce(got):
         if got is None:
             return None
         w, h, nch, arr = got
         return w, h, nch, [float(m) for m in arr.mean(axis=(0, 1))]
+
+    def decode_tiff(b: bytes):
+        return _mean_reduce(decode_tiff_raster(b))
+
+    def decode_jp2(b: bytes):
+        return _mean_reduce(decode_jp2_raster(b))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1771,7 +1778,7 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
                 got = (
                     decode_png(b) or decode_bmp(b)
                     or decode_gif(b) or decode_jpeg(b)
-                    or decode_tiff(b)
+                    or decode_tiff(b) or decode_jp2(b)
                 )
                 if got is None:
                     out.append((mid, None, None, None, None, None, None, None))

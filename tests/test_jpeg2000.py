@@ -446,3 +446,24 @@ def test_jp2_in_raster_chain_cross_format_identity(spark):
     assert rows[3] is not None  # raw codestream decodes too
     pairs = near_duplicate_images(media, max_hamming=0).collect()
     assert len(pairs) == 1 and {pairs[0]["id_a"], pairs[0]["id_b"]} == {1, 2}
+
+
+def test_jp2_pixel_stats(spark):
+    """image_pixel_stats decodes .jp2 media (dims + exact means of the
+    known raster)."""
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_pixel_stats,
+    )
+
+    img = _gray37x29()
+    jp2 = MKG.make_jp2(
+        MKG.encode_j2k(MKG.gray37x29(), levels=2, xcb=4, ycb=4),
+        37, 29, 1,
+    )
+    media = spark.createDataFrame(
+        [(9, "image", bytearray(jp2), "{}")], MEDIA_SCHEMA
+    )
+    row = image_pixel_stats(media).collect()[0]
+    assert (row["width"], row["height"], row["channels"]) == (37, 29, 1)
+    assert row["mean_r"] == pytest.approx(float(img.mean()))
