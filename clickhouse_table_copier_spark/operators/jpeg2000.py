@@ -7,13 +7,13 @@ single tile, reversible 5/3 wavelet (no quantization), grayscale or
 RGB (reversible color transform optional), 1-16 bit unsigned/signed
 samples, no subsampling, default precincts, any progression order,
 any layer count, code-block styles: default, RESET, TERMALL,
-vertically-causal, segmentation symbols.  Everything else DECLINES
+vertically-causal, segmentation symbols, and selective arithmetic
+BYPASS (lazy raw passes, §D.4 — r14).  Everything else DECLINES
 deliberately (raise :class:`Jp2Error`; the API edge returns None,
 never raises, never fabricates — the CCITT/JBIG2 contract):
 irreversible 9/7 + scalar quantization, multiple tiles, non-zero
 image/tile offsets, COC/QCC/POC/RGN/PPM/PPT overrides, explicit
-precincts, selective arithmetic bypass, component counts other than
-1/3.
+precincts, component counts other than 1/3.
 
 Spark-side role: per-document map work inside the Arrow batch edge of
 :func:`operators.pdf_extract.extract_pdf_images` — PDF bytes never
@@ -246,6 +246,25 @@ _CB_PREDTERM = 0x10
 _CB_SEGSYM = 0x20
 
 
+def _seg_index(i: int, bypass: bool, termall: bool) -> int:
+    """Codeword-segment index of coding pass ``i`` (0-based).  TERMALL
+    terminates every pass; BYPASS (§D.4, lazy coding) codes passes
+    0-9 as one MQ segment, then alternates raw (SPP+MRP) and MQ (CUP)
+    segments; otherwise the whole code-block is one segment."""
+    if termall:
+        return i
+    if not bypass or i < 10:
+        return 0
+    k = i - 10
+    return 1 + 2 * (k // 3) + (1 if k % 3 == 2 else 0)
+
+
+def _raw_pass(i: int, bypass: bool) -> bool:
+    """True when pass ``i`` is raw-coded (bypass mode: significance
+    propagation and magnitude refinement from the 11th pass on)."""
+    return bypass and i >= 10 and (i - 10) % 3 != 2
+
+
 _ZC_FLAT = [
     [int(_ZC[o, hh, vv, dd]) for hh in range(3) for vv in range(3)
      for dd in range(5)]
@@ -278,8 +297,6 @@ def decode_codeblock(
     column run-length fast path through quiet stripes.  The decode
     CALL SEQUENCE is bit-identical to the naive triple sweep — pinned
     by the golden streams and the encoder round-trip properties."""
-    if cbstyle & _CB_BYPASS:
-        raise Jp2Error("selective arithmetic bypass out of scope")
     nplanes = mb - missing
     if nplanes <= 0:
         return np.zeros((h, w), dtype=np.int32)
@@ -299,8 +316,15 @@ def decode_codeblock(
     zc = _ZC_FLAT[orient]
     sc = _SC_FLAT
     states = _fresh_states()
-    seg_iter = iter(segments) if termall else None
-    mq = None if termall else MQDecoder(b"".join(segments))
+    bypass = bool(cbstyle & _CB_BYPASS)
+    # contribution chunks merged per codeword-segment id (order of
+    # arrival = layer order, so concatenation restores each segment)
+    segmap: dict = {}
+    for sid, chunk in segments:
+        segmap.setdefault(sid, bytearray()).extend(chunk)
+    cur_sid = -1
+    mq = None
+    raw = None
     nstripes = (h + 3) >> 2
     # ssig[s + 1] = number of significant coefficients in stripe s
     # (padded by one sentinel zero on each side)
@@ -334,14 +358,22 @@ def decode_codeblock(
     # pass-type cycle: the first plane has only a cleanup pass
     ptype = 2
     while passes_done < numpasses:
-        if termall:
-            try:
-                mq = MQDecoder(next(seg_iter))
-            except StopIteration:
-                raise Jp2Error("missing terminated segment") from None
+        sid = _seg_index(passes_done, bypass, termall)
+        is_raw = _raw_pass(passes_done, bypass)
+        if sid != cur_sid:
+            cur_sid = sid
+            segbytes = bytes(segmap.get(sid, b""))
+            if is_raw:
+                # raw (lazy) segment: stuffed bit reader, D.4
+                raw = _HeaderBits(segbytes, 0)
+                mq = None
+            else:
+                mq = MQDecoder(segbytes)
+                raw = None
         if cbstyle & _CB_RESET:
             states = _fresh_states()
-        decode = mq.decode
+        decode = mq.decode if mq is not None else None
+        rawbit = raw.bit if raw is not None else None
         bit = 1 << plane
         if ptype == 0:
             # significance propagation: only stripes with significance
@@ -367,12 +399,20 @@ def decode_codeblock(
                         if not (hh | vv | dd):
                             continue
                         visited[px] = 1
-                        if decode(
-                            states,
-                            zc[hh * 15 + vv * 5
-                               + (dd if dd < 4 else 4)],
-                        ):
-                            sgn[px] = sign_decode(px, y)
+                        if is_raw:
+                            b = rawbit()
+                        else:
+                            b = decode(
+                                states,
+                                zc[hh * 15 + vv * 5
+                                   + (dd if dd < 4 else 4)],
+                            )
+                        if b:
+                            # raw sign: straight bit, no prediction
+                            sgn[px] = (
+                                rawbit() if is_raw
+                                else sign_decode(px, y)
+                            )
                             sig[px] = 1
                             ssig[si + 1] += 1
                             mag[y * w + x] |= bit
@@ -389,6 +429,11 @@ def decode_codeblock(
                         if not sig[px] or visited[px]:
                             continue
                         i = y * w + x
+                        if is_raw:
+                            if rawbit():
+                                mag[i] |= bit
+                            refined[i] = 1
+                            continue
                         if refined[i]:
                             ctx = 16
                         else:
@@ -737,8 +782,6 @@ def parse_codestream(cs: bytes):
                 raise Jp2Error("code-block size out of range")
             if cod.transform != 1:
                 raise Jp2Error("irreversible 9/7 out of scope")
-            if cod.cbstyle & _CB_BYPASS:
-                raise Jp2Error("arithmetic bypass out of scope")
         elif marker == 0xFF5C:  # QCD
             if not body:
                 raise Jp2Error("truncated QCD")
@@ -896,10 +939,23 @@ def decode_tile(siz: _Siz, cod: _Cod, exps, guard: int, data: bytes):
                         cb[3] += 1
                         if cb[3] > 32:
                             raise Jp2Error("Lblock out of range")
-                    if cod.cbstyle & _CB_TERMALL:
-                        lens = [rd.bits(cb[3]) for _ in range(np_)]
-                    else:
-                        lens = [rd.bits(cb[3] + np_.bit_length() - 1)]
+                    # one length per codeword segment touched by the
+                    # contribution (B.10.7: TERMALL/BYPASS terminate
+                    # mid-block), bit width Lblock + floor(log2(new
+                    # passes in that segment))
+                    bypass = bool(cod.cbstyle & _CB_BYPASS)
+                    termall = bool(cod.cbstyle & _CB_TERMALL)
+                    groups = []  # (seg_id, n_new_passes)
+                    for i in range(cb[2], cb[2] + np_):
+                        s = _seg_index(i, bypass, termall)
+                        if groups and groups[-1][0] == s:
+                            groups[-1][1] += 1
+                        else:
+                            groups.append([s, 1])
+                    lens = [
+                        (s, rd.bits(cb[3] + g.bit_length() - 1))
+                        for s, g in groups
+                    ]
                     cb[2] += np_
                     if cb[2] > _MAX_PASSES:
                         raise Jp2Error("pass count out of range")
@@ -910,10 +966,10 @@ def decode_tile(siz: _Siz, cod: _Cod, exps, guard: int, data: bytes):
                 raise Jp2Error("missing EPH")
             pos += 2
         for band, ci, lens in contribs:
-            for ln in lens:
+            for sid, ln in lens:
                 if pos + ln > n:
                     raise Jp2Error("packet body past end of data")
-                band.cblks[ci][4].append(data[pos : pos + ln])
+                band.cblks[ci][4].append((sid, data[pos : pos + ln]))
                 pos += ln
 
     # tier-1 + IDWT per component

@@ -158,14 +158,29 @@ def _fresh_states():
     return st
 
 
-CB_RESET, CB_TERMALL, CB_VCAUSAL, CB_SEGSYM = 0x02, 0x04, 0x08, 0x20
+CB_BYPASS, CB_RESET, CB_TERMALL = 0x01, 0x02, 0x04
+CB_VCAUSAL, CB_SEGSYM = 0x08, 0x20
+
+
+def _seg_index(i, bypass, termall):
+    if termall:
+        return i
+    if not bypass or i < 10:
+        return 0
+    k = i - 10
+    return 1 + 2 * (k // 3) + (1 if k % 3 == 2 else 0)
+
+
+def _raw_pass(i, bypass):
+    return bypass and i >= 10 and (i - 10) % 3 != 2
 
 
 def encode_codeblock(coeffs: np.ndarray, orient: int, mb: int,
                      cbstyle: int = 0):
     """Tier-1 encode → (missing_planes, numpasses, segments) where
-    segments has one entry in default mode, one per pass under
-    TERMALL."""
+    segments is an ordered list of (seg_id, npasses, bytes): one
+    segment in default mode, one per pass under TERMALL, and the
+    MQ/raw alternation of §D.4 under BYPASS."""
     h, w = coeffs.shape
     mag = np.abs(coeffs).astype(np.int64)
     neg = (coeffs < 0).astype(np.uint8)
@@ -178,6 +193,7 @@ def encode_codeblock(coeffs: np.ndarray, orient: int, mb: int,
     numpasses = 3 * nplanes - 2
     termall = bool(cbstyle & CB_TERMALL)
     vcausal = bool(cbstyle & CB_VCAUSAL)
+    bypass = bool(cbstyle & CB_BYPASS)
     W = w + 2
     sig = bytearray(W * (h + 2))
     sgn = bytearray(W * (h + 2))
@@ -187,7 +203,8 @@ def encode_codeblock(coeffs: np.ndarray, orient: int, mb: int,
     negf = neg.reshape(-1)
     states = _fresh_states()
     enc = MQEncoderJ2K()
-    segments = []
+    raww = None  # BitWriter during raw (bypass) passes
+    segments = []  # (seg_id, npasses, bytes)
 
     def nbr_counts(px, y):
         hh = sig[px - 1] + sig[px + 1]
@@ -215,10 +232,23 @@ def encode_codeblock(coeffs: np.ndarray, orient: int, mb: int,
     passes_done = 0
     plane = nplanes - 1
     ptype = 2
+    cur_sid = 0
+    seg_start = 0
+    is_raw = False
     while passes_done < numpasses:
-        if termall and passes_done:
-            segments.append(enc.flush())
-            enc = MQEncoderJ2K()
+        sid = _seg_index(passes_done, bypass, termall)
+        if sid != cur_sid:
+            segments.append((
+                cur_sid, passes_done - seg_start,
+                raww.flush() if is_raw else enc.flush(),
+            ))
+            cur_sid = sid
+            seg_start = passes_done
+            is_raw = _raw_pass(passes_done, bypass)
+            if is_raw:
+                raww = BitWriter()
+            else:
+                enc = MQEncoderJ2K()
         if cbstyle & CB_RESET and passes_done:
             states = _fresh_states()
         if ptype == 0:
@@ -234,11 +264,17 @@ def encode_codeblock(coeffs: np.ndarray, orient: int, mb: int,
                             continue
                         visited[px] = 1
                         b = int(magf[y * w + x] >> plane) & 1
-                        enc.encode(
-                            states, int(zc[hh, vv, min(dd, 4)]), b
-                        )
+                        if is_raw:
+                            raww.put(b)
+                        else:
+                            enc.encode(
+                                states, int(zc[hh, vv, min(dd, 4)]), b
+                            )
                         if b:
-                            sign_encode(px, x, y)
+                            if is_raw:
+                                raww.put(int(negf[y * w + x]))
+                            else:
+                                sign_encode(px, x, y)
                             sgn[px] = negf[y * w + x]
                             sig[px] = 1
         elif ptype == 1:
@@ -250,6 +286,10 @@ def encode_codeblock(coeffs: np.ndarray, orient: int, mb: int,
                         if not sig[px] or visited[px]:
                             continue
                         i = y * w + x
+                        if is_raw:
+                            raww.put(int(magf[i] >> plane) & 1)
+                            refined[i] = 1
+                            continue
                         if refined[i]:
                             ctx = 16
                         else:
@@ -318,7 +358,10 @@ def encode_codeblock(coeffs: np.ndarray, orient: int, mb: int,
             ptype = 0
         else:
             ptype += 1
-    segments.append(enc.flush())
+    segments.append((
+        cur_sid, numpasses - seg_start,
+        raww.flush() if is_raw else enc.flush(),
+    ))
     return missing, numpasses, segments
 
 
@@ -562,27 +605,21 @@ def encode_j2k(
                         continue
                 np_ = cb["layer_passes"][layer]
                 _numpasses_code(bw, np_)
-                segs = cb["layer_segs"][layer]
-                if cbstyle & CB_TERMALL:
-                    need = max(
-                        (len(s).bit_length() for s in segs),
-                        default=1,
-                    )
-                    while cb["lblock"] < max(need, 1):
-                        bw.put(1)
-                        cb["lblock"] += 1
-                    bw.put(0)
-                    for s in segs:
-                        bw.bits(len(s), cb["lblock"])
-                else:
-                    (seg,) = segs
-                    nbits = np_.bit_length() - 1
-                    while len(seg).bit_length() > cb["lblock"] + nbits:
-                        bw.put(1)
-                        cb["lblock"] += 1
-                    bw.put(0)
-                    bw.bits(len(seg), cb["lblock"] + nbits)
-                for s in segs:
+                # one length per codeword segment touched, width
+                # Lblock + floor(log2(new passes in that segment)) —
+                # mirrors the decoder's grouping exactly
+                groups = cb["layer_segs"][layer]  # [(np_g, bytes)]
+                while any(
+                    len(s).bit_length()
+                    > cb["lblock"] + g.bit_length() - 1
+                    for g, s in groups
+                ):
+                    bw.put(1)
+                    cb["lblock"] += 1
+                bw.put(0)
+                for g, s in groups:
+                    bw.bits(len(s), cb["lblock"] + g.bit_length() - 1)
+                for _, s in groups:
                     data += s
         body += bw.flush()
         if eph:
@@ -674,32 +711,35 @@ def _split_layers(all_bands, layers, cbstyle):
                     for i in range(extra):
                         base[1 + i] = 1
                     cb["layer_passes"] = base
+                    # segments carry (seg_id, npasses, bytes); each
+                    # layer takes its pass range, grouped by segment,
+                    # with byte splits proportional to pass progress
+                    # inside a segment (any split point reassembles
+                    # identically on the decode side)
                     segs = cb["segments"]
-                    if cbstyle & CB_TERMALL:
-                        # one segment per pass: slice by pass counts
-                        ls, k = [], 0
-                        for np_ in base:
-                            ls.append(segs[k : k + np_])
-                            k += np_
-                        cb["layer_segs"] = ls
-                    else:
-                        (blob,) = segs
-                        cuts = []
-                        done = 0
-                        acc = 0
-                        ls = []
-                        for i, np_ in enumerate(base):
-                            if i == layers - 1:
-                                ls.append([blob[done:]])
-                                break
-                            acc += np_
-                            cut = len(blob) * acc // n
-                            cut = max(cut, done)
-                            ls.append([blob[done:cut]])
-                            done = cut
-                        while len(ls) < layers:
-                            ls.append([b""])
-                        cb["layer_segs"] = ls
+                    spans = []
+                    g0 = 0
+                    for _, nps, blob in segs:
+                        spans.append((g0, g0 + nps, blob))
+                        g0 += nps
+                    ls = []
+                    p0 = 0
+                    for np_l in base:
+                        p1 = p0 + np_l
+                        groups = []
+                        for gs, ge, blob in spans:
+                            a = max(p0, gs)
+                            b_ = min(p1, ge)
+                            if a >= b_:
+                                continue
+                            nps = ge - gs
+                            lo = len(blob) * (a - gs) // nps
+                            hi = (len(blob) if b_ == ge
+                                  else len(blob) * (b_ - gs) // nps)
+                            groups.append((b_ - a, blob[lo:hi]))
+                        ls.append(groups)
+                        p0 = p1
+                    cb["layer_segs"] = ls
                     incl_vals.append(0)
                 band["incl_vals"] = incl_vals
                 band["incl_enc"] = TagTreeEnc(

@@ -109,6 +109,25 @@ J2K_GRAY16_MODES = bytes.fromhex(
     "afbfff7fae1ebfff7fd075bf10cce4aeff7f3d7fc9ebbfe76fbfff7fc453bfff7fc76a1f"
     "bfff7fae1fbfff7fd071efbfffd9"
 )
+J2K_GRAY16_BYPASS = bytes.fromhex(
+    "ff4fff510029000000000010000000100000000000000000000000100000001000000000"
+    "000000000001070101ff52000c00000001000100000101ff5c00074040484850ff90000a"
+    "0000000002100001ff93efe024d1a244afb4692244bf80b3448d12fe02c912244811ed38"
+    "4974bcbfc82f2a8c60ff7fb072c0ff7fe28aff7fdd2cff7f118929221bca0be08f010fcc"
+    "3f19a2ff7f8f9dff7f3d2aff7f0a0126f0e6782525c9ec4772e780ff7f049bff7ffd0e80"
+    "ff7f55adff7f1d22c128704c34b0dd88c3fb14ff7f8495ff7f729dff7f25aaff7fe7f014"
+    "48912257da2cd1235fc049a244897f01468d12259fc059a244895f68a246897f01268912"
+    "257da2491a2597e034912246bf9893448912353ed1a489129f68c244890021c43ec5988b"
+    "d9f3685f31e0ff7fc017ff7fba6bff7ff6f0ff7f1a393dc3a701b43a70e85caafef0ff7f"
+    "8c80ff7ff6ff00ff7f204bb771d06c613f99a8ec80ff7f553dff7fafc3ff7fe7e1ff7f20"
+    "4bb77272944ace057f857500ff7fb74e80ff7f2fc4ff7fe7efff7f218eb81889e98535bc"
+    "185fc8ab00ff7f8912ff7fd2f9ff7faeeaff7f1a37e03a7942bf09ecbc3febff7ff08540"
+    "ff7faee0ff7f0a0eef7487ea73dfbf40b300ff7f0989ff7f0cf4ff7f0bfdff7f097fb697"
+    "36bc1166ed058fff7fc17900ff7f0bf8ff7f08e1c1635750248af1fefed91f9263ff7fcd"
+    "3dff7f9662ff7fff7f80ff7f09fe940f03aa58658faa7800ff7fdf2fff7f8070ff7fdb2f"
+    "ff7fff7800ff7f10cce4b04d62f6579286a290bfca62ff7f913dff7feeeeff7f10cce4af"
+    "041bbf51380b5fafca6cff7f913fff7feee0ff7fffd9"
+)
 JP2_GRAY8_BOXED = bytes.fromhex(
     "0000000c6a5020200d0a870a00000014667479706a703220000000006a7032200000002d"
     "6a703268000000166968647200000008000000080001070700000000000f636f6c720100"
@@ -178,6 +197,20 @@ def test_golden_codeblock_modes():
     assert (got == _gray16modes()).all()
 
 
+def test_golden_bypass():
+    """Selective arithmetic bypass (§D.4 lazy coding, r14): SPP/MRP
+    raw from the 11th pass, MQ/raw segment alternation, per-segment
+    packet lengths."""
+    got = decode_jp2(J2K_GRAY16_BYPASS)
+    assert (got == _gray16modes()).all()
+    assert decode_jp2(
+        MKG.encode_j2k(
+            MKG.gray16modes(), levels=1, xcb=2, ycb=2,
+            cbstyle=0x01 | 0x04,  # bypass + termall
+        )
+    ).tolist() == _gray16modes().tolist()
+
+
 def test_golden_jp2_boxed():
     got = decode_jp2(JP2_GRAY8_BOXED)
     assert (got == _gray8()).all()
@@ -224,7 +257,7 @@ def test_roundtrip_gray_random(seed, w, h, levels, cbe, layers, prog):
 @given(
     seed=st.integers(0, 2**32 - 1),
     mct=st.integers(0, 1),
-    modes=st.sampled_from([0, 0x02, 0x04, 0x08, 0x20, 0x2E]),
+    modes=st.sampled_from([0, 0x02, 0x04, 0x08, 0x20, 0x2E, 0x01, 0x05, 0x29, 0x2F]),
 )
 def test_roundtrip_rgb_and_modes(seed, mct, modes):
     rng = np.random.default_rng(seed)
@@ -269,9 +302,6 @@ def test_out_of_scope_declines():
     cod_at = g.index(b"\xff\x52")
     with pytest.raises(Jp2Error, match="9/7"):
         parse_codestream(_patch(g, cod_at + 13, 0))
-    # selective arithmetic bypass
-    with pytest.raises(Jp2Error, match="bypass"):
-        parse_codestream(_patch(g, cod_at + 12, 0x01))
     # scalar quantization (Sqcd style bits)
     qcd_at = g.index(b"\xff\x5c")
     with pytest.raises(Jp2Error, match="quantization"):
@@ -285,7 +315,7 @@ def test_out_of_scope_declines():
         parse_codestream(_patch(g, siz_at + 42, 2))
     # every decline comes back as None from the API edge
     for idx, val in (
-        (cod_at + 13, 0), (cod_at + 12, 1), (qcd_at + 4, 0x42),
+        (cod_at + 13, 0), (qcd_at + 4, 0x42),
     ):
         assert decode_jp2_pdf(_patch(g, idx, val)) is None
 
