@@ -1938,6 +1938,33 @@ def _make_decode_one():
                             else:
                                 h = int(v)
             return "tiff", w, h
+        if content[:12] == b"\x00\x00\x00\x0cjP  \r\n\x87\n":
+            # JP2 box container: dims in jp2h/ihdr (height, width
+            # big-endian); slice-safe walk, -1 dims on truncation
+            pos = 12
+            while pos + 8 <= len(content):
+                size = int.from_bytes(content[pos : pos + 4], "big")
+                btype = content[pos + 4 : pos + 8]
+                if size == 0:
+                    size = len(content) - pos
+                if size < 8 or pos + size > len(content):
+                    break
+                if btype == b"jp2h":
+                    ih = content.find(b"ihdr", pos + 8, pos + size)
+                    if ih >= 0 and ih + 12 <= len(content):
+                        h = int.from_bytes(content[ih + 4 : ih + 8], "big")
+                        w = int.from_bytes(content[ih + 8 : ih + 12], "big")
+                        return "jp2", w, h
+                pos += size
+            return "jp2", -1, -1
+        if content[:4] == b"\xff\x4f\xff\x51":
+            # raw JPEG 2000 codestream: SOC + SIZ — Lsiz at 4, Rsiz
+            # at 6, Xsiz at 8, Ysiz at 12 (all big-endian)
+            if len(content) >= 16:
+                w = int.from_bytes(content[8:12], "big")
+                h = int.from_bytes(content[12:16], "big")
+                return "jp2", w, h
+            return "jp2", -1, -1
         raise NotImplementedError("unsupported media container")
 
     return decode_one

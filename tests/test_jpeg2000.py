@@ -497,3 +497,27 @@ def test_jp2_pixel_stats(spark):
     row = image_pixel_stats(media).collect()[0]
     assert (row["width"], row["height"], row["channels"]) == (37, 29, 1)
     assert row["mean_r"] == pytest.approx(float(img.mean()))
+
+
+def test_jp2_image_meta(spark):
+    """decode_image_meta sniffs both JP2 spellings (box container via
+    jp2h/ihdr, raw codestream via SIZ) with real dimensions."""
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        decode_image_meta,
+    )
+
+    jp2 = MKG.make_jp2(
+        MKG.encode_j2k(MKG.gray37x29(), levels=2, xcb=4, ycb=4),
+        37, 29, 1,
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(jp2)), (2, bytearray(J2K_RGB24X16_MCT))],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in decode_image_meta(media).collect()}
+    assert (rows[1]["fmt"], rows[1]["width"], rows[1]["height"]) == (
+        "jp2", 37, 29,
+    )
+    assert (rows[2]["fmt"], rows[2]["width"], rows[2]["height"]) == (
+        "jp2", 24, 16,
+    )
