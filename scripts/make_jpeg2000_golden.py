@@ -506,17 +506,19 @@ def encode_j2k(
     sop: bool = False,
     eph: bool = False,
     guard: int = 2,
+    depth: int = 8,
 ) -> bytes:
-    """8-bit unsigned image (h, w) or (h, w, 3) → full codestream."""
-    depth = 8
+    """Unsigned image (h, w) or (h, w, 3) of ``depth``-bit samples →
+    full codestream."""
+    shift = 1 << (depth - 1)
     if img.ndim == 2:
-        comps = [img.astype(np.int32) - 128]  # DC level shift
+        comps = [img.astype(np.int32) - shift]  # DC level shift
     else:
         # DC level shift FIRST, then forward RCT (G.2) — the decoder
         # inverts in the opposite order (inverse RCT, then unshift)
-        r = img[..., 0].astype(np.int32) - 128
-        g = img[..., 1].astype(np.int32) - 128
-        b = img[..., 2].astype(np.int32) - 128
+        r = img[..., 0].astype(np.int32) - shift
+        g = img[..., 1].astype(np.int32) - shift
+        b = img[..., 2].astype(np.int32) - shift
         if mct:
             comps = [(r + 2 * g + b) >> 2, b - g, r - g]  # Y, Cb, Cr
         else:

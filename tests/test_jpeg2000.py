@@ -521,3 +521,24 @@ def test_jp2_image_meta(spark):
     assert (rows[2]["fmt"], rows[2]["width"], rows[2]["height"]) == (
         "jp2", 24, 16,
     )
+
+
+def test_non_8bit_depths():
+    """4/12/16-bit unsigned samples decode through the depth-scaling
+    edge (expand <8-bit to full range; >>(depth-8) above 8)."""
+    rng = np.random.default_rng(9)
+    img12 = rng.integers(0, 1 << 12, (20, 22), dtype=np.int64)
+    got = decode_jp2(
+        MKG.encode_j2k(img12, levels=2, xcb=3, ycb=3, depth=12)
+    )
+    assert (got == (img12 >> 4).astype(np.uint8)).all()
+    img4 = rng.integers(0, 16, (15, 9), dtype=np.int64)
+    got = decode_jp2(
+        MKG.encode_j2k(img4, levels=1, xcb=2, ycb=2, depth=4)
+    )
+    assert (got == (img4 * 255 // 15).astype(np.uint8)).all()
+    img16 = rng.integers(0, 1 << 16, (12, 12), dtype=np.int64)
+    got = decode_jp2(
+        MKG.encode_j2k(img16, levels=1, xcb=3, ycb=3, depth=16)
+    )
+    assert (got == (img16 >> 8).astype(np.uint8)).all()
