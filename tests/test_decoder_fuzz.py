@@ -55,9 +55,12 @@ def _fixtures():
         + b"data" + struct.pack("<I", len(pcm)) + pcm
     )
     from test_jpeg_lossless import encode_lossless_jpeg
+    from test_jpeg2000 import J2K_GRAY16_MODES, JP2_GRAY8_BOXED
     from test_pdf_extract import _CJK_CMAP, _SIMPLE, _cid_pdf, make_pdf
 
     return {
+        "jp2_codestream": J2K_GRAY16_MODES,
+        "jp2_boxed": JP2_GRAY8_BOXED,
         "jpeg_lossless": encode_lossless_jpeg(
             rng.integers(0, 256, (16, 16), dtype=np.uint8), predictor=4
         ),
@@ -95,9 +98,15 @@ def _decoders():
         _extract_pdf_jpegs,
     )
 
+    from clickhouse_table_copier_spark.operators.jpeg2000 import (
+        decode_jp2_pdf,
+    )
+
     wav_parse = _make_wav_parser()
     avi_parse = _make_avi_parser()
     return {
+        "jp2_codestream": decode_jp2_pdf,
+        "jp2_boxed": decode_jp2_pdf,
         "pdf_text": _extract_pdf,
         "pdf_cid": _extract_pdf,
         "pdf_jpegs": _extract_pdf_jpegs,
@@ -156,6 +165,8 @@ def test_noise_behind_valid_magic_never_raises(fmt):
         "bmp": b"BM",
         "avi": b"RIFF\x00\x01\x00\x00AVI ",
         "wav": b"RIFF\x00\x01\x00\x00WAVE",
+        "jp2_codestream": b"\xff\x4f\xff\x51",
+        "jp2_boxed": b"\x00\x00\x00\x0cjP  \r\n\x87\n",
         "tiff_strip": b"II*\x00",
         "tiff_tiled": b"II*\x00",
         "tiff_tiled16": b"MM\x00*",
