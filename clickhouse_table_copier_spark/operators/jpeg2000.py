@@ -1039,6 +1039,11 @@ def decode_jp2(data: bytes) -> np.ndarray:
     cs = _jp2_codestream(data)
     siz, cod, exps, guard, tile = parse_codestream(cs)
     planes = decode_tile(siz, cod, exps, guard, tile)
+    if cod.mct > 1:
+        # reserved SGcod values: decline like prog/transform do —
+        # treating them as no-MCT would emit Y/Cb/Cr as R/G/B
+        # (review r14)
+        raise Jp2Error("reserved MCT value")
     if cod.mct == 1:
         if siz.ncomp != 3:
             raise Jp2Error("MCT with non-3 components")
@@ -1050,8 +1055,11 @@ def decode_jp2(data: bytes) -> np.ndarray:
     chans = []
     for c, p in enumerate(planes):
         depth = siz.depths[c]
-        if not siz.signed[c]:
-            p = p + (1 << (depth - 1))
+        # unsigned: undo the DC level shift; signed: map the
+        # [-2^(d-1), 2^(d-1)-1] range onto the unsigned gray scale —
+        # the SAME +2^(d-1) offset either way (review r14: signed
+        # samples previously clipped their negative half to black)
+        p = p + (1 << (depth - 1))
         np.clip(p, 0, (1 << depth) - 1, out=p)
         if depth == 8:
             q = p.astype(np.uint8)

@@ -507,10 +507,12 @@ def encode_j2k(
     eph: bool = False,
     guard: int = 2,
     depth: int = 8,
+    signed: bool = False,
 ) -> bytes:
-    """Unsigned image (h, w) or (h, w, 3) of ``depth``-bit samples →
-    full codestream."""
-    shift = 1 << (depth - 1)
+    """Image (h, w) or (h, w, 3) of ``depth``-bit samples → full
+    codestream.  ``signed`` (gray only): samples are already centered
+    (no DC level shift, Ssiz sign bit set)."""
+    shift = 0 if signed else 1 << (depth - 1)
     if img.ndim == 2:
         comps = [img.astype(np.int32) - shift]  # DC level shift
     else:
@@ -635,7 +637,7 @@ def encode_j2k(
         ncomp,
     )
     for _ in range(ncomp):
-        siz += bytes([depth - 1, 1, 1])
+        siz += bytes([(depth - 1) | (0x80 if signed else 0), 1, 1])
     out += b"\xff\x51" + siz
     scod = (2 if sop else 0) | (4 if eph else 0)
     out += b"\xff\x52" + struct.pack(

@@ -542,3 +542,26 @@ def test_non_8bit_depths():
         MKG.encode_j2k(img16, levels=1, xcb=3, ycb=3, depth=16)
     )
     assert (got == (img16 >> 8).astype(np.uint8)).all()
+
+
+def test_signed_samples_render_offset():
+    """Signed components (Ssiz bit 7) map [-2^(d-1), 2^(d-1)-1] onto
+    the unsigned gray scale via the +2^(d-1) offset — review r14:
+    the negative half previously clipped to black."""
+    rng = np.random.default_rng(21)
+    img = rng.integers(-128, 128, (14, 18), dtype=np.int64)
+    got = decode_jp2(
+        MKG.encode_j2k(img, levels=1, xcb=3, ycb=3, signed=True)
+    )
+    assert (got == (img + 128).astype(np.uint8)).all()
+
+
+def test_reserved_mct_declines():
+    """SGcod MCT >= 2 is reserved — decline, never emit Y/Cb/Cr as
+    R/G/B (review r14)."""
+    g = J2K_RGB24X16_MCT
+    cod_at = g.index(b"\xff\x52")
+    bad = _patch(g, cod_at + 8, 2)  # SGcod MCT byte
+    with pytest.raises(Jp2Error, match="reserved MCT"):
+        decode_jp2(bad)
+    assert decode_jp2_pdf(bad) is None
