@@ -565,3 +565,62 @@ def test_reserved_mct_declines():
     with pytest.raises(Jp2Error, match="reserved MCT"):
         decode_jp2(bad)
     assert decode_jp2_pdf(bad) is None
+
+
+def test_warc_jp2_response_meets_jpx_pdf_in_media(spark, tmp_path):
+    """Crawl e2e: an image/jp2 WARC response and a /JPXDecode PDF
+    figure of the same raster land in ONE media table and pair at
+    hamming 0 — the JP2 crawl path (responses_to_media → raster
+    chain) and the JPX PDF path (responses_to_pdfs →
+    extract_pdf_images) meet in the same dedup join."""
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        near_duplicate_images,
+    )
+    from clickhouse_table_copier_spark.operators.pdf_extract import (
+        extract_pdf_images,
+    )
+    from clickhouse_table_copier_spark.sources.warc import (
+        read_warc,
+        responses_to_media,
+        responses_to_pdfs,
+    )
+    from tests.test_warc import _record
+
+    cs = MKG.encode_j2k(MKG.gray37x29(), levels=2, xcb=4, ycb=4)
+    jp2 = MKG.make_jp2(cs, 37, 29, 1)
+    pdf_bytes = (
+        b"%PDF-1.5\n1 0 obj\n<< /Type /XObject /Subtype /Image "
+        b"/Width 37 /Height 29 /BitsPerComponent 8 "
+        b"/ColorSpace /DeviceGray /Filter /JPXDecode "
+        + b"/Length %d >>\nstream\n" % len(cs)
+        + cs + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    recs = [
+        _record(
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "https://example.com/scan.jp2",
+                "WARC-Date": "2026-08-16T00:00:00Z",
+            },
+            b"HTTP/1.1 200 OK\r\nContent-Type: image/jp2\r\n\r\n" + jp2,
+        ),
+        _record(
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "https://example.com/scan.pdf",
+                "WARC-Date": "2026-08-16T00:00:00Z",
+            },
+            b"HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n"
+            + pdf_bytes,
+        ),
+    ]
+    p = tmp_path / "crawl.warc"
+    with open(p, "wb") as f:
+        f.write(b"".join(recs))
+    warc = read_warc(spark, str(p))
+    media = responses_to_media(warc).unionByName(
+        extract_pdf_images(responses_to_pdfs(warc), "pdf_bytes", "doc_id")
+    )
+    assert media.count() == 2
+    pairs = near_duplicate_images(media, max_hamming=0).collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] == 0
