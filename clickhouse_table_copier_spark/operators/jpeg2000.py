@@ -12,8 +12,10 @@ BYPASS (lazy raw passes, §D.4 — r14).  Everything else DECLINES
 deliberately (raise :class:`Jp2Error`; the API edge returns None,
 never raises, never fabricates — the CCITT/JBIG2 contract):
 irreversible 9/7 + scalar quantization, multiple tiles, non-zero
-image/tile offsets, COC/QCC/POC/RGN/PPM/PPT overrides, explicit
-precincts, component counts other than 1/3.
+image/tile offsets, COC/QCC/POC/RGN/PPM/PPT overrides, TRUE
+multi-precinct grids (declared precinct sizes are accepted when each
+resolution fits one precinct, with the PPx-clamped effective
+code-block size), component counts other than 1/3.
 
 Spark-side role: per-document map work inside the Arrow batch edge of
 :func:`operators.pdf_extract.extract_pdf_images` — PDF bytes never
@@ -659,7 +661,7 @@ class _Siz:
 class _Cod:
     __slots__ = (
         "prog", "layers", "mct", "levels", "xcb", "ycb",
-        "cbstyle", "transform", "sop", "eph",
+        "cbstyle", "transform", "sop", "eph", "prec",
     )
 
 
@@ -667,8 +669,8 @@ class _Band:
     """One subband of one component at one resolution."""
 
     __slots__ = (
-        "orient", "w", "h", "mb", "ncx", "ncy", "cblks",
-        "incl_tree", "zbp_tree",
+        "orient", "w", "h", "mb", "xcb", "ycb", "ncx", "ncy",
+        "cblks", "incl_tree", "zbp_tree",
     )
 
     def __init__(self, orient, w, h, mb, xcb, ycb):
@@ -676,6 +678,8 @@ class _Band:
         self.w = w
         self.h = h
         self.mb = mb
+        self.xcb = xcb  # EFFECTIVE exponents (precinct-clamped)
+        self.ycb = ycb
         self.ncx = max(0, -(-w // (1 << xcb)))
         self.ncy = max(0, -(-h // (1 << ycb)))
         n = self.ncx * self.ncy
@@ -760,8 +764,7 @@ def parse_codestream(cs: bytes):
                 raise Jp2Error("truncated COD")
             cod = _Cod()
             scod = body[0]
-            if scod & 0x01:
-                raise Jp2Error("explicit precincts out of scope")
+            cod.prec = None
             cod.sop = bool(scod & 0x02)
             cod.eph = bool(scod & 0x04)
             cod.prog = body[1]
@@ -782,6 +785,19 @@ def parse_codestream(cs: bytes):
                 raise Jp2Error("code-block size out of range")
             if cod.transform != 1:
                 raise Jp2Error("irreversible 9/7 out of scope")
+            if scod & 0x01:
+                # explicit precinct sizes: one byte per resolution
+                # (PPx low nibble, PPy high nibble).  Accepted when
+                # every resolution fits ONE precinct (the spelling
+                # size-declaring encoders use for whole-image
+                # precincts); true multi-precinct grids decline in
+                # decode_tile's per-resolution check
+                if len(body) < 10 + cod.levels + 1:
+                    raise Jp2Error("truncated precinct sizes")
+                cod.prec = [
+                    (b_ & 0x0F, b_ >> 4)
+                    for b_ in body[10 : 10 + cod.levels + 1]
+                ]
         elif marker == 0xFF5C:  # QCD
             if not body:
                 raise Jp2Error("truncated QCD")
@@ -859,21 +875,47 @@ def decode_tile(siz: _Siz, cod: _Cod, exps, guard: int, data: bytes):
     per-component int32 sample arrays (after IDWT, before MCT/shift)."""
     nl = cod.levels
     ll_dims, band_dims = _band_dims(siz.w, siz.h, nl)
-    # resolution r=0: LL; r=1..nl: (HL,LH,HH) of level nl-r+1
+    # resolution grids (for precinct accounting): grid of res r is
+    # the LL_(nl-r) plane; grids[r] below
+    gdims = [(siz.w, siz.h)]
+    for _ in range(nl):
+        pw, ph = gdims[-1]
+        gdims.append(((pw + 1) // 2, (ph + 1) // 2))
+    grids = [gdims[nl - r] for r in range(nl + 1)]
+
+    def _eff_cb(r: int):
+        """Effective code-block exponents at resolution r: explicit
+        precinct sizes clamp them (xcb' = min(xcb, PPx - (r>0)));
+        only single-precinct-per-resolution layouts are in scope —
+        the spelling size-declaring encoders use for whole-image
+        precincts."""
+        if cod.prec is None:
+            return cod.xcb, cod.ycb
+        ppx, ppy = cod.prec[r]
+        gw, gh = grids[r]
+        if gw > (1 << ppx) or gh > (1 << ppy):
+            raise Jp2Error("multiple precincts out of scope")
+        ex = min(cod.xcb, ppx - (1 if r else 0))
+        ey = min(cod.ycb, ppy - (1 if r else 0))
+        if ex < 2 or ey < 2:
+            raise Jp2Error("precinct too small for a code-block")
+        return ex, ey
+
     comps = []
     for c in range(siz.ncomp):
         res = []
         mb0 = guard + exps[0] - 1
-        res.append([_Band(0, ll_dims[0], ll_dims[1], mb0,
-                          cod.xcb, cod.ycb)])
+        ex0, ey0 = _eff_cb(0)
+        res.append([_Band(0, ll_dims[0], ll_dims[1], mb0, ex0, ey0)])
         for r in range(1, nl + 1):
             (hlw, hlh), (lhw, lhh), (hhw, hhh) = band_dims[r - 1]
+            exr, eyr = _eff_cb(r)
             bands = []
             for oi, (bw, bh) in (
                 (1, (hlw, hlh)), (2, (lhw, lhh)), (3, (hhw, hhh))
             ):
                 mb = guard + exps[1 + 3 * (r - 1) + (oi - 1)] - 1
-                bands.append(_Band(oi, bw, bh, mb, cod.xcb, cod.ycb))
+                bands.append(_Band(oi, bw, bh, mb, exr, eyr))
             res.append(bands)
         comps.append(res)
 
@@ -984,9 +1026,9 @@ def decode_tile(siz: _Siz, cod: _Cod, exps, guard: int, data: bytes):
                     cb = band.cblks[cy * band.ncx + cx]
                     if not cb[0] or cb[2] == 0:
                         continue
-                    x0, y0 = cx << cod.xcb, cy << cod.ycb
-                    cw = min(1 << cod.xcb, band.w - x0)
-                    ch = min(1 << cod.ycb, band.h - y0)
+                    x0, y0 = cx << band.xcb, cy << band.ycb
+                    cw = min(1 << band.xcb, band.w - x0)
+                    ch = min(1 << band.ycb, band.h - y0)
                     arr[y0 : y0 + ch, x0 : x0 + cw] = decode_codeblock(
                         cb[4], cw, ch, band.orient, cb[1], cb[2],
                         band.mb, cod.cbstyle,

@@ -508,6 +508,7 @@ def encode_j2k(
     guard: int = 2,
     depth: int = 8,
     signed: bool = False,
+    precincts: list | None = None,
 ) -> bytes:
     """Image (h, w) or (h, w, 3) of ``depth``-bit samples → full
     codestream.  ``signed`` (gray only): samples are already centered
@@ -532,18 +533,28 @@ def encode_j2k(
     exps = [depth] + [depth + g_ for _ in range(levels)
                       for g_ in (1, 1, 2)]
 
-    # wavelet + tier-1 per component
+    # wavelet + tier-1 per component; explicit precincts clamp the
+    # effective code-block exponents (xcb' = min(xcb, PPx - (r>0)))
+    def eff_cb(r):
+        if precincts is None:
+            return xcb, ycb
+        ppx, ppy = precincts[r]
+        return (min(xcb, ppx - (1 if r else 0)),
+                min(ycb, ppy - (1 if r else 0)))
+
     all_bands = []  # [comp][res] -> list of band dicts
     for c in comps:
         ll, bands = forward_dwt53(c, levels)
         res_list = []
         mb = guard + exps[0] - 1
-        res_list.append([_make_band(ll, 0, mb, xcb, ycb, cbstyle)])
+        ex0, ey0 = eff_cb(0)
+        res_list.append([_make_band(ll, 0, mb, ex0, ey0, cbstyle)])
         for r, (hl, lh, hh) in enumerate(bands):
             trio = []
+            exr, eyr = eff_cb(r + 1)
             for oi, arr in ((1, hl), (2, lh), (3, hh)):
                 mb = guard + exps[1 + 3 * r + (oi - 1)] - 1
-                trio.append(_make_band(arr, oi, mb, xcb, ycb, cbstyle))
+                trio.append(_make_band(arr, oi, mb, exr, eyr, cbstyle))
             res_list.append(trio)
         all_bands.append(res_list)
 
@@ -640,10 +651,16 @@ def encode_j2k(
         siz += bytes([(depth - 1) | (0x80 if signed else 0), 1, 1])
     out += b"\xff\x51" + siz
     scod = (2 if sop else 0) | (4 if eph else 0)
+    if precincts is not None:
+        scod |= 1
+        assert len(precincts) == levels + 1
     out += b"\xff\x52" + struct.pack(
-        ">HBBHBBBBBB", 12, scod, prog, layers, mct, levels,
+        ">HBBHBBBBBB", 12 + (0 if precincts is None else levels + 1),
+        scod, prog, layers, mct, levels,
         xcb - 2, ycb - 2, cbstyle, 1,
     )
+    if precincts is not None:
+        out += bytes((ppy << 4) | ppx for ppx, ppy in precincts)
     qcd = bytes([guard << 5]) + bytes(e << 3 for e in exps)
     out += b"\xff\x5c" + struct.pack(">H", 2 + len(qcd)) + qcd
     psot = 12 + 2 + len(body)

@@ -624,3 +624,30 @@ def test_warc_jp2_response_meets_jpx_pdf_in_media(spark, tmp_path):
     assert media.count() == 2
     pairs = near_duplicate_images(media, max_hamming=0).collect()
     assert len(pairs) == 1 and pairs[0]["hamming"] == 0
+
+
+def test_declared_precinct_sizes():
+    """Scod&1 streams (explicit precinct sizes — the spelling
+    size-declaring encoders emit) decode when every resolution fits
+    one precinct, including the PPx-clamped effective code-block
+    size; true multi-precinct grids still decline."""
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (29, 37), dtype=np.uint8)
+    blob = MKG.encode_j2k(
+        img, levels=2, xcb=4, ycb=4,
+        precincts=[(15, 15), (15, 15), (15, 15)],
+    )
+    assert (decode_jp2(blob) == img).all()
+    # PPx/PPy small enough to clamp cblk exponents at r>0
+    blob = MKG.encode_j2k(
+        img, levels=2, xcb=4, ycb=4,
+        precincts=[(6, 6), (6, 5), (7, 6)],
+    )
+    assert (decode_jp2(blob) == img).all()
+    # resolution grid wider than one precinct: decline
+    blob = MKG.encode_j2k(
+        img, levels=1, xcb=4, ycb=4, precincts=[(5, 5), (5, 5)],
+    )
+    with pytest.raises(Jp2Error, match="multiple precincts"):
+        decode_jp2(blob)
+    assert decode_jp2_pdf(blob) is None
