@@ -68,6 +68,7 @@ import clickhouse_table_copier_spark.queries_round9b  # noqa: E402,F401
 import clickhouse_table_copier_spark.queries_round12_prep  # noqa: E402,F401
 import clickhouse_table_copier_spark.queries_round13_prep  # noqa: E402,F401
 import clickhouse_table_copier_spark.queries_round14_prep  # noqa: E402,F401
+import clickhouse_table_copier_spark.queries_round15_prep  # noqa: E402,F401
 
 
 def entry(spark: SparkSession) -> DataFrame:

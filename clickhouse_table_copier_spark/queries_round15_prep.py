@@ -31,10 +31,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from clickhouse_table_copier_spark.queries import _t
+from clickhouse_table_copier_spark.queries import _t, register
 
 # name -> spark fn / oracle sql; consumed by tests/test_round15_prep.py
-# and mirrored into the main registry AT ROUND 15, not before.
+# and mirrored into the main registry (flipped at round 15).
 PREP15_QUERIES: dict = {}
 PREP15_ORACLES: dict[str, str] = {}
 
@@ -43,7 +43,7 @@ def _prep15(name: str, oracle: str):
     def deco(fn):
         PREP15_QUERIES[name] = fn
         PREP15_ORACLES[name] = oracle
-        return fn
+        return register(name, oracle)(fn)
 
     return deco
 

@@ -26,16 +26,18 @@ def test_prep15_query_matches_oracle(spark, name):
     compare(df, oracle, name)
 
 
-def test_not_yet_registered():
-    """Deliberately NOT in the registry until round 15 (flip this to
-    the positive assertion when registering — see module docstring):
-    registering now would append FRESH obligations to a window whose
-    r14 shape is already committed in COVERAGE.md."""
+def test_registered_at_round15():
+    """Flipped at round 15 (was test_not_yet_registered): the batch is
+    in the live registry with byte-identical oracles — the same
+    positive assertion the r7/r12/r13/r14 prep flips pinned."""
     import __spark_entry__ as entry
 
     qs = entry.queries()
-    assert set(PREP15_QUERIES).isdisjoint(qs)
+    oracles = entry.oracle_sql()
+    assert set(PREP15_QUERIES) <= set(qs)
     assert set(PREP15_QUERIES) == set(PREP15_ORACLES)
+    for name in PREP15_QUERIES:
+        assert oracles[name] == PREP15_ORACLES[name]
 
 
 def test_prep15_plans_obey_repo_guards(spark):
