@@ -34,7 +34,7 @@ the groupBy is shard-local in spirit and AQE coalesces the small
 post-shuffle partitions.
 
 Reference parity: the reference engine (noperformance/clickhouse-table-copier,
-internal/clickhouse/database/database.go) reads only SQL tables; binary
+database/database.go) reads only SQL tables; binary
 ingest is part of the north-star LLM-pipeline surface (SURVEY.md §2.8),
 not a reference port.
 """
