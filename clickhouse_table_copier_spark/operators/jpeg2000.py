@@ -60,6 +60,15 @@ _MAX_SAMPLES = 1 << 27
 _MAX_DIM = 1 << 16
 _MAX_LAYERS = 1024
 _MAX_PASSES = 109  # 3*37-2: 37 planes is already beyond int32 range
+# total code-blocks across every (component, resolution, band): the
+# per-cblk state lists plus two tag trees per band are the only
+# header-driven allocations, so bounding the count bounds decode_tile's
+# pre-packet memory at ~50 MiB worst case (a dense _MAX_SAMPLES image
+# with 32x32 code-blocks stays under it; 16x16 at max size declines by
+# name).  A second, data-proportional gate in decode_tile keeps tiny
+# crafted streams (60-byte headers declaring 4096x4096 with 4x4
+# blocks) from allocating anything at all.
+_MAX_CBLKS = 1 << 18
 
 
 # ------------------------------------------------------------------
@@ -116,39 +125,54 @@ class _HeaderBits:
 
 class _TagTree:
     """Quad-tree of lower bounds; one per (band, tree-kind), state
-    persists across layers."""
+    persists across layers.
 
-    __slots__ = ("paths",)
+    Nodes and root→leaf paths are built LAZILY on first touch: memory
+    is proportional to the leaves a packet stream actually references,
+    never to the declared band geometry — a crafted header cannot make
+    __init__ allocate (it used to precompute every path eagerly, ~850
+    MB for a 60-byte stream declaring 4096x4096 with 4x4 blocks)."""
+
+    __slots__ = ("dims", "levels", "paths")
 
     def __init__(self, w: int, h: int):
-        # levels from leaves up to the 1x1 root
+        # level dims from leaves up to the 1x1 root (arithmetic only)
         dims = [(w, h)]
         while dims[-1] != (1, 1):
             pw, ph = dims[-1]
             dims.append(((pw + 1) // 2, (ph + 1) // 2))
-        # node = [low, known]; per-level flat arrays
-        levels = [
-            [[0, False] for _ in range(lw * lh)] for lw, lh in dims
-        ]
-        # precompute root→leaf node paths per leaf
-        self.paths = []
-        for y in range(h):
-            for x in range(w):
-                path = []
-                cx, cy = x, y
-                for lvl, (lw, lh) in enumerate(dims):
-                    path.append(levels[lvl][cy * lw + cx])
-                    cx >>= 1
-                    cy >>= 1
-                path.reverse()
-                self.paths.append(path)
+        self.dims = dims
+        # per-level sparse node store: index -> [low, known]
+        self.levels = [dict() for _ in dims]
+        self.paths: dict = {}  # leaf -> root→leaf node list
+
+    def _path(self, leaf: int):
+        p = self.paths.get(leaf)
+        if p is not None:
+            return p
+        w = self.dims[0][0]
+        cy, cx = divmod(leaf, w)
+        p = []
+        for lvl, (lw, _lh) in enumerate(self.dims):
+            store = self.levels[lvl]
+            idx = cy * lw + cx
+            node = store.get(idx)
+            if node is None:
+                node = [0, False]
+                store[idx] = node
+            p.append(node)
+            cx >>= 1
+            cy >>= 1
+        p.reverse()
+        self.paths[leaf] = p
+        return p
 
     def query(self, rd: _HeaderBits, leaf: int, threshold: int) -> bool:
         """Consume bits until it is known whether value(leaf) <
         ``threshold``; True iff it is (leaf value then exact)."""
         low = 0
         node = None
-        for node in self.paths[leaf]:
+        for node in self._path(leaf):
             if node[0] < low:
                 node[0] = low
             while not node[1] and node[0] < threshold:
@@ -168,7 +192,7 @@ class _TagTree:
             t += 1
             if t > 64:
                 raise Jp2Error("tag tree value out of range")
-        return self.paths[leaf][-1][0]
+        return self._path(leaf)[-1][0]
 
 
 # ------------------------------------------------------------------
@@ -900,6 +924,31 @@ def decode_tile(siz: _Siz, cod: _Cod, exps, guard: int, data: bytes):
         if ex < 2 or ey < 2:
             raise Jp2Error("precinct too small for a code-block")
         return ex, ey
+
+    # crafted-header resource gate: the per-cblk state lists and tag
+    # trees below are sized by SIZ/COD fields alone, BEFORE any packet
+    # byte is validated — so price the declared geometry first.  Two
+    # bounds: an absolute cap (bounds worst-case pre-packet memory),
+    # and a data-proportional one (a code-block that is ever included
+    # costs header bits, so a stream too short to reference the
+    # declared blocks cannot need their structures; tiny crafted
+    # headers declaring huge grids decline here in microseconds).
+    total_cblks = 0
+    for r in range(nl + 1):
+        ex, ey = _eff_cb(r)
+        if r == 0:
+            bdims = [(ll_dims[0], ll_dims[1])]
+        else:
+            bdims = list(band_dims[r - 1])
+        for bw, bh in bdims:
+            total_cblks += (
+                max(0, -(-bw // (1 << ex))) * max(0, -(-bh // (1 << ey)))
+            )
+    total_cblks *= siz.ncomp
+    if total_cblks > _MAX_CBLKS:
+        raise Jp2Error("code-block count out of range")
+    if total_cblks > max(4096, 16 * len(data)):
+        raise Jp2Error("code-block count out of range for stream size")
 
     comps = []
     for c in range(siz.ncomp):

@@ -1945,12 +1945,20 @@ def _make_decode_one():
             while pos + 8 <= len(content):
                 size = int.from_bytes(content[pos : pos + 4], "big")
                 btype = content[pos + 4 : pos + 8]
-                if size == 0:
+                body_at = pos + 8
+                if size == 1:
+                    # XLBox: 64-bit length follows the type (mirrors
+                    # jpeg2000._jp2_codestream)
+                    if pos + 16 > len(content):
+                        break
+                    size = int.from_bytes(content[pos + 8 : pos + 16], "big")
+                    body_at = pos + 16
+                elif size == 0:
                     size = len(content) - pos
                 if size < 8 or pos + size > len(content):
                     break
                 if btype == b"jp2h":
-                    ih = content.find(b"ihdr", pos + 8, pos + size)
+                    ih = content.find(b"ihdr", body_at, pos + size)
                     if ih >= 0 and ih + 12 <= len(content):
                         h = int.from_bytes(content[ih + 4 : ih + 8], "big")
                         w = int.from_bytes(content[ih + 8 : ih + 12], "big")

@@ -651,3 +651,179 @@ def test_declared_precinct_sizes():
     with pytest.raises(Jp2Error, match="multiple precincts"):
         decode_jp2(blob)
     assert decode_jp2_pdf(blob) is None
+
+
+# --------------------------------------------------------------------
+# crafted-header resource gates (ADVICE r14: decode_tile must price
+# the declared code-block grid BEFORE allocating band/tag-tree
+# structures — a 60-byte header used to cost ~850 MB / 7 s)
+
+
+def test_crafted_cblk_grid_declines_before_alloc():
+    """4096x4096 with 4x4 code-blocks declares >1M blocks: decline at
+    the absolute count cap in well under a second, allocating none of
+    the per-cblk lists or tag trees."""
+    import time
+
+    g = bytearray(J2K_GRAY8_L1)
+    siz_at = g.index(b"\xff\x51")
+    for off in (6, 10, 22, 26):  # Xsiz, Ysiz, XTsiz, YTsiz
+        g[siz_at + off : siz_at + off + 4] = (4096).to_bytes(4, "big")
+    t0 = time.monotonic()
+    with pytest.raises(Jp2Error, match="code-block count"):
+        decode_jp2(bytes(g))
+    assert time.monotonic() - t0 < 0.5
+    assert decode_jp2_pdf(bytes(g)) is None
+
+
+def test_cblk_count_gated_by_stream_size():
+    """Below the absolute cap, the data-proportional gate still
+    declines a tiny stream whose declared grid it could never
+    reference (every included code-block costs header bits)."""
+    g = bytearray(J2K_GRAY8_L1)
+    siz_at = g.index(b"\xff\x51")
+    for off in (6, 10, 22, 26):
+        g[siz_at + off : siz_at + off + 4] = (512).to_bytes(4, "big")
+    with pytest.raises(Jp2Error, match="stream size"):
+        decode_jp2(bytes(g))
+    assert decode_jp2_pdf(bytes(g)) is None
+
+
+def test_tag_tree_lazy_paths():
+    """_TagTree allocates nothing at construction; nodes and paths
+    materialize only for leaves the packet walk actually touches."""
+    from clickhouse_table_copier_spark.operators.jpeg2000 import _TagTree
+
+    t = _TagTree(4096, 4096)
+    assert t.paths == {} and all(not lv for lv in t.levels)
+    p = t._path(0)
+    assert len(p) == len(t.dims)
+    # one leaf touched -> exactly one node per level, shared on re-walk
+    assert sum(len(lv) for lv in t.levels) == len(t.dims)
+    assert t._path(0) is p
+
+
+def test_jp2_image_meta_xlbox(spark):
+    """XLBox form (box size field == 1, 64-bit length after the
+    type): decode_image_meta must walk it like
+    jpeg2000._jp2_codestream does (ADVICE r14 — it used to treat 1 as
+    the length and report (-1, -1) for valid files)."""
+    import struct as _s
+
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        decode_image_meta,
+    )
+
+    jp2 = MKG.make_jp2(J2K_GRAY8_L1, 8, 8, 1)
+    at = jp2.index(b"jp2h") - 4
+    size = _s.unpack(">I", jp2[at : at + 4])[0]
+    xl = (
+        b"\x00\x00\x00\x01" + b"jp2h"
+        + _s.pack(">Q", size + 8) + jp2[at + 8 : at + size]
+    )
+    boxed = jp2[:at] + xl + jp2[at + size :]
+    media = spark.createDataFrame(
+        [(1, bytearray(boxed))], "media_id long, content binary",
+    )
+    row = decode_image_meta(media).collect()[0]
+    assert (row["fmt"], row["width"], row["height"]) == ("jp2", 8, 8)
+    # the decoder edge accepts the same spelling
+    assert (decode_jp2_pdf(boxed) == _gray8()).all()
+
+
+# --------------------------------------------------------------------
+# third-party cross-check (ADVICE r14): self-activates the moment an
+# independent JPEG 2000 implementation appears in the container
+
+
+def _external_jp2_decode():
+    """Return (name, decode_fn bytes->HxW[xC] uint8) for the first
+    available independent implementation, else None.  Probed r14/r15:
+    none in this container (no glymur/Pillow-j2k/OpenJPEG CLI)."""
+    try:
+        import glymur  # noqa: F401
+
+        def _g(blob):
+            import tempfile
+
+            with tempfile.NamedTemporaryFile(suffix=".jp2") as f:
+                f.write(blob)
+                f.flush()
+                return np.asarray(glymur.Jp2k(f.name)[:])
+
+        return "glymur", _g
+    except ImportError:
+        pass
+    try:
+        from PIL import Image, features
+
+        if features.check_codec("jpg_2000"):
+
+            def _p(blob):
+                import io
+
+                return np.asarray(Image.open(io.BytesIO(blob)))
+
+            return "pillow", _p
+    except Exception:
+        pass
+    import shutil
+
+    if shutil.which("opj_decompress"):
+
+        def _o(blob):
+            import subprocess
+            import tempfile
+
+            with tempfile.TemporaryDirectory() as d:
+                src = os.path.join(d, "in.j2k")
+                dst = os.path.join(d, "out.pgm")
+                with open(src, "wb") as f:
+                    f.write(blob)
+                subprocess.run(
+                    ["opj_decompress", "-i", src, "-o", dst], check=True
+                )
+                raw = open(dst, "rb").read()
+                # minimal binary PGM/PPM (P5/P6, maxval 255)
+                parts = raw.split(maxsplit=4)
+                magic, w, h, maxv = (
+                    parts[0], int(parts[1]), int(parts[2]), int(parts[3]),
+                )
+                assert magic in (b"P5", b"P6") and maxv == 255
+                px = np.frombuffer(parts[4], dtype=np.uint8)
+                if magic == b"P6":
+                    return px[: w * h * 3].reshape(h, w, 3)
+                return px[: w * h].reshape(h, w)
+
+        return "openjpeg-cli", _o
+    return None
+
+
+_EXT_JP2 = _external_jp2_decode()
+
+
+@pytest.mark.skipif(
+    _EXT_JP2 is None,
+    reason="no independent JPEG 2000 implementation in container "
+    "(probed r14/r15; this cross-check self-activates when one appears)",
+)
+def test_external_crosscheck_band_conventions():
+    """Decode the repo goldens with a third-party implementation and
+    require raster identity with decode_jp2 — pins QCD exponent
+    order, band ordering, and 2D DWT pass order against a convention
+    misreading that a symmetric in-repo encoder/decoder pair could
+    round-trip invisibly (ADVICE r14)."""
+    name, ext = _EXT_JP2
+    for blob, img in (
+        (J2K_GRAY8_L1, _gray8()),
+        (
+            MKG.encode_j2k(_gray37x29(), levels=2, xcb=4, ycb=4),
+            _gray37x29(),
+        ),
+        (J2K_RGB24X16_MCT, _rgb24x16()),
+    ):
+        theirs = ext(blob)
+        ours = decode_jp2(blob)
+        assert theirs.shape == ours.shape, name
+        assert (theirs == ours).all(), name
+        assert (ours == img).all()
