@@ -2,20 +2,35 @@
 ``/JPXDecode`` PDF image path — the LAST common scanned-PDF codec seam
 after CCITT (r9) and JBIG2 (r13).
 
-Scope — the shape PDF generators actually emit (VERDICT r13 item 3):
-single tile, reversible 5/3 wavelet (no quantization), grayscale or
-RGB (reversible color transform optional), 1-16 bit unsigned/signed
-samples, no subsampling, default precincts, any progression order,
-any layer count, code-block styles: default, RESET, TERMALL,
-vertically-causal, segmentation symbols, and selective arithmetic
-BYPASS (lazy raw passes, §D.4 — r14).  Everything else DECLINES
-deliberately (raise :class:`Jp2Error`; the API edge returns None,
-never raises, never fabricates — the CCITT/JBIG2 contract):
-irreversible 9/7 + scalar quantization, multiple tiles, non-zero
-image/tile offsets, COC/QCC/POC/RGN/PPM/PPT overrides, TRUE
-multi-precinct grids (declared precinct sizes are accepted when each
-resolution fits one precinct, with the PPx-clamped effective
-code-block size), component counts other than 1/3.
+Scope — the shape PDF generators actually emit (VERDICT r13 item 3)
+plus the lossy path photographic ``.jp2`` files in a crawl use
+(VERDICT r14 item 3): single tile, reversible 5/3 wavelet (no
+quantization) OR irreversible 9/7 wavelet with expounded scalar
+quantization (§E.1/Annex F — r15), grayscale or RGB (RCT with 5/3,
+ICT with 9/7), 1-16 bit unsigned/signed samples, no subsampling,
+default precincts, any progression order, any layer count, code-block
+styles: default, RESET, TERMALL, vertically-causal, segmentation
+symbols, and selective arithmetic BYPASS (lazy raw passes, §D.4 —
+r14).  Everything else DECLINES deliberately (raise
+:class:`Jp2Error`; the API edge returns None, never raises, never
+fabricates — the CCITT/JBIG2 contract): derived scalar quantization
+(Sqcd style 1), 9/7 spelled without quantization (and vice versa),
+multiple tiles, non-zero image/tile offsets, COC/QCC/POC/RGN/PPM/PPT
+overrides, TRUE multi-precinct grids (declared precinct sizes are
+accepted when each resolution fits one precinct, with the PPx-clamped
+effective code-block size), component counts other than 1/3.
+
+9/7 pin story (the ADVICE r14 symmetric-misreading concern): the
+lifting implementation (both directions) is pinned against a DIRECT
+FIR filter-bank decomposition built from the published Table F.4 taps
+(lowpass DC gain exactly 1, highpass Nyquist gain exactly 2) — two
+different published formulations of the same transform that must
+agree to 1e-9 — plus perfect-reconstruction round-trips and
+fine-quantization goldens whose reconstruction error is below the
+rounding threshold, making the decoded raster byte-exact.
+Reconstruction uses r = 0 in §E.1.1.2's value formula (any r in
+[0, 1) is a conformant decoder choice; 0 keeps fully-decoded goldens
+exact).
 
 Spark-side role: per-document map work inside the Arrow batch edge of
 :func:`operators.pdf_extract.extract_pdf_images` — PDF bytes never
@@ -734,6 +749,7 @@ def parse_codestream(cs: bytes):
     pos = 2
     siz = cod = None
     exps = None
+    mants = None
     guard = 0
     tile_parts = []
     n = len(cs)
@@ -807,8 +823,8 @@ def parse_codestream(cs: bytes):
                 raise Jp2Error("decomposition levels out of range")
             if cod.xcb > 10 or cod.ycb > 10 or cod.xcb + cod.ycb > 12:
                 raise Jp2Error("code-block size out of range")
-            if cod.transform != 1:
-                raise Jp2Error("irreversible 9/7 out of scope")
+            if cod.transform > 1:
+                raise Jp2Error("unknown wavelet transform")
             if scod & 0x01:
                 # explicit precinct sizes: one byte per resolution
                 # (PPx low nibble, PPy high nibble).  Accepted when
@@ -827,9 +843,27 @@ def parse_codestream(cs: bytes):
                 raise Jp2Error("truncated QCD")
             sq = body[0]
             guard = sq >> 5
-            if sq & 0x1F:
-                raise Jp2Error("scalar quantization out of scope")
-            exps = [b >> 3 for b in body[1:]]
+            style = sq & 0x1F
+            if style == 0:
+                # no quantization (reversible path): 8-bit fields,
+                # exponent in the top 5 bits
+                exps = [b >> 3 for b in body[1:]]
+                mants = None
+            elif style == 2:
+                # scalar expounded: 16-bit (eps << 11) | mu per band
+                if (len(body) - 1) % 2:
+                    raise Jp2Error("truncated QCD fields")
+                vals = [
+                    _u16(body, i) for i in range(1, len(body) - 1, 2)
+                ]
+                if not vals:
+                    raise Jp2Error("truncated QCD fields")
+                exps = [v >> 11 for v in vals]
+                mants = [v & 0x7FF for v in vals]
+            else:
+                raise Jp2Error(
+                    "derived/reserved quantization style out of scope"
+                )
         elif marker in (0xFF53, 0xFF5D, 0xFF5E, 0xFF5F, 0xFF60, 0xFF61):
             # COC / QCC / RGN / POC / PPM / PPT
             raise Jp2Error("per-component/ROI/POC overrides out of scope")
@@ -875,7 +909,15 @@ def parse_codestream(cs: bytes):
         raise Jp2Error("no tile data")
     if len(exps) < 3 * cod.levels + 1:
         raise Jp2Error("QCD exponent count mismatch")
-    return siz, cod, exps, guard, b"".join(tile_parts)
+    # transform/quantization coherence (§A.6.4): the reversible 5/3
+    # pairs with "no quantization", the irreversible 9/7 with scalar
+    # quantization — mismatched spellings decline rather than guess a
+    # step size
+    if cod.transform == 0 and mants is None:
+        raise Jp2Error("9/7 without scalar quantization out of scope")
+    if cod.transform == 1 and mants is not None:
+        raise Jp2Error("quantized reversible out of scope")
+    return siz, cod, exps, mants, guard, b"".join(tile_parts)
 
 
 def _band_dims(w: int, h: int, levels: int):
@@ -894,7 +936,87 @@ def _band_dims(w: int, h: int, levels: int):
     return dims[levels], out
 
 
-def decode_tile(siz: _Siz, cod: _Cod, exps, guard: int, data: bytes):
+# ------------------------------------------------------------------
+# inverse 9/7 DWT (§F.4, irreversible) — float64 lifting.
+#
+# Lifting coefficients per Table F.4; spec subband normalization is
+# lowpass DC gain 1 / highpass Nyquist gain 2 (the same convention as
+# the 5/3 filters and the 0/1/1/2 log2 band gains), which fixes the
+# final analysis scaling at low x (1/K), high x K — the unscaled
+# lifting steps have DC gain exactly K on the low branch and Nyquist
+# gain 2/K on the high branch (derivable by pushing a constant /
+# alternating signal through the four steps).  tests pin both
+# directions against a direct FIR convolution with the published taps.
+
+_K97_A = -1.586134342059924
+_K97_B = -0.052980118572961
+_K97_G = 0.882911075530934
+_K97_D = 0.443506852043971
+_K97_K = 1.230174104914001
+
+
+def _even_neigh(ev: np.ndarray, n: int) -> np.ndarray:
+    """For each odd sample 2i+1: X(2i) + X(2i+2), whole-sample
+    symmetric extension (X(n) → X(n-2) when 2i+1 = n-1)."""
+    rows, ne = ev.shape
+    no = n // 2
+    ex = np.empty((rows, ne + 1), dtype=ev.dtype)
+    ex[:, :ne] = ev
+    ex[:, ne] = ev[:, ne - 1]
+    return ex[:, :no] + ex[:, 1 : no + 1]
+
+
+def _odd_neigh(od: np.ndarray, n: int) -> np.ndarray:
+    """For each even sample 2i: X(2i-1) + X(2i+1), whole-sample
+    symmetric extension (X(-1) → X(1); X(n) → X(n-2) when 2i =
+    n-1)."""
+    rows, no = od.shape
+    ne = (n + 1) // 2
+    ox = np.empty((rows, no + 2), dtype=od.dtype)
+    ox[:, 1 : no + 1] = od
+    ox[:, 0] = od[:, 0]
+    ox[:, no + 1] = od[:, no - 1]
+    return ox[:, :ne] + ox[:, 1 : ne + 1]
+
+
+def _isr97_rows(a: np.ndarray) -> np.ndarray:
+    """1D_SR along axis 1 (interleaved L/H, even = lowpass): undo the
+    K scaling, then the four lifting steps in reverse order."""
+    n = a.shape[1]
+    if n == 1:
+        return a
+    out = a.copy()
+    ev = out[:, 0::2]
+    od = out[:, 1::2]
+    ev *= _K97_K
+    od *= 1.0 / _K97_K
+    ev -= _K97_D * _odd_neigh(od, n)
+    od -= _K97_G * _even_neigh(ev, n)
+    ev -= _K97_B * _odd_neigh(od, n)
+    od -= _K97_A * _even_neigh(ev, n)
+    return out
+
+
+def inverse_dwt97(ll: np.ndarray, bands: list) -> np.ndarray:
+    """Multi-level 2D synthesis, float64; same interleave + HOR then
+    VER order as :func:`inverse_dwt53`."""
+    cur = ll
+    for hl, lh, hh in bands:
+        h = cur.shape[0] + lh.shape[0]
+        w = cur.shape[1] + hl.shape[1]
+        a = np.zeros((h, w), dtype=np.float64)
+        a[0::2, 0::2] = cur
+        a[0::2, 1::2] = hl
+        a[1::2, 0::2] = lh
+        a[1::2, 1::2] = hh
+        a = _isr97_rows(a)
+        a = np.ascontiguousarray(_isr97_rows(a.T).T)
+        cur = a
+    return cur
+
+
+def decode_tile(siz: _Siz, cod: _Cod, exps, mants, guard: int,
+                data: bytes):
     """Packet walk (tier-2) + tier-1 per code-block → list of
     per-component int32 sample arrays (after IDWT, before MCT/shift)."""
     nl = cod.levels
@@ -1068,7 +1190,7 @@ def decode_tile(siz: _Siz, cod: _Cod, exps, guard: int, data: bytes):
     for c in range(siz.ncomp):
         res = comps[c]
 
-        def band_array(band: _Band) -> np.ndarray:
+        def band_array(band: _Band, bi: int) -> np.ndarray:
             arr = np.zeros((band.h, band.w), dtype=np.int32)
             for cy in range(band.ncy):
                 for cx in range(band.ncx):
@@ -1082,14 +1204,32 @@ def decode_tile(siz: _Siz, cod: _Cod, exps, guard: int, data: bytes):
                         cb[4], cw, ch, band.orient, cb[1], cb[2],
                         band.mb, cod.cbstyle,
                     )
-            return arr
+            if mants is None:
+                return arr
+            # §E.1.1.2 dequantization with r = 0 (conformant decoder
+            # choice; keeps fully-decoded goldens exact): v = q * Δb,
+            # Δb = 2^(Rb - εb) * (1 + μb/2^11), Rb = depth + log2
+            # band gain (LL 0, HL/LH 1, HH 2)
+            gain = (
+                0 if band.orient == 0 else (2 if band.orient == 3 else 1)
+            )
+            delta = (1.0 + mants[bi] / 2048.0) * 2.0 ** (
+                siz.depths[c] + gain - exps[bi]
+            )
+            return arr.astype(np.float64) * delta
 
-        ll = band_array(res[0][0])
+        ll = band_array(res[0][0], 0)
         bands = []
         for r in range(1, nl + 1):
-            hl, lh, hh = (band_array(b) for b in res[r])
+            hl, lh, hh = (
+                band_array(b, 1 + 3 * (r - 1) + oi)
+                for oi, b in enumerate(res[r])
+            )
             bands.append((hl, lh, hh))
-        out.append(inverse_dwt53(ll, bands))
+        out.append(
+            inverse_dwt53(ll, bands) if mants is None
+            else inverse_dwt97(ll, bands)
+        )
     return out
 
 
@@ -1128,8 +1268,8 @@ def decode_jp2(data: bytes) -> np.ndarray:
     """JP2 container or raw codestream → (h, w) or (h, w, 3) uint8.
     Raises :class:`Jp2Error` on malformed/out-of-scope input."""
     cs = _jp2_codestream(data)
-    siz, cod, exps, guard, tile = parse_codestream(cs)
-    planes = decode_tile(siz, cod, exps, guard, tile)
+    siz, cod, exps, mants, guard, tile = parse_codestream(cs)
+    planes = decode_tile(siz, cod, exps, mants, guard, tile)
     if cod.mct > 1:
         # reserved SGcod values: decline like prog/transform do —
         # treating them as no-MCT would emit Y/Cb/Cr as R/G/B
@@ -1139,10 +1279,27 @@ def decode_jp2(data: bytes) -> np.ndarray:
         if siz.ncomp != 3:
             raise Jp2Error("MCT with non-3 components")
         y0, y1, y2 = planes
-        g = y0 - ((y1 + y2) >> 2)  # inverse RCT (§G.3, reversible)
-        r = y2 + g
-        b = y1 + g
+        if cod.transform == 1:
+            g = y0 - ((y1 + y2) >> 2)  # inverse RCT (§G.3, reversible)
+            r = y2 + g
+            b = y1 + g
+        else:
+            # inverse ICT (§G.2, irreversible): Y/Cb/Cr floats; the
+            # G-row constants derive exactly from the published
+            # forward ones (0.114*1.772/0.587, 0.299*1.402/0.587)
+            r = y0 + 1.402 * y2
+            g = y0 - (0.114 * 1.772 / 0.587) * y1 - (
+                0.299 * 1.402 / 0.587
+            ) * y2
+            b = y0 + 1.772 * y1
         planes = [r, g, b]
+    if cod.transform == 0:
+        # float synthesis output → integer samples (round half up;
+        # fine-quantization streams land within ±0.5 of the original
+        # so this recovers it exactly)
+        planes = [
+            np.floor(p + 0.5).astype(np.int32) for p in planes
+        ]
     chans = []
     for c, p in enumerate(planes):
         depth = siz.depths[c]

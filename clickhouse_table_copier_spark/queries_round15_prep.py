@@ -193,9 +193,16 @@ _PDF_CCITT = _image_pdf(
 # JPX decline taxonomy inputs: truncated golden; out-of-scope 9/7
 # transform (COD SPcod transform byte patched to 0); non-JPX bytes
 _J2K_TRUNC = _J2K_GRAY8[:40]
-_J2K_97 = bytearray(_J2K_GRAY8)
-_J2K_97[_J2K_GRAY8.index(b"\xff\x52") + 13] = 0
-_J2K_97 = bytes(_J2K_97)
+# lossy 9/7 golden of the same 8x8 gradient (fine quantization,
+# decodes byte-exactly — scripts/make_jpeg2000_golden.py r15)
+_J2K_97 = bytes.fromhex(
+    "ff4fff51002900000000000800000008000000000000000000000008000000080000"
+    "0000000000000001070101ff52000c00000001000100000000ff5c000b4260006800"
+    "68007000ff90000a0000000000760001ff93cfe46c10f4e31df6f52d426430e0790b"
+    "db7137f62c3612dc2ae0b0acf15fcff02f0fd85a3fc0a0230dfdc52bfde5910adf55"
+    "3e85bdb932a23c1db97439c61e82aa0c0eb4cd783687b9adf6dd63d923dca4bf8baf"
+    "1e86fc4c21bc9a3ad2b2faec6bbc5add4cf70df6ffd9"
+)
 
 
 def _twin_pngs():
@@ -456,11 +463,12 @@ def q_pdf_crypt_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------- jpx decline taxonomy
 # Planted docs (doc_id % 13 = 4) carry a /JPXDecode PDF whose payload
-# class is doc_id % 4: 0 -> the valid golden (must lift), 1 -> a
-# truncated codestream, 2 -> an out-of-scope 9/7 transform, 3 -> non-
-# JPX bytes.  Classes 1-3 must DECLINE per image (zero lifts) without
-# raising — a raise anywhere fails the whole Arrow batch and the
-# driver row with it, which is exactly what this query pins.
+# class is doc_id % 4: 0 -> the reversible 5/3 golden (must lift),
+# 1 -> a truncated codestream, 2 -> a LOSSY 9/7 + scalar-quantization
+# golden (must lift since the r15 9/7 decoder), 3 -> non-JPX bytes.
+# Classes 1 and 3 must DECLINE per image (zero lifts) without raising
+# — a raise anywhere fails the whole Arrow batch and the driver row
+# with it, which is exactly what this query pins.
 
 _JPX_ORACLE = """
 WITH d AS (
@@ -471,7 +479,7 @@ SELECT CASE cls WHEN 0 THEN 'valid' WHEN 1 THEN 'truncated'
                 WHEN 2 THEN 'irreversible_97' ELSE 'garbage' END
          AS jpx_class,
        n::BIGINT AS n_docs,
-       (CASE WHEN cls = 0 THEN n ELSE 0 END)::BIGINT AS n_lifted
+       (CASE WHEN cls IN (0, 2) THEN n ELSE 0 END)::BIGINT AS n_lifted
 FROM a
 """
 
@@ -480,9 +488,10 @@ FROM a
 def q_jpx_decline_taxonomy(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """The jpeg2000 decline contract inside the correctness gate:
-    valid streams lift, truncated / out-of-scope / garbage streams
-    produce ZERO media rows and ZERO task failures."""
+    """The jpeg2000 decode + decline contract inside the correctness
+    gate: reversible 5/3 AND lossy 9/7 streams lift, truncated /
+    garbage streams produce ZERO media rows and ZERO task
+    failures."""
     from clickhouse_table_copier_spark.operators.pdf_extract import (
         extract_pdf_images,
     )

@@ -104,6 +104,68 @@ def forward_dwt53(img: np.ndarray, levels: int):
     return cur, bands
 
 
+# irreversible 9/7 analysis (T.800 F.4/Table F.4 lifting constants).
+# Final scaling low x (1/K) / high x K puts the subbands in the
+# spec's normalization (lowpass DC gain exactly 1, highpass Nyquist
+# gain exactly 2 — same convention as the 5/3 pair and the 0/1/1/2
+# log2 band gains).
+
+_K97_A = -1.586134342059924
+_K97_B = -0.052980118572961
+_K97_G = 0.882911075530934
+_K97_D = 0.443506852043971
+_K97_K = 1.230174104914001
+
+
+def _fsd97_rows(a: np.ndarray) -> np.ndarray:
+    """1D_SD along axis 1 (float64) → interleaved L/H (even =
+    lowpass); whole-sample symmetric extension per lifting step."""
+    n = a.shape[1]
+    if n == 1:
+        return a.copy()
+    out = a.astype(np.float64).copy()
+    ev = out[:, 0::2]
+    od = out[:, 1::2]
+
+    def even_neigh():
+        rows, ne = ev.shape
+        no = n // 2
+        ex = np.empty((rows, ne + 1))
+        ex[:, :ne] = ev
+        ex[:, ne] = ev[:, ne - 1]
+        return ex[:, :no] + ex[:, 1 : no + 1]
+
+    def odd_neigh():
+        rows, no = od.shape
+        ne = (n + 1) // 2
+        ox = np.empty((rows, no + 2))
+        ox[:, 1 : no + 1] = od
+        ox[:, 0] = od[:, 0]
+        ox[:, no + 1] = od[:, no - 1]
+        return ox[:, :ne] + ox[:, 1 : ne + 1]
+
+    od += _K97_A * even_neigh()
+    ev += _K97_B * odd_neigh()
+    od += _K97_G * even_neigh()
+    ev += _K97_D * odd_neigh()
+    ev *= 1.0 / _K97_K
+    od *= _K97_K
+    return out
+
+
+def forward_dwt97(img: np.ndarray, levels: int):
+    """→ (LL, [(HL, LH, HH) coarsest→finest]) float64 subbands."""
+    cur = img.astype(np.float64)
+    bands = []
+    for _ in range(levels):
+        a = _fsd97_rows(cur.T).T  # vertical first
+        a = _fsd97_rows(a)  # then horizontal
+        bands.append((a[0::2, 1::2], a[1::2, 0::2], a[1::2, 1::2]))
+        cur = a[0::2, 0::2]
+    bands.reverse()
+    return cur, bands
+
+
 # ------------------------------------------------- EBCOT tables (§D)
 
 _CTX_RL = 17
@@ -509,12 +571,36 @@ def encode_j2k(
     depth: int = 8,
     signed: bool = False,
     precincts: list | None = None,
+    transform: int = 1,
+    quant: list | None = None,
 ) -> bytes:
     """Image (h, w) or (h, w, 3) of ``depth``-bit samples → full
     codestream.  ``signed`` (gray only): samples are already centered
-    (no DC level shift, Ssiz sign bit set)."""
+    (no DC level shift, Ssiz sign bit set).
+
+    ``transform`` 1 = reversible 5/3 (default), 0 = irreversible 9/7
+    — then ``quant`` must give (eps, mu) per subband in QCD order
+    (LL, then HL/LH/HH coarsest→finest; len 3*levels+1), emitted as
+    scalar-expounded QCD fields; coefficients are quantized
+    round-to-nearest (q = sign * floor(|v|/Δ + 0.5), |error| ≤ Δ/2)."""
     shift = 0 if signed else 1 << (depth - 1)
-    if img.ndim == 2:
+    if transform == 0:
+        assert quant is not None and len(quant) == 3 * levels + 1
+        if img.ndim == 2:
+            comps = [img.astype(np.float64) - shift]
+        else:
+            r = img[..., 0].astype(np.float64) - shift
+            g = img[..., 1].astype(np.float64) - shift
+            b = img[..., 2].astype(np.float64) - shift
+            if mct:
+                # forward ICT (G.1)
+                y = 0.299 * r + 0.587 * g + 0.114 * b
+                cb = (b - y) / 1.772
+                cr = (r - y) / 1.402
+                comps = [y, cb, cr]
+            else:
+                comps = [r, g, b]
+    elif img.ndim == 2:
         comps = [img.astype(np.int32) - shift]  # DC level shift
     else:
         # DC level shift FIRST, then forward RCT (G.2) — the decoder
@@ -530,8 +616,12 @@ def encode_j2k(
     h, w = comps[0].shape
 
     # per-subband exponents: eps = depth + gain (LL 0, HL/LH 1, HH 2)
-    exps = [depth] + [depth + g_ for _ in range(levels)
-                      for g_ in (1, 1, 2)]
+    # for the unquantized 5/3 path; the caller's eps for 9/7
+    if transform == 0:
+        exps = [e for e, _ in quant]
+    else:
+        exps = [depth] + [depth + g_ for _ in range(levels)
+                          for g_ in (1, 1, 2)]
 
     # wavelet + tier-1 per component; explicit precincts clamp the
     # effective code-block exponents (xcb' = min(xcb, PPx - (r>0)))
@@ -542,9 +632,30 @@ def encode_j2k(
         return (min(xcb, ppx - (1 if r else 0)),
                 min(ycb, ppy - (1 if r else 0)))
 
+    def _quantize(arr, bi, orient):
+        """Round-to-nearest scalar quantizer (encoder choice, §E)."""
+        gain = 0 if orient == 0 else (2 if orient == 3 else 1)
+        eps, mu = quant[bi]
+        delta = (1.0 + mu / 2048.0) * 2.0 ** (depth + gain - eps)
+        q = np.sign(arr) * np.floor(np.abs(arr) / delta + 0.5)
+        if q.size:
+            assert np.abs(q).max() < 1 << (guard + eps - 1), "Mb overflow"
+        return q.astype(np.int32)
+
     all_bands = []  # [comp][res] -> list of band dicts
     for c in comps:
-        ll, bands = forward_dwt53(c, levels)
+        if transform == 0:
+            llf, bandsf = forward_dwt97(c, levels)
+            ll = _quantize(llf, 0, 0)
+            bands = [
+                tuple(
+                    _quantize(arr, 1 + 3 * r + oi, oi + 1)
+                    for oi, arr in enumerate(trio)
+                )
+                for r, trio in enumerate(bandsf)
+            ]
+        else:
+            ll, bands = forward_dwt53(c, levels)
         res_list = []
         mb = guard + exps[0] - 1
         ex0, ey0 = eff_cb(0)
@@ -657,11 +768,17 @@ def encode_j2k(
     out += b"\xff\x52" + struct.pack(
         ">HBBHBBBBBB", 12 + (0 if precincts is None else levels + 1),
         scod, prog, layers, mct, levels,
-        xcb - 2, ycb - 2, cbstyle, 1,
+        xcb - 2, ycb - 2, cbstyle, transform,
     )
     if precincts is not None:
         out += bytes((ppy << 4) | ppx for ppx, ppy in precincts)
-    qcd = bytes([guard << 5]) + bytes(e << 3 for e in exps)
+    if transform == 0:
+        # scalar expounded (Sqcd style 2): 16-bit (eps << 11) | mu
+        qcd = bytes([(guard << 5) | 2]) + b"".join(
+            struct.pack(">H", (e << 11) | mu) for e, mu in quant
+        )
+    else:
+        qcd = bytes([guard << 5]) + bytes(e << 3 for e in exps)
     out += b"\xff\x5c" + struct.pack(">H", 2 + len(qcd)) + qcd
     psot = 12 + 2 + len(body)
     out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
@@ -822,6 +939,16 @@ def gray16modes():
     return (((x ^ y) * 37 + x * 5) % 256).astype(np.uint8)
 
 
+def quant97(levels: int, extra: int, mu: int = 0, depth: int = 8):
+    """(eps, mu) per subband in QCD order for the 9/7 path: eps =
+    depth + log2-gain + ``extra`` — extra=4 gives Δ = 2^-4/(band
+    gain), fine enough that reconstruction error stays below the
+    rounding threshold (byte-exact raster); negative extra gives
+    visible loss for the tolerance goldens."""
+    gains = [0] + [g for _ in range(levels) for g in (1, 1, 2)]
+    return [(depth + g + extra, mu) for g in gains]
+
+
 def _emit(name, blob):
     print(f"{name} = bytes.fromhex(")
     hx = blob.hex()
@@ -843,6 +970,17 @@ if __name__ == "__main__":
          dict(levels=1, xcb=2, ycb=2, layers=1, prog=0,
               cbstyle=CB_RESET | CB_TERMALL | CB_VCAUSAL
               | CB_SEGSYM)),
+    ]
+    cases += [
+        ("J2K_GRAY8_97_FINE", gray8(),
+         dict(levels=1, xcb=2, ycb=2, transform=0,
+              quant=quant97(1, 4))),
+        ("J2K_RGB24X16_97_ICT", rgb24x16(),
+         dict(levels=1, xcb=3, ycb=3, mct=1, transform=0,
+              quant=quant97(1, 5))),
+        ("J2K_GRAY37X29_97_COARSE", gray37x29(),
+         dict(levels=2, xcb=4, ycb=4, layers=2, prog=1, transform=0,
+              quant=quant97(2, -1, 512))),
     ]
     for name, img, kw in cases:
         _emit(name, encode_j2k(img, **kw))

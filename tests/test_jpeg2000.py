@@ -298,13 +298,17 @@ def _patch(blob: bytes, idx: int, val: int) -> bytes:
 
 def test_out_of_scope_declines():
     g = J2K_GRAY8_L1
-    # irreversible 9/7: COD transform byte 0 (last SPcod byte)
+    # reserved transform value: COD transform byte 2 (last SPcod byte)
     cod_at = g.index(b"\xff\x52")
-    with pytest.raises(Jp2Error, match="9/7"):
-        parse_codestream(_patch(g, cod_at + 13, 0))
-    # scalar quantization (Sqcd style bits)
+    with pytest.raises(Jp2Error, match="transform"):
+        parse_codestream(_patch(g, cod_at + 13, 2))
+    # derived scalar quantization (Sqcd style 1)
     qcd_at = g.index(b"\xff\x5c")
     with pytest.raises(Jp2Error, match="quantization"):
+        parse_codestream(_patch(g, qcd_at + 4, 0x41))
+    # expounded QCD on a reversible stream: the 8-bit field list is
+    # not parseable as 16-bit pairs → field-count decline
+    with pytest.raises(Jp2Error, match="QCD"):
         parse_codestream(_patch(g, qcd_at + 4, 0x42))
     # multiple tiles: XTsiz (bytes +22..25) halved below Xsiz
     siz_at = g.index(b"\xff\x51")
@@ -315,7 +319,7 @@ def test_out_of_scope_declines():
         parse_codestream(_patch(g, siz_at + 42, 2))
     # every decline comes back as None from the API edge
     for idx, val in (
-        (cod_at + 13, 0), (qcd_at + 4, 0x42),
+        (cod_at + 13, 2), (qcd_at + 4, 0x41), (qcd_at + 4, 0x42),
     ):
         assert decode_jp2_pdf(_patch(g, idx, val)) is None
 
@@ -827,3 +831,318 @@ def test_external_crosscheck_band_conventions():
         assert theirs.shape == ours.shape, name
         assert (theirs == ours).all(), name
         assert (ours == img).all()
+
+
+# --------------------------------------------------------------------
+# irreversible 9/7 + scalar quantization (VERDICT r14 item 3) —
+# goldens from scripts/make_jpeg2000_golden.py (quant97 steps in the
+# reproducibility test below)
+
+J2K_GRAY8_97_FINE = bytes.fromhex(
+    "ff4fff510029000000000008000000080000000000000000000000080000000800000000"
+    "000000000001070101ff52000c00000001000100000000ff5c000b426000680068007000"
+    "ff90000a0000000000760001ff93cfe46c10f4e31df6f52d426430e0790bdb7137f62c36"
+    "12dc2ae0b0acf15fcff02f0fd85a3fc0a0230dfdc52bfde5910adf553e85bdb932a23c1d"
+    "b97439c61e82aa0c0eb4cd783687b9adf6dd63d923dca4bf8baf1e86fc4c21bc9a3ad2b2"
+    "faec6bbc5add4cf70df6ffd9"
+)
+J2K_RGB24X16_97_ICT = bytes.fromhex(
+    "ff4fff51002f000000000018000000100000000000000000000000180000001000000000"
+    "000000000003070101070101070101ff52000c00000001010101010000ff5c000b426800"
+    "700070007800ff90000a0000000006ad0001ff93e7fc317fc1a0114ef769275cd83f4a05"
+    "0c954225ee61e917d2ef21e2d45c84be3e6a3d8181ba5beb1a2df41fc8399a3fac38d092"
+    "e9e50e5a7d9512cdef6bcb29128b93e6aa43cc64df9624e41c99ff0b85fe0e2e1a5d5946"
+    "4494844ad9fa186bd167eb35cbe175131ee266126a64d814c0c1ac97a8f08b6aae6507ad"
+    "aac369f6f5a0cfbd3d610e1d95529958718085b0f843b8c5453480de4a742aabe7fc327f"
+    "c1b013d0be51f4c6565161461c52c122e282fb60b5bc38bad0d9828d795c95a45e9cc919"
+    "f23500543f2de3b24526d02247b4c190cfd07773f738cde40615b6890f71886969b17699"
+    "cef7a83199ab1d459d7c2f2bc4e533501c842509f657758bf1a80bd07de51c6d37d746ca"
+    "353a083a78c0fba76262f72c4cf9c8ec5c0a76b590014f55a0be527abf67258344a6d603"
+    "981c1c81610c11ef230eef5fe5fcaf7fc1a0075283343b121f51bc0f3fb2c1cf9d2ed90a"
+    "3acb3284069d6b7fdec49b2964dd101485c28e9142e3f3a1bd660441c731789dc6f0ee39"
+    "2130da92821f2c494da0897ef7b6bdde5fd50ede1c93b8dcdf0d9e0b35cf22b34aaf81f4"
+    "0ddbfcbf1d184f9b8e7245306eeeaea87f218d271719802f4e9f105a296453b15e6308f9"
+    "0bb3c55e00a5db8dc1809fdf6b28aa64b04b5e38e2fe52bfe0c73ff8029dfe0cf17f84cf"
+    "fe006862703a4cff6599a56e27164ceb8417d6d5761ee4e519031236694535c145cf840e"
+    "5dc1977a9b87cdc234eb0cca220b751e5ceb6fae03be50672dae26669b8a1a20ab18b45a"
+    "ed9194ca19202c0d3de1a380bf9634d1daa2d41eb36c5bcd7068fb2e03753a3cde10b3d8"
+    "0ab3d16719dabde8bb5db4ce87d550c37e136259c8b4916924e14048bd3843d2a1155435"
+    "3fc92866976f0ba9f0c1441acc54af55ff1eba937c7d1572660316bea48dc64e29c4eb6f"
+    "9692b6ff7a99506acc3d3b65237c3926769ac607ff35973bc8609a075728b5e73c08adf1"
+    "2825fb5f00c55a11bd3e1412279f7554635ab5a46abdba32813f9283d7605e1f6f7f9e71"
+    "02aaa9cfc887d8e75d17b9eb307ecac990d5c140dbcb3fe2c9f632f43a24283a9c3a652d"
+    "051421e4bdbc29cf4b6dfedc1166ca446fc6d10091b45a25a52530375f7233f1a9b1b36d"
+    "7c445904ece214d8baeab26934bdafcf7340b8697edbf9301cef1f5f89d21ad81ebb0f69"
+    "abbdf626b91ab423db81fc4d47d8a05d58e7640e9b185bdd4696ff7fe1fe54ff64c71ff0"
+    "bdff033c3fe167fe0cc009f718d96c1f734235ee7e3b5bf4465a1d23d0f085f95dd05a62"
+    "36a7c9b2457520bf0fecd408566ba3c660b1f6de9dc08fcfac9bd6e05e56bd09d4e2eddd"
+    "0fcd0e4bc5ce62afdd7931ad4118f7251432a3832f174bf7af8bff3d8b94f467602b270b"
+    "36111dc26baad80e2bc35b584eab489282cc7c4e0b61262165350eb6cb5a7394340f0737"
+    "f8f96bba9224e8f783e825149866f238ea54a5c9d53560ecd605721198c02d5b4b4dc64d"
+    "1b2e5154cd989aad8594753d70d7757130c33a918b91a08edae9c0c7a2a38903da9be8fb"
+    "c7dda969fa9b491c353fb624b3e2c342007b3d8f12083f0fa7df8cf8293e917b8c0864b6"
+    "07c12bed3bf515baf67fdf0e71890972d8ab1a6eddcbef53342686fd99b3e63713823f1b"
+    "c2d02074f843442f81c5e6d624b63210f9283657fbb3a4baaa37cb7ad6c07ed589772e60"
+    "d5bb3459847db8dac27e027801672b920ad42c99b62d5635d543b2a7fa5683ed336cf6d1"
+    "24aee11a40d0c9360dd60078d4144c372778e5034b47e1fe0881f656b79146dc1d7447fc"
+    "3072d6f5c1f6ce8904d9b665fd6bc1a2596598db22c2fe9d96210b9dad298fe47ec89ffc"
+    "00cb1ff099ff031c5fe12fff400c805c5fe5f6800fdea215f88a7c3a26bd0115e0f743a4"
+    "1d22cbf54673e177d31a226940990fd4ae6bb4571565b74da58da4d659331c8626e438b1"
+    "f72293c463c52b82bcdb49205cbcb0ee75fdb0e14ad72c1c3bec21c95ce1d91b049f0c2d"
+    "3c8b1645e4ab7147707c1938984c82c5c390485289730fb40761f7579a77afe6f310eb06"
+    "e79ee623254c8580c11b6e6fb583f721656f8b1600584df43c8264f4b510b9899fdb723a"
+    "7a734af886af0d39e6856b66d18668d0cf8292587845e1a19834670053281367d5719ffc"
+    "f6df5333e0c243df456fe2dfda8e9ccedb1ee632c5e851e82d1c043d7a06b3940c6eb65d"
+    "47051dd98a7f626447feeb699d895eec1e62388c024a7c683a250f69aa0ae44a0562aa98"
+    "32f6389730a4e76098208af329baf5e4552d6c649dc53b99a978db942eb90191a310ac79"
+    "c1d3a4ae8901c1eebf357e34f1ac4b9f1b0d04115395f95d24b02e46d4add19f70c01a2d"
+    "ca075927f0e2c0d00553e8816d7ebfac345b2626062d3fffd9"
+)
+J2K_GRAY37X29_97_COARSE = bytes.fromhex(
+    "ff4fff5100290000000000250000001d0000000000000000000000250000001d00000000"
+    "000000000001070101ff52000c00010002000202020000ff5c0011423a00420042004a00"
+    "420042004a00ff90000a00000000042b0001ff93cfa5b848110349780caf89f889078e1a"
+    "77222b8a638ad81f8b217ee00f7ae5ce4c0dfe375cafd219af1c87e821c1b05d4e892345"
+    "65d07823d702c84566985fc7d2ea3e96b1f61d8031a267b52a7f010e254c69f6246e8ba2"
+    "81855e6344e180c414fe5e8de93a9a0d9ac00f77e6f8099e1060c7abaa68c52f3e898e81"
+    "5669bdc59b18075a2ce6989c3975cdd1bc8e639fb583e2feb3c14c966c9792092e20b214"
+    "efb511b8c83138126e88e88e71aab5b9799039477571452b1ebd9e6052f820c1473c7720"
+    "94fd18a48d53449eb4a6dca1811c85ab68cf58c4ec382dac8b71305805e912ddbe41e038"
+    "89b7cdc3c627825abf01c92480bc6d808078987ef79e852dd7e7ecb63f60e67ecb07f614"
+    "67efb83f78f8457615ad9e13cbc0c6cecb96bcbc1aaf0eba1e81ef80bf89919fb051826b"
+    "051d3de504d4a19f4b9ed44e9c271ff1168bf94b9e22c7b04a5154871ff468bb8788749d"
+    "97a5c10102e2b5ce5715c1ce4e1d105ec26aaf8927c4bbf844708a66ce67696dde08aa7f"
+    "e4550940547eaf3dcadb7400c58ab437f6942d7c68419c21985e69e284d1eeb4ca90a742"
+    "2a312e431391e0f2903fdaabbc0087a1853c7a2e29ea8b56737e25e4f567e5178e9bdd13"
+    "5739c3b01afd333b2cd5095ffda2addf56572c228db746d1cf96ee461f1f85bc2e4d9b70"
+    "5ccc845b44380cc0035028c6ac469e21dfd63da880ce4612e4b0375506aac2f21fa10751"
+    "94cbfe39b78dbe6900289f1d6f5c326c0e63a511713d4d52c1c63cf7103532d94d89d6fe"
+    "04935569e3c1b6393b0c8404a8dde67ba8629217382b5090c0b94b289cadc10521bd4479"
+    "ea7cd4b5722b1e0a51e2ed811a6e5c58a1d94d35108af6700d445d8e95d459262cc59fd4"
+    "9eee249fa8544732885e2b1c9d9139bc5b31741a537e457e05e5870f7f573aff840771ff"
+    "7aac14fda294ac2552d804a786566ae725628ba0862e4605469d20449a40191fac750abd"
+    "b2f55e1ecfc904fad6d3852940eb396db4289d74da8ed1303d70f41e9cc2b241ef767fc2"
+    "32e1d585bdd1d7fe15678c563b67f83c0b1e02f44252afa19eca9484020b250a5dc905ff"
+    "5d262e28b41abdc6ee0e7b0cae3eabfbb01e9eb1558c75a3b5445732bd1d41c569a5db49"
+    "15d48bcba5e0af118137bf92d5a2080768570389e06296976f55943a5dd20f13fd6f2ea7"
+    "11cb0a1e50261809197b12697608e7fd130f90a874a56054572dace0d33eaa4ffd78a573"
+    "f14a967fff6bfc2a558a48d4ae1b5ab2651a2f590d38d2db78e604f075cd7db19a3e73e9"
+    "eae3e6444fc54e44fc334ca34cd22bcb9e0880268257546f546ad46c35bcf15af85e02d4"
+    "d6b686d40eacecb970cb89f054dba21c58b78983df758329380f788c85a483c3403a6e4a"
+    "4750d4c07f04f2a6d8a6d354da75524356c1cd8a5c72e2c715252705ebaa38dcf65dd9ef"
+    "ff3f52ee8f22b78331ff07aa8526ff7fb69c4e4eb68d0bf4e79647705bffd9"
+)
+
+# Published CDF 9/7 analysis taps (ITU-T T.800 Table F.4
+# normalization: lowpass DC gain exactly 1, highpass Nyquist gain
+# exactly 2) — the INDEPENDENT formulation the lifting implementation
+# is pinned against.
+_FIR97_LP = np.array([
+    0.026748757410810, -0.016864118442875, -0.078223266528990,
+    0.266864118442875, 0.602949018236360, 0.266864118442875,
+    -0.078223266528990, -0.016864118442875, 0.026748757410810,
+])
+_FIR97_HP = np.array([
+    0.091271763114250, -0.057543526228500, -0.591271763114250,
+    1.115087052457000, -0.591271763114250, -0.057543526228500,
+    0.091271763114250,
+])
+
+
+def _fir97_analysis(x: np.ndarray):
+    """Direct FIR subband decomposition with whole-sample symmetric
+    extension — a second published formulation of the same transform
+    (no lifting)."""
+    n = len(x)
+    xe = np.concatenate([x[1:5][::-1], x, x[-5:-1][::-1]])
+    low = np.array([
+        sum(_FIR97_LP[k + 4] * xe[4 + 2 * i + k] for k in range(-4, 5))
+        for i in range((n + 1) // 2)
+    ])
+    high = np.array([
+        sum(_FIR97_HP[k + 3] * xe[5 + 2 * i + k] for k in range(-3, 4))
+        for i in range(n // 2)
+    ])
+    return low, high
+
+
+def test_97_lifting_matches_published_fir():
+    """Encoder-side lifting analysis == direct convolution with the
+    published Table F.4 taps, to 1e-9, including boundary handling —
+    pins the scaling convention, phase, and extension against a
+    symmetric misreading that a lifting-only encoder/decoder pair
+    could round-trip invisibly (ADVICE r14)."""
+    assert abs(_FIR97_LP.sum() - 1.0) < 1e-12  # DC gain 1
+    nyq = sum(g * (-1) ** k for k, g in zip(range(-3, 4), _FIR97_HP))
+    assert abs(nyq - 2.0) < 1e-12  # Nyquist gain 2
+    rng = np.random.default_rng(7)
+    # n >= 6 so the one-bounce extension in the reference FIR is the
+    # full whole-sample extension (shorter signals bounce twice;
+    # they're covered by the perfect-reconstruction test instead)
+    for n in (6, 8, 9, 12, 17, 37):
+        x = rng.standard_normal(n)
+        out = MKG._fsd97_rows(x[None, :])[0]
+        low, high = _fir97_analysis(x)
+        assert np.abs(out[0::2] - low).max() < 1e-9, n
+        assert np.abs(out[1::2] - high).max() < 1e-9, n
+
+
+def test_97_perfect_reconstruction():
+    """Decoder synthesis is the exact inverse of the (FIR-pinned)
+    analysis: 1D and multi-level 2D round-trips to 1e-9."""
+    from clickhouse_table_copier_spark.operators.jpeg2000 import (
+        _isr97_rows,
+        inverse_dwt97,
+    )
+
+    rng = np.random.default_rng(8)
+    for n in (1, 2, 3, 8, 13, 29):
+        x = rng.standard_normal((3, n))
+        assert np.abs(_isr97_rows(MKG._fsd97_rows(x)) - x).max() < 1e-9
+    for h, w, levels in ((8, 8, 1), (29, 37, 2), (16, 24, 3)):
+        img = rng.standard_normal((h, w)) * 100
+        ll, bands = MKG.forward_dwt97(img, levels)
+        assert np.abs(inverse_dwt97(ll, bands) - img).max() < 1e-8
+
+
+def test_ict_roundtrip():
+    """Inverse ICT constants derive exactly from the published
+    forward ones; forward∘inverse == identity to 1e-12."""
+    rng = np.random.default_rng(9)
+    r, g, b = rng.uniform(-128, 127, (3, 50))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = (b - y) / 1.772
+    cr = (r - y) / 1.402
+    r2 = y + 1.402 * cr
+    g2 = y - (0.114 * 1.772 / 0.587) * cb - (0.299 * 1.402 / 0.587) * cr
+    b2 = y + 1.772 * cb
+    assert np.abs(np.stack([r2 - r, g2 - g, b2 - b])).max() < 1e-12
+
+
+def test_97_fine_goldens_byte_exact():
+    """Fine quantization (Δ = 2^-4 / 2^-5): reconstruction error is
+    below the rounding threshold, so the decoded raster equals the
+    source EXACTLY — the lossy path gets the same hard pin as the
+    reversible one."""
+    assert (decode_jp2(J2K_GRAY8_97_FINE) == _gray8()).all()
+    got = decode_jp2(J2K_RGB24X16_97_ICT)
+    assert got.shape == (16, 24, 3)
+    assert (got == _rgb24x16()).all()
+
+
+def test_97_coarse_golden_tolerance():
+    """Coarse quantization (Δ ≈ 2.5): bounded loss, PSNR ≥ 40 over
+    the pinned fixture (measured 47.5)."""
+    got = decode_jp2(J2K_GRAY37X29_97_COARSE).astype(np.float64)
+    err = got - _gray37x29().astype(np.float64)
+    psnr = 10 * np.log10(255.0**2 / np.mean(err**2))
+    assert psnr >= 40.0
+    assert np.abs(err).max() <= 8
+
+
+def test_97_goldens_script_reproducible():
+    assert MKG.encode_j2k(
+        MKG.gray8(), levels=1, xcb=2, ycb=2, transform=0,
+        quant=MKG.quant97(1, 4),
+    ) == J2K_GRAY8_97_FINE
+    assert MKG.encode_j2k(
+        MKG.rgb24x16(), levels=1, xcb=3, ycb=3, mct=1, transform=0,
+        quant=MKG.quant97(1, 5),
+    ) == J2K_RGB24X16_97_ICT
+    assert MKG.encode_j2k(
+        MKG.gray37x29(), levels=2, xcb=4, ycb=4, layers=2, prog=1,
+        transform=0, quant=MKG.quant97(2, -1, 512),
+    ) == J2K_GRAY37X29_97_COARSE
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    w=st.integers(1, 33),
+    h=st.integers(1, 33),
+    levels=st.integers(0, 3),
+    prog=st.integers(0, 4),
+)
+def test_97_roundtrip_gray_random(seed, w, h, levels, prog):
+    """Random images through the DISJOINT encoder at fine
+    quantization (extra=6) decode byte-exactly."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    blob = MKG.encode_j2k(
+        img, levels=levels, xcb=3, ycb=3, prog=prog, transform=0,
+        quant=MKG.quant97(levels, 6),
+    )
+    assert (decode_jp2(blob) == img).all()
+
+
+def test_97_depth12_exact():
+    rng = np.random.default_rng(10)
+    img = rng.integers(0, 1 << 12, (11, 17), dtype=np.int64)
+    blob = MKG.encode_j2k(
+        img, levels=1, xcb=4, ycb=4, depth=12, transform=0,
+        quant=MKG.quant97(1, 6, depth=12),
+    )
+    got = decode_jp2(blob)
+    assert (got == (img >> 4).astype(np.uint8)).all()
+
+
+def test_97_quantization_spelling_coherence():
+    """Mismatched transform/quantization spellings decline rather
+    than guess a step size: 9/7 with the no-quantization QCD, 5/3
+    with scalar-expounded QCD, and derived (style 1) all decline by
+    name; the API edge returns None."""
+    g53 = J2K_GRAY8_L1
+    cod_at = g53.index(b"\xff\x52")
+    bad97 = _patch(g53, cod_at + 13, 0)
+    with pytest.raises(Jp2Error, match="9/7 without scalar"):
+        parse_codestream(bad97)
+    g97 = J2K_GRAY8_97_FINE
+    cod_at = g97.index(b"\xff\x52")
+    bad53 = _patch(g97, cod_at + 13, 1)
+    with pytest.raises(Jp2Error, match="quantized reversible"):
+        parse_codestream(bad53)
+    qcd_at = g97.index(b"\xff\x5c")
+    derived = _patch(g97, qcd_at + 4, 0x41)
+    with pytest.raises(Jp2Error, match="quantization style"):
+        parse_codestream(derived)
+    for blob in (bad97, bad53, derived):
+        assert decode_jp2_pdf(blob) is None
+
+
+def test_97_declines_never_raise():
+    """Corrupt-byte / truncation fuzz over the 9/7 goldens: the API
+    edge never raises into the Arrow batch."""
+    g = J2K_GRAY37X29_97_COARSE
+    for cut in range(0, len(g), 11):
+        decode_jp2_pdf(g[:cut])
+    for i in range(0, len(g), 5):
+        decode_jp2_pdf(_patch(g, i, g[i] ^ 0xFF))
+
+
+def test_pdf_jpx_97_ahash_matches_uncompressed_twin(spark):
+    """VERDICT r14 item 3 done-check: a LOSSY 9/7 page image lands
+    in the media table and aHash-matches its uncompressed twin at
+    hamming 0 (the jbig2/ccitt/5-3 e2e contract)."""
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+        near_duplicate_images,
+    )
+    from clickhouse_table_copier_spark.operators.pdf_extract import (
+        extract_pdf_images,
+    )
+
+    img = _gray37x29()
+    pdf = _jpx_xobject_pdf(J2K_GRAY37X29_97_COARSE, 37, 29)
+    pdf_df = spark.createDataFrame(
+        [(301, bytearray(pdf))], "doc_id long, content binary"
+    )
+    embedded = extract_pdf_images(pdf_df, "content", "doc_id")
+    twin_png = encode_png(img.tobytes(), 37, 29, channels=1)
+    standalone = spark.createDataFrame(
+        [(1, "image", bytearray(twin_png), "{}")], MEDIA_SCHEMA
+    )
+    media = standalone.unionByName(embedded)
+    assert media.count() == 2
+    pairs = near_duplicate_images(media, max_hamming=3).collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] == 0
