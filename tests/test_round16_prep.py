@@ -1,0 +1,95 @@
+"""DuckDB parity for the round-16 prep batch (JP2 container-spelling
+histogram, JBIG2 out-of-scope-segment ledger, WARC egress→ingest JP2
+round trip) — the exact compare() harness the registered-queries gate
+uses, applied to queries implemented at round 15 but registered at
+round 16 (the r15 window is booked by the age-6 r09 cohort plus the
+4-query r15 flip; see queries_round16_prep docstring)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from clickhouse_table_copier_spark.queries_round16_prep import (
+    PREP16_ORACLES,
+    PREP16_QUERIES,
+)
+from tests.conftest import SF_ORACLE
+from tests.oracle_harness import compare, run_oracle
+
+
+@pytest.mark.parametrize("name", sorted(PREP16_QUERIES))
+def test_prep16_query_matches_oracle(spark, name):
+    df = PREP16_QUERIES[name](spark, SF_ORACLE)
+    oracle = run_oracle(PREP16_ORACLES[name], SF_ORACLE)
+    compare(df, oracle, name)
+
+
+def test_not_yet_registered():
+    """Deliberately NOT in the registry until round 16 (flip this to
+    the positive assertion when registering — see module docstring):
+    registering now would append FRESH obligations to a window whose
+    r15 shape is already committed in COVERAGE.md."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    assert set(PREP16_QUERIES).isdisjoint(qs)
+    assert set(PREP16_QUERIES) == set(PREP16_ORACLES)
+
+
+def test_prep16_plans_obey_repo_guards(spark):
+    """Repo-wide invariants apply before these reach the registry: no
+    cartesian joins, no global-window sort (the media stages are
+    Arrow-batched mapInPandas; all joins are equi-joins on planted
+    ids)."""
+    gw = re.compile(r"Window .*\n.*Sort .*\n.*Exchange SinglePartition")
+    for name in ("jp2_spelling_histogram", "jbig2_segment_ledger"):
+        plan = (
+            PREP16_QUERIES[name](spark, SF_ORACLE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert not gw.search(plan), name
+
+
+def test_prep16_planted_spellings_decode_as_declared():
+    """Driver-side pin of every planted constant: both wavelet paths
+    decode the same 8x8 gradient, the XLBox spelling decodes
+    identically to the plain box, the truncated blob declines, and
+    each patched JBIG2 spelling declines while the base stream
+    lifts."""
+    import numpy as np
+
+    from clickhouse_table_copier_spark.operators.jbig2 import (
+        decode_jbig2_pdf,
+    )
+    from clickhouse_table_copier_spark.operators.jpeg2000 import (
+        decode_jp2_pdf,
+    )
+    from clickhouse_table_copier_spark.queries_round16_prep import (
+        _J2K_53,
+        _J2K_97,
+        _J2K_TRUNC,
+        _JBIG2_RES5,
+        _JBIG2_T0,
+        _JBIG2_T16,
+        _JBIG2_T40,
+        _JP2_BOXED,
+        _JP2_XLBOX,
+    )
+
+    base = decode_jp2_pdf(_J2K_53)
+    assert base is not None and base.shape == (8, 8)
+    assert (decode_jp2_pdf(_J2K_97) == base).all()  # fine quant: exact
+    assert (decode_jp2_pdf(_JP2_BOXED) == base).all()
+    assert (decode_jp2_pdf(_JP2_XLBOX) == base).all()
+    assert decode_jp2_pdf(_J2K_TRUNC) is None
+    valid = decode_jbig2_pdf(_JBIG2_T0, None, 38, 29)
+    assert valid is not None and valid.shape == (29, 38)
+    assert np.unique(valid).tolist() == [0, 255]
+    for bad in (_JBIG2_T16, _JBIG2_T40, _JBIG2_RES5):
+        assert decode_jbig2_pdf(bad, None, 38, 29) is None
