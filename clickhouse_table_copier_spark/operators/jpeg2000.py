@@ -80,10 +80,15 @@ _MAX_PASSES = 109  # 3*37-2: 37 planes is already beyond int32 range
 # header-driven allocations, so bounding the count bounds decode_tile's
 # pre-packet memory at ~50 MiB worst case (a dense _MAX_SAMPLES image
 # with 32x32 code-blocks stays under it; 16x16 at max size declines by
-# name).  A second, data-proportional gate in decode_tile keeps tiny
-# crafted streams (60-byte headers declaring 4096x4096 with 4x4
-# blocks) from allocating anything at all.
+# name).  A second gate bounds WORK: every non-empty packet visits all
+# of its resolution's code-blocks once per layer, so layers x
+# total_cblks prices the packet-walk ceiling — a crafted 1024-layer
+# header over a dense grid declines before the walk starts, while
+# conformant empty-packet streams (blank or rate-truncated pages,
+# which cost O(1) per packet and were over-declined by an earlier
+# stream-length-proportional gate — review r15) decode normally.
 _MAX_CBLKS = 1 << 18
+_MAX_CBLK_VISITS = 1 << 24
 
 
 # ------------------------------------------------------------------
@@ -1050,11 +1055,13 @@ def decode_tile(siz: _Siz, cod: _Cod, exps, mants, guard: int,
     # crafted-header resource gate: the per-cblk state lists and tag
     # trees below are sized by SIZ/COD fields alone, BEFORE any packet
     # byte is validated — so price the declared geometry first.  Two
-    # bounds: an absolute cap (bounds worst-case pre-packet memory),
-    # and a data-proportional one (a code-block that is ever included
-    # costs header bits, so a stream too short to reference the
-    # declared blocks cannot need their structures; tiny crafted
-    # headers declaring huge grids decline here in microseconds).
+    # bounds: an absolute count cap (worst-case pre-packet memory),
+    # and a layers x count work cap (each layer's non-empty packets
+    # visit every code-block of their resolution once, so the product
+    # prices the packet-walk ceiling).  Empty packets cost O(1) and
+    # are NOT gated by stream length — a conformant ~80-byte blank
+    # page with thousands of declared code-blocks decodes (review
+    # r15; an earlier data-proportional gate over-declined it).
     total_cblks = 0
     for r in range(nl + 1):
         ex, ey = _eff_cb(r)
@@ -1069,8 +1076,8 @@ def decode_tile(siz: _Siz, cod: _Cod, exps, mants, guard: int,
     total_cblks *= siz.ncomp
     if total_cblks > _MAX_CBLKS:
         raise Jp2Error("code-block count out of range")
-    if total_cblks > max(4096, 16 * len(data)):
-        raise Jp2Error("code-block count out of range for stream size")
+    if cod.layers * total_cblks > _MAX_CBLK_VISITS:
+        raise Jp2Error("layer/code-block work out of range")
 
     comps = []
     for c in range(siz.ncomp):
@@ -1254,6 +1261,10 @@ def _jp2_codestream(data: bytes) -> bytes:
                 raise Jp2Error("truncated XLBox")
             ln = struct.unpack_from(">Q", data, pos + 8)[0]
             body_at = pos + 16
+            if ln < 16:
+                # below the XLBox header size: advancing by it would
+                # desynchronize the walk into this box's own header
+                raise Jp2Error("XLBox length out of range")
         elif ln == 0:
             ln = n - pos
         if ln < 8 or pos + ln > n:

@@ -1948,10 +1948,14 @@ def _make_decode_one():
                 body_at = pos + 8
                 if size == 1:
                     # XLBox: 64-bit length follows the type (mirrors
-                    # jpeg2000._jp2_codestream)
+                    # jpeg2000._jp2_codestream); lengths below the
+                    # 16-byte XLBox header would desynchronize the
+                    # walk into this box's own header (review r15)
                     if pos + 16 > len(content):
                         break
                     size = int.from_bytes(content[pos + 8 : pos + 16], "big")
+                    if size < 16:
+                        break
                     body_at = pos + 16
                 elif size == 0:
                     size = len(content) - pos

@@ -680,17 +680,38 @@ def test_crafted_cblk_grid_declines_before_alloc():
     assert decode_jp2_pdf(bytes(g)) is None
 
 
-def test_cblk_count_gated_by_stream_size():
-    """Below the absolute cap, the data-proportional gate still
-    declines a tiny stream whose declared grid it could never
-    reference (every included code-block costs header bits)."""
+def test_cblk_work_cap_declines_layer_grid_product():
+    """Below the absolute count cap, the layers x code-blocks work
+    cap still declines a header whose packet walk would visit
+    hundreds of millions of code-block slots."""
     g = bytearray(J2K_GRAY8_L1)
     siz_at = g.index(b"\xff\x51")
     for off in (6, 10, 22, 26):
-        g[siz_at + off : siz_at + off + 4] = (512).to_bytes(4, "big")
-    with pytest.raises(Jp2Error, match="stream size"):
+        g[siz_at + off : siz_at + off + 4] = (2048).to_bytes(4, "big")
+    cod_at = bytes(g).index(b"\xff\x52")
+    g[cod_at + 6 : cod_at + 8] = (1024).to_bytes(2, "big")  # layers
+    with pytest.raises(Jp2Error, match="work out of range"):
         decode_jp2(bytes(g))
     assert decode_jp2_pdf(bytes(g)) is None
+
+
+def test_blank_page_empty_packets_decode():
+    """A conformant BLANK page spells as all-empty packets (~80
+    bytes for 512x512 with 4x4 code-blocks): thousands of declared
+    code-blocks but O(1) work per packet — must DECODE, not trip the
+    resource gates (review r15: an earlier stream-length-proportional
+    gate over-declined exactly this shape)."""
+    img = np.full((512, 512), 128, dtype=np.uint8)
+    blob = MKG.encode_j2k(img, levels=1, xcb=2, ycb=2)
+    assert len(blob) < 120
+    got = decode_jp2(blob)
+    assert got.shape == (512, 512) and (got == 128).all()
+    # same shape through the lossy path
+    blob97 = MKG.encode_j2k(
+        img, levels=1, xcb=2, ycb=2, transform=0,
+        quant=MKG.quant97(1, 4),
+    )
+    assert (decode_jp2(blob97) == 128).all()
 
 
 def test_tag_tree_lazy_paths():
@@ -712,20 +733,14 @@ def test_jp2_image_meta_xlbox(spark):
     type): decode_image_meta must walk it like
     jpeg2000._jp2_codestream does (ADVICE r14 — it used to treat 1 as
     the length and report (-1, -1) for valid files)."""
-    import struct as _s
-
     from clickhouse_table_copier_spark.operators.multimodal import (
         decode_image_meta,
     )
-
-    jp2 = MKG.make_jp2(J2K_GRAY8_L1, 8, 8, 1)
-    at = jp2.index(b"jp2h") - 4
-    size = _s.unpack(">I", jp2[at : at + 4])[0]
-    xl = (
-        b"\x00\x00\x00\x01" + b"jp2h"
-        + _s.pack(">Q", size + 8) + jp2[at + 8 : at + size]
+    from clickhouse_table_copier_spark.queries_round16_prep import (
+        _xlbox_spelling,
     )
-    boxed = jp2[:at] + xl + jp2[at + size :]
+
+    boxed = _xlbox_spelling(MKG.make_jp2(J2K_GRAY8_L1, 8, 8, 1))
     media = spark.createDataFrame(
         [(1, bytearray(boxed))], "media_id long, content binary",
     )
