@@ -5,16 +5,17 @@ after CCITT (r9) and JBIG2 (r13).
 Scope — the shape PDF generators actually emit (VERDICT r13 item 3)
 plus the lossy path photographic ``.jp2`` files in a crawl use
 (VERDICT r14 item 3): single tile, reversible 5/3 wavelet (no
-quantization) OR irreversible 9/7 wavelet with expounded scalar
-quantization (§E.1/Annex F — r15), grayscale or RGB (RCT with 5/3,
+quantization) OR irreversible 9/7 wavelet with scalar quantization —
+both the expounded (Sqcd style 2) and derived (style 1, §E.1.1 Eq
+E-5) spellings (§E.1/Annex F — r15), grayscale or RGB (RCT with 5/3,
 ICT with 9/7), 1-16 bit unsigned/signed samples, no subsampling,
 default precincts, any progression order, any layer count, code-block
 styles: default, RESET, TERMALL, vertically-causal, segmentation
 symbols, and selective arithmetic BYPASS (lazy raw passes, §D.4 —
 r14).  Everything else DECLINES deliberately (raise
 :class:`Jp2Error`; the API edge returns None, never raises, never
-fabricates — the CCITT/JBIG2 contract): derived scalar quantization
-(Sqcd style 1), 9/7 spelled without quantization (and vice versa),
+fabricates — the CCITT/JBIG2 contract): reserved quantization
+styles, 9/7 spelled without quantization (and vice versa),
 multiple tiles, non-zero image/tile offsets, COC/QCC/POC/RGN/PPM/PPT
 overrides, TRUE multi-precinct grids (declared precinct sizes are
 accepted when each resolution fits one precinct, with the PPx-clamped
@@ -755,6 +756,7 @@ def parse_codestream(cs: bytes):
     siz = cod = None
     exps = None
     mants = None
+    qderived = None
     guard = 0
     tile_parts = []
     n = len(cs)
@@ -865,15 +867,27 @@ def parse_codestream(cs: bytes):
                     raise Jp2Error("truncated QCD fields")
                 exps = [v >> 11 for v in vals]
                 mants = [v & 0x7FF for v in vals]
+            elif style == 1:
+                # scalar derived: ONE (eps0, mu0) field; every band
+                # derives eps_b = eps0 - NL + nsb (§E.1.1 Eq E-5,
+                # nsb = the band's decomposition-level count) —
+                # expanded after the header loop once cod.levels is
+                # known (QCD may precede COD)
+                if len(body) < 3:
+                    raise Jp2Error("truncated QCD fields")
+                v = _u16(body, 1)
+                qderived = (v >> 11, v & 0x7FF)
             else:
                 raise Jp2Error(
-                    "derived/reserved quantization style out of scope"
+                    "reserved quantization style out of scope"
                 )
         elif marker in (0xFF53, 0xFF5D, 0xFF5E, 0xFF5F, 0xFF60, 0xFF61):
             # COC / QCC / RGN / POC / PPM / PPT
             raise Jp2Error("per-component/ROI/POC overrides out of scope")
         elif marker == 0xFF90:  # SOT
-            if siz is None or cod is None or exps is None:
+            if siz is None or cod is None or (
+                exps is None and qderived is None
+            ):
                 raise Jp2Error("SOT before SIZ/COD/QCD")
             if len(body) < 8:
                 raise Jp2Error("truncated SOT")
@@ -908,10 +922,21 @@ def parse_codestream(cs: bytes):
             continue
         # COM/TLM/PLM/PLT/CRG and unknown segments: skip
         pos += ln
-    if siz is None or cod is None or exps is None:
+    if siz is None or cod is None or (exps is None and qderived is None):
         raise Jp2Error("missing SIZ/COD/QCD")
     if not tile_parts:
         raise Jp2Error("no tile data")
+    if qderived is not None:
+        # expand the derived signalling now that cod.levels is known:
+        # our resolution index r (1 = coarsest) has nsb = NL - r + 1
+        # decompositions, so eps_b = eps0 - NL + nsb = eps0 - r + 1
+        e0, m0 = qderived
+        exps = [e0] + [
+            e0 - r + 1 for r in range(1, cod.levels + 1) for _ in range(3)
+        ]
+        if min(exps) < 1:
+            raise Jp2Error("derived quantization exponent underflow")
+        mants = [m0] * len(exps)
     if len(exps) < 3 * cod.levels + 1:
         raise Jp2Error("QCD exponent count mismatch")
     # transform/quantization coherence (§A.6.4): the reversible 5/3

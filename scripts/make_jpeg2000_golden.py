@@ -573,6 +573,7 @@ def encode_j2k(
     precincts: list | None = None,
     transform: int = 1,
     quant: list | None = None,
+    qstyle: int = 2,
 ) -> bytes:
     """Image (h, w) or (h, w, 3) of ``depth``-bit samples → full
     codestream.  ``signed`` (gray only): samples are already centered
@@ -772,7 +773,19 @@ def encode_j2k(
     )
     if precincts is not None:
         out += bytes((ppy << 4) | ppx for ppx, ppy in precincts)
-    if transform == 0:
+    if transform == 0 and qstyle == 1:
+        # scalar derived (Sqcd style 1): ONE (eps0, mu0) field; the
+        # quant list the coefficients were quantized with must follow
+        # the §E.1.1 derivation so decoder and encoder agree
+        e0, m0 = quant[0]
+        assert all(
+            quant[1 + 3 * (r - 1) + oi] == (e0 - r + 1, m0)
+            for r in range(1, levels + 1) for oi in range(3)
+        ), "derived quant list must follow eps0 - r + 1"
+        qcd = bytes([(guard << 5) | 1]) + struct.pack(
+            ">H", (e0 << 11) | m0
+        )
+    elif transform == 0:
         # scalar expounded (Sqcd style 2): 16-bit (eps << 11) | mu
         qcd = bytes([(guard << 5) | 2]) + b"".join(
             struct.pack(">H", (e << 11) | mu) for e, mu in quant
@@ -937,6 +950,16 @@ def rgb24x16():
 def gray16modes():
     y, x = np.mgrid[0:16, 0:16]
     return (((x ^ y) * 37 + x * 5) % 256).astype(np.uint8)
+
+
+def quant97_derived(levels: int, eps0: int, mu: int = 0):
+    """(eps, mu) per subband following the scalar-DERIVED signalling
+    (§E.1.1 Eq E-5): the LL keeps eps0, resolution r (1 = coarsest)
+    gets eps0 - r + 1 — what a style-1 QCD implies, spelled out so
+    the quantizer and the emitted marker agree by construction."""
+    return [(eps0, mu)] + [
+        (eps0 - r + 1, mu) for r in range(1, levels + 1) for _ in range(3)
+    ]
 
 
 def quant97(levels: int, extra: int, mu: int = 0, depth: int = 8):

@@ -302,10 +302,14 @@ def test_out_of_scope_declines():
     cod_at = g.index(b"\xff\x52")
     with pytest.raises(Jp2Error, match="transform"):
         parse_codestream(_patch(g, cod_at + 13, 2))
-    # derived scalar quantization (Sqcd style 1)
+    # derived scalar quantization (Sqcd style 1) on a REVERSIBLE
+    # stream: coherence decline (quantized 5/3 has no defined step)
     qcd_at = g.index(b"\xff\x5c")
-    with pytest.raises(Jp2Error, match="quantization"):
+    with pytest.raises(Jp2Error, match="quantized reversible"):
         parse_codestream(_patch(g, qcd_at + 4, 0x41))
+    # reserved quantization style 3
+    with pytest.raises(Jp2Error, match="reserved quantization"):
+        parse_codestream(_patch(g, qcd_at + 4, 0x43))
     # expounded QCD on a reversible stream: the 8-bit field list is
     # not parseable as 16-bit pairs → field-count decline
     with pytest.raises(Jp2Error, match="QCD"):
@@ -320,6 +324,7 @@ def test_out_of_scope_declines():
     # every decline comes back as None from the API edge
     for idx, val in (
         (cod_at + 13, 2), (qcd_at + 4, 0x41), (qcd_at + 4, 0x42),
+        (qcd_at + 4, 0x43),
     ):
         assert decode_jp2_pdf(_patch(g, idx, val)) is None
 
@@ -1117,10 +1122,10 @@ def test_97_quantization_spelling_coherence():
     with pytest.raises(Jp2Error, match="quantized reversible"):
         parse_codestream(bad53)
     qcd_at = g97.index(b"\xff\x5c")
-    derived = _patch(g97, qcd_at + 4, 0x41)
-    with pytest.raises(Jp2Error, match="quantization style"):
-        parse_codestream(derived)
-    for blob in (bad97, bad53, derived):
+    reserved = _patch(g97, qcd_at + 4, 0x43)
+    with pytest.raises(Jp2Error, match="reserved quantization"):
+        parse_codestream(reserved)
+    for blob in (bad97, bad53, reserved):
         assert decode_jp2_pdf(blob) is None
 
 
@@ -1161,3 +1166,29 @@ def test_pdf_jpx_97_ahash_matches_uncompressed_twin(spark):
     assert media.count() == 2
     pairs = near_duplicate_images(media, max_hamming=3).collect()
     assert len(pairs) == 1 and pairs[0]["hamming"] == 0
+
+
+def test_97_derived_quantization():
+    """Scalar DERIVED signalling (Sqcd style 1, §E.1.1 Eq E-5): one
+    (eps0, mu0) field; the decoder expands eps_b = eps0 - r + 1 per
+    resolution.  Fine steps decode byte-exactly at 1-3 levels; the
+    emitted QCD really is the single-field spelling; exponent
+    underflow (eps_b < 1) declines."""
+    img = _gray37x29()
+    for nl in (1, 2, 3):
+        blob = MKG.encode_j2k(
+            img, levels=nl, xcb=4, ycb=4, transform=0,
+            quant=MKG.quant97_derived(nl, 8 + nl + 5), qstyle=1,
+        )
+        qcd_at = blob.index(b"\xff\x5c")
+        assert blob[qcd_at + 2 : qcd_at + 4] == b"\x00\x05"  # Lqcd 5
+        assert blob[qcd_at + 4] & 0x1F == 1  # style 1
+        assert (decode_jp2(blob) == img).all(), nl
+    # eps0 too small for the level count: derived eps underflows
+    blob = MKG.encode_j2k(
+        img, levels=3, xcb=4, ycb=4, transform=0,
+        quant=MKG.quant97_derived(3, 2), qstyle=1,
+    )
+    with pytest.raises(Jp2Error, match="underflow"):
+        decode_jp2(blob)
+    assert decode_jp2_pdf(blob) is None
