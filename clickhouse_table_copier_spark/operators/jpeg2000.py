@@ -16,10 +16,17 @@ r14).  Everything else DECLINES deliberately (raise
 :class:`Jp2Error`; the API edge returns None, never raises, never
 fabricates — the CCITT/JBIG2 contract): reserved quantization
 styles, 9/7 spelled without quantization (and vice versa),
-multiple tiles, non-zero image/tile offsets, COC/QCC/POC/RGN/PPM/PPT
+non-zero image/tile offsets, COC/QCC/POC/RGN/PPM/PPT
 overrides, TRUE multi-precinct grids (declared precinct sizes are
 accepted when each resolution fits one precinct, with the PPx-clamped
 effective code-block size), component counts other than 1/3.
+
+Multi-tile (r15): regular XTsiz x YTsiz grids with ragged right/
+bottom edges decode tile-by-tile and stitch by raster position —
+tiles are independent by construction (DWT and all coding state
+reset at tile boundaries), multiple tile-parts per tile concatenate
+in stream order, and a declared grid with a missing tile DECLINES
+(stitching a partial grid would fabricate a zero region).
 
 9/7 pin story (the ADVICE r14 symmetric-misreading concern): the
 lifting implementation (both directions) is pinned against a DIRECT
@@ -700,7 +707,7 @@ def inverse_dwt53(ll: np.ndarray, bands: list) -> np.ndarray:
 
 
 class _Siz:
-    __slots__ = ("w", "h", "ncomp", "depths", "signed")
+    __slots__ = ("w", "h", "xt", "yt", "ncomp", "depths", "signed")
 
 
 class _Cod:
@@ -748,8 +755,8 @@ def _u32(d, p):
 
 
 def parse_codestream(cs: bytes):
-    """Main header + single-tile data → (siz, cod, exps, guard,
-    tile_bytes)."""
+    """Main header + tile data → (siz, cod, exps, mants, guard,
+    [tile_bytes per tile, raster order])."""
     if len(cs) < 4 or cs[:2] != b"\xff\x4f":
         raise Jp2Error("not a JPEG 2000 codestream")
     pos = 2
@@ -758,7 +765,7 @@ def parse_codestream(cs: bytes):
     mants = None
     qderived = None
     guard = 0
-    tile_parts = []
+    tile_parts: dict = {}
     n = len(cs)
     while pos + 2 <= n:
         marker = _u16(cs, pos)
@@ -786,8 +793,13 @@ def parse_codestream(cs: bytes):
             siz.ncomp = _u16(body, 34)
             if xo or yo or xto or yto:
                 raise Jp2Error("image/tile offsets out of scope")
-            if xt < siz.w or yt < siz.h:
-                raise Jp2Error("multiple tiles out of scope")
+            if xt == 0 or yt == 0:
+                raise Jp2Error("tile size out of range")
+            # tile grid (r15): xt/yt smaller than the image spell a
+            # regular grid with ragged right/bottom edges; each tile
+            # decodes independently and stitches by position
+            siz.xt = min(xt, siz.w)
+            siz.yt = min(yt, siz.h)
             if siz.ncomp not in (1, 3):
                 raise Jp2Error("component count out of scope")
             if not (0 < siz.w <= _MAX_DIM and 0 < siz.h <= _MAX_DIM):
@@ -893,8 +905,9 @@ def parse_codestream(cs: bytes):
                 raise Jp2Error("truncated SOT")
             isot = _u16(body, 0)
             psot = _u32(body, 2)
-            if isot != 0:
-                raise Jp2Error("multiple tiles out of scope")
+            ntiles = (-(-siz.w // siz.xt)) * (-(-siz.h // siz.yt))
+            if isot >= ntiles:
+                raise Jp2Error("tile index out of range")
             sot_start = pos - 2
             # tile-part header: markers until SOD
             tp = pos + ln
@@ -917,7 +930,7 @@ def parse_codestream(cs: bytes):
                 end = n - 2
             if end > n or end < tp:
                 raise Jp2Error("tile-part length out of range")
-            tile_parts.append(cs[tp:end])
+            tile_parts.setdefault(isot, []).append(cs[tp:end])
             pos = end
             continue
         # COM/TLM/PLM/PLT/CRG and unknown segments: skip
@@ -947,7 +960,18 @@ def parse_codestream(cs: bytes):
         raise Jp2Error("9/7 without scalar quantization out of scope")
     if cod.transform == 1 and mants is not None:
         raise Jp2Error("quantized reversible out of scope")
-    return siz, cod, exps, mants, guard, b"".join(tile_parts)
+    # per-tile data, tile-parts concatenated in stream order (the
+    # order TPsot ascends in a conformant stream); every tile of the
+    # declared grid must be present — a partial grid would stitch a
+    # fabricated (zero) region into the raster
+    ntiles = (-(-siz.w // siz.xt)) * (-(-siz.h // siz.yt))
+    tiles = []
+    for t in range(ntiles):
+        parts = tile_parts.get(t)
+        if not parts:
+            raise Jp2Error("missing tile data")
+        tiles.append(b"".join(parts))
+    return siz, cod, exps, mants, guard, tiles
 
 
 def _band_dims(w: int, h: int, levels: int):
@@ -1046,14 +1070,15 @@ def inverse_dwt97(ll: np.ndarray, bands: list) -> np.ndarray:
 
 
 def decode_tile(siz: _Siz, cod: _Cod, exps, mants, guard: int,
-                data: bytes):
-    """Packet walk (tier-2) + tier-1 per code-block → list of
-    per-component int32 sample arrays (after IDWT, before MCT/shift)."""
+                data: bytes, tw: int, th: int):
+    """Packet walk (tier-2) + tier-1 per code-block for ONE tile of
+    ``tw`` x ``th`` samples → list of per-component sample arrays
+    (int32 for 5/3, float64 for 9/7; after IDWT, before MCT/shift)."""
     nl = cod.levels
-    ll_dims, band_dims = _band_dims(siz.w, siz.h, nl)
+    ll_dims, band_dims = _band_dims(tw, th, nl)
     # resolution grids (for precinct accounting): grid of res r is
     # the LL_(nl-r) plane; grids[r] below
-    gdims = [(siz.w, siz.h)]
+    gdims = [(tw, th)]
     for _ in range(nl):
         pw, ph = gdims[-1]
         gdims.append(((pw + 1) // 2, (ph + 1) // 2))
@@ -1304,8 +1329,26 @@ def decode_jp2(data: bytes) -> np.ndarray:
     """JP2 container or raw codestream → (h, w) or (h, w, 3) uint8.
     Raises :class:`Jp2Error` on malformed/out-of-scope input."""
     cs = _jp2_codestream(data)
-    siz, cod, exps, mants, guard, tile = parse_codestream(cs)
-    planes = decode_tile(siz, cod, exps, mants, guard, tile)
+    siz, cod, exps, mants, guard, tiles = parse_codestream(cs)
+    # decode per tile and stitch by raster position (tiles are
+    # independent by construction — the DWT and all coding state
+    # reset at tile boundaries)
+    ntx = -(-siz.w // siz.xt)
+    dtype = np.float64 if cod.transform == 0 else np.int32
+    planes = [
+        np.zeros((siz.h, siz.w), dtype=dtype)
+        for _ in range(siz.ncomp)
+    ]
+    for t, tdata in enumerate(tiles):
+        ty, tx = divmod(t, ntx)
+        x0, y0 = tx * siz.xt, ty * siz.yt
+        tw = min(siz.xt, siz.w - x0)
+        th = min(siz.yt, siz.h - y0)
+        tplanes = decode_tile(
+            siz, cod, exps, mants, guard, tdata, tw, th
+        )
+        for c in range(siz.ncomp):
+            planes[c][y0 : y0 + th, x0 : x0 + tw] = tplanes[c]
     if cod.mct > 1:
         # reserved SGcod values: decline like prog/transform do —
         # treating them as no-MCT would emit Y/Cb/Cr as R/G/B

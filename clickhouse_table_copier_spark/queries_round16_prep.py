@@ -130,7 +130,7 @@ _JBIG2_T40 = _patch(_JBIG2_T0, 4, (_JBIG2_T0[4] & 0xC0) | 40)
 _JBIG2_RES5 = _patch(_JBIG2_T0, 5, (5 << 5) | (_JBIG2_T0[5] & 0x1F))
 
 
-def _image_pdf(stream: bytes, w: int, h: int, filt: bytes) -> bytes:
+def _wrap_image_pdf(stream: bytes, w: int, h: int, filt: bytes) -> bytes:
     """One-image PDF wrapping ``stream`` under ``filt``."""
     body = (
         b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
@@ -270,7 +270,7 @@ def q_jbig2_segment_ledger(
     cls = d % 4
     filt = b"/Filter /JBIG2Decode"
     pdfs = [
-        _image_pdf(s, 38, 29, filt)
+        _wrap_image_pdf(s, 38, 29, filt)
         for s in (_JBIG2_T0, _JBIG2_T16, _JBIG2_T40, _JBIG2_RES5)
     ]
     planted = docs.filter(d % 29 == 6).select(

@@ -574,6 +574,7 @@ def encode_j2k(
     transform: int = 1,
     quant: list | None = None,
     qstyle: int = 2,
+    tiles: tuple | None = None,
 ) -> bytes:
     """Image (h, w) or (h, w, 3) of ``depth``-bit samples → full
     codestream.  ``signed`` (gray only): samples are already centered
@@ -643,120 +644,143 @@ def encode_j2k(
             assert np.abs(q).max() < 1 << (guard + eps - 1), "Mb overflow"
         return q.astype(np.int32)
 
-    all_bands = []  # [comp][res] -> list of band dicts
-    for c in comps:
-        if transform == 0:
-            llf, bandsf = forward_dwt97(c, levels)
-            ll = _quantize(llf, 0, 0)
-            bands = [
-                tuple(
-                    _quantize(arr, 1 + 3 * r + oi, oi + 1)
-                    for oi, arr in enumerate(trio)
-                )
-                for r, trio in enumerate(bandsf)
-            ]
+    def _tile_body(tile_comps):
+        all_bands = []  # [comp][res] -> list of band dicts
+        for c in tile_comps:
+            if transform == 0:
+                llf, bandsf = forward_dwt97(c, levels)
+                ll = _quantize(llf, 0, 0)
+                bands = [
+                    tuple(
+                        _quantize(arr, 1 + 3 * r + oi, oi + 1)
+                        for oi, arr in enumerate(trio)
+                    )
+                    for r, trio in enumerate(bandsf)
+                ]
+            else:
+                ll, bands = forward_dwt53(c, levels)
+            res_list = []
+            mb = guard + exps[0] - 1
+            ex0, ey0 = eff_cb(0)
+            res_list.append([_make_band(ll, 0, mb, ex0, ey0, cbstyle)])
+            for r, (hl, lh, hh) in enumerate(bands):
+                trio = []
+                exr, eyr = eff_cb(r + 1)
+                for oi, arr in ((1, hl), (2, lh), (3, hh)):
+                    mb = guard + exps[1 + 3 * r + (oi - 1)] - 1
+                    trio.append(
+                        _make_band(arr, oi, mb, exr, eyr, cbstyle)
+                    )
+                res_list.append(trio)
+            all_bands.append(res_list)
+
+        _split_layers(all_bands, layers, cbstyle)
+
+        # packet emission order (single precinct per resolution)
+        nres = levels + 1
+        if prog == 0:
+            order = [(l_, r, c) for l_ in range(layers)
+                     for r in range(nres) for c in range(ncomp)]
+        elif prog == 1:
+            order = [(l_, r, c) for r in range(nres)
+                     for l_ in range(layers) for c in range(ncomp)]
+        elif prog == 2:
+            order = [(l_, r, c) for r in range(nres)
+                     for c in range(ncomp) for l_ in range(layers)]
         else:
-            ll, bands = forward_dwt53(c, levels)
-        res_list = []
-        mb = guard + exps[0] - 1
-        ex0, ey0 = eff_cb(0)
-        res_list.append([_make_band(ll, 0, mb, ex0, ey0, cbstyle)])
-        for r, (hl, lh, hh) in enumerate(bands):
-            trio = []
-            exr, eyr = eff_cb(r + 1)
-            for oi, arr in ((1, hl), (2, lh), (3, hh)):
-                mb = guard + exps[1 + 3 * r + (oi - 1)] - 1
-                trio.append(_make_band(arr, oi, mb, exr, eyr, cbstyle))
-            res_list.append(trio)
-        all_bands.append(res_list)
+            order = [(l_, r, c) for c in range(ncomp)
+                     for r in range(nres) for l_ in range(layers)]
 
-    _split_layers(all_bands, layers, cbstyle)
-
-    # packet emission order (single precinct per resolution)
-    nres = levels + 1
-    if prog == 0:
-        order = [(l_, r, c) for l_ in range(layers)
-                 for r in range(nres) for c in range(ncomp)]
-    elif prog == 1:
-        order = [(l_, r, c) for r in range(nres)
-                 for l_ in range(layers) for c in range(ncomp)]
-    elif prog == 2:
-        order = [(l_, r, c) for r in range(nres) for c in range(ncomp)
-                 for l_ in range(layers)]
-    else:
-        order = [(l_, r, c) for c in range(ncomp) for r in range(nres)
-                 for l_ in range(layers)]
-
-    body = bytearray()
-    nsop = 0
-    for layer, r, c in order:
-        contribs = []
-        for band in all_bands[c][r]:
-            for ci, cb in enumerate(band["cblks"]):
-                if cb is None:
-                    continue
-                ln = cb["layer_passes"][layer]
-                if ln:
-                    contribs.append((band, ci, cb, ln))
-        if sop:
-            body += b"\xff\x91\x00\x04" + struct.pack(
-                ">H", nsop & 0xFFFF
-            )
-        nsop += 1
-        if not contribs:
+        body = bytearray()
+        nsop = 0
+        for layer, r, c in order:
+            contribs = []
+            for band in all_bands[c][r]:
+                for ci, cb in enumerate(band["cblks"]):
+                    if cb is None:
+                        continue
+                    ln = cb["layer_passes"][layer]
+                    if ln:
+                        contribs.append((band, ci, cb, ln))
+            if sop:
+                body += b"\xff\x91\x00\x04" + struct.pack(
+                    ">H", nsop & 0xFFFF
+                )
+            nsop += 1
+            if not contribs:
+                bw = BitWriter()
+                bw.put(0)  # empty packet
+                body += bw.flush()
+                if eph:
+                    body += b"\xff\x92"
+                continue
             bw = BitWriter()
-            bw.put(0)  # empty packet
+            bw.put(1)
+            data = bytearray()
+            for band in all_bands[c][r]:
+                for ci, cb in enumerate(band["cblks"]):
+                    incl = (cb is not None
+                            and cb["layer_passes"][layer] > 0)
+                    if cb is None or not cb["included"]:
+                        # first-inclusion signalling via tag tree
+                        band["incl_enc"].encode(bw, ci, layer + 1)
+                        if not incl:
+                            continue
+                        band["zbp_enc"].encode(
+                            bw, ci, cb["missing"] + 1
+                        )
+                        cb["included"] = True
+                    else:
+                        bw.put(1 if incl else 0)
+                        if not incl:
+                            continue
+                    np_ = cb["layer_passes"][layer]
+                    _numpasses_code(bw, np_)
+                    # one length per codeword segment touched, width
+                    # Lblock + floor(log2(new passes in that segment)) —
+                    # mirrors the decoder's grouping exactly
+                    groups = cb["layer_segs"][layer]  # [(np_g, bytes)]
+                    while any(
+                        len(s).bit_length()
+                        > cb["lblock"] + g.bit_length() - 1
+                        for g, s in groups
+                    ):
+                        bw.put(1)
+                        cb["lblock"] += 1
+                    bw.put(0)
+                    for g, s in groups:
+                        bw.bits(len(s), cb["lblock"] + g.bit_length() - 1)
+                    for _, s in groups:
+                        data += s
             body += bw.flush()
             if eph:
                 body += b"\xff\x92"
-            continue
-        bw = BitWriter()
-        bw.put(1)
-        data = bytearray()
-        for band in all_bands[c][r]:
-            for ci, cb in enumerate(band["cblks"]):
-                incl = (cb is not None
-                        and cb["layer_passes"][layer] > 0)
-                if cb is None or not cb["included"]:
-                    # first-inclusion signalling via tag tree
-                    band["incl_enc"].encode(bw, ci, layer + 1)
-                    if not incl:
-                        continue
-                    band["zbp_enc"].encode(
-                        bw, ci, cb["missing"] + 1
-                    )
-                    cb["included"] = True
-                else:
-                    bw.put(1 if incl else 0)
-                    if not incl:
-                        continue
-                np_ = cb["layer_passes"][layer]
-                _numpasses_code(bw, np_)
-                # one length per codeword segment touched, width
-                # Lblock + floor(log2(new passes in that segment)) —
-                # mirrors the decoder's grouping exactly
-                groups = cb["layer_segs"][layer]  # [(np_g, bytes)]
-                while any(
-                    len(s).bit_length()
-                    > cb["lblock"] + g.bit_length() - 1
-                    for g, s in groups
-                ):
-                    bw.put(1)
-                    cb["lblock"] += 1
-                bw.put(0)
-                for g, s in groups:
-                    bw.bits(len(s), cb["lblock"] + g.bit_length() - 1)
-                for _, s in groups:
-                    data += s
-        body += bw.flush()
-        if eph:
-            body += b"\xff\x92"
-        body += data
+            body += data
+        return bytes(body)
+
+
+    # tile grid: slice each (already color-transformed) component
+    # into xt x yt tiles with ragged right/bottom edges and encode
+    # each tile independently — DWT and all coding state reset at
+    # tile boundaries, exactly what the decoder assumes
+    if tiles is None:
+        xt, yt = w, h
+    else:
+        xt, yt = tiles
+    ntx, nty = -(-w // xt), -(-h // yt)
+    bodies = []
+    for t in range(ntx * nty):
+        ty_, tx_ = divmod(t, ntx)
+        sub = [
+            c[ty_ * yt : (ty_ + 1) * yt, tx_ * xt : (tx_ + 1) * xt]
+            for c in comps
+        ]
+        bodies.append(_tile_body(sub))
 
     # markers
     out = bytearray(b"\xff\x4f")  # SOC
     siz = struct.pack(
-        ">HHIIIIIIIIH", 38 + 3 * ncomp, 0, w, h, 0, 0, w, h, 0, 0,
+        ">HHIIIIIIIIH", 38 + 3 * ncomp, 0, w, h, 0, 0, xt, yt, 0, 0,
         ncomp,
     )
     for _ in range(ncomp):
@@ -793,9 +817,10 @@ def encode_j2k(
     else:
         qcd = bytes([guard << 5]) + bytes(e << 3 for e in exps)
     out += b"\xff\x5c" + struct.pack(">H", 2 + len(qcd)) + qcd
-    psot = 12 + 2 + len(body)
-    out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
-    out += b"\xff\x93" + body
+    for t, body in enumerate(bodies):
+        psot = 12 + 2 + len(body)
+        out += b"\xff\x90" + struct.pack(">HHIBB", 10, t, psot, 0, 1)
+        out += b"\xff\x93" + body
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -314,10 +314,15 @@ def test_out_of_scope_declines():
     # not parseable as 16-bit pairs → field-count decline
     with pytest.raises(Jp2Error, match="QCD"):
         parse_codestream(_patch(g, qcd_at + 4, 0x42))
-    # multiple tiles: XTsiz (bytes +22..25) halved below Xsiz
+    # XTsiz halved below Xsiz declares a 2-tile grid (in scope since
+    # r15) but the stream only carries tile 0 → missing-tile decline
+    # (stitching a partial grid would fabricate a zero region)
     siz_at = g.index(b"\xff\x51")
-    with pytest.raises(Jp2Error, match="tiles"):
+    with pytest.raises(Jp2Error, match="missing tile"):
         parse_codestream(_patch(g, siz_at + 25, 0x04))
+    # zero tile size
+    with pytest.raises(Jp2Error, match="tile size"):
+        parse_codestream(_patch(g, siz_at + 25, 0x00))
     # subsampling
     with pytest.raises(Jp2Error, match="subsampling"):
         parse_codestream(_patch(g, siz_at + 42, 2))
@@ -1192,3 +1197,81 @@ def test_97_derived_quantization():
     with pytest.raises(Jp2Error, match="underflow"):
         decode_jp2(blob)
     assert decode_jp2_pdf(blob) is None
+
+
+# --------------------------------------------------------------------
+# multi-tile (r15): regular grids, ragged edges, all wavelet paths
+
+
+def test_multitile_exact_all_paths():
+    """Tile grids decode tile-by-tile and stitch byte-exactly across
+    every coding path: 5/3 at several ragged grids, RGB/RCT with
+    layers + RLCP, 9/7 expounded, and 9/7 derived."""
+    img = _gray37x29()
+    for tdims in ((16, 16), (16, 8), (8, 32), (37, 29), (19, 15)):
+        blob = MKG.encode_j2k(img, levels=2, xcb=4, ycb=4, tiles=tdims)
+        assert (decode_jp2(blob) == img).all(), tdims
+    rgb = _rgb24x16()
+    blob = MKG.encode_j2k(
+        rgb, levels=1, xcb=3, ycb=3, mct=1, tiles=(10, 7),
+        layers=2, prog=1,
+    )
+    assert (decode_jp2(blob) == rgb).all()
+    blob = MKG.encode_j2k(
+        img, levels=2, xcb=4, ycb=4, transform=0,
+        quant=MKG.quant97(2, 4), tiles=(16, 16),
+    )
+    assert (decode_jp2(blob) == img).all()
+    blob = MKG.encode_j2k(
+        img, levels=2, xcb=4, ycb=4, transform=0,
+        quant=MKG.quant97_derived(2, 15), qstyle=1, tiles=(16, 16),
+    )
+    assert (decode_jp2(blob) == img).all()
+
+
+def test_multitile_single_tile_spelling_unchanged():
+    """tiles=None and tiles=(w, h) emit the identical single-tile
+    codestream the r14 goldens pinned — the restructure changed no
+    bytes."""
+    a = MKG.encode_j2k(MKG.gray8(), levels=1, xcb=2, ycb=2)
+    b = MKG.encode_j2k(MKG.gray8(), levels=1, xcb=2, ycb=2,
+                       tiles=(8, 8))
+    assert a == b == J2K_GRAY8_L1
+
+
+def test_multitile_missing_tile_declines():
+    """Dropping one tile's SOT..data from a 2-tile stream declines
+    (never stitches a fabricated zero region); tile indexes past the
+    declared grid decline too."""
+    img = _gray37x29()
+    blob = MKG.encode_j2k(img, levels=1, xcb=4, ycb=4, tiles=(19, 29))
+    sot0 = blob.index(b"\xff\x90")
+    sot1 = blob.index(b"\xff\x90", sot0 + 2)
+    cut = blob[:sot1] + b"\xff\xd9"
+    with pytest.raises(Jp2Error, match="missing tile"):
+        decode_jp2(cut)
+    assert decode_jp2_pdf(cut) is None
+    # Isot beyond the declared grid
+    bad = _patch(blob, sot0 + 5, 7)
+    with pytest.raises(Jp2Error, match="tile index"):
+        decode_jp2(bad)
+    assert decode_jp2_pdf(bad) is None
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    w=st.integers(2, 40),
+    h=st.integers(2, 40),
+    xt=st.integers(1, 40),
+    yt=st.integers(1, 40),
+    levels=st.integers(0, 2),
+)
+def test_multitile_roundtrip_random(seed, w, h, xt, yt, levels):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    blob = MKG.encode_j2k(
+        img, levels=levels, xcb=3, ycb=3,
+        tiles=(min(xt, w), min(yt, h)),
+    )
+    assert (decode_jp2(blob) == img).all()
