@@ -110,6 +110,18 @@ def _xlbox_spelling(jp2: bytes) -> bytes:
 _JP2_BOXED = _jp2_box(_J2K_53)
 _JP2_XLBOX = _xlbox_spelling(_JP2_BOXED)
 _J2K_TRUNC = _J2K_53[:40]  # SIZ survives (meta dims parse), body gone
+# The SAME 8x8 gradient as a 2x2 MULTI-TILE grid (4x4 tiles, four
+# SOT/SOD tile-parts — the layout large scanned images use; decodes
+# tile-by-tile + stitches since r15)
+_J2K_TILED = bytes.fromhex(
+    "ff4fff51002900000000000800000008000000000000000000000004000000040000"
+    "0000000000000001070101ff52000c00000001000100000001ff5c00074040484850"
+    "ff90000a0000000000220001ff93df8028078ae07c13c1f38283e7080cf70b3dff7f"
+    "ff90000a0001000000290001ff93cfb4140cee97b2e7c3ea0487d4073f3030109124"
+    "9f1046c71084bfff90000a0002000000220001ff93c7d40a06b907151fc1f38283e7"
+    "080cf70b3dff7fff90000a00030000002f0001ff93df80380fef671330ff7fcfc01a"
+    "3ed068fc00800e1512cff15f04ef2cdfff7f033fffd9"
+)
 
 
 def _patch(blob: bytes, idx: int, val: int) -> bytes:
@@ -145,23 +157,25 @@ def _wrap_image_pdf(stream: bytes, w: int, h: int, filt: bytes) -> bytes:
 
 # ---------------------------------------------- jp2 spelling histogram
 # Planted docs (doc_id % 17 = 5) carry one standalone JP2 media blob;
-# class = doc_id % 5: 0 -> raw 5/3 codestream, 1 -> JP2 box, 2 ->
-# XLBox-form box, 3 -> raw lossy 9/7, 4 -> truncated codestream.
-# decode_image_meta reports 8x8 dims for every class (the truncated
-# blob keeps its SIZ header — header metadata is not a decode);
-# image_ahash (a REAL decode) lifts classes 0-3 and declines 4.
+# class = doc_id % 6: 0 -> raw 5/3 codestream, 1 -> JP2 box, 2 ->
+# XLBox-form box, 3 -> raw lossy 9/7, 4 -> 2x2 multi-tile grid, 5 ->
+# truncated codestream.  decode_image_meta reports 8x8 dims for every
+# class (the truncated blob keeps its SIZ header — header metadata is
+# not a decode); image_ahash (a REAL decode) lifts classes 0-4 and
+# declines 5.
 
 _SPELLING_ORACLE = """
 WITH d AS (
-  SELECT doc_id % 5 AS cls FROM documents WHERE doc_id % 17 = 5
+  SELECT doc_id % 6 AS cls FROM documents WHERE doc_id % 17 = 5
 ),
 a AS (SELECT cls, count(*) AS n FROM d GROUP BY cls)
 SELECT CASE cls WHEN 0 THEN 'raw_53' WHEN 1 THEN 'jp2_box'
                 WHEN 2 THEN 'xlbox' WHEN 3 THEN 'raw_97'
-                ELSE 'truncated' END AS jp2_spelling,
+                WHEN 4 THEN 'multitile' ELSE 'truncated' END
+         AS jp2_spelling,
        n::BIGINT AS n_docs,
        n::BIGINT AS n_meta_dims,
-       (CASE WHEN cls < 4 THEN n ELSE 0 END)::BIGINT AS n_lifted
+       (CASE WHEN cls < 5 THEN n ELSE 0 END)::BIGINT AS n_lifted
 FROM a
 """
 
@@ -183,8 +197,11 @@ def q_jp2_spelling_histogram(
 
     docs = _t(spark, sf_dir, "documents")
     d = F.col("doc_id")
-    cls = d % 5
-    blobs = [_J2K_53, _JP2_BOXED, _JP2_XLBOX, _J2K_97, _J2K_TRUNC]
+    cls = d % 6
+    blobs = [
+        _J2K_53, _JP2_BOXED, _JP2_XLBOX, _J2K_97, _J2K_TILED,
+        _J2K_TRUNC,
+    ]
     media = docs.filter(d % 17 == 5).select(
         d.alias("media_id"),
         F.lit("image").alias("kind"),
@@ -192,15 +209,17 @@ def q_jp2_spelling_histogram(
         .when(cls == 1, F.lit(bytearray(blobs[1])))
         .when(cls == 2, F.lit(bytearray(blobs[2])))
         .when(cls == 3, F.lit(bytearray(blobs[3])))
-        .otherwise(F.lit(bytearray(blobs[4])))
+        .when(cls == 4, F.lit(bytearray(blobs[4])))
+        .otherwise(F.lit(bytearray(blobs[5])))
         .alias("content"),
         F.lit("{}").alias("meta_json"),
     )
     spelling = (
-        F.when(d % 5 == 0, F.lit("raw_53"))
-        .when(d % 5 == 1, F.lit("jp2_box"))
-        .when(d % 5 == 2, F.lit("xlbox"))
-        .when(d % 5 == 3, F.lit("raw_97"))
+        F.when(d % 6 == 0, F.lit("raw_53"))
+        .when(d % 6 == 1, F.lit("jp2_box"))
+        .when(d % 6 == 2, F.lit("xlbox"))
+        .when(d % 6 == 3, F.lit("raw_97"))
+        .when(d % 6 == 4, F.lit("multitile"))
         .otherwise(F.lit("truncated"))
     )
     meta = decode_image_meta(media).select(
