@@ -16,10 +16,13 @@ r14).  Everything else DECLINES deliberately (raise
 :class:`Jp2Error`; the API edge returns None, never raises, never
 fabricates — the CCITT/JBIG2 contract): reserved quantization
 styles, 9/7 spelled without quantization (and vice versa),
-non-zero image/tile offsets, COC/QCC/POC/RGN/PPM/PPT
+non-zero image/tile offsets, COC/POC/RGN/PPM/PPT
 overrides, TRUE multi-precinct grids (declared precinct sizes are
 accepted when each resolution fits one precinct, with the PPx-clamped
 effective code-block size), component counts other than 1/3.
+Main-header QCC per-component quantization overrides (the spelling
+lossy encoders use to quantize chroma coarser than luma) are IN
+scope (r15); tile-part QCC/COC still decline.
 
 Multi-tile (r15): regular XTsiz x YTsiz grids with ragged right/
 bottom edges decode tile-by-tile and stitch by raster position —
@@ -764,6 +767,7 @@ def parse_codestream(cs: bytes):
     exps = None
     mants = None
     qderived = None
+    qcc: dict = {}
     guard = 0
     tile_parts: dict = {}
     n = len(cs)
@@ -893,7 +897,45 @@ def parse_codestream(cs: bytes):
                 raise Jp2Error(
                     "reserved quantization style out of scope"
                 )
-        elif marker in (0xFF53, 0xFF5D, 0xFF5E, 0xFF5F, 0xFF60, 0xFF61):
+        elif marker == 0xFF5D:  # QCC (main header, r15)
+            # per-component quantization override — the spelling
+            # lossy encoders use to quantize chroma coarser than
+            # luma; same field layout as QCD after the component
+            # index (ncomp <= 3 in scope, so the index is 1 byte)
+            if siz is None:
+                raise Jp2Error("QCC before SIZ")
+            if len(body) < 2:
+                raise Jp2Error("truncated QCC")
+            ci = body[0]
+            if ci >= siz.ncomp:
+                raise Jp2Error("QCC component out of range")
+            sq = body[1]
+            g_c = sq >> 5
+            style = sq & 0x1F
+            fields = body[2:]
+            if style == 0:
+                qcc[ci] = ([b >> 3 for b in fields], None, g_c)
+            elif style == 2:
+                if len(fields) % 2 or not fields:
+                    raise Jp2Error("truncated QCC fields")
+                vals = [
+                    _u16(fields, i) for i in range(0, len(fields) - 1, 2)
+                ]
+                qcc[ci] = (
+                    [v >> 11 for v in vals],
+                    [v & 0x7FF for v in vals],
+                    g_c,
+                )
+            elif style == 1:
+                if len(fields) < 2:
+                    raise Jp2Error("truncated QCC fields")
+                v = _u16(fields, 0)
+                qcc[ci] = (None, (v >> 11, v & 0x7FF), g_c)
+            else:
+                raise Jp2Error(
+                    "reserved quantization style out of scope"
+                )
+        elif marker in (0xFF53, 0xFF5E, 0xFF5F, 0xFF60, 0xFF61):
             # COC / QCC / RGN / POC / PPM / PPT
             raise Jp2Error("per-component/ROI/POC overrides out of scope")
         elif marker == 0xFF90:  # SOT
@@ -939,27 +981,45 @@ def parse_codestream(cs: bytes):
         raise Jp2Error("missing SIZ/COD/QCD")
     if not tile_parts:
         raise Jp2Error("no tile data")
-    if qderived is not None:
-        # expand the derived signalling now that cod.levels is known:
-        # our resolution index r (1 = coarsest) has nsb = NL - r + 1
+
+    def _expand_derived(e0: int, m0: int):
+        # expand derived signalling now that cod.levels is known: our
+        # resolution index r (1 = coarsest) has nsb = NL - r + 1
         # decompositions, so eps_b = eps0 - NL + nsb = eps0 - r + 1
-        e0, m0 = qderived
-        exps = [e0] + [
+        ex = [e0] + [
             e0 - r + 1 for r in range(1, cod.levels + 1) for _ in range(3)
         ]
-        if min(exps) < 1:
+        if min(ex) < 1:
             raise Jp2Error("derived quantization exponent underflow")
-        mants = [m0] * len(exps)
-    if len(exps) < 3 * cod.levels + 1:
-        raise Jp2Error("QCD exponent count mismatch")
-    # transform/quantization coherence (§A.6.4): the reversible 5/3
-    # pairs with "no quantization", the irreversible 9/7 with scalar
-    # quantization — mismatched spellings decline rather than guess a
-    # step size
-    if cod.transform == 0 and mants is None:
-        raise Jp2Error("9/7 without scalar quantization out of scope")
-    if cod.transform == 1 and mants is not None:
-        raise Jp2Error("quantized reversible out of scope")
+        return ex, [m0] * len(ex)
+
+    if qderived is not None:
+        exps, mants = _expand_derived(*qderived)
+    # per-component quantization (QCD default + QCC overrides) with
+    # transform/quantization coherence (§A.6.4) checked per
+    # component: the reversible 5/3 pairs with "no quantization",
+    # the irreversible 9/7 with scalar quantization — mismatched
+    # spellings decline rather than guess a step size
+    exps_pc, mants_pc, guard_pc = [], [], []
+    for c in range(siz.ncomp):
+        if c in qcc:
+            e_c, m_c, g_c = qcc[c]
+            if e_c is None:  # derived override
+                e_c, m_c = _expand_derived(*m_c)
+        else:
+            e_c, m_c, g_c = exps, mants, guard
+        if len(e_c) < 3 * cod.levels + 1:
+            raise Jp2Error("QCD exponent count mismatch")
+        if cod.transform == 0 and m_c is None:
+            raise Jp2Error(
+                "9/7 without scalar quantization out of scope"
+            )
+        if cod.transform == 1 and m_c is not None:
+            raise Jp2Error("quantized reversible out of scope")
+        exps_pc.append(e_c)
+        mants_pc.append(m_c)
+        guard_pc.append(g_c)
+    exps, mants, guard = exps_pc, mants_pc, guard_pc
     # per-tile data, tile-parts concatenated in stream order (the
     # order TPsot ascends in a conformant stream); every tile of the
     # declared grid must be present — a partial grid would stitch a
@@ -1132,7 +1192,7 @@ def decode_tile(siz: _Siz, cod: _Cod, exps, mants, guard: int,
     comps = []
     for c in range(siz.ncomp):
         res = []
-        mb0 = guard + exps[0] - 1
+        mb0 = guard[c] + exps[c][0] - 1
         ex0, ey0 = _eff_cb(0)
         res.append([_Band(0, ll_dims[0], ll_dims[1], mb0, ex0, ey0)])
         for r in range(1, nl + 1):
@@ -1142,7 +1202,7 @@ def decode_tile(siz: _Siz, cod: _Cod, exps, mants, guard: int,
             for oi, (bw, bh) in (
                 (1, (hlw, hlh)), (2, (lhw, lhh)), (3, (hhw, hhh))
             ):
-                mb = guard + exps[1 + 3 * (r - 1) + (oi - 1)] - 1
+                mb = guard[c] + exps[c][1 + 3 * (r - 1) + (oi - 1)] - 1
                 bands.append(_Band(oi, bw, bh, mb, exr, eyr))
             res.append(bands)
         comps.append(res)
@@ -1261,7 +1321,7 @@ def decode_tile(siz: _Siz, cod: _Cod, exps, mants, guard: int,
                         cb[4], cw, ch, band.orient, cb[1], cb[2],
                         band.mb, cod.cbstyle,
                     )
-            if mants is None:
+            if mants[c] is None:
                 return arr
             # §E.1.1.2 dequantization with r = 0 (conformant decoder
             # choice; keeps fully-decoded goldens exact): v = q * Δb,
@@ -1270,8 +1330,8 @@ def decode_tile(siz: _Siz, cod: _Cod, exps, mants, guard: int,
             gain = (
                 0 if band.orient == 0 else (2 if band.orient == 3 else 1)
             )
-            delta = (1.0 + mants[bi] / 2048.0) * 2.0 ** (
-                siz.depths[c] + gain - exps[bi]
+            delta = (1.0 + mants[c][bi] / 2048.0) * 2.0 ** (
+                siz.depths[c] + gain - exps[c][bi]
             )
             return arr.astype(np.float64) * delta
 
@@ -1284,7 +1344,7 @@ def decode_tile(siz: _Siz, cod: _Cod, exps, mants, guard: int,
             )
             bands.append((hl, lh, hh))
         out.append(
-            inverse_dwt53(ll, bands) if mants is None
+            inverse_dwt53(ll, bands) if mants[c] is None
             else inverse_dwt97(ll, bands)
         )
     return out

@@ -575,6 +575,7 @@ def encode_j2k(
     quant: list | None = None,
     qstyle: int = 2,
     tiles: tuple | None = None,
+    qcc: dict | None = None,
 ) -> bytes:
     """Image (h, w) or (h, w, 3) of ``depth``-bit samples → full
     codestream.  ``signed`` (gray only): samples are already centered
@@ -634,40 +635,49 @@ def encode_j2k(
         return (min(xcb, ppx - (1 if r else 0)),
                 min(ycb, ppy - (1 if r else 0)))
 
-    def _quantize(arr, bi, orient):
+    def _quantize(arr, bi, orient, ql):
         """Round-to-nearest scalar quantizer (encoder choice, §E)."""
         gain = 0 if orient == 0 else (2 if orient == 3 else 1)
-        eps, mu = quant[bi]
+        eps, mu = ql[bi]
         delta = (1.0 + mu / 2048.0) * 2.0 ** (depth + gain - eps)
         q = np.sign(arr) * np.floor(np.abs(arr) / delta + 0.5)
         if q.size:
             assert np.abs(q).max() < 1 << (guard + eps - 1), "Mb overflow"
         return q.astype(np.int32)
 
+    def _comp_quant(ci):
+        """Component ci's quant list (QCC override else QCD)."""
+        if qcc and ci in qcc:
+            return qcc[ci]
+        return quant
+
     def _tile_body(tile_comps):
         all_bands = []  # [comp][res] -> list of band dicts
-        for c in tile_comps:
+        for ci, c in enumerate(tile_comps):
             if transform == 0:
+                ql = _comp_quant(ci)
+                cexps = [e for e, _ in ql]
                 llf, bandsf = forward_dwt97(c, levels)
-                ll = _quantize(llf, 0, 0)
+                ll = _quantize(llf, 0, 0, ql)
                 bands = [
                     tuple(
-                        _quantize(arr, 1 + 3 * r + oi, oi + 1)
+                        _quantize(arr, 1 + 3 * r + oi, oi + 1, ql)
                         for oi, arr in enumerate(trio)
                     )
                     for r, trio in enumerate(bandsf)
                 ]
             else:
+                cexps = exps
                 ll, bands = forward_dwt53(c, levels)
             res_list = []
-            mb = guard + exps[0] - 1
+            mb = guard + cexps[0] - 1
             ex0, ey0 = eff_cb(0)
             res_list.append([_make_band(ll, 0, mb, ex0, ey0, cbstyle)])
             for r, (hl, lh, hh) in enumerate(bands):
                 trio = []
                 exr, eyr = eff_cb(r + 1)
                 for oi, arr in ((1, hl), (2, lh), (3, hh)):
-                    mb = guard + exps[1 + 3 * r + (oi - 1)] - 1
+                    mb = guard + cexps[1 + 3 * r + (oi - 1)] - 1
                     trio.append(
                         _make_band(arr, oi, mb, exr, eyr, cbstyle)
                     )
@@ -817,6 +827,15 @@ def encode_j2k(
     else:
         qcd = bytes([guard << 5]) + bytes(e << 3 for e in exps)
     out += b"\xff\x5c" + struct.pack(">H", 2 + len(qcd)) + qcd
+    if qcc:
+        assert transform == 0, "QCC emission implemented for 9/7"
+        for ci in sorted(qcc):
+            fields = b"".join(
+                struct.pack(">H", (e << 11) | mu) for e, mu in qcc[ci]
+            )
+            body_q = bytes([ci, (guard << 5) | 2]) + fields
+            out += b"\xff\x5d" + struct.pack(">H", 2 + len(body_q))
+            out += body_q
     for t, body in enumerate(bodies):
         psot = 12 + 2 + len(body)
         out += b"\xff\x90" + struct.pack(">HHIBB", 10, t, psot, 0, 1)

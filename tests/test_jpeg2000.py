@@ -337,13 +337,23 @@ def test_out_of_scope_declines():
 def test_coc_qcc_poc_rgn_decline():
     g = J2K_GRAY8_L1
     sot_at = g.index(b"\xff\x90")
-    for marker in (b"\x53", b"\x5d", b"\x5e", b"\x5f"):
+    for marker in (b"\x53", b"\x5e", b"\x5f"):
         blob = (
             g[:sot_at] + b"\xff" + marker + b"\x00\x03\x00" + g[sot_at:]
         )
         with pytest.raises(Jp2Error, match="out of scope"):
             parse_codestream(blob)
         assert decode_jp2_pdf(blob) is None
+    # QCC parses in the MAIN header since r15, but still declines in
+    # a tile-part header (quantization changing mid-stream)
+    blob = g[:sot_at] + b"\xff\x5d\x00\x03\x00" + g[sot_at:]
+    with pytest.raises(Jp2Error, match="truncated QCC"):
+        parse_codestream(blob)
+    sod_at = g.index(b"\xff\x93")
+    blob = g[:sod_at] + b"\xff\x5d\x00\x04\x00\x40" + g[sod_at:]
+    with pytest.raises(Jp2Error, match="tile-part overrides"):
+        parse_codestream(blob)
+    assert decode_jp2_pdf(blob) is None
 
 
 def test_declines_never_raise():
@@ -1275,3 +1285,38 @@ def test_multitile_roundtrip_random(seed, w, h, xt, yt, levels):
         tiles=(min(xt, w), min(yt, h)),
     )
     assert (decode_jp2(blob) == img).all()
+
+
+def test_97_qcc_chroma_override():
+    """Main-header QCC (per-component quantization): chroma
+    components quantized coarser than luma — the real lossy-encoder
+    spelling — must decode with the per-component steps.  An
+    identity override decodes bit-identically to the QCD-only
+    stream; a genuinely coarser override changes the raster (proof
+    the override is applied, not ignored); out-of-range component
+    indexes decline."""
+    rgb = _rgb24x16()
+    fine = MKG.quant97(1, 5)
+    coarse = MKG.quant97(1, 1, 256)
+    blob = MKG.encode_j2k(
+        rgb, levels=1, xcb=3, ycb=3, mct=1, transform=0,
+        quant=fine, qcc={1: coarse, 2: coarse},
+    )
+    got = decode_jp2(blob)
+    assert got.shape == (16, 24, 3)
+    assert np.abs(got.astype(int) - rgb.astype(int)).max() <= 4
+    qcd_only = MKG.encode_j2k(
+        rgb, levels=1, xcb=3, ycb=3, mct=1, transform=0, quant=fine,
+    )
+    ident = MKG.encode_j2k(
+        rgb, levels=1, xcb=3, ycb=3, mct=1, transform=0,
+        quant=fine, qcc={1: fine, 2: fine},
+    )
+    assert (decode_jp2(ident) == decode_jp2(qcd_only)).all()
+    assert (got != decode_jp2(qcd_only)).any()
+    # component index past ncomp declines
+    at = blob.index(b"\xff\x5d")
+    bad = _patch(blob, at + 4, 7)
+    with pytest.raises(Jp2Error, match="component out of range"):
+        decode_jp2(bad)
+    assert decode_jp2_pdf(bad) is None
