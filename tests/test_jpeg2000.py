@@ -1320,3 +1320,21 @@ def test_97_qcc_chroma_override():
     with pytest.raises(Jp2Error, match="component out of range"):
         decode_jp2(bad)
     assert decode_jp2_pdf(bad) is None
+
+
+def test_qcc_derived_field_expansion():
+    """A derived-style (Sqcc style 1) QCC override expands through
+    the same eps0 - r + 1 rule as a derived QCD, with the override's
+    own guard bits — parser-level pin on the returned per-component
+    quantization lists."""
+    g = J2K_GRAY37X29_97_COARSE  # levels=2, expounded QCD
+    sot_at = g.index(b"\xff\x90")
+    # Cqcc=0, Sqcc = guard 3 | style 1, field (14 << 11) | 5
+    qcc = b"\xff\x5d\x00\x06\x00" + bytes([(3 << 5) | 1]) + (
+        (14 << 11) | 5
+    ).to_bytes(2, "big")
+    blob = g[:sot_at] + qcc + g[sot_at:]
+    siz, cod, exps, mants, guard, tiles = parse_codestream(blob)
+    assert exps[0] == [14, 14, 14, 14, 13, 13, 13]
+    assert mants[0] == [5] * 7
+    assert guard[0] == 3
