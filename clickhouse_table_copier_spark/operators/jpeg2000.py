@@ -16,13 +16,18 @@ r14).  Everything else DECLINES deliberately (raise
 :class:`Jp2Error`; the API edge returns None, never raises, never
 fabricates — the CCITT/JBIG2 contract): reserved quantization
 styles, 9/7 spelled without quantization (and vice versa),
-non-zero image/tile offsets, COC/POC/RGN/PPM/PPT
+non-zero image/tile offsets, POC/RGN/PPM/PPT
 overrides, TRUE multi-precinct grids (declared precinct sizes are
 accepted when each resolution fits one precinct, with the PPx-clamped
 effective code-block size), component counts other than 1/3.
-Main-header QCC per-component quantization overrides (the spelling
-lossy encoders use to quantize chroma coarser than luma) are IN
-scope (r15); tile-part QCC/COC still decline.
+Main-header per-component overrides are IN scope (r15): QCC
+quantization (the spelling lossy encoders use to quantize chroma
+coarser than luma) and COC coding style (per-component decomposition
+levels, code-block size/style, precincts — the §B.12 packet
+sequencing runs the resolution loop to the max level count and emits
+a packet only for components that have that resolution).  A COC
+declaring a different wavelet than COD declines (mixed per-component
+transforms out of scope); tile-part QCC/COC still decline.
 
 Multi-tile (r15): regular XTsiz x YTsiz grids with ragged right/
 bottom edges decode tile-by-tile and stitch by raster position —
@@ -720,6 +725,16 @@ class _Cod:
     )
 
 
+class _Cst:
+    """Per-component coding style: COD's SPcod defaults, overridden
+    by a main-header COC (§A.6.2) for that component.  The wavelet
+    transform stays in :class:`_Cod` — a COC declaring a different
+    transform than COD declines (mixed per-component transforms are
+    out of scope; see parse_codestream)."""
+
+    __slots__ = ("levels", "xcb", "ycb", "cbstyle", "prec")
+
+
 class _Band:
     """One subband of one component at one resolution."""
 
@@ -758,8 +773,9 @@ def _u32(d, p):
 
 
 def parse_codestream(cs: bytes):
-    """Main header + tile data → (siz, cod, exps, mants, guard,
-    [tile_bytes per tile, raster order])."""
+    """Main header + tile data → (siz, cod, csty, exps, mants,
+    guard, [tile_bytes per tile, raster order]); ``csty`` is the
+    per-component coding style (COD defaults + COC overrides)."""
     if len(cs) < 4 or cs[:2] != b"\xff\x4f":
         raise Jp2Error("not a JPEG 2000 codestream")
     pos = 2
@@ -768,6 +784,7 @@ def parse_codestream(cs: bytes):
     mants = None
     qderived = None
     qcc: dict = {}
+    coc: dict = {}
     guard = 0
     tile_parts: dict = {}
     n = len(cs)
@@ -935,9 +952,44 @@ def parse_codestream(cs: bytes):
                 raise Jp2Error(
                     "reserved quantization style out of scope"
                 )
-        elif marker in (0xFF53, 0xFF5E, 0xFF5F, 0xFF60, 0xFF61):
-            # COC / QCC / RGN / POC / PPM / PPT
-            raise Jp2Error("per-component/ROI/POC overrides out of scope")
+        elif marker == 0xFF53:  # COC (main header, r15 tail)
+            # per-component coding-style override (§A.6.2): levels,
+            # code-block size/style and precincts may differ per
+            # component; progression/layers/MCT stay in COD.  The
+            # transform byte is kept for a post-loop cross-check
+            # against COD (which may legally follow this marker) —
+            # mixed per-component transforms decline by name.
+            if siz is None:
+                raise Jp2Error("COC before SIZ")
+            if len(body) < 7:
+                raise Jp2Error("truncated COC")
+            ci = body[0]
+            if ci >= siz.ncomp:
+                raise Jp2Error("COC component out of range")
+            scoc = body[1]
+            if scoc > 1:
+                raise Jp2Error("reserved COC style")
+            o = _Cst()
+            o.levels = body[2]
+            o.xcb = (body[3] & 0x0F) + 2
+            o.ycb = (body[4] & 0x0F) + 2
+            o.cbstyle = body[5]
+            o.prec = None
+            if o.levels > 32:
+                raise Jp2Error("decomposition levels out of range")
+            if o.xcb > 10 or o.ycb > 10 or o.xcb + o.ycb > 12:
+                raise Jp2Error("code-block size out of range")
+            if scoc & 1:
+                if len(body) < 7 + o.levels + 1:
+                    raise Jp2Error("truncated COC precinct sizes")
+                o.prec = [
+                    (b_ & 0x0F, b_ >> 4)
+                    for b_ in body[7 : 7 + o.levels + 1]
+                ]
+            coc[ci] = (o, body[6])
+        elif marker in (0xFF5E, 0xFF5F, 0xFF60, 0xFF61):
+            # RGN / POC / PPM / PPT
+            raise Jp2Error("ROI/POC/packed-header overrides out of scope")
         elif marker == 0xFF90:  # SOT
             if siz is None or cod is None or (
                 exps is None and qderived is None
@@ -982,33 +1034,60 @@ def parse_codestream(cs: bytes):
     if not tile_parts:
         raise Jp2Error("no tile data")
 
-    def _expand_derived(e0: int, m0: int):
-        # expand derived signalling now that cod.levels is known: our
-        # resolution index r (1 = coarsest) has nsb = NL - r + 1
-        # decompositions, so eps_b = eps0 - NL + nsb = eps0 - r + 1
+    # per-component coding style: COD's SPcod defaults, COC
+    # overrides.  COC's transform byte is cross-checked HERE (COD
+    # may follow COC in the main header): a component spelled with a
+    # different wavelet than the tile would need per-component
+    # synthesis/quantization coherence this scope declines.
+    csty = []
+    for c in range(siz.ncomp):
+        if c in coc:
+            o, tr = coc[c]
+            if tr != cod.transform:
+                raise Jp2Error(
+                    "per-component transform out of scope"
+                )
+            csty.append(o)
+        else:
+            o = _Cst()
+            o.levels = cod.levels
+            o.xcb = cod.xcb
+            o.ycb = cod.ycb
+            o.cbstyle = cod.cbstyle
+            o.prec = cod.prec
+            csty.append(o)
+
+    def _expand_derived(e0: int, m0: int, levels: int):
+        # expand derived signalling now that the component's level
+        # count is known: our resolution index r (1 = coarsest) has
+        # nsb = NL - r + 1 decompositions, so eps_b = eps0 - NL +
+        # nsb = eps0 - r + 1
         ex = [e0] + [
-            e0 - r + 1 for r in range(1, cod.levels + 1) for _ in range(3)
+            e0 - r + 1 for r in range(1, levels + 1) for _ in range(3)
         ]
         if min(ex) < 1:
             raise Jp2Error("derived quantization exponent underflow")
         return ex, [m0] * len(ex)
 
-    if qderived is not None:
-        exps, mants = _expand_derived(*qderived)
     # per-component quantization (QCD default + QCC overrides) with
     # transform/quantization coherence (§A.6.4) checked per
     # component: the reversible 5/3 pairs with "no quantization",
     # the irreversible 9/7 with scalar quantization — mismatched
-    # spellings decline rather than guess a step size
+    # spellings decline rather than guess a step size.  The field
+    # count is checked against the COMPONENT's own level count (a
+    # COC may lower it below COD's; extra QCD fields are ignored
+    # per §A.6.4, so the shared-QCD prefix spelling decodes)
     exps_pc, mants_pc, guard_pc = [], [], []
     for c in range(siz.ncomp):
         if c in qcc:
             e_c, m_c, g_c = qcc[c]
             if e_c is None:  # derived override
-                e_c, m_c = _expand_derived(*m_c)
+                e_c, m_c = _expand_derived(*m_c, csty[c].levels)
         else:
             e_c, m_c, g_c = exps, mants, guard
-        if len(e_c) < 3 * cod.levels + 1:
+            if qderived is not None:
+                e_c, m_c = _expand_derived(*qderived, csty[c].levels)
+        if len(e_c) < 3 * csty[c].levels + 1:
             raise Jp2Error("QCD exponent count mismatch")
         if cod.transform == 0 and m_c is None:
             raise Jp2Error(
@@ -1031,7 +1110,7 @@ def parse_codestream(cs: bytes):
         if not parts:
             raise Jp2Error("missing tile data")
         tiles.append(b"".join(parts))
-    return siz, cod, exps, mants, guard, tiles
+    return siz, cod, csty, exps, mants, guard, tiles
 
 
 def _band_dims(w: int, h: int, levels: int):
@@ -1129,61 +1208,71 @@ def inverse_dwt97(ll: np.ndarray, bands: list) -> np.ndarray:
     return cur
 
 
-def decode_tile(siz: _Siz, cod: _Cod, exps, mants, guard: int,
+def decode_tile(siz: _Siz, cod: _Cod, csty, exps, mants, guard,
                 data: bytes, tw: int, th: int):
     """Packet walk (tier-2) + tier-1 per code-block for ONE tile of
     ``tw`` x ``th`` samples → list of per-component sample arrays
-    (int32 for 5/3, float64 for 9/7; after IDWT, before MCT/shift)."""
-    nl = cod.levels
-    ll_dims, band_dims = _band_dims(tw, th, nl)
-    # resolution grids (for precinct accounting): grid of res r is
-    # the LL_(nl-r) plane; grids[r] below
-    gdims = [(tw, th)]
-    for _ in range(nl):
-        pw, ph = gdims[-1]
-        gdims.append(((pw + 1) // 2, (ph + 1) // 2))
-    grids = [gdims[nl - r] for r in range(nl + 1)]
+    (int32 for 5/3, float64 for 9/7; after IDWT, before MCT/shift).
+    ``csty`` carries the per-component coding style (levels,
+    code-block size/style, precincts) — COD defaults unless a COC
+    overrode them."""
+    # per-component decomposition geometry: level counts may differ
+    # (COC), so subband dims and resolution grids are per component
+    ll_dims_pc, band_dims_pc, grids_pc = [], [], []
+    for c in range(siz.ncomp):
+        nl_c = csty[c].levels
+        ll_d, bd = _band_dims(tw, th, nl_c)
+        ll_dims_pc.append(ll_d)
+        band_dims_pc.append(bd)
+        gdims = [(tw, th)]
+        for _ in range(nl_c):
+            pw, ph = gdims[-1]
+            gdims.append(((pw + 1) // 2, (ph + 1) // 2))
+        grids_pc.append([gdims[nl_c - r] for r in range(nl_c + 1)])
 
-    def _eff_cb(r: int):
-        """Effective code-block exponents at resolution r: explicit
-        precinct sizes clamp them (xcb' = min(xcb, PPx - (r>0)));
-        only single-precinct-per-resolution layouts are in scope —
-        the spelling size-declaring encoders use for whole-image
-        precincts."""
-        if cod.prec is None:
-            return cod.xcb, cod.ycb
-        ppx, ppy = cod.prec[r]
-        gw, gh = grids[r]
+    def _eff_cb(c: int, r: int):
+        """Effective code-block exponents for component c at
+        resolution r: explicit precinct sizes clamp them (xcb' =
+        min(xcb, PPx - (r>0))); only single-precinct-per-resolution
+        layouts are in scope — the spelling size-declaring encoders
+        use for whole-image precincts."""
+        st = csty[c]
+        if st.prec is None:
+            return st.xcb, st.ycb
+        ppx, ppy = st.prec[r]
+        gw, gh = grids_pc[c][r]
         if gw > (1 << ppx) or gh > (1 << ppy):
             raise Jp2Error("multiple precincts out of scope")
-        ex = min(cod.xcb, ppx - (1 if r else 0))
-        ey = min(cod.ycb, ppy - (1 if r else 0))
+        ex = min(st.xcb, ppx - (1 if r else 0))
+        ey = min(st.ycb, ppy - (1 if r else 0))
         if ex < 2 or ey < 2:
             raise Jp2Error("precinct too small for a code-block")
         return ex, ey
 
     # crafted-header resource gate: the per-cblk state lists and tag
-    # trees below are sized by SIZ/COD fields alone, BEFORE any packet
-    # byte is validated — so price the declared geometry first.  Two
-    # bounds: an absolute count cap (worst-case pre-packet memory),
-    # and a layers x count work cap (each layer's non-empty packets
-    # visit every code-block of their resolution once, so the product
-    # prices the packet-walk ceiling).  Empty packets cost O(1) and
-    # are NOT gated by stream length — a conformant ~80-byte blank
-    # page with thousands of declared code-blocks decodes (review
-    # r15; an earlier data-proportional gate over-declined it).
+    # trees below are sized by SIZ/COD/COC fields alone, BEFORE any
+    # packet byte is validated — so price the declared geometry
+    # first.  Two bounds: an absolute count cap (worst-case
+    # pre-packet memory), and a layers x count work cap (each
+    # layer's non-empty packets visit every code-block of their
+    # resolution once, so the product prices the packet-walk
+    # ceiling).  Empty packets cost O(1) and are NOT gated by stream
+    # length — a conformant ~80-byte blank page with thousands of
+    # declared code-blocks decodes (review r15; an earlier
+    # data-proportional gate over-declined it).
     total_cblks = 0
-    for r in range(nl + 1):
-        ex, ey = _eff_cb(r)
-        if r == 0:
-            bdims = [(ll_dims[0], ll_dims[1])]
-        else:
-            bdims = list(band_dims[r - 1])
-        for bw, bh in bdims:
-            total_cblks += (
-                max(0, -(-bw // (1 << ex))) * max(0, -(-bh // (1 << ey)))
-            )
-    total_cblks *= siz.ncomp
+    for c in range(siz.ncomp):
+        for r in range(csty[c].levels + 1):
+            ex, ey = _eff_cb(c, r)
+            if r == 0:
+                bdims = [ll_dims_pc[c]]
+            else:
+                bdims = list(band_dims_pc[c][r - 1])
+            for bw, bh in bdims:
+                total_cblks += (
+                    max(0, -(-bw // (1 << ex)))
+                    * max(0, -(-bh // (1 << ey)))
+                )
     if total_cblks > _MAX_CBLKS:
         raise Jp2Error("code-block count out of range")
     if cod.layers * total_cblks > _MAX_CBLK_VISITS:
@@ -1193,11 +1282,12 @@ def decode_tile(siz: _Siz, cod: _Cod, exps, mants, guard: int,
     for c in range(siz.ncomp):
         res = []
         mb0 = guard[c] + exps[c][0] - 1
-        ex0, ey0 = _eff_cb(0)
-        res.append([_Band(0, ll_dims[0], ll_dims[1], mb0, ex0, ey0)])
-        for r in range(1, nl + 1):
-            (hlw, hlh), (lhw, lhh), (hhw, hhh) = band_dims[r - 1]
-            exr, eyr = _eff_cb(r)
+        ex0, ey0 = _eff_cb(c, 0)
+        llw, llh = ll_dims_pc[c]
+        res.append([_Band(0, llw, llh, mb0, ex0, ey0)])
+        for r in range(1, csty[c].levels + 1):
+            (hlw, hlh), (lhw, lhh), (hhw, hhh) = band_dims_pc[c][r - 1]
+            exr, eyr = _eff_cb(c, r)
             bands = []
             for oi, (bw, bh) in (
                 (1, (hlw, hlh)), (2, (lhw, lhh)), (3, (hhw, hhh))
@@ -1207,24 +1297,28 @@ def decode_tile(siz: _Siz, cod: _Cod, exps, mants, guard: int,
             res.append(bands)
         comps.append(res)
 
-    # packet iteration (single precinct per resolution)
-    order = []
-    nres = nl + 1
+    # packet iteration (single precinct per resolution).  With
+    # per-component level counts the resolution loop runs to the MAX
+    # count and a (r, c) pair only emits a packet when component c
+    # HAS that resolution (§B.12: "only those packets that exist") —
+    # the same guard OpenJPEG's packet iterator applies.
+    nres_c = [csty[c].levels + 1 for c in range(siz.ncomp)]
+    nres = max(nres_c)
     L, C = cod.layers, siz.ncomp
     if cod.prog == 0:  # LRCP
         order = [(l_, r, c) for l_ in range(L) for r in range(nres)
-                 for c in range(C)]
+                 for c in range(C) if r < nres_c[c]]
     elif cod.prog == 1:  # RLCP
         order = [(l_, r, c) for r in range(nres) for l_ in range(L)
-                 for c in range(C)]
+                 for c in range(C) if r < nres_c[c]]
     elif cod.prog == 2:  # RPCL
         order = [(l_, r, c) for r in range(nres) for c in range(C)
-                 for l_ in range(L)]
+                 if r < nres_c[c] for l_ in range(L)]
     elif cod.prog == 3:  # PCRL
-        order = [(l_, r, c) for c in range(C) for r in range(nres)
+        order = [(l_, r, c) for c in range(C) for r in range(nres_c[c])
                  for l_ in range(L)]
     else:  # CPRL
-        order = [(l_, r, c) for c in range(C) for r in range(nres)
+        order = [(l_, r, c) for c in range(C) for r in range(nres_c[c])
                  for l_ in range(L)]
 
     pos = 0
@@ -1273,8 +1367,8 @@ def decode_tile(siz: _Siz, cod: _Cod, exps, mants, guard: int,
                     # contribution (B.10.7: TERMALL/BYPASS terminate
                     # mid-block), bit width Lblock + floor(log2(new
                     # passes in that segment))
-                    bypass = bool(cod.cbstyle & _CB_BYPASS)
-                    termall = bool(cod.cbstyle & _CB_TERMALL)
+                    bypass = bool(csty[c].cbstyle & _CB_BYPASS)
+                    termall = bool(csty[c].cbstyle & _CB_TERMALL)
                     groups = []  # (seg_id, n_new_passes)
                     for i in range(cb[2], cb[2] + np_):
                         s = _seg_index(i, bypass, termall)
@@ -1319,7 +1413,7 @@ def decode_tile(siz: _Siz, cod: _Cod, exps, mants, guard: int,
                     ch = min(1 << band.ycb, band.h - y0)
                     arr[y0 : y0 + ch, x0 : x0 + cw] = decode_codeblock(
                         cb[4], cw, ch, band.orient, cb[1], cb[2],
-                        band.mb, cod.cbstyle,
+                        band.mb, csty[c].cbstyle,
                     )
             if mants[c] is None:
                 return arr
@@ -1337,7 +1431,7 @@ def decode_tile(siz: _Siz, cod: _Cod, exps, mants, guard: int,
 
         ll = band_array(res[0][0], 0)
         bands = []
-        for r in range(1, nl + 1):
+        for r in range(1, csty[c].levels + 1):
             hl, lh, hh = (
                 band_array(b, 1 + 3 * (r - 1) + oi)
                 for oi, b in enumerate(res[r])
@@ -1389,7 +1483,7 @@ def decode_jp2(data: bytes) -> np.ndarray:
     """JP2 container or raw codestream → (h, w) or (h, w, 3) uint8.
     Raises :class:`Jp2Error` on malformed/out-of-scope input."""
     cs = _jp2_codestream(data)
-    siz, cod, exps, mants, guard, tiles = parse_codestream(cs)
+    siz, cod, csty, exps, mants, guard, tiles = parse_codestream(cs)
     # decode per tile and stitch by raster position (tiles are
     # independent by construction — the DWT and all coding state
     # reset at tile boundaries)
@@ -1405,7 +1499,7 @@ def decode_jp2(data: bytes) -> np.ndarray:
         tw = min(siz.xt, siz.w - x0)
         th = min(siz.yt, siz.h - y0)
         tplanes = decode_tile(
-            siz, cod, exps, mants, guard, tdata, tw, th
+            siz, cod, csty, exps, mants, guard, tdata, tw, th
         )
         for c in range(siz.ncomp):
             planes[c][y0 : y0 + th, x0 : x0 + tw] = tplanes[c]

@@ -576,6 +576,7 @@ def encode_j2k(
     qstyle: int = 2,
     tiles: tuple | None = None,
     qcc: dict | None = None,
+    coc: dict | None = None,
 ) -> bytes:
     """Image (h, w) or (h, w, 3) of ``depth``-bit samples → full
     codestream.  ``signed`` (gray only): samples are already centered
@@ -585,7 +586,17 @@ def encode_j2k(
     — then ``quant`` must give (eps, mu) per subband in QCD order
     (LL, then HL/LH/HH coarsest→finest; len 3*levels+1), emitted as
     scalar-expounded QCD fields; coefficients are quantized
-    round-to-nearest (q = sign * floor(|v|/Δ + 0.5), |error| ≤ Δ/2)."""
+    round-to-nearest (q = sign * floor(|v|/Δ + 0.5), |error| ≤ Δ/2).
+
+    ``coc`` maps a component index to per-component coding-style
+    overrides (keys ``levels``/``xcb``/``ycb``/``cbstyle``/``prec``,
+    COD defaults otherwise), emitted as a main-header COC marker;
+    the packet sequence runs the resolution loop to the max level
+    count and emits packets only for components that have the
+    resolution (§B.12), mirroring the decoder.  ``qcc`` overrides a
+    component's quantization signalling: (eps, mu) pairs for 9/7
+    (style 2) or bare eps ints for 5/3 (style 0) — required when a
+    COC raises a component's level count past what QCD covers."""
     shift = 0 if signed else 1 << (depth - 1)
     if transform == 0:
         assert quant is not None and len(quant) == 3 * levels + 1
@@ -626,14 +637,22 @@ def encode_j2k(
         exps = [depth] + [depth + g_ for _ in range(levels)
                           for g_ in (1, 1, 2)]
 
+    # per-component coding style: COD defaults + COC overrides
+    def _cparam(ci):
+        ov = coc.get(ci, {}) if coc else {}
+        return (ov.get("levels", levels), ov.get("xcb", xcb),
+                ov.get("ycb", ycb), ov.get("cbstyle", cbstyle),
+                ov.get("prec", precincts))
+
     # wavelet + tier-1 per component; explicit precincts clamp the
     # effective code-block exponents (xcb' = min(xcb, PPx - (r>0)))
-    def eff_cb(r):
-        if precincts is None:
-            return xcb, ycb
-        ppx, ppy = precincts[r]
-        return (min(xcb, ppx - (1 if r else 0)),
-                min(ycb, ppy - (1 if r else 0)))
+    def eff_cb(ci, r):
+        lv, cx, cy, _, prec = _cparam(ci)
+        if prec is None:
+            return cx, cy
+        ppx, ppy = prec[r]
+        return (min(cx, ppx - (1 if r else 0)),
+                min(cy, ppy - (1 if r else 0)))
 
     def _quantize(arr, bi, orient, ql):
         """Round-to-nearest scalar quantizer (encoder choice, §E)."""
@@ -654,10 +673,12 @@ def encode_j2k(
     def _tile_body(tile_comps):
         all_bands = []  # [comp][res] -> list of band dicts
         for ci, c in enumerate(tile_comps):
+            lv, _, _, cst, _ = _cparam(ci)
             if transform == 0:
                 ql = _comp_quant(ci)
+                assert len(ql) >= 3 * lv + 1
                 cexps = [e for e, _ in ql]
-                llf, bandsf = forward_dwt97(c, levels)
+                llf, bandsf = forward_dwt97(c, lv)
                 ll = _quantize(llf, 0, 0, ql)
                 bands = [
                     tuple(
@@ -667,39 +688,54 @@ def encode_j2k(
                     for r, trio in enumerate(bandsf)
                 ]
             else:
-                cexps = exps
-                ll, bands = forward_dwt53(c, levels)
+                # the QCC list (bare eps ints) IS the signalling for
+                # an overridden reversible component; default is the
+                # depth + gain pattern over the component's levels
+                if qcc and ci in qcc:
+                    cexps = qcc[ci]
+                else:
+                    cexps = [depth] + [depth + g_ for _ in range(lv)
+                                       for g_ in (1, 1, 2)]
+                assert len(cexps) >= 3 * lv + 1
+                ll, bands = forward_dwt53(c, lv)
             res_list = []
             mb = guard + cexps[0] - 1
-            ex0, ey0 = eff_cb(0)
-            res_list.append([_make_band(ll, 0, mb, ex0, ey0, cbstyle)])
+            ex0, ey0 = eff_cb(ci, 0)
+            res_list.append([_make_band(ll, 0, mb, ex0, ey0, cst)])
             for r, (hl, lh, hh) in enumerate(bands):
                 trio = []
-                exr, eyr = eff_cb(r + 1)
+                exr, eyr = eff_cb(ci, r + 1)
                 for oi, arr in ((1, hl), (2, lh), (3, hh)):
                     mb = guard + cexps[1 + 3 * r + (oi - 1)] - 1
                     trio.append(
-                        _make_band(arr, oi, mb, exr, eyr, cbstyle)
+                        _make_band(arr, oi, mb, exr, eyr, cst)
                     )
                 res_list.append(trio)
             all_bands.append(res_list)
 
         _split_layers(all_bands, layers, cbstyle)
 
-        # packet emission order (single precinct per resolution)
-        nres = levels + 1
+        # packet emission order (single precinct per resolution);
+        # with per-component level counts (COC) the resolution loop
+        # runs to the max and a packet is emitted only when the
+        # component HAS the resolution — mirrors decode_tile
+        nres_c = [_cparam(ci)[0] + 1 for ci in range(ncomp)]
+        nres = max(nres_c)
         if prog == 0:
             order = [(l_, r, c) for l_ in range(layers)
-                     for r in range(nres) for c in range(ncomp)]
+                     for r in range(nres) for c in range(ncomp)
+                     if r < nres_c[c]]
         elif prog == 1:
             order = [(l_, r, c) for r in range(nres)
-                     for l_ in range(layers) for c in range(ncomp)]
+                     for l_ in range(layers) for c in range(ncomp)
+                     if r < nres_c[c]]
         elif prog == 2:
             order = [(l_, r, c) for r in range(nres)
-                     for c in range(ncomp) for l_ in range(layers)]
+                     for c in range(ncomp) if r < nres_c[c]
+                     for l_ in range(layers)]
         else:
             order = [(l_, r, c) for c in range(ncomp)
-                     for r in range(nres) for l_ in range(layers)]
+                     for r in range(nres_c[c]) for l_ in range(layers)]
 
         body = bytearray()
         nsop = 0
@@ -807,6 +843,17 @@ def encode_j2k(
     )
     if precincts is not None:
         out += bytes((ppy << 4) | ppx for ppx, ppy in precincts)
+    if coc:
+        for ci in sorted(coc):
+            lv, cx, cy, cst, prec = _cparam(ci)
+            scoc = 0 if prec is None else 1
+            body_c = bytes([ci, scoc, lv, cx - 2, cy - 2, cst,
+                            transform])
+            if prec is not None:
+                assert len(prec) == lv + 1
+                body_c += bytes((ppy << 4) | ppx for ppx, ppy in prec)
+            out += b"\xff\x53" + struct.pack(">H", 2 + len(body_c))
+            out += body_c
     if transform == 0 and qstyle == 1:
         # scalar derived (Sqcd style 1): ONE (eps0, mu0) field; the
         # quant list the coefficients were quantized with must follow
@@ -828,12 +875,19 @@ def encode_j2k(
         qcd = bytes([guard << 5]) + bytes(e << 3 for e in exps)
     out += b"\xff\x5c" + struct.pack(">H", 2 + len(qcd)) + qcd
     if qcc:
-        assert transform == 0, "QCC emission implemented for 9/7"
         for ci in sorted(qcc):
-            fields = b"".join(
-                struct.pack(">H", (e << 11) | mu) for e, mu in qcc[ci]
-            )
-            body_q = bytes([ci, (guard << 5) | 2]) + fields
+            if transform == 0:
+                # scalar expounded (style 2): (eps, mu) pairs
+                fields = b"".join(
+                    struct.pack(">H", (e << 11) | mu)
+                    for e, mu in qcc[ci]
+                )
+                body_q = bytes([ci, (guard << 5) | 2]) + fields
+            else:
+                # no quantization (style 0): bare eps ints
+                body_q = bytes([ci, guard << 5]) + bytes(
+                    e << 3 for e in qcc[ci]
+                )
             out += b"\xff\x5d" + struct.pack(">H", 2 + len(body_q))
             out += body_q
     for t, body in enumerate(bodies):

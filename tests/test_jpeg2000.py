@@ -334,26 +334,29 @@ def test_out_of_scope_declines():
         assert decode_jp2_pdf(_patch(g, idx, val)) is None
 
 
-def test_coc_qcc_poc_rgn_decline():
+def test_poc_rgn_decline():
     g = J2K_GRAY8_L1
     sot_at = g.index(b"\xff\x90")
-    for marker in (b"\x53", b"\x5e", b"\x5f"):
+    for marker in (b"\x5e", b"\x5f"):  # RGN / POC
         blob = (
             g[:sot_at] + b"\xff" + marker + b"\x00\x03\x00" + g[sot_at:]
         )
         with pytest.raises(Jp2Error, match="out of scope"):
             parse_codestream(blob)
         assert decode_jp2_pdf(blob) is None
-    # QCC parses in the MAIN header since r15, but still declines in
-    # a tile-part header (quantization changing mid-stream)
+    # QCC/COC parse in the MAIN header since r15, but still decline
+    # in a tile-part header (style/quantization changing mid-stream)
     blob = g[:sot_at] + b"\xff\x5d\x00\x03\x00" + g[sot_at:]
     with pytest.raises(Jp2Error, match="truncated QCC"):
         parse_codestream(blob)
     sod_at = g.index(b"\xff\x93")
-    blob = g[:sod_at] + b"\xff\x5d\x00\x04\x00\x40" + g[sod_at:]
-    with pytest.raises(Jp2Error, match="tile-part overrides"):
-        parse_codestream(blob)
-    assert decode_jp2_pdf(blob) is None
+    for marker in (b"\x5d", b"\x53"):
+        blob = g[:sod_at] + b"\xff" + marker + b"\x00\x04\x00\x40" + (
+            g[sod_at:]
+        )
+        with pytest.raises(Jp2Error, match="tile-part overrides"):
+            parse_codestream(blob)
+        assert decode_jp2_pdf(blob) is None
 
 
 def test_declines_never_raise():
@@ -1334,7 +1337,173 @@ def test_qcc_derived_field_expansion():
         (14 << 11) | 5
     ).to_bytes(2, "big")
     blob = g[:sot_at] + qcc + g[sot_at:]
-    siz, cod, exps, mants, guard, tiles = parse_codestream(blob)
+    siz, cod, csty, exps, mants, guard, tiles = parse_codestream(blob)
     assert exps[0] == [14, 14, 14, 14, 13, 13, 13]
     assert mants[0] == [5] * 7
     assert guard[0] == 3
+
+
+# --------------------------------------------------------------------
+# COC per-component coding-style overrides (§A.6.2, r15): levels,
+# code-block size/style and precincts may differ per component; the
+# §B.12 packet sequence runs the resolution loop to the max level
+# count and emits a packet only for components that HAVE that
+# resolution.  A COC declaring a different wavelet than COD declines.
+
+
+def test_coc_chroma_levels_and_style_all_progressions():
+    """RGB/RCT with COD levels=2 and a COC dropping the chroma
+    components to levels=1 with smaller code-blocks and TERMALL —
+    per-component segment structure AND packet interleaving must
+    both match the encoder, for every progression order."""
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (29, 37, 3), dtype=np.uint8)
+    ov = dict(levels=1, xcb=3, ycb=3, cbstyle=0x04)
+    for prog in range(5):
+        blob = MKG.encode_j2k(
+            img, levels=2, mct=1, prog=prog, layers=3,
+            coc={1: dict(ov), 2: dict(ov)},
+        )
+        got = decode_jp2(blob)
+        assert (got == img).all(), f"prog {prog}"
+
+
+def test_coc_raises_levels_with_style0_qcc():
+    """A COC may RAISE a component's level count past COD's — then
+    the QCD doesn't carry enough fields and a (style 0) QCC must
+    cover the component's own subband list."""
+    rng = np.random.default_rng(43)
+    img = rng.integers(0, 256, (29, 37), dtype=np.uint8)
+    exps3 = [8] + [8 + g for _ in range(3) for g in (1, 1, 2)]
+    blob = MKG.encode_j2k(
+        img, levels=1, coc={0: dict(levels=3)}, qcc={0: exps3},
+    )
+    assert (decode_jp2(blob) == img).all()
+    # without the QCC the QCD's field count can't cover levels=3
+    blob = MKG.encode_j2k(img, levels=1, coc={0: dict(levels=3)})
+    with pytest.raises(Jp2Error, match="count mismatch"):
+        decode_jp2(blob)
+    assert decode_jp2_pdf(blob) is None
+
+
+def test_coc_per_component_precincts():
+    """Scoc bit 0: the COC carries its own per-resolution precinct
+    sizes (single-precinct layouts, PPx-clamped effective
+    code-block size — same rule as COD precincts)."""
+    rng = np.random.default_rng(44)
+    img = rng.integers(0, 256, (29, 37), dtype=np.uint8)
+    blob = MKG.encode_j2k(
+        img, levels=2, xcb=5, ycb=5,
+        coc={0: dict(prec=[(6, 6), (6, 6), (7, 7)])},
+    )
+    assert (decode_jp2(blob) == img).all()
+
+
+def test_coc_97_chroma_coarser_both_qcc_spellings():
+    """The lossy spelling COC exists for: chroma decomposed one
+    level less than luma.  Fine quantization keeps the raster
+    byte-exact; the chroma quantization comes either from an
+    explicit QCC or from the shared-QCD PREFIX (extra QCD fields
+    are ignored per §A.6.4)."""
+    rng = np.random.default_rng(45)
+    img = rng.integers(0, 256, (24, 16, 3), dtype=np.uint8)
+    fine = MKG.quant97
+    coc = {1: dict(levels=1), 2: dict(levels=1)}
+    with_qcc = MKG.encode_j2k(
+        img, levels=2, mct=1, transform=0, quant=fine(2, 8),
+        coc=coc, qcc={1: fine(1, 8), 2: fine(1, 8)},
+    )
+    assert (decode_jp2(with_qcc) == img).all()
+    prefix = MKG.encode_j2k(
+        img, levels=2, mct=1, transform=0, quant=fine(2, 8), coc=coc,
+    )
+    assert (decode_jp2(prefix) == img).all()
+
+
+def test_coc_multitile_roundtrip():
+    """COC overrides apply uniformly to every tile of a grid (the
+    main-header style is tile-global; tile-part COC declines)."""
+    rng = np.random.default_rng(46)
+    img = rng.integers(0, 256, (29, 37, 3), dtype=np.uint8)
+    blob = MKG.encode_j2k(
+        img, levels=2, mct=1, tiles=(16, 16),
+        coc={2: dict(levels=1, xcb=3, ycb=3)},
+    )
+    assert (decode_jp2(blob) == img).all()
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    l0=st.integers(0, 3),
+    l1=st.integers(0, 3),
+    l2=st.integers(0, 3),
+    prog=st.integers(0, 4),
+)
+def test_coc_random_per_component_levels(seed, l0, l1, l2, prog):
+    """Random per-component level counts (style-0 QCCs cover any
+    component above COD's count) round-trip byte-exactly — the
+    packet-sequencing filter is exercised across ragged resolution
+    sets in every progression order."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (19, 23, 3), dtype=np.uint8)
+    lvls = [l0, l1, l2]
+    cod_lv = lvls[0]
+    coc = {c: dict(levels=lvls[c]) for c in (1, 2) if lvls[c] != cod_lv}
+    qcc = {
+        c: [8] + [8 + g for _ in range(lvls[c]) for g in (1, 1, 2)]
+        for c in (1, 2) if lvls[c] > cod_lv
+    }
+    blob = MKG.encode_j2k(
+        img, levels=cod_lv, mct=1, prog=prog, coc=coc, qcc=qcc or None,
+    )
+    assert (decode_jp2(blob) == img).all()
+
+
+def test_coc_decline_matrix():
+    """COC declines by name: mixed per-component transform,
+    reserved Scoc, component index out of range, truncation — and
+    the API edge returns None for each."""
+    g = J2K_GRAY8_L1  # reversible 5/3, levels=1
+    sot_at = g.index(b"\xff\x90")
+
+    def ins(b):
+        return g[:sot_at] + b + g[sot_at:]
+
+    cases = [
+        # transform byte 0 (9/7) on a 5/3 stream
+        (bytes([0, 0, 1, 2, 2, 0, 0]), "per-component transform"),
+        (bytes([0, 2, 1, 2, 2, 0, 1]), "reserved COC"),
+        (bytes([1, 0, 1, 2, 2, 0, 1]), "component out of range"),
+        (bytes([0, 0, 33, 2, 2, 0, 1]), "levels out of range"),
+        (bytes([0, 0, 1, 9, 9, 0, 1]), "code-block size"),
+    ]
+    for body, msg in cases:
+        blob = ins(b"\xff\x53" + (2 + len(body)).to_bytes(2, "big") + body)
+        with pytest.raises(Jp2Error, match=msg):
+            parse_codestream(blob)
+        assert decode_jp2_pdf(blob) is None
+    blob = ins(b"\xff\x53\x00\x03\x00")
+    with pytest.raises(Jp2Error, match="truncated COC"):
+        parse_codestream(blob)
+    assert decode_jp2_pdf(blob) is None
+
+
+def test_coc_parser_state():
+    """Parser-level pin: a no-op COC (same values as COD) leaves the
+    per-component style identical to the default path, and an
+    overriding COC lands only on its component."""
+    g = J2K_GRAY8_L1  # levels=1, xcb=ycb=2
+    sot_at = g.index(b"\xff\x90")
+    coc = b"\xff\x53\x00\x09" + bytes([0, 0, 1, 0, 0, 0, 1])
+    blob = g[:sot_at] + coc + g[sot_at:]
+    _, cod, csty, exps, _, _, _ = parse_codestream(blob)
+    assert csty[0].levels == 1 and csty[0].xcb == 2
+    assert (cod.levels, cod.xcb, cod.ycb) == (1, 2, 2)
+    assert len(exps[0]) == 4
+    # overriding COC: levels drops to 0, code-blocks widen to 16
+    coc = b"\xff\x53\x00\x09" + bytes([0, 0, 0, 2, 2, 0, 1])
+    blob = g[:sot_at] + coc + g[sot_at:]
+    _, cod, csty, exps, _, _, _ = parse_codestream(blob)
+    assert csty[0].levels == 0 and csty[0].xcb == 4
+    assert cod.levels == 1  # COD untouched
