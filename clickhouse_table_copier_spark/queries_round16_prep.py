@@ -1,7 +1,8 @@
 """Round-16 registration batch, pre-written at round 15 — the r15
 seams driven INSIDE the correctness gate: the JP2 container-spelling
 matrix (raw codestream / JP2 box / XLBox 64-bit box / lossy 9/7 /
-truncated) through decode_image_meta + image_ahash, the JBIG2
+multi-tile / COC override / truncated) through decode_image_meta +
+image_ahash, the JBIG2
 out-of-scope-segment decline ledger (the ADVICE r13 branch), and a
 full WARC egress→ingest media round trip (write_warc .warc.zst →
 read_warc → responses_to_media → image_ahash) — implemented +
@@ -122,6 +123,17 @@ _J2K_TILED = bytes.fromhex(
     "080cf70b3dff7fff90000a00030000002f0001ff93df80380fef671330ff7fcfc01a"
     "3ed068fc00800e1512cff15f04ef2cdfff7f033fffd9"
 )
+# The SAME 8x8 gradient with a main-header COC override: COD says
+# levels=1 / 4x4 code-blocks, the COC raises the component to
+# levels=2 / 8x8 code-blocks, and a style-0 QCC covers the larger
+# subband list (the per-component coding-style spelling, r15 tail)
+_J2K_COC = bytes.fromhex(
+    "ff4fff510029000000000008000000080000000000000000000000080000000800000000"
+    "000000000001070101ff52000c00000001000100000001ff53000900000201010001ff5c"
+    "00074040484850ff5d000b004040484850484850ff90000a00000000004e0001ff93cfb4"
+    "1407948dbee3c7da090fa8123f00500d93d6c10b10ea25107ca579bccfc02a1f504c7e00"
+    "c0230f80ba296a5926e0bf1e83aebdc4e4733ae91e86fc52597fffd9"
+)
 
 
 def _patch(blob: bytes, idx: int, val: int) -> bytes:
@@ -157,25 +169,26 @@ def _wrap_image_pdf(stream: bytes, w: int, h: int, filt: bytes) -> bytes:
 
 # ---------------------------------------------- jp2 spelling histogram
 # Planted docs (doc_id % 17 = 5) carry one standalone JP2 media blob;
-# class = doc_id % 6: 0 -> raw 5/3 codestream, 1 -> JP2 box, 2 ->
+# class = doc_id % 7: 0 -> raw 5/3 codestream, 1 -> JP2 box, 2 ->
 # XLBox-form box, 3 -> raw lossy 9/7, 4 -> 2x2 multi-tile grid, 5 ->
-# truncated codestream.  decode_image_meta reports 8x8 dims for every
-# class (the truncated blob keeps its SIZ header — header metadata is
-# not a decode); image_ahash (a REAL decode) lifts classes 0-4 and
-# declines 5.
+# COC per-component coding-style override, 6 -> truncated codestream.
+# decode_image_meta reports 8x8 dims for every class (the truncated
+# blob keeps its SIZ header — header metadata is not a decode);
+# image_ahash (a REAL decode) lifts classes 0-5 and declines 6.
 
 _SPELLING_ORACLE = """
 WITH d AS (
-  SELECT doc_id % 6 AS cls FROM documents WHERE doc_id % 17 = 5
+  SELECT doc_id % 7 AS cls FROM documents WHERE doc_id % 17 = 5
 ),
 a AS (SELECT cls, count(*) AS n FROM d GROUP BY cls)
 SELECT CASE cls WHEN 0 THEN 'raw_53' WHEN 1 THEN 'jp2_box'
                 WHEN 2 THEN 'xlbox' WHEN 3 THEN 'raw_97'
-                WHEN 4 THEN 'multitile' ELSE 'truncated' END
+                WHEN 4 THEN 'multitile' WHEN 5 THEN 'coc_override'
+                ELSE 'truncated' END
          AS jp2_spelling,
        n::BIGINT AS n_docs,
        n::BIGINT AS n_meta_dims,
-       (CASE WHEN cls < 5 THEN n ELSE 0 END)::BIGINT AS n_lifted
+       (CASE WHEN cls < 6 THEN n ELSE 0 END)::BIGINT AS n_lifted
 FROM a
 """
 
@@ -186,10 +199,10 @@ def q_jp2_spelling_histogram(
 ) -> DataFrame:
     """Container-spelling matrix through the REAL raster chain:
     decode_image_meta (header walk, incl. the r15 XLBox branch) and
-    image_ahash (full decode, incl. the r15 lossy 9/7 path) must
-    agree with the constructive plant — a box-walk or decoder
-    regression drops n_meta_dims / n_lifted below the planted
-    count."""
+    image_ahash (full decode, incl. the r15 lossy 9/7, multi-tile
+    and COC per-component-override paths) must agree with the
+    constructive plant — a box-walk or decoder regression drops
+    n_meta_dims / n_lifted below the planted count."""
     from clickhouse_table_copier_spark.operators.multimodal import (
         decode_image_meta,
         image_ahash,
@@ -197,10 +210,10 @@ def q_jp2_spelling_histogram(
 
     docs = _t(spark, sf_dir, "documents")
     d = F.col("doc_id")
-    cls = d % 6
+    cls = d % 7
     blobs = [
         _J2K_53, _JP2_BOXED, _JP2_XLBOX, _J2K_97, _J2K_TILED,
-        _J2K_TRUNC,
+        _J2K_COC, _J2K_TRUNC,
     ]
     media = docs.filter(d % 17 == 5).select(
         d.alias("media_id"),
@@ -210,16 +223,18 @@ def q_jp2_spelling_histogram(
         .when(cls == 2, F.lit(bytearray(blobs[2])))
         .when(cls == 3, F.lit(bytearray(blobs[3])))
         .when(cls == 4, F.lit(bytearray(blobs[4])))
-        .otherwise(F.lit(bytearray(blobs[5])))
+        .when(cls == 5, F.lit(bytearray(blobs[5])))
+        .otherwise(F.lit(bytearray(blobs[6])))
         .alias("content"),
         F.lit("{}").alias("meta_json"),
     )
     spelling = (
-        F.when(d % 6 == 0, F.lit("raw_53"))
-        .when(d % 6 == 1, F.lit("jp2_box"))
-        .when(d % 6 == 2, F.lit("xlbox"))
-        .when(d % 6 == 3, F.lit("raw_97"))
-        .when(d % 6 == 4, F.lit("multitile"))
+        F.when(d % 7 == 0, F.lit("raw_53"))
+        .when(d % 7 == 1, F.lit("jp2_box"))
+        .when(d % 7 == 2, F.lit("xlbox"))
+        .when(d % 7 == 3, F.lit("raw_97"))
+        .when(d % 7 == 4, F.lit("multitile"))
+        .when(d % 7 == 5, F.lit("coc_override"))
         .otherwise(F.lit("truncated"))
     )
     meta = decode_image_meta(media).select(

@@ -73,6 +73,7 @@ def test_prep16_planted_spellings_decode_as_declared():
     from clickhouse_table_copier_spark.queries_round16_prep import (
         _J2K_53,
         _J2K_97,
+        _J2K_COC,
         _J2K_TILED,
         _J2K_TRUNC,
         _JBIG2_RES5,
@@ -89,6 +90,7 @@ def test_prep16_planted_spellings_decode_as_declared():
     assert (decode_jp2_pdf(_JP2_BOXED) == base).all()
     assert (decode_jp2_pdf(_JP2_XLBOX) == base).all()
     assert (decode_jp2_pdf(_J2K_TILED) == base).all()  # 2x2 grid
+    assert (decode_jp2_pdf(_J2K_COC) == base).all()  # COC override
     assert decode_jp2_pdf(_J2K_TRUNC) is None
     valid = decode_jbig2_pdf(_JBIG2_T0, None, 38, 29)
     assert valid is not None and valid.shape == (29, 38)
