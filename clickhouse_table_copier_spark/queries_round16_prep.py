@@ -3,9 +3,12 @@ seams driven INSIDE the correctness gate: the JP2 container-spelling
 matrix (raw codestream / JP2 box / XLBox 64-bit box / lossy 9/7 /
 multi-tile / COC override / truncated) through decode_image_meta +
 image_ahash, the JBIG2
-out-of-scope-segment decline ledger (the ADVICE r13 branch), and a
+out-of-scope-segment decline ledger (the ADVICE r13 branch), a
 full WARC egress→ingest media round trip (write_warc .warc.zst →
-read_warc → responses_to_media → image_ahash) — implemented +
+read_warc → responses_to_media → image_ahash), and the raster-chain
+cross-format near-dup rate (the same raster in six containers must
+share ONE ahash bucket — the r14 verdict's suggested slice) —
+implemented +
 DuckDB-hash-verified NOW (tests/test_round16_prep.py runs the exact
 compare() harness every CI run) but NOT registered: the r15 window is
 booked by the age-6 r09 cohort + the 4-query r15 flip, so these names
@@ -430,4 +433,162 @@ def q_warc_jp2_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_responses, n_media, n_hashed)],
         "n_responses BIGINT, n_media BIGINT, n_hashed BIGINT",
+    )
+
+
+# ------------------------------------- raster cross-format identity
+# Planted docs (doc_id % 19 = 3) carry the SAME 8x8 gradient raster
+# in one of SIX containers (class = doc_id % 6): PNG, BMP (24-bit
+# bottom-up), GIF (256-entry palette, LZW), TIFF (gray8,
+# uncompressed, little-endian), raw JPEG 2000 (reversible 5/3) and
+# LOSSLESS JPEG (SOF3, predictor 1).  Every leg is bit-exact by
+# construction, so image_ahash — the raster-chain near-dup key —
+# must put all six formats in ONE bucket: each format's bucket size
+# equals the TOTAL planted count, and any decoder drift separates
+# that format's bucket (the r14 verdict's "raster-chain
+# cross-format near-dup rate" slice).
+
+# BMP / GIF / TIFF / SOF3 blobs minted offline from the same pixel
+# formula as the goldens (encode_png mints the PNG leg at runtime;
+# the JP2 leg reuses _J2K_53); each decodes byte-identically to the
+# gradient — pinned in tests/test_round16_prep.py.
+_BMP_GRAD = bytes.fromhex(
+    "424df600000000000000360000002800000008000000080000000100180000000000c000"
+    "0000130b0000130b00000000000000000000777777969696b5b5b5d4d4d4f3f3f3121212"
+    "313131505050666666858585a4a4a4c3c3c3e2e2e20101012020203f3f3f555555747474"
+    "939393b2b2b2d1d1d1f0f0f00f0f0f2e2e2e444444636363828282a1a1a1c0c0c0dfdfdf"
+    "fefefe1d1d1d333333525252717171909090afafafcececeededed0c0c0c222222414141"
+    "6060607f7f7f9e9e9ebdbdbddcdcdcfbfbfb1111113030304f4f4f6e6e6e8d8d8dacacac"
+    "cbcbcbeaeaea0000001f1f1f3e3e3e5d5d5d7c7c7c9b9b9bbababad9d9d9"
+)
+_GIF_GRAD = bytes.fromhex(
+    "474946383961080008008700000000000101010202020303030404040505050606060707"
+    "070808080909090a0a0a0b0b0b0c0c0c0d0d0d0e0e0e0f0f0f1010101111111212121313"
+    "131414141515151616161717171818181919191a1a1a1b1b1b1c1c1c1d1d1d1e1e1e1f1f"
+    "1f2020202121212222222323232424242525252626262727272828282929292a2a2a2b2b"
+    "2b2c2c2c2d2d2d2e2e2e2f2f2f3030303131313232323333333434343535353636363737"
+    "373838383939393a3a3a3b3b3b3c3c3c3d3d3d3e3e3e3f3f3f4040404141414242424343"
+    "434444444545454646464747474848484949494a4a4a4b4b4b4c4c4c4d4d4d4e4e4e4f4f"
+    "4f5050505151515252525353535454545555555656565757575858585959595a5a5a5b5b"
+    "5b5c5c5c5d5d5d5e5e5e5f5f5f6060606161616262626363636464646565656666666767"
+    "676868686969696a6a6a6b6b6b6c6c6c6d6d6d6e6e6e6f6f6f7070707171717272727373"
+    "737474747575757676767777777878787979797a7a7a7b7b7b7c7c7c7d7d7d7e7e7e7f7f"
+    "7f8080808181818282828383838484848585858686868787878888888989898a8a8a8b8b"
+    "8b8c8c8c8d8d8d8e8e8e8f8f8f9090909191919292929393939494949595959696969797"
+    "979898989999999a9a9a9b9b9b9c9c9c9d9d9d9e9e9e9f9f9fa0a0a0a1a1a1a2a2a2a3a3"
+    "a3a4a4a4a5a5a5a6a6a6a7a7a7a8a8a8a9a9a9aaaaaaabababacacacadadadaeaeaeafaf"
+    "afb0b0b0b1b1b1b2b2b2b3b3b3b4b4b4b5b5b5b6b6b6b7b7b7b8b8b8b9b9b9babababbbb"
+    "bbbcbcbcbdbdbdbebebebfbfbfc0c0c0c1c1c1c2c2c2c3c3c3c4c4c4c5c5c5c6c6c6c7c7"
+    "c7c8c8c8c9c9c9cacacacbcbcbcccccccdcdcdcecececfcfcfd0d0d0d1d1d1d2d2d2d3d3"
+    "d3d4d4d4d5d5d5d6d6d6d7d7d7d8d8d8d9d9d9dadadadbdbdbdcdcdcdddddddedededfdf"
+    "dfe0e0e0e1e1e1e2e2e2e3e3e3e4e4e4e5e5e5e6e6e6e7e7e7e8e8e8e9e9e9eaeaeaebeb"
+    "ebecececedededeeeeeeefefeff0f0f0f1f1f1f2f2f2f3f3f3f4f4f4f5f5f5f6f6f6f7f7"
+    "f7f8f8f8f9f9f9fafafafbfbfbfcfcfcfdfdfdfefefeffffff2c00000000080008000008"
+    "4b00017cf0d185cf265dd922c078e2a611ab65ea440401f3c7532f6efb66488903e995b3"
+    "760c888c11140ad8377f1daad099242b1abc072ecc1422354c5c00103fee58aa456d9e84"
+    "18500202003b"
+)
+_TIFF_GRAD = bytes.fromhex(
+    "49492a0048000000001f3e5d7c9bbad911304f6e8daccbea2241607f9ebddcfb33527190"
+    "afceed0c446382a1c0dffe1d557493b2d1f00f2e6685a4c3e201203f7796b5d4f3123150"
+    "090000010300010000000800000001010300010000000800000002010300010000000800"
+    "000003010300010000000100000006010300010000000100000011010400010000000800"
+    "000015010300010000000100000016010300010000000800000017010400010000004000"
+    "000000000000"
+)
+_SOF3_GRAD = bytes.fromhex(
+    "ffd8ffc4001500000200000000000000000000000000000508ffc3000b08000800080101"
+    "1100ffda00080101000100005fcf9f3e7cf9f3e44f9f3e7cf9f3e44f9f3e7cf9f3e44f9f"
+    "3e7cf9f47889f3e7cf9f3e8f113e7cf9f3e8f1f227cf9f3e8f1f3e44f9f3e7d1e3e7ff00"
+    "ffd9"
+)
+
+
+def _png_grad() -> bytes:
+    """PNG leg of the gradient, minted at runtime by the repo's own
+    encoder (the _twin_pngs pattern from the r15 batch)."""
+    import numpy as np
+
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        encode_png,
+    )
+
+    grad = np.fromfunction(
+        lambda y, x: (x * 31 + y * 17) % 256, (8, 8), dtype=np.int64
+    ).astype(np.uint8)
+    return encode_png(grad.tobytes(), 8, 8, channels=1)
+
+
+_FORMATS_ORACLE = """
+WITH d AS (
+  SELECT doc_id % 6 AS cls FROM documents WHERE doc_id % 19 = 3
+),
+a AS (SELECT cls, count(*) AS n FROM d GROUP BY cls),
+t AS (SELECT sum(n) AS total FROM a)
+SELECT CASE cls WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                WHEN 2 THEN 'gif' WHEN 3 THEN 'tiff'
+                WHEN 4 THEN 'jp2' ELSE 'jpeg_sof3' END AS img_format,
+       n::BIGINT AS n_docs,
+       n::BIGINT AS n_lifted,
+       total::BIGINT AS n_bucket
+FROM a, t
+"""
+
+
+@_prep16("raster_format_identity", _FORMATS_ORACLE)
+def q_raster_format_identity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-format near-dup rate through the full raster decoder
+    cascade: the same raster planted in six containers must land in
+    ONE image_ahash bucket, so every format's bucket size equals the
+    total planted count — a drift in ANY of the six decoders (or in
+    the hash normalization that makes them comparable) separates
+    that format's bucket and drops n_bucket below the plant."""
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        image_ahash,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    cls = d % 6
+    blobs = [
+        _png_grad(), _BMP_GRAD, _GIF_GRAD, _TIFF_GRAD, _J2K_53,
+        _SOF3_GRAD,
+    ]
+    media = docs.filter(d % 19 == 3).select(
+        d.alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.when(cls == 0, F.lit(bytearray(blobs[0])))
+        .when(cls == 1, F.lit(bytearray(blobs[1])))
+        .when(cls == 2, F.lit(bytearray(blobs[2])))
+        .when(cls == 3, F.lit(bytearray(blobs[3])))
+        .when(cls == 4, F.lit(bytearray(blobs[4])))
+        .otherwise(F.lit(bytearray(blobs[5])))
+        .alias("content"),
+        F.lit("{}").alias("meta_json"),
+    )
+    fmt = (
+        F.when(F.col("media_id") % 6 == 0, F.lit("png"))
+        .when(F.col("media_id") % 6 == 1, F.lit("bmp"))
+        .when(F.col("media_id") % 6 == 2, F.lit("gif"))
+        .when(F.col("media_id") % 6 == 3, F.lit("tiff"))
+        .when(F.col("media_id") % 6 == 4, F.lit("jp2"))
+        .otherwise(F.lit("jpeg_sof3"))
+    )
+    hashed = image_ahash(media).select("media_id", "ahash")
+    buckets = hashed.where(F.col("ahash").isNotNull()).groupBy(
+        "ahash"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_bucket"))
+    return (
+        hashed.select(fmt.alias("img_format"), "ahash")
+        .join(buckets, "ahash", "left")
+        .groupBy("img_format")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("ahash").isNotNull().cast("int"))
+            .cast("bigint").alias("n_lifted"),
+            F.max(F.coalesce("n_bucket", F.lit(0)))
+            .cast("bigint").alias("n_bucket"),
+        )
     )

@@ -1,6 +1,7 @@
 """DuckDB parity for the round-16 prep batch (JP2 container-spelling
 histogram, JBIG2 out-of-scope-segment ledger, WARC egress→ingest JP2
-round trip) — the exact compare() harness the registered-queries gate
+round trip, six-container raster cross-format identity) — the exact
+compare() harness the registered-queries gate
 uses, applied to queries implemented at round 15 but registered at
 round 16 (the r15 window is booked by the age-6 r09 cohort plus the
 4-query r15 flip; see queries_round16_prep docstring)."""
@@ -44,7 +45,8 @@ def test_prep16_plans_obey_repo_guards(spark):
     Arrow-batched mapInPandas; all joins are equi-joins on planted
     ids)."""
     gw = re.compile(r"Window .*\n.*Sort .*\n.*Exchange SinglePartition")
-    for name in ("jp2_spelling_histogram", "jbig2_segment_ledger"):
+    for name in ("jp2_spelling_histogram", "jbig2_segment_ledger",
+                 "raster_format_identity"):
         plan = (
             PREP16_QUERIES[name](spark, SF_ORACLE)
             ._jdf.queryExecution()
@@ -92,6 +94,32 @@ def test_prep16_planted_spellings_decode_as_declared():
     assert (decode_jp2_pdf(_J2K_TILED) == base).all()  # 2x2 grid
     assert (decode_jp2_pdf(_J2K_COC) == base).all()  # COC override
     assert decode_jp2_pdf(_J2K_TRUNC) is None
+    # the six cross-format legs decode to the SAME pixels (the 8x8
+    # gradient = the JP2 base raster) and hash into one bucket
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        _make_raster_ahash,
+        _make_raster_decoder_chain,
+    )
+    from clickhouse_table_copier_spark.queries_round16_prep import (
+        _BMP_GRAD,
+        _GIF_GRAD,
+        _SOF3_GRAD,
+        _TIFF_GRAD,
+        _png_grad,
+    )
+
+    dec = _make_raster_decoder_chain()
+    ah = _make_raster_ahash()
+    hashes = set()
+    for blob in (_png_grad(), _BMP_GRAD, _GIF_GRAD, _TIFF_GRAD,
+                 _J2K_53, _SOF3_GRAD):
+        got = dec(blob)
+        assert got is not None
+        w, h, nch, arr = got
+        assert (w, h) == (8, 8)
+        assert (arr.reshape(8, 8, nch)[..., 0] == base).all()
+        hashes.add(ah(*got)[0])
+    assert len(hashes) == 1
     valid = decode_jbig2_pdf(_JBIG2_T0, None, 38, 29)
     assert valid is not None and valid.shape == (29, 38)
     assert np.unique(valid).tolist() == [0, 255]
