@@ -801,6 +801,17 @@ def parse_codestream(cs: bytes):
         if ln < 2 or pos + ln > n:
             raise Jp2Error("marker length out of range")
         body = cs[pos + 2 : pos + ln]
+        if tile_parts and marker in (
+            0xFF51, 0xFF52, 0xFF53, 0xFF5C, 0xFF5D, 0xFF5E, 0xFF5F,
+            0xFF60, 0xFF61,
+        ):
+            # the main header ends at the first SOT (§A.3); a
+            # decode-altering marker between tile-parts would apply
+            # retroactively to already-captured tile bytes and
+            # fabricate a raster (review r15 — the hole predates COC
+            # but per-component overrides made it decode-altering).
+            # Non-semantic markers (COM/TLM/PLT) keep skipping.
+            raise Jp2Error("main-header marker after first tile-part")
         if marker == 0xFF51:  # SIZ
             if len(body) < 36:
                 raise Jp2Error("truncated SIZ")

@@ -576,19 +576,28 @@ def q_raster_format_identity(
         .when(F.col("media_id") % 6 == 4, F.lit("jp2"))
         .otherwise(F.lit("jpeg_sof3"))
     )
+    from pyspark.sql.window import Window
+
+    # bucket size via a window partitioned by ahash (NOT a self-join
+    # against an aggregate of the same lineage, which would run the
+    # pure-Python decode chain twice — review r15); count("ahash")
+    # is non-null-counting, so undecoded rows report bucket 0
     hashed = image_ahash(media).select("media_id", "ahash")
-    buckets = hashed.where(F.col("ahash").isNotNull()).groupBy(
-        "ahash"
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_bucket"))
+    per = hashed.select(
+        fmt.alias("img_format"),
+        "ahash",
+        F.count("ahash").over(Window.partitionBy("ahash"))
+        .alias("n_bucket"),
+    )
     return (
-        hashed.select(fmt.alias("img_format"), "ahash")
-        .join(buckets, "ahash", "left")
-        .groupBy("img_format")
+        per.groupBy("img_format")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum(F.col("ahash").isNotNull().cast("int"))
             .cast("bigint").alias("n_lifted"),
-            F.max(F.coalesce("n_bucket", F.lit(0)))
-            .cast("bigint").alias("n_bucket"),
+            F.max(
+                F.when(F.col("ahash").isNotNull(), F.col("n_bucket"))
+                .otherwise(F.lit(0))
+            ).cast("bigint").alias("n_bucket"),
         )
     )

@@ -1507,3 +1507,31 @@ def test_coc_parser_state():
     _, cod, csty, exps, _, _, _ = parse_codestream(blob)
     assert csty[0].levels == 0 and csty[0].xcb == 4
     assert cod.levels == 1  # COD untouched
+
+
+def test_main_header_markers_after_tile_part_decline():
+    """The main header ends at the first SOT (§A.3): a
+    decode-altering marker between the tile-part and EOC must NOT
+    re-enter the main-header parse and apply retroactively to
+    already-captured tile bytes (review r15 — a trailing COC would
+    silently reinterpret the tile under the wrong geometry and
+    fabricate a raster)."""
+    g = J2K_GRAY8_L1
+    eoc_at = len(g) - 2
+    assert g[eoc_at:] == b"\xff\xd9"
+    coc = b"\xff\x53\x00\x09" + bytes([0, 0, 0, 2, 2, 0, 1])
+    qcd = b"\xff\x5c\x00\x07" + bytes([0x40, 0x40, 0x48, 0x48, 0x50])
+    cod = b"\xff\x52\x00\x0c" + bytes(
+        [0, 0, 0, 1, 0, 1, 0, 0, 0, 1]
+    )
+    qcc = b"\xff\x5d\x00\x04\x00\x40"
+    for mk in (coc, qcd, cod, qcc):
+        blob = g[:eoc_at] + mk + g[eoc_at:]
+        with pytest.raises(Jp2Error, match="after first tile-part"):
+            parse_codestream(blob)
+        assert decode_jp2_pdf(blob) is None
+    # non-semantic markers (COM) between tile-parts keep skipping —
+    # the pre-COC leniency for comment/length markers is unchanged
+    com = b"\xff\x64\x00\x06" + b"\x00\x01hi"
+    blob = g[:eoc_at] + com + g[eoc_at:]
+    assert (decode_jp2_pdf(blob) == decode_jp2_pdf(g)).all()
