@@ -34,7 +34,16 @@ bottom edges decode tile-by-tile and stitch by raster position —
 tiles are independent by construction (DWT and all coding state
 reset at tile boundaries), multiple tile-parts per tile concatenate
 in stream order, and a declared grid with a missing tile DECLINES
-(stitching a partial grid would fabricate a zero region).
+(stitching a partial grid would fabricate a zero region).  All tile
+geometry anchors to ABSOLUTE reference-grid coordinates (r15 tail):
+the DWT even/odd split follows the sample's absolute index
+(§F.3.8), subband rects follow B-15, and code-block partitions
+anchor at absolute zero on the band axes (§B.7) — a tile whose
+origin is odd at some level, or whose band origin is misaligned to
+the code-block grid (the OpenJPEG-default 512-tile/5-level/64-cblk
+shape), decodes per the spec rather than per a tile-local origin-0
+reading.  The one degenerate spelling with no constructible pin — a
+SINGLE-sample dimension at an ODD origin — declines by name.
 
 9/7 pin story (the ADVICE r14 symmetric-misreading concern): the
 lifting implementation (both directions) is pinned against a DIRECT
@@ -658,54 +667,84 @@ def decode_codeblock(
 
 # ------------------------------------------------------------------
 # inverse 5/3 DWT (§F.3, reversible)
+#
+# ABSOLUTE-COORDINATE anchoring (review r15): T.800's 1D_SR splits
+# even/odd by the sample's index on the REFERENCE GRID (§F.3.8.2
+# operates over [i0, i1) with i0 the tile-component coordinate), so
+# a tile whose origin is odd at some decomposition level swaps which
+# interleave slot is lowpass.  The tile-local (origin-0) spelling
+# the r15 multi-tile code assumed is only correct when every tile
+# origin stays even at every level — true for power-of-two tile
+# sizes with shallow decompositions, wrong in general.  Every 1D
+# routine therefore takes the absolute origin ``i0``; origin 0
+# reproduces the prior behavior bit-for-bit (goldens pin this).
 
 
-def _isr_rows(a: np.ndarray) -> np.ndarray:
-    """1D_SR along axis 1 (each row is an interleaved L/H signal,
-    even index = lowpass).  Integer lifting, symmetric extension."""
+def _ext_ws(a: np.ndarray, pad: int) -> np.ndarray:
+    """Whole-sample-symmetric extension by ``pad`` columns each side
+    (§F.3.7: reflection about the boundary SAMPLES).  The reflection
+    is origin-agnostic — parity only changes which lifting formula
+    applies at each absolute index."""
+    n = a.shape[1]
+    lp = n - 1
+    js = np.arange(-pad, n + pad)
+    if lp == 0:
+        idx = np.zeros(js.shape, dtype=np.int64)
+    else:
+        t = np.mod(js, 2 * lp)
+        idx = np.where(t > lp, 2 * lp - t, t)
+    return a[:, idx]
+
+
+def _isr_rows(a: np.ndarray, i0: int = 0) -> np.ndarray:
+    """1D_SR (§F.3.8.2) along axis 1 over ABSOLUTE indices
+    [i0, i0+n): even absolute index = lowpass.  Integer lifting,
+    whole-sample symmetric extension."""
     n = a.shape[1]
     if n == 1:
-        return a  # single even sample: X = Y (i0 even — zero offsets)
-    ext = np.empty((a.shape[0], n + 2), dtype=a.dtype)
-    ext[:, 1:-1] = a
-    ext[:, 0] = a[:, 1]
-    ext[:, -1] = a[:, -2]
-    out = np.empty_like(a)
-    # X[2i] = Y[2i] - floor((Y[2i-1] + Y[2i+1] + 2) / 4)
-    out[:, 0::2] = a[:, 0::2] - (
-        (ext[:, 0:-1:2][:, : (n + 1) // 2]
-         + ext[:, 2::2][:, : (n + 1) // 2] + 2) >> 2
-    )
-    # X[2i+1] = Y[2i+1] + floor((X[2i] + X[2i+2]) / 2)
-    ne = (n + 1) // 2  # number of even samples
-    ev = out[:, 0::2]
-    eext = np.empty((a.shape[0], ne + 1), dtype=a.dtype)
-    eext[:, :ne] = ev
-    # X[n] (needed when n is even) reflects to X[n-2] = ev[ne-1];
-    # unused when n is odd
-    eext[:, ne] = ev[:, ne - 1]
-    out[:, 1::2] = a[:, 1::2] + (
-        (eext[:, : n // 2] + eext[:, 1 : n // 2 + 1]) >> 1
-    )
-    return out
+        if i0 % 2 == 0:
+            return a  # single lowpass sample: X = Y
+        # a single highpass sample needs the spec's degenerate-case
+        # convention, which no in-container source can pin — decline
+        raise Jp2Error(
+            "odd-parity single-sample dimension out of scope"
+        )
+    e = np.ascontiguousarray(_ext_ws(a, 2))
+    m = n + 4
+    s0 = i0 - 2  # absolute index of e[:, 0]
+    qe0 = (-s0) % 2  # first local q with absolute index EVEN
+    # X[2i] = Y[2i] - floor((Y[2i-1] + Y[2i+1] + 2) / 4), computed
+    # for every even position with both neighbors present
+    qe = np.arange(qe0 if qe0 >= 1 else qe0 + 2, m - 1, 2)
+    e[:, qe] -= (e[:, qe - 1] + e[:, qe + 1] + 2) >> 2
+    # X[2i+1] = Y[2i+1] + floor((X[2i] + X[2i+2]) / 2), over the crop
+    qo0 = 1 - qe0
+    qo = np.arange(2 + ((2 - qo0) % 2), 2 + n, 2)
+    e[:, qo] += (e[:, qo - 1] + e[:, qo + 1]) >> 1
+    return e[:, 2 : 2 + n]
 
 
-def inverse_dwt53(ll: np.ndarray, bands: list) -> np.ndarray:
+def inverse_dwt53(ll: np.ndarray, bands: list,
+                  origins: list | None = None) -> np.ndarray:
     """Multi-level 2D synthesis: ``bands`` is [(HL, LH, HH), …] from
-    the COARSEST level to the finest.  2D_SR order: interleave, then
-    horizontal 1D_SR on rows, then vertical on columns (the inverse
-    of analysis' vertical-then-horizontal)."""
+    the COARSEST level to the finest; ``origins`` gives the ABSOLUTE
+    (x0, y0) of each level's target LL rect (None = all zero — a
+    tile at the canvas origin).  2D_SR order: interleave by absolute
+    parity, then horizontal 1D_SR on rows, then vertical on columns
+    (the inverse of analysis' vertical-then-horizontal)."""
     cur = ll
-    for hl, lh, hh in bands:
+    for li, (hl, lh, hh) in enumerate(bands):
+        ax0, ay0 = (0, 0) if origins is None else origins[li]
         h = cur.shape[0] + lh.shape[0]
         w = cur.shape[1] + hl.shape[1]
         a = np.zeros((h, w), dtype=np.int32)
-        a[0::2, 0::2] = cur
-        a[0::2, 1::2] = hl
-        a[1::2, 0::2] = lh
-        a[1::2, 1::2] = hh
-        a = _isr_rows(a)
-        a = _isr_rows(a.T).T
+        pr, pc = ay0 % 2, ax0 % 2  # local slot of the lowpass rows/cols
+        a[pr::2, pc::2] = cur
+        a[pr::2, 1 - pc::2] = hl
+        a[1 - pr::2, pc::2] = lh
+        a[1 - pr::2, 1 - pc::2] = hh
+        a = _isr_rows(a, ax0)
+        a = np.ascontiguousarray(_isr_rows(a.T, ay0).T)
         cur = a
     return cur
 
@@ -736,22 +775,37 @@ class _Cst:
 
 
 class _Band:
-    """One subband of one component at one resolution."""
+    """One subband of one component at one resolution, carrying its
+    ABSOLUTE band-coordinate origin (B-15): the code-block partition
+    anchors at multiples of the nominal size on the band's own
+    coordinate axes starting from ZERO (§B.7), so a band whose
+    origin is not grid-aligned has a NARROWER first row/column of
+    code-blocks — real multi-tile streams hit this whenever the
+    tile size over 2^nb is not a multiple of the code-block size
+    (review r15)."""
 
     __slots__ = (
-        "orient", "w", "h", "mb", "xcb", "ycb", "ncx", "ncy",
-        "cblks", "incl_tree", "zbp_tree",
+        "orient", "x0", "y0", "w", "h", "mb", "xcb", "ycb",
+        "cx0", "cy0", "ncx", "ncy", "cblks", "incl_tree", "zbp_tree",
     )
 
-    def __init__(self, orient, w, h, mb, xcb, ycb):
+    def __init__(self, orient, x0, y0, w, h, mb, xcb, ycb):
         self.orient = orient
+        self.x0 = x0
+        self.y0 = y0
         self.w = w
         self.h = h
         self.mb = mb
         self.xcb = xcb  # EFFECTIVE exponents (precinct-clamped)
         self.ycb = ycb
-        self.ncx = max(0, -(-w // (1 << xcb)))
-        self.ncy = max(0, -(-h // (1 << ycb)))
+        self.cx0 = x0 >> xcb  # first absolute code-block cell index
+        self.cy0 = y0 >> ycb
+        self.ncx = (
+            -(-(x0 + w) // (1 << xcb)) - self.cx0 if w > 0 else 0
+        )
+        self.ncy = (
+            -(-(y0 + h) // (1 << ycb)) - self.cy0 if h > 0 else 0
+        )
         n = self.ncx * self.ncy
         # per cblk: [included, missing, numpasses, lblock, segments]
         self.cblks = [[False, 0, 0, 3, []] for _ in range(n)]
@@ -1124,20 +1178,39 @@ def parse_codestream(cs: bytes):
     return siz, cod, csty, exps, mants, guard, tiles
 
 
-def _band_dims(w: int, h: int, levels: int):
-    """Per-resolution subband dims with zero offsets.  Returns
-    (ll_dims, [(hl, lh, hh) dims coarsest→finest])."""
-    dims = [(w, h)]
+def _tile_rects(x0: int, x1: int, y0: int, y1: int, levels: int):
+    """Per-level ABSOLUTE rects: index k is the LL_k rect (B-14,
+    with the tile-component rect as level 0): each level halves by
+    ceil on both edges."""
+    rects = [(x0, x1, y0, y1)]
     for _ in range(levels):
-        pw, ph = dims[-1]
-        dims.append(((pw + 1) // 2, (ph + 1) // 2))
-    # dims[k] = LL_k size; level n bands split LL_{n-1}
-    out = []
-    for n in range(levels, 0, -1):
-        pw, ph = dims[n - 1]
-        lw, lh_ = dims[n]
-        out.append(((pw - lw, lh_), (lw, ph - lh_), (pw - lw, ph - lh_)))
-    return dims[levels], out
+        a0, a1, b0, b1 = rects[-1]
+        rects.append(
+            (-(-a0 // 2), -(-a1 // 2), -(-b0 // 2), -(-b1 // 2))
+        )
+    return rects
+
+
+def _ecnt(a0: int, a1: int) -> int:
+    """Count of EVEN integers in [a0, a1) — the lowpass sample count
+    of that span (B-15)."""
+    return -(-a1 // 2) - (-(-a0 // 2))
+
+
+def _band_rects(rects, nb: int):
+    """Band rects (x0, y0, w, h) for (HL, LH, HH) at decomposition
+    level nb (they split rects[nb-1]); B-15: the high half's origin
+    is floor(parent/2), the low half's is ceil(parent/2)."""
+    a0, a1, b0, b1 = rects[nb - 1]
+    lx0, lw = -(-a0 // 2), _ecnt(a0, a1)
+    hx0, hw = a0 // 2, (a1 - a0) - _ecnt(a0, a1)
+    ly0, lh_ = -(-b0 // 2), _ecnt(b0, b1)
+    hy0, hh_ = b0 // 2, (b1 - b0) - _ecnt(b0, b1)
+    return (
+        (hx0, ly0, hw, lh_),   # HL: high in x, low in y
+        (lx0, hy0, lw, hh_),   # LH
+        (hx0, hy0, hw, hh_),   # HH
+    )
 
 
 # ------------------------------------------------------------------
@@ -1159,101 +1232,98 @@ _K97_D = 0.443506852043971
 _K97_K = 1.230174104914001
 
 
-def _even_neigh(ev: np.ndarray, n: int) -> np.ndarray:
-    """For each odd sample 2i+1: X(2i) + X(2i+2), whole-sample
-    symmetric extension (X(n) → X(n-2) when 2i+1 = n-1)."""
-    rows, ne = ev.shape
-    no = n // 2
-    ex = np.empty((rows, ne + 1), dtype=ev.dtype)
-    ex[:, :ne] = ev
-    ex[:, ne] = ev[:, ne - 1]
-    return ex[:, :no] + ex[:, 1 : no + 1]
-
-
-def _odd_neigh(od: np.ndarray, n: int) -> np.ndarray:
-    """For each even sample 2i: X(2i-1) + X(2i+1), whole-sample
-    symmetric extension (X(-1) → X(1); X(n) → X(n-2) when 2i =
-    n-1)."""
-    rows, no = od.shape
-    ne = (n + 1) // 2
-    ox = np.empty((rows, no + 2), dtype=od.dtype)
-    ox[:, 1 : no + 1] = od
-    ox[:, 0] = od[:, 0]
-    ox[:, no + 1] = od[:, no - 1]
-    return ox[:, :ne] + ox[:, 1 : ne + 1]
-
-
-def _isr97_rows(a: np.ndarray) -> np.ndarray:
-    """1D_SR along axis 1 (interleaved L/H, even = lowpass): undo the
-    K scaling, then the four lifting steps in reverse order."""
+def _isr97_rows(a: np.ndarray, i0: int = 0) -> np.ndarray:
+    """1D_SR (§F.4.8.2) along axis 1 over ABSOLUTE indices
+    [i0, i0+n): undo the K scaling by absolute parity, then the four
+    lifting steps in reverse order, on a once-extended signal (the
+    Table F.6 approach: extend by 4 each side, shrink the valid
+    window by one per lifting step, crop)."""
     n = a.shape[1]
     if n == 1:
-        return a
-    out = a.copy()
-    ev = out[:, 0::2]
-    od = out[:, 1::2]
-    ev *= _K97_K
-    od *= 1.0 / _K97_K
-    ev -= _K97_D * _odd_neigh(od, n)
-    od -= _K97_G * _even_neigh(ev, n)
-    ev -= _K97_B * _odd_neigh(od, n)
-    od -= _K97_A * _even_neigh(ev, n)
-    return out
+        if i0 % 2 == 0:
+            return a
+        raise Jp2Error(
+            "odd-parity single-sample dimension out of scope"
+        )
+    e = _ext_ws(a, 4).astype(np.float64)
+    m = n + 8
+    s0 = i0 - 4  # absolute index of e[:, 0]
+    qe = np.arange((-s0) % 2, m, 2)      # absolute-even locals
+    qo = np.arange(1 - (-s0) % 2, m, 2)  # absolute-odd locals
+    e[:, qe] *= _K97_K
+    e[:, qo] *= 1.0 / _K97_K
+    for k, (qs, coef) in enumerate(
+        ((qe, _K97_D), (qo, _K97_G), (qe, _K97_B), (qo, _K97_A)), 1
+    ):
+        qs = qs[(qs >= k) & (qs < m - k)]
+        e[:, qs] -= coef * (e[:, qs - 1] + e[:, qs + 1])
+    return e[:, 4 : 4 + n]
 
 
-def inverse_dwt97(ll: np.ndarray, bands: list) -> np.ndarray:
-    """Multi-level 2D synthesis, float64; same interleave + HOR then
-    VER order as :func:`inverse_dwt53`."""
+def inverse_dwt97(ll: np.ndarray, bands: list,
+                  origins: list | None = None) -> np.ndarray:
+    """Multi-level 2D synthesis, float64; same absolute-parity
+    interleave + HOR then VER order as :func:`inverse_dwt53`."""
     cur = ll
-    for hl, lh, hh in bands:
+    for li, (hl, lh, hh) in enumerate(bands):
+        ax0, ay0 = (0, 0) if origins is None else origins[li]
         h = cur.shape[0] + lh.shape[0]
         w = cur.shape[1] + hl.shape[1]
         a = np.zeros((h, w), dtype=np.float64)
-        a[0::2, 0::2] = cur
-        a[0::2, 1::2] = hl
-        a[1::2, 0::2] = lh
-        a[1::2, 1::2] = hh
-        a = _isr97_rows(a)
-        a = np.ascontiguousarray(_isr97_rows(a.T).T)
+        pr, pc = ay0 % 2, ax0 % 2
+        a[pr::2, pc::2] = cur
+        a[pr::2, 1 - pc::2] = hl
+        a[1 - pr::2, pc::2] = lh
+        a[1 - pr::2, 1 - pc::2] = hh
+        a = _isr97_rows(a, ax0)
+        a = np.ascontiguousarray(_isr97_rows(a.T, ay0).T)
         cur = a
     return cur
 
 
 def decode_tile(siz: _Siz, cod: _Cod, csty, exps, mants, guard,
-                data: bytes, tw: int, th: int):
-    """Packet walk (tier-2) + tier-1 per code-block for ONE tile of
-    ``tw`` x ``th`` samples → list of per-component sample arrays
-    (int32 for 5/3, float64 for 9/7; after IDWT, before MCT/shift).
-    ``csty`` carries the per-component coding style (levels,
-    code-block size/style, precincts) — COD defaults unless a COC
-    overrode them."""
+                data: bytes, x0: int, y0: int, x1: int, y1: int):
+    """Packet walk (tier-2) + tier-1 per code-block for ONE tile
+    covering the ABSOLUTE reference-grid rect [x0, x1) x [y0, y1) →
+    list of per-component sample arrays (int32 for 5/3, float64 for
+    9/7; after IDWT, before MCT/shift).  ``csty`` carries the
+    per-component coding style (levels, code-block size/style,
+    precincts) — COD defaults unless a COC overrode them.  All
+    geometry — subband rects, DWT parity, code-block grids,
+    precinct spans — anchors to absolute coordinates (B-14/B-15,
+    §B.6/B.7, §F.3.8; review r15)."""
     # per-component decomposition geometry: level counts may differ
-    # (COC), so subband dims and resolution grids are per component
-    ll_dims_pc, band_dims_pc, grids_pc = [], [], []
-    for c in range(siz.ncomp):
-        nl_c = csty[c].levels
-        ll_d, bd = _band_dims(tw, th, nl_c)
-        ll_dims_pc.append(ll_d)
-        band_dims_pc.append(bd)
-        gdims = [(tw, th)]
-        for _ in range(nl_c):
-            pw, ph = gdims[-1]
-            gdims.append(((pw + 1) // 2, (ph + 1) // 2))
-        grids_pc.append([gdims[nl_c - r] for r in range(nl_c + 1)])
+    # (COC), so per-level rects are per component; rects_pc[c][k] is
+    # the LL_k rect, and the resolution-r grid is rects_pc[c][nl-r]
+    rects_pc = [
+        _tile_rects(x0, x1, y0, y1, csty[c].levels)
+        for c in range(siz.ncomp)
+    ]
 
     def _eff_cb(c: int, r: int):
         """Effective code-block exponents for component c at
-        resolution r: explicit precinct sizes clamp them (xcb' =
-        min(xcb, PPx - (r>0))); only single-precinct-per-resolution
-        layouts are in scope — the spelling size-declaring encoders
-        use for whole-image precincts."""
+        resolution r: precinct sizes clamp them (xcb' = min(xcb,
+        PPx - (r>0))); only single-precinct-per-resolution layouts
+        are in scope.  The span check uses ABSOLUTE grid coords —
+        the precinct partition anchors at (0, 0) of the resolution
+        grid (§B.6), so a tile can straddle a precinct boundary
+        even when it is narrower than one precinct; with the
+        DEFAULT 2^15 precincts this happens once coordinates cross
+        32768 (declines rather than misparse)."""
         st = csty[c]
+        nl_c = st.levels
+        gx0, gx1, gy0, gy1 = rects_pc[c][nl_c - r]
+        if st.prec is None:
+            ppx = ppy = 15  # default: PPx = PPy = 15 (§A.6.1)
+        else:
+            ppx, ppy = st.prec[r]
+        if gx1 > gx0 and gy1 > gy0 and (
+            (gx1 - 1) >> ppx != gx0 >> ppx
+            or (gy1 - 1) >> ppy != gy0 >> ppy
+        ):
+            raise Jp2Error("multiple precincts out of scope")
         if st.prec is None:
             return st.xcb, st.ycb
-        ppx, ppy = st.prec[r]
-        gw, gh = grids_pc[c][r]
-        if gw > (1 << ppx) or gh > (1 << ppy):
-            raise Jp2Error("multiple precincts out of scope")
         ex = min(st.xcb, ppx - (1 if r else 0))
         ey = min(st.ycb, ppy - (1 if r else 0))
         if ex < 2 or ey < 2:
@@ -1271,19 +1341,27 @@ def decode_tile(siz: _Siz, cod: _Cod, csty, exps, mants, guard,
     # length — a conformant ~80-byte blank page with thousands of
     # declared code-blocks decodes (review r15; an earlier
     # data-proportional gate over-declined it).
+    def _cblk_count(bx0, by0, bw, bh, ex, ey):
+        ncx = (
+            -(-(bx0 + bw) // (1 << ex)) - (bx0 >> ex) if bw > 0 else 0
+        )
+        ncy = (
+            -(-(by0 + bh) // (1 << ey)) - (by0 >> ey) if bh > 0 else 0
+        )
+        return ncx * ncy
+
     total_cblks = 0
     for c in range(siz.ncomp):
-        for r in range(csty[c].levels + 1):
+        nl_c = csty[c].levels
+        for r in range(nl_c + 1):
             ex, ey = _eff_cb(c, r)
             if r == 0:
-                bdims = [ll_dims_pc[c]]
+                a0, a1, b0, b1 = rects_pc[c][nl_c]
+                brs = [(a0, b0, a1 - a0, b1 - b0)]
             else:
-                bdims = list(band_dims_pc[c][r - 1])
-            for bw, bh in bdims:
-                total_cblks += (
-                    max(0, -(-bw // (1 << ex)))
-                    * max(0, -(-bh // (1 << ey)))
-                )
+                brs = _band_rects(rects_pc[c], nl_c - r + 1)
+            for bx0, by0, bw, bh in brs:
+                total_cblks += _cblk_count(bx0, by0, bw, bh, ex, ey)
     if total_cblks > _MAX_CBLKS:
         raise Jp2Error("code-block count out of range")
     if cod.layers * total_cblks > _MAX_CBLK_VISITS:
@@ -1291,20 +1369,22 @@ def decode_tile(siz: _Siz, cod: _Cod, csty, exps, mants, guard,
 
     comps = []
     for c in range(siz.ncomp):
+        nl_c = csty[c].levels
         res = []
         mb0 = guard[c] + exps[c][0] - 1
         ex0, ey0 = _eff_cb(c, 0)
-        llw, llh = ll_dims_pc[c]
-        res.append([_Band(0, llw, llh, mb0, ex0, ey0)])
-        for r in range(1, csty[c].levels + 1):
-            (hlw, hlh), (lhw, lhh), (hhw, hhh) = band_dims_pc[c][r - 1]
+        a0, a1, b0, b1 = rects_pc[c][nl_c]
+        res.append([_Band(0, a0, b0, a1 - a0, b1 - b0, mb0, ex0, ey0)])
+        for r in range(1, nl_c + 1):
+            # resolution r bands sit at decomposition level nb
+            brs = _band_rects(rects_pc[c], nl_c - r + 1)
             exr, eyr = _eff_cb(c, r)
             bands = []
-            for oi, (bw, bh) in (
-                (1, (hlw, hlh)), (2, (lhw, lhh)), (3, (hhw, hhh))
-            ):
+            for oi, (bx0, by0, bw, bh) in zip((1, 2, 3), brs):
                 mb = guard[c] + exps[c][1 + 3 * (r - 1) + (oi - 1)] - 1
-                bands.append(_Band(oi, bw, bh, mb, exr, eyr))
+                bands.append(
+                    _Band(oi, bx0, by0, bw, bh, mb, exr, eyr)
+                )
             res.append(bands)
         comps.append(res)
 
@@ -1419,10 +1499,17 @@ def decode_tile(siz: _Siz, cod: _Cod, csty, exps, mants, guard,
                     cb = band.cblks[cy * band.ncx + cx]
                     if not cb[0] or cb[2] == 0:
                         continue
-                    x0, y0 = cx << band.xcb, cy << band.ycb
-                    cw = min(1 << band.xcb, band.w - x0)
-                    ch = min(1 << band.ycb, band.h - y0)
-                    arr[y0 : y0 + ch, x0 : x0 + cw] = decode_codeblock(
+                    # absolute code-block cell, clipped to the band
+                    # rect: a grid-misaligned band origin makes the
+                    # first row/column of code-blocks narrower
+                    ax = (band.cx0 + cx) << band.xcb
+                    ay = (band.cy0 + cy) << band.ycb
+                    lox = max(ax, band.x0)
+                    loy = max(ay, band.y0)
+                    cw = min(ax + (1 << band.xcb), band.x0 + band.w) - lox
+                    ch = min(ay + (1 << band.ycb), band.y0 + band.h) - loy
+                    bx, by = lox - band.x0, loy - band.y0
+                    arr[by : by + ch, bx : bx + cw] = decode_codeblock(
                         cb[4], cw, ch, band.orient, cb[1], cb[2],
                         band.mb, csty[c].cbstyle,
                     )
@@ -1442,15 +1529,23 @@ def decode_tile(siz: _Siz, cod: _Cod, csty, exps, mants, guard,
 
         ll = band_array(res[0][0], 0)
         bands = []
-        for r in range(1, csty[c].levels + 1):
+        nl_c = csty[c].levels
+        for r in range(1, nl_c + 1):
             hl, lh, hh = (
                 band_array(b, 1 + 3 * (r - 1) + oi)
                 for oi, b in enumerate(res[r])
             )
             bands.append((hl, lh, hh))
+        # synthesis level li composes the LL_(nl-1-li) rect — its
+        # absolute origin fixes the interleave parity (§F.3.8)
+        origins = [
+            (rects_pc[c][nl_c - 1 - li][0],
+             rects_pc[c][nl_c - 1 - li][2])
+            for li in range(nl_c)
+        ]
         out.append(
-            inverse_dwt53(ll, bands) if mants[c] is None
-            else inverse_dwt97(ll, bands)
+            inverse_dwt53(ll, bands, origins) if mants[c] is None
+            else inverse_dwt97(ll, bands, origins)
         )
     return out
 
@@ -1507,13 +1602,13 @@ def decode_jp2(data: bytes) -> np.ndarray:
     for t, tdata in enumerate(tiles):
         ty, tx = divmod(t, ntx)
         x0, y0 = tx * siz.xt, ty * siz.yt
-        tw = min(siz.xt, siz.w - x0)
-        th = min(siz.yt, siz.h - y0)
+        x1 = min(x0 + siz.xt, siz.w)
+        y1 = min(y0 + siz.yt, siz.h)
         tplanes = decode_tile(
-            siz, cod, csty, exps, mants, guard, tdata, tw, th
+            siz, cod, csty, exps, mants, guard, tdata, x0, y0, x1, y1
         )
         for c in range(siz.ncomp):
-            planes[c][y0 : y0 + th, x0 : x0 + tw] = tplanes[c]
+            planes[c][y0:y1, x0:x1] = tplanes[c]
     if cod.mct > 1:
         # reserved SGcod values: decline like prog/transform do —
         # treating them as no-MCT would emit Y/Cb/Cr as R/G/B

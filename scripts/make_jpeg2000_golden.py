@@ -62,44 +62,65 @@ class MQEncoderJ2K(MQEncoder):
 # (VER_SR), so analysis filters columns (VER_SD) first, then rows.
 
 
-def _fsd_rows(a: np.ndarray) -> np.ndarray:
-    """1D_SD along axis 1 → interleaved L/H (even = lowpass)."""
+def _ext_ws(a: np.ndarray, pad: int) -> np.ndarray:
+    """Whole-sample-symmetric extension by ``pad`` columns each side
+    (F.3.7: reflection about the boundary samples)."""
+    n = a.shape[1]
+    lp = n - 1
+    js = np.arange(-pad, n + pad)
+    if lp == 0:
+        idx = np.zeros(js.shape, dtype=np.int64)
+    else:
+        t = np.mod(js, 2 * lp)
+        idx = np.where(t > lp, 2 * lp - t, t)
+    return a[:, idx]
+
+
+def _fsd_rows(a: np.ndarray, i0: int = 0) -> np.ndarray:
+    """1D_SD (F.3.8.1) along axis 1 over ABSOLUTE indices
+    [i0, i0+n) → interleaved L/H (even ABSOLUTE index = lowpass).
+    T.800 anchors the even/odd split to the reference grid, so a
+    tile at an odd origin at some level swaps the roles — encoder
+    and decoder must agree on the ABSOLUTE convention for streams
+    to be conformant (review r15)."""
     n = a.shape[1]
     if n == 1:
-        return a.copy()
-    out = np.empty_like(a)
-    xext = np.empty((a.shape[0], n + 2), dtype=a.dtype)
-    xext[:, 1:-1] = a
-    xext[:, 0] = a[:, 1]
-    xext[:, -1] = a[:, -2]
+        if i0 % 2 == 0:
+            return a.copy()
+        raise ValueError("odd-parity single-sample dimension")
+    e = np.ascontiguousarray(_ext_ws(a, 2))
+    m = n + 4
+    s0 = i0 - 2
+    qe0 = (-s0) % 2  # first local q with absolute index EVEN
+    qo0 = 1 - qe0
     # Y[2i+1] = X[2i+1] - floor((X[2i] + X[2i+2]) / 2)
-    no = n // 2
-    out[:, 1::2] = a[:, 1::2] - (
-        (xext[:, 1:-1:2][:, :no] + xext[:, 3::2][:, :no]) >> 1
-    )
+    qo = np.arange(qo0 if qo0 >= 1 else qo0 + 2, m - 1, 2)
+    e[:, qo] -= (e[:, qo - 1] + e[:, qo + 1]) >> 1
     # Y[2i] = X[2i] + floor((Y[2i-1] + Y[2i+1] + 2) / 4)
-    ne = (n + 1) // 2
-    od = out[:, 1::2]
-    oext = np.empty((a.shape[0], no + 2), dtype=a.dtype)
-    oext[:, 1 : no + 1] = od
-    oext[:, 0] = od[:, 0] if no else 0  # Y[-1] = Y[1]
-    # Y[n] (needed when n odd) reflects to Y[n-2] = od[no-1]
-    oext[:, no + 1] = od[:, no - 1] if no else 0
-    out[:, 0::2] = a[:, 0::2] + (
-        (oext[:, :ne] + oext[:, 1 : ne + 1] + 2) >> 2
-    )
-    return out
+    qe = np.arange(2 + ((2 - qe0) % 2), 2 + n, 2)
+    e[:, qe] += (e[:, qe - 1] + e[:, qe + 1] + 2) >> 2
+    return e[:, 2 : 2 + n]
 
 
-def forward_dwt53(img: np.ndarray, levels: int):
-    """→ (LL, [(HL, LH, HH) coarsest→finest])."""
+def forward_dwt53(img: np.ndarray, levels: int,
+                  x0: int = 0, y0: int = 0):
+    """→ (LL, [(HL, LH, HH) coarsest→finest]); (x0, y0) is the
+    tile's ABSOLUTE origin — parity decides which interleave slot
+    is lowpass at every level."""
     cur = img.astype(np.int32)
+    a0, b0 = x0, y0
     bands = []
     for _ in range(levels):
-        a = _fsd_rows(cur.T).T  # vertical first
-        a = _fsd_rows(a)  # then horizontal
-        bands.append((a[0::2, 1::2], a[1::2, 0::2], a[1::2, 1::2]))
-        cur = a[0::2, 0::2]
+        a = _fsd_rows(cur.T, b0).T  # vertical first
+        a = _fsd_rows(a, a0)  # then horizontal
+        pr, pc = b0 % 2, a0 % 2  # local slot of the lowpass rows/cols
+        bands.append((
+            a[pr::2, 1 - pc::2],
+            a[1 - pr::2, pc::2],
+            a[1 - pr::2, 1 - pc::2],
+        ))
+        cur = np.ascontiguousarray(a[pr::2, pc::2])
+        a0, b0 = -(-a0 // 2), -(-b0 // 2)
     bands.reverse()
     return cur, bands
 
@@ -117,51 +138,51 @@ _K97_D = 0.443506852043971
 _K97_K = 1.230174104914001
 
 
-def _fsd97_rows(a: np.ndarray) -> np.ndarray:
-    """1D_SD along axis 1 (float64) → interleaved L/H (even =
-    lowpass); whole-sample symmetric extension per lifting step."""
+def _fsd97_rows(a: np.ndarray, i0: int = 0) -> np.ndarray:
+    """1D_SD (F.4.8.1) along axis 1 (float64) over ABSOLUTE indices
+    [i0, i0+n) → interleaved L/H (even ABSOLUTE index = lowpass); a
+    once-extended signal (Table F.6 style: extend 4 each side,
+    shrink the valid window per lifting step, crop + scale)."""
     n = a.shape[1]
     if n == 1:
-        return a.copy()
-    out = a.astype(np.float64).copy()
-    ev = out[:, 0::2]
-    od = out[:, 1::2]
-
-    def even_neigh():
-        rows, ne = ev.shape
-        no = n // 2
-        ex = np.empty((rows, ne + 1))
-        ex[:, :ne] = ev
-        ex[:, ne] = ev[:, ne - 1]
-        return ex[:, :no] + ex[:, 1 : no + 1]
-
-    def odd_neigh():
-        rows, no = od.shape
-        ne = (n + 1) // 2
-        ox = np.empty((rows, no + 2))
-        ox[:, 1 : no + 1] = od
-        ox[:, 0] = od[:, 0]
-        ox[:, no + 1] = od[:, no - 1]
-        return ox[:, :ne] + ox[:, 1 : ne + 1]
-
-    od += _K97_A * even_neigh()
-    ev += _K97_B * odd_neigh()
-    od += _K97_G * even_neigh()
-    ev += _K97_D * odd_neigh()
-    ev *= 1.0 / _K97_K
-    od *= _K97_K
+        if i0 % 2 == 0:
+            return a.astype(np.float64).copy()
+        raise ValueError("odd-parity single-sample dimension")
+    e = _ext_ws(a, 4).astype(np.float64)
+    m = n + 8
+    s0 = i0 - 4
+    qe = np.arange((-s0) % 2, m, 2)      # absolute-even locals
+    qo = np.arange(1 - (-s0) % 2, m, 2)  # absolute-odd locals
+    for k, (qs, coef) in enumerate(
+        ((qo, _K97_A), (qe, _K97_B), (qo, _K97_G), (qe, _K97_D)), 1
+    ):
+        qs = qs[(qs >= k) & (qs < m - k)]
+        e[:, qs] += coef * (e[:, qs - 1] + e[:, qs + 1])
+    out = e[:, 4 : 4 + n].copy()
+    p = i0 % 2  # local slot of the first absolute-even sample
+    out[:, p::2] *= 1.0 / _K97_K
+    out[:, 1 - p::2] *= _K97_K
     return out
 
 
-def forward_dwt97(img: np.ndarray, levels: int):
-    """→ (LL, [(HL, LH, HH) coarsest→finest]) float64 subbands."""
+def forward_dwt97(img: np.ndarray, levels: int,
+                  x0: int = 0, y0: int = 0):
+    """→ (LL, [(HL, LH, HH) coarsest→finest]) float64 subbands;
+    absolute-origin parity as in :func:`forward_dwt53`."""
     cur = img.astype(np.float64)
+    a0, b0 = x0, y0
     bands = []
     for _ in range(levels):
-        a = _fsd97_rows(cur.T).T  # vertical first
-        a = _fsd97_rows(a)  # then horizontal
-        bands.append((a[0::2, 1::2], a[1::2, 0::2], a[1::2, 1::2]))
-        cur = a[0::2, 0::2]
+        a = _fsd97_rows(cur.T, b0).T  # vertical first
+        a = _fsd97_rows(a, a0)  # then horizontal
+        pr, pc = b0 % 2, a0 % 2
+        bands.append((
+            a[pr::2, 1 - pc::2],
+            a[1 - pr::2, pc::2],
+            a[1 - pr::2, 1 - pc::2],
+        ))
+        cur = np.ascontiguousarray(a[pr::2, pc::2])
+        a0, b0 = -(-a0 // 2), -(-b0 // 2)
     bands.reverse()
     return cur, bands
 
@@ -543,17 +564,37 @@ def _numpasses_code(bw, n):
         bw.bits(n - 37, 7)
 
 
-def _band_dims(w, h, levels):
-    dims = [(w, h)]
+def _tile_rects(x0, x1, y0, y1, levels):
+    """Per-level ABSOLUTE rects (index k = LL_k rect, B-14): each
+    level halves both edges by ceil."""
+    rects = [(x0, x1, y0, y1)]
     for _ in range(levels):
-        pw, ph = dims[-1]
-        dims.append(((pw + 1) // 2, (ph + 1) // 2))
-    out = []
-    for n in range(levels, 0, -1):
-        pw, ph = dims[n - 1]
-        lw, lh = dims[n]
-        out.append(((pw - lw, lh), (lw, ph - lh), (pw - lw, ph - lh)))
-    return dims[levels], out
+        a0, a1, b0, b1 = rects[-1]
+        rects.append(
+            (-(-a0 // 2), -(-a1 // 2), -(-b0 // 2), -(-b1 // 2))
+        )
+    return rects
+
+
+def _ecnt(a0, a1):
+    """Count of EVEN integers in [a0, a1) (lowpass samples)."""
+    return -(-a1 // 2) - (-(-a0 // 2))
+
+
+def _band_rects(rects, nb):
+    """(HL, LH, HH) band rects (x0, y0, w, h) at decomposition level
+    nb (B-15): high half's origin floor(parent/2), low half's
+    ceil(parent/2)."""
+    a0, a1, b0, b1 = rects[nb - 1]
+    lx0, lw = -(-a0 // 2), _ecnt(a0, a1)
+    hx0, hw = a0 // 2, (a1 - a0) - _ecnt(a0, a1)
+    ly0, lh = -(-b0 // 2), _ecnt(b0, b1)
+    hy0, hh = b0 // 2, (b1 - b0) - _ecnt(b0, b1)
+    return (
+        (hx0, ly0, hw, lh),
+        (lx0, hy0, lw, hh),
+        (hx0, hy0, hw, hh),
+    )
 
 
 def encode_j2k(
@@ -670,15 +711,26 @@ def encode_j2k(
             return qcc[ci]
         return quant
 
-    def _tile_body(tile_comps):
+    def _tile_body(tile_comps, tx0, ty0, tx1, ty1):
         all_bands = []  # [comp][res] -> list of band dicts
         for ci, c in enumerate(tile_comps):
             lv, _, _, cst, _ = _cparam(ci)
+            rects = _tile_rects(tx0, tx1, ty0, ty1, lv)
+            # single precinct per resolution on the ABSOLUTE grid
+            # (the precinct partition anchors at (0, 0), B.6) —
+            # checked only for DEFAULT precincts: an explicit
+            # ``precincts`` caller may deliberately mint an
+            # out-of-scope stream for the decoder's decline tests
+            if _cparam(ci)[4] is None:
+                for r in range(lv + 1):
+                    gx0, gx1, gy0, gy1 = rects[lv - r]
+                    assert (gx1 - 1) >> 15 == gx0 >> 15, "multi-precinct"
+                    assert (gy1 - 1) >> 15 == gy0 >> 15, "multi-precinct"
             if transform == 0:
                 ql = _comp_quant(ci)
                 assert len(ql) >= 3 * lv + 1
                 cexps = [e for e, _ in ql]
-                llf, bandsf = forward_dwt97(c, lv)
+                llf, bandsf = forward_dwt97(c, lv, tx0, ty0)
                 ll = _quantize(llf, 0, 0, ql)
                 bands = [
                     tuple(
@@ -697,18 +749,26 @@ def encode_j2k(
                     cexps = [depth] + [depth + g_ for _ in range(lv)
                                        for g_ in (1, 1, 2)]
                 assert len(cexps) >= 3 * lv + 1
-                ll, bands = forward_dwt53(c, lv)
+                ll, bands = forward_dwt53(c, lv, tx0, ty0)
             res_list = []
             mb = guard + cexps[0] - 1
             ex0, ey0 = eff_cb(ci, 0)
-            res_list.append([_make_band(ll, 0, mb, ex0, ey0, cst)])
+            la0, _, lb0, _ = rects[lv]
+            res_list.append(
+                [_make_band(ll, 0, mb, ex0, ey0, cst, la0, lb0)]
+            )
             for r, (hl, lh, hh) in enumerate(bands):
+                # bands[r] (coarsest→finest) = decomposition lv - r
+                brs = _band_rects(rects, lv - r)
                 trio = []
                 exr, eyr = eff_cb(ci, r + 1)
-                for oi, arr in ((1, hl), (2, lh), (3, hh)):
+                for (oi, arr), (bx0, by0, _, _) in zip(
+                    ((1, hl), (2, lh), (3, hh)), brs
+                ):
                     mb = guard + cexps[1 + 3 * r + (oi - 1)] - 1
                     trio.append(
-                        _make_band(arr, oi, mb, exr, eyr, cst)
+                        _make_band(arr, oi, mb, exr, eyr, cst,
+                                   bx0, by0)
                     )
                 res_list.append(trio)
             all_bands.append(res_list)
@@ -817,11 +877,10 @@ def encode_j2k(
     bodies = []
     for t in range(ntx * nty):
         ty_, tx_ = divmod(t, ntx)
-        sub = [
-            c[ty_ * yt : (ty_ + 1) * yt, tx_ * xt : (tx_ + 1) * xt]
-            for c in comps
-        ]
-        bodies.append(_tile_body(sub))
+        tx0, ty0 = tx_ * xt, ty_ * yt
+        tx1, ty1 = min(tx0 + xt, w), min(ty0 + yt, h)
+        sub = [c[ty0:ty1, tx0:tx1] for c in comps]
+        bodies.append(_tile_body(sub, tx0, ty0, tx1, ty1))
 
     # markers
     out = bytearray(b"\xff\x4f")  # SOC
@@ -898,17 +957,26 @@ def encode_j2k(
     return bytes(out)
 
 
-def _make_band(arr, orient, mb, xcb, ycb, cbstyle):
+def _make_band(arr, orient, mb, xcb, ycb, cbstyle, bx0=0, by0=0):
+    """Band array → band dict; the code-block partition anchors at
+    multiples of the nominal size on the band's ABSOLUTE coordinate
+    axes (§B.7), so a grid-misaligned band origin (bx0, by0) makes
+    the first row/column of code-blocks narrower."""
     bh, bw_ = arr.shape
-    ncx = max(0, -(-bw_ // (1 << xcb)))
-    ncy = max(0, -(-bh // (1 << ycb)))
+    cx0, cy0 = bx0 >> xcb, by0 >> ycb
+    ncx = (-(-(bx0 + bw_) // (1 << xcb)) - cx0) if bw_ > 0 else 0
+    ncy = (-(-(by0 + bh) // (1 << ycb)) - cy0) if bh > 0 else 0
     cblks = []
     incl_vals = []
     zbp_vals = []
     for cy in range(ncy):
         for cx in range(ncx):
-            x0, y0 = cx << xcb, cy << ycb
-            sub = arr[y0 : y0 + (1 << ycb), x0 : x0 + (1 << xcb)]
+            ax = (cx0 + cx) << xcb
+            ay = (cy0 + cy) << ycb
+            lox, loy = max(ax, bx0), max(ay, by0)
+            hix = min(ax + (1 << xcb), bx0 + bw_)
+            hiy = min(ay + (1 << ycb), by0 + bh)
+            sub = arr[loy - by0 : hiy - by0, lox - bx0 : hix - bx0]
             r = encode_codeblock(sub, orient, mb, cbstyle)
             if r is None:
                 cblks.append(None)

@@ -21,7 +21,7 @@ import os
 
 import numpy as np
 import pytest
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from clickhouse_table_copier_spark.operators.jpeg2000 import (
@@ -1283,10 +1283,17 @@ def test_multitile_missing_tile_declines():
 def test_multitile_roundtrip_random(seed, w, h, xt, yt, levels):
     rng = np.random.default_rng(seed)
     img = rng.integers(0, 256, (h, w), dtype=np.uint8)
-    blob = MKG.encode_j2k(
-        img, levels=levels, xcb=3, ycb=3,
-        tiles=(min(xt, w), min(yt, h)),
-    )
+    try:
+        blob = MKG.encode_j2k(
+            img, levels=levels, xcb=3, ycb=3,
+            tiles=(min(xt, w), min(yt, h)),
+        )
+    except ValueError:
+        # a tile dimension collapsed to a SINGLE sample at an ODD
+        # absolute origin somewhere in the decomposition — the
+        # degenerate spelling both sides decline (no in-container
+        # source pins the spec's convention for it)
+        assume(False)
     assert (decode_jp2(blob) == img).all()
 
 
@@ -1535,3 +1542,177 @@ def test_main_header_markers_after_tile_part_decline():
     com = b"\xff\x64\x00\x06" + b"\x00\x01hi"
     blob = g[:eoc_at] + com + g[eoc_at:]
     assert (decode_jp2_pdf(blob) == decode_jp2_pdf(g)).all()
+
+
+# --------------------------------------------------------------------
+# ABSOLUTE-coordinate anchoring (review r15): T.800 splits even/odd
+# by the sample's index on the reference grid and anchors code-block
+# partitions at absolute zero, so tiles whose origins are odd (or
+# band origins grid-misaligned) at some level decode differently
+# than a tile-local origin-0 reading.  Pins: a hand-computed
+# odd-origin 5/3 vector from the published F.3.8.2 equations, the
+# published-FIR cross-check generalized to odd origins, and
+# byte-exact round trips over the layouts real encoders emit.
+
+
+def test_53_synthesis_odd_origin_hand_vector():
+    """1D_SR over absolute [1, 5) on y = [3, 10, -5, 8], computed BY
+    HAND from the F.3.8.2 equations (extension about the boundary
+    samples: y(0)=y(2), y(5)=y(3)):
+      x(2) = 10 - floor((3 + (-5) + 2)/4)          = 10
+      x(4) = 8  - floor((-5 + (-5) + 2)/4)         = 10
+      x(1) = 3  + floor((x(0) + x(2))/2), x(0)=x(2) = 13
+      x(3) = -5 + floor((10 + 10)/2)               = 5
+    """
+    from clickhouse_table_copier_spark.operators.jpeg2000 import (
+        _isr_rows,
+    )
+
+    y = np.array([[3, 10, -5, 8]], dtype=np.int32)
+    assert _isr_rows(y, 1)[0].tolist() == [13, 10, 5, 10]
+    # and the encoder's analysis inverts it at the same origin
+    x = np.array([[13, 10, 5, 10]], dtype=np.int32)
+    assert MKG._fsd_rows(x, 1)[0].tolist() == [3, 10, -5, 8]
+
+
+def test_53_odd_origin_perfect_reconstruction():
+    from clickhouse_table_copier_spark.operators.jpeg2000 import (
+        _isr_rows,
+    )
+
+    rng = np.random.default_rng(21)
+    for i0 in (0, 1, 3, 4, 7):
+        for n in (2, 3, 5, 8, 13, 29):
+            x = rng.integers(-900, 900, (3, n)).astype(np.int32)
+            assert (_isr_rows(MKG._fsd_rows(x, i0), i0) == x).all(), (
+                i0, n,
+            )
+
+
+def _fir97_analysis_abs(x, i0):
+    """Direct-FIR 9/7 analysis over absolute [i0, i0+n): whole-sample
+    symmetric extension, convolution with the published Table F.4
+    taps, lowpass sampled at absolute-EVEN centers and highpass at
+    absolute-ODD — the parity anchoring is the thing under test."""
+    n = len(x)
+    xe = np.concatenate([x[1:5][::-1], x, x[-5:-1][::-1]])
+    evens = [j for j in range(n) if (i0 + j) % 2 == 0]
+    odds = [j for j in range(n) if (i0 + j) % 2 == 1]
+    low = np.array([
+        sum(_FIR97_LP[k + 4] * xe[4 + j + k] for k in range(-4, 5))
+        for j in evens
+    ])
+    high = np.array([
+        sum(_FIR97_HP[k + 3] * xe[4 + j + k] for k in range(-3, 4))
+        for j in odds
+    ])
+    return low, high
+
+
+def test_97_odd_origin_matches_published_fir():
+    """Odd-origin analysis == direct convolution with the published
+    taps sampled by ABSOLUTE parity, to 1e-9 — if the lifting's
+    parity anchoring were tile-local, the lowpass/highpass roles
+    would swap and this comparison would fail at every sample."""
+    rng = np.random.default_rng(22)
+    for i0 in (1, 3, 7):
+        for n in (6, 8, 9, 12, 17, 37):
+            x = rng.standard_normal(n)
+            out = MKG._fsd97_rows(x[None, :], i0)[0]
+            low, high = _fir97_analysis_abs(x, i0)
+            p = i0 % 2  # local slot of the first absolute-even sample
+            assert np.abs(out[p::2] - low).max() < 1e-9, (i0, n)
+            assert np.abs(out[1 - p::2] - high).max() < 1e-9, (i0, n)
+
+
+def test_97_odd_origin_perfect_reconstruction():
+    from clickhouse_table_copier_spark.operators.jpeg2000 import (
+        _isr97_rows,
+    )
+
+    rng = np.random.default_rng(23)
+    for i0 in (0, 1, 3, 6, 9):
+        for n in (2, 3, 8, 13, 29):
+            x = rng.standard_normal((3, n))
+            got = _isr97_rows(MKG._fsd97_rows(x, i0), i0)
+            assert np.abs(got - x).max() < 1e-9, (i0, n)
+
+
+def test_odd_single_sample_declines():
+    """The spec's convention for a SINGLE sample at an ODD origin
+    has no in-container pin — both sides decline it by name rather
+    than guess a scale factor."""
+    from clickhouse_table_copier_spark.operators.jpeg2000 import (
+        _isr97_rows,
+        _isr_rows,
+    )
+
+    one = np.array([[7]], dtype=np.int32)
+    assert (_isr_rows(one, 0) == one).all()
+    with pytest.raises(Jp2Error, match="odd-parity single-sample"):
+        _isr_rows(one, 1)
+    with pytest.raises(Jp2Error, match="odd-parity single-sample"):
+        _isr97_rows(one.astype(np.float64), 3)
+    with pytest.raises(ValueError):
+        MKG._fsd_rows(one, 1)
+
+
+def test_absolute_anchoring_roundtrips():
+    """The layouts real encoders emit, byte-exact end to end:
+    odd-parity tile origins at a deep level, band origins misaligned
+    to the code-block grid (the OpenJPEG-default shape: power-of-two
+    tiles whose deep-level band origins are smaller than the nominal
+    code-block), and both combined with RCT/ICT/layers/COC."""
+    rng = np.random.default_rng(24)
+    # odd-parity split with dims >= 2 (origin 6 -> L1 origin 3)
+    img = rng.integers(0, 256, (12, 12), dtype=np.uint8)
+    blob = MKG.encode_j2k(img, levels=2, xcb=2, ycb=2, tiles=(6, 6))
+    assert (decode_jp2(blob) == img).all()
+    # band origin 8 vs 16-wide cblk grid: first cblk is 8 wide
+    img2 = rng.integers(0, 256, (16, 32), dtype=np.uint8)
+    blob2 = MKG.encode_j2k(
+        img2, levels=1, xcb=4, ycb=4, tiles=(16, 16)
+    )
+    assert (decode_jp2(blob2) == img2).all()
+    # deep-level misalignment (32-tiles, 3 levels, 16-wide cblks)
+    img3 = rng.integers(0, 256, (32, 64), dtype=np.uint8)
+    blob3 = MKG.encode_j2k(
+        img3, levels=3, xcb=4, ycb=4, tiles=(32, 32)
+    )
+    assert (decode_jp2(blob3) == img3).all()
+    # odd tile sizes with color transforms, layers, lossy and COC
+    img4 = rng.integers(0, 256, (29, 37, 3), dtype=np.uint8)
+    b4 = MKG.encode_j2k(
+        img4, levels=2, mct=1, layers=3, tiles=(12, 20)
+    )
+    assert (decode_jp2(b4) == img4).all()
+    b5 = MKG.encode_j2k(
+        img4, levels=2, mct=1, transform=0,
+        quant=MKG.quant97(2, 8), tiles=(12, 20),
+    )
+    assert (decode_jp2(b5) == img4).all()
+    b6 = MKG.encode_j2k(
+        img4, levels=2, mct=1, tiles=(12, 20),
+        coc={2: dict(levels=1, xcb=3, ycb=3)},
+    )
+    assert (decode_jp2(b6) == img4).all()
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    xt=st.integers(3, 17),
+    yt=st.integers(3, 17),
+    levels=st.integers(1, 3),
+)
+def test_absolute_anchoring_random_grids(seed, xt, yt, levels):
+    """Random grids biased toward odd/misaligned origins."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (23, 31), dtype=np.uint8)
+    try:
+        blob = MKG.encode_j2k(
+            img, levels=levels, xcb=2, ycb=2, tiles=(xt, yt)
+        )
+    except ValueError:
+        assume(False)  # degenerate odd-parity single-sample config
+    assert (decode_jp2(blob) == img).all()
