@@ -16,10 +16,15 @@ r14).  Everything else DECLINES deliberately (raise
 :class:`Jp2Error`; the API edge returns None, never raises, never
 fabricates — the CCITT/JBIG2 contract): reserved quantization
 styles, 9/7 spelled without quantization (and vice versa),
-non-zero image/tile offsets, POC/RGN/PPM/PPT
-overrides, TRUE multi-precinct grids (declared precinct sizes are
-accepted when each resolution fits one precinct, with the PPx-clamped
-effective code-block size), component counts other than 1/3.
+POC/RGN/PPM/PPT overrides, TRUE multi-precinct grids (declared
+precinct sizes are accepted when each resolution fits one precinct,
+with the PPx-clamped effective code-block size), component counts
+other than 1/3.  Non-zero image/tile offsets are IN scope (r15
+tail): the image area [XOsiz, Xsiz) x [YOsiz, Ysiz) and the tile
+grid anchored at (XTOsiz, YTOsiz) place every tile on the reference
+grid, and because ALL geometry here is computed in absolute
+coordinates, offsets fall out of the same rect math (§A.5.1
+constraint violations decline).
 Main-header per-component overrides are IN scope (r15): QCC
 quantization (the spelling lossy encoders use to quantize chroma
 coarser than luma) and COC coding style (per-component decomposition
@@ -754,7 +759,35 @@ def inverse_dwt53(ll: np.ndarray, bands: list,
 
 
 class _Siz:
-    __slots__ = ("w", "h", "xt", "yt", "ncomp", "depths", "signed")
+    """SIZ fields; ``w``/``h`` are the RASTER dims (Xsiz - XOsiz,
+    Ysiz - YOsiz); ``x0``/``y0`` the image-area offsets and
+    ``xt0``/``yt0`` the tile-grid offsets on the reference grid
+    (§A.5.1, r15 tail — offsets were previously a decline)."""
+
+    __slots__ = (
+        "w", "h", "x0", "y0", "xt", "yt", "xt0", "yt0",
+        "ncomp", "depths", "signed",
+    )
+
+
+def _tile_grid(siz: _Siz):
+    """(ntx, nty) per B-5: tiles counted from the tile-grid origin
+    to the image's far edge."""
+    ntx = -(-(siz.x0 + siz.w - siz.xt0) // siz.xt)
+    nty = -(-(siz.y0 + siz.h - siz.yt0) // siz.yt)
+    return ntx, nty
+
+
+def _tile_rect(siz: _Siz, t: int):
+    """ABSOLUTE rect (x0, y0, x1, y1) of tile index t (raster
+    order), clipped to the image area (B-7)."""
+    ntx, _ = _tile_grid(siz)
+    ty, tx = divmod(t, ntx)
+    x0 = max(siz.xt0 + tx * siz.xt, siz.x0)
+    y0 = max(siz.yt0 + ty * siz.yt, siz.y0)
+    x1 = min(siz.xt0 + (tx + 1) * siz.xt, siz.x0 + siz.w)
+    y1 = min(siz.yt0 + (ty + 1) * siz.yt, siz.y0 + siz.h)
+    return x0, y0, x1, y1
 
 
 class _Cod:
@@ -871,24 +904,37 @@ def parse_codestream(cs: bytes):
                 raise Jp2Error("truncated SIZ")
             siz = _Siz()
             rsiz = _u16(body, 0)
-            siz.w = _u32(body, 2)
-            siz.h = _u32(body, 6)
+            xs = _u32(body, 2)   # Xsiz: far edge on the reference grid
+            ys = _u32(body, 6)
             xo, yo = _u32(body, 10), _u32(body, 14)
             xt, yt = _u32(body, 18), _u32(body, 22)
             xto, yto = _u32(body, 26), _u32(body, 30)
             siz.ncomp = _u16(body, 34)
-            if xo or yo or xto or yto:
-                raise Jp2Error("image/tile offsets out of scope")
             if xt == 0 or yt == 0:
                 raise Jp2Error("tile size out of range")
+            # image/tile offsets (§A.5.1, r15 tail): the image area
+            # is [XOsiz, Xsiz) x [YOsiz, Ysiz); the tile grid
+            # anchors at (XTOsiz, YTOsiz) which must sit at or
+            # before the image origin with the first tile
+            # overlapping it — violations decline
+            if not (xo < xs and yo < ys):
+                raise Jp2Error("dimensions out of range")
+            if not (xto <= xo and yto <= yo):
+                raise Jp2Error("tile grid origin after image origin")
+            if not (xto + xt > xo and yto + yt > yo):
+                raise Jp2Error("first tile misses the image area")
+            siz.x0, siz.y0 = xo, yo
+            siz.xt0, siz.yt0 = xto, yto
+            siz.xt, siz.yt = xt, yt
+            siz.w = xs - xo   # RASTER dims
+            siz.h = ys - yo
             # tile grid (r15): xt/yt smaller than the image spell a
-            # regular grid with ragged right/bottom edges; each tile
-            # decodes independently and stitches by position
-            siz.xt = min(xt, siz.w)
-            siz.yt = min(yt, siz.h)
+            # regular grid with ragged edges; each tile decodes
+            # independently (in ABSOLUTE coordinates) and stitches
+            # by position
             if siz.ncomp not in (1, 3):
                 raise Jp2Error("component count out of scope")
-            if not (0 < siz.w <= _MAX_DIM and 0 < siz.h <= _MAX_DIM):
+            if xs > _MAX_DIM or ys > _MAX_DIM:
                 raise Jp2Error("dimensions out of range")
             if siz.w * siz.h * siz.ncomp > _MAX_SAMPLES:
                 raise Jp2Error("image too large")
@@ -1064,7 +1110,8 @@ def parse_codestream(cs: bytes):
                 raise Jp2Error("truncated SOT")
             isot = _u16(body, 0)
             psot = _u32(body, 2)
-            ntiles = (-(-siz.w // siz.xt)) * (-(-siz.h // siz.yt))
+            ntx_, nty_ = _tile_grid(siz)
+            ntiles = ntx_ * nty_
             if isot >= ntiles:
                 raise Jp2Error("tile index out of range")
             sot_start = pos - 2
@@ -1168,7 +1215,8 @@ def parse_codestream(cs: bytes):
     # order TPsot ascends in a conformant stream); every tile of the
     # declared grid must be present — a partial grid would stitch a
     # fabricated (zero) region into the raster
-    ntiles = (-(-siz.w // siz.xt)) * (-(-siz.h // siz.yt))
+    ntx_, nty_ = _tile_grid(siz)
+    ntiles = ntx_ * nty_
     tiles = []
     for t in range(ntiles):
         parts = tile_parts.get(t)
@@ -1593,22 +1641,21 @@ def decode_jp2(data: bytes) -> np.ndarray:
     # decode per tile and stitch by raster position (tiles are
     # independent by construction — the DWT and all coding state
     # reset at tile boundaries)
-    ntx = -(-siz.w // siz.xt)
     dtype = np.float64 if cod.transform == 0 else np.int32
     planes = [
         np.zeros((siz.h, siz.w), dtype=dtype)
         for _ in range(siz.ncomp)
     ]
     for t, tdata in enumerate(tiles):
-        ty, tx = divmod(t, ntx)
-        x0, y0 = tx * siz.xt, ty * siz.yt
-        x1 = min(x0 + siz.xt, siz.w)
-        y1 = min(y0 + siz.yt, siz.h)
+        x0, y0, x1, y1 = _tile_rect(siz, t)
         tplanes = decode_tile(
             siz, cod, csty, exps, mants, guard, tdata, x0, y0, x1, y1
         )
         for c in range(siz.ncomp):
-            planes[c][y0:y1, x0:x1] = tplanes[c]
+            # tile rects are absolute; the raster origin is the
+            # image-area offset (XOsiz, YOsiz)
+            planes[c][y0 - siz.y0 : y1 - siz.y0,
+                      x0 - siz.x0 : x1 - siz.x0] = tplanes[c]
     if cod.mct > 1:
         # reserved SGcod values: decline like prog/transform do —
         # treating them as no-MCT would emit Y/Cb/Cr as R/G/B

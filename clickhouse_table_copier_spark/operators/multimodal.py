@@ -1971,10 +1971,17 @@ def _make_decode_one():
             return "jp2", -1, -1
         if content[:4] == b"\xff\x4f\xff\x51":
             # raw JPEG 2000 codestream: SOC + SIZ — Lsiz at 4, Rsiz
-            # at 6, Xsiz at 8, Ysiz at 12 (all big-endian)
-            if len(content) >= 16:
-                w = int.from_bytes(content[8:12], "big")
-                h = int.from_bytes(content[12:16], "big")
+            # at 6, Xsiz at 8, Ysiz at 12, XOsiz at 16, YOsiz at 20
+            # (all big-endian); the raster is [XOsiz, Xsiz) x
+            # [YOsiz, Ysiz), so the offsets subtract (r15 tail —
+            # the ihdr branch above already carries raster dims)
+            if len(content) >= 24:
+                w = int.from_bytes(content[8:12], "big") - (
+                    int.from_bytes(content[16:20], "big")
+                )
+                h = int.from_bytes(content[12:16], "big") - (
+                    int.from_bytes(content[20:24], "big")
+                )
                 return "jp2", w, h
             return "jp2", -1, -1
         raise NotImplementedError("unsupported media container")

@@ -618,6 +618,7 @@ def encode_j2k(
     tiles: tuple | None = None,
     qcc: dict | None = None,
     coc: dict | None = None,
+    offsets: tuple | None = None,
 ) -> bytes:
     """Image (h, w) or (h, w, 3) of ``depth``-bit samples → full
     codestream.  ``signed`` (gray only): samples are already centered
@@ -628,6 +629,13 @@ def encode_j2k(
     (LL, then HL/LH/HH coarsest→finest; len 3*levels+1), emitted as
     scalar-expounded QCD fields; coefficients are quantized
     round-to-nearest (q = sign * floor(|v|/Δ + 0.5), |error| ≤ Δ/2).
+
+    ``offsets`` = (XOsiz, YOsiz, XTOsiz, YTOsiz) places the image
+    area and tile grid on the reference grid (§A.5.1): ``img``
+    supplies the samples of [XOsiz, Xsiz) x [YOsiz, Ysiz), and all
+    tile/DWT/code-block geometry anchors to the ABSOLUTE
+    coordinates, so an odd XOsiz genuinely changes the transform's
+    parity.
 
     ``coc`` maps a component index to per-component coding-style
     overrides (keys ``levels``/``xcb``/``ycb``/``cbstyle``/``prec``,
@@ -869,24 +877,34 @@ def encode_j2k(
     # into xt x yt tiles with ragged right/bottom edges and encode
     # each tile independently — DWT and all coding state reset at
     # tile boundaries, exactly what the decoder assumes
+    ix0, iy0, gx0, gy0 = offsets or (0, 0, 0, 0)
+    assert gx0 <= ix0 and gy0 <= iy0, "tile grid origin after image"
+    xs, ys = ix0 + w, iy0 + h  # Xsiz / Ysiz (far edges)
     if tiles is None:
-        xt, yt = w, h
+        xt, yt = xs - gx0, ys - gy0
     else:
         xt, yt = tiles
-    ntx, nty = -(-w // xt), -(-h // yt)
+    assert gx0 + xt > ix0 and gy0 + yt > iy0, "first tile misses image"
+    ntx = -(-(xs - gx0) // xt)
+    nty = -(-(ys - gy0) // yt)
     bodies = []
     for t in range(ntx * nty):
         ty_, tx_ = divmod(t, ntx)
-        tx0, ty0 = tx_ * xt, ty_ * yt
-        tx1, ty1 = min(tx0 + xt, w), min(ty0 + yt, h)
-        sub = [c[ty0:ty1, tx0:tx1] for c in comps]
+        tx0 = max(gx0 + tx_ * xt, ix0)
+        ty0 = max(gy0 + ty_ * yt, iy0)
+        tx1 = min(gx0 + (tx_ + 1) * xt, xs)
+        ty1 = min(gy0 + (ty_ + 1) * yt, ys)
+        sub = [
+            c[ty0 - iy0 : ty1 - iy0, tx0 - ix0 : tx1 - ix0]
+            for c in comps
+        ]
         bodies.append(_tile_body(sub, tx0, ty0, tx1, ty1))
 
     # markers
     out = bytearray(b"\xff\x4f")  # SOC
     siz = struct.pack(
-        ">HHIIIIIIIIH", 38 + 3 * ncomp, 0, w, h, 0, 0, xt, yt, 0, 0,
-        ncomp,
+        ">HHIIIIIIIIH", 38 + 3 * ncomp, 0, xs, ys, ix0, iy0, xt, yt,
+        gx0, gy0, ncomp,
     )
     for _ in range(ncomp):
         siz += bytes([(depth - 1) | (0x80 if signed else 0), 1, 1])

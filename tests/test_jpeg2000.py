@@ -1716,3 +1716,116 @@ def test_absolute_anchoring_random_grids(seed, xt, yt, levels):
     except ValueError:
         assume(False)  # degenerate odd-parity single-sample config
     assert (decode_jp2(blob) == img).all()
+
+
+# --------------------------------------------------------------------
+# image/tile offsets (§A.5.1, r15 tail): the image area
+# [XOsiz, Xsiz) x [YOsiz, Ysiz) and a tile grid anchored at
+# (XTOsiz, YTOsiz) — with all geometry in absolute coordinates,
+# offsets exercise the same rect/parity machinery as odd tiles.
+
+
+def test_offsets_roundtrip_matrix():
+    """Even and odd image offsets, an offset tile grid that starts
+    before the image origin, RGB/RCT with layers, and the 9/7 path
+    all reconstruct byte-exactly; an ODD XOsiz genuinely shifts the
+    transform parity (pinned by the absolute-anchoring vectors)."""
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (17, 23), dtype=np.uint8)
+    for off in ((10, 6, 10, 6), (7, 3, 7, 3)):
+        blob = MKG.encode_j2k(
+            img, levels=2, xcb=3, ycb=3, offsets=off
+        )
+        assert (decode_jp2(blob) == img).all(), off
+    # offset tile GRID starting before the image origin (ragged
+    # first row/column of tiles)
+    blob = MKG.encode_j2k(
+        img, levels=1, xcb=3, ycb=3, tiles=(8, 8),
+        offsets=(5, 3, 2, 1),
+    )
+    assert (decode_jp2(blob) == img).all()
+    rgb = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    blob = MKG.encode_j2k(
+        rgb, levels=2, mct=1, layers=2, tiles=(10, 10),
+        offsets=(3, 5, 1, 2),
+    )
+    assert (decode_jp2(blob) == rgb).all()
+    blob = MKG.encode_j2k(
+        rgb, levels=1, mct=1, transform=0, quant=MKG.quant97(1, 8),
+        offsets=(9, 4, 9, 4),
+    )
+    assert (decode_jp2(blob) == rgb).all()
+
+
+def test_offsets_decline_matrix():
+    """§A.5.1 constraint violations decline by name: a tile grid
+    origin AFTER the image origin, a first tile that misses the
+    image area, and an empty image area."""
+    rng = np.random.default_rng(32)
+    img = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    base = MKG.encode_j2k(img, levels=1, offsets=(5, 5, 5, 5))
+    siz_at = base.index(b"\xff\x51")
+
+    def patch32(blob, field_off, val):
+        b = bytearray(blob)
+        b[siz_at + 4 + field_off : siz_at + 4 + field_off + 4] = (
+            val.to_bytes(4, "big")
+        )
+        return bytes(b)
+
+    # XTOsiz (offset 26 in the SIZ body after Lsiz/Rsiz) > XOsiz
+    bad = patch32(base, 26, 6)
+    with pytest.raises(Jp2Error, match="origin"):
+        parse_codestream(bad)
+    assert decode_jp2_pdf(bad) is None
+    # XTsiz too small to reach the image origin from XTOsiz=0
+    bad = patch32(patch32(base, 26, 0), 18, 4)
+    with pytest.raises(Jp2Error, match="first tile"):
+        parse_codestream(bad)
+    assert decode_jp2_pdf(bad) is None
+    # XOsiz >= Xsiz: empty image area
+    bad = patch32(base, 10, 13)
+    with pytest.raises(Jp2Error, match="dimensions"):
+        parse_codestream(bad)
+    assert decode_jp2_pdf(bad) is None
+
+
+def test_offsets_image_meta_dims():
+    """decode_image_meta subtracts the image-area offset: a raw
+    codestream with XOsiz/YOsiz reports the RASTER dims, matching
+    the decoded array (and the ihdr branch for boxed files)."""
+    import pandas as pd
+
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        _make_decode_one,
+    )
+
+    rng = np.random.default_rng(33)
+    img = rng.integers(0, 256, (11, 19), dtype=np.uint8)
+    blob = MKG.encode_j2k(img, levels=1, offsets=(7, 3, 7, 3))
+    fmt, w, h = _make_decode_one()(blob)
+    assert (fmt, w, h) == ("jp2", 19, 11)
+    assert decode_jp2(blob).shape == (11, 19)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    xo=st.integers(0, 9),
+    yo=st.integers(0, 9),
+    gx=st.integers(0, 9),
+    gy=st.integers(0, 9),
+    levels=st.integers(0, 2),
+)
+def test_offsets_random_roundtrip(seed, xo, yo, gx, gy, levels):
+    gx, gy = min(gx, xo), min(gy, yo)  # grid origin <= image origin
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (13, 21), dtype=np.uint8)
+    try:
+        blob = MKG.encode_j2k(
+            img, levels=levels, xcb=2, ycb=2, tiles=(8, 8),
+            offsets=(xo, yo, gx, gy),
+        )
+    except (ValueError, AssertionError):
+        assume(False)  # degenerate odd-single or first-tile miss
+    assert (decode_jp2(blob) == img).all()
