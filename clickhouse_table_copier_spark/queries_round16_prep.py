@@ -114,17 +114,21 @@ def _xlbox_spelling(jp2: bytes) -> bytes:
 _JP2_BOXED = _jp2_box(_J2K_53)
 _JP2_XLBOX = _xlbox_spelling(_JP2_BOXED)
 _J2K_TRUNC = _J2K_53[:40]  # SIZ survives (meta dims parse), body gone
-# The SAME 8x8 gradient as a 2x2 MULTI-TILE grid (4x4 tiles, four
-# SOT/SOD tile-parts — the layout large scanned images use; decodes
-# tile-by-tile + stitches since r15)
+# The SAME 8x8 gradient as a 2x2 MULTI-TILE grid — upgraded (r15
+# tail) to the hardest grid spelling in scope: image area offset to
+# (3, 1), tile grid anchored at (1, 0) with 6x6 tiles, so tile
+# origins are ODD at the DWT split (absolute-parity anchoring) and
+# band origins are misaligned to the code-block grid (narrow first
+# code-blocks) — the driver row covers the full absolute-coordinate
+# machinery, not just even power-of-two stitching
 _J2K_TILED = bytes.fromhex(
-    "ff4fff51002900000000000800000008000000000000000000000004000000040000"
-    "0000000000000001070101ff52000c00000001000100000001ff5c00074040484850"
-    "ff90000a0000000000220001ff93df8028078ae07c13c1f38283e7080cf70b3dff7f"
-    "ff90000a0001000000290001ff93cfb4140cee97b2e7c3ea0487d4073f3030109124"
-    "9f1046c71084bfff90000a0002000000220001ff93c7d40a06b907151fc1f38283e7"
-    "080cf70b3dff7fff90000a00030000002f0001ff93df80380fef671330ff7fcfc01a"
-    "3ed068fc00800e1512cff15f04ef2cdfff7f033fffd9"
+    "ff4fff51002900000000000b000000090000000300000001000000060000000600000001"
+    "000000000001070101ff52000c00000001000100000001ff5c00074040484850ff90000a"
+    "0000000000220001ff93cfb414078a651e2fc1f38283e70809230569aaa6ff90000a0001"
+    "0000002f0001ff93cfb4140ab19b120be27ce0bf681c7da0d61f6810085f0af10711f6c4"
+    "b8657f0c5bff90000a0002000000240001ff93e5f501fed0300a48cf0b5f7fe0fce0bf38"
+    "2006cf06cfff90000a0003000000390001ff93efe0077da0600c24df06136fe8fa80a7da"
+    "03fcc0a3ea018fb40f1fc006fb4040049f080453040592df0404ffd9"
 )
 # The SAME 8x8 gradient with a main-header COC override: COD says
 # levels=1 / 4x4 code-blocks, the COC raises the component to
