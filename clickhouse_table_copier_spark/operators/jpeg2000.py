@@ -706,6 +706,8 @@ def _isr_rows(a: np.ndarray, i0: int = 0) -> np.ndarray:
     [i0, i0+n): even absolute index = lowpass.  Integer lifting,
     whole-sample symmetric extension."""
     n = a.shape[1]
+    if n == 0:
+        return a  # empty span (deep level of a 1-wide ragged tile)
     if n == 1:
         if i0 % 2 == 0:
             return a  # single lowpass sample: X = Y
@@ -831,14 +833,8 @@ class _Band:
         self.mb = mb
         self.xcb = xcb  # EFFECTIVE exponents (precinct-clamped)
         self.ycb = ycb
-        self.cx0 = x0 >> xcb  # first absolute code-block cell index
-        self.cy0 = y0 >> ycb
-        self.ncx = (
-            -(-(x0 + w) // (1 << xcb)) - self.cx0 if w > 0 else 0
-        )
-        self.ncy = (
-            -(-(y0 + h) // (1 << ycb)) - self.cy0 if h > 0 else 0
-        )
+        self.cx0, self.ncx = _cblk_grid(x0, w, xcb)
+        self.cy0, self.ncy = _cblk_grid(y0, h, ycb)
         n = self.ncx * self.ncy
         # per cblk: [included, missing, numpasses, lblock, segments]
         self.cblks = [[False, 0, 0, 3, []] for _ in range(n)]
@@ -1245,6 +1241,16 @@ def _ecnt(a0: int, a1: int) -> int:
     return -(-a1 // 2) - (-(-a0 // 2))
 
 
+def _cblk_grid(o: int, span: int, exp: int):
+    """Absolute code-block grid over a band span [o, o+span): the
+    partition anchors at multiples of 2^exp from absolute zero
+    (§B.7); returns (first_cell_index, cell_count) — shared by
+    _Band and the resource gate so the two can never drift."""
+    if span <= 0:
+        return o >> exp, 0
+    return o >> exp, -(-(o + span) // (1 << exp)) - (o >> exp)
+
+
 def _band_rects(rects, nb: int):
     """Band rects (x0, y0, w, h) for (HL, LH, HH) at decomposition
     level nb (they split rects[nb-1]); B-15: the high half's origin
@@ -1287,6 +1293,8 @@ def _isr97_rows(a: np.ndarray, i0: int = 0) -> np.ndarray:
     Table F.6 approach: extend by 4 each side, shrink the valid
     window by one per lifting step, crop)."""
     n = a.shape[1]
+    if n == 0:
+        return a  # empty span (deep level of a 1-wide ragged tile)
     if n == 1:
         if i0 % 2 == 0:
             return a
@@ -1390,13 +1398,7 @@ def decode_tile(siz: _Siz, cod: _Cod, csty, exps, mants, guard,
     # declared code-blocks decodes (review r15; an earlier
     # data-proportional gate over-declined it).
     def _cblk_count(bx0, by0, bw, bh, ex, ey):
-        ncx = (
-            -(-(bx0 + bw) // (1 << ex)) - (bx0 >> ex) if bw > 0 else 0
-        )
-        ncy = (
-            -(-(by0 + bh) // (1 << ey)) - (by0 >> ey) if bh > 0 else 0
-        )
-        return ncx * ncy
+        return _cblk_grid(bx0, bw, ex)[1] * _cblk_grid(by0, bh, ey)[1]
 
     total_cblks = 0
     for c in range(siz.ncomp):

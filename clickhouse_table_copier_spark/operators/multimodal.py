@@ -1982,7 +1982,10 @@ def _make_decode_one():
                 h = int.from_bytes(content[12:16], "big") - (
                     int.from_bytes(content[20:24], "big")
                 )
-                return "jp2", w, h
+                if w > 0 and h > 0:
+                    return "jp2", w, h
+                # offset past the far edge: malformed — the unknown
+                # sentinel, not a negative dimension (review r15)
             return "jp2", -1, -1
         raise NotImplementedError("unsupported media container")
 

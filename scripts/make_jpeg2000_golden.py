@@ -84,6 +84,8 @@ def _fsd_rows(a: np.ndarray, i0: int = 0) -> np.ndarray:
     and decoder must agree on the ABSOLUTE convention for streams
     to be conformant (review r15)."""
     n = a.shape[1]
+    if n == 0:
+        return a.copy()
     if n == 1:
         if i0 % 2 == 0:
             return a.copy()
@@ -144,6 +146,8 @@ def _fsd97_rows(a: np.ndarray, i0: int = 0) -> np.ndarray:
     once-extended signal (Table F.6 style: extend 4 each side,
     shrink the valid window per lifting step, crop + scale)."""
     n = a.shape[1]
+    if n == 0:
+        return a.astype(np.float64).copy()
     if n == 1:
         if i0 % 2 == 0:
             return a.astype(np.float64).copy()

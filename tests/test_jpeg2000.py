@@ -1829,3 +1829,58 @@ def test_offsets_random_roundtrip(seed, xo, yo, gx, gy, levels):
     except (ValueError, AssertionError):
         assume(False)  # degenerate odd-single or first-tile miss
     assert (decode_jp2(blob) == img).all()
+
+
+def test_empty_span_and_ragged_tile_decline_cleanly():
+    """A 1-wide ragged tile at an odd absolute origin collapses to
+    EMPTY spans at coarser levels BEFORE the odd-single decline can
+    fire at the finest — empty spans must pass through the
+    synthesis untouched so the decline surfaces as Jp2Error, never
+    an IndexError escaping decode_jp2's contract (review r15: the
+    pre-guard _ext_ws crashed on zero-width arrays)."""
+    from clickhouse_table_copier_spark.operators.jpeg2000 import (
+        _isr97_rows,
+        _isr_rows,
+        inverse_dwt53,
+    )
+
+    empty = np.zeros((3, 0), dtype=np.int32)
+    assert _isr_rows(empty, 5).shape == (3, 0)
+    assert _isr97_rows(empty.astype(np.float64), 9).shape == (3, 0)
+    # the [9,10) x-geometry at levels=2: the L1 target [5,5) is
+    # empty and composes from empty halves; the finest target
+    # [9,10) is the odd single — Jp2Error by name, post-guard
+    ll = np.zeros((2, 0), dtype=np.int32)  # LL_2 of [9,10) x [0,8)
+    b2 = tuple(np.zeros((2, 0), np.int32) for _ in range(3))
+    b1 = (np.zeros((4, 1), np.int32), np.zeros((4, 0), np.int32),
+          np.zeros((4, 1), np.int32))
+    with pytest.raises(Jp2Error, match="odd-parity single-sample"):
+        inverse_dwt53(ll, [b2, b1], [(5, 0), (9, 0)])
+    # full-stream contract: a levels patch creating the degenerate
+    # geometry must decline by name through the API edge
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 256, (10, 10), dtype=np.uint8)
+    blob = MKG.encode_j2k(img, levels=0, xcb=2, ycb=2, tiles=(9, 9))
+    cod_at = blob.index(b"\xff\x52")
+    b = bytearray(blob)
+    b[cod_at + 9] = 2  # SPcod levels 0 -> 2
+    with pytest.raises(Jp2Error):
+        decode_jp2(bytes(b))
+    assert decode_jp2_pdf(bytes(b)) is None
+
+
+def test_meta_dims_sentinel_for_bad_offsets():
+    """Raw-codestream SIZ with XOsiz >= Xsiz reports the unknown
+    sentinel (-1, -1), not a negative dimension."""
+    from clickhouse_table_copier_spark.operators.multimodal import (
+        _make_decode_one,
+    )
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    blob = MKG.encode_j2k(img, levels=1, offsets=(5, 5, 5, 5))
+    siz_at = blob.index(b"\xff\x51")
+    b = bytearray(blob)
+    b[siz_at + 4 + 10 : siz_at + 4 + 14] = (99).to_bytes(4, "big")
+    fmt, w, h = _make_decode_one()(bytes(b))
+    assert (fmt, w, h) == ("jp2", -1, -1)
