@@ -435,6 +435,19 @@ def test_pdf_jpx_image_lifts_as_png():
     # JP2-boxed stream (the other PDF spelling) lifts identically
     pdf = _jpx_xobject_pdf(JP2_GRAY8_BOXED, 8, 8)
     assert len(_extract_pdf_jpegs(pdf)) == 1
+    # the hardest grid spelling (r15 tail): offsets + odd-parity
+    # tile origins + code-block-misaligned band origins lift
+    # through the same PDF edge pixel-exactly
+    hard = MKG.encode_j2k(
+        _gray8(), levels=1, xcb=2, ycb=2, tiles=(6, 6),
+        offsets=(3, 1, 1, 0),
+    )
+    pdf = _jpx_xobject_pdf(hard, 8, 8)
+    got = _extract_pdf_jpegs(pdf)
+    assert len(got) == 1
+    w, h, nch, arr = _make_png_raster_decoder()(got[0])
+    assert (w, h, nch) == (8, 8, 1)
+    assert (arr[:, :, 0] == _gray8()).all()
     # malformed JPX payload declines; the PDF still parses
     pdf = _jpx_xobject_pdf(J2K_GRAY8_L1[:40], 8, 8)
     assert _extract_pdf_jpegs(pdf) == []
@@ -863,6 +876,28 @@ def test_external_crosscheck_band_conventions():
             _gray37x29(),
         ),
         (J2K_RGB24X16_MCT, _rgb24x16()),
+        # r15 additions: multi-tile with odd-parity/misaligned
+        # origins, image/tile offsets, and a COC override — pins
+        # the ABSOLUTE-coordinate anchoring (DWT parity, B-15 band
+        # rects, §B.7 code-block grids) against an external
+        # implementation, the exact class a symmetric in-repo
+        # misreading cannot catch
+        (
+            MKG.encode_j2k(_gray37x29(), levels=2, xcb=3, ycb=3,
+                           tiles=(12, 20)),
+            _gray37x29(),
+        ),
+        (
+            MKG.encode_j2k(_gray37x29(), levels=1, xcb=3, ycb=3,
+                           tiles=(8, 8), offsets=(5, 3, 2, 1)),
+            _gray37x29(),
+        ),
+        (
+            MKG.encode_j2k(_rgb24x16(), levels=2, mct=1,
+                           coc={1: dict(levels=1, xcb=3, ycb=3),
+                                2: dict(levels=1, xcb=3, ycb=3)}),
+            _rgb24x16(),
+        ),
     ):
         theirs = ext(blob)
         ours = decode_jp2(blob)
