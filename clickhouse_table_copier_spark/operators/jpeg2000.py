@@ -8,7 +8,11 @@ plus the lossy path photographic ``.jp2`` files in a crawl use
 quantization) OR irreversible 9/7 wavelet with scalar quantization —
 both the expounded (Sqcd style 2) and derived (style 1, §E.1.1 Eq
 E-5) spellings (§E.1/Annex F — r15), grayscale or RGB (RCT with 5/3,
-ICT with 9/7), 1-16 bit unsigned/signed samples, no subsampling,
+ICT with 9/7), 1-16 bit unsigned/signed samples, component
+subsampling with factors 1/2/4 (the 4:2:0 chroma spelling — each
+sample renders over its Rsiz x Rsiz reference-grid cell, the grid
+semantic; MCT requires uniform factors and the image origin must
+sit on a cell boundary — r15 tail),
 default precincts, any progression order, any layer count, code-block
 styles: default, RESET, TERMALL, vertically-causal, segmentation
 symbols, and selective arithmetic BYPASS (lazy raw passes, §D.4 —
@@ -19,7 +23,8 @@ styles, 9/7 spelled without quantization (and vice versa),
 POC/RGN/PPM/PPT overrides, TRUE multi-precinct grids (declared
 precinct sizes are accepted when each resolution fits one precinct,
 with the PPx-clamped effective code-block size), component counts
-other than 1/3.  Non-zero image/tile offsets are IN scope (r15
+other than 1/3, subsampling factors outside {1, 2, 4},
+subsampling-unaligned image origins, MCT over mixed grids.  Non-zero image/tile offsets are IN scope (r15
 tail): the image area [XOsiz, Xsiz) x [YOsiz, Ysiz) and the tile
 grid anchored at (XTOsiz, YTOsiz) place every tile on the reference
 grid, and because ALL geometry here is computed in absolute
@@ -768,7 +773,7 @@ class _Siz:
 
     __slots__ = (
         "w", "h", "x0", "y0", "xt", "yt", "xt0", "yt0",
-        "ncomp", "depths", "signed",
+        "ncomp", "depths", "signed", "rx", "ry",
     )
 
 
@@ -935,13 +940,32 @@ def parse_codestream(cs: bytes):
             if siz.w * siz.h * siz.ncomp > _MAX_SAMPLES:
                 raise Jp2Error("image too large")
             siz.depths, siz.signed = [], []
+            siz.rx, siz.ry = [], []
             for c in range(siz.ncomp):
                 if len(body) < 36 + 3 * (c + 1):
                     raise Jp2Error("truncated SIZ components")
                 ssiz = body[36 + 3 * c]
                 xr, yr = body[37 + 3 * c], body[38 + 3 * c]
-                if xr != 1 or yr != 1:
-                    raise Jp2Error("subsampling out of scope")
+                # component subsampling (r15 tail): a component's
+                # sample at (cx, cy) covers the reference-grid cell
+                # [cx*XRsiz, (cx+1)*XRsiz) x [...] — the 4:2:0
+                # chroma spelling.  Factors {1, 2, 4} with
+                # Rsiz-aligned offsets are in scope (rendering
+                # replicates each sample over its grid cell);
+                # anything else declines by name
+                if xr not in (1, 2, 4) or yr not in (1, 2, 4):
+                    raise Jp2Error("subsampling factor out of scope")
+                # the image-area ORIGIN must sit on a cell boundary
+                # or the first reference columns/rows have no
+                # covering sample (tile boundaries need no
+                # alignment — ceil-division partitions the samples;
+                # the far edge just crops the last cell)
+                if xo % xr or yo % yr:
+                    raise Jp2Error(
+                        "subsampling-unaligned offsets out of scope"
+                    )
+                siz.rx.append(xr)
+                siz.ry.append(yr)
                 siz.depths.append((ssiz & 0x7F) + 1)
                 siz.signed.append(bool(ssiz & 0x80))
                 if siz.depths[-1] > 16:
@@ -1349,12 +1373,17 @@ def decode_tile(siz: _Siz, cod: _Cod, csty, exps, mants, guard,
     precinct spans — anchors to absolute coordinates (B-14/B-15,
     §B.6/B.7, §F.3.8; review r15)."""
     # per-component decomposition geometry: level counts may differ
-    # (COC), so per-level rects are per component; rects_pc[c][k] is
-    # the LL_k rect, and the resolution-r grid is rects_pc[c][nl-r]
-    rects_pc = [
-        _tile_rects(x0, x1, y0, y1, csty[c].levels)
-        for c in range(siz.ncomp)
-    ]
+    # (COC) and subsampling divides the tile rect per component
+    # (B-12: tcx0 = ceil(tx0/XRsiz)), so per-level rects are per
+    # component; rects_pc[c][k] is the LL_k rect and the
+    # resolution-r grid is rects_pc[c][nl-r]
+    rects_pc = []
+    for c in range(siz.ncomp):
+        rx, ry = siz.rx[c], siz.ry[c]
+        rects_pc.append(_tile_rects(
+            -(-x0 // rx), -(-x1 // rx), -(-y0 // ry), -(-y1 // ry),
+            csty[c].levels,
+        ))
 
     def _eff_cb(c: int, r: int):
         """Effective code-block exponents for component c at
@@ -1644,9 +1673,17 @@ def decode_jp2(data: bytes) -> np.ndarray:
     # independent by construction — the DWT and all coding state
     # reset at tile boundaries)
     dtype = np.float64 if cod.transform == 0 else np.int32
+    # component planes live at COMPONENT resolution (subsampling
+    # divides dims); each is replicated over its grid cells after
+    # the (optional) MCT
+    cdims = []
+    for c in range(siz.ncomp):
+        rx, ry = siz.rx[c], siz.ry[c]
+        cw = -(-(siz.x0 + siz.w) // rx) - siz.x0 // rx
+        ch = -(-(siz.y0 + siz.h) // ry) - siz.y0 // ry
+        cdims.append((ch, cw))
     planes = [
-        np.zeros((siz.h, siz.w), dtype=dtype)
-        for _ in range(siz.ncomp)
+        np.zeros(cdims[c], dtype=dtype) for c in range(siz.ncomp)
     ]
     for t, tdata in enumerate(tiles):
         x0, y0, x1, y1 = _tile_rect(siz, t)
@@ -1654,10 +1691,16 @@ def decode_jp2(data: bytes) -> np.ndarray:
             siz, cod, csty, exps, mants, guard, tdata, x0, y0, x1, y1
         )
         for c in range(siz.ncomp):
-            # tile rects are absolute; the raster origin is the
-            # image-area offset (XOsiz, YOsiz)
-            planes[c][y0 - siz.y0 : y1 - siz.y0,
-                      x0 - siz.x0 : x1 - siz.x0] = tplanes[c]
+            # tile rects are absolute; component coords divide by
+            # the subsampling factor, and the plane origin is the
+            # image-area offset in component coords
+            rx, ry = siz.rx[c], siz.ry[c]
+            planes[c][
+                -(-y0 // ry) - siz.y0 // ry
+                : -(-y1 // ry) - siz.y0 // ry,
+                -(-x0 // rx) - siz.x0 // rx
+                : -(-x1 // rx) - siz.x0 // rx,
+            ] = tplanes[c]
     if cod.mct > 1:
         # reserved SGcod values: decline like prog/transform do —
         # treating them as no-MCT would emit Y/Cb/Cr as R/G/B
@@ -1666,6 +1709,11 @@ def decode_jp2(data: bytes) -> np.ndarray:
     if cod.mct == 1:
         if siz.ncomp != 3:
             raise Jp2Error("MCT with non-3 components")
+        if len(set(zip(siz.rx, siz.ry))) != 1:
+            # the component transform is per-sample: it needs the
+            # three planes on the same grid (§A.5.1/G) — mixed
+            # subsampling under MCT declines rather than resample
+            raise Jp2Error("MCT with mixed subsampling out of scope")
         y0, y1, y2 = planes
         if cod.transform == 1:
             g = y0 - ((y1 + y2) >> 2)  # inverse RCT (§G.3, reversible)
@@ -1704,6 +1752,14 @@ def decode_jp2(data: bytes) -> np.ndarray:
             q = (p * 255 // ((1 << depth) - 1)).astype(np.uint8)
         else:
             q = (p >> (depth - 8)).astype(np.uint8)
+        # subsampled components replicate over their reference-grid
+        # cells (each sample covers Rsiz x Rsiz cells; the far edge
+        # crops a partial last cell)
+        rx, ry = siz.rx[c], siz.ry[c]
+        if rx != 1 or ry != 1:
+            q = np.repeat(np.repeat(q, ry, 0), rx, 1)[
+                : siz.h, : siz.w
+            ]
         chans.append(q)
     if len(chans) == 1:
         return chans[0]

@@ -623,6 +623,8 @@ def encode_j2k(
     qcc: dict | None = None,
     coc: dict | None = None,
     offsets: tuple | None = None,
+    subsampling: list | None = None,
+    size: tuple | None = None,
 ) -> bytes:
     """Image (h, w) or (h, w, 3) of ``depth``-bit samples → full
     codestream.  ``signed`` (gray only): samples are already centered
@@ -649,38 +651,47 @@ def encode_j2k(
     resolution (§B.12), mirroring the decoder.  ``qcc`` overrides a
     component's quantization signalling: (eps, mu) pairs for 9/7
     (style 2) or bare eps ints for 5/3 (style 0) — required when a
-    COC raises a component's level count past what QCD covers."""
+    COC raises a component's level count past what QCD covers.
+
+    ``subsampling`` = per-component (XRsiz, YRsiz) list; ``img``
+    must then be a LIST of per-component arrays at COMPONENT dims
+    (sample (cx, cy) covers the reference cells
+    [cx*XRsiz, (cx+1)*XRsiz) x [...]), and ``size`` = (w, h) gives
+    the raster dims (inferable only when component 0 is
+    unsubsampled); MCT requires uniform factors."""
     shift = 0 if signed else 1 << (depth - 1)
+    if isinstance(img, (list, tuple)):
+        raw = list(img)
+    elif img.ndim == 2:
+        raw = [img]
+    else:
+        raw = [img[..., i] for i in range(img.shape[-1])]
     if transform == 0:
         assert quant is not None and len(quant) == 3 * levels + 1
-        if img.ndim == 2:
-            comps = [img.astype(np.float64) - shift]
-        else:
-            r = img[..., 0].astype(np.float64) - shift
-            g = img[..., 1].astype(np.float64) - shift
-            b = img[..., 2].astype(np.float64) - shift
-            if mct:
-                # forward ICT (G.1)
-                y = 0.299 * r + 0.587 * g + 0.114 * b
-                cb = (b - y) / 1.772
-                cr = (r - y) / 1.402
-                comps = [y, cb, cr]
-            else:
-                comps = [r, g, b]
-    elif img.ndim == 2:
-        comps = [img.astype(np.int32) - shift]  # DC level shift
+        comps = [a.astype(np.float64) - shift for a in raw]
+        if mct and len(comps) == 3:
+            r, g, b = comps
+            # forward ICT (G.1)
+            y = 0.299 * r + 0.587 * g + 0.114 * b
+            cb = (b - y) / 1.772
+            cr = (r - y) / 1.402
+            comps = [y, cb, cr]
     else:
         # DC level shift FIRST, then forward RCT (G.2) — the decoder
         # inverts in the opposite order (inverse RCT, then unshift)
-        r = img[..., 0].astype(np.int32) - shift
-        g = img[..., 1].astype(np.int32) - shift
-        b = img[..., 2].astype(np.int32) - shift
-        if mct:
+        comps = [a.astype(np.int32) - shift for a in raw]
+        if mct and len(comps) == 3:
+            r, g, b = comps
             comps = [(r + 2 * g + b) >> 2, b - g, r - g]  # Y, Cb, Cr
-        else:
-            comps = [r, g, b]
     ncomp = len(comps)
-    h, w = comps[0].shape
+    subs = subsampling or [(1, 1)] * ncomp
+    if mct:
+        assert len(set(subs)) == 1, "MCT needs uniform subsampling"
+    if size is not None:
+        w, h = size
+    else:
+        assert subs[0] == (1, 1), "size= required when comp 0 subsamples"
+        h, w = comps[0].shape
 
     # per-subband exponents: eps = depth + gain (LL 0, HL/LH 1, HH 2)
     # for the unquantized 5/3 path; the caller's eps for 9/7
@@ -727,7 +738,11 @@ def encode_j2k(
         all_bands = []  # [comp][res] -> list of band dicts
         for ci, c in enumerate(tile_comps):
             lv, _, _, cst, _ = _cparam(ci)
-            rects = _tile_rects(tx0, tx1, ty0, ty1, lv)
+            rx_, ry_ = subs[ci]
+            rects = _tile_rects(
+                -(-tx0 // rx_), -(-tx1 // rx_),
+                -(-ty0 // ry_), -(-ty1 // ry_), lv,
+            )
             # single precinct per resolution on the ABSOLUTE grid
             # (the precinct partition anchors at (0, 0), B.6) —
             # checked only for DEFAULT precincts: an explicit
@@ -742,7 +757,9 @@ def encode_j2k(
                 ql = _comp_quant(ci)
                 assert len(ql) >= 3 * lv + 1
                 cexps = [e for e, _ in ql]
-                llf, bandsf = forward_dwt97(c, lv, tx0, ty0)
+                llf, bandsf = forward_dwt97(
+                    c, lv, -(-tx0 // rx_), -(-ty0 // ry_)
+                )
                 ll = _quantize(llf, 0, 0, ql)
                 bands = [
                     tuple(
@@ -761,7 +778,9 @@ def encode_j2k(
                     cexps = [depth] + [depth + g_ for _ in range(lv)
                                        for g_ in (1, 1, 2)]
                 assert len(cexps) >= 3 * lv + 1
-                ll, bands = forward_dwt53(c, lv, tx0, ty0)
+                ll, bands = forward_dwt53(
+                    c, lv, -(-tx0 // rx_), -(-ty0 // ry_)
+                )
             res_list = []
             mb = guard + cexps[0] - 1
             ex0, ey0 = eff_cb(ci, 0)
@@ -898,10 +917,16 @@ def encode_j2k(
         ty0 = max(gy0 + ty_ * yt, iy0)
         tx1 = min(gx0 + (tx_ + 1) * xt, xs)
         ty1 = min(gy0 + (ty_ + 1) * yt, ys)
-        sub = [
-            c[ty0 - iy0 : ty1 - iy0, tx0 - ix0 : tx1 - ix0]
-            for c in comps
-        ]
+        sub = []
+        for ci, c in enumerate(comps):
+            rx_, ry_ = subs[ci]
+            assert ix0 % rx_ == 0 and iy0 % ry_ == 0, \
+                "image origin must align with subsampling"
+            cx0, cy0 = ix0 // rx_, iy0 // ry_
+            sub.append(c[
+                -(-ty0 // ry_) - cy0 : -(-ty1 // ry_) - cy0,
+                -(-tx0 // rx_) - cx0 : -(-tx1 // rx_) - cx0,
+            ])
         bodies.append(_tile_body(sub, tx0, ty0, tx1, ty1))
 
     # markers
@@ -910,8 +935,11 @@ def encode_j2k(
         ">HHIIIIIIIIH", 38 + 3 * ncomp, 0, xs, ys, ix0, iy0, xt, yt,
         gx0, gy0, ncomp,
     )
-    for _ in range(ncomp):
-        siz += bytes([(depth - 1) | (0x80 if signed else 0), 1, 1])
+    for ci in range(ncomp):
+        siz += bytes([
+            (depth - 1) | (0x80 if signed else 0),
+            subs[ci][0], subs[ci][1],
+        ])
     out += b"\xff\x51" + siz
     scod = (2 if sop else 0) | (4 if eph else 0)
     if precincts is not None:

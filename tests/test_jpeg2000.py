@@ -323,9 +323,10 @@ def test_out_of_scope_declines():
     # zero tile size
     with pytest.raises(Jp2Error, match="tile size"):
         parse_codestream(_patch(g, siz_at + 25, 0x00))
-    # subsampling
+    # subsampling factor outside {1, 2, 4} (factors 1/2/4 are in
+    # scope since the r15 tail)
     with pytest.raises(Jp2Error, match="subsampling"):
-        parse_codestream(_patch(g, siz_at + 42, 2))
+        parse_codestream(_patch(g, siz_at + 42, 3))
     # every decline comes back as None from the API edge
     for idx, val in (
         (cod_at + 13, 2), (qcd_at + 4, 0x41), (qcd_at + 4, 0x42),
@@ -1919,3 +1920,127 @@ def test_meta_dims_sentinel_for_bad_offsets():
     b[siz_at + 4 + 10 : siz_at + 4 + 14] = (99).to_bytes(4, "big")
     fmt, w, h = _make_decode_one()(bytes(b))
     assert (fmt, w, h) == ("jp2", -1, -1)
+
+
+# --------------------------------------------------------------------
+# component subsampling (§A.5.1 XRsiz/YRsiz, r15 tail): a sample at
+# (cx, cy) covers the reference cells [cx*Rx, (cx+1)*Rx) x [...] —
+# the 4:2:0 chroma spelling.  Factors {1,2,4}; rendering replicates
+# each sample over its cell (the grid semantic, not an interpolation
+# choice); MCT requires uniform factors; the image-area origin must
+# sit on a cell boundary.
+
+
+def test_subsampling_420_exact():
+    """Luma full-res + chroma at half-res decode with exact
+    replication, including ragged (odd) raster edges where the last
+    cell crops, and tile boundaries NOT aligned to the factor
+    (ceil-division partitions the component samples)."""
+    rng = np.random.default_rng(51)
+    luma = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    cb = rng.integers(0, 256, (8, 12), dtype=np.uint8)
+    cr = rng.integers(0, 256, (8, 12), dtype=np.uint8)
+    sub = [(1, 1), (2, 2), (2, 2)]
+    exp_cb = np.repeat(np.repeat(cb, 2, 0), 2, 1)
+    exp_cr = np.repeat(np.repeat(cr, 2, 0), 2, 1)
+    blob = MKG.encode_j2k(
+        [luma, cb, cr], levels=1, xcb=3, ycb=3, subsampling=sub
+    )
+    out = decode_jp2(blob)
+    assert out.shape == (16, 24, 3)
+    assert (out[..., 0] == luma).all()
+    assert (out[..., 1] == exp_cb).all()
+    assert (out[..., 2] == exp_cr).all()
+    # ragged raster edge: 15x23 crops the chroma's last cells
+    luma2 = rng.integers(0, 256, (15, 23), dtype=np.uint8)
+    cb2 = rng.integers(0, 256, (8, 12), dtype=np.uint8)
+    blob = MKG.encode_j2k(
+        [luma2, cb2, cb2], levels=1, xcb=3, ycb=3, subsampling=sub
+    )
+    out = decode_jp2(blob)
+    assert out.shape == (15, 23, 3)
+    assert (out[..., 0] == luma2).all()
+    assert (
+        out[..., 1]
+        == np.repeat(np.repeat(cb2, 2, 0), 2, 1)[:15, :23]
+    ).all()
+    # tile boundary at x=9 (odd, not a multiple of the factor)
+    blob = MKG.encode_j2k(
+        [luma, cb, cr], levels=1, xcb=3, ycb=3, tiles=(9, 10),
+        subsampling=sub,
+    )
+    out = decode_jp2(blob)
+    assert (out[..., 0] == luma).all()
+    assert (out[..., 1] == exp_cb).all()
+
+
+def test_subsampling_uniform_with_mct_and_factor4():
+    """Uniform 2x2 subsampling runs the RCT at component resolution
+    then replicates; a single gray component at factor 4 replicates
+    4x4 per sample (size= gives the raster dims)."""
+    rng = np.random.default_rng(52)
+    half = [
+        rng.integers(0, 256, (8, 12), dtype=np.uint8)
+        for _ in range(3)
+    ]
+    blob = MKG.encode_j2k(
+        half, levels=1, mct=1, size=(24, 16),
+        subsampling=[(2, 2)] * 3,
+    )
+    out = decode_jp2(blob)
+    for i in range(3):
+        assert (
+            out[..., i] == np.repeat(np.repeat(half[i], 2, 0), 2, 1)
+        ).all()
+    g4 = rng.integers(0, 256, (4, 6), dtype=np.uint8)
+    blob = MKG.encode_j2k(
+        [g4], levels=1, size=(24, 16), subsampling=[(4, 4)]
+    )
+    assert (
+        decode_jp2(blob) == np.repeat(np.repeat(g4, 4, 0), 4, 1)
+    ).all()
+
+
+def test_subsampling_with_aligned_offsets():
+    """Offsets compose with subsampling when the image origin sits
+    on a cell boundary; an unaligned origin declines by name."""
+    rng = np.random.default_rng(53)
+    luma = rng.integers(0, 256, (8, 12), dtype=np.uint8)
+    ch = rng.integers(0, 256, (4, 6), dtype=np.uint8)
+    blob = MKG.encode_j2k(
+        [luma, ch, ch], levels=1, xcb=3, ycb=3,
+        subsampling=[(1, 1), (2, 2), (2, 2)], offsets=(4, 2, 4, 2),
+    )
+    out = decode_jp2(blob)
+    assert (out[..., 0] == luma).all()
+    assert (out[..., 1] == np.repeat(np.repeat(ch, 2, 0), 2, 1)).all()
+    # patch XOsiz 4 -> 5: unaligned with the chroma factor
+    siz_at = blob.index(b"\xff\x51")
+    bad = bytearray(blob)
+    bad[siz_at + 4 + 10 : siz_at + 4 + 14] = (5).to_bytes(4, "big")
+    with pytest.raises(Jp2Error, match="unaligned"):
+        parse_codestream(bytes(bad))
+    assert decode_jp2_pdf(bytes(bad)) is None
+
+
+def test_subsampling_decline_matrix():
+    """Reserved factors and MCT-over-mixed-grids decline by name."""
+    rng = np.random.default_rng(54)
+    luma = rng.integers(0, 256, (8, 12), dtype=np.uint8)
+    ch = rng.integers(0, 256, (4, 6), dtype=np.uint8)
+    blob = MKG.encode_j2k(
+        [luma, ch, ch], levels=1, xcb=3, ycb=3,
+        subsampling=[(1, 1), (2, 2), (2, 2)],
+    )
+    siz_at = blob.index(b"\xff\x51")
+    # component 0's XRsiz byte -> 3 (out of the {1,2,4} scope)
+    bad = _patch(blob, siz_at + 4 + 37, 3)
+    with pytest.raises(Jp2Error, match="factor"):
+        parse_codestream(bad)
+    assert decode_jp2_pdf(bad) is None
+    # SGcod MCT flipped on over the mixed grid
+    cod_at = blob.index(b"\xff\x52")
+    bad = _patch(blob, cod_at + 8, 1)
+    with pytest.raises(Jp2Error, match="mixed subsampling"):
+        decode_jp2(bad)
+    assert decode_jp2_pdf(bad) is None
