@@ -24,7 +24,8 @@ POC/RGN/PPM/PPT overrides, TRUE multi-precinct grids (declared
 precinct sizes are accepted when each resolution fits one precinct,
 with the PPx-clamped effective code-block size), component counts
 other than 1/3, subsampling factors outside {1, 2, 4},
-subsampling-unaligned image origins, MCT over mixed grids.  Non-zero image/tile offsets are IN scope (r15
+subsampling-unaligned image origins, MCT over mixed grids.
+Non-zero image/tile offsets are IN scope (r15
 tail): the image area [XOsiz, Xsiz) x [YOsiz, Ysiz) and the tile
 grid anchored at (XTOsiz, YTOsiz) place every tile on the reference
 grid, and because ALL geometry here is computed in absolute
@@ -1163,6 +1164,12 @@ def parse_codestream(cs: bytes):
         pos += ln
     if siz is None or cod is None or (exps is None and qderived is None):
         raise Jp2Error("missing SIZ/COD/QCD")
+    if cod.mct == 1 and len(set(zip(siz.rx, siz.ry))) != 1:
+        # the component transform is per-sample: it needs the three
+        # planes on the same grid (§A.5.1/G) — declined at PARSE
+        # time so a crafted stream cannot buy a full tier-1 decode
+        # before the decline (review r15)
+        raise Jp2Error("MCT with mixed subsampling out of scope")
     if not tile_parts:
         raise Jp2Error("no tile data")
 
@@ -1263,6 +1270,14 @@ def _ecnt(a0: int, a1: int) -> int:
     """Count of EVEN integers in [a0, a1) — the lowpass sample count
     of that span (B-15)."""
     return -(-a1 // 2) - (-(-a0 // 2))
+
+
+def _comp_span(v0: int, v1: int, r: int):
+    """Project an absolute reference-grid span onto a component's
+    coordinate axis (B-12: ceil-division by the subsampling factor)
+    — ONE definition shared by the tile geometry, the plane dims
+    and the stitching slices so they can never drift."""
+    return -(-v0 // r), -(-v1 // r)
 
 
 def _cblk_grid(o: int, span: int, exp: int):
@@ -1379,11 +1394,11 @@ def decode_tile(siz: _Siz, cod: _Cod, csty, exps, mants, guard,
     # resolution-r grid is rects_pc[c][nl-r]
     rects_pc = []
     for c in range(siz.ncomp):
-        rx, ry = siz.rx[c], siz.ry[c]
-        rects_pc.append(_tile_rects(
-            -(-x0 // rx), -(-x1 // rx), -(-y0 // ry), -(-y1 // ry),
-            csty[c].levels,
-        ))
+        ca0, ca1 = _comp_span(x0, x1, siz.rx[c])
+        cb0, cb1 = _comp_span(y0, y1, siz.ry[c])
+        rects_pc.append(
+            _tile_rects(ca0, ca1, cb0, cb1, csty[c].levels)
+        )
 
     def _eff_cb(c: int, r: int):
         """Effective code-block exponents for component c at
@@ -1677,11 +1692,12 @@ def decode_jp2(data: bytes) -> np.ndarray:
     # divides dims); each is replicated over its grid cells after
     # the (optional) MCT
     cdims = []
+    corigin = []
     for c in range(siz.ncomp):
-        rx, ry = siz.rx[c], siz.ry[c]
-        cw = -(-(siz.x0 + siz.w) // rx) - siz.x0 // rx
-        ch = -(-(siz.y0 + siz.h) // ry) - siz.y0 // ry
-        cdims.append((ch, cw))
+        ca0, ca1 = _comp_span(siz.x0, siz.x0 + siz.w, siz.rx[c])
+        cb0, cb1 = _comp_span(siz.y0, siz.y0 + siz.h, siz.ry[c])
+        cdims.append((cb1 - cb0, ca1 - ca0))
+        corigin.append((ca0, cb0))
     planes = [
         np.zeros(cdims[c], dtype=dtype) for c in range(siz.ncomp)
     ]
@@ -1691,16 +1707,15 @@ def decode_jp2(data: bytes) -> np.ndarray:
             siz, cod, csty, exps, mants, guard, tdata, x0, y0, x1, y1
         )
         for c in range(siz.ncomp):
-            # tile rects are absolute; component coords divide by
-            # the subsampling factor, and the plane origin is the
-            # image-area offset in component coords
-            rx, ry = siz.rx[c], siz.ry[c]
-            planes[c][
-                -(-y0 // ry) - siz.y0 // ry
-                : -(-y1 // ry) - siz.y0 // ry,
-                -(-x0 // rx) - siz.x0 // rx
-                : -(-x1 // rx) - siz.x0 // rx,
-            ] = tplanes[c]
+            # tile rects are absolute; component coords project
+            # through the SAME _comp_span the tile geometry used,
+            # relative to the plane origin
+            ta0, ta1 = _comp_span(x0, x1, siz.rx[c])
+            tb0, tb1 = _comp_span(y0, y1, siz.ry[c])
+            ox, oy = corigin[c]
+            planes[c][tb0 - oy : tb1 - oy, ta0 - ox : ta1 - ox] = (
+                tplanes[c]
+            )
     if cod.mct > 1:
         # reserved SGcod values: decline like prog/transform do —
         # treating them as no-MCT would emit Y/Cb/Cr as R/G/B
@@ -1709,11 +1724,7 @@ def decode_jp2(data: bytes) -> np.ndarray:
     if cod.mct == 1:
         if siz.ncomp != 3:
             raise Jp2Error("MCT with non-3 components")
-        if len(set(zip(siz.rx, siz.ry))) != 1:
-            # the component transform is per-sample: it needs the
-            # three planes on the same grid (§A.5.1/G) — mixed
-            # subsampling under MCT declines rather than resample
-            raise Jp2Error("MCT with mixed subsampling out of scope")
+        # mixed subsampling under MCT declined at parse time
         y0, y1, y2 = planes
         if cod.transform == 1:
             g = y0 - ((y1 + y2) >> 2)  # inverse RCT (§G.3, reversible)

@@ -568,6 +568,11 @@ def _numpasses_code(bw, n):
         bw.bits(n - 37, 7)
 
 
+def _comp_span(v0, v1, r):
+    """Absolute span -> component axis (B-12 ceil-division)."""
+    return -(-v0 // r), -(-v1 // r)
+
+
 def _tile_rects(x0, x1, y0, y1, levels):
     """Per-level ABSOLUTE rects (index k = LL_k rect, B-14): each
     level halves both edges by ceil."""
@@ -739,10 +744,9 @@ def encode_j2k(
         for ci, c in enumerate(tile_comps):
             lv, _, _, cst, _ = _cparam(ci)
             rx_, ry_ = subs[ci]
-            rects = _tile_rects(
-                -(-tx0 // rx_), -(-tx1 // rx_),
-                -(-ty0 // ry_), -(-ty1 // ry_), lv,
-            )
+            ca0, ca1 = _comp_span(tx0, tx1, rx_)
+            cb0, cb1 = _comp_span(ty0, ty1, ry_)
+            rects = _tile_rects(ca0, ca1, cb0, cb1, lv)
             # single precinct per resolution on the ABSOLUTE grid
             # (the precinct partition anchors at (0, 0), B.6) —
             # checked only for DEFAULT precincts: an explicit
@@ -757,9 +761,7 @@ def encode_j2k(
                 ql = _comp_quant(ci)
                 assert len(ql) >= 3 * lv + 1
                 cexps = [e for e, _ in ql]
-                llf, bandsf = forward_dwt97(
-                    c, lv, -(-tx0 // rx_), -(-ty0 // ry_)
-                )
+                llf, bandsf = forward_dwt97(c, lv, ca0, cb0)
                 ll = _quantize(llf, 0, 0, ql)
                 bands = [
                     tuple(
@@ -778,9 +780,7 @@ def encode_j2k(
                     cexps = [depth] + [depth + g_ for _ in range(lv)
                                        for g_ in (1, 1, 2)]
                 assert len(cexps) >= 3 * lv + 1
-                ll, bands = forward_dwt53(
-                    c, lv, -(-tx0 // rx_), -(-ty0 // ry_)
-                )
+                ll, bands = forward_dwt53(c, lv, ca0, cb0)
             res_list = []
             mb = guard + cexps[0] - 1
             ex0, ey0 = eff_cb(ci, 0)
@@ -922,11 +922,12 @@ def encode_j2k(
             rx_, ry_ = subs[ci]
             assert ix0 % rx_ == 0 and iy0 % ry_ == 0, \
                 "image origin must align with subsampling"
+            ta0, ta1 = _comp_span(tx0, tx1, rx_)
+            tb0, tb1 = _comp_span(ty0, ty1, ry_)
             cx0, cy0 = ix0 // rx_, iy0 // ry_
-            sub.append(c[
-                -(-ty0 // ry_) - cy0 : -(-ty1 // ry_) - cy0,
-                -(-tx0 // rx_) - cx0 : -(-tx1 // rx_) - cx0,
-            ])
+            sub.append(
+                c[tb0 - cy0 : tb1 - cy0, ta0 - cx0 : ta1 - cx0]
+            )
         bodies.append(_tile_body(sub, tx0, ty0, tx1, ty1))
 
     # markers

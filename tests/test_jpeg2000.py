@@ -899,9 +899,30 @@ def test_external_crosscheck_band_conventions():
                                 2: dict(levels=1, xcb=3, ycb=3)}),
             _rgb24x16(),
         ),
+        # 4:2:0 subsampling (pins the B-12 ceil-division and the
+        # replication rendering against an external reading)
+        (
+            MKG.encode_j2k(
+                [_rgb24x16()[..., 0], _rgb24x16()[::2, ::2, 1],
+                 _rgb24x16()[::2, ::2, 2]],
+                levels=1, xcb=3, ycb=3,
+                subsampling=[(1, 1), (2, 2), (2, 2)],
+            ),
+            None,  # external decoders may upsample differently;
+                   # compare the unsubsampled luma plane only
+        ),
     ):
         theirs = ext(blob)
         ours = decode_jp2(blob)
+        if img is None:
+            # subsampled stream: chroma upsampling is a renderer
+            # choice, but the FULL-RES component must agree exactly
+            # (and a B-12 floor-vs-ceil misreading would corrupt
+            # the whole decode, luma included)
+            t = theirs if theirs.ndim == 2 else theirs[..., 0]
+            assert t.shape == ours[..., 0].shape, name
+            assert (t == ours[..., 0]).all(), name
+            continue
         assert theirs.shape == ours.shape, name
         assert (theirs == ours).all(), name
         assert (ours == img).all()
@@ -2044,3 +2065,49 @@ def test_subsampling_decline_matrix():
     with pytest.raises(Jp2Error, match="mixed subsampling"):
         decode_jp2(bad)
     assert decode_jp2_pdf(bad) is None
+
+
+def test_subsampling_asymmetric_and_97():
+    """4:2:2-style ASYMMETRIC factors pin the axis order of the
+    replication and rect math (an rx/ry swap decodes transposed and
+    fails loudly here), and the 9/7 float path runs the same
+    component geometry."""
+    rng = np.random.default_rng(55)
+    luma = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    # (2, 1): half horizontal resolution only
+    ch_h = rng.integers(0, 256, (16, 12), dtype=np.uint8)
+    blob = MKG.encode_j2k(
+        [luma, ch_h, ch_h], levels=1, xcb=3, ycb=3,
+        subsampling=[(1, 1), (2, 1), (2, 1)],
+    )
+    out = decode_jp2(blob)
+    assert (out[..., 0] == luma).all()
+    assert (out[..., 1] == np.repeat(ch_h, 2, 1)).all()
+    # (1, 2): half vertical resolution only
+    ch_v = rng.integers(0, 256, (8, 24), dtype=np.uint8)
+    blob = MKG.encode_j2k(
+        [luma, ch_v, ch_v], levels=1, xcb=3, ycb=3,
+        subsampling=[(1, 1), (1, 2), (1, 2)],
+    )
+    out = decode_jp2(blob)
+    assert (out[..., 1] == np.repeat(ch_v, 2, 0)).all()
+    # (2, 4): mixed factors on one component
+    ch_m = rng.integers(0, 256, (4, 12), dtype=np.uint8)
+    blob = MKG.encode_j2k(
+        [luma, ch_m, ch_m], levels=1, xcb=3, ycb=3,
+        subsampling=[(1, 1), (2, 4), (2, 4)],
+    )
+    out = decode_jp2(blob)
+    assert (
+        out[..., 1] == np.repeat(np.repeat(ch_m, 4, 0), 2, 1)
+    ).all()
+    # 9/7 with 4:2:0 and fine quantization stays byte-exact
+    cb = rng.integers(0, 256, (8, 12), dtype=np.uint8)
+    blob = MKG.encode_j2k(
+        [luma, cb, cb], levels=1, xcb=3, ycb=3, transform=0,
+        quant=MKG.quant97(1, 8),
+        subsampling=[(1, 1), (2, 2), (2, 2)],
+    )
+    out = decode_jp2(blob)
+    assert (out[..., 0] == luma).all()
+    assert (out[..., 1] == np.repeat(np.repeat(cb, 2, 0), 2, 1)).all()
