@@ -62,16 +62,23 @@ _J2K_53 = bytes.fromhex(
     "0000000000440001ff93df808811f708b52ec99d9ea937d2146191ba9447cfc02a1f504c"
     "7e00c0230f80ba296a5926e0bf1e83aebdc4e4733ae91e86fc52597fffd9"
 )
-# The SAME 8x8 gradient through the irreversible 9/7 + scalar-
-# expounded quantization path (fine steps — decodes byte-exactly;
-# scripts/make_jpeg2000_golden.py r15)
+# The 8x8 gradient as the LUMA of a 4:2:0-SUBSAMPLED RGB stream
+# through the irreversible 9/7 + scalar-expounded quantization path
+# (fine steps — luma decodes byte-exactly and chroma replicates
+# over its cells; upgraded r15 tail from the plain gray 9/7 blob so
+# the driver row covers lossy + subsampling in one class;
+# scripts/make_jpeg2000_golden.py)
 _J2K_97 = bytes.fromhex(
-    "ff4fff510029000000000008000000080000000000000000000000080000000800000000"
-    "000000000001070101ff52000c00000001000100000000ff5c000b426000680068007000"
-    "ff90000a0000000000760001ff93cfe46c10f4e31df6f52d426430e0790bdb7137f62c36"
-    "12dc2ae0b0acf15fcff02f0fd85a3fc0a0230dfdc52bfde5910adf553e85bdb932a23c1d"
-    "b97439c61e82aa0c0eb4cd783687b9adf6dd63d923dca4bf8baf1e86fc4c21bc9a3ad2b2"
-    "faec6bbc5add4cf70df6ffd9"
+    "ff4fff51002f000000000008000000080000000000000000000000080000000800000000"
+    "000000000003070101070202070202ff52000c00000001000100000000ff5c000b428000"
+    "880088009000ff90000a0000000000f70001ff93cffc308c10f4e31df6f52d444b796e8d"
+    "38dcd2ae84965241f8b77046bb27db5cdd8a246ed7d21fcffc302406624008201379f662"
+    "c3ff0004000b9c5e5003d08085cffc48821ff830fc7fe24360230dfdc52bfde5910adf55"
+    "3e85bdb932a23c1db9e75135b9596f6da9bca8193f1e82aa0c0eb4cd783687b9adf6dd63"
+    "d923dcae9bf72759a1df25cf85f4a37f1e86fc4c21bc9a3ad2b2faec6bbf0100e94e5356"
+    "3b396145f2594bc0ff00787fe0c1200d002a7d0d02aa0b3c973e84c1502b7fc7fe18153f"
+    "f120a9ff4602800e432682ddc599cdae7f04e2c423f5f07530452f0e70b1af64a1da47f9"
+    "47ffd9"
 )
 # JBIG2 embedded stream of the 38x29 cell-3 checker (scripts/
 # make_jbig2_golden.py, pinned in tests/test_jbig2.py); segments:

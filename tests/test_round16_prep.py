@@ -88,7 +88,11 @@ def test_prep16_planted_spellings_decode_as_declared():
 
     base = decode_jp2_pdf(_J2K_53)
     assert base is not None and base.shape == (8, 8)
-    assert (decode_jp2_pdf(_J2K_97) == base).all()  # fine quant: exact
+    # the lossy plant is 4:2:0-subsampled RGB whose LUMA is the
+    # same gradient (fine quant: luma byte-exact)
+    lossy = decode_jp2_pdf(_J2K_97)
+    assert lossy.shape == (8, 8, 3)
+    assert (lossy[..., 0] == base).all()
     assert (decode_jp2_pdf(_JP2_BOXED) == base).all()
     assert (decode_jp2_pdf(_JP2_XLBOX) == base).all()
     assert (decode_jp2_pdf(_J2K_TILED) == base).all()  # 2x2 grid
