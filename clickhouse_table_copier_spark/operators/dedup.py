@@ -149,9 +149,11 @@ def minhash_signatures(
         % MINHASH_P
     )
     withbase = ex.select(F.col(id_col), base.alias("__h"))
+    # each permutation's min-agg as ONE parsed SQL expression (same
+    # bigint arithmetic; L-suffixed literals pin the types F.lit chose)
     aggs = [
-        F.min(
-            (F.col("__h") * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i])) % MINHASH_P
+        F.expr(
+            f"min(((__h * {MINHASH_A[i]}L) + {MINHASH_B[i]}L) % {MINHASH_P}L)"
         ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
@@ -169,14 +171,16 @@ def lsh_candidate_pairs(
     (boilerplate docs) are exactly what AQE skew-join splits.
     """
     r = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"h{b * r + j}").cast("string") for j in range(r)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *parts)).alias("band_key"))
-        )
+    # the banded struct array as ONE parsed SQL expression (same casts,
+    # same concat_ws/md5 — ~10 Py4J round-trips per band saved)
+    band_array = "array(" + ",".join(
+        f"struct({b} AS band_idx, md5(concat_ws('|', "
+        + ", ".join(f"CAST(h{b * r + j} AS STRING)" for j in range(r))
+        + ")) AS band_key)"
+        for b in range(bands)
+    ) + ")"
     banded = (
-        sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("band"))
+        sigs.select(F.col(id_col), F.explode(F.expr(band_array)).alias("band"))
         .select(id_col, "band.band_idx", "band.band_key")
         .persist()  # the self-join would otherwise recompute the whole
         # minhash pipeline (shingle explode + 8 min-aggs) once per side
@@ -414,7 +418,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
         ).alias("tok"),
     )
     # md5 hex computed ONCE per token; big-endian prefix → 32-bit chunks
-    # (chunk j covers bits 32j..32j+31, counted from the LSB of the prefix)
+    # (chunk j covers bits 32j..32j+31, counted from the LSB of the prefix).
+    # All per-bit expression lists are built as parsed SQL text, not
+    # chained Column ops: the former shape spent ~300 Py4J round-trips
+    # (~0.6 s of pure driver time per call) assembling the same tree
+    # (the ranks.py lesson — build SQL text in wide driver loops).
     hashed = toks.select(F.col(id_col), F.md5(F.col("tok")).alias("hx"))
     chunk_cols = []
     for j in range((bits + 31) // 32):
@@ -427,16 +435,17 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
         )
     chunked = hashed.select(F.col(id_col), *chunk_cols)
     ones = [
-        F.sum(F.expr(f"shiftright(c{b // 32}, {b % 32}) % 2")).alias(f"o{b}")
+        F.expr(f"sum(shiftright(c{b // 32}, {b % 32}) % 2)").alias(f"o{b}")
         for b in range(bits)
     ]
     agg = chunked.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"), *ones)
-    sig = F.lit(0).cast("bigint")
-    for b in range(bits):
-        sig = sig + F.when(
-            F.col(f"o{b}") * 2 > F.col("n"),
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), {b})"),
-        ).otherwise(F.lit(0).cast("bigint"))
+    sig = F.expr(
+        "CAST(0 AS BIGINT) + "
+        + " + ".join(
+            f"if(o{b} * 2 > n, shiftleft(CAST(1 AS BIGINT), {b}), CAST(0 AS BIGINT))"
+            for b in range(bits)
+        )
+    )
     return agg.select(F.col(id_col), sig.alias("simhash"))
 
 

@@ -19,11 +19,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from clickhouse_table_copier_spark.operators.similarity import cosine
+from clickhouse_table_copier_spark.operators.similarity import _vec_literal, cosine
 
 
 def _sq_dist(vec_col: Column, centroid: list[float]) -> Column:
-    c = F.array(*[F.lit(float(x)) for x in centroid])
+    # centroid literal as ONE parsed SQL expression (not dim × F.lit
+    # Py4J round-trips) — values bit-identical, see _vec_literal
+    c = _vec_literal(centroid)
     return F.aggregate(
         F.zip_with(vec_col, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
         F.lit(0.0),
@@ -42,7 +44,16 @@ def _nearest_cell(vec_col: Column, centroids: list[list[float]]) -> Column:
     centroids ride along as a literal 2-D array iterated by ONE
     transform — one fold template in codegen, k-independent plan size;
     fold order per centroid is unchanged, so values are bit-identical."""
-    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    # k × dim literal matrix as ONE parsed SQL expression: the nested
+    # F.array/F.lit form cost k·dim Py4J round-trips (~1 s of driver
+    # time at 8×64 per call) before any execution started
+    cents = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")" for c in centroids
+        )
+        + ")"
+    )
     return F.array_min(
         F.transform(
             cents,
@@ -197,7 +208,7 @@ def probe_cells(
 def _score_topk(
     cand: DataFrame, query_vec: list[float], k: int, id_col: str, vec_col: str
 ) -> DataFrame:
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _vec_literal(query_vec)
     scored = cand.select(
         F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim")
     )

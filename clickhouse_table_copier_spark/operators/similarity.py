@@ -50,6 +50,20 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _vec_literal(vec: list[float]) -> Column:
+    """array<double> literal built as ONE parsed SQL expression.
+
+    ``F.array(*[F.lit(x) …])`` costs one Py4J round-trip per element —
+    ~2 ms each, so a 64-dim query vector spends ~130 ms of pure driver
+    time before any work starts (the ranks.py lesson: build SQL text,
+    not Column trees, in wide driver loops). ``repr(float)`` is the
+    shortest round-tripping decimal and Spark's double-literal parser
+    (Java ``parseDouble``) is correctly rounding, so the parsed values
+    are bit-identical to the ``F.lit`` path.
+    """
+    return F.expr("array(" + ",".join(f"{float(v)!r}D" for v in vec) + ")")
+
+
 def brute_force_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -63,7 +77,7 @@ def brute_force_topk(
     Rounded to 6 decimals for stable cross-engine ordering; both engines
     round half-away-from-zero (verified), and random embeddings don't tie.
     """
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = _vec_literal(query_vec)
     scored = df.select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
@@ -146,30 +160,32 @@ def hyperplane_lsh_buckets(
 
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    v = F.col(vec_col)
-    bucket = F.lit(0).cast("bigint")
+    # ONE parsed SQL expression for the whole bucket id. The fold keeps
+    # the same left-to-right evaluation order as an unrolled
+    # `s0*x0 + s1*x1 + …` chain, so results are bit-identical to the
+    # oracle's explicit chain while the execution is a compact loop
+    # instead of a 512-node expression tree — and building it as SQL
+    # text instead of per-element F.lit/F.when Column calls removes
+    # ~(planes × dim) Py4J round-trips (~1 s of pure driver time per
+    # call at 8×64; the ranks.py lesson).
+    plane_terms = []
     for p in range(num_planes):
-        signs = F.array(
-            *[
-                F.lit(
-                    1.0
-                    if int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0], 16) % 2 == 0
-                    else -1.0
-                )
-                for d in range(dim)
-            ]
+        signs = ",".join(
+            "1.0D"
+            if int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0], 16) % 2 == 0
+            else "-1.0D"
+            for d in range(dim)
         )
-        # left-to-right fold over dimensions — the same evaluation order as
-        # an unrolled `s0*x0 + s1*x1 + …` chain, so results are
-        # bit-identical to the oracle's explicit chain, but the codegen is
-        # a compact loop instead of a 512-node expression tree.
-        dot_p = F.aggregate(
-            F.zip_with(signs, v, lambda s, x: s * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        dot_p = (
+            f"aggregate(zip_with(array({signs}), `{vec_col}`, "
+            f"(s, x) -> s * CAST(x AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
         )
-        bucket = bucket + F.when(dot_p > 0, F.lit(2**p)).otherwise(F.lit(0))
-    return df.select(F.col(id_col), v.alias(vec_col), bucket.alias("bucket"))
+        # same null/threshold semantics as when(dot_p > 0, 2^p).otherwise(0)
+        plane_terms.append(f"if({dot_p} > 0, {2 ** p}L, 0L)")
+    bucket = F.expr(
+        "CAST(0 AS BIGINT) + " + " + ".join(plane_terms)
+    )
+    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
 def lsh_topk(
@@ -201,7 +217,7 @@ def lsh_topk(
             qb += 2**p
     probe = [qb] + [qb ^ (1 << p) for p in range(num_planes)]
 
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _vec_literal(query_vec)
     cand = buckets.where(F.col("bucket").isin(probe))
     scored = cand.select(
         F.col(id_col),

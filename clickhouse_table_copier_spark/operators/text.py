@@ -32,9 +32,30 @@ def _occurrences(text: Column, needle: str) -> Column:
     ).cast("int")
 
 
+def _occ_sql(hay: str, needle: str) -> str:
+    """The :func:`_occurrences` formula as Spark-SQL text — same
+    length-arithmetic expression (double division, truncating int cast),
+    parsed in one round-trip instead of ~6 Py4J Column calls per marker
+    (the ranks.py lesson: build SQL text in wide driver loops)."""
+    n = len(needle)
+    return f"CAST((length({hay}) - length(replace({hay}, '{needle}', ''))) / {n} AS INT)"
+
+
 def lang_scores(text: Column | str) -> dict[str, Column]:
-    """Per-language marker-hit counts over ' '-padded lowercased text."""
-    t = F.concat(F.lit(" "), F.lower(F.col(text) if isinstance(text, str) else text), F.lit(" "))
+    """Per-language marker-hit counts over ' '-padded lowercased text.
+
+    For a plain column NAME the per-marker counters are assembled as ONE
+    parsed SQL expression per language (20 markers × ~6 Column calls
+    were ~120 Py4J round-trips of pure driver time per query build); a
+    Column argument keeps the expression-API path.
+    """
+    if isinstance(text, str):
+        hay = f"(' ' || lower(`{text}`) || ' ')"
+        return {
+            lang: F.expr(" + ".join(_occ_sql(hay, m) for m in markers))
+            for lang, markers in LANG_MARKERS.items()
+        }
+    t = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
     out: dict[str, Column] = {}
     for lang, markers in LANG_MARKERS.items():
         score = _occurrences(t, markers[0])
@@ -106,12 +127,25 @@ def word_char_ratio(text: Column | str) -> Column:
 
 
 def stopword_ratio(text: Column | str) -> Column:
-    """English stopword hits per token — the classic Gopher-style signal."""
+    """English stopword hits per token — the classic Gopher-style signal.
+
+    For a plain column NAME the six marker counters are one parsed SQL
+    expression (vs ~36 Py4J Column calls); a Column argument keeps the
+    expression-API path. Same formula either way."""
     toks = token_count(text)
-    t = F.concat(F.lit(" "), F.lower(F.col(text) if isinstance(text, str) else text), F.lit(" "))
-    hits = _occurrences(t, " the ")
-    for w in (" and ", " of ", " to ", " a ", " in "):
-        hits = hits + _occurrences(t, w)
+    if isinstance(text, str):
+        hay = f"(' ' || lower(`{text}`) || ' ')"
+        hits = F.expr(
+            " + ".join(
+                _occ_sql(hay, w)
+                for w in (" the ", " and ", " of ", " to ", " a ", " in ")
+            )
+        )
+    else:
+        t = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+        hits = _occurrences(t, " the ")
+        for w in (" and ", " of ", " to ", " a ", " in "):
+            hits = hits + _occurrences(t, w)
     return F.when(toks == 0, F.lit(0.0)).otherwise(
         hits.cast("double") / toks.cast("double")
     )

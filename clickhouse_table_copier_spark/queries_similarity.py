@@ -88,9 +88,11 @@ def _bucket_sql(vec: str) -> str:
     """,
 )
 def q_similarity_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_table_copier_spark.operators.similarity import _vec_literal
+
     emb = spread(_t(spark, sf_dir, "embeddings"))
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    q = F.array(*[F.lit(x) for x in qvec])
+    q = _vec_literal(qvec)
     scored = emb.where(F.col("vec_id") != 0).select(
         "vec_id", F.round(cosine(F.col("embedding"), q), 6).alias("cosine_sim")
     )
