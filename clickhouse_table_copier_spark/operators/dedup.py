@@ -505,13 +505,18 @@ def span_grams(
     and the intra-document repeat signal join this frame against itself
     with different equi-keys, so callers that need both should build it
     once (queries_round5 persists it per session)."""
+    # short docs are dropped by the Generate itself (explode(NULL) emits
+    # no rows): a where(size(w) >= k) on the aliased w was pushed below
+    # the projection, re-inlining normalize+split so they ran TWICE per
+    # doc — once serially on the scan task before spread's exchange
     return (
         spread(df)
         .select(F.col(id_col), F.split(normalized_text(text_col), " ").alias("w"))
-        .where(F.size("w") >= k)
         .select(
             id_col,
-            F.explode(F.sequence(F.lit(1), F.size("w") - k + 1)).alias("pos"),
+            F.explode(
+                F.when(F.size("w") >= k, F.sequence(F.lit(1), F.size("w") - k + 1))
+            ).alias("pos"),
             F.col("w"),
         )
         .select(

@@ -94,21 +94,6 @@ def classify_fingerprints(
     for n in spec.names:
         c = F.col(n).eqNullSafe(F.col(f"__d_{n}"))
         cond = c if cond is None else cond & c
-    joined = (
-        s.hint("shuffle_hash")
-        .join(d_renamed.hint("shuffle_hash"), cond, "full_outer")
-        .select(
-            *[
-                F.coalesce(F.col(n), F.col(f"__d_{n}")).alias(n)
-                for n in spec.names
-            ],
-            "src_rows",
-            "src_fingerprint",
-            "dest_rows",
-            "dest_fingerprint",
-        )
-    )
-
     if check_hashes:
         equal = F.col("src_fingerprint").eqNullSafe(F.col("dest_fingerprint")) & F.col(
             "src_rows"
@@ -125,4 +110,20 @@ def classify_fingerprints(
         .when(equal, F.lit(Verdict.IDENTICAL.value))
         .otherwise(F.lit(Verdict.INCONSISTENT.value))
     )
-    return joined.withColumn("verdict", verdict)
+    # verdict rides in the join's projection: a trailing withColumn would
+    # be one more eager JVM re-analysis of the whole diff lineage per call
+    return (
+        s.hint("shuffle_hash")
+        .join(d_renamed.hint("shuffle_hash"), cond, "full_outer")
+        .select(
+            *[
+                F.coalesce(F.col(n), F.col(f"__d_{n}")).alias(n)
+                for n in spec.names
+            ],
+            "src_rows",
+            "src_fingerprint",
+            "dest_rows",
+            "dest_fingerprint",
+            verdict.alias("verdict"),
+        )
+    )

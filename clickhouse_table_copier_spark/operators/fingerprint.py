@@ -76,7 +76,14 @@ def partition_fingerprints(
     """
     cols = cols or df.columns
     with_parts = spec.with_partition_columns(df)
-    return with_parts.withColumn("__h", row_hash(*cols)).groupBy(*spec.names).agg(
-        F.count(F.lit(1)).alias("rows"),
-        F.bit_xor("__h").alias("fingerprint"),
+    # select, not withColumn: every Dataset transformation eagerly
+    # re-analyzes the plan JVM-side (~25 ms each on the growing diff
+    # lineage); one select keeps the per-call driver cost flat
+    return (
+        with_parts.select("*", row_hash(*cols).alias("__h"))
+        .groupBy(*spec.names)
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.bit_xor("__h").alias("fingerprint"),
+        )
     )

@@ -53,7 +53,9 @@ def _sub_sq_dist(vec_col: Column, code: list[float], start: int) -> Column:
     """Squared L2 between ``vec[start:start+len(code)]`` (1-based slice) and
     a literal code subvector — left-to-right fold, same order as the
     oracle's explicit addition chain."""
-    c = F.array(*[F.lit(float(x)) for x in code])
+    # code literal as ONE parsed SQL expression, not len(code) F.lit
+    # Py4J round-trips — values bit-identical (shortest-repr doubles)
+    c = F.expr("array(" + ",".join(f"{float(x)!r}D" for x in code) + ")")
     return F.aggregate(
         F.zip_with(
             F.slice(vec_col, start, len(code)),
@@ -79,8 +81,16 @@ def _nearest_code(vec_col: Column, codes: list[list[float]], start: int) -> Colu
       codegen constant ~3× on the PQ queries.
     The fold order per code is unchanged, so values are bit-identical."""
     sub = len(codes[0])
-    codes_arr = F.array(
-        *[F.array(*[F.lit(float(x)) for x in code]) for code in codes]
+    # K × sub literal codebook as ONE parsed SQL expression: the nested
+    # F.array/F.lit form cost ~K·sub Py4J round-trips per subspace —
+    # ~1000 per pq_encode call at 8×8×8 (the ranks.py lesson)
+    codes_arr = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in code) + ")"
+            for code in codes
+        )
+        + ")"
     )
     sl = F.slice(vec_col, start, sub)
     return F.array_min(
@@ -150,12 +160,16 @@ def pq_adc_scores(
     lookup table — ``element_at`` into an M-entry literal array per
     subspace, summed in subspace order. No per-row vector arithmetic."""
     dtab = adc_table(codebooks, query_vec)
-    acc: Column | None = None
-    for m, row in enumerate(dtab):
-        term = F.element_at(
-            F.array(*[F.lit(d) for d in row]), F.col(f"c{m}") + F.lit(1)
+    # the whole M-subspace lookup sum as ONE parsed SQL expression
+    # (was M·K F.lit round-trips); element_at/+1 semantics unchanged
+    acc = F.expr(
+        " + ".join(
+            "element_at(array("
+            + ",".join(f"{float(d)!r}D" for d in row)
+            + f"), c{m} + 1)"
+            for m, row in enumerate(dtab)
         )
-        acc = term if acc is None else acc + term
+    )
     return encoded.select(F.col(id_col), acc.alias("adc_dist"))
 
 

@@ -247,12 +247,17 @@ FROM s FULL OUTER JOIN d USING (ship_month)
 
 
 def _mutated_dest(df: DataFrame) -> DataFrame:
-    """Deterministic destination-table mutation shared with the oracle."""
-    return df.where(F.expr("CAST(month(l_shipdate) AS INT) <> 3")).withColumn(
-        "l_quantity",
-        F.when(F.col("l_orderkey") % 997 == 0, F.col("l_quantity") + 1).otherwise(
-            F.col("l_quantity")
-        ),
+    """Deterministic destination-table mutation shared with the oracle.
+    One select (same column order), not filter+withColumn: each Dataset
+    transformation eagerly re-analyzes the plan JVM-side."""
+    mutated = F.when(
+        F.col("l_orderkey") % 997 == 0, F.col("l_quantity") + 1
+    ).otherwise(F.col("l_quantity"))
+    return df.where(F.expr("CAST(month(l_shipdate) AS INT) <> 3")).select(
+        *[
+            mutated.alias("l_quantity") if c == "l_quantity" else F.col(c)
+            for c in df.columns
+        ]
     )
 
 

@@ -54,12 +54,18 @@ def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_table_copier_spark.operators.dedup import normalized_text, spread
 
     docs = spread(_t(spark, sf_dir, "documents"))
-    norm = docs.select("doc_id", normalized_text("text").alias("t")).where(
-        F.length("t") >= K
-    )
+    norm = docs.select("doc_id", normalized_text("text").alias("t"))
+    # short docs are dropped by the Generate itself: explode(NULL) emits
+    # no rows, exactly like the former where(length(t) >= K) — but a
+    # Filter on the aliased t was pushed below the projection, re-inlining
+    # the two-pass regex normalize so it ran TWICE per doc (once serially
+    # on the scan task before spread's exchange; plan r16 before-file).
+    # This way the normalize is computed once, after the exchange.
     grams = norm.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(1), F.length("t") - K + 1)).alias("pos"),
+        F.explode(
+            F.when(F.length("t") >= K, F.sequence(F.lit(1), F.length("t") - K + 1))
+        ).alias("pos"),
         F.col("t"),
     ).select(
         "doc_id",
