@@ -232,15 +232,20 @@ def q_doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("w").alias("v"))
         .collect()[0]["v"]
     )
+    # sub-2-token docs are dropped by the Generate itself (explode of the
+    # NULL when-branch emits no rows — same semantics as the former
+    # where(size(t) >= 2), which was pushed below the projection and
+    # re-inlined the normalize+split+filter chain into a serial pre-
+    # exchange Filter, computing it twice per doc)
     pairs = (
-        toks.where(F.size("t") >= 2)
-        .select(
+        toks.select(
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(2, size(t)),"
+                    "CASE WHEN size(t) >= 2 THEN"
+                    " transform(sequence(2, size(t)),"
                     " i -> struct(element_at(t, i - 1) AS w1,"
-                    "             element_at(t, i) AS w2))"
+                    "             element_at(t, i) AS w2)) END"
                 )
             ).alias("p"),
         )
