@@ -108,6 +108,12 @@ class Jp2Error(Exception):
 # total SAMPLES across components; int32 coefficient planes mean
 # 4 bytes/sample, so 1<<27 samples tops out near 512 MiB live
 _MAX_SAMPLES = 1 << 27
+# NOTE: for default-precinct spellings (PPx=PPy=15) the EFFECTIVE
+# decodable width/height is 2^15, not _MAX_DIM: a resolution grid that
+# crosses an absolute 2^15 boundary genuinely carries two precincts per
+# (layer, resolution, component) under B.6 and declines as 'multiple
+# precincts out of scope' (_eff_cb straddle check; ADVICE r15) — 2^16
+# here is the parse-time dimension cap, not the decode bound.
 _MAX_DIM = 1 << 16
 _MAX_LAYERS = 1024
 _MAX_PASSES = 109  # 3*37-2: 37 planes is already beyond int32 range
@@ -1135,6 +1141,13 @@ def parse_codestream(cs: bytes):
             ntiles = ntx_ * nty_
             if isot >= ntiles:
                 raise Jp2Error("tile index out of range")
+            # TPsot must equal the count of tile-parts already captured
+            # for this tile (§A.4.2 numbers tile-parts 0..TNsot-1 in
+            # stream order): out-of-order or duplicate TPsot would
+            # concatenate reordered bitstream data into a wrong raster
+            # instead of declining (ADVICE r15)
+            if body[6] != len(tile_parts.get(isot, ())):
+                raise Jp2Error("tile-part order mismatch")
             sot_start = pos - 2
             # tile-part header: markers until SOD
             tp = pos + ln
@@ -1157,6 +1170,14 @@ def parse_codestream(cs: bytes):
                 end = n - 2
             if end > n or end < tp:
                 raise Jp2Error("tile-part length out of range")
+            # §A.4.2 permits Psot=0 only for the LAST tile-part of the
+            # codestream.  Packet bodies and headers are bit-stuffed
+            # (a byte after 0xFF is < 0x90), so a raw SOT marker inside
+            # the claimed span proves this tile-part swallowed later
+            # tile-parts — decline instead of decoding their SOT/SOD
+            # bytes as packet data (ADVICE r15)
+            if psot == 0 and cs.find(b"\xff\x90", tp, end) != -1:
+                raise Jp2Error("Psot=0 before further tile-parts")
             tile_parts.setdefault(isot, []).append(cs[tp:end])
             pos = end
             continue

@@ -1601,6 +1601,47 @@ def test_main_header_markers_after_tile_part_decline():
     assert (decode_jp2_pdf(blob) == decode_jp2_pdf(g)).all()
 
 
+def test_psot_zero_only_on_last_tile_part():
+    """ADVICE r16: §A.4.2 permits Psot=0 only for the LAST tile-part.
+    An early Psot=0 swallows every later tile-part (their SOT/SOD
+    bytes become 'packet data'), so a non-conformant stream would
+    decode against garbage or mis-decline; it must decline by name.
+    Packet data is bit-stuffed (no 0xFF90), so a raw SOT inside the
+    claimed span is proof of swallowing."""
+    multi = MKG.encode_j2k(_gray8(), levels=1, xcb=2, ycb=2, tiles=(6, 6))
+    first_sot = multi.index(b"\xff\x90")
+    assert multi.count(b"\xff\x90") >= 2  # really multi-tile
+    # sanity: the unmutated stream decodes
+    assert decode_jp2_pdf(multi) is not None
+    # zero out the FIRST tile-part's Psot (offset +6..+10 from SOT)
+    bad = (
+        multi[: first_sot + 6]
+        + b"\x00\x00\x00\x00"
+        + multi[first_sot + 10 :]
+    )
+    with pytest.raises(Jp2Error, match="Psot=0 before further tile-parts"):
+        parse_codestream(bad)
+    assert decode_jp2_pdf(bad) is None
+    # legit spelling: Psot=0 on the LAST (only) tile-part still decodes
+    g = J2K_GRAY8_L1
+    sot = g.index(b"\xff\x90")
+    last0 = g[: sot + 6] + b"\x00\x00\x00\x00" + g[sot + 10 :]
+    assert (decode_jp2_pdf(last0) == decode_jp2_pdf(g)).all()
+
+
+def test_tpsot_out_of_order_declines():
+    """ADVICE r16: TPsot must equal the count of tile-parts already
+    captured for that tile — a duplicate or out-of-order TPsot would
+    silently concatenate reordered bitstream data into a wrong
+    raster instead of declining."""
+    g = J2K_GRAY8_L1
+    sot = g.index(b"\xff\x90")
+    bad = g[: sot + 10] + b"\x01" + g[sot + 11 :]
+    with pytest.raises(Jp2Error, match="tile-part order mismatch"):
+        parse_codestream(bad)
+    assert decode_jp2_pdf(bad) is None
+
+
 # --------------------------------------------------------------------
 # ABSOLUTE-coordinate anchoring (review r15): T.800 splits even/odd
 # by the sample's index on the reference grid and anchors code-block
