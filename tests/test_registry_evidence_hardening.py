@@ -126,7 +126,12 @@ def test_bare_name_collisions_are_acknowledged():
     edit to the losing binding is invisible to queries that resolve the
     winner.  The known pairs are pinned here — a new collision must be
     either renamed away or consciously added."""
-    known = {"_bucket_sql", "main"}
+    # _occ_sql: operators/text.py (r16) vs queries_pipeline.py — both
+    # render the SAME length-arithmetic occurrence formula (INT vs
+    # INTEGER are synonyms in Spark SQL), and every query function
+    # resolves its OWN module's binding via fn.__globals__, so neither
+    # module's queries can silently pick up the other's source.
+    known = {"_bucket_sql", "main", "_occ_sql"}
     sources: dict[str, set[str]] = {}
     for path in glob.glob(os.path.join(_PKG_DIR, "**", "*.py"), recursive=True):
         tree = ast.parse(open(path).read())
