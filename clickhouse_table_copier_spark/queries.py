@@ -88,6 +88,30 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
 
 
+# Resolved-relation memo for _t/_events: spark.read.parquet pays ~0.2 s
+# of JVM-side datasource resolution PER CALL (footer read + schema
+# inference + file index), the single largest uniform driver-side build
+# cost across the headline (guide §7.3; OPTIMIZATION_r16 profile). The
+# returned DataFrame is an immutable logical plan, so handing the same
+# object to every caller changes nothing downstream — every action still
+# scans the parquet (no persist(), no materialization, NOT result
+# caching). Keyed per (application, dir, table); bounded like the
+# artifact caches.
+_RELATION_CACHE: dict = {}
+_RELATION_CACHE_MAX = 64
+
+
+def _tc(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
+    df = _RELATION_CACHE.get(key)
+    if df is None:
+        df = _t(spark, sf_dir, name)
+        _RELATION_CACHE[key] = df
+        while len(_RELATION_CACHE) > _RELATION_CACHE_MAX:
+            _RELATION_CACHE.pop(next(iter(_RELATION_CACHE)))
+    return df
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load events with ``ts`` normalized to µs-precision TIMESTAMP_NTZ —
     matching DuckDB's CAST(ts AS TIMESTAMP) — under an explicitly-UTC
@@ -104,6 +128,24 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         conv = "CAST(ts AS TIMESTAMP_NTZ)"
     return df.withColumn("ts", F.expr(conv))
+
+
+# _events with the constructed frame memoized per (application, dir) —
+# same rationale and same non-caching semantics as _tc above. The two
+# session confs _events sets are sticky on the session, so a memo hit
+# (necessarily preceded by the miss that set them) executes identically.
+_EVENTS_FRAME_CACHE: dict = {}
+
+
+def _events_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    df = _EVENTS_FRAME_CACHE.get(key)
+    if df is None:
+        df = _events(spark, sf_dir)
+        _EVENTS_FRAME_CACHE[key] = df
+        while len(_EVENTS_FRAME_CACHE) > _RELATION_CACHE_MAX:
+            _EVENTS_FRAME_CACHE.pop(next(iter(_EVENTS_FRAME_CACHE)))
+    return df
 
 
 # The standard partition spec for lineitem: month of ship date — the
@@ -199,7 +241,7 @@ _LINEITEM_WIDTH_SQL = (
 def q_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_table_copier_spark.operators.partition_stats import partition_stats
 
-    df = _t(spark, sf_dir, "lineitem")
+    df = _tc(spark, sf_dir, "lineitem")
     spec = PartitionSpec.of(PartitionField("ship_month", "CAST(month(l_shipdate) AS INT)"))
     out = partition_stats(df, spec, time_col="l_shipdate")
     return out.withColumnRenamed("rows", "rows_")
@@ -265,7 +307,7 @@ def _mutated_dest(df: DataFrame) -> DataFrame:
 def q_partition_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_table_copier_spark.operators.diff import diff_partitions
 
-    src = _t(spark, sf_dir, "lineitem")
+    src = _tc(spark, sf_dir, "lineitem")
     dest = _mutated_dest(src)
     spec = PartitionSpec.of(PartitionField("ship_month", "CAST(month(l_shipdate) AS INT)"))
     report = diff_partitions(src, dest, spec)
@@ -301,7 +343,7 @@ def q_schema_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every cast from the §1.3 matrix exercised per-row (string, widened
     # int, decimal money, date), then aggregated compactly so the result
     # stays driver-sized at any scale factor
-    df = _t(spark, sf_dir, "lineitem")
+    df = _tc(spark, sf_dir, "lineitem")
     aligned = df.select(
         F.col("l_orderkey").cast("string").alias("l_orderkey_s"),
         F.col("l_linenumber").cast("bigint").alias("l_linenumber_w"),

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from clickhouse_table_copier_spark.queries import _events, _t, register
+from clickhouse_table_copier_spark.queries import _events, _events_c, _t, _tc, register
 
 
 # ---------------------------------------------------------------------------
@@ -40,7 +40,7 @@ from clickhouse_table_copier_spark.queries import _events, _t, register
     """,
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _t(spark, sf_dir, "lineitem")
+    df = _tc(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("decimal(18,2)")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,2)")
@@ -76,9 +76,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    customer = _t(spark, sf_dir, "customer")
-    nation = _t(spark, sf_dir, "nation")
+    orders = _tc(spark, sf_dir, "orders")
+    customer = _tc(spark, sf_dir, "customer")
+    nation = _tc(spark, sf_dir, "nation")
     return (
         # customer scales with SF — no broadcast hint; Catalyst/AQE
         # broadcast it at test scale and shuffle it on a cluster
@@ -115,7 +115,7 @@ def q_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_top_parts_by_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _t(spark, sf_dir, "lineitem")
+    df = _tc(spark, sf_dir, "lineitem")
     return (
         df.groupBy("l_partkey")
         .agg(
@@ -146,7 +146,7 @@ def q_top_parts_by_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_events_multikey_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _events(spark, sf_dir)
+    df = _events_c(spark, sf_dir)
     return (
         df.groupBy("event_type", F.col("ts").cast("date").alias("event_date"))
         .agg(

@@ -52,8 +52,9 @@ _NORM = "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', '', 'g'), 
 )
 def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_table_copier_spark.operators.dedup import normalized_text, spread
+    from clickhouse_table_copier_spark.queries import _tc
 
-    docs = spread(_t(spark, sf_dir, "documents"))
+    docs = spread(_tc(spark, sf_dir, "documents"))
     norm = docs.select("doc_id", normalized_text("text").alias("t"))
     # short docs are dropped by the Generate itself: explode(NULL) emits
     # no rows, exactly like the former where(length(t) >= K) — but a
@@ -249,9 +250,9 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_asof_join_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_table_copier_spark.operators.temporal_joins import asof_join
-    from clickhouse_table_copier_spark.queries import _events
+    from clickhouse_table_copier_spark.queries import _events_c
 
-    ev = _events(spark, sf_dir)
+    ev = _events_c(spark, sf_dir)
     snapshots = ev.where(F.col("event_id") % 10 == 0).select(
         "user_id", "ts", F.col("value").alias("status_value")
     )
@@ -367,9 +368,9 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_table_copier_spark.operators.rollup_time import time_rollup
-    from clickhouse_table_copier_spark.queries import _events
+    from clickhouse_table_copier_spark.queries import _events_c
 
-    ev = _events(spark, sf_dir)
+    ev = _events_c(spark, sf_dir)
     return time_rollup(ev, "ts", ["event_type"], "value")
 
 

@@ -28,7 +28,7 @@ from clickhouse_table_copier_spark.operators.text import (
     token_count,
     word_char_ratio,
 )
-from clickhouse_table_copier_spark.queries import _t, register
+from clickhouse_table_copier_spark.queries import _t, _tc, register
 
 # ---------------------------------------------------------------------------
 # Shared dedup corpus (Spark + SQL renderings must stay in lockstep).
@@ -41,6 +41,25 @@ _CORPUS_SQL = """
   SELECT doc_id + 200000 AS doc_id, text || ' extra token appended' AS text
   FROM documents WHERE doc_id % 10 = 5
 """
+
+
+_CORPUS_FRAME_CACHE: dict = {}
+
+
+def _corpus_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_corpus with the constructed frame memoized per (application, dir)
+    — the same resolved-relation memo as queries._tc: the DataFrame is an
+    immutable plan, every action still scans the parquet (no persist, NOT
+    result caching).  Cuts the ~35 Py4J calls + ~0.2 s parquet-resolution
+    _corpus pays per construction (guide §7.3)."""
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    df = _CORPUS_FRAME_CACHE.get(key)
+    if df is None:
+        df = _corpus(spark, sf_dir)
+        _CORPUS_FRAME_CACHE[key] = df
+        while len(_CORPUS_FRAME_CACHE) > 64:
+            _CORPUS_FRAME_CACHE.pop(next(iter(_CORPUS_FRAME_CACHE)))
+    return df
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,7 +248,7 @@ _NORM_SQL = "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', '', 'g
     """,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    groups = exact_dedup(_corpus(spark, sf_dir), "doc_id", "text")
+    groups = exact_dedup(_corpus_c(spark, sf_dir), "doc_id", "text")
     return groups.where(F.col("dup_cnt") > 1)
 
 
@@ -289,7 +308,7 @@ _BANDS_SQL = ", ".join(
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(
-        _corpus(spark, sf_dir),
+        _corpus_c(spark, sf_dir),
         "doc_id",
         "text",
         num_hashes=8,
@@ -400,7 +419,7 @@ def q_dedup_clusters_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash(_corpus(spark, sf_dir), "doc_id", "text", bits=32)
+    return simhash(_corpus_c(spark, sf_dir), "doc_id", "text", bits=32)
 
 
 # ---------------------------------------------------------------------------
@@ -461,7 +480,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang_scores,
     )
 
-    docs = spread(_t(spark, sf_dir, "documents"))
+    docs = spread(_tc(spark, sf_dir, "documents"))
     # two-stage: marker scores computed once into columns, argmax reads
     # the bound attributes (see lang_id_from_scores)
     scored = docs.select(
@@ -536,7 +555,7 @@ _BPE_SQL_PATTERN = (
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_table_copier_spark.operators.text import bpe_token_count
 
-    docs = spread(_t(spark, sf_dir, "documents"))
+    docs = spread(_tc(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         token_count("text").cast("bigint").alias("ws_tokens"),
@@ -582,7 +601,7 @@ _QUALITY_EXPR_SQL = """CAST(CASE WHEN toks >= 10 AND toks <= 100000 THEN 40 ELSE
     """,
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(_t(spark, sf_dir, "documents"))
+    docs = spread(_tc(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         quality_score("text").alias("quality"),

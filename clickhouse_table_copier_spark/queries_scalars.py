@@ -17,7 +17,7 @@ from clickhouse_table_copier_spark.functions.scalars import (
     portable_row_hash,
     to_uuid_or_zero,
 )
-from clickhouse_table_copier_spark.queries import _events, _t, register
+from clickhouse_table_copier_spark.queries import _events, _t, _tc, register
 
 # ---------------------------------------------------------------------------
 # A3 — order-insensitive table fingerprint, portable flavor.
@@ -52,7 +52,7 @@ _FP_EXPR_SQL = (
     """,
 )
 def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _t(spark, sf_dir, "lineitem")
+    df = _tc(spark, sf_dir, "lineitem")
     return df.select(portable_row_hash(*_fp_cols_spark()).alias("h")).agg(
         F.count(F.lit(1)).alias("rows_"), F.bit_xor("h").alias("fingerprint")
     )
@@ -67,7 +67,7 @@ def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_partition_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _t(spark, sf_dir, "lineitem")
+    df = _tc(spark, sf_dir, "lineitem")
     return (
         df.withColumn("__h", portable_row_hash(*_fp_cols_spark()))
         .groupBy(F.expr("CAST(month(l_shipdate) AS INT)").alias("ship_month"))

@@ -22,7 +22,7 @@ from clickhouse_table_copier_spark.operators.similarity import (
     norm,
 )
 from clickhouse_table_copier_spark.operators.dedup import spread
-from clickhouse_table_copier_spark.queries import _t, register
+from clickhouse_table_copier_spark.queries import _t, _tc, register
 
 DIM = 64
 NUM_PLANES = 8
@@ -90,8 +90,12 @@ def _bucket_sql(vec: str) -> str:
 def q_similarity_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_table_copier_spark.operators.similarity import _vec_literal
 
-    emb = spread(_t(spark, sf_dir, "embeddings"))
-    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    # query vector: fetched from the UNspread relation so the one-row
+    # lookup is a pushed-filter scan task, not a scan+exchange job (the
+    # spread() exchange only helps the wide per-row scoring downstream)
+    base = _tc(spark, sf_dir, "embeddings")
+    emb = spread(base)
+    qvec = [float(x) for x in base.where(F.col("vec_id") == 0).first()["embedding"]]
     q = _vec_literal(qvec)
     scored = emb.where(F.col("vec_id") != 0).select(
         "vec_id", F.round(cosine(F.col("embedding"), q), 6).alias("cosine_sim")
@@ -146,8 +150,9 @@ def q_similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_table_copier_spark.operators.similarity import lsh_topk
 
-    emb = spread(_t(spark, sf_dir, "embeddings"))
-    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    base = _tc(spark, sf_dir, "embeddings")
+    emb = spread(base)
+    qvec = [float(x) for x in base.where(F.col("vec_id") == 0).first()["embedding"]]
     return lsh_topk(
         emb.where(F.col("vec_id") != 0), qvec, k=10, num_planes=NUM_PLANES
     )
@@ -254,7 +259,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the final divide multiplies the same two doubles. (r4 bench flagged
     # a 2× regression here; min-of-3 at sf0.1 went 0.99 s → 0.63 s with
     # this shape on the same fixture.)
-    emb = spread(_t(spark, sf_dir, "embeddings")).withColumn(
+    emb = spread(_tc(spark, sf_dir, "embeddings")).withColumn(
         "nrm", norm(F.col("embedding"))
     )
     a = emb.alias("a")

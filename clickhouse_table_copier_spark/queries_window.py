@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clickhouse_table_copier_spark.functions.scalars import canonical_ipv6
-from clickhouse_table_copier_spark.queries import _t, register
+from clickhouse_table_copier_spark.queries import _t, _tc, register
 
 
 # ---------------------------------------------------------------------------
@@ -34,7 +34,7 @@ from clickhouse_table_copier_spark.queries import _t, register
     """,
 )
 def q_customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
+    orders = _tc(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return orders.select(
         "o_custkey",
@@ -111,9 +111,9 @@ def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clickhouse_table_copier_spark.queries import _events
+    from clickhouse_table_copier_spark.queries import _events_c
 
-    ev = _events(spark, sf_dir)
+    ev = _events_c(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = ev.select(
         "user_id",
