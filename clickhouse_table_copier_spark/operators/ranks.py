@@ -248,20 +248,20 @@ def weighted_quantiles(
        partition them into ~parts buckets (the sketch is unweighted —
        over distinct values — but bounds only *partition* rows, so
        neither sketch error nor the missing weights reaches the answer);
-    3. one metadata action collects per-(group, bucket) weight sums
-       (≤ |groups|·parts scalars), locating each quantile's target
-       bucket and its exact in-bucket remaining target;
+    3. per-(group, bucket) weight sums (≤ |groups|·parts rows) locate
+       each quantile's target bucket and its exact in-bucket remaining
+       target — computed INSIDE the final job (cumulative bucket window
+       + broadcast), not via a third driver action;
     4. only rows in TARGET buckets (≤ |groups|·|quantiles| buckets) flow
        into the cumulative window, partitioned by (group, bucket) — the
        within-bucket scan is ≈ n/parts rows per task.
 
     Output: one row per group with one column per quantile label.
     Weights must be positive integers; ``group_col`` cardinality must be
-    metadata-sized (the step-3 collect is |groups|·parts rows).
+    metadata-sized (the target-bucket frame is broadcast).
     """
     from pyspark.sql import Window
 
-    spark = df.sparkSession
     vw0 = (
         df.groupBy(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
         .agg(F.sum(F.col(weight_col).cast("decimal(38,0)")).alias("w"))
@@ -291,31 +291,60 @@ def weighted_quantiles(
     # per consumer, never re-shuffled
     vw = vw0.select("g", "v", "w", F.expr(_bucket_sql("v", bounds)).alias("b"))
 
-    bw_rows = vw.groupBy("g", "b").agg(F.sum("w").alias("bw")).collect()
-    per_group: dict[object, dict[int, int]] = {}
-    for r in bw_rows:
-        per_group.setdefault(r["g"], {})[int(r["b"])] = int(r["bw"])
-
-    # metadata rows: (group, label, target bucket, exact in-bucket target)
-    targets = []
-    for g, bweights in per_group.items():
-        total = sum(bweights.values())
-        for label, num, den in quantiles:
-            goal = num * total  # compare den·cum ≥ num·W in integers
-            cum = 0
-            for b in sorted(bweights):
-                if den * (cum + bweights[b]) >= goal:
-                    targets.append((g, label, b, goal - den * cum))
-                    break
-                cum += bweights[b]
-    from decimal import Decimal
-
-    tgt = spark.createDataFrame(
-        [(g, lab, b, Decimal(t)) for g, lab, b, t in targets],
-        schema=(
-            f"g {df.schema[group_col].dataType.simpleString()},"
-            " label string, b int, tgt decimal(38,0)"
-        ),
+    # Target-bucket selection, DISTRIBUTED (r17): the per-(g, bucket)
+    # weight sums used to be collect()ed and walked on the driver — a
+    # third sequential action over the persisted collapse between the
+    # bounds job and the final job (guide §2.4: fewer actions = fewer
+    # scans).  The same integer inequality — smallest bucket with
+    # den·(cum_before + bw) ≥ num·W — now evaluates inside the FINAL job
+    # over the metadata-sized (g, bucket) aggregate, so the operator
+    # runs exactly two jobs: bounds+guards, then the quantile query.
+    wb = Window.partitionBy("g").orderBy("b")
+    bw = (
+        vw.groupBy("g", "b")
+        .agg(F.sum("w").alias("bw"))
+        .select(
+            "g",
+            "b",
+            "bw",
+            (
+                F.sum("bw").over(
+                    wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                - F.col("bw")
+            ).alias("cumb"),
+            F.sum("bw").over(Window.partitionBy("g")).alias("tot"),
+        )
+    )
+    q_structs = ", ".join(
+        f"struct('{label}' AS label, {num} AS num, {den} AS den)"
+        for label, num, den in quantiles
+    )
+    cand = bw.select(
+        "g", "b", "bw", "cumb", "tot", F.expr(f"inline(array({q_structs}))")
+    )
+    # smallest qualifying bucket per (g, label); min over the struct is
+    # min over b (cumb/num/den/tot are functions of (g, b, label)), and
+    # num·W − den·cum_before is the exact in-bucket target, all integer
+    # decimal arithmetic — identical to the former driver-side walk
+    tgt = (
+        cand.where(
+            F.col("den").cast("decimal(38,0)") * (F.col("cumb") + F.col("bw"))
+            >= F.col("num").cast("decimal(38,0)") * F.col("tot")
+        )
+        .groupBy("g", "label")
+        .agg(F.min(F.struct("b", "cumb", "num", "den", "tot")).alias("m"))
+        .select(
+            "g",
+            "label",
+            F.col("m.b").alias("b"),
+            (
+                F.col("m.num").cast("decimal(38,0)") * F.col("m.tot")
+                - F.col("m.den").cast("decimal(38,0)") * F.col("m.cumb")
+            )
+            .cast("decimal(38,0)")
+            .alias("tgt"),
+        )
     )
 
     # the window partitions by (g, label): two quantiles of one group
