@@ -149,8 +149,10 @@ def minhash_signatures(
         % MINHASH_P
     )
     withbase = ex.select(F.col(id_col), base.alias("__h"))
-    # each permutation's min-agg as ONE parsed SQL expression (same
-    # bigint arithmetic; L-suffixed literals pin the types F.lit chose)
+    # each permutation's min-agg as ONE parsed SQL expression. The
+    # L-suffixed bigint literals rely on the same bigint promotion the
+    # old int literals received (F.lit picked int; bigint*int promotes
+    # to bigint), keeping the arithmetic identical.
     aggs = [
         F.expr(
             f"min(((__h * {MINHASH_A[i]}L) + {MINHASH_B[i]}L) % {MINHASH_P}L)"

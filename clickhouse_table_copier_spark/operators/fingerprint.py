@@ -75,6 +75,9 @@ def partition_fingerprints(
     GetPartitionHashAsync loop (database.go:532-551, copy/copy.go:217-232).
     """
     cols = cols or df.columns
+    # a pre-existing __h would make the appended hash column ambiguous
+    # in the bit_xor below (select appends; the old withColumn replaced)
+    assert "__h" not in df.columns, "input already has a __h column"
     with_parts = spec.with_partition_columns(df)
     # select, not withColumn: every Dataset transformation eagerly
     # re-analyzes the plan JVM-side (~25 ms each on the growing diff

@@ -59,9 +59,16 @@ def _vec_literal(vec: list[float]) -> Column:
     not Column trees, in wide driver loops). ``repr(float)`` is the
     shortest round-tripping decimal and Spark's double-literal parser
     (Java ``parseDouble``) is correctly rounding, so the parsed values
-    are bit-identical to the ``F.lit`` path.
+    are bit-identical to the ``F.lit`` path.  Non-finite elements have
+    no SQL double-literal spelling (``nanD``/``infD`` fail to parse), so
+    a vector containing one falls back to the Column path F.lit used.
     """
-    return F.expr("array(" + ",".join(f"{float(v)!r}D" for v in vec) + ")")
+    import math
+
+    vals = [float(v) for v in vec]
+    if not all(math.isfinite(v) for v in vals):
+        return F.array(*[F.lit(v) for v in vals])
+    return F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
 
 
 def brute_force_topk(

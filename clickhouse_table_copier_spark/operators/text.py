@@ -37,6 +37,9 @@ def _occ_sql(hay: str, needle: str) -> str:
     length-arithmetic expression (double division, truncating int cast),
     parsed in one round-trip instead of ~6 Py4J Column calls per marker
     (the ranks.py lesson: build SQL text in wide driver loops)."""
+    # the needle is interpolated into a single-quoted SQL literal: a
+    # quote inside it would silently change the expression
+    assert "'" not in needle, f"needle may not contain a quote: {needle!r}"
     n = len(needle)
     return f"CAST((length({hay}) - length(replace({hay}, '{needle}', ''))) / {n} AS INT)"
 

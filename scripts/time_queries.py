@@ -22,12 +22,14 @@ from clickhouse_table_copier_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    iters = 3
-    if "--iters" in sys.argv:
-        iters = int(sys.argv[sys.argv.index("--iters") + 1])
-        args = [a for a in args if a != str(iters)]
-    use_collect = "--collect" in sys.argv
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("queries", nargs="+")
+    parser.add_argument("--iters", type=int, default=3)
+    parser.add_argument("--collect", action="store_true")
+    ns = parser.parse_args()
+    args, iters, use_collect = ns.queries, ns.iters, ns.collect
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
