@@ -1,11 +1,12 @@
-"""Capture .explain("formatted") for headline queries into plans/r16/.
+"""Capture .explain("formatted") for headline queries into plans/<round>/.
 
 Usage: python scripts/capture_plans.py before|after [query ...]
 
-Writes plans/r16/<name>_<tag>.txt for each headline query (or the named
-subset). The judge reads these files to check plan claims against the
-code; the formatted explain includes Exchange placement, join strategy,
-PushedFilters and ReadSchema.
+Writes plans/$CTC_PLANS_ROUND/<name>_<tag>.txt (default round: r17) for
+each headline query (or the named subset; non-headline registered names
+are allowed in the subset). The judge reads these files to check plan
+claims against the code; the formatted explain includes Exchange
+placement, join strategy, PushedFilters and ReadSchema.
 """
 
 from __future__ import annotations
@@ -28,7 +29,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("CTC_PLANS_ROUND", "r17"),
     )
     os.makedirs(out_dir, exist_ok=True)
 
@@ -36,6 +39,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
     names = [n for n in bench.HEADLINE if not only or n in only]
+    names += [n for n in sorted(only) if n not in bench.HEADLINE and n in qs]
     for name in names:
         df = qs[name](spark, sf_dir)
         buf = io.StringIO()

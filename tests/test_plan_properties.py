@@ -204,3 +204,30 @@ def test_aggregations_have_no_python_udfs(spark, name):
     stages (Python UDFs) anywhere in their plans."""
     plan = _plan(spark, name)
     assert "EvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "doc_winnowing",
+        "cross_doc_spans",
+        "intra_doc_repeats",
+        "span_dedup_survivors",
+        "doc_perplexity_buckets",
+    ],
+)
+def test_normalize_not_reinlined_into_filter(spark, name):
+    """r16 fix pin: the two-pass regex normalize must be computed ONCE,
+    inside the Generate's projection after spread()'s exchange. Before
+    the fix, a where(length(t) >= K) on the aliased normalized column
+    was pushed below the projection as a Filter that re-inlined the full
+    regexp chain — running the normalize twice per document, once of
+    those serially on the single scan task."""
+    plan = _plan(spark, name)
+    offenders = [
+        ln for ln in plan.splitlines() if re.search(r"\bFilter\b.*regexp_replace", ln)
+    ]
+    assert not offenders, (
+        f"{name}: normalize re-inlined into a Filter node:\n"
+        + "\n".join(offenders[:3])
+    )
