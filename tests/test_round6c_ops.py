@@ -3,11 +3,18 @@ triangle counting, and cross-run streaming dedup."""
 
 from __future__ import annotations
 
+import pytest
+
 from itertools import combinations
 
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
+
+# Driver-gate lane split (r17): SLOW lane (see pytest.ini) so the
+# default gate completes inside the driver's verify budget; run with
+#   python -m pytest tests/ -m slow -q
+pytestmark = pytest.mark.slow
 
 
 def test_bucketed_join_plans_zero_exchanges(spark):

@@ -8,9 +8,16 @@ cross-engine agreement; these tests check the MATH is the intended one.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from clickhouse_table_copier_spark import queries_round9 as r9
+
+# Driver-gate lane split (r17): SLOW lane (see pytest.ini) so the
+# default gate completes inside the driver's verify budget; run with
+#   python -m pytest tests/ -m slow -q
+pytestmark = pytest.mark.slow
 
 
 def _write(spark, tmp_path, name, rows, schema):

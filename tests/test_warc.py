@@ -11,6 +11,8 @@ extract_html_text to prose.
 import gzip
 import os
 
+import pytest
+
 from clickhouse_table_copier_spark.operators.html_extract import (
     extract_html_text,
 )
@@ -18,6 +20,11 @@ from clickhouse_table_copier_spark.sources.warc import (
     read_warc,
     responses_to_documents,
 )
+
+# Driver-gate lane split (r17): SLOW lane (see pytest.ini) so the
+# default gate completes inside the driver's verify budget; run with
+#   python -m pytest tests/ -m slow -q
+pytestmark = pytest.mark.slow
 
 _HTML = (
     "<html><head><title>T</title></head><body><p>Genuine prose long "
